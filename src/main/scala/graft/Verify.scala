@@ -11,6 +11,12 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // Write micros (not INT96) so the driver's parquet reader sees the
+      // same physical timestamp type DuckDB produces.
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      // events.parquet carries TIMESTAMP(NANOS): read as long, converted
+      // to micro timestamps in graft.queries.t().
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -1,0 +1,106 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Aggregations: groupBy, exact distinct count, min/max, rollup, cube —
+  * SURVEY.md §2.4. All double sums go through DECIMAL(18,4) (exact in
+  * this data: ≤2 dp) so partial/final aggregation order cannot perturb
+  * the result — the property that makes these hash-match DuckDB AND
+  * stay deterministic across 1000 executors at 100 TB.
+  */
+object AggQueries {
+
+  private val dec = DecimalType(18, 4)
+
+  val queries: Map[String, QFn] = Map(
+    // TPC-H-Q1-shaped groupBy (readme.md:45-51 intent).
+    "q_agg_group" -> { (s, d) =>
+      val li = t(s, d, "lineitem")
+      li.groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity").cast(dec)).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast(dec)).cast("double").as("sum_price"),
+          count(lit(1)).as("n"),
+          (sum(col("l_quantity").cast(dec)).cast("double") / count(lit(1))).as("avg_qty"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+
+    // Exact count(DISTINCT) per group.
+    "q_agg_distinct_count" -> { (s, d) =>
+      t(s, d, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          countDistinct(col("o_custkey")).as("n_cust"),
+          count(lit(1)).as("n_orders"))
+        .orderBy(col("o_orderpriority"))
+    },
+
+    // A1: global min/max (the dashboard's date-picker bounds,
+    // streamlit/app.py:101-102).
+    "q_agg_minmax" -> { (s, d) =>
+      t(s, d, "orders")
+        .agg(min(col("o_orderdate")).as("min_d"), max(col("o_orderdate")).as("max_d"))
+    },
+
+    // Hierarchy totals region→nation. Grouping-null rows sort NULLS
+    // FIRST explicitly on both engines (Spark's ASC default vs DuckDB's
+    // NULLS LAST default — SURVEY §7.3 rule 2).
+    "q_rollup" -> { (s, d) =>
+      val c = t(s, d, "customer")
+      val n = t(s, d, "nation")
+      val r = t(s, d, "region")
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(
+          count(lit(1)).as("n_cust"),
+          sum(col("c_acctbal").cast(dec)).cast("double").as("sum_bal"))
+        .orderBy(asc_nulls_first("r_name"), asc_nulls_first("n_name"))
+    },
+
+    "q_cube" -> { (s, d) =>
+      t(s, d, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("l_quantity").cast(dec)).cast("double").as("sum_qty"))
+        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+    },
+  )
+
+  val sql: Map[String, String] = Map(
+    "q_agg_group" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+        |       count(*) AS n,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_qty
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_agg_distinct_count" ->
+      """SELECT o_orderpriority,
+        |       count(DISTINCT o_custkey) AS n_cust,
+        |       count(*) AS n_orders
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_agg_minmax" ->
+      """SELECT min(o_orderdate) AS min_d, max(o_orderdate) AS max_d FROM orders""",
+
+    "q_rollup" ->
+      """SELECT r_name, n_name, count(*) AS n_cust,
+        |       CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_bal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)
+        |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin,
+
+    "q_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+  )
+}

@@ -1,0 +1,154 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+/** Scans, projections, filters, CASE, DISTINCT, UNION/INTERSECT/EXCEPT,
+  * md5 surrogate keys, sort+limit — SURVEY.md §2.1/§2.2/§2.6/§2.7/§2.8.
+  *
+  * Replicates (Spark-first, not a port): the reference's derived-column
+  * projections (fetch_stocks.py:168-172), CASE mapping (:192-197),
+  * DISTINCT date dims (:167,176), UNION set semantics (:175), MD5
+  * surrogate keys (:190), and the dashboard's sort/limit serving path
+  * (streamlit/app.py:90, fetch_stocks.py:271).
+  */
+object CoreQueries {
+
+  val queries: Map[String, QFn] = Map(
+    // S2+P1: scan + arithmetic projection. Per-row double math is
+    // bit-identical across engines — no rounding (SURVEY §7.3).
+    "q_scan_project" -> { (s, d) =>
+      t(s, d, "lineitem")
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+        // (l_orderkey, l_linenumber) is NOT unique in this data — order
+        // by every projected column so tied rows are content-identical.
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("revenue"))
+    },
+
+    // P5: equality + range predicate, pushed down to the parquet scan.
+    "q_filter_range" -> { (s, d) =>
+      val li = t(s, d, "lineitem")
+      val tsType = li.schema("l_shipdate").dataType
+      li.filter(
+          col("l_shipdate") >= lit("1996-01-01 00:00:00").cast(tsType) &&
+          col("l_shipdate") < lit("1997-01-01 00:00:00").cast(tsType) &&
+          col("l_returnflag") === "R")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_shipdate"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_shipdate"))
+    },
+
+    // P3: CASE WHEN mapping with ELSE branch.
+    "q_case_when" -> { (s, d) =>
+      t(s, d, "orders")
+        .select(
+          col("o_orderkey"), col("o_orderpriority"),
+          when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "high")
+            .when(col("o_orderpriority") === "3-MEDIUM", "medium")
+            .otherwise("low").as("tier"))
+        .orderBy(col("o_orderkey"))
+    },
+
+    // P4+P1: DISTINCT over derived (year, month).
+    "q_distinct_project" -> { (s, d) =>
+      t(s, d, "lineitem")
+        .select(
+          year(col("l_shipdate")).cast("long").as("yr"),
+          month(col("l_shipdate")).cast("long").as("mo"))
+        .distinct()
+        .orderBy(col("yr"), col("mo"))
+    },
+
+    // U1: UNION with SQL set semantics — Spark union() is UNION ALL,
+    // so .distinct() is mandatory (top semantic trap, SURVEY §2.7).
+    "q_union_distinct" -> { (s, d) =>
+      val a = t(s, d, "lineitem").select(to_date(col("l_shipdate")).as("d"))
+      val b = t(s, d, "orders").select(to_date(col("o_orderdate")).as("d"))
+      a.union(b).distinct().orderBy(col("d"))
+    },
+
+    // F1: md5 surrogate key (lowercase hex on both engines).
+    "q_md5_key" -> { (s, d) =>
+      t(s, d, "customer")
+        .select(col("c_custkey"), md5(col("c_name").cast("binary")).as("ckey"))
+        .orderBy(col("c_custkey"))
+    },
+
+    // O1+O2: total order + limit → TakeOrderedAndProject (true top-k,
+    // no full sort at scale). Unique tiebreaker keeps the cut stable.
+    "q_sort_limit" -> { (s, d) =>
+      t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderdate"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    },
+
+    // U2: INTERSECT (distinct set semantics on both engines).
+    "q_intersect" -> { (s, d) =>
+      val a = t(s, d, "lineitem").select(to_date(col("l_shipdate")).as("d"))
+      val b = t(s, d, "orders").select(to_date(col("o_orderdate")).as("d"))
+      a.intersect(b).orderBy(col("d"))
+    },
+
+    // U2: EXCEPT — ship dates never seen as order dates (non-empty:
+    // l_shipdate extends past max o_orderdate in the testdata).
+    "q_except" -> { (s, d) =>
+      val a = t(s, d, "lineitem").select(to_date(col("l_shipdate")).as("d"))
+      val b = t(s, d, "orders").select(to_date(col("o_orderdate")).as("d"))
+      a.except(b).orderBy(col("d"))
+    },
+  )
+
+  val sql: Map[String, String] = Map(
+    "q_scan_project" ->
+      """SELECT l_orderkey, l_linenumber,
+        |       l_extendedprice * (1.0 - l_discount) AS revenue
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber, revenue""".stripMargin,
+
+    "q_filter_range" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_returnflag = 'R'
+        |ORDER BY l_orderkey, l_linenumber, l_quantity, l_shipdate""".stripMargin,
+
+    "q_case_when" ->
+      """SELECT o_orderkey, o_orderpriority,
+        |       CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 'high'
+        |            WHEN o_orderpriority = '3-MEDIUM' THEN 'medium'
+        |            ELSE 'low' END AS tier
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q_distinct_project" ->
+      """SELECT DISTINCT year(l_shipdate) AS yr, month(l_shipdate) AS mo
+        |FROM lineitem ORDER BY yr, mo""".stripMargin,
+
+    "q_union_distinct" ->
+      """SELECT CAST(l_shipdate AS DATE) AS d FROM lineitem
+        |UNION
+        |SELECT CAST(o_orderdate AS DATE) FROM orders
+        |ORDER BY d""".stripMargin,
+
+    "q_md5_key" ->
+      """SELECT c_custkey, md5(c_name) AS ckey
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q_sort_limit" ->
+      """SELECT o_orderkey, o_totalprice, o_orderdate
+        |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+
+    "q_intersect" ->
+      """SELECT CAST(l_shipdate AS DATE) AS d FROM lineitem
+        |INTERSECT
+        |SELECT CAST(o_orderdate AS DATE) FROM orders
+        |ORDER BY d""".stripMargin,
+
+    "q_except" ->
+      """SELECT CAST(l_shipdate AS DATE) AS d FROM lineitem
+        |EXCEPT
+        |SELECT CAST(o_orderdate AS DATE) FROM orders
+        |ORDER BY d""".stripMargin,
+  )
+}

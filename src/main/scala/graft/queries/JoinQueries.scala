@@ -1,0 +1,122 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+/** The six declared join forms — SURVEY.md §2.3 (J1–J5 + semi/anti ext).
+  *
+  * Replicates the reference's star-schema joins (fetch_stocks.py:237-240)
+  * Spark-first: small dimension sides are broadcast (Catalyst does this
+  * automatically under autoBroadcastJoinThreshold; `broadcast()` hints
+  * pin it where the dimension is provably tiny), so at 100 TB the fact
+  * table never shuffles for a dim join.
+  */
+object JoinQueries {
+
+  val queries: Map[String, QFn] = Map(
+    // J1: inner equi-join fact→dim; dim (customer) broadcasts.
+    "q_join_inner_equi" -> { (s, d) =>
+      val o = t(s, d, "orders")
+      val c = t(s, d, "customer")
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .select(o("o_orderkey"), c("c_custkey"), c("c_name"), c("c_mktsegment"), o("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    },
+
+    // J2: join through an md5 surrogate key computed on both sides
+    // (the reference's MD5(Ticker) = IndexKey pattern).
+    "q_join_hashkey" -> { (s, d) =>
+      val o = t(s, d, "orders")
+      val dim = t(s, d, "customer")
+        .select(md5(col("c_custkey").cast("string").cast("binary")).as("ckey"), col("c_name"))
+      o.join(broadcast(dim), md5(col("o_custkey").cast("string").cast("binary")) === col("ckey"))
+        .select(col("o_orderkey"), col("ckey"), col("c_name"))
+        .orderBy(col("o_orderkey"))
+    },
+
+    // J3: LEFT JOIN on a derived (year) key against a pre-aggregated
+    // side; the ≤1998 filter guarantees NULL-padded rows exist.
+    // Aggregating the right side to one row per year BEFORE the join
+    // keeps the join 1:1 (no fanout) and the right side broadcastable.
+    "q_join_left_year" -> { (s, d) =>
+      val oy = t(s, d, "orders")
+        .filter(year(col("o_orderdate")) <= 1998)
+        .groupBy(year(col("o_orderdate")).cast("long").as("yr"))
+        .agg(count(lit(1)).as("n_orders"))
+      t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          year(col("l_shipdate")).cast("long").as("ship_yr"))
+        .join(broadcast(oy), col("ship_yr") === col("yr"), "left")
+        .select(col("l_orderkey"), col("l_linenumber"), col("ship_yr"), col("n_orders"))
+        // (l_orderkey, l_linenumber) is not unique — order by every
+        // projected column (NULLS FIRST to match Spark's ASC default).
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("ship_yr"),
+          asc_nulls_first("n_orders"))
+    },
+
+    // J4: constant-predicate join ≅ cross join with a filtered 1-row
+    // dim → BroadcastNestedLoopJoin (the reference's DimCountry join).
+    "q_join_broadcast_const" -> { (s, d) =>
+      t(s, d, "nation")
+        .crossJoin(broadcast(t(s, d, "region").filter(col("r_name") === "EUROPE")))
+        .select(col("n_nationkey"), col("n_name"), col("r_name"))
+        .orderBy(col("n_nationkey"))
+    },
+
+    // Semi join: customers with ≥1 urgent order (EXISTS).
+    "q_join_semi" -> { (s, d) =>
+      val c = t(s, d, "customer")
+      val urgent = t(s, d, "orders").filter(col("o_orderpriority") === "1-URGENT")
+      c.join(urgent, c("c_custkey") === urgent("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    },
+
+    // Anti join: customers with no high-value order (NOT EXISTS).
+    "q_join_anti" -> { (s, d) =>
+      val c = t(s, d, "customer")
+      val big = t(s, d, "orders").filter(col("o_totalprice") > 450000.0)
+      c.join(big, c("c_custkey") === big("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    },
+  )
+
+  val sql: Map[String, String] = Map(
+    "q_join_inner_equi" ->
+      """SELECT o.o_orderkey, c.c_custkey, c.c_name, c.c_mktsegment, o.o_totalprice
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |ORDER BY o.o_orderkey""".stripMargin,
+
+    "q_join_hashkey" ->
+      """SELECT o.o_orderkey, dim.ckey, dim.c_name
+        |FROM orders o
+        |JOIN (SELECT md5(CAST(c_custkey AS VARCHAR)) AS ckey, c_name FROM customer) dim
+        |  ON md5(CAST(o.o_custkey AS VARCHAR)) = dim.ckey
+        |ORDER BY o.o_orderkey""".stripMargin,
+
+    "q_join_left_year" ->
+      """SELECT l.l_orderkey, l.l_linenumber, year(l.l_shipdate) AS ship_yr, oy.n_orders
+        |FROM lineitem l
+        |LEFT JOIN (SELECT year(o_orderdate) AS yr, count(*) AS n_orders
+        |           FROM orders WHERE year(o_orderdate) <= 1998 GROUP BY 1) oy
+        |  ON year(l.l_shipdate) = oy.yr
+        |ORDER BY l.l_orderkey, l.l_linenumber, ship_yr, n_orders NULLS FIRST""".stripMargin,
+
+    "q_join_broadcast_const" ->
+      """SELECT n.n_nationkey, n.n_name, r.r_name
+        |FROM nation n JOIN region r ON r.r_name = 'EUROPE'
+        |ORDER BY n.n_nationkey""".stripMargin,
+
+    "q_join_semi" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_join_anti" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 450000.0)
+        |ORDER BY c_custkey""".stripMargin,
+  )
+}

@@ -1,0 +1,89 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+/** Scalar-function surface — SURVEY.md §2.8: string, date, JSON and
+  * array built-ins (all codegen'd `functions._`; no UDFs, per the
+  * reference-parity policy in §2.10).
+  *
+  * Derived integers are cast to BIGINT (DuckDB's year()/length()/len()
+  * return BIGINT where Spark returns INT — schema parity).
+  */
+object ScalarQueries {
+
+  val queries: Map[String, QFn] = Map(
+    // F5-style parsing: regexp_extract / substr / upper / length.
+    "q_string_funcs" -> { (s, d) =>
+      t(s, d, "part")
+        .select(
+          col("p_partkey"),
+          regexp_extract(col("p_name"), "^(\\w+)", 1).as("first_word"),
+          upper(substring(col("p_name"), 1, 5)).as("head5"),
+          length(col("p_name")).cast("long").as("name_len"))
+        .orderBy(col("p_partkey"))
+    },
+
+    // F2/F3/F4: year/month, weekend flag (Spark dayofweek Sun=1..Sat=7
+    // vs DuckDB Sun=0..Sat=6 — mapped explicitly, SURVEY §7.3 rule 6),
+    // date_trunc to month.
+    "q_date_funcs" -> { (s, d) =>
+      t(s, d, "orders")
+        .select(
+          col("o_orderkey"),
+          year(col("o_orderdate")).cast("long").as("yr"),
+          month(col("o_orderdate")).cast("long").as("mo"),
+          dayofweek(col("o_orderdate")).isin(1, 7).as("is_weekend"),
+          date_trunc("month", col("o_orderdate")).cast("timestamp_ntz").as("month_start"))
+        .orderBy(col("o_orderkey"))
+    },
+
+    // JSON scalar extraction from the events.props JSON string.
+    "q_json_extract" -> { (s, d) =>
+      t(s, d, "events")
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .orderBy(col("event_id"))
+    },
+
+    // Array ops over the 64-dim embedding column. float→double is an
+    // exact widening on both engines.
+    "q_array_ops" -> { (s, d) =>
+      t(s, d, "embeddings")
+        .select(
+          col("vec_id"),
+          size(col("embedding")).cast("long").as("dim"),
+          element_at(col("embedding"), 1).cast("double").as("first_v"),
+          element_at(col("embedding"), 64).cast("double").as("last_v"))
+        .orderBy(col("vec_id"))
+    },
+  )
+
+  val sql: Map[String, String] = Map(
+    "q_string_funcs" ->
+      """SELECT p_partkey,
+        |       regexp_extract(p_name, '^(\w+)', 1) AS first_word,
+        |       upper(substr(p_name, 1, 5)) AS head5,
+        |       length(p_name) AS name_len
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q_date_funcs" ->
+      """SELECT o_orderkey,
+        |       year(o_orderdate) AS yr,
+        |       month(o_orderdate) AS mo,
+        |       dayofweek(o_orderdate) IN (0, 6) AS is_weekend,
+        |       date_trunc('month', o_orderdate) AS month_start
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q_json_extract" ->
+      """SELECT event_id,
+        |       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_array_ops" ->
+      """SELECT vec_id,
+        |       len(embedding) AS dim,
+        |       CAST(embedding[1] AS DOUBLE) AS first_v,
+        |       CAST(embedding[64] AS DOUBLE) AS last_v
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+  )
+}

@@ -1,0 +1,155 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Window functions — SURVEY.md §2.5 (W1/W2 are the analytical heart of
+  * the reference: pandas pct_change + rolling std,
+  * fetch_stocks.py:213-216) plus rank-topk, tumbling-window and
+  * sessionization (batch analogs of the streaming extension, §2.9).
+  *
+  * Every window ORDER BY includes a unique tiebreaker (SURVEY §7.3 rule
+  * 7) — ties would make lag/rank nondeterministic on both engines.
+  */
+object WindowQueries {
+
+  private val dec = DecimalType(18, 4)
+
+  val queries: Map[String, QFn] = Map(
+    // W1: pct_change per partition = x/lag(x) - 1; first row NULL.
+    "q_window_lag_return" -> { (s, d) =>
+      val w = Window.partitionBy(col("l_partkey"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      t(s, d, "lineitem")
+        .select(col("l_partkey"), col("l_orderkey"), col("l_linenumber"),
+          (col("l_extendedprice") / lag(col("l_extendedprice"), 1).over(w) - lit(1.0)).as("ret"))
+        // (l_orderkey, l_linenumber) is not unique — include every
+        // projected column; ret is NULL on first-in-partition rows, so
+        // pin NULLS FIRST on both engines.
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          asc_nulls_first("ret"))
+    },
+
+    // W2: 20-row rolling sample stddev with pandas min_periods
+    // semantics (NULL until 20 rows). Computed from exact decimal
+    // Σx / Σx² over the frame with one final double expression —
+    // immune to the different frame-summation orders of the two
+    // engines (Spark buffers sequentially, DuckDB uses a segment
+    // tree), and to partial-aggregation order at cluster scale.
+    "q_window_rolling_std" -> { (s, d) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val frame = w.rowsBetween(-19, 0)
+      val dv = col("value").cast(dec)
+      val n = count(col("value")).over(frame)
+      val sx = sum(dv).over(frame).cast("double")
+      val sxx = sum(dv * dv).over(frame).cast("double")
+      t(s, d, "events")
+        .select(col("user_id"), col("event_id"), col("ts"),
+          when(n >= 20,
+            sqrt(greatest((sxx - sx * sx / n) / (n - lit(1)), lit(0.0)))).as("roll_std"))
+        .orderBy(col("user_id"), col("event_id"))
+    },
+
+    // Rank per group, keep top-3 (canonical dashboard top-k).
+    "q_window_rank_topk" -> { (s, d) =>
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, d, "orders")
+        .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"),
+          rank().over(w).cast("long").as("rnk"))
+        .filter(col("rnk") <= 3)
+        .orderBy(col("o_orderpriority"), col("rnk"), col("o_orderkey"))
+    },
+
+    // Batch analog of a tumbling event-time window (§2.9): hourly
+    // buckets via date_trunc — identical semantics to the Structured
+    // Streaming `window($"ts", "1 hour")` variant in graft.streaming.
+    "q_window_tumbling" -> { (s, d) =>
+      t(s, d, "events")
+        // date_trunc yields a session-tz timestamp; cast back to NTZ so
+        // the written parquet matches DuckDB's timezone-less TIMESTAMP.
+        .groupBy(date_trunc("hour", col("ts")).cast("timestamp_ntz").as("h"), col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("value").cast(dec)).cast("double").as("sum_v"))
+        .orderBy(col("h"), col("event_type"))
+    },
+
+    // 30-minute-gap sessionization: lag-gap flag → running sum =
+    // session index, then per-session aggregates. Integer microsecond
+    // arithmetic on both engines — no float anywhere.
+    "q_sessionize" -> { (s, d) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val us = unix_micros(col("ts").cast("timestamp"))
+      val prevUs = lag(us, 1).over(w)
+      val isNew = when(prevUs.isNull || (us - prevUs) > lit(1800000000L), lit(1L)).otherwise(lit(0L))
+      t(s, d, "events")
+        .select(col("user_id"), col("event_id"), col("ts"),
+          sum(isNew).over(w.rowsBetween(Window.unboundedPreceding, 0)).as("session_id"))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          min(col("ts")).as("t_start"),
+          max(col("ts")).as("t_end"))
+        .orderBy(col("user_id"), col("session_id"))
+    },
+  )
+
+  val sql: Map[String, String] = Map(
+    "q_window_lag_return" ->
+      """SELECT l_partkey, l_orderkey, l_linenumber,
+        |       l_extendedprice / lag(l_extendedprice) OVER
+        |         (PARTITION BY l_partkey ORDER BY l_shipdate, l_orderkey, l_linenumber)
+        |         - 1.0 AS ret
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, l_partkey, ret NULLS FIRST""".stripMargin,
+
+    "q_window_rolling_std" ->
+      """WITH b AS (
+        |  SELECT user_id, event_id, ts,
+        |         count(value) OVER w AS n,
+        |         CAST(sum(dv) OVER w AS DOUBLE) AS sx,
+        |         CAST(sum(dv * dv) OVER w AS DOUBLE) AS sxx
+        |  FROM (SELECT *, CAST(value AS DECIMAL(18,4)) AS dv FROM events)
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |               ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+        |)
+        |SELECT user_id, event_id, ts,
+        |       CASE WHEN n >= 20
+        |            THEN sqrt(greatest((sxx - sx * sx / n) / (n - 1), 0.0)) END AS roll_std
+        |FROM b ORDER BY user_id, event_id""".stripMargin,
+
+    "q_window_rank_topk" ->
+      """SELECT * FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |         rank() OVER (PARTITION BY o_orderpriority
+        |                      ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        |  FROM orders)
+        |WHERE rnk <= 3
+        |ORDER BY o_orderpriority, rnk, o_orderkey""".stripMargin,
+
+    "q_window_tumbling" ->
+      """SELECT date_trunc('hour', ts) AS h, event_type, count(*) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_v
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_sessionize" ->
+      """WITH flags AS (
+        |  SELECT user_id, event_id, ts,
+        |         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+        |              THEN 1 ELSE 0 END AS is_new
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), sessions AS (
+        |  SELECT user_id, event_id, ts,
+        |         CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |  FROM flags
+        |)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |       min(ts) AS t_start, max(ts) AS t_end
+        |FROM sessions GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+  )
+}
