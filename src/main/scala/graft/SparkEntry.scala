@@ -44,12 +44,14 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2.11. */
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreQueries.queries ++ JoinQueries.queries ++ AggQueries.queries ++
-      WindowQueries.queries ++ ScalarQueries.queries ++ NorthStarQueries.queries
+      WindowQueries.queries ++ ScalarQueries.queries ++ NorthStarQueries.queries ++
+      ExtendedQueries.queries
 
   /** For each key in `queries`, equivalent DuckDB SQL on the same tables. */
   val oracleSql: Map[String, String] =
     CoreQueries.sql ++ JoinQueries.sql ++ AggQueries.sql ++
-      WindowQueries.sql ++ ScalarQueries.sql ++ NorthStarQueries.sql
+      WindowQueries.sql ++ ScalarQueries.sql ++ NorthStarQueries.sql ++
+      ExtendedQueries.sql
 
   require(queries.keySet == oracleSql.keySet,
     s"queries/oracleSql key mismatch: ${(queries.keySet diff oracleSql.keySet) ++ (oracleSql.keySet diff queries.keySet)}")

@@ -1,0 +1,318 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+/** Extended LLM-data-pipeline operators (BASELINE.json north_star),
+  * each with a DuckDB oracle: near-duplicate detection (MinHash+LSH,
+  * SimHash, n-gram Jaccard, embedding cosine), approximate-nearest-
+  * neighbor search, and text analysis (language ID, quality scoring,
+  * fingerprinting, token counting).
+  *
+  * Determinism devices:
+  *  - MinHash uses the lexicographic MIN of md5 hex strings (seeded by
+  *    prefix) — pure string ops, identical on both engines, and a
+  *    legitimate 128-bit universal hash family at scale.
+  *  - SimHash bit extraction is integer arithmetic on hex nibbles.
+  *  - Jaccard/ratios are integer-count divisions (bit-identical).
+  *  - Cosine outputs are rounded to 4 dp; ORDER BY uses the rounded
+  *    value + unique id tiebreakers so LIMIT cuts identically.
+  *
+  * Scale notes (the 100 TB design, exercised here at test scale):
+  *  - MinHash/LSH is the linear-cost near-dup path: shingle explode →
+  *    per-doc signature (map-side combinable min-agg) → band-bucket
+  *    self-join. The self-join shuffles only (band, hash) keys, never
+  *    full texts, and bucket sizes bound the pair blow-up.
+  *  - Brute-force pair cosine is quadratic — kept as the correctness
+  *    baseline; graft.ops.Similarity holds the LSH-bucketed ANN that
+  *    replaces it at scale.
+  */
+object ExtendedQueries {
+
+  /** doc_id + 3-gram word shingles (docs with ≥3 tokens). */
+  private def shingles(s: org.apache.spark.sql.SparkSession, d: String) =
+    t(s, d, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(w)-2), i -> concat_ws(' ', element_at(w,i), element_at(w,i+1), element_at(w,i+2)))"))
+        .as("s"))
+
+  private val shinglesSql =
+    """SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+      |       , unnest(range(1, greatest(len(w) - 1, 1))) AS u(i)
+      |  WHERE len(w) >= 3""".stripMargin
+
+  val queries: Map[String, QFn] = Map(
+    // MinHash (8 perms via seeded md5, lexicographic min) + LSH
+    // (2 bands × 4 rows → candidate threshold ≈ 0.84 Jaccard).
+    "q_dedup_minhash_lsh" -> { (s, d) =>
+      val sh = shingles(s, d)
+      val minhashes = (0 until 8).map(j =>
+        min(md5(concat_ws("|", lit(j.toString), col("s")).cast("binary"))).as(s"m$j"))
+      val mh = sh.groupBy(col("doc_id")).agg(minhashes.head, minhashes.tail: _*)
+      val band1 = mh.select(col("doc_id"), lit(1L).as("band"),
+        md5(concat_ws("", col("m0"), col("m1"), col("m2"), col("m3")).cast("binary")).as("h"))
+      val band2 = mh.select(col("doc_id"), lit(2L).as("band"),
+        md5(concat_ws("", col("m4"), col("m5"), col("m6"), col("m7")).cast("binary")).as("h"))
+      val bands = band1.union(band2)
+      bands.as("a").join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.h") === col("b.h") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
+        .distinct()
+        .orderBy(col("doc1"), col("doc2"))
+    },
+
+    // SimHash-32: per-token md5-derived 32-bit hash; weighted bit
+    // majority over the document; signature emitted as a 32-char
+    // '0'/'1' string (integer arithmetic throughout).
+    "q_dedup_simhash" -> { (s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .filter(length(col("tok")) > 0)
+        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("cnt"))
+        .withColumn("h", substring(md5(col("tok").cast("binary")), 1, 8))
+        .select(col("doc_id"), col("cnt"), col("h"),
+          explode(sequence(lit(0), lit(31))).as("bitpos"))
+        .withColumn("nib",
+          expr("instr('0123456789abcdef', substring(h, CAST(bitpos DIV 4 AS INT) + 1, 1)) - 1"))
+        .withColumn("p",
+          expr("CASE bitpos % 4 WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 4 ELSE 8 END"))
+        .withColumn("contrib", expr("cnt * (2 * ((nib DIV p) % 2) - 1)"))
+        .groupBy(col("doc_id"), col("bitpos"))
+        .agg(sum(col("contrib")).as("sbit"))
+        .withColumn("c", when(col("sbit") > 0, "1").otherwise("0"))
+        .groupBy(col("doc_id"))
+        .agg(expr("concat_ws('', transform(sort_array(collect_list(struct(bitpos, c))), x -> x.c))")
+          .as("simhash"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Exact n-gram Jaccard over 3-gram shingle sets; near-dup pairs
+    // at ≥ 0.5. inter/union are exact ints → the division is
+    // bit-identical on both engines.
+    "q_dedup_ngram_jaccard" -> { (s, d) =>
+      val sh = shingles(s, d).distinct()
+      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val inter = sh.as("a").join(sh.as("b"),
+          col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
+        .agg(count(lit(1)).as("inter"))
+      inter
+        .join(sizes.toDF("doc1", "n1"), "doc1")
+        .join(sizes.toDF("doc2", "n2"), "doc2")
+        .withColumn("jac", col("inter") / (col("n1") + col("n2") - col("inter")))
+        .filter(col("jac") >= 0.5)
+        .select(col("doc1"), col("doc2"), col("inter"), col("jac"))
+        .orderBy(col("doc1"), col("doc2"))
+    },
+
+    // Embedding-cosine near-dup: top-20 most-similar vector pairs,
+    // brute force (correctness baseline for the LSH ANN in graft.ops).
+    "q_dedup_embed_topk" -> { (s, d) =>
+      val e = t(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val a = e.toDF("id1", "v1")
+      val b = e.toDF("id2", "v2")
+      val dot = aggregate(zip_with(col("v1"), col("v2"), (x, y) => x * y),
+        lit(0.0), (acc, x) => acc + x)
+      val n1 = sqrt(aggregate(transform(col("v1"), x => x * x), lit(0.0), (acc, x) => acc + x))
+      val n2 = sqrt(aggregate(transform(col("v2"), x => x * x), lit(0.0), (acc, x) => acc + x))
+      a.join(b, col("id1") < col("id2"))
+        .select(col("id1"), col("id2"), round(dot / (n1 * n2), 4).as("cos"))
+        .orderBy(col("cos").desc, col("id1"), col("id2"))
+        .limit(20)
+    },
+
+    // ANN top-10 for one query vector (vec_id = 0), brute-force cosine.
+    "q_ann_topk" -> { (s, d) =>
+      val e = t(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val q = broadcast(e.filter(col("vec_id") === 0).select(col("v").as("qv")))
+      val dot = aggregate(zip_with(col("v"), col("qv"), (x, y) => x * y),
+        lit(0.0), (acc, x) => acc + x)
+      val nv = sqrt(aggregate(transform(col("v"), x => x * x), lit(0.0), (acc, x) => acc + x))
+      val nq = sqrt(aggregate(transform(col("qv"), x => x * x), lit(0.0), (acc, x) => acc + x))
+      e.crossJoin(q)
+        .filter(col("vec_id") =!= 0)
+        .select(col("vec_id"), round(dot / (nv * nq), 4).as("cos"))
+        .orderBy(col("cos").desc, col("vec_id"))
+        .limit(10)
+    },
+
+    // n-gram-heuristic language ID: stopword-ratio classifier
+    // (integer counts; ratio is an int/int division).
+    "q_text_langid" -> { (s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), col("lang"), split(col("text"), " ").as("w"))
+        .withColumn("n_tok", size(col("w")).cast("long"))
+        .withColumn("n_stop",
+          expr("size(filter(w, x -> x IN ('a', 'the')))").cast("long"))
+        .withColumn("stop_ratio", col("n_stop") / col("n_tok"))
+        .withColumn("pred_lang",
+          when(col("stop_ratio") >= 0.05, "en").otherwise("und"))
+        .select(col("doc_id"), col("lang"), col("n_tok"), col("n_stop"),
+          col("stop_ratio"), col("pred_lang"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Quality scoring: token count, type-token ratio, average word
+    // length, pass/fail flag — all from exact integer counts.
+    "q_text_quality" -> { (s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), col("n_chars"), split(col("text"), " ").as("w"),
+          length(col("text")).as("len"))
+        .withColumn("n_tok", size(col("w")).cast("long"))
+        .withColumn("n_uniq", size(array_distinct(col("w"))).cast("long"))
+        .withColumn("ttr", col("n_uniq") / col("n_tok"))
+        .withColumn("avg_word_len",
+          (col("len") - (col("n_tok") - 1)) / col("n_tok"))
+        .withColumn("quality_ok", col("n_tok") >= 30 && col("ttr") >= 0.3)
+        .select(col("doc_id"), col("n_tok"), col("n_uniq"), col("ttr"),
+          col("avg_word_len"), col("quality_ok"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Document fingerprinting: full-text md5 + winnowing-style minimum
+    // shingle hash (a 1-permutation MinHash).
+    "q_text_fingerprint" -> { (s, d) =>
+      val fpMin = shingles(s, d)
+        .groupBy(col("doc_id"))
+        .agg(min(md5(col("s").cast("binary"))).as("fp_min"))
+      t(s, d, "documents")
+        .select(col("doc_id"), md5(col("text").cast("binary")).as("fp_full"))
+        .join(fpMin, Seq("doc_id"), "left")
+        .orderBy(col("doc_id"))
+    },
+
+    // Token counting: whitespace tokens, characters, and a BPE-style
+    // estimate (≈ 4 chars/token, integer arithmetic).
+    "q_text_token_count" -> { (s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), col("n_chars"),
+          size(split(col("text"), " ")).cast("long").as("n_ws_tokens"))
+        .withColumn("est_bpe_tokens", expr("(n_chars + 3) DIV 4"))
+        .orderBy(col("doc_id"))
+    },
+  )
+
+  val sql: Map[String, String] = Map(
+    "q_dedup_minhash_lsh" ->
+      s"""WITH sh AS (
+         |  $shinglesSql
+         |), mh AS (
+         |  SELECT doc_id,
+         |    min(md5('0|' || s)) AS m0, min(md5('1|' || s)) AS m1,
+         |    min(md5('2|' || s)) AS m2, min(md5('3|' || s)) AS m3,
+         |    min(md5('4|' || s)) AS m4, min(md5('5|' || s)) AS m5,
+         |    min(md5('6|' || s)) AS m6, min(md5('7|' || s)) AS m7
+         |  FROM sh GROUP BY doc_id
+         |), bands AS (
+         |  SELECT doc_id, 1 AS band, md5(m0 || m1 || m2 || m3) AS h FROM mh
+         |  UNION ALL
+         |  SELECT doc_id, 2 AS band, md5(m4 || m5 || m6 || m7) AS h FROM mh
+         |)
+         |SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+         |FROM bands a JOIN bands b
+         |  ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id
+         |ORDER BY doc1, doc2""".stripMargin,
+
+    "q_dedup_simhash" ->
+      """WITH tokc AS (
+        |  SELECT doc_id, tok, count(*) AS cnt,
+        |         substr(md5(tok), 1, 8) AS h
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+        |  WHERE length(tok) > 0
+        |  GROUP BY doc_id, tok
+        |), bits AS (
+        |  SELECT doc_id, cnt, h, u.bitpos,
+        |         strpos('0123456789abcdef', substr(h, CAST(bitpos // 4 AS INT) + 1, 1)) - 1 AS nib,
+        |         CASE bitpos % 4 WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 4 ELSE 8 END AS p
+        |  FROM tokc, unnest(range(0, 32)) AS u(bitpos)
+        |), sums AS (
+        |  SELECT doc_id, bitpos, sum(cnt * (2 * ((nib // p) % 2) - 1)) AS sbit
+        |  FROM bits GROUP BY doc_id, bitpos
+        |)
+        |SELECT doc_id,
+        |       string_agg(CASE WHEN sbit > 0 THEN '1' ELSE '0' END, '' ORDER BY bitpos) AS simhash
+        |FROM sums GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_ngram_jaccard" ->
+      s"""WITH sh AS (
+         |  SELECT DISTINCT * FROM (
+         |  $shinglesSql
+         |  )
+         |), sizes AS (
+         |  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+         |), inter AS (
+         |  SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS inter
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2
+         |)
+         |SELECT doc1, doc2, inter, inter * 1.0 / (s1.n + s2.n - inter) AS jac
+         |FROM inter
+         |JOIN sizes s1 ON s1.doc_id = doc1
+         |JOIN sizes s2 ON s2.doc_id = doc2
+         |WHERE inter * 1.0 / (s1.n + s2.n - inter) >= 0.5
+         |ORDER BY doc1, doc2""".stripMargin,
+
+    "q_dedup_embed_topk" ->
+      """SELECT a.vec_id AS id1, b.vec_id AS id2,
+        |  round(
+        |    list_sum(list_transform(range(1, 65), k -> av[k] * bv[k])) /
+        |    (sqrt(list_sum(list_transform(range(1, 65), k -> av[k] * av[k]))) *
+        |     sqrt(list_sum(list_transform(range(1, 65), k -> bv[k] * bv[k])))), 4) AS cos
+        |FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS av FROM embeddings) a
+        |JOIN (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS bv FROM embeddings) b
+        |  ON a.vec_id < b.vec_id
+        |ORDER BY cos DESC, id1, id2 LIMIT 20""".stripMargin,
+
+    "q_ann_topk" ->
+      """SELECT e.vec_id,
+        |  round(
+        |    list_sum(list_transform(range(1, 65), k -> v[k] * qv[k])) /
+        |    (sqrt(list_sum(list_transform(range(1, 65), k -> v[k] * v[k]))) *
+        |     sqrt(list_sum(list_transform(range(1, 65), k -> qv[k] * qv[k])))), 4) AS cos
+        |FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings) e
+        |CROSS JOIN (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0) q
+        |WHERE e.vec_id <> 0
+        |ORDER BY cos DESC, e.vec_id LIMIT 10""".stripMargin,
+
+    "q_text_langid" ->
+      """SELECT doc_id, lang,
+        |       len(w) AS n_tok,
+        |       len(list_filter(w, x -> x IN ('a', 'the'))) AS n_stop,
+        |       len(list_filter(w, x -> x IN ('a', 'the'))) * 1.0 / len(w) AS stop_ratio,
+        |       CASE WHEN len(list_filter(w, x -> x IN ('a', 'the'))) * 1.0 / len(w) >= 0.05
+        |            THEN 'en' ELSE 'und' END AS pred_lang
+        |FROM (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_text_quality" ->
+      """SELECT doc_id,
+        |       len(w) AS n_tok,
+        |       len(list_distinct(w)) AS n_uniq,
+        |       len(list_distinct(w)) * 1.0 / len(w) AS ttr,
+        |       (length(text) - (len(w) - 1)) * 1.0 / len(w) AS avg_word_len,
+        |       len(w) >= 30 AND len(list_distinct(w)) * 1.0 / len(w) >= 0.3 AS quality_ok
+        |FROM (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_text_fingerprint" ->
+      s"""WITH sh AS (
+         |  $shinglesSql
+         |), fpmin AS (
+         |  SELECT doc_id, min(md5(s)) AS fp_min FROM sh GROUP BY doc_id
+         |)
+         |SELECT d.doc_id, md5(d.text) AS fp_full, fpmin.fp_min
+         |FROM documents d LEFT JOIN fpmin ON fpmin.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+
+    "q_text_token_count" ->
+      """SELECT doc_id, n_chars,
+        |       len(string_split(text, ' ')) AS n_ws_tokens,
+        |       (n_chars + 3) // 4 AS est_bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+  )
+}
