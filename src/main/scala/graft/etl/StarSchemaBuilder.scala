@@ -1,0 +1,153 @@
+package graft.etl
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The reference ETL pipeline (tiisnel/stock_data_project,
+  * airflow/dags/fetch_stocks.py) re-expressed as one lazy Spark plan.
+  *
+  * Reference semantics replicated (file:line cites against
+  * /root/reference):
+  *  - landing zone of `prefix:YYYY-MM-DD.csv` objects; the date in the
+  *    object name is the incremental watermark (fetch_stocks.py:19-37)
+  *  - DimDate = dates(stocks) UNION dates(econ) with derived
+  *    year/month/weekend columns (fetch_stocks.py:165-184; UNION set
+  *    semantics at :175 → union().distinct() here)
+  *  - DimStockIndex keyed by md5(ticker) with CASE display names
+  *    (fetch_stocks.py:187-199)
+  *  - DimCountry constant row (fetch_stocks.py:202-208)
+  *  - Fact: daily return per ticker = close/lag(close)-1
+  *    (pandas pct_change, :213), 20-day rolling sample stddev with
+  *    min_periods=20 (NULL until 20 returns, :216), LEFT JOIN annual
+  *    econ on year (:239), country via constant-predicate broadcast
+  *    join (:240)
+  *
+  * NOT replicated (anti-patterns documented in SURVEY §4.1): the
+  * DuckDB↔pandas double materialization — here the whole build is one
+  * Catalyst plan; windows shuffle once on ticker, dims broadcast.
+  *
+  * The reference bug at fetch_stocks.py:172 (DayOfWeek column holds
+  * CAST(Date AS VARCHAR)) is fixed to the evident intent: a weekday
+  * name via date_format(d, 'EEEE').
+  */
+object StarSchemaBuilder {
+
+  val stocksSchema: StructType = StructType(Seq(
+    StructField("Date", DateType), StructField("Ticker", StringType),
+    StructField("Open", DoubleType), StructField("High", DoubleType),
+    StructField("Low", DoubleType), StructField("Close", DoubleType),
+    StructField("AdjClose", DoubleType), StructField("Volume", LongType)))
+
+  val econSchema: StructType = StructType(Seq(
+    StructField("date", DateType),
+    StructField("GDPGrowthRate", DoubleType),
+    StructField("InflationRate", DoubleType)))
+
+  /** Incremental watermark: max date parsed from landed object names,
+    * reference fetch_stocks.py:19-37. The reference names objects
+    * `prefix:YYYY-MM-DD.csv`; Hadoop paths cannot contain ':' (parsed
+    * as a URI scheme), so this engine's landing convention is
+    * `prefix_YYYY-MM-DD.csv` — same watermark semantics. Invalid
+    * names are skipped (reference logs a warning, :32-36). */
+  def lastSavedDate(spark: SparkSession, landingDir: String, prefix: String): Option[java.time.LocalDate] = {
+    val path = new Path(landingDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) return None
+    val re = s"^${java.util.regex.Pattern.quote(prefix)}_(\\d{4}-\\d{2}-\\d{2})\\.csv$$".r
+    fs.listStatus(path).toSeq
+      .map(_.getPath.getName)
+      .flatMap { n => re.findFirstMatchIn(n).map(_.group(1)) }
+      .flatMap { s => scala.util.Try(java.time.LocalDate.parse(s)).toOption }
+      .sortWith(_.isBefore(_)).lastOption
+  }
+
+  /** Scan all landed CSVs for a prefix, filename recorded as a column
+    * (DuckDB `filename=true`, fetch_stocks.py:153). */
+  def readLanding(spark: SparkSession, landingDir: String, prefix: String,
+      schema: StructType): DataFrame =
+    spark.read
+      .option("header", "true")
+      .schema(schema)
+      .csv(s"$landingDir/${prefix}_*.csv")
+      .withColumn("filename", input_file_name())
+
+  /** DimDate: union-distinct of stock and econ dates + derived
+    * columns (fetch_stocks.py:165-184). */
+  def buildDimDate(stocks: DataFrame, econ: DataFrame): DataFrame =
+    stocks.select(col("Date").cast(DateType).as("DateKey"))
+      .union(econ.select(col("date").cast(DateType).as("DateKey")))
+      .distinct()
+      .select(
+        col("DateKey"),
+        col("DateKey").cast(StringType).as("Date"),
+        year(col("DateKey")).as("Year"),
+        month(col("DateKey")).as("Month"),
+        date_format(col("DateKey"), "EEEE").as("DayOfWeek"),
+        dayofweek(col("DateKey")).isin(1, 7).as("IsWeekend"))
+
+  /** DimStockIndex: md5 surrogate key + CASE display-name mapping
+    * (fetch_stocks.py:187-199). */
+  def buildDimStockIndex(stocks: DataFrame): DataFrame =
+    stocks.select(col("Ticker")).distinct()
+      .select(
+        md5(col("Ticker").cast("binary")).as("IndexKey"),
+        when(col("Ticker") === "^GSPC", "S&P 500")
+          .when(col("Ticker") === "^DJI", "Dow Jones Industrial Average")
+          .when(col("Ticker") === "^NDX", "Nasdaq 100")
+          .otherwise("Other").as("IndexName"),
+        col("Ticker").as("IndexCode"))
+
+  /** DimCountry: the reference's constant single row
+    * (fetch_stocks.py:202-208). */
+  def buildDimCountry(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq(("USA", "United States", "USA")).toDF("CountryKey", "CountryName", "CountryCode")
+  }
+
+  /** Fact table (fetch_stocks.py:221-241): per-ticker windows + dim
+    * joins. Window shuffles once on Ticker; all dims broadcast. */
+  def buildFact(stocks: DataFrame, econ: DataFrame, dimIndex: DataFrame,
+      dimCountry: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("Ticker")).orderBy(col("Date"))
+    val frame = w.rowsBetween(-19, 0)
+    val withMetrics = stocks
+      .withColumn("DailyReturn", col("Close") / lag(col("Close"), 1).over(w) - lit(1.0))
+      .withColumn("Volatility",
+        when(count(col("DailyReturn")).over(frame) >= 20,
+          stddev_samp(col("DailyReturn")).over(frame)))
+    withMetrics
+      .join(broadcast(dimIndex), md5(col("Ticker").cast("binary")) === col("IndexKey"))
+      .join(broadcast(econ.select(year(col("date")).as("econ_year"),
+          col("GDPGrowthRate"), col("InflationRate"))),
+        year(col("Date")) === col("econ_year"), "left")
+      .crossJoin(broadcast(dimCountry.filter(col("CountryCode") === "USA")))
+      .select(
+        col("Date").cast(DateType).as("DateKey"),
+        col("IndexKey"), col("CountryKey"),
+        col("Open"), col("High"), col("Low"), col("Close"), col("Volume"),
+        col("DailyReturn"), col("Volatility"),
+        col("GDPGrowthRate"), col("InflationRate"))
+  }
+
+  /** Full build: landing dir → star schema parquet (the reference's
+    * `create_star_schema` task + COPY TO parquet, fetch_stocks.py:
+    * 130-266), as one job. Returns the four output DataFrames. */
+  def build(spark: SparkSession, landingDir: String, outDir: String): Map[String, DataFrame] = {
+    val stocks = readLanding(spark, landingDir, "stocks", stocksSchema)
+    val econ = readLanding(spark, landingDir, "world_bank", econSchema)
+    val dimDate = buildDimDate(stocks, econ)
+    val dimIndex = buildDimStockIndex(stocks)
+    val dimCountry = buildDimCountry(spark)
+    val fact = buildFact(stocks, econ, dimIndex, dimCountry)
+    val out = Map(
+      "dim_date" -> dimDate, "dim_stock_index" -> dimIndex,
+      "dim_country" -> dimCountry, "fact_table" -> fact)
+    out.foreach { case (name, df) =>
+      df.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+    }
+    out
+  }
+}

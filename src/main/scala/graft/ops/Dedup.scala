@@ -1,0 +1,130 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large text corpora.
+  *
+  * Four families, in increasing tolerance to variation:
+  *  1. exact        — hash-groupBy on content (or a normalized key)
+  *  2. MinHash+LSH  — near-dup candidates at a tunable Jaccard threshold
+  *  3. SimHash      — near-dup candidates by Hamming distance on a
+  *                    weighted-bit signature
+  *  4. n-gram Jaccard — exact pairwise verification for candidates
+  *
+  * 100 TB design notes:
+  *  - every operator here is a pure DataFrame plan: hash-partitioned
+  *    groupBys with map-side partial aggregation, no driver collects;
+  *  - signatures are computed per-document (linear), candidate
+  *    generation joins only on (band, bucket-hash) keys — the full
+  *    text never enters a shuffle;
+  *  - the final pairwise verify (`ngramJaccardPairs`) should only run
+  *    on LSH candidates at scale, never all pairs: pass
+  *    `candidates = minHashLshCandidates(...)` and join.
+  */
+object Dedup {
+
+  /** Exact duplicate groups keyed by md5 of `key`. Returns one row per
+    * group with size > 1: (fp, n_dups, keep_id = min of `idCol`). */
+  def exactDupGroups(docs: DataFrame, key: Column, idCol: Column): DataFrame =
+    docs.select(md5(key.cast("binary")).as("fp"), idCol.as("id"))
+      .groupBy(col("fp"))
+      .agg(count(lit(1)).as("n_dups"), min(col("id")).as("keep_id"))
+      .filter(col("n_dups") > 1)
+
+  /** Keep-first exact dedup: drops all but the min-id row per key. */
+  def dedupExact(docs: DataFrame, key: Column, idCol: Column): DataFrame = {
+    val ranked = docs.withColumn("__fp", md5(key.cast("binary")))
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("__fp")).orderBy(idCol)))
+    ranked.filter(col("__rn") === 1).drop("__fp", "__rn")
+  }
+
+  /** Word n-gram shingles: (id, shingle) with one row per shingle
+    * occurrence. Documents with fewer than `n` tokens produce none. */
+  def shingles(docs: DataFrame, textCol: Column, idCol: Column, n: Int = 3): DataFrame =
+    docs.select(idCol.as("id"), split(textCol, " ").as("w"))
+      .filter(size(col("w")) >= n)
+      .select(col("id"), explode(expr(
+        s"""transform(sequence(1, size(w)-${n - 1}),
+           |  i -> concat_ws(' ', ${(0 until n).map(k => s"element_at(w, i+$k)").mkString(", ")}))""".stripMargin))
+        .as("s"))
+
+  /** MinHash signature: `numHashes` columns m0..m{k-1}, each the
+    * lexicographic minimum of seeded md5 over the document's shingles.
+    * min() is associative+commutative → partial aggregation works and
+    * the result is deterministic under any partitioning. */
+  def minHashSignatures(sh: DataFrame, numHashes: Int = 8): DataFrame = {
+    val mins = (0 until numHashes).map(j =>
+      min(md5(concat_ws("|", lit(j.toString), col("s")).cast("binary"))).as(s"m$j"))
+    sh.groupBy(col("id")).agg(mins.head, mins.tail: _*)
+  }
+
+  /** LSH banding over a MinHash signature frame: (id, band, h). */
+  def lshBands(mh: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    (0 until bands).map { b =>
+      val cols = (b * r until (b + 1) * r).map(j => col(s"m$j"))
+      mh.select(col("id"), lit(b.toLong).as("band"),
+        md5(concat_ws("", cols: _*).cast("binary")).as("h"))
+    }.reduce(_ union _)
+  }
+
+  /** Candidate near-dup pairs (id1 < id2) sharing ≥1 LSH bucket.
+    * Candidate threshold ≈ (1/bands)^(bands/numHashes). */
+  def minHashLshCandidates(docs: DataFrame, textCol: Column, idCol: Column,
+      numHashes: Int = 8, bands: Int = 2, shingleLen: Int = 3): DataFrame = {
+    val bandsDf = lshBands(
+      minHashSignatures(shingles(docs, textCol, idCol, shingleLen), numHashes),
+      numHashes, bands)
+    bandsDf.as("a").join(bandsDf.as("b"),
+        col("a.band") === col("b.band") && col("a.h") === col("b.h") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"))
+      .distinct()
+  }
+
+  /** SimHash-32 signature per document as a 32-char '0'/'1' string:
+    * per-token md5-derived 32-bit hashes, weighted bit majority. */
+  def simHashSignatures(docs: DataFrame, textCol: Column, idCol: Column): DataFrame =
+    docs.select(idCol.as("id"), explode(split(textCol, " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy(col("id"), col("tok")).agg(count(lit(1)).as("cnt"))
+      .withColumn("h", substring(md5(col("tok").cast("binary")), 1, 8))
+      .select(col("id"), col("cnt"), col("h"),
+        explode(sequence(lit(0), lit(31))).as("bitpos"))
+      .withColumn("nib",
+        expr("instr('0123456789abcdef', substring(h, CAST(bitpos DIV 4 AS INT) + 1, 1)) - 1"))
+      .withColumn("p",
+        expr("CASE bitpos % 4 WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 4 ELSE 8 END"))
+      .withColumn("contrib", expr("cnt * (2 * ((nib DIV p) % 2) - 1)"))
+      .groupBy(col("id"), col("bitpos"))
+      .agg(sum(col("contrib")).as("sbit"))
+      .withColumn("c", when(col("sbit") > 0, "1").otherwise("0"))
+      .groupBy(col("id"))
+      .agg(expr("concat_ws('', transform(sort_array(collect_list(struct(bitpos, c))), x -> x.c))")
+        .as("simhash"))
+
+  /** Exact Jaccard over distinct n-gram shingle sets for given
+    * candidate pairs (or all pairs when `candidates` is None — test
+    * scale only). Output: (id1, id2, inter, jac). */
+  def ngramJaccardPairs(docs: DataFrame, textCol: Column, idCol: Column,
+      shingleLen: Int = 3, candidates: Option[DataFrame] = None): DataFrame = {
+    val sh = shingles(docs, textCol, idCol, shingleLen).distinct()
+    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    val joined = sh.as("a").join(sh.as("b"),
+      col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+    val inter = joined
+      .groupBy(col("a.id").as("id1"), col("b.id").as("id2"))
+      .agg(count(lit(1)).as("inter"))
+    val withCand = candidates match {
+      case Some(c) => inter.join(c, Seq("id1", "id2"), "left_semi")
+      case None => inter
+    }
+    withCand
+      .join(sizes.toDF("id1", "n1"), "id1")
+      .join(sizes.toDF("id2", "n2"), "id2")
+      .withColumn("jac", col("inter") / (col("n1") + col("n2") - col("inter")))
+  }
+}

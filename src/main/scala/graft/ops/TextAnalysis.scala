@@ -1,0 +1,65 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for corpus curation: language ID, quality
+  * scoring, token counting, fingerprinting. All pure Column
+  * expressions (codegen'd, UDF-free) — they compose into any pipeline
+  * without breaking whole-stage codegen or predicate pushdown.
+  */
+object TextAnalysis {
+
+  /** Tokens of a whitespace-separated text column. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
+
+  /** BPE-style token estimate: ≈ one token per 4 characters. */
+  def bpeTokenEstimate(nChars: Column): Column =
+    ((nChars + lit(3)) / lit(4)).cast("long")
+
+  /** Stopword ratio against a given vocabulary. */
+  def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
+    val w = tokens(text)
+    size(filter(w, x => x.isin(stopwords: _*))).cast("double") /
+      size(w).cast("double")
+  }
+
+  /** n-gram-heuristic language ID: classifies as `lang` when the
+    * stopword ratio for that language's function words clears the
+    * threshold. Real corpora would chain several languages' lists. */
+  def langId(text: Column,
+      stopwords: Seq[String] = Seq("a", "the"),
+      lang: String = "en",
+      threshold: Double = 0.05): Column =
+    when(stopwordRatio(text, stopwords) >= threshold, lang).otherwise("und")
+
+  /** Type-token ratio (lexical diversity). */
+  def typeTokenRatio(text: Column): Column = {
+    val w = tokens(text)
+    size(array_distinct(w)).cast("double") / size(w).cast("double")
+  }
+
+  /** Average token length in characters. */
+  def avgWordLen(text: Column): Column = {
+    val n = size(tokens(text))
+    (length(text) - (n - lit(1))).cast("double") / n.cast("double")
+  }
+
+  /** Composite quality gate: length band + lexical diversity. */
+  def qualityOk(text: Column, minTokens: Int = 30, minTtr: Double = 0.3): Column =
+    tokenCount(text) >= minTokens && typeTokenRatio(text) >= minTtr
+
+  /** Full-content fingerprint. */
+  def fingerprint(text: Column): Column = md5(text.cast("binary"))
+
+  /** Winnowing-style minimum shingle-hash fingerprint per document
+    * (robust to suffix edits, unlike the full-content hash). */
+  def minShingleFingerprint(docs: DataFrame, text: Column, id: Column,
+      shingleLen: Int = 3): DataFrame =
+    Dedup.shingles(docs, text, id, shingleLen)
+      .groupBy(col("id"))
+      .agg(min(md5(col("s").cast("binary"))).as("fp_min"))
+}

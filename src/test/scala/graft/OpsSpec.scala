@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.{Dedup, Similarity, TextAnalysis}
+
+/** Unit tests for the reusable dedup / similarity / text operators. */
+class OpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"),          // exact dup of 1
+    (3L, "the quick brown fox jumps over the sleepy dog"),        // near dup of 1
+    (4L, "completely different words about spark query engines here"),
+  ).toDF("doc_id", "text")
+
+  test("exactDupGroups finds the exact pair only") {
+    val groups = Dedup.exactDupGroups(docs, col("text"), col("doc_id")).collect()
+    assert(groups.length == 1)
+    assert(groups.head.getAs[Long]("n_dups") == 2)
+    assert(groups.head.getAs[Long]("keep_id") == 1L)
+  }
+
+  test("dedupExact keeps the min-id row per content group") {
+    val kept = Dedup.dedupExact(docs, col("text"), col("doc_id"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L, 4L))
+  }
+
+  test("identical docs get identical MinHash signatures; different docs differ") {
+    val mh = Dedup.minHashSignatures(Dedup.shingles(docs, col("text"), col("doc_id")))
+      .collect().map(r => r.getLong(0) -> (1 to 8).map(r.getString).mkString).toMap
+    assert(mh(1L) == mh(2L))
+    assert(mh(1L) != mh(4L))
+  }
+
+  test("LSH candidates include exact and near dups, not unrelated docs") {
+    val cand = Dedup.minHashLshCandidates(docs, col("text"), col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cand.contains((1L, 2L)))
+    assert(!cand.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
+  test("ngram Jaccard: identity pair = 1.0; near pair in (0.5, 1)") {
+    val jac = Dedup.ngramJaccardPairs(docs, col("text"), col("doc_id"))
+      .collect().map(r => (r.getAs[Long]("id1"), r.getAs[Long]("id2")) -> r.getAs[Double]("jac")).toMap
+    assert(jac((1L, 2L)) == 1.0)
+    assert(jac((1L, 3L)) > 0.5 && jac((1L, 3L)) < 1.0)
+  }
+
+  test("simhash: exact dups share signatures; signature is 32 bits") {
+    val sig = Dedup.simHashSignatures(docs, col("text"), col("doc_id"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(sig(1L) == sig(2L))
+    assert(sig.values.forall(s => s.length == 32 && s.forall(c => c == '0' || c == '1')))
+    // near-dup within small Hamming distance, unrelated doc far
+    def ham(a: String, b: String) = a.zip(b).count { case (x, y) => x != y }
+    assert(ham(sig(1L), sig(3L)) < ham(sig(1L), sig(4L)))
+  }
+
+  test("cosine: self-similarity = 1.0; brute-force top-k ordered") {
+    val emb = graft.queries.t(spark, TestSpark.sfTiny, "embeddings")
+    val self = emb.limit(1)
+      .select(Similarity.cosine(
+        col("embedding").cast("array<double>"),
+        col("embedding").cast("array<double>")).as("c"))
+      .head.getDouble(0)
+    assert(math.abs(self - 1.0) < 1e-12)
+    val q = emb.filter(col("vec_id") === 0)
+    val top = Similarity.bruteForceTopK(
+      emb.filter(col("vec_id") =!= 0), col("vec_id"), col("embedding"),
+      q, col("embedding"), 5).collect()
+    assert(top.length == 5)
+    val cs = top.map(_.getDouble(1))
+    assert(cs.zip(cs.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("LSH top-k returns a subset consistent with brute force cosines") {
+    val emb = graft.queries.t(spark, TestSpark.sfTiny, "embeddings")
+    val q = emb.filter(col("vec_id") === 0)
+    val corpus = emb.filter(col("vec_id") =!= 0)
+    val approx = Similarity.lshTopK(corpus, col("vec_id"), col("embedding"),
+      q, col("embedding"), 5, nBits = 4).collect()
+    // bucket join can return fewer than k; each hit's cosine must match
+    // the exact cosine for that id
+    val exact = Similarity.bruteForceTopK(corpus, col("vec_id"), col("embedding"),
+      q, col("embedding"), 500).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(approx.forall(r => exact(r.getLong(0)) == r.getDouble(1)))
+  }
+
+  test("text analysis columns: counts, ttr, quality, langid") {
+    val d = Seq((1L, "the cat sat on the mat")).toDF("doc_id", "text")
+    val r = d.select(
+      TextAnalysis.tokenCount(col("text")).as("n"),
+      TextAnalysis.typeTokenRatio(col("text")).as("ttr"),
+      TextAnalysis.avgWordLen(col("text")).as("awl"),
+      TextAnalysis.langId(col("text")).as("lang"),
+      TextAnalysis.fingerprint(col("text")).as("fp")).head
+    assert(r.getAs[Long]("n") == 6)
+    assert(math.abs(r.getAs[Double]("ttr") - 5.0 / 6.0) < 1e-12)
+    assert(math.abs(r.getAs[Double]("awl") - 17.0 / 6.0) < 1e-12)
+    assert(r.getAs[String]("lang") == "en")
+    assert(r.getAs[String]("fp").matches("[0-9a-f]{32}"))
+  }
+}
