@@ -110,33 +110,38 @@ object ExtendedQueries {
 
     // Embedding-cosine near-dup: top-20 most-similar vector pairs,
     // brute force (correctness baseline for the LSH ANN in graft.ops).
+    // Norms are computed ONCE per vector below the pair join (O(n), not
+    // O(n²)); the per-pair work is a single codegen'd 64-FLOP dot loop
+    // (graft.functions.DotProduct) instead of three interpreted HOF
+    // chains — same IEEE summation order, bit-identical output.
     "q_dedup_embed_topk" -> { (s, d) =>
+      graft.functions.GraftFunctions.register(s)
       val e = t(s, d, "embeddings")
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      val a = e.toDF("id1", "v1")
-      val b = e.toDF("id2", "v2")
-      val dot = aggregate(zip_with(col("v1"), col("v2"), (x, y) => x * y),
-        lit(0.0), (acc, x) => acc + x)
-      val n1 = sqrt(aggregate(transform(col("v1"), x => x * x), lit(0.0), (acc, x) => acc + x))
-      val n2 = sqrt(aggregate(transform(col("v2"), x => x * x), lit(0.0), (acc, x) => acc + x))
+        .withColumn("nrm", sqrt(expr("graft_dot(v, v)")))
+      val a = e.toDF("id1", "v1", "n1")
+      val b = e.toDF("id2", "v2", "n2")
       a.join(b, col("id1") < col("id2"))
-        .select(col("id1"), col("id2"), round(dot / (n1 * n2), 4).as("cos"))
+        .select(col("id1"), col("id2"),
+          round(expr("graft_dot(v1, v2)") / (col("n1") * col("n2")), 4).as("cos"))
         .orderBy(col("cos").desc, col("id1"), col("id2"))
         .limit(20)
     },
 
-    // ANN top-10 for one query vector (vec_id = 0), brute-force cosine.
+    // ANN top-10 for one query vector (vec_id = 0), brute-force cosine
+    // baseline (broadcast query vector + codegen'd dot kernel; the
+    // LSH-bucketed scale path lives in graft.ops.Similarity).
     "q_ann_topk" -> { (s, d) =>
+      graft.functions.GraftFunctions.register(s)
       val e = t(s, d, "embeddings")
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      val q = broadcast(e.filter(col("vec_id") === 0).select(col("v").as("qv")))
-      val dot = aggregate(zip_with(col("v"), col("qv"), (x, y) => x * y),
-        lit(0.0), (acc, x) => acc + x)
-      val nv = sqrt(aggregate(transform(col("v"), x => x * x), lit(0.0), (acc, x) => acc + x))
-      val nq = sqrt(aggregate(transform(col("qv"), x => x * x), lit(0.0), (acc, x) => acc + x))
+        .withColumn("nrm", sqrt(expr("graft_dot(v, v)")))
+      val q = broadcast(e.filter(col("vec_id") === 0)
+        .select(col("v").as("qv"), col("nrm").as("qn")))
       e.crossJoin(q)
         .filter(col("vec_id") =!= 0)
-        .select(col("vec_id"), round(dot / (nv * nq), 4).as("cos"))
+        .select(col("vec_id"),
+          round(expr("graft_dot(v, qv)") / (col("nrm") * col("qn")), 4).as("cos"))
         .orderBy(col("cos").desc, col("vec_id"))
         .limit(10)
     },
