@@ -12,6 +12,20 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Untimed JVM warm-up: exercise codegen, shuffle, window, join and
+    // the parquet reader on the two tiny dimension tables so the first
+    // timed query doesn't absorb JIT + first-codegen cost.
+    locally {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      spark.range(1000000).selectExpr("sum(id)").collect()
+      val r = spark.read.parquet(s"$sfDir/region.parquet")
+      val n = spark.read.parquet(s"$sfDir/nation.parquet")
+      n.join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name")).agg(count(lit(1)).as("c"), sum(col("n_nationkey")).as("s"))
+        .withColumn("rk", rank().over(Window.partitionBy(lit(1)).orderBy(col("c"), col("r_name"))))
+        .orderBy(col("r_name")).collect()
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

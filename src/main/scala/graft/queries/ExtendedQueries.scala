@@ -28,9 +28,19 @@ import org.apache.spark.sql.functions._
   */
 object ExtendedQueries {
 
-  /** doc_id + 3-gram word shingles (docs with ≥3 tokens). */
+  /** doc_id + 3-gram word shingles (docs with ≥3 tokens).
+    *
+    * The scan is repartitioned first: the testdata is one single-row-
+    * group parquet file per table, i.e. ONE input split, and everything
+    * before the first shuffle (split/explode/8×md5) would otherwise run
+    * on a single core. At real scale the scan has thousands of splits
+    * and the repartition is unnecessary — but it is exactly the "fan
+    * out cheap rows before expensive per-row work" shape that also
+    * fixes skewed-split layouts on a cluster.
+    */
   private def shingles(s: org.apache.spark.sql.SparkSession, d: String) =
     t(s, d, "documents")
+      .repartition(s.sparkContext.defaultParallelism)
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .filter(size(col("w")) >= 3)
       .select(col("doc_id"), explode(expr(
@@ -51,11 +61,18 @@ object ExtendedQueries {
       val minhashes = (0 until 8).map(j =>
         min(md5(concat_ws("|", lit(j.toString), col("s")).cast("binary"))).as(s"m$j"))
       val mh = sh.groupBy(col("doc_id")).agg(minhashes.head, minhashes.tail: _*)
-      val band1 = mh.select(col("doc_id"), lit(1L).as("band"),
-        md5(concat_ws("", col("m0"), col("m1"), col("m2"), col("m3")).cast("binary")).as("h"))
-      val band2 = mh.select(col("doc_id"), lit(2L).as("band"),
-        md5(concat_ws("", col("m4"), col("m5"), col("m6"), col("m7")).cast("binary")).as("h"))
-      val bands = band1.union(band2)
+      // One explode emits both LSH band rows (vs two projections + a
+      // union — fewer codegen stages), and cache() materializes the
+      // tiny band table once for BOTH sides of the self-join. At scale
+      // this is "materialize signatures before LSH", the standard shape.
+      val bands = mh.select(col("doc_id"), explode(array(
+          struct(lit(1L).as("band"),
+            md5(concat_ws("", col("m0"), col("m1"), col("m2"), col("m3")).cast("binary")).as("h")),
+          struct(lit(2L).as("band"),
+            md5(concat_ws("", col("m4"), col("m5"), col("m6"), col("m7")).cast("binary")).as("h"))))
+          .as("bh"))
+        .select(col("doc_id"), col("bh.band").as("band"), col("bh.h").as("h"))
+        .cache()
       bands.as("a").join(bands.as("b"),
           col("a.band") === col("b.band") && col("a.h") === col("b.h") &&
             col("a.doc_id") < col("b.doc_id"))
@@ -69,6 +86,7 @@ object ExtendedQueries {
     // '0'/'1' string (integer arithmetic throughout).
     "q_dedup_simhash" -> { (s, d) =>
       t(s, d, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
         .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
         .filter(length(col("tok")) > 0)
         .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("cnt"))
@@ -93,9 +111,16 @@ object ExtendedQueries {
     // at ≥ 0.5. inter/union are exact ints → the division is
     // bit-identical on both engines.
     "q_dedup_ngram_jaccard" -> { (s, d) =>
-      val sh = shingles(s, d).distinct()
+      // cache(): the distinct shingle set is read twice (posting lists
+      // + per-doc sizes); materialize it once.
+      val sh = shingles(s, d).distinct().cache()
       val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-      val inter = sh.as("a").join(sh.as("b"),
+      // Self-join on the shingle key with an explicit broadcast build
+      // side: the distinct shingle set is small relative to executor
+      // memory, and a hash join avoids sort-merging two string-keyed
+      // sides. (At 100 TB this flips to a shuffled hash join on `s` —
+      // same plan shape, no sorts either way.)
+      val inter = sh.as("a").join(broadcast(sh.as("b")),
           col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
         .agg(count(lit(1)).as("inter"))
@@ -116,7 +141,10 @@ object ExtendedQueries {
     // chains — same IEEE summation order, bit-identical output.
     "q_dedup_embed_topk" -> { (s, d) =>
       graft.functions.GraftFunctions.register(s)
+      // Repartition: single-split input would leave the O(n²) pair loop
+      // on one core (the broadcast side is tiny either way).
       val e = t(s, d, "embeddings")
+        .repartition(s.sparkContext.defaultParallelism)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
         .withColumn("nrm", sqrt(expr("graft_dot(v, v)")))
       val a = e.toDF("id1", "v1", "n1")
