@@ -67,8 +67,23 @@ case class DotProduct(left: Expression, right: Expression)
 
 /** Session registration for graft's native expressions (idempotent). */
 object GraftFunctions {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.graft.ColumnBridge
+  import org.apache.spark.sql.functions.sqrt
+
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dot", exprs => DotProduct(exprs.head, exprs(1)), "built-in")
   }
+
+  /** Column-level dot product (no registration needed). Inputs must be
+    * ARRAY<DOUBLE> — `.cast("array<double>")` first. */
+  def dot(a: Column, b: Column): Column =
+    ColumnBridge.column(DotProduct(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Cosine similarity via the codegen kernel; same sequential IEEE
+    * summation as the zip_with+aggregate HOF formulation. */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
 }

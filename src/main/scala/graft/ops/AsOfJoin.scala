@@ -1,0 +1,141 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** As-of (point-in-time) join — the finance-native operator pandas
+  * calls `merge_asof` and DuckDB spells `ASOF JOIN`. Spark has no
+  * built-in (SURVEY.md §2.3); the scalable formulation used here is
+  * union + ordered window rather than a range join:
+  *
+  *   1. tag left rows (1) and right rows (0) and union them on the
+  *      shared (partition keys, timestamp) shape;
+  *   2. one shuffle+sort per partition key orders the merged stream by
+  *      (ts, tag, tiebreak) — right rows sort before left rows at equal
+  *      timestamps, giving `>=` (inclusive) as-of semantics;
+  *   3. `last(right_payload, ignoreNulls)` over the preceding frame
+  *      carries the most recent right row forward;
+  *   4. keep the left rows.
+  *
+  * Cost at scale: ONE shuffle of |L| + |R| rows on the partition key
+  * and one sort — the same price as a sort-merge join, with no range
+  * explosion and no skew beyond what the key distribution itself has.
+  * A range join (`l.ts BETWEEN r.ts AND r.ts + tol`) would fan out
+  * quadratically on dense keys; the window formulation cannot.
+  *
+  * Determinism: callers should ensure right rows are unique per
+  * (keys, rightTs) — pre-aggregate ties (e.g. keep max id) — otherwise
+  * the carried payload among equal timestamps is tie-broken by
+  * `tieBreak` if given, else unspecified.
+  */
+object AsOfJoin {
+
+  /** Backward as-of join (the common direction): for every left row,
+    * attach the latest right row with `right.tsCol <= left.tsCol`
+    * within the same partition keys; nulls where none exists.
+    *
+    * @param left       left (probe) side; all its columns survive
+    * @param right      right (reference) side
+    * @param keys       equi-join partition columns (present both sides)
+    * @param leftTs     left event-time column name
+    * @param rightTs    right event-time column name
+    * @param payload    right columns to attach (must include rightTs if
+    *                   `toleranceMicros` is set)
+    * @param tieBreak   optional right column ordering ties at equal
+    *                   (keys, rightTs) — highest wins
+    * @param toleranceMicros optional max age: matches older than this
+    *                   many microseconds (leftTs − rightTs) are nulled
+    */
+  def backward(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTs: String, rightTs: String, payload: Seq[String],
+      tieBreak: Option[String] = None,
+      toleranceMicros: Option[Long] = None): DataFrame = {
+    require(payload.nonEmpty, "payload must name at least one right column")
+    toleranceMicros.foreach(_ => require(payload.contains(rightTs),
+      "toleranceMicros requires rightTs in payload"))
+
+    val leftStruct = struct(left.columns.map(col).toIndexedSeq: _*)
+    val rightStruct = struct(payload.map(col).toIndexedSeq: _*)
+    val lSchema = StructType(left.schema.fields)
+    val rSchema = StructType(right.select(payload.map(col): _*).schema.fields)
+
+    val tb = tieBreak.map(col).getOrElse(lit(null))
+    val l = left.select(
+      keys.map(col) ++ Seq(
+        col(leftTs).as("__ts"), lit(1).as("__tag"), lit(null).as("__tb"),
+        leftStruct.as("__l"), lit(null).cast(rSchema).as("__r")): _*)
+    val r = right.select(
+      keys.map(col) ++ Seq(
+        col(rightTs).as("__ts"), lit(0).as("__tag"), tb.as("__tb"),
+        lit(null).cast(lSchema).as("__l"), rightStruct.as("__r")): _*)
+
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__ts").asc, col("__tag").asc, col("__tb").asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val matchedRaw = last(col("__r"), ignoreNulls = true).over(w)
+    val matched = toleranceMicros match {
+      case Some(tol) => when(
+        unix_micros(col("__ts")) - unix_micros(matchedRaw.getField(rightTs)) <= tol,
+        matchedRaw)
+      case None => matchedRaw
+    }
+
+    l.unionByName(r)
+      .select(col("__tag"), col("__l"), matched.as("__m"))
+      .filter(col("__tag") === 1)
+      .select(
+        left.columns.map(c => col(s"__l.$c").as(c)).toIndexedSeq ++
+          payload.map(c => col(s"__m.$c").as(s"asof_$c")): _*)
+  }
+
+  /** Forward as-of join: earliest right row with
+    * `right.tsCol >= left.tsCol`. Mirror of `backward` — descending
+    * scan order, same single-shuffle cost. */
+  def forward(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTs: String, rightTs: String, payload: Seq[String],
+      tieBreak: Option[String] = None,
+      toleranceMicros: Option[Long] = None): DataFrame = {
+    require(payload.nonEmpty, "payload must name at least one right column")
+    toleranceMicros.foreach(_ => require(payload.contains(rightTs),
+      "toleranceMicros requires rightTs in payload"))
+
+    val leftStruct = struct(left.columns.map(col).toIndexedSeq: _*)
+    val rightStruct = struct(payload.map(col).toIndexedSeq: _*)
+    val lSchema = StructType(left.schema.fields)
+    val rSchema = StructType(right.select(payload.map(col): _*).schema.fields)
+
+    val tb = tieBreak.map(col).getOrElse(lit(null))
+    val l = left.select(
+      keys.map(col) ++ Seq(
+        col(leftTs).as("__ts"), lit(1).as("__tag"), lit(null).as("__tb"),
+        leftStruct.as("__l"), lit(null).cast(rSchema).as("__r")): _*)
+    val r = right.select(
+      keys.map(col) ++ Seq(
+        col(rightTs).as("__ts"), lit(0).as("__tag"), tb.as("__tb"),
+        lit(null).cast(lSchema).as("__l"), rightStruct.as("__r")): _*)
+
+    // Descending time: at equal ts, right rows (tag 0) still first so
+    // `>=` includes the simultaneous match; lowest tieBreak wins.
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__ts").desc, col("__tag").asc, col("__tb").desc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val matchedRaw = last(col("__r"), ignoreNulls = true).over(w)
+    val matched = toleranceMicros match {
+      case Some(tol) => when(
+        unix_micros(matchedRaw.getField(rightTs)) - unix_micros(col("__ts")) <= tol,
+        matchedRaw)
+      case None => matchedRaw
+    }
+
+    l.unionByName(r)
+      .select(col("__tag"), col("__l"), matched.as("__m"))
+      .filter(col("__tag") === 1)
+      .select(
+        left.columns.map(c => col(s"__l.$c").as(c)).toIndexedSeq ++
+          payload.map(c => col(s"__m.$c").as(s"asof_$c")): _*)
+  }
+}

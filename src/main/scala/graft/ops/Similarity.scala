@@ -3,6 +3,8 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.functions.GraftFunctions
+
 /** Similarity search over an embedding column (`array<float|double>`).
   *
   * Two paths:
@@ -13,54 +15,58 @@ import org.apache.spark.sql.functions._
   *    vector maps to a `nBits`-bit bucket; candidates share a bucket.
   *    At 100 TB this turns the quadratic pair space into
   *    per-bucket joins; probing neighbors' buckets trades recall for
-  *    cost. Hyperplanes are generated deterministically from md5 of
-  *    (seed, bit, dim) so every executor derives identical planes
-  *    without shipping state.
+  *    cost.
+  *
+  * All kernels run through `graft.functions.DotProduct` — a codegen'd
+  * tight loop (Spark's array higher-order functions are
+  * CodegenFallback, i.e. interpreted per row, which dominates cost on
+  * wide pair joins).
+  *
+  * Hyperplanes are derived deterministically from md5 of
+  * (seed, bit, dim) ON THE DRIVER — 512 doubles for 8 bits × 64 dims —
+  * and enter the plan as array literals. Every executor sees identical
+  * planes with zero per-row hash work (the earlier formulation
+  * recomputed an interpreted md5 per element × bit × row).
   */
 object Similarity {
 
-  /** Sequential-fold cosine of two double-array columns (codegen'd
-    * higher-order functions — no UDF). */
-  def cosine(a: Column, b: Column): Column = {
-    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
-    val na = sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x))
-    val nb = sqrt(aggregate(transform(b, x => x * x), lit(0.0), (acc, x) => acc + x))
-    dot / (na * nb)
-  }
+  /** Cosine of two array<double> columns (codegen'd kernel). */
+  def cosine(a: Column, b: Column): Column = GraftFunctions.cosine(a, b)
 
   /** Exact top-k by cosine for one query vector (broadcast). */
   def bruteForceTopK(corpus: DataFrame, idCol: Column, vecCol: Column,
       query: DataFrame, queryVec: Column, k: Int): DataFrame = {
     val c = corpus.select(idCol.as("id"), vecCol.cast("array<double>").as("v"))
-    val q = broadcast(query.select(queryVec.cast("array<double>").as("qv")))
+      .withColumn("nrm", sqrt(GraftFunctions.dot(col("v"), col("v"))))
+    val q = broadcast(query.select(queryVec.cast("array<double>").as("qv"))
+      .withColumn("qn", sqrt(GraftFunctions.dot(col("qv"), col("qv")))))
     c.crossJoin(q)
-      .select(col("id"), round(cosine(col("v"), col("qv")), 4).as("cos"))
+      .select(col("id"),
+        round(GraftFunctions.dot(col("v"), col("qv")) / (col("nrm") * col("qn")), 4).as("cos"))
       .orderBy(col("cos").desc, col("id"))
       .limit(k)
   }
 
-  /** Deterministic pseudo-random hyperplane component for (seed, bit,
-    * dim): md5-derived integer in [-8388608, 8388608). Direction-only
-    * use means scale doesn't matter. */
-  private def planeComponent(seed: Int, bit: Int, dim: Column): Column =
-    (conv(substring(md5(concat_ws(":", lit(seed.toString), lit(bit.toString),
-      dim.cast("string")).cast("binary")), 1, 6), 16, 10).cast("long") - lit(8388608L))
-      .cast("double")
+  /** Deterministic hyperplane for (seed, bit): `dims` doubles derived
+    * from md5("{seed}:{bit}:{dim}") — first 6 hex chars as an integer
+    * centered on zero. Direction-only use, so scale is irrelevant. */
+  private[ops] def plane(seed: Int, bit: Int, dims: Int): Seq[Double] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until dims).map { d =>
+      val hex = md.digest(s"$seed:$bit:$d".getBytes("UTF-8"))
+        .take(3).map(b => f"$b%02x").mkString
+      (java.lang.Long.parseLong(hex, 16) - 8388608L).toDouble
+    }
+  }
 
-  /** Sign-LSH bucket id (a `nBits`-char '0'/'1' string) per vector. */
+  /** Sign-LSH bucket id (a `nBits`-char '0'/'1' string) per vector.
+    * `dims` must match the embedding dimensionality. */
   def lshBuckets(corpus: DataFrame, idCol: Column, vecCol: Column,
-      nBits: Int = 8, seed: Int = 42): DataFrame = {
+      nBits: Int = 8, seed: Int = 42, dims: Int = 64): DataFrame = {
     val v = vecCol.cast("array<double>")
     val bitCols = (0 until nBits).map { b =>
-      // dot(v, plane_b) via posexplode-free HOF: weight each element
-      // by the deterministic plane component for its index.
-      val dot = aggregate(
-        zip_with(v, sequence(lit(0), size(v) - 1), (x, i) =>
-          x * (conv(substring(md5(concat_ws(":", lit(seed.toString), lit(b.toString),
-            i.cast("string")).cast("binary")), 1, 6), 16, 10).cast("long") - lit(8388608L))
-            .cast("double")),
-        lit(0.0), (acc, x) => acc + x)
-      when(dot >= 0, "1").otherwise("0")
+      val planeLit = array(plane(seed, b, dims).map(lit): _*)
+      when(GraftFunctions.dot(v, planeLit) >= 0, "1").otherwise("0")
     }
     corpus.select(idCol.as("id"), v.as("v"), concat(bitCols: _*).as("bucket"))
   }
@@ -69,10 +75,10 @@ object Similarity {
     * Recall improves with fewer bits / multiple probe tables. */
   def lshTopK(corpus: DataFrame, idCol: Column, vecCol: Column,
       query: DataFrame, queryVec: Column, k: Int,
-      nBits: Int = 8, seed: Int = 42): DataFrame = {
-    val cb = lshBuckets(corpus, idCol, vecCol, nBits, seed)
+      nBits: Int = 8, seed: Int = 42, dims: Int = 64): DataFrame = {
+    val cb = lshBuckets(corpus, idCol, vecCol, nBits, seed, dims)
     val qb = broadcast(
-      lshBuckets(query, lit(0L), queryVec, nBits, seed)
+      lshBuckets(query, lit(0L), queryVec, nBits, seed, dims)
         .select(col("v").as("qv"), col("bucket").as("qbucket")))
     cb.join(qb, col("bucket") === col("qbucket"))
       .select(col("id"), round(cosine(col("v"), col("qv")), 4).as("cos"))

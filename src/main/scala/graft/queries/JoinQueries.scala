@@ -79,6 +79,30 @@ object JoinQueries {
         .select(col("c_custkey"), col("c_name"))
         .orderBy(col("c_custkey"))
     },
+
+    // As-of join (pandas merge_asof / DuckDB ASOF JOIN): attribute
+    // every event to the user's most recent purchase at or before it.
+    // Spark has no built-in — graft.ops.AsOfJoin implements it as
+    // union + ordered window (ONE shuffle of |L|+|R| on the key, no
+    // range-join fanout). Right side pre-deduped per (user_id, ts)
+    // keeping max event_id, so the match is deterministic.
+    "q_asof_join" -> { (s, d) =>
+      val e = t(s, d, "events")
+      val p = e.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts").as("pts"))
+        .agg(max(col("event_id")).as("pid"))
+        .select(col("user_id"), col("pts"), col("pid"))
+      graft.ops.AsOfJoin.backward(
+          e.select(col("event_id"), col("user_id"), col("ts")), p,
+          keys = Seq("user_id"), leftTs = "ts", rightTs = "pts",
+          payload = Seq("pid", "pts"))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("asof_pid").as("last_purchase_id"),
+          col("asof_pts").as("last_purchase_ts"),
+          (unix_micros(col("ts").cast("timestamp")) -
+            unix_micros(col("asof_pts").cast("timestamp"))).as("us_since_purchase"))
+        .orderBy(col("event_id"))
+    },
   )
 
   val sql: Map[String, String] = Map(
@@ -118,5 +142,17 @@ object JoinQueries {
         |WHERE NOT EXISTS (SELECT 1 FROM orders o
         |                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 450000.0)
         |ORDER BY c_custkey""".stripMargin,
+
+    "q_asof_join" ->
+      """WITH p AS (
+        |  SELECT user_id, ts AS pts, max(event_id) AS pid
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+        |)
+        |SELECT e.event_id, e.user_id, e.ts,
+        |       p.pid AS last_purchase_id, p.pts AS last_purchase_ts,
+        |       epoch_us(e.ts) - epoch_us(p.pts) AS us_since_purchase
+        |FROM events e ASOF LEFT JOIN p
+        |  ON e.user_id = p.user_id AND e.ts >= p.pts
+        |ORDER BY e.event_id""".stripMargin,
   )
 }
