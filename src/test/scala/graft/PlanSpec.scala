@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.QueryExecution
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan quality gates (SURVEY §4.2): the properties that make
+  * these plans survive a 100 TB scale-up, asserted as tests so a
+  * regression in plan shape fails CI, not a cluster run.
+  *
+  *  - predicates/column pruning reach the parquet scan
+  *  - tiny dimension sides broadcast (no fact-table shuffle)
+  *  - order+limit plans as top-k (TakeOrderedAndProject), never a
+  *    total sort
+  *  - the vector kernel stays inside codegen (no CodegenFallback
+  *    interpretation on the pair-join hot path)
+  */
+class PlanSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def plan(df: DataFrame): String = {
+    val qe: QueryExecution = df.queryExecution
+    qe.executedPlan.toString
+  }
+
+  private def q(name: String): DataFrame =
+    SparkEntry.queries(name)(spark, sfTiny)
+
+  test("q_filter_range pushes predicates into the parquet scan") {
+    val p = plan(q("q_filter_range"))
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("IsNotNull(l_returnflag)") || p.contains("EqualTo(l_returnflag,R)"), p)
+  }
+
+  test("q_scan_project prunes to the projected columns only") {
+    val p = plan(q("q_scan_project"))
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_orderkey") && readSchema.contains("l_extendedprice"), readSchema)
+    assert(!readSchema.contains("l_shipdate") && !readSchema.contains("l_comment"), readSchema)
+  }
+
+  test("dimension joins broadcast (no shuffle of the big side)") {
+    for (name <- Seq("q_join_inner_equi", "q_join_hashkey", "q_join_left_year")) {
+      val p = plan(q(name))
+      assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"), s"$name:\n$p")
+    }
+    val pc = plan(q("q_join_broadcast_const"))
+    assert(pc.contains("BroadcastNestedLoopJoin"), pc)
+  }
+
+  test("q_sort_limit is top-k, not a total sort") {
+    val p = plan(q("q_sort_limit"))
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("vector pair join: dot kernel is codegen, join is broadcast") {
+    val df = q("q_dedup_embed_topk")
+    df.collect() // finalize the AQE plan so codegen stages are visible
+    val p = plan(df)
+    assert(p.contains("graft_dot"), p)
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    // Whole-stage codegen spans mark operators with "*(n)" in the
+    // executed plan; the projection computing graft_dot must be inside
+    // one (the kernel would be interpreted under a CodegenFallback).
+    val dotLine = p.linesIterator.find(l => l.contains("graft_dot") && l.contains("Project"))
+    assert(dotLine.exists(_.contains("*(")), s"dot projection not codegen'd:\n$p")
+  }
+
+  test("window queries shuffle once on the partition key") {
+    val p = plan(q("q_window_lag_return"))
+    // one exchange for the window partitionBy; the final orderBy adds
+    // a range exchange — but no extra hash exchanges in between
+    val hashExchanges = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning"))
+    assert(hashExchanges == 1, s"expected 1 hash exchange, plan:\n$p")
+  }
+
+  test("aggregations are partial+final (map-side combine present)") {
+    val p = plan(q("q_agg_group"))
+    val aggs = p.linesIterator.count(_.trim.startsWith("+- HashAggregate")) +
+      p.linesIterator.count(_.trim.startsWith("HashAggregate"))
+    assert(p.contains("HashAggregate"), p)
+    assert(aggs >= 2, s"expected partial+final aggregate pair:\n$p")
+  }
+}
