@@ -46,6 +46,10 @@ object ExtendedQueries {
       .select(col("doc_id"), explode(expr(
         "transform(sequence(1, size(w)-2), i -> concat_ws(' ', element_at(w,i), element_at(w,i+1), element_at(w,i+2)))"))
         .as("s"))
+      // cache(): three declared queries (minhash, jaccard, fingerprint)
+      // share this exact subtree — the CacheManager substitutes the
+      // materialized copy into whichever runs later in the session.
+      .cache()
 
   private val shinglesSql =
     """SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
