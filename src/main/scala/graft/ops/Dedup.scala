@@ -60,6 +60,19 @@ object Dedup {
     sh.groupBy(col("id")).agg(mins.head, mins.tail: _*)
   }
 
+  /** Same signature, one-pass: `graft.functions.MinHashAgg` keeps all
+    * `numHashes` minima in a single fixed-width typed buffer, so the
+    * planner uses ObjectHashAggregate — Spark's HashAggregate cannot
+    * hold variable-width string-min buffers and the column formulation
+    * above falls back to SortAggregate (a sort per side per grouping).
+    * Output is byte-identical to `minHashSignatures` (spec-enforced). */
+  def minHashSignaturesFast(sh: DataFrame, numHashes: Int = 8): DataFrame = {
+    val mh = sh.groupBy(col("id"))
+      .agg(graft.functions.MinHashAgg.minhash(col("s"), numHashes).as("__mh"))
+    mh.select(col("id") +:
+      (0 until numHashes).map(j => col("__mh").getItem(j).as(s"m$j")): _*)
+  }
+
   /** LSH banding over a MinHash signature frame: (id, band, h). */
   def lshBands(mh: DataFrame, numHashes: Int, bands: Int): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")

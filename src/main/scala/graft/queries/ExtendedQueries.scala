@@ -62,9 +62,15 @@ object ExtendedQueries {
     // (2 bands × 4 rows → candidate threshold ≈ 0.84 Jaccard).
     "q_dedup_minhash_lsh" -> { (s, d) =>
       val sh = shingles(s, d)
-      val minhashes = (0 until 8).map(j =>
-        min(md5(concat_ws("|", lit(j.toString), col("s")).cast("binary"))).as(s"m$j"))
-      val mh = sh.groupBy(col("doc_id")).agg(minhashes.head, minhashes.tail: _*)
+      // One-pass typed MinHash sketch (graft.functions.MinHashAgg):
+      // all 8 minima in one ObjectHashAggregate buffer — the 8-column
+      // min(md5hex) formulation can't use HashAggregate (variable-width
+      // string buffers) and falls back to SortAggregate. Byte-identical
+      // output (MinHashAggSpec), so the DuckDB oracle is unchanged.
+      val mh = sh.groupBy(col("doc_id"))
+        .agg(graft.functions.MinHashAgg.minhash(col("s"), 8).as("__mh"))
+        .select(col("doc_id") +:
+          (0 until 8).map(j => col("__mh").getItem(j).as(s"m$j")): _*)
       // One explode emits both LSH band rows (vs two projections + a
       // union — fewer codegen stages), and cache() materializes the
       // tiny band table once for BOTH sides of the self-join. At scale

@@ -43,19 +43,19 @@ object NorthStarQueries {
     },
 
     // Cosine similarity of consecutive vector pairs (vec_id i, i+1),
-    // elements cast FLOAT→DOUBLE (exact), dot product via sequential
-    // HOF fold, rounded to 4 dp (SURVEY §7.3 rule 10).
+    // elements cast FLOAT→DOUBLE (exact), dot product via the codegen
+    // kernel (same sequential IEEE fold as the zip_with+aggregate HOF
+    // chain — bit-identical), rounded to 4 dp (SURVEY §7.3 rule 10).
     "q_similarity_cosine" -> { (s, d) =>
+      import graft.functions.GraftFunctions.dot
       val e = t(s, d, "embeddings")
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      val a = e.toDF("id1", "v1")
-      val b = e.toDF("id2", "v2")
-      val dot = aggregate(zip_with(col("v1"), col("v2"), (x, y) => x * y),
-        lit(0.0), (acc, x) => acc + x)
-      val n1 = sqrt(aggregate(transform(col("v1"), x => x * x), lit(0.0), (acc, x) => acc + x))
-      val n2 = sqrt(aggregate(transform(col("v2"), x => x * x), lit(0.0), (acc, x) => acc + x))
+        .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+      val a = e.toDF("id1", "v1", "n1")
+      val b = e.toDF("id2", "v2", "n2")
       a.join(b, col("id2") === col("id1") + 1)
-        .select(col("id1"), col("id2"), round(dot / (n1 * n2), 4).as("cos"))
+        .select(col("id1"), col("id2"),
+          round(dot(col("v1"), col("v2")) / (col("n1") * col("n2")), 4).as("cos"))
         .orderBy(col("id1"))
     },
   )
