@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property-based invariants (SURVEY §5.2 item 3) over generated
+  * inputs — scalacheck generators sampled with fixed seeds so runs are
+  * reproducible.
+  *
+  *  - pct_change identity: folding (1 + r_i) over the lag-returns of a
+  *    positive series recovers last/first
+  *  - distinct is idempotent; union-distinct is commutative
+  *  - 20-row rolling stddev of a constant series is 0 (post-guard)
+  *  - sessionization: 1 ≤ #sessions ≤ #events, session ids contiguous
+  */
+class PropertySpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private def sample[A](g: Gen[A], seed: Long): A =
+    g.pureApply(Gen.Parameters.default, Seed(seed))
+
+  private val priceGen: Gen[List[Double]] =
+    Gen.nonEmptyListOf(Gen.choose(1.0, 1000.0)).map(_.take(200))
+
+  test("pct_change identity: prod(1+r) == last/first (per series)") {
+    for (seed <- 1L to 10L) {
+      val prices = sample(priceGen, seed)
+      val df = prices.zipWithIndex.map { case (p, i) => (i.toLong, p) }.toDF("i", "close")
+      val w = Window.partitionBy(lit(1)).orderBy(col("i"))
+      val rets = df.select((col("close") / lag(col("close"), 1).over(w) - 1.0).as("r"))
+        .filter(col("r").isNotNull).collect().map(_.getDouble(0))
+      val prod = rets.foldLeft(1.0)((acc, r) => acc * (1.0 + r))
+      val expected = prices.last / prices.head
+      assert(math.abs(prod - expected) <= 1e-9 * math.abs(expected),
+        s"seed=$seed prod=$prod expected=$expected")
+    }
+  }
+
+  test("distinct is idempotent; union-distinct commutes") {
+    val gen = Gen.listOfN(300, Gen.choose(0, 40))
+    for (seed <- 1L to 5L) {
+      val xs = sample(gen, seed).map(_.toLong)
+      val ys = sample(gen, seed + 100).map(_.toLong)
+      val a = xs.toDF("v")
+      val b = ys.toDF("v")
+      val d1 = a.distinct()
+      assert(d1.distinct().exceptAll(d1).isEmpty && d1.count() == xs.distinct.size)
+      val ab = a.union(b).distinct().orderBy("v").collect().map(_.getLong(0)).toSeq
+      val ba = b.union(a).distinct().orderBy("v").collect().map(_.getLong(0)).toSeq
+      assert(ab == ba)
+    }
+  }
+
+  test("20-row rolling stddev of a constant series is 0 after warm-up") {
+    for (seed <- 1L to 5L) {
+      val c = sample(Gen.choose(-100.0, 100.0), seed)
+      val n = 60
+      val df = (0 until n).map(i => (i.toLong, c)).toDF("i", "v")
+      val w = Window.partitionBy(lit(1)).orderBy(col("i")).rowsBetween(-19, 0)
+      val out = df.select(
+        when(count(col("v")).over(w) >= 20, stddev_samp(col("v")).over(w)).as("s"))
+        .collect().map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+      assert(out.take(19).forall(_.isEmpty), "first 19 rows must be null (min_periods)")
+      assert(out.drop(19).forall(_.exists(_ == 0.0)), s"constant series stddev must be 0: ${out.drop(19).take(3).toSeq}")
+    }
+  }
+
+  test("sessionize: 1 <= #sessions <= #events; ids contiguous from 1") {
+    val gapGen = Gen.listOfN(50, Gen.oneOf(60L, 600L, 1900L, 7200L)) // seconds
+    for (seed <- 1L to 5L) {
+      val gaps = sample(gapGen, seed)
+      val ts = gaps.scanLeft(0L)(_ + _)
+      val df = ts.zipWithIndex
+        .map { case (t, i) => (i.toLong, 1L, new java.sql.Timestamp(1700000000000L + t * 1000)) }
+        .toDF("event_id", "user_id", "ts")
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val us = unix_micros(col("ts"))
+      val isNew = when(lag(us, 1).over(w).isNull || (us - lag(us, 1).over(w)) > 1800L * 1000000, 1L).otherwise(0L)
+      val sess = df.select(col("event_id"),
+          sum(isNew).over(w.rowsBetween(Window.unboundedPreceding, 0)).as("session_id"))
+        .collect().map(_.getLong(1))
+      val nSessions = sess.max
+      // scanLeft yields |gaps|+1 events; every gap separates a
+      // consecutive pair, so each gap > threshold opens a session.
+      val expectedSessions = 1 + gaps.count(_ > 1800L)
+      assert(nSessions >= 1 && nSessions <= sess.length)
+      assert(sess.distinct.sorted.toSeq == (1L to nSessions).toSeq, "session ids contiguous")
+      assert(nSessions == expectedSessions, s"seed=$seed got=$nSessions want=$expectedSessions")
+    }
+  }
+}
