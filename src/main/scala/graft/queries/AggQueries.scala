@@ -67,6 +67,32 @@ object AggQueries {
           sum(col("l_quantity").cast(dec)).cast("double").as("sum_qty"))
         .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
     },
+
+    // Pivot: wide revenue-by-priority table. Spark pivot() = groupBy +
+    // one filtered aggregate per pinned value (no data-dependent
+    // schema); the oracle spells the same thing with FILTER clauses.
+    "q_pivot" -> { (s, d) =>
+      val priorities = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+      val names = Seq("urgent", "high", "medium", "notspec", "low")
+      val wide = t(s, d, "orders")
+        .groupBy(year(col("o_orderdate")).cast("long").as("yr"))
+        .pivot("o_orderpriority", priorities)
+        .agg(sum(col("o_totalprice").cast(dec)).cast("double"))
+      priorities.zip(names).foldLeft(wide) { case (df, (p, n)) =>
+        df.withColumnRenamed(p, n)
+      }.orderBy(col("yr"))
+    },
+
+    // Exact interpolated median per group (percentile ≡ DuckDB
+    // quantile_cont; both interpolate at p*(n-1)), rounded 4 dp.
+    "q_agg_median" -> { (s, d) =>
+      t(s, d, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          round(percentile(col("o_totalprice"), lit(0.5)), 4).as("median_price"),
+          count(lit(1)).as("n"))
+        .orderBy(col("o_orderpriority"))
+    },
   )
 
   val sql: Map[String, String] = Map(
@@ -102,5 +128,20 @@ object AggQueries {
         |FROM lineitem
         |GROUP BY CUBE (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "q_pivot" ->
+      """SELECT year(o_orderdate) AS yr,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) FILTER (o_orderpriority = '1-URGENT') AS DOUBLE) AS urgent,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) FILTER (o_orderpriority = '2-HIGH') AS DOUBLE) AS high,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) FILTER (o_orderpriority = '3-MEDIUM') AS DOUBLE) AS medium,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS DOUBLE) AS notspec,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) FILTER (o_orderpriority = '5-LOW') AS DOUBLE) AS low
+        |FROM orders GROUP BY 1 ORDER BY yr""".stripMargin,
+
+    "q_agg_median" ->
+      """SELECT o_orderpriority,
+        |       round(quantile_cont(o_totalprice, 0.5), 4) AS median_price,
+        |       count(*) AS n
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

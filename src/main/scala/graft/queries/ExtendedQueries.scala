@@ -229,6 +229,20 @@ object ExtendedQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Pairwise edit distance between consecutive docs' 60-char
+    // prefixes (classic Levenshtein DP — exact integers, identical on
+    // both engines; the building block for fuzzy near-dup verify).
+    "q_text_edit_distance" -> { (s, d) =>
+      val doc = t(s, d, "documents")
+        .select(col("doc_id"), substring(col("text"), 1, 60).as("head"))
+      val a = doc.toDF("doc1", "h1")
+      val b = doc.toDF("doc2", "h2")
+      a.join(b, col("doc2") === col("doc1") + 1)
+        .select(col("doc1"), col("doc2"),
+          levenshtein(col("h1"), col("h2")).cast("long").as("dist"))
+        .orderBy(col("doc1"))
+    },
+
     // Token counting: whitespace tokens, characters, and a BPE-style
     // estimate (≈ 4 chars/token, integer arithmetic).
     "q_text_token_count" -> { (s, d) =>
@@ -351,6 +365,12 @@ object ExtendedQueries {
          |SELECT d.doc_id, md5(d.text) AS fp_full, fpmin.fp_min
          |FROM documents d LEFT JOIN fpmin ON fpmin.doc_id = d.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+
+    "q_text_edit_distance" ->
+      """SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+        |       levenshtein(substr(a.text, 1, 60), substr(b.text, 1, 60)) AS dist
+        |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+        |ORDER BY doc1""".stripMargin,
 
     "q_text_token_count" ->
       """SELECT doc_id, n_chars,

@@ -56,6 +56,33 @@ object ScalarQueries {
           element_at(col("embedding"), 64).cast("double").as("last_v"))
         .orderBy(col("vec_id"))
     },
+
+    // Array statistics: min/max element and a sequential-fold sum of
+    // the first 8 elements (rounded — cross-engine fold safety).
+    "q_array_stats" -> { (s, d) =>
+      t(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .select(
+          col("vec_id"),
+          array_max(col("v")).as("amax"),
+          array_min(col("v")).as("amin"),
+          round(aggregate(slice(col("v"), 1, 8), lit(0.0), (acc, x) => acc + x), 4).as("head8_sum"))
+        .orderBy(col("vec_id"))
+    },
+
+    // Date arithmetic: day diff to a pinned date, month addition with
+    // end-of-month clamping (identical in Spark add_months and DuckDB
+    // interval addition), last_day, quarter truncation.
+    "q_date_arith" -> { (s, d) =>
+      t(s, d, "orders")
+        .select(
+          col("o_orderkey"),
+          datediff(lit("1998-01-01").cast("date"), col("o_orderdate")).cast("long").as("days_to_98"),
+          add_months(col("o_orderdate"), 3).as("plus3m"),
+          last_day(col("o_orderdate")).as("eom"),
+          date_trunc("quarter", col("o_orderdate")).cast("timestamp_ntz").as("qtr"))
+        .orderBy(col("o_orderkey"))
+    },
   )
 
   val sql: Map[String, String] = Map(
@@ -85,5 +112,21 @@ object ScalarQueries {
         |       CAST(embedding[1] AS DOUBLE) AS first_v,
         |       CAST(embedding[64] AS DOUBLE) AS last_v
         |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+    "q_array_stats" ->
+      """SELECT vec_id,
+        |       list_max(v) AS amax,
+        |       list_min(v) AS amin,
+        |       round(list_sum(v[1:8]), 4) AS head8_sum
+        |FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        |ORDER BY vec_id""".stripMargin,
+
+    "q_date_arith" ->
+      """SELECT o_orderkey,
+        |       date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-01-01') AS days_to_98,
+        |       CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS plus3m,
+        |       last_day(CAST(o_orderdate AS DATE)) AS eom,
+        |       date_trunc('quarter', o_orderdate) AS qtr
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
   )
 }

@@ -76,6 +76,19 @@ object WindowQueries {
         .orderBy(col("h"), col("event_type"))
     },
 
+    // lead / ntile / first_value — the remaining analytic-function
+    // family (unique window order via the o_orderkey tiebreaker).
+    "q_window_lead_ntile" -> { (s, d) =>
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
+          lead(col("o_totalprice"), 1).over(w).as("next_price"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          first_value(col("o_orderkey")).over(w).as("first_key"))
+        .orderBy(col("o_orderkey"))
+    },
+
     // 30-minute-gap sessionization: lag-gap flag → running sum =
     // session index, then per-session aggregates. Integer microsecond
     // arithmetic on both engines — no float anywhere.
@@ -133,6 +146,15 @@ object WindowQueries {
       """SELECT date_trunc('hour', ts) AS h, event_type, count(*) AS n,
         |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_v
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_window_lead_ntile" ->
+      """SELECT o_orderkey, o_orderpriority, o_totalprice,
+        |       lead(o_totalprice, 1) OVER w AS next_price,
+        |       ntile(4) OVER w AS quartile,
+        |       first_value(o_orderkey) OVER w AS first_key
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
 
     "q_sessionize" ->
       """WITH flags AS (
