@@ -85,4 +85,89 @@ object Similarity {
       .orderBy(col("cos").desc, col("id"))
       .limit(k)
   }
+
+  // ---------------------------------------------------------------
+  // IVF (inverted-file) index — the coarse-quantizer scale path.
+  //
+  // Train: deterministic seeding (k smallest md5(id)) + a few Lloyd
+  // iterations; per-dimension means go through DECIMAL so the
+  // centroids are identical under any partitioning (float summation
+  // order would otherwise make the index nondeterministic).
+  // The k × dims centroid model is collected to the driver — it is
+  // the model, small by construction — and re-enters every plan as
+  // broadcast literals; vectors themselves never leave executors.
+  //
+  // Search: assign the query to its nprobe nearest centroids, then
+  // exact cosine only within those inverted lists — at 100 TB this
+  // reads |corpus| · nprobe/k of the pair space instead of all of it.
+  // ---------------------------------------------------------------
+
+  /** Nearest-centroid id for a vector column, given the collected
+    * centroid model (cluster id → array<double>). Ties break to the
+    * lower cluster id (least over (dist, cid) structs). */
+  private def assignExpr(v: Column, centroids: Seq[(Int, Seq[Double])]): Column = {
+    val cands = centroids.map { case (cid, c) =>
+      val cLit = array(c.map(lit): _*)
+      val dot = GraftFunctions.dot(v, cLit)
+      val cn = math.sqrt(c.map(x => x * x).sum)
+      struct((lit(1.0) - dot / (sqrt(GraftFunctions.dot(v, v)) * lit(cn))).as("dist"),
+        lit(cid).as("cid"))
+    }
+    least(cands: _*).getField("cid")
+  }
+
+  /** Train an IVF coarse quantizer: k centroids over `corpus`.
+    * Returns (cluster_id, centroid) rows. Deterministic: md5-seeded
+    * init, decimal-mean Lloyd updates. */
+  def ivfCentroids(corpus: DataFrame, idCol: Column, vecCol: Column,
+      k: Int = 16, iters: Int = 2): Seq[(Int, Seq[Double])] = {
+    val base = corpus.select(idCol.as("id"), vecCol.cast("array<double>").as("v"))
+    var centroids: Seq[(Int, Seq[Double])] = base
+      .withColumn("__h", md5(col("id").cast("string").cast("binary")))
+      .orderBy(col("__h"), col("id"))
+      .limit(k)
+      .collect().zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Double](1).toIndexedSeq) }.toIndexedSeq
+    for (_ <- 0 until iters) {
+      val assigned = base.withColumn("cid", assignExpr(col("v"), centroids))
+      val means = assigned
+        .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("cid"), col("pos"))
+        .agg(avg(col("x").cast("decimal(38,18)")).cast("double").as("m"))
+        .groupBy(col("cid"))
+        .agg(expr("transform(sort_array(collect_list(struct(pos, m))), s -> s.m)").as("c"))
+        .collect()
+        .map(r => (r.getInt(0), r.getSeq[Double](1).toIndexedSeq))
+        .sortBy(_._1).toIndexedSeq
+      // keep a previous centroid for clusters that lost all members
+      val byId = means.toMap
+      centroids = centroids.map { case (cid, c) => (cid, byId.getOrElse(cid, c)) }
+    }
+    centroids
+  }
+
+  /** Approximate top-k via IVF: exact cosine inside the query's
+    * `nprobe` nearest inverted lists. */
+  def ivfTopK(corpus: DataFrame, idCol: Column, vecCol: Column,
+      query: DataFrame, queryVec: Column, k: Int,
+      nClusters: Int = 16, nprobe: Int = 4, iters: Int = 2): DataFrame = {
+    val centroids = ivfCentroids(corpus, idCol, vecCol, nClusters, iters)
+    val base = corpus.select(idCol.as("id"), vecCol.cast("array<double>").as("v"))
+      .withColumn("cid", assignExpr(col("v"), centroids))
+    val qv = query.select(queryVec.cast("array<double>").as("qv"))
+    // the query's nprobe nearest centroids, as a literal id set
+    val q = qv.head()
+    val qVec = q.getSeq[Double](0).toIndexedSeq
+    val qn = math.sqrt(qVec.map(x => x * x).sum)
+    val probeIds = centroids.map { case (cid, c) =>
+      val cn = math.sqrt(c.map(x => x * x).sum)
+      val dot = c.zip(qVec).map { case (a, b) => a * b }.sum
+      (1.0 - dot / (cn * qn), cid)
+    }.sorted.take(nprobe).map(_._2)
+    base.filter(col("cid").isin(probeIds: _*))
+      .crossJoin(broadcast(qv))
+      .select(col("id"), round(cosine(col("v"), col("qv")), 4).as("cos"))
+      .orderBy(col("cos").desc, col("id"))
+      .limit(k)
+  }
 }

@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** graft.ops.Similarity IVF index — determinism and the exhaustive-
+  * probe invariant (nprobe == nClusters ⇒ identical to brute force). */
+class IvfSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def corpus = spark.read.parquet(s"$sfTiny/embeddings.parquet")
+  private def query = corpus.filter(col("vec_id") === 0)
+
+  test("centroids are deterministic across runs") {
+    val a = ops.Similarity.ivfCentroids(corpus, col("vec_id"), col("embedding"), k = 8, iters = 2)
+    val b = ops.Similarity.ivfCentroids(corpus, col("vec_id"), col("embedding"), k = 8, iters = 2)
+    assert(a == b)
+    assert(a.size == 8 && a.forall(_._2.size == 64))
+  }
+
+  test("probing every cluster equals brute force exactly") {
+    val brute = ops.Similarity.bruteForceTopK(
+        corpus.filter(col("vec_id") =!= 0), col("vec_id"), col("embedding"),
+        query, col("embedding"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val ivf = ops.Similarity.ivfTopK(
+        corpus.filter(col("vec_id") =!= 0), col("vec_id"), col("embedding"),
+        query, col("embedding"), k = 10, nClusters = 8, nprobe = 8, iters = 1)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(ivf == brute)
+  }
+
+  test("partial probe returns k results with sane recall") {
+    val brute = ops.Similarity.bruteForceTopK(
+        corpus.filter(col("vec_id") =!= 0), col("vec_id"), col("embedding"),
+        query, col("embedding"), k = 10)
+      .collect().map(_.getLong(0)).toSet
+    val ivf = ops.Similarity.ivfTopK(
+        corpus.filter(col("vec_id") =!= 0), col("vec_id"), col("embedding"),
+        query, col("embedding"), k = 10, nClusters = 8, nprobe = 3, iters = 2)
+      .collect().map(_.getLong(0)).toSeq
+    assert(ivf.size == 10)
+    assert(ivf.toSet.subsetOf(
+      corpus.collect().map(_.getLong(0)).toSet - 0L))
+    // the query's own cluster is always probed — recall is never zero
+    assert((ivf.toSet intersect brute).nonEmpty)
+  }
+}
