@@ -83,6 +83,20 @@ object AggQueries {
       }.orderBy(col("yr"))
     },
 
+    // GROUPING SETS through the spark.sql entry path (SURVEY §2.1 S4:
+    // the reference's replacement scan ⟺ createOrReplaceTempView +
+    // SQL text) — the one grouping form rollup()/cube() don't cover,
+    // and the only declared query exercising the SQL-string surface.
+    "q_sql_grouping_sets" -> { (s, d) =>
+      t(s, d, "lineitem").createOrReplaceTempView("graft_lineitem_v")
+      s.sql(
+        """SELECT l_returnflag, l_linestatus, count(*) AS n,
+          |       CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+          |FROM graft_lineitem_v
+          |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+          |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)
+    },
+
     // Exact interpolated median per group (percentile ≡ DuckDB
     // quantile_cont; both interpolate at p*(n-1)), rounded 4 dp.
     "q_agg_median" -> { (s, d) =>
@@ -137,6 +151,13 @@ object AggQueries {
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS DOUBLE) AS notspec,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) FILTER (o_orderpriority = '5-LOW') AS DOUBLE) AS low
         |FROM orders GROUP BY 1 ORDER BY yr""".stripMargin,
+
+    "q_sql_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
 
     "q_agg_median" ->
       """SELECT o_orderpriority,
