@@ -23,5 +23,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
       (children: Seq[Expression]) => DotProduct(children.head, children(1))))
+    // Fuse the declarative aggregate(zip_with(·,·,*),0.0,+) idiom into
+    // the codegen kernel on every query (see graft.plans.FuseDotProduct).
+    ext.injectOptimizerRule(_ => graft.plans.FuseDotProduct)
   }
 }

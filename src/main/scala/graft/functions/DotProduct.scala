@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
 
 /** Native codegen dot product over two `ARRAY<DOUBLE>` columns.
   *
@@ -23,9 +23,13 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * `x_i * x_i` the HOF chain produces, so precomputing norms before a
   * pair join changes nothing in the emitted values.
   *
-  * Null handling: a null array yields null (BinaryExpression default);
-  * array *elements* are assumed non-null (embeddings are dense vectors
-  * — `FIXTURES.md`: exactly 64 non-null floats).
+  * Null handling matches the HOF chain exactly (required for the
+  * FuseDotProduct rewrite to be semantics-preserving): a null array
+  * yields null, and a null ELEMENT in the paired range yields null —
+  * `zip_with`'s `x*y` is null there and `aggregate`'s `acc+x` then
+  * poisons the fold. The element-null branch is emitted only when the
+  * array types admit null elements, so dense-vector call sites keep
+  * the branch-free loop.
   */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -36,29 +40,56 @@ case class DotProduct(left: Expression, right: Expression)
 
   override def prettyName: String = "graft_dot"
 
+  private def elementsNullable: Boolean = Seq(left, right).exists {
+    _.dataType match {
+      case ArrayType(_, containsNull) => containsNull
+      case _ => false
+    }
+  }
+
+  override def nullable: Boolean =
+    left.nullable || right.nullable || elementsNullable
+
   protected override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val n = math.min(x.numElements(), y.numElements())
     var s = 0.0
     var i = 0
-    while (i < n) {
-      s += x.getDouble(i) * y.getDouble(i)
-      i += 1
+    if (elementsNullable) {
+      while (i < n) {
+        if (x.isNullAt(i) || y.isNullAt(i)) return null
+        s += x.getDouble(i) * y.getDouble(i)
+        i += 1
+      }
+    } else {
+      while (i < n) {
+        s += x.getDouble(i) * y.getDouble(i)
+        i += 1
+      }
     }
     s
   }
 
-  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val nullCheck = if (elementsNullable)
+      s"""if (graftDotA.isNullAt(graftDotI) || graftDotB.isNullAt(graftDotI)) {
+         |  ${ev.isNull} = true; break;
+         |}""".stripMargin
+    else ""
     nullSafeCodeGen(ctx, ev, (a, b) =>
       s"""
-         |int graftDotN = java.lang.Math.min($a.numElements(), $b.numElements());
+         |org.apache.spark.sql.catalyst.util.ArrayData graftDotA = $a;
+         |org.apache.spark.sql.catalyst.util.ArrayData graftDotB = $b;
+         |int graftDotN = java.lang.Math.min(graftDotA.numElements(), graftDotB.numElements());
          |double graftDotS = 0.0;
          |for (int graftDotI = 0; graftDotI < graftDotN; graftDotI++) {
-         |  graftDotS += $a.getDouble(graftDotI) * $b.getDouble(graftDotI);
+         |  $nullCheck
+         |  graftDotS += graftDotA.getDouble(graftDotI) * graftDotB.getDouble(graftDotI);
          |}
          |${ev.value} = graftDotS;
        """.stripMargin)
+  }
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
