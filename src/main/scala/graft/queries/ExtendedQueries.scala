@@ -229,6 +229,20 @@ object ExtendedQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Rolling polynomial hash (Rabin-Karp shape) over the 40-char
+    // prefix: h = (h*31 + code) mod 1e9+7 — pure integer fold,
+    // identical on both engines.
+    "q_text_rolling_hash" -> { (s, d) =>
+      t(s, d, "documents")
+        .filter(length(col("text")) > 0)
+        .select(col("doc_id"),
+          expr("""aggregate(
+                 |  transform(split(substring(text, 1, 40), ''), c -> CAST(ascii(c) AS BIGINT)),
+                 |  CAST(0 AS BIGINT),
+                 |  (h, c) -> (h * 31 + c) % 1000000007)""".stripMargin).as("rhash"))
+        .orderBy(col("doc_id"))
+    },
+
     // Pairwise edit distance between consecutive docs' 60-char
     // prefixes (classic Levenshtein DP — exact integers, identical on
     // both engines; the building block for fuzzy near-dup verify).
@@ -365,6 +379,14 @@ object ExtendedQueries {
          |SELECT d.doc_id, md5(d.text) AS fp_full, fpmin.fp_min
          |FROM documents d LEFT JOIN fpmin ON fpmin.doc_id = d.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+
+    "q_text_rolling_hash" ->
+      """SELECT doc_id,
+        |       list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |         list_transform(string_split(substr(text, 1, 40), ''), c -> CAST(ord(c) AS BIGINT))),
+        |         (h, c) -> (h * 31 + c) % 1000000007) AS rhash
+        |FROM documents WHERE length(text) > 0
+        |ORDER BY doc_id""".stripMargin,
 
     "q_text_edit_distance" ->
       """SELECT a.doc_id AS doc1, b.doc_id AS doc2,

@@ -76,6 +76,19 @@ object WindowQueries {
         .orderBy(col("h"), col("event_type"))
     },
 
+    // RANGE (value-based) frame — peers at equal order values are all
+    // in-frame, so no tiebreaker is needed for determinism; the order
+    // column goes through DECIMAL for exact cross-engine comparison.
+    "q_window_range_frame" -> { (s, d) =>
+      t(s, d, "events")
+        .select(col("event_id"), col("user_id"), col("value"),
+          expr("""count(*) OVER (PARTITION BY user_id
+                 |               ORDER BY CAST(value AS DECIMAL(18,4))
+                 |               RANGE BETWEEN 10.0 PRECEDING AND CURRENT ROW)""".stripMargin)
+            .as("n_near"))
+        .orderBy(col("event_id"))
+    },
+
     // lead / ntile / first_value — the remaining analytic-function
     // family (unique window order via the o_orderkey tiebreaker).
     "q_window_lead_ntile" -> { (s, d) =>
@@ -146,6 +159,13 @@ object WindowQueries {
       """SELECT date_trunc('hour', ts) AS h, event_type, count(*) AS n,
         |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_v
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_window_range_frame" ->
+      """SELECT event_id, user_id, value,
+        |       count(*) OVER (PARTITION BY user_id
+        |                      ORDER BY CAST(value AS DECIMAL(18,4))
+        |                      RANGE BETWEEN 10.0 PRECEDING AND CURRENT ROW) AS n_near
+        |FROM events ORDER BY event_id""".stripMargin,
 
     "q_window_lead_ntile" ->
       """SELECT o_orderkey, o_orderpriority, o_totalprice,
