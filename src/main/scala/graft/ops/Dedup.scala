@@ -85,12 +85,14 @@ object Dedup {
   }
 
   /** Candidate near-dup pairs (id1 < id2) sharing ≥1 LSH bucket.
-    * Candidate threshold ≈ (1/bands)^(bands/numHashes). */
+    * Candidate threshold ≈ (1/bands)^(bands/numHashes).
+    * Uses the one-pass sketch + a cached band table (both join sides
+    * read it), the same shape as the declared q_dedup_minhash_lsh. */
   def minHashLshCandidates(docs: DataFrame, textCol: Column, idCol: Column,
       numHashes: Int = 8, bands: Int = 2, shingleLen: Int = 3): DataFrame = {
     val bandsDf = lshBands(
-      minHashSignatures(shingles(docs, textCol, idCol, shingleLen), numHashes),
-      numHashes, bands)
+      minHashSignaturesFast(shingles(docs, textCol, idCol, shingleLen), numHashes),
+      numHashes, bands).cache()
     bandsDf.as("a").join(bandsDf.as("b"),
         col("a.band") === col("b.band") && col("a.h") === col("b.h") &&
           col("a.id") < col("b.id"))

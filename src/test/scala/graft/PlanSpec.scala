@@ -75,6 +75,14 @@ class PlanSpec extends AnyFunSuite {
     assert(hashExchanges == 1, s"expected 1 hash exchange, plan:\n$p")
   }
 
+  test("as-of join is one hash shuffle, no range-join fanout") {
+    val p = plan(q("q_asof_join"))
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"), p)
+    // the union+window core: a Window over user_id, fed by exchanges
+    assert(p.contains("Window"), p)
+    assert(p.contains("Union"), p)
+  }
+
   test("aggregations are partial+final (map-side combine present)") {
     val p = plan(q("q_agg_group"))
     val aggs = p.linesIterator.count(_.trim.startsWith("+- HashAggregate")) +
