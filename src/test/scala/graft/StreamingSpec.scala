@@ -38,6 +38,40 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("watermark drops late data from closed windows (append mode)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val q = StreamingPipeline.tumblingHourly(
+        mem.toDF.toDF("ts", "event_type", "value"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("late_drop_out").start()
+    try {
+      // batch 1: three rows in hour 10, plus one at 13:00 pushing the
+      // 1-hour watermark to 12:00 — hour-10's window [10:00,11:00) is
+      // now older than the watermark and finalizes.
+      mem.addData(
+        (ts("2024-01-01 10:05:00"), "click", 1.0),
+        (ts("2024-01-01 10:20:00"), "click", 1.0),
+        (ts("2024-01-01 10:40:00"), "click", 1.0),
+        (ts("2024-01-01 13:00:00"), "view", 1.0))
+      q.processAllAvailable()
+      // batch 2: a LATE hour-10 click (event time < watermark) — must
+      // be dropped, not added to the already-final hour-10 window.
+      mem.addData((ts("2024-01-01 10:50:00"), "click", 9.0))
+      q.processAllAvailable()
+      val out = spark.table("late_drop_out")
+        .select(col("h").cast("string"), col("event_type"), col("n"))
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      assert(out(("2024-01-01 10:00:00", "click")) == 3L,
+        s"late event must not inflate the closed window: $out")
+      // hour-13 window is still open (watermark < its end) → not emitted
+      assert(!out.keys.exists(_._1.startsWith("2024-01-01 13")), out.toString)
+    } finally q.stop()
+  }
+
   test("stateful sessionize agrees with the batch lag+cumsum sessionizer") {
     import spark.implicits._
     val events = spark.read.parquet(fixtureDir)
