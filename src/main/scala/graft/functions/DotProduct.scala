@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -16,29 +17,40 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * runtime, and at 100 TB it is the difference between a codegen'd
   * 64-FLOP inner loop and per-pair allocation churn.
   *
-  * Semantics are kept bit-identical to the HOF formulation (and the
-  * DuckDB oracle's `list_sum(list_transform(...))`): a strict
-  * left-to-right IEEE-754 double summation of `a[i] * b[i]`. The
-  * squared L2 norm is `DotProduct(v, v)` — the same sequential sum of
-  * `x_i * x_i` the HOF chain produces, so precomputing norms before a
-  * pair join changes nothing in the emitted values.
+  * Semantics are kept identical to the HOF formulation (required for
+  * the FuseDotProduct rewrite to be semantics-preserving, and matching
+  * the DuckDB oracle's `list_sum(list_transform(...))`):
+  *  - strict left-to-right IEEE-754 double summation of `a[i]*b[i]`
+  *    (the squared L2 norm `DotProduct(v, v)` is therefore the same
+  *    sequential sum the HOF chain produces);
+  *  - a null array yields null;
+  *  - a null ELEMENT yields null — `zip_with`'s `x*y` is null there
+  *    and `aggregate`'s `acc+x` poisons the fold (branch emitted only
+  *    when the array type admits null elements);
+  *  - MISMATCHED lengths yield null — `zip_with` pads the shorter
+  *    side with nulls, which poisons the fold the same way.
   *
-  * Null handling matches the HOF chain exactly (required for the
-  * FuseDotProduct rewrite to be semantics-preserving): a null array
-  * yields null, and a null ELEMENT in the paired range yields null —
-  * `zip_with`'s `x*y` is null there and `aggregate`'s `acc+x` then
-  * poisons the fold. The element-null branch is emitted only when the
-  * array types admit null elements, so dense-vector call sites keep
-  * the branch-free loop.
+  * Input types are enforced at analysis time via
+  * `checkInputDataTypes` (public API; `ExpectsInputTypes` is not
+  * usable — `AbstractDataType` is private[sql] in Spark 4).
   */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
-  // No ExpectsInputTypes: AbstractDataType is private[sql] in Spark 4.
-  // Call sites must pass ARRAY<DOUBLE> (cast("array<double>") first).
 
   override def dataType: DataType = DoubleType
 
   override def prettyName: String = "graft_dot"
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(e: Expression): Boolean = e.dataType match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left) && ok(right)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (ARRAY<DOUBLE>, ARRAY<DOUBLE>), got " +
+        s"(${left.dataType.catalogString}, ${right.dataType.catalogString})")
+  }
 
   private def elementsNullable: Boolean = Seq(left, right).exists {
     _.dataType match {
@@ -47,13 +59,14 @@ case class DotProduct(left: Expression, right: Expression)
     }
   }
 
-  override def nullable: Boolean =
-    left.nullable || right.nullable || elementsNullable
+  // nullable even for non-null inputs: mismatched lengths yield null.
+  override def nullable: Boolean = true
 
   protected override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var s = 0.0
     var i = 0
     if (elementsNullable) {
@@ -72,22 +85,33 @@ case class DotProduct(left: Expression, right: Expression)
   }
 
   protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // fresh names: two kernels can land in one generated function
+    // (cosine expands to three), so fixed names would collide.
+    val xa = ctx.freshName("graftDotA")
+    val xb = ctx.freshName("graftDotB")
+    val n = ctx.freshName("graftDotN")
+    val s = ctx.freshName("graftDotS")
+    val i = ctx.freshName("graftDotI")
     val nullCheck = if (elementsNullable)
-      s"""if (graftDotA.isNullAt(graftDotI) || graftDotB.isNullAt(graftDotI)) {
+      s"""if ($xa.isNullAt($i) || $xb.isNullAt($i)) {
          |  ${ev.isNull} = true; break;
          |}""".stripMargin
     else ""
     nullSafeCodeGen(ctx, ev, (a, b) =>
       s"""
-         |org.apache.spark.sql.catalyst.util.ArrayData graftDotA = $a;
-         |org.apache.spark.sql.catalyst.util.ArrayData graftDotB = $b;
-         |int graftDotN = java.lang.Math.min(graftDotA.numElements(), graftDotB.numElements());
-         |double graftDotS = 0.0;
-         |for (int graftDotI = 0; graftDotI < graftDotN; graftDotI++) {
-         |  $nullCheck
-         |  graftDotS += graftDotA.getDouble(graftDotI) * graftDotB.getDouble(graftDotI);
+         |org.apache.spark.sql.catalyst.util.ArrayData $xa = $a;
+         |org.apache.spark.sql.catalyst.util.ArrayData $xb = $b;
+         |int $n = $xa.numElements();
+         |if ($n != $xb.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $nullCheck
+         |    $s += $xa.getDouble($i) * $xb.getDouble($i);
+         |  }
+         |  ${ev.value} = $s;
          |}
-         |${ev.value} = graftDotS;
        """.stripMargin)
   }
 

@@ -118,9 +118,11 @@ object AsOfJoin {
         lit(null).cast(lSchema).as("__l"), rightStruct.as("__r")): _*)
 
     // Descending time: at equal ts, right rows (tag 0) still first so
-    // `>=` includes the simultaneous match; lowest tieBreak wins.
+    // `>=` includes the simultaneous match; tieBreak asc keeps the
+    // HIGHEST tieBreak winning (last() takes the row nearest current),
+    // matching backward's contract.
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__ts").desc, col("__tag").asc, col("__tb").desc_nulls_first)
+      .orderBy(col("__ts").desc, col("__tag").asc, col("__tb").asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     val matchedRaw = last(col("__r"), ignoreNulls = true).over(w)

@@ -87,12 +87,19 @@ object Dedup {
   /** Candidate near-dup pairs (id1 < id2) sharing ≥1 LSH bucket.
     * Candidate threshold ≈ (1/bands)^(bands/numHashes).
     * Uses the one-pass sketch + a cached band table (both join sides
-    * read it), the same shape as the declared q_dedup_minhash_lsh. */
+    * read it), the same shape as the declared q_dedup_minhash_lsh.
+    *
+    * `cacheBands = false` skips the cache for callers managing their
+    * own persistence (the cached table is otherwise pinned for the
+    * session — repeated calls on changing inputs should either pass
+    * false or unpersist via the catalog). */
   def minHashLshCandidates(docs: DataFrame, textCol: Column, idCol: Column,
-      numHashes: Int = 8, bands: Int = 2, shingleLen: Int = 3): DataFrame = {
-    val bandsDf = lshBands(
+      numHashes: Int = 8, bands: Int = 2, shingleLen: Int = 3,
+      cacheBands: Boolean = true): DataFrame = {
+    val raw = lshBands(
       minHashSignaturesFast(shingles(docs, textCol, idCol, shingleLen), numHashes),
-      numHashes, bands).cache()
+      numHashes, bands)
+    val bandsDf = if (cacheBands) raw.cache() else raw
     bandsDf.as("a").join(bandsDf.as("b"),
         col("a.band") === col("b.band") && col("a.h") === col("b.h") &&
           col("a.id") < col("b.id"))
@@ -123,11 +130,27 @@ object Dedup {
 
   /** Exact Jaccard over distinct n-gram shingle sets for given
     * candidate pairs (or all pairs when `candidates` is None — test
-    * scale only). Output: (id1, id2, inter, jac). */
+    * scale only). Output: (id1, id2, inter, jac).
+    *
+    * With candidates, the shingle table is semi-joined down to
+    * candidate documents BEFORE the self-join — the quadratic pair
+    * space never materializes for non-candidates (the post-aggregation
+    * semi join then trims pairs where both docs are candidates but the
+    * pair itself is not). This is the 100 TB contract: pairwise verify
+    * cost follows |candidates|, not |corpus|². */
   def ngramJaccardPairs(docs: DataFrame, textCol: Column, idCol: Column,
       shingleLen: Int = 3, candidates: Option[DataFrame] = None): DataFrame = {
-    val sh = shingles(docs, textCol, idCol, shingleLen).distinct()
-    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    val shAll = shingles(docs, textCol, idCol, shingleLen).distinct()
+    // sizes must come from the FULL shingle sets (Jaccard denominator),
+    // computed before any candidate restriction.
+    val sizes = shAll.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    val sh = candidates match {
+      case Some(c) =>
+        val candIds = c.select(col("id1").as("id"))
+          .union(c.select(col("id2").as("id"))).distinct()
+        shAll.join(candIds, Seq("id"), "left_semi")
+      case None => shAll
+    }
     val joined = sh.as("a").join(sh.as("b"),
       col("a.s") === col("b.s") && col("a.id") < col("b.id"))
     val inter = joined

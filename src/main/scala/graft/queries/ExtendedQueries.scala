@@ -39,13 +39,10 @@ object ExtendedQueries {
     * fixes skewed-split layouts on a cluster.
     */
   private def shingles(s: org.apache.spark.sql.SparkSession, d: String) =
-    t(s, d, "documents")
-      .repartition(s.sparkContext.defaultParallelism)
-      .select(col("doc_id"), split(col("text"), " ").as("w"))
-      .filter(size(col("w")) >= 3)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, size(w)-2), i -> concat_ws(' ', element_at(w,i), element_at(w,i+1), element_at(w,i+2)))"))
-        .as("s"))
+    graft.ops.Dedup.shingles(
+        t(s, d, "documents").repartition(s.sparkContext.defaultParallelism),
+        col("text"), col("doc_id"))
+      .withColumnRenamed("id", "doc_id")
       // cache(): three declared queries (minhash, jaccard, fingerprint)
       // share this exact subtree — the CacheManager substitutes the
       // materialized copy into whichever runs later in the session.
@@ -62,15 +59,13 @@ object ExtendedQueries {
     // (2 bands × 4 rows → candidate threshold ≈ 0.84 Jaccard).
     "q_dedup_minhash_lsh" -> { (s, d) =>
       val sh = shingles(s, d)
-      // One-pass typed MinHash sketch (graft.functions.MinHashAgg):
-      // all 8 minima in one ObjectHashAggregate buffer — the 8-column
-      // min(md5hex) formulation can't use HashAggregate (variable-width
-      // string buffers) and falls back to SortAggregate. Byte-identical
-      // output (MinHashAggSpec), so the DuckDB oracle is unchanged.
-      val mh = sh.groupBy(col("doc_id"))
-        .agg(graft.functions.MinHashAgg.minhash(col("s"), 8).as("__mh"))
-        .select(col("doc_id") +:
-          (0 until 8).map(j => col("__mh").getItem(j).as(s"m$j")): _*)
+      // One-pass typed MinHash sketch via graft.ops.Dedup (which uses
+      // graft.functions.MinHashAgg — ObjectHashAggregate, not the
+      // SortAggregate the 8-column min(md5hex) formulation forces).
+      // Byte-identical output (MinHashAggSpec), oracle unchanged.
+      val mh = graft.ops.Dedup
+        .minHashSignaturesFast(sh.withColumnRenamed("doc_id", "id"), 8)
+        .withColumnRenamed("id", "doc_id")
       // One explode emits both LSH band rows (vs two projections + a
       // union — fewer codegen stages), and cache() materializes the
       // tiny band table once for BOTH sides of the self-join. At scale
@@ -95,25 +90,10 @@ object ExtendedQueries {
     // majority over the document; signature emitted as a 32-char
     // '0'/'1' string (integer arithmetic throughout).
     "q_dedup_simhash" -> { (s, d) =>
-      t(s, d, "documents")
-        .repartition(s.sparkContext.defaultParallelism)
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-        .filter(length(col("tok")) > 0)
-        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("cnt"))
-        .withColumn("h", substring(md5(col("tok").cast("binary")), 1, 8))
-        .select(col("doc_id"), col("cnt"), col("h"),
-          explode(sequence(lit(0), lit(31))).as("bitpos"))
-        .withColumn("nib",
-          expr("instr('0123456789abcdef', substring(h, CAST(bitpos DIV 4 AS INT) + 1, 1)) - 1"))
-        .withColumn("p",
-          expr("CASE bitpos % 4 WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 4 ELSE 8 END"))
-        .withColumn("contrib", expr("cnt * (2 * ((nib DIV p) % 2) - 1)"))
-        .groupBy(col("doc_id"), col("bitpos"))
-        .agg(sum(col("contrib")).as("sbit"))
-        .withColumn("c", when(col("sbit") > 0, "1").otherwise("0"))
-        .groupBy(col("doc_id"))
-        .agg(expr("concat_ws('', transform(sort_array(collect_list(struct(bitpos, c))), x -> x.c))")
-          .as("simhash"))
+      graft.ops.Dedup.simHashSignatures(
+          t(s, d, "documents").repartition(s.sparkContext.defaultParallelism),
+          col("text"), col("doc_id"))
+        .withColumnRenamed("id", "doc_id")
         .orderBy(col("doc_id"))
     },
 

@@ -68,16 +68,33 @@ object StreamingPipeline {
       }
   }
 
-  /** Incremental star-schema upsert: replaces the reference's daily
-    * full recompute (fetch_stocks.py:152-161) with a per-micro-batch
-    * merge — each batch appends partitioned by ingest date, so
-    * downstream reads prune to fresh partitions. */
+  /** Incremental snapshot sink: replaces the reference's daily full
+    * recompute (fetch_stocks.py:152-161). Streaming state maintains
+    * the aggregate incrementally; each micro-batch publishes the
+    * CURRENT full aggregate as a fresh snapshot directory and flips a
+    * `_LATEST` pointer afterwards — readers via `readLatestSnapshot`
+    * always see exactly one consistent version of every key (a blind
+    * append of Update-mode output would instead accumulate stale
+    * re-emissions of still-open windows). Aggregates here are
+    * dimension-scale (windows × types), so rewriting the snapshot per
+    * batch is cheap at any corpus size; swap the directory flip for a
+    * transactional table format where one is available. */
   def upsertSink(agg: DataFrame, outDir: String, checkpointDir: String) =
     agg.writeStream
-      .outputMode(OutputMode.Update)
+      .outputMode(OutputMode.Complete)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        batch.withColumn("batch_id", lit(batchId))
-          .write.mode("append").parquet(outDir)
+        val snap = s"$outDir/snapshot_$batchId"
+        batch.write.mode("overwrite").parquet(snap)
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(s"$outDir/_LATEST"), s"snapshot_$batchId")
+        ()
       }
       .option("checkpointLocation", checkpointDir)
+
+  /** Read the snapshot the `_LATEST` pointer names. */
+  def readLatestSnapshot(spark: SparkSession, outDir: String): DataFrame = {
+    val latest = java.nio.file.Files
+      .readString(java.nio.file.Paths.get(s"$outDir/_LATEST")).trim
+    spark.read.parquet(s"$outDir/$latest")
+  }
   }

@@ -69,6 +69,19 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(out.head.getAs[Double]("asof_px") == 60.0)
   }
 
+  test("forward tie-break also keeps the highest tieBreak") {
+    val dupQuotes = Seq(
+      ("A", ts("2024-01-01 10:00:00"), 1L, 50.0),
+      ("A", ts("2024-01-01 10:00:00"), 2L, 60.0)
+    ).toDF("sym", "qt", "qid", "px")
+    val l = Seq((1L, "A", ts("2024-01-01 09:59:00"))).toDF("trade_id", "sym", "t")
+    val out = ops.AsOfJoin.forward(l, dupQuotes,
+        keys = Seq("sym"), leftTs = "t", rightTs = "qt",
+        payload = Seq("qt", "qid", "px"), tieBreak = Some("qid"))
+      .collect()
+    assert(out.head.getAs[Double]("asof_px") == 60.0)
+  }
+
   test("declared q_asof_join matches a window-free reference on sf0.001") {
     val got = SparkEntry.queries("q_asof_join")(spark, sfTiny)
     // Reference: per event, max purchase ts <= event ts via a raw join

@@ -52,6 +52,43 @@ class DotProductSpec extends AnyFunSuite {
     assert(got.tail.forall(!_.isNullAt(1)))
   }
 
+  test("mismatched lengths yield null (zip_with pad semantics)") {
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    val df = Seq((Seq(1.0, 2.0, 3.0), Seq(1.0, 2.0))).toDF("a", "b")
+    val fused = df.select(expr("graft_dot(a, b)")).head()
+    assert(fused.isNullAt(0))
+    val hof = df.select(
+      aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+        lit(0.0), (acc, x) => acc + x)).head()
+    assert(hof.isNullAt(0), "HOF reference must agree")
+  }
+
+  test("cosine on non-nullable arrays compiles (3 kernels, one codegen unit)") {
+    // array(lit...) columns are non-nullable: nullSafeCodeGen inlines
+    // all three DotProduct bodies into one function — fresh variable
+    // names must prevent declaration collisions.
+    val df = spark.range(5).select(
+      array(lit(1.0), lit(2.0), lit(3.0)).as("a"),
+      array(lit(4.0), lit(5.0), lit(6.0)).as("b"))
+    val out = df.select(graft.functions.GraftFunctions.cosine(col("a"), col("b")).as("c"))
+      .collect().map(_.getDouble(0))
+    assert(out.length == 5)
+    val expected = 32.0 / (math.sqrt(14.0) * math.sqrt(77.0))
+    out.foreach(v => assert(math.abs(v - expected) < 1e-12))
+  }
+
+  test("non-array input fails at analysis time, not runtime") {
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    val df = Seq((Seq(1, 2, 3), Seq(4, 5, 6))).toDF("a", "b")
+    val e = intercept[Exception] {
+      df.select(expr("graft_dot(a, b)")).collect()
+    }
+    assert(e.getMessage.contains("ARRAY<DOUBLE>") || e.getMessage.contains("DATATYPE"),
+      e.getMessage)
+  }
+
   test("interpreted eval path (codegen off) agrees with codegen") {
     graft.functions.GraftFunctions.register(spark)
     val e = spark.read.parquet(s"$sfTiny/embeddings.parquet")

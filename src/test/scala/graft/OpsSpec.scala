@@ -50,6 +50,17 @@ class OpsSpec extends AnyFunSuite {
     assert(jac((1L, 3L)) > 0.5 && jac((1L, 3L)) < 1.0)
   }
 
+  test("ngram Jaccard with candidates restricts pairs and keeps exact scores") {
+    val cand = Seq((1L, 2L)).toDF("id1", "id2")
+    val jac = Dedup.ngramJaccardPairs(docs, col("text"), col("doc_id"),
+        candidates = Some(cand))
+      .collect().map(r => (r.getAs[Long]("id1"), r.getAs[Long]("id2")) -> r.getAs[Double]("jac")).toMap
+    // only the candidate pair survives, with the same score as the
+    // unrestricted run (sizes computed on FULL shingle sets)
+    assert(jac.keySet == Set((1L, 2L)))
+    assert(jac((1L, 2L)) == 1.0)
+  }
+
   test("simhash: exact dups share signatures; signature is 32 bits") {
     val sig = Dedup.simHashSignatures(docs, col("text"), col("doc_id"))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap

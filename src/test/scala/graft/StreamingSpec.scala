@@ -72,6 +72,33 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("upsertSink publishes one consistent snapshot; no stale re-emissions") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val out = Files.createTempDirectory("graft_upsert").toString
+    val ckpt = Files.createTempDirectory("graft_upsert_ckpt").toString
+    val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val q = StreamingPipeline.upsertSink(
+      StreamingPipeline.tumblingHourly(mem.toDF.toDF("ts", "event_type", "value")),
+      out, ckpt).start()
+    try {
+      mem.addData((ts("2024-01-01 10:05:00"), "click", 1.0))
+      q.processAllAvailable()
+      mem.addData((ts("2024-01-01 10:20:00"), "click", 1.0),
+        (ts("2024-01-01 11:10:00"), "view", 2.0))
+      q.processAllAvailable()
+      val snap = StreamingPipeline.readLatestSnapshot(spark, out)
+        .select(col("h").cast("string"), col("event_type"), col("n"))
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      // exactly one row per key, with the LATEST counts (no stale 1-count row)
+      assert(snap == Map(
+        ("2024-01-01 10:00:00", "click") -> 2L,
+        ("2024-01-01 11:00:00", "view") -> 1L), snap.toString)
+    } finally q.stop()
+  }
+
   test("stateful sessionize agrees with the batch lag+cumsum sessionizer") {
     import spark.implicits._
     val events = spark.read.parquet(fixtureDir)
