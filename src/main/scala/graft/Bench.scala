@@ -46,8 +46,11 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","runs_per_query":$runs,"agg":"min","queries":$qs,"sf":"$sfDir"}""")
+    // failures (-1 sentinel) are excluded from the total and counted
+    // separately — a failed query must not SUBTRACT from the metric.
+    val failed = results.values.count(_ < 0)
+    val total = results.values.filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"runs_per_query":$runs,"agg":"min","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

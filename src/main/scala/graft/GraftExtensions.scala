@@ -22,7 +22,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
-      (children: Seq[Expression]) => DotProduct(children.head, children(1))))
+      (children: Seq[Expression]) => graft.functions.GraftFunctions.build(children)))
     // Fuse the declarative aggregate(zip_with(·,·,*),0.0,+) idiom into
     // the codegen kernel on every query (see graft.plans.FuseDotProduct).
     ext.injectOptimizerRule(_ => graft.plans.FuseDotProduct)

@@ -126,9 +126,17 @@ object GraftFunctions {
   import org.apache.spark.sql.graft.ColumnBridge
   import org.apache.spark.sql.functions.sqrt
 
+  private[graft] def build(exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : DotProduct = {
+    if (exprs.length != 2)
+      throw new IllegalArgumentException(
+        s"graft_dot requires exactly 2 arguments, got ${exprs.length}")
+    DotProduct(exprs.head, exprs(1))
+  }
+
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_dot", exprs => DotProduct(exprs.head, exprs(1)), "built-in")
+      "graft_dot", build, "built-in")
   }
 
   /** Column-level dot product (no registration needed). Inputs must be

@@ -12,11 +12,11 @@ import org.apache.spark.sql.types.StructType
   *
   *   1. tag left rows (1) and right rows (0) and union them on the
   *      shared (partition keys, timestamp) shape;
-  *   2. one shuffle+sort per partition key orders the merged stream by
-  *      (ts, tag, tiebreak) — right rows sort before left rows at equal
-  *      timestamps, giving `>=` (inclusive) as-of semantics;
+  *   2. one shuffle+sort per partition key orders the merged stream —
+  *      right rows sort before left rows at equal timestamps, giving
+  *      inclusive as-of semantics in both directions;
   *   3. `last(right_payload, ignoreNulls)` over the preceding frame
-  *      carries the most recent right row forward;
+  *      carries the nearest matching right row forward;
   *   4. keep the left rows.
   *
   * Cost at scale: ONE shuffle of |L| + |R| rows on the partition key
@@ -28,7 +28,8 @@ import org.apache.spark.sql.types.StructType
   * Determinism: callers should ensure right rows are unique per
   * (keys, rightTs) — pre-aggregate ties (e.g. keep max id) — otherwise
   * the carried payload among equal timestamps is tie-broken by
-  * `tieBreak` if given, else unspecified.
+  * `tieBreak` if given (HIGHEST wins, both directions), else
+  * unspecified.
   */
 object AsOfJoin {
 
@@ -51,53 +52,25 @@ object AsOfJoin {
   def backward(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTs: String, rightTs: String, payload: Seq[String],
       tieBreak: Option[String] = None,
-      toleranceMicros: Option[Long] = None): DataFrame = {
-    require(payload.nonEmpty, "payload must name at least one right column")
-    toleranceMicros.foreach(_ => require(payload.contains(rightTs),
-      "toleranceMicros requires rightTs in payload"))
-
-    val leftStruct = struct(left.columns.map(col).toIndexedSeq: _*)
-    val rightStruct = struct(payload.map(col).toIndexedSeq: _*)
-    val lSchema = StructType(left.schema.fields)
-    val rSchema = StructType(right.select(payload.map(col): _*).schema.fields)
-
-    val tb = tieBreak.map(col).getOrElse(lit(null))
-    val l = left.select(
-      keys.map(col) ++ Seq(
-        col(leftTs).as("__ts"), lit(1).as("__tag"), lit(null).as("__tb"),
-        leftStruct.as("__l"), lit(null).cast(rSchema).as("__r")): _*)
-    val r = right.select(
-      keys.map(col) ++ Seq(
-        col(rightTs).as("__ts"), lit(0).as("__tag"), tb.as("__tb"),
-        lit(null).cast(lSchema).as("__l"), rightStruct.as("__r")): _*)
-
-    val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__ts").asc, col("__tag").asc, col("__tb").asc_nulls_first)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-
-    val matchedRaw = last(col("__r"), ignoreNulls = true).over(w)
-    val matched = toleranceMicros match {
-      case Some(tol) => when(
-        unix_micros(col("__ts")) - unix_micros(matchedRaw.getField(rightTs)) <= tol,
-        matchedRaw)
-      case None => matchedRaw
-    }
-
-    l.unionByName(r)
-      .select(col("__tag"), col("__l"), matched.as("__m"))
-      .filter(col("__tag") === 1)
-      .select(
-        left.columns.map(c => col(s"__l.$c").as(c)).toIndexedSeq ++
-          payload.map(c => col(s"__m.$c").as(s"asof_$c")): _*)
-  }
+      toleranceMicros: Option[Long] = None): DataFrame =
+    asOf(left, right, keys, leftTs, rightTs, payload, tieBreak,
+      toleranceMicros, forwardDir = false)
 
   /** Forward as-of join: earliest right row with
     * `right.tsCol >= left.tsCol`. Mirror of `backward` — descending
-    * scan order, same single-shuffle cost. */
+    * scan order, same single-shuffle cost, same highest-wins
+    * tie-break. */
   def forward(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTs: String, rightTs: String, payload: Seq[String],
       tieBreak: Option[String] = None,
-      toleranceMicros: Option[Long] = None): DataFrame = {
+      toleranceMicros: Option[Long] = None): DataFrame =
+    asOf(left, right, keys, leftTs, rightTs, payload, tieBreak,
+      toleranceMicros, forwardDir = true)
+
+  private def asOf(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTs: String, rightTs: String, payload: Seq[String],
+      tieBreak: Option[String], toleranceMicros: Option[Long],
+      forwardDir: Boolean): DataFrame = {
     require(payload.nonEmpty, "payload must name at least one right column")
     toleranceMicros.foreach(_ => require(payload.contains(rightTs),
       "toleranceMicros requires rightTs in payload"))
@@ -117,19 +90,25 @@ object AsOfJoin {
         col(rightTs).as("__ts"), lit(0).as("__tag"), tb.as("__tb"),
         lit(null).cast(lSchema).as("__l"), rightStruct.as("__r")): _*)
 
-    // Descending time: at equal ts, right rows (tag 0) still first so
-    // `>=` includes the simultaneous match; tieBreak asc keeps the
-    // HIGHEST tieBreak winning (last() takes the row nearest current),
-    // matching backward's contract.
+    // Scan order: ascending time for backward (latest at-or-before),
+    // descending for forward (earliest at-or-after). Either way, right
+    // rows (tag 0) sort before left rows at equal timestamps (inclusive
+    // match) and tieBreak ascending puts the HIGHEST nearest `current`,
+    // so `last()` picks it.
+    val tsOrder = if (forwardDir) col("__ts").desc else col("__ts").asc
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__ts").desc, col("__tag").asc, col("__tb").asc_nulls_first)
+      .orderBy(tsOrder, col("__tag").asc, col("__tb").asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     val matchedRaw = last(col("__r"), ignoreNulls = true).over(w)
     val matched = toleranceMicros match {
-      case Some(tol) => when(
-        unix_micros(matchedRaw.getField(rightTs)) - unix_micros(col("__ts")) <= tol,
-        matchedRaw)
+      case Some(tol) =>
+        val age =
+          if (forwardDir)
+            unix_micros(matchedRaw.getField(rightTs)) - unix_micros(col("__ts"))
+          else
+            unix_micros(col("__ts")) - unix_micros(matchedRaw.getField(rightTs))
+        when(age <= tol, matchedRaw)
       case None => matchedRaw
     }
 

@@ -156,8 +156,11 @@ object Similarity {
       .withColumn("cid", assignExpr(col("v"), centroids))
     val qv = query.select(queryVec.cast("array<double>").as("qv"))
     // the query's nprobe nearest centroids, as a literal id set
-    val q = qv.head()
-    val qVec = q.getSeq[Double](0).toIndexedSeq
+    val qRows = qv.limit(2).collect()
+    require(qRows.length == 1,
+      s"ivfTopK expects exactly one query row, got ${qRows.length}" +
+        " — probe selection and the unlabeled top-k are per-query")
+    val qVec = qRows.head.getSeq[Double](0).toIndexedSeq
     val qn = math.sqrt(qVec.map(x => x * x).sum)
     val probeIds = centroids.map { case (cid, c) =>
       val cn = math.sqrt(c.map(x => x * x).sum)

@@ -68,7 +68,11 @@ object FuseDotProduct extends Rule[LogicalPlan] {
           Literal(zero, DoubleType),
           add,
           finish)
-        if zero == 0.0 && MulLambda.unapply(mul) && AddLambda.unapply(add) &&
+        // bit-exact +0.0 check: a -0.0 seed flips the sign of all-zero
+        // sums and must NOT fuse (kernel seeds at +0.0)
+        if zero != null &&
+          java.lang.Double.doubleToRawLongBits(zero.asInstanceOf[Double]) == 0L &&
+          MulLambda.unapply(mul) && AddLambda.unapply(add) &&
           IdentityLambda.unapply(finish) && isDoubleArray(a) && isDoubleArray(b) =>
       DotProduct(a, b)
   }

@@ -1,5 +1,6 @@
 package graft.streaming
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
@@ -30,21 +31,30 @@ object StreamingPipeline {
 
   /** Hourly tumbling counts/sums with a 1-hour watermark — the
     * streaming twin of q_window_tumbling (late data beyond the
-    * watermark is dropped; closed windows are final). */
+    * watermark is dropped; closed windows are final). The sum goes
+    * through DECIMAL(18,4) like the batch twin (SURVEY §7.3): double
+    * accumulation order varies with partitioning AND trigger slicing,
+    * so an IEEE sum would diverge between the two engines' outputs. */
   def tumblingHourly(events: DataFrame): DataFrame =
     events
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_v"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 4))).cast("double").as("sum_v"))
       .select(col("w.start").as("h"), col("event_type"), col("n"), col("sum_v"))
 
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long)
   case class SessionState(sessionId: Long, lastTs: Long, count: Long)
   case class SessionOut(user_id: Long, session_id: Long, n_events: Long)
 
-  /** Stateful 30-minute-gap sessionization via mapGroupsWithState —
+  /** Stateful 30-minute-gap sessionization via flatMapGroupsWithState —
     * the custom-state path the reference cannot express at all.
-    * Emits the running session assignment per user on every trigger.
+    *
+    * Every session TOUCHED in a trigger is emitted: sessions that both
+    * open and close inside one micro-batch are flushed with their
+    * final counts (a mapGroupsWithState single-row emit would lose
+    * them), and the still-open session is emitted with its running
+    * count — downstream keeps the max n_events per (user, session).
     *
     * State is one (sessionId, lastTs, count) triple per user —
     * constant-size per key, so state store growth is bounded by
@@ -53,48 +63,67 @@ object StreamingPipeline {
   def sessionize(events: Dataset[Event], gapMs: Long = 30L * 60 * 1000): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
     events.groupByKey(_.user_id)
-      .mapGroupsWithState[SessionState, SessionOut](GroupStateTimeout.NoTimeout) {
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
         case (userId, it, state: GroupState[SessionState]) =>
           val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
           var s = state.getOption.getOrElse(SessionState(0L, Long.MinValue, 0L))
+          val closed = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
           sorted.foreach { e =>
             val t = e.ts.getTime
-            s = if (s.lastTs == Long.MinValue || t - s.lastTs > gapMs)
-              SessionState(s.sessionId + 1, t, 1L)
-            else s.copy(lastTs = t, count = s.count + 1)
+            if (s.lastTs == Long.MinValue || t - s.lastTs > gapMs) {
+              if (s.sessionId > 0) closed += SessionOut(userId, s.sessionId, s.count)
+              s = SessionState(s.sessionId + 1, t, 1L)
+            } else s = s.copy(lastTs = t, count = s.count + 1)
           }
           state.update(s)
-          SessionOut(userId, s.sessionId, s.count)
+          (closed += SessionOut(userId, s.sessionId, s.count)).iterator
       }
   }
 
   /** Incremental snapshot sink: replaces the reference's daily full
     * recompute (fetch_stocks.py:152-161). Streaming state maintains
     * the aggregate incrementally; each micro-batch publishes the
-    * CURRENT full aggregate as a fresh snapshot directory and flips a
-    * `_LATEST` pointer afterwards — readers via `readLatestSnapshot`
-    * always see exactly one consistent version of every key (a blind
-    * append of Update-mode output would instead accumulate stale
-    * re-emissions of still-open windows). Aggregates here are
-    * dimension-scale (windows × types), so rewriting the snapshot per
-    * batch is cheap at any corpus size; swap the directory flip for a
-    * transactional table format where one is available. */
+    * CURRENT full aggregate as a fresh snapshot directory, flips a
+    * `_LATEST` pointer, then deletes superseded snapshots (keeping the
+    * previous one as an in-flight-reader grace copy) — readers via
+    * `readLatestSnapshot` always see exactly one consistent version of
+    * every key (a blind append of Update-mode output would instead
+    * accumulate stale re-emissions of still-open windows). All pointer
+    * and cleanup IO goes through the Hadoop FileSystem of `outDir`, so
+    * object-store destinations (s3a://, ObjectStore) work the same as
+    * local paths. Aggregates here are dimension-scale (windows ×
+    * types), so rewriting the snapshot per batch is cheap at any
+    * corpus size; swap the directory flip for a transactional table
+    * format where one is available. */
   def upsertSink(agg: DataFrame, outDir: String, checkpointDir: String) =
     agg.writeStream
       .outputMode(OutputMode.Complete)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val snap = s"$outDir/snapshot_$batchId"
         batch.write.mode("overwrite").parquet(snap)
-        java.nio.file.Files.writeString(
-          java.nio.file.Paths.get(s"$outDir/_LATEST"), s"snapshot_$batchId")
+        val conf = batch.sparkSession.sparkContext.hadoopConfiguration
+        val out = new Path(outDir)
+        val fs = out.getFileSystem(conf)
+        val ptr = fs.create(new Path(out, "_LATEST"), true)
+        try ptr.write(s"snapshot_$batchId".getBytes("UTF-8")) finally ptr.close()
+        // retire snapshots older than the previous one
+        fs.listStatus(out).foreach { st =>
+          val name = st.getPath.getName
+          if (name.startsWith("snapshot_") &&
+              name.stripPrefix("snapshot_").toLong < batchId - 1)
+            fs.delete(st.getPath, true)
+        }
         ()
       }
       .option("checkpointLocation", checkpointDir)
 
   /** Read the snapshot the `_LATEST` pointer names. */
   def readLatestSnapshot(spark: SparkSession, outDir: String): DataFrame = {
-    val latest = java.nio.file.Files
-      .readString(java.nio.file.Paths.get(s"$outDir/_LATEST")).trim
+    val out = new Path(outDir)
+    val fs = out.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(new Path(out, "_LATEST"))
+    val latest = try new String(in.readAllBytes(), "UTF-8").trim finally in.close()
     spark.read.parquet(s"$outDir/$latest")
   }
-  }
+}

@@ -104,11 +104,13 @@ class StreamingSpec extends AnyFunSuite {
     val events = spark.read.parquet(fixtureDir)
       .select(col("event_id"), col("ts").cast("timestamp").as("ts"), col("user_id"))
       .as[StreamingPipeline.Event]
+    // single batch: every session (closed AND running) is emitted with
+    // its final count — the full set must equal the batch analog's.
     val got = StreamingPipeline.sessionize(events)
-      .collect().map(s => s.user_id -> s.session_id).toMap
+      .collect().map(s => (s.user_id, s.session_id, s.n_events)).toSet
     val want = SparkEntry.queries("q_sessionize")(spark, TestSpark.sfTiny)
-      .groupBy("user_id").agg(max("session_id").as("m"))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      .select("user_id", "session_id", "n_events")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(got == want)
   }
 }
