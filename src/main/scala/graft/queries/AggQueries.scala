@@ -97,6 +97,37 @@ object AggQueries {
           |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)
     },
 
+    // Correlation + regression slope per group, computed from EXACT
+    // decimal moment sums (Σx, Σy, Σxy, Σx², Σy²) with one final
+    // double expression — Spark's corr()/regr_slope() accumulate
+    // doubles in partition order and would not hash-match DuckDB (nor
+    // themselves across partitionings). The 2-dp inputs are exact in
+    // DECIMAL; products carry ≤6 dp and stay exact at (38,6) on both
+    // engines. The same pattern as q_window_rolling_std, applied to
+    // bivariate statistics.
+    "q_agg_corr" -> { (s, d) =>
+      val x = col("l_quantity").cast(DecimalType(30, 4))
+      val x2 = col("l_quantity").cast(DecimalType(8, 2))
+      val y = col("l_extendedprice").cast(DecimalType(30, 4))
+      val y2 = col("l_extendedprice").cast(DecimalType(8, 2))
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("l_quantity").cast(dec)).cast("double").as("sx"),
+          sum(col("l_extendedprice").cast(dec)).cast("double").as("sy"),
+          sum(x * y2).cast("double").as("sxy"),
+          sum(x * x2).cast("double").as("sxx"),
+          sum(y * y2).cast("double").as("syy"))
+        .select(col("l_returnflag"), col("n"),
+          round((col("n") * col("sxy") - col("sx") * col("sy")) /
+            (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+              sqrt(col("n") * col("syy") - col("sy") * col("sy"))), 4).as("corr_qp"),
+          round((col("n") * col("sxy") - col("sx") * col("sy")) /
+            (col("n") * col("sxx") - col("sx") * col("sx")), 4).as("slope_qp"))
+        .orderBy(col("l_returnflag"))
+    },
+
     // Exact interpolated median per group (percentile ≡ DuckDB
     // quantile_cont; both interpolate at p*(n-1)), rounded 4 dp.
     "q_agg_median" -> { (s, d) =>
@@ -158,6 +189,22 @@ object AggQueries {
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "q_agg_corr" ->
+      """WITH s AS (
+        |  SELECT l_returnflag,
+        |         count(*) AS n,
+        |         CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sx,
+        |         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sy,
+        |         CAST(sum(CAST(l_quantity AS DECIMAL(30,4)) * CAST(l_extendedprice AS DECIMAL(8,2))) AS DOUBLE) AS sxy,
+        |         CAST(sum(CAST(l_quantity AS DECIMAL(30,4)) * CAST(l_quantity AS DECIMAL(8,2))) AS DOUBLE) AS sxx,
+        |         CAST(sum(CAST(l_extendedprice AS DECIMAL(30,4)) * CAST(l_extendedprice AS DECIMAL(8,2))) AS DOUBLE) AS syy
+        |  FROM lineitem GROUP BY 1
+        |)
+        |SELECT l_returnflag, n,
+        |       round((n*sxy - sx*sy) / (sqrt(n*sxx - sx*sx) * sqrt(n*syy - sy*sy)), 4) AS corr_qp,
+        |       round((n*sxy - sx*sy) / (n*sxx - sx*sx), 4) AS slope_qp
+        |FROM s ORDER BY l_returnflag""".stripMargin,
 
     "q_agg_median" ->
       """SELECT o_orderpriority,
