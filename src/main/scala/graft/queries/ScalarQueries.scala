@@ -70,6 +70,19 @@ object ScalarQueries {
         .orderBy(col("vec_id"))
     },
 
+    // Map functions over JSON-derived maps: from_json to MAP, then
+    // map_keys/map_values (SURVEY §2.8's map row). The fixture props
+    // is a single-key object, so key order is trivially stable.
+    "q_map_ops" -> { (s, d) =>
+      t(s, d, "events")
+        .select(col("event_id"),
+          expr("from_json(props, 'map<string,bigint>')").as("m"))
+        .select(col("event_id"),
+          map_keys(col("m")).as("ks"),
+          map_values(col("m")).as("vs"))
+        .orderBy(col("event_id"))
+    },
+
     // Date arithmetic: day diff to a pinned date, month addition with
     // end-of-month clamping (identical in Spark add_months and DuckDB
     // interval addition), last_day, quarter truncation.
@@ -120,6 +133,12 @@ object ScalarQueries {
         |       round(list_sum(v[1:8]), 4) AS head8_sum
         |FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
         |ORDER BY vec_id""".stripMargin,
+
+    "q_map_ops" ->
+      """SELECT event_id,
+        |       json_keys(props) AS ks,
+        |       [CAST(json_extract_string(props, '$.k') AS BIGINT)] AS vs
+        |FROM events ORDER BY event_id""".stripMargin,
 
     "q_date_arith" ->
       """SELECT o_orderkey,
