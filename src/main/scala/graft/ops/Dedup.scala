@@ -141,9 +141,6 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, textCol: Column, idCol: Column,
       shingleLen: Int = 3, candidates: Option[DataFrame] = None): DataFrame = {
     val shAll = shingles(docs, textCol, idCol, shingleLen).distinct()
-    // sizes must come from the FULL shingle sets (Jaccard denominator),
-    // computed before any candidate restriction.
-    val sizes = shAll.groupBy(col("id")).agg(count(lit(1)).as("n"))
     val sh = candidates match {
       case Some(c) =>
         val candIds = c.select(col("id1").as("id"))
@@ -151,6 +148,11 @@ object Dedup {
         shAll.join(candIds, Seq("id"), "left_semi")
       case None => shAll
     }
+    // Per-doc sizes from the candidate-restricted table: the semi-join
+    // keeps ALL shingles of each candidate document (restriction is by
+    // id, not by shingle), so counts equal the full-set sizes while
+    // the groupBy stays O(|candidates|), not O(|corpus|).
+    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n"))
     val joined = sh.as("a").join(sh.as("b"),
       col("a.s") === col("b.s") && col("a.id") < col("b.id"))
     val inter = joined

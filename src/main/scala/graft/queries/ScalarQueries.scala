@@ -137,7 +137,8 @@ object ScalarQueries {
     "q_map_ops" ->
       """SELECT event_id,
         |       json_keys(props) AS ks,
-        |       [CAST(json_extract_string(props, '$.k') AS BIGINT)] AS vs
+        |       list_transform(json_keys(props),
+        |         k -> CAST(json_extract_string(props, '$.' || k) AS BIGINT)) AS vs
         |FROM events ORDER BY event_id""".stripMargin,
 
     "q_date_arith" ->

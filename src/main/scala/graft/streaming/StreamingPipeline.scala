@@ -81,38 +81,51 @@ object StreamingPipeline {
       }
   }
 
-  /** Incremental snapshot sink: replaces the reference's daily full
-    * recompute (fetch_stocks.py:152-161). Streaming state maintains
-    * the aggregate incrementally; each micro-batch publishes the
-    * CURRENT full aggregate as a fresh snapshot directory, flips a
-    * `_LATEST` pointer, then deletes superseded snapshots (keeping the
-    * previous one as an in-flight-reader grace copy) — readers via
-    * `readLatestSnapshot` always see exactly one consistent version of
-    * every key (a blind append of Update-mode output would instead
-    * accumulate stale re-emissions of still-open windows). All pointer
-    * and cleanup IO goes through the Hadoop FileSystem of `outDir`, so
-    * object-store destinations (s3a://, ObjectStore) work the same as
-    * local paths. Aggregates here are dimension-scale (windows ×
-    * types), so rewriting the snapshot per batch is cheap at any
-    * corpus size; swap the directory flip for a transactional table
-    * format where one is available. */
-  def upsertSink(agg: DataFrame, outDir: String, checkpointDir: String) =
+  /** Incremental upsert sink: replaces the reference's daily full
+    * recompute (fetch_stocks.py:152-161). The stream runs in UPDATE
+    * mode — watermarks stay effective (late data is dropped, closed
+    * windows evict from state, so state is bounded by open windows,
+    * not stream lifetime). Each micro-batch merges its changed keys
+    * into the previous snapshot (anti-join out the updated keys, union
+    * the new rows) and publishes the result as a fresh snapshot
+    * directory; the `_LATEST` pointer is written to a temp name and
+    * RENAMED over — readers via `readLatestSnapshot` see exactly one
+    * consistent version of every key, never a truncated pointer.
+    * Superseded snapshots are retired (keeping one grace copy for
+    * in-flight readers). All IO goes through the Hadoop FileSystem of
+    * `outDir`, so object-store destinations (s3a://, ObjectStore) work
+    * the same as local paths; swap the directory flip for a
+    * transactional table format where one is available. */
+  def upsertSink(agg: DataFrame, keyCols: Seq[String], outDir: String,
+      checkpointDir: String) =
     agg.writeStream
-      .outputMode(OutputMode.Complete)
+      .outputMode(OutputMode.Update)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val snap = s"$outDir/snapshot_$batchId"
-        batch.write.mode("overwrite").parquet(snap)
-        val conf = batch.sparkSession.sparkContext.hadoopConfiguration
+        val spark = batch.sparkSession
+        val conf = spark.sparkContext.hadoopConfiguration
         val out = new Path(outDir)
         val fs = out.getFileSystem(conf)
-        val ptr = fs.create(new Path(out, "_LATEST"), true)
+        val merged =
+          if (fs.exists(new Path(out, "_LATEST"))) {
+            val prev = readLatestSnapshot(spark, outDir)
+            prev.join(batch, keyCols, "left_anti").unionByName(batch)
+          } else batch
+        val snap = s"$outDir/snapshot_$batchId"
+        merged.write.mode("overwrite").parquet(snap)
+        // atomic pointer flip: write temp, rename over _LATEST
+        val tmp = new Path(out, s"_LATEST.tmp_$batchId")
+        val ptr = fs.create(tmp, true)
         try ptr.write(s"snapshot_$batchId".getBytes("UTF-8")) finally ptr.close()
-        // retire snapshots older than the previous one
+        fs.delete(new Path(out, "_LATEST"), false)
+        fs.rename(tmp, new Path(out, "_LATEST"))
+        // retire snapshots older than the previous one; ignore foreign
+        // non-numeric snapshot_* names rather than crash-looping
         fs.listStatus(out).foreach { st =>
           val name = st.getPath.getName
-          if (name.startsWith("snapshot_") &&
-              name.stripPrefix("snapshot_").toLong < batchId - 1)
-            fs.delete(st.getPath, true)
+          if (name.startsWith("snapshot_"))
+            scala.util.Try(name.stripPrefix("snapshot_").toLong).toOption
+              .filter(_ < batchId - 1)
+              .foreach(_ => fs.delete(st.getPath, true))
         }
         ()
       }

@@ -82,7 +82,7 @@ class StreamingSpec extends AnyFunSuite {
     val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
     val q = StreamingPipeline.upsertSink(
       StreamingPipeline.tumblingHourly(mem.toDF.toDF("ts", "event_type", "value")),
-      out, ckpt).start()
+      Seq("h", "event_type"), out, ckpt).start()
     try {
       mem.addData((ts("2024-01-01 10:05:00"), "click", 1.0))
       q.processAllAvailable()
