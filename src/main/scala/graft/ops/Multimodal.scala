@@ -68,6 +68,25 @@ object Multimodal {
     }.toDF("media_id", "features")
   }
 
+  /** Stub resize: emits the target dimensions plus a deterministic
+    * payload digest for the "resized" bytes (a real implementation
+    * swaps the digest for the actual scaled image; the per-partition
+    * batching and the metadata-only schema downstream are the
+    * production shape — resized payloads stay in executor space). */
+  def resize(media: Dataset[MediaRow], width: Int, height: Int): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      // real impl: init the scaler once per partition HERE
+      it.map { m =>
+        val h = java.security.MessageDigest.getInstance("MD5")
+        h.update(m.bytes)
+        h.update(s":$width:$height".getBytes("UTF-8"))
+        val digest = h.digest().map(b => f"$b%02x").mkString
+        (m.media_id, m.kind, width, height, digest)
+      }
+    }.toDF("media_id", "kind", "width", "height", "resized_digest")
+  }
+
   /** Frame-sample plan for video rows: one row per sampled frame
     * (every `everyMs`). Emits keys only — decode joins in later, so
     * the explode shuffles (media_id, frame_no), never the payload. */

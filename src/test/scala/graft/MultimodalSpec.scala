@@ -29,6 +29,19 @@ class MultimodalSpec extends AnyFunSuite {
     assert(rows.forall(_.getSeq[Float](1).forall(v => v >= 0f && v <= 1f)))
   }
 
+  test("resize is deterministic, target-dimension-dependent, schema-stable") {
+    val media = Multimodal.syntheticMedia(spark, 12)
+    val a = Multimodal.resize(media, 224, 224).collect().sortBy(_.getLong(0))
+    val b = Multimodal.resize(media, 224, 224).collect().sortBy(_.getLong(0))
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
+    assert(a.forall(r => r.getInt(2) == 224 && r.getInt(3) == 224))
+    // a different target size must produce different payloads
+    val c = Multimodal.resize(media, 64, 64).collect().sortBy(_.getLong(0))
+    a.zip(c).foreach { case (x, y) =>
+      assert(x.getString(4) != y.getString(4))
+    }
+  }
+
   test("frame sampling emits keys only, correct cadence") {
     val media = Multimodal.syntheticMedia(spark, 30)
     val decoded = Multimodal.decode(media)
