@@ -135,8 +135,14 @@ object GraftFunctions {
   }
 
   def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_dot", build, "built-in")
+    // Register only if absent: createOrReplaceTempFunction logs a
+    // "function replaced" WARN on every repeat call, which pollutes
+    // stderr for every query that defensively re-registers.
+    val registry = spark.sessionState.functionRegistry
+    if (!registry.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("graft_dot"))) {
+      registry.createOrReplaceTempFunction("graft_dot", build, "built-in")
+    }
   }
 
   /** Column-level dot product (no registration needed). Inputs must be

@@ -139,15 +139,24 @@ object Dedup {
     * pair itself is not). This is the 100 TB contract: pairwise verify
     * cost follows |candidates|, not |corpus|². */
   def ngramJaccardPairs(docs: DataFrame, textCol: Column, idCol: Column,
-      shingleLen: Int = 3, candidates: Option[DataFrame] = None): DataFrame = {
-    val shAll = shingles(docs, textCol, idCol, shingleLen).distinct()
-    val sh = candidates match {
+      shingleLen: Int = 3, candidates: Option[DataFrame] = None): DataFrame =
+    jaccardFromShingles(shingles(docs, textCol, idCol, shingleLen), candidates)
+
+  /** Same verify, from a pre-built raw (id, s) shingle-occurrence table
+    * — lets callers share one shingle scan (and its cache) between
+    * candidate generation and verification. The candidate semi-join is
+    * applied BELOW the distinct: at scale the distinct then aggregates
+    * only candidate documents' shingles, not the corpus. */
+  def jaccardFromShingles(shRaw: DataFrame,
+      candidates: Option[DataFrame] = None): DataFrame = {
+    val restricted = candidates match {
       case Some(c) =>
         val candIds = c.select(col("id1").as("id"))
           .union(c.select(col("id2").as("id"))).distinct()
-        shAll.join(candIds, Seq("id"), "left_semi")
-      case None => shAll
+        shRaw.join(candIds, Seq("id"), "left_semi")
+      case None => shRaw
     }
+    val sh = restricted.distinct()
     // Per-doc sizes from the candidate-restricted table: the semi-join
     // keeps ALL shingles of each candidate document (restriction is by
     // id, not by shingle), so counts equal the full-set sizes while

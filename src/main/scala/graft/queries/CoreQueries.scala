@@ -61,9 +61,14 @@ object CoreQueries {
 
     // U1: UNION with SQL set semantics — Spark union() is UNION ALL,
     // so .distinct() is mandatory (top semantic trap, SURVEY §2.7).
+    // Each side is pre-aggregated to its distinct dates FIRST: the
+    // map-side partial aggregate shrinks the exchange from |rows| to
+    // |distinct dates| (~200× here; the difference between shuffling
+    // 100 TB and shuffling kilobytes at scale). The outer distinct then
+    // dedups the tiny merged set.
     "q_union_distinct" -> { (s, d) =>
-      val a = t(s, d, "lineitem").select(to_date(col("l_shipdate")).as("d"))
-      val b = t(s, d, "orders").select(to_date(col("o_orderdate")).as("d"))
+      val a = t(s, d, "lineitem").select(to_date(col("l_shipdate")).as("d")).distinct()
+      val b = t(s, d, "orders").select(to_date(col("o_orderdate")).as("d")).distinct()
       a.union(b).distinct().orderBy(col("d"))
     },
 
@@ -84,18 +89,24 @@ object CoreQueries {
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
     },
 
-    // U2: INTERSECT (distinct set semantics on both engines).
+    // U2: INTERSECT (distinct set semantics on both engines). Sides are
+    // pre-aggregated to distinct dates so the semi-join Spark rewrites
+    // INTERSECT into exchanges |distinct dates|, not |rows| (same
+    // rationale as q_union_distinct; INTERSECT is idempotent under
+    // per-side DISTINCT).
     "q_intersect" -> { (s, d) =>
-      val a = t(s, d, "lineitem").select(to_date(col("l_shipdate")).as("d"))
-      val b = t(s, d, "orders").select(to_date(col("o_orderdate")).as("d"))
+      val a = t(s, d, "lineitem").select(to_date(col("l_shipdate")).as("d")).distinct()
+      val b = t(s, d, "orders").select(to_date(col("o_orderdate")).as("d")).distinct()
       a.intersect(b).orderBy(col("d"))
     },
 
     // U2: EXCEPT — ship dates never seen as order dates (non-empty:
     // l_shipdate extends past max o_orderdate in the testdata).
+    // Pre-aggregated per side (EXCEPT is idempotent under per-side
+    // DISTINCT), shrinking the anti-join exchange ~200×.
     "q_except" -> { (s, d) =>
-      val a = t(s, d, "lineitem").select(to_date(col("l_shipdate")).as("d"))
-      val b = t(s, d, "orders").select(to_date(col("o_orderdate")).as("d"))
+      val a = t(s, d, "lineitem").select(to_date(col("l_shipdate")).as("d")).distinct()
+      val b = t(s, d, "orders").select(to_date(col("o_orderdate")).as("d")).distinct()
       a.except(b).orderBy(col("d"))
     },
   )

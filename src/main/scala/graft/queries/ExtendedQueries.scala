@@ -54,36 +54,58 @@ object ExtendedQueries {
       |       , unnest(range(1, greatest(len(w) - 1, 1))) AS u(i)
       |  WHERE len(w) >= 3""".stripMargin
 
+  /** LSH band table (doc_id, band, h) over the shared shingle cache:
+    * one-pass typed MinHash sketch (graft.functions.MinHashAgg —
+    * ObjectHashAggregate, not the SortAggregate the 8-column
+    * min(md5hex) formulation forces; byte-identical per MinHashAggSpec),
+    * then one explode emitting both band rows (vs two projections + a
+    * union — fewer codegen stages). cache(): both sides of the LSH
+    * self-join read it, and BOTH declared dedup queries (minhash-lsh
+    * candidates, ngram-jaccard candidate generation) share the exact
+    * same plan, so the CacheManager serves one materialization to all.
+    * At scale this is "materialize signatures before LSH" — the
+    * standard shape. */
+  private def bandTable(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val mh = graft.ops.Dedup
+      .minHashSignaturesFast(shingles(s, d).withColumnRenamed("doc_id", "id"), 8)
+      .withColumnRenamed("id", "doc_id")
+    mh.select(col("doc_id"), explode(array(
+        struct(lit(1L).as("band"),
+          md5(concat_ws("", col("m0"), col("m1"), col("m2"), col("m3")).cast("binary")).as("h")),
+        struct(lit(2L).as("band"),
+          md5(concat_ws("", col("m4"), col("m5"), col("m6"), col("m7")).cast("binary")).as("h"))))
+        .as("bh"))
+      .select(col("doc_id"), col("bh.band").as("band"), col("bh.h").as("h"))
+      .cache()
+  }
+
+  /** Candidate pairs (doc1 < doc2) sharing ≥1 LSH bucket — the linear-
+    * cost candidate generator both near-dup queries build on. The join
+    * shuffles only (band, h) keys, never text. */
+  private def lshCandidatePairs(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val bands = bandTable(s, d)
+    bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.h") === col("b.h") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
+      .distinct()
+  }
+
+  /** Release the session-pinned shingle/band caches (the declared dedup
+    * queries share them; a long-lived session embedding this library
+    * should call this after a dedup batch completes). cache() is lazy
+    * and keyed by plan equality, so re-deriving the same plans here
+    * resolves to the live cache entries. */
+  def releaseCaches(s: org.apache.spark.sql.SparkSession, d: String): Unit = {
+    bandTable(s, d).unpersist()
+    shingles(s, d).unpersist()
+  }
+
   val queries: Map[String, QFn] = Map(
     // MinHash (8 perms via seeded md5, lexicographic min) + LSH
     // (2 bands × 4 rows → candidate threshold ≈ 0.84 Jaccard).
     "q_dedup_minhash_lsh" -> { (s, d) =>
-      val sh = shingles(s, d)
-      // One-pass typed MinHash sketch via graft.ops.Dedup (which uses
-      // graft.functions.MinHashAgg — ObjectHashAggregate, not the
-      // SortAggregate the 8-column min(md5hex) formulation forces).
-      // Byte-identical output (MinHashAggSpec), oracle unchanged.
-      val mh = graft.ops.Dedup
-        .minHashSignaturesFast(sh.withColumnRenamed("doc_id", "id"), 8)
-        .withColumnRenamed("id", "doc_id")
-      // One explode emits both LSH band rows (vs two projections + a
-      // union — fewer codegen stages), and cache() materializes the
-      // tiny band table once for BOTH sides of the self-join. At scale
-      // this is "materialize signatures before LSH", the standard shape.
-      val bands = mh.select(col("doc_id"), explode(array(
-          struct(lit(1L).as("band"),
-            md5(concat_ws("", col("m0"), col("m1"), col("m2"), col("m3")).cast("binary")).as("h")),
-          struct(lit(2L).as("band"),
-            md5(concat_ws("", col("m4"), col("m5"), col("m6"), col("m7")).cast("binary")).as("h"))))
-          .as("bh"))
-        .select(col("doc_id"), col("bh.band").as("band"), col("bh.h").as("h"))
-        .cache()
-      bands.as("a").join(bands.as("b"),
-          col("a.band") === col("b.band") && col("a.h") === col("b.h") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
-        .distinct()
-        .orderBy(col("doc1"), col("doc2"))
+      lshCandidatePairs(s, d).orderBy(col("doc1"), col("doc2"))
     },
 
     // SimHash-32: per-token md5-derived 32-bit hash; weighted bit
@@ -97,29 +119,21 @@ object ExtendedQueries {
         .orderBy(col("doc_id"))
     },
 
-    // Exact n-gram Jaccard over 3-gram shingle sets; near-dup pairs
-    // at ≥ 0.5. inter/union are exact ints → the division is
-    // bit-identical on both engines.
+    // Exact n-gram Jaccard verify restricted to LSH candidate pairs —
+    // the 100 TB contract: candidate generation is linear (MinHash
+    // sketch + keys-only band join, shared with q_dedup_minhash_lsh via
+    // the band-table cache), and the pairwise verify cost follows
+    // |candidates|, not |corpus|². The shingle table is semi-joined
+    // down to candidate documents BELOW the distinct, so no O(corpus)
+    // broadcast or all-pairs shuffle exists anywhere in the plan.
+    // inter/union are exact ints → the division is bit-identical.
     "q_dedup_ngram_jaccard" -> { (s, d) =>
-      // cache(): the distinct shingle set is read twice (posting lists
-      // + per-doc sizes); materialize it once.
-      val sh = shingles(s, d).distinct().cache()
-      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-      // Self-join on the shingle key with an explicit broadcast build
-      // side: the distinct shingle set is small relative to executor
-      // memory, and a hash join avoids sort-merging two string-keyed
-      // sides. (At 100 TB this flips to a shuffled hash join on `s` —
-      // same plan shape, no sorts either way.)
-      val inter = sh.as("a").join(broadcast(sh.as("b")),
-          col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
-        .agg(count(lit(1)).as("inter"))
-      inter
-        .join(sizes.toDF("doc1", "n1"), "doc1")
-        .join(sizes.toDF("doc2", "n2"), "doc2")
-        .withColumn("jac", col("inter") / (col("n1") + col("n2") - col("inter")))
+      val cands = lshCandidatePairs(s, d).toDF("id1", "id2")
+      graft.ops.Dedup.jaccardFromShingles(
+          shingles(s, d).withColumnRenamed("doc_id", "id"), Some(cands))
         .filter(col("jac") >= 0.5)
-        .select(col("doc1"), col("doc2"), col("inter"), col("jac"))
+        .select(col("id1").as("doc1"), col("id2").as("doc2"),
+          col("inter"), col("jac"))
         .orderBy(col("doc1"), col("doc2"))
     },
 
@@ -289,16 +303,36 @@ object ExtendedQueries {
         |       string_agg(CASE WHEN sbit > 0 THEN '1' ELSE '0' END, '' ORDER BY bitpos) AS simhash
         |FROM sums GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+    // Same candidate restriction as the Spark plan: the minhash-LSH
+    // CTE chain generates candidate pairs; Jaccard is verified only on
+    // those (semantics = "verified near-dups among LSH candidates").
     "q_dedup_ngram_jaccard" ->
       s"""WITH sh AS (
-         |  SELECT DISTINCT * FROM (
          |  $shinglesSql
-         |  )
+         |), mh AS (
+         |  SELECT doc_id,
+         |    min(md5('0|' || s)) AS m0, min(md5('1|' || s)) AS m1,
+         |    min(md5('2|' || s)) AS m2, min(md5('3|' || s)) AS m3,
+         |    min(md5('4|' || s)) AS m4, min(md5('5|' || s)) AS m5,
+         |    min(md5('6|' || s)) AS m6, min(md5('7|' || s)) AS m7
+         |  FROM sh GROUP BY doc_id
+         |), bands AS (
+         |  SELECT doc_id, 1 AS band, md5(m0 || m1 || m2 || m3) AS h FROM mh
+         |  UNION ALL
+         |  SELECT doc_id, 2 AS band, md5(m4 || m5 || m6 || m7) AS h FROM mh
+         |), cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id
+         |), shd AS (
+         |  SELECT DISTINCT * FROM sh
          |), sizes AS (
-         |  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+         |  SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id
          |), inter AS (
-         |  SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS inter
-         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  SELECT c.doc1, c.doc2, count(*) AS inter
+         |  FROM cand c
+         |  JOIN shd a ON a.doc_id = c.doc1
+         |  JOIN shd b ON b.doc_id = c.doc2 AND b.s = a.s
          |  GROUP BY 1, 2
          |)
          |SELECT doc1, doc2, inter, inter * 1.0 / (s1.n + s2.n - inter) AS jac

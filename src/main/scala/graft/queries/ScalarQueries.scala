@@ -71,15 +71,20 @@ object ScalarQueries {
     },
 
     // Map functions over JSON-derived maps: from_json to MAP, then
-    // map_keys/map_values (SURVEY §2.8's map row). The fixture props
-    // is a single-key object, so key order is trivially stable.
+    // map_keys/map_values/element_at (SURVEY §2.8's map row). The
+    // fixture props is a single-key object, so key order is trivially
+    // stable. Outputs are SCALAR columns (concat_ws over the arrays +
+    // the looked-up value): the driver's pandas compare sorts column
+    // values and cannot hash ARRAY cells.
     "q_map_ops" -> { (s, d) =>
       t(s, d, "events")
         .select(col("event_id"),
           expr("from_json(props, 'map<string,bigint>')").as("m"))
         .select(col("event_id"),
-          map_keys(col("m")).as("ks"),
-          map_values(col("m")).as("vs"))
+          size(map_keys(col("m"))).cast("long").as("n_keys"),
+          concat_ws(",", map_keys(col("m"))).as("ks"),
+          concat_ws(",", map_values(col("m")).cast("array<string>")).as("vs"),
+          element_at(col("m"), "k").as("k_val"))
         .orderBy(col("event_id"))
     },
 
@@ -136,9 +141,11 @@ object ScalarQueries {
 
     "q_map_ops" ->
       """SELECT event_id,
-        |       json_keys(props) AS ks,
-        |       list_transform(json_keys(props),
-        |         k -> CAST(json_extract_string(props, '$.' || k) AS BIGINT)) AS vs
+        |       len(json_keys(props)) AS n_keys,
+        |       array_to_string(json_keys(props), ',') AS ks,
+        |       array_to_string(list_transform(json_keys(props),
+        |         k -> json_extract_string(props, '$.' || k)), ',') AS vs,
+        |       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
         |FROM events ORDER BY event_id""".stripMargin,
 
     "q_date_arith" ->
