@@ -107,6 +107,21 @@ object Dedup {
       .distinct()
   }
 
+  /** Doc ids appearing in ≥1 LSH candidate pair, derived from bucket
+    * occupancy in ONE aggregation pass over a (id, band, h) band table
+    * — a doc is a candidate iff some bucket it occupies holds ≥2 docs
+    * (each doc contributes at most one row per bucket, so a row count
+    * suffices). Equivalent to distinct(id1 ∪ id2) over the pair
+    * self-join but avoids computing the join at all — the cheap way to
+    * feed a candidate-doc restriction to `jaccardFromShingles`. */
+  def lshCandidateDocIds(bands: DataFrame): DataFrame = {
+    val hot = bands.groupBy(col("band"), col("h"))
+      .agg(count(lit(1)).as("__c")).filter(col("__c") > 1)
+      .select(col("band"), col("h"))
+    bands.join(hot, Seq("band", "h"), "left_semi")
+      .select(col("id")).distinct()
+  }
+
   /** SimHash-32 signature per document as a 32-char '0'/'1' string:
     * per-token md5-derived 32-bit hashes, weighted bit majority. */
   def simHashSignatures(docs: DataFrame, textCol: Column, idCol: Column): DataFrame =
@@ -148,32 +163,58 @@ object Dedup {
     * applied BELOW the distinct: at scale the distinct then aggregates
     * only candidate documents' shingles, not the corpus. */
   def jaccardFromShingles(shRaw: DataFrame,
-      candidates: Option[DataFrame] = None): DataFrame = {
-    val restricted = candidates match {
-      case Some(c) =>
-        val candIds = c.select(col("id1").as("id"))
-          .union(c.select(col("id2").as("id"))).distinct()
-        shRaw.join(candIds, Seq("id"), "left_semi")
-      case None => shRaw
-    }
-    val sh = restricted.distinct()
-    // Per-doc sizes from the candidate-restricted table: the semi-join
-    // keeps ALL shingles of each candidate document (restriction is by
-    // id, not by shingle), so counts equal the full-set sizes while
-    // the groupBy stays O(|candidates|), not O(|corpus|).
+      candidates: Option[DataFrame] = None,
+      candidateIds: Option[DataFrame] = None): DataFrame = candidates match {
+    case Some(c) =>
+      // candidateIds (single `id` column) lets callers supply the doc
+      // restriction from a cheaper derivation than the pair self-join
+      // (e.g. lshCandidateDocIds' one-pass bucket-occupancy scan).
+      val candIds = candidateIds.getOrElse(
+        c.select(explode(array(col("id1"), col("id2"))).as("id")).distinct())
+      // broadcast(): candidate ids/pairs are a vanishing fraction of
+      // the corpus BY CONSTRUCTION (LSH bounds them), so they are
+      // legitimate build sides. Without the hint Spark sort-merge-
+      // joins, exchanging + sorting the full shingle table once per
+      // consumer; with it the big side is never shuffled.
+      val sh = shRaw.join(broadcast(candIds), Seq("id"), "left_semi").distinct()
+      jaccardOnPairs(sh, c)
+    case None =>
+      // All-pairs verify — test scale only (the scaladoc contract).
+      val sh = shRaw.distinct()
+      val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n"))
+      val inter = sh.as("a").join(sh.as("b"),
+          col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+        .groupBy(col("a.id").as("id1"), col("b.id").as("id2"))
+        .agg(count(lit(1)).as("inter"))
+      inter
+        .join(sizes.toDF("id1", "n1"), "id1")
+        .join(sizes.toDF("id2", "n2"), "id2")
+        .withColumn("jac", col("inter") / (col("n1") + col("n2") - col("inter")))
+  }
+
+  /** Exact Jaccard for exactly the given (id1, id2) pairs over a
+    * DISTINCT (id, s) shingle table already restricted to candidate
+    * documents. Callers that consume the restricted table repeatedly
+    * (it feeds sizes + both intersection sides) should persist it —
+    * it is candidate-bounded, so tiny by construction.
+    *
+    * Pair-FIRST intersection: fan each pair out to doc1's shingles,
+    * then inner-join doc2's shingles on (id2, s). Work is
+    * Σ_pairs |shingles(doc1)| — intersections are never materialized
+    * for non-candidate pairs, unlike a candidate-doc self-join which
+    * computes all C(|cand docs|, 2) overlaps and discards most.
+    * shuffle_hash: both sides are candidate-bounded; avoids the sort a
+    * merge join would add. */
+  def jaccardOnPairs(sh: DataFrame, pairs: DataFrame): DataFrame = {
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n"))
-    val joined = sh.as("a").join(sh.as("b"),
-      col("a.s") === col("b.s") && col("a.id") < col("b.id"))
-    val inter = joined
-      .groupBy(col("a.id").as("id1"), col("b.id").as("id2"))
-      .agg(count(lit(1)).as("inter"))
-    val withCand = candidates match {
-      case Some(c) => inter.join(c, Seq("id1", "id2"), "left_semi")
-      case None => inter
-    }
-    withCand
-      .join(sizes.toDF("id1", "n1"), "id1")
-      .join(sizes.toDF("id2", "n2"), "id2")
+    val inter = broadcast(pairs.select(col("id1"), col("id2")))
+      .join(sh.select(col("id").as("id1"), col("s")), Seq("id1"))
+      .join(sh.select(col("id").as("id2"), col("s")).hint("shuffle_hash"),
+        Seq("id2", "s"))
+      .groupBy(col("id1"), col("id2")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(broadcast(sizes.toDF("id1", "n1")), "id1")
+      .join(broadcast(sizes.toDF("id2", "n2")), "id2")
       .withColumn("jac", col("inter") / (col("n1") + col("n2") - col("inter")))
   }
 }

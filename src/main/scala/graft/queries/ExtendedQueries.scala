@@ -91,12 +91,28 @@ object ExtendedQueries {
       .distinct()
   }
 
-  /** Release the session-pinned shingle/band caches (the declared dedup
-    * queries share them; a long-lived session embedding this library
-    * should call this after a dedup batch completes). cache() is lazy
-    * and keyed by plan equality, so re-deriving the same plans here
-    * resolves to the live cache entries. */
+  /** Distinct shingle sets of LSH-candidate documents only — the
+    * verify-stage working set. The candidate-doc restriction comes
+    * from bucket occupancy (one aggregation pass over the cached band
+    * table, no pair self-join), is broadcast (candidate-bounded), and
+    * the result is cached: it feeds per-doc sizes AND both sides of
+    * the pairwise intersection, and is tiny by construction. */
+  private def restrictedShingles(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val candIds = graft.ops.Dedup.lshCandidateDocIds(
+      bandTable(s, d).withColumnRenamed("doc_id", "id"))
+    shingles(s, d).withColumnRenamed("doc_id", "id")
+      .join(broadcast(candIds), Seq("id"), "left_semi")
+      .distinct()
+      .cache()
+  }
+
+  /** Release the session-pinned shingle/band/candidate caches (the
+    * declared dedup queries share them; a long-lived session embedding
+    * this library should call this after a dedup batch completes).
+    * cache() is lazy and keyed by plan equality, so re-deriving the
+    * same plans here resolves to the live cache entries. */
   def releaseCaches(s: org.apache.spark.sql.SparkSession, d: String): Unit = {
+    restrictedShingles(s, d).unpersist()
     bandTable(s, d).unpersist()
     shingles(s, d).unpersist()
   }
@@ -129,8 +145,7 @@ object ExtendedQueries {
     // inter/union are exact ints → the division is bit-identical.
     "q_dedup_ngram_jaccard" -> { (s, d) =>
       val cands = lshCandidatePairs(s, d).toDF("id1", "id2")
-      graft.ops.Dedup.jaccardFromShingles(
-          shingles(s, d).withColumnRenamed("doc_id", "id"), Some(cands))
+      graft.ops.Dedup.jaccardOnPairs(restrictedShingles(s, d), cands)
         .filter(col("jac") >= 0.5)
         .select(col("id1").as("doc1"), col("id2").as("doc2"),
           col("inter"), col("jac"))
