@@ -7,11 +7,15 @@ import org.apache.spark.sql.functions._
   *
   * Media are opaque `binary` columns with typed metadata — the Spark
   * side (schema, partitioning, batch shape, lineage) is real and
-  * tested; the codec kernels are STUBS (this container has no
-  * image/audio libraries): `decodeStub` derives deterministic fake
-  * dimensions/features from the md5 of the payload, so tests are
-  * reproducible and the stub is trivially swappable for a real codec
-  * (same signature, per-partition batching already in place).
+  * tested. IMAGE decode/resize are REAL (JDK-built-in `javax.imageio`
+  * — PNG/JPEG/GIF/BMP, no external libraries); audio/video kernels are
+  * STUBS (no codec libraries in this container): `decodeStub` derives
+  * deterministic fake dimensions/features from the md5 of the payload,
+  * so tests are reproducible and the stub is trivially swappable for a
+  * real codec (same signature, per-partition batching already in
+  * place). Image payloads that fail to parse also fall back to the
+  * stub rather than failing the partition — a 100 TB corpus always
+  * contains corrupt bytes.
   *
   * 100 TB design notes:
   *  - payloads stay in executor space end-to-end (no driver collect);
@@ -46,13 +50,27 @@ object Multimodal {
       duration_ms = if (kind == "image") 0L else 1000L * (1 + u(2)))
   }
 
+  /** Real image decode via the JDK's ImageIO; None when the payload is
+    * not a parseable image (corrupt bytes, or not an image at all). */
+  private def decodeImage(id: Long, bytes: Array[Byte]): Option[DecodedMeta] =
+    try {
+      Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+        .map(img => DecodedMeta(id, "image", bytes.length.toLong,
+          width = img.getWidth, height = img.getHeight, duration_ms = 0L))
+    } catch { case _: java.io.IOException => None }
+
   /** Decode a media Dataset to metadata rows; one codec init per
-    * partition (the `it =>` closure), streaming through rows. */
+    * partition (the `it =>` closure), streaming through rows. Images
+    * decode for real (ImageIO header parse → true width/height);
+    * audio/video (and unparseable images) take the stub. */
   def decode(media: Dataset[MediaRow]): Dataset[DecodedMeta] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
-      // real impl: init codec/model HERE, once per partition
-      it.map(m => decodeStub(m.media_id, m.kind, m.bytes))
+      // real impl: init audio/video codecs HERE, once per partition
+      it.map { m =>
+        val real = if (m.kind == "image") decodeImage(m.media_id, m.bytes) else None
+        real.getOrElse(decodeStub(m.media_id, m.kind, m.bytes))
+      }
     }
   }
 
@@ -68,19 +86,39 @@ object Multimodal {
     }.toDF("media_id", "features")
   }
 
-  /** Stub resize: emits the target dimensions plus a deterministic
-    * payload digest for the "resized" bytes (a real implementation
-    * swaps the digest for the actual scaled image; the per-partition
-    * batching and the metadata-only schema downstream are the
-    * production shape — resized payloads stay in executor space). */
+  /** Resize: REAL for parseable images (AWT bilinear scale, re-encoded
+    * as PNG — headless-safe, no display needed), digest-stub for
+    * audio/video and corrupt payloads. Emits the target dimensions plus
+    * a digest of the resized bytes; resized payloads stay in executor
+    * space (metadata-only schema downstream — the production shape). */
   def resize(media: Dataset[MediaRow], width: Int, height: Int): DataFrame = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
-      // real impl: init the scaler once per partition HERE
+      // one digest + scaler context per partition
       it.map { m =>
+        val realPng: Option[Array[Byte]] =
+          if (m.kind != "image") None
+          else try {
+            Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.bytes))).map { img =>
+              val out = new java.awt.image.BufferedImage(
+                width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+              val g = out.createGraphics()
+              g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+                java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+              g.drawImage(img, 0, 0, width, height, null)
+              g.dispose()
+              val baos = new java.io.ByteArrayOutputStream()
+              javax.imageio.ImageIO.write(out, "png", baos)
+              baos.toByteArray
+            }
+          } catch { case _: java.io.IOException => None }
         val h = java.security.MessageDigest.getInstance("MD5")
-        h.update(m.bytes)
-        h.update(s":$width:$height".getBytes("UTF-8"))
+        realPng match {
+          case Some(png) => h.update(png)
+          case None =>
+            h.update(m.bytes)
+            h.update(s":$width:$height".getBytes("UTF-8"))
+        }
         val digest = h.digest().map(b => f"$b%02x").mkString
         (m.media_id, m.kind, width, height, digest)
       }

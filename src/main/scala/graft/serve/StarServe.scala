@@ -1,0 +1,76 @@
+package graft.serve
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Serving path over the published star schema — SURVEY §3 E3.
+  *
+  * The reference dashboard (streamlit/app.py:90) loads the ENTIRE fact
+  * table with `SELECT * … ORDER BY DateKey`, then filters client-side
+  * in pandas (:106-110) — a full materialize + full sort per page view,
+  * repeated for every user interaction. This module is the Spark-first
+  * correction:
+  *
+  *  - star frames are loaded once and cached (`serve-layer` memory —
+  *    the dims are KB-sized, the fact fits serving memory by
+  *    construction of the serving tier; `release()` drops the pins);
+  *  - every accessor FILTERS FIRST and sorts only the slice: the
+  *    filter is part of the Catalyst plan, so it executes below the
+  *    sort (ServeSpec gates the plan shape), and a top-k request plans
+  *    as TakeOrderedAndProject, never a full sort;
+  *  - dim lookups (`indexKeyFor`) collect a KB-sized dimension — the
+  *    reference does the same `dict(zip(...))` (:97-99).
+  */
+class StarServe(spark: SparkSession, starDir: String) {
+
+  /** Cached star frames (reference reads the same four objects,
+    * app.py:75-95). */
+  lazy val fact: DataFrame =
+    spark.read.parquet(s"$starDir/fact_table.parquet").cache()
+  lazy val dimStockIndex: DataFrame =
+    spark.read.parquet(s"$starDir/dim_stock_index.parquet").cache()
+  lazy val dimDate: DataFrame =
+    spark.read.parquet(s"$starDir/dim_date.parquet").cache()
+  lazy val dimCountry: DataFrame =
+    spark.read.parquet(s"$starDir/dim_country.parquet").cache()
+
+  /** IndexCode → IndexKey, the sidebar mapping (app.py:97-99). */
+  def indexKeyFor(indexCode: String): Option[String] =
+    dimStockIndex.filter(col("IndexCode") === indexCode)
+      .select(col("IndexKey")).collect().headOption.map(_.getString(0))
+
+  /** Date bounds for the range picker (app.py:101-103) — an aggregate,
+    * not a client-side scan. */
+  def factDateBounds(): (java.sql.Date, java.sql.Date) = {
+    val r = fact.agg(min(col("DateKey")), max(col("DateKey"))).head
+    (r.getDate(0), r.getDate(1))
+  }
+
+  /** The Charts slice (app.py:106-110), filter-before-sort: index +
+    * date-range predicates are Catalyst filters below the sort. */
+  def factSlice(indexCode: String, start: String, end: String): DataFrame =
+    fact
+      .join(broadcast(dimStockIndex.filter(col("IndexCode") === indexCode)
+        .select(col("IndexKey"))), Seq("IndexKey"))
+      .filter(col("DateKey") >= lit(start).cast("date") &&
+        col("DateKey") <= lit(end).cast("date"))
+      .orderBy(col("DateKey"))
+
+  /** The chart's two series (app.py:118-127). */
+  def chartSeries(indexCode: String, start: String, end: String): DataFrame =
+    factSlice(indexCode, start, end)
+      .select(col("DateKey"), col("Close"), col("GDPGrowthRate"))
+
+  /** Latest-k rows for a table widget: top-k plan
+    * (TakeOrderedAndProject), never a full sort. */
+  def latest(indexCode: String, k: Int): DataFrame =
+    fact
+      .join(broadcast(dimStockIndex.filter(col("IndexCode") === indexCode)
+        .select(col("IndexKey"))), Seq("IndexKey"))
+      .orderBy(col("DateKey").desc)
+      .limit(k)
+
+  /** Release the serve-layer cache pins. */
+  def release(): Unit =
+    Seq(fact, dimStockIndex, dimDate, dimCountry).foreach(_.unpersist())
+}

@@ -1,0 +1,88 @@
+package graft.sources
+
+import java.time.LocalDate
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** External-API source adapters — SURVEY §2.1 S5/S6.
+  *
+  * The reference's two ingest tasks pull from yfinance and wbdata and
+  * then do pure frame surgery before landing
+  * (airflow/dags/fetch_stocks.py:64-78 and :94-119). The network fetch
+  * is environment (and offline in this sandbox); the SURGERY is engine
+  * logic and is replicated here as pure DataFrame transforms with an
+  * injectable fetch — production plugs a real client in, tests pass a
+  * canned frame.
+  *
+  * Scale note: these adapters run on driver-fetched increments (one
+  * day to a few years of daily rows — small by construction); the
+  * heavy path is the landing scan + star build, not the fetch.
+  */
+object ExternalAdapters {
+
+  /** The reference's post-`yf.download` reshape (fetch_stocks.py:68-70):
+    * the wide multi-index frame — one row per Date, one column per
+    * (ticker, field) pair, named `<ticker>:<field>` here — is stacked
+    * to one row per (Date, Ticker) and the fields re-ordered to the
+    * landing layout (Open, High, Low, Close, AdjClose, Volume).
+    *
+    * `stack()` is the Spark-native unpivot: no shuffle, evaluated
+    * row-by-row inside the scan projection. */
+  def stackYfinance(wide: DataFrame, tickers: Seq[String]): DataFrame = {
+    require(tickers.nonEmpty, "at least one ticker")
+    val fields = Seq("Open", "High", "Low", "Close", "Adj Close", "Volume")
+    val stackArgs = tickers.map { t =>
+      s"'$t', " + fields.map(f => s"`$t:$f`").mkString(", ")
+    }.mkString(", ")
+    wide.selectExpr("Date",
+        s"stack(${tickers.length}, $stackArgs) AS (Ticker, Open, High, Low, Close, AdjClose, Volume)")
+      .select(col("Date").cast("date"), col("Ticker"),
+        col("Open").cast("double"), col("High").cast("double"),
+        col("Low").cast("double"), col("Close").cast("double"),
+        col("AdjClose").cast("double"),
+        // yfinance delivers Volume as float64; double→long matches the
+        // reference's integral CSV output
+        col("Volume").cast("double").cast("long"))
+  }
+
+  /** The reference's wbdata rename (fetch_stocks.py:108-111): indicator
+    * display names → engine column names, date column surfaced. */
+  def renameWorldBank(df: DataFrame): DataFrame =
+    df.withColumnRenamed("GDP Growth", "GDPGrowthRate")
+      .withColumnRenamed("Inflation, Consumer Prices", "InflationRate")
+      .withColumnRenamed("Date", "date")
+
+  /** Full stock-ingest task (fetch_stocks.py:39-78) with injectable
+    * fetch: watermark from landed object names, fetch the
+    * (lastSaved, today] increment, reshape, land one CSV object.
+    * Returns the landed path, or None when already up to date.
+    *
+    * `fetch(tickers, start, end)` returns the wide frame
+    * `stackYfinance` expects; production adapts a real client, tests
+    * pass canned data. */
+  def fetchStocksIncrement(spark: SparkSession, landingDir: String,
+      fetch: (Seq[String], LocalDate, LocalDate) => DataFrame,
+      today: LocalDate,
+      tickers: Seq[String] = Seq("^DJI", "^GSPC", "^NDX"),
+      prefix: String = "stocks"): Option[String] = {
+    val lastSave = graft.etl.StarSchemaBuilder
+      .lastSavedDate(spark, landingDir, prefix)
+      .getOrElse(LocalDate.of(2000, 1, 1)) // reference start date (:56)
+    if (!lastSave.isBefore(today)) None // "Stock data up to date" (:60-62)
+    else {
+      val wide = fetch(tickers, lastSave, today)
+      Some(graft.etl.Landing.appendDay(
+        stackYfinance(wide, tickers), landingDir, prefix, today))
+    }
+  }
+
+  /** Full world-bank ingest task (fetch_stocks.py:81-119) with
+    * injectable fetch: fetch, rename, land one CSV object (the
+    * reference re-lands the full indicator history each run — no
+    * watermark on this path). Returns the landed path. */
+  def fetchWorldBank(spark: SparkSession, landingDir: String,
+      fetch: () => DataFrame, today: LocalDate,
+      prefix: String = "world_bank"): String =
+    graft.etl.Landing.appendDay(renameWorldBank(fetch()), landingDir, prefix, today)
+}

@@ -5,9 +5,56 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.ops.Multimodal
 
 /** Spark-side plumbing for opaque media columns: schema, determinism,
-  * batch shape (the codec itself is a documented stub). */
+  * batch shape. Image decode/resize are real (ImageIO); audio/video
+  * kernels are documented stubs. */
 class MultimodalSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
+
+  /** A real PNG payload of the given dimensions, generated offline. */
+  private def pngBytes(w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until w; y <- 0 until h)
+      img.setRGB(x, y, (x * 31 + y * 131) & 0xffffff)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
+  test("real PNG payloads decode to true width/height") {
+    import spark.implicits._
+    val media = Seq(
+      Multimodal.MediaRow(1L, "image", pngBytes(37, 21), "srcA"),
+      Multimodal.MediaRow(2L, "image", pngBytes(128, 64), "srcA"),
+      // corrupt image payload must fall back to the stub, not fail
+      Multimodal.MediaRow(3L, "image", Array[Byte](1, 2, 3, 4), "srcB")).toDS()
+    val out = Multimodal.decode(media).collect().sortBy(_.media_id)
+    assert(out(0).width == 37 && out(0).height == 21)
+    assert(out(1).width == 128 && out(1).height == 64)
+    assert(out(2).width % 16 == 0) // stub signature dims
+    assert(out.forall(_.duration_ms == 0L))
+  }
+
+  test("real PNG resize re-encodes scaled pixels (not the stub digest)") {
+    import spark.implicits._
+    val media = Seq(Multimodal.MediaRow(1L, "image", pngBytes(64, 64), "srcA")).toDS()
+    val resized = Multimodal.resize(media, 16, 16).head
+    // independently compute the expected digest of the scaled PNG
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(pngBytes(64, 64)))
+    val out = new java.awt.image.BufferedImage(16, 16,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = out.createGraphics()
+    g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+      java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+    g.drawImage(img, 0, 0, 16, 16, null)
+    g.dispose()
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(out, "png", baos)
+    val expect = java.security.MessageDigest.getInstance("MD5")
+      .digest(baos.toByteArray).map(b => f"$b%02x").mkString
+    assert(resized.getString(4) == expect)
+  }
 
   test("decode is deterministic and kind-aware") {
     val media = Multimodal.syntheticMedia(spark, 30)

@@ -1,0 +1,76 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.etl.StarSchemaBuilder
+import graft.serve.StarServe
+
+/** E3 serving path: cached star frames, filter-below-sort plan gate
+  * (the reference's sort-then-client-filter anti-pattern inverted),
+  * top-k without a full sort. */
+class ServeSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private lazy val starDir: String = {
+    val landing = Files.createTempDirectory("graft_serve_landing").toString
+    val dates = Iterator.iterate(java.time.LocalDate.parse("2024-01-01"))(_.plusDays(1))
+      .takeWhile(!_.isAfter(java.time.LocalDate.parse("2024-02-29"))).toSeq
+    val rows = for {
+      t <- Seq("^GSPC", "^DJI")
+      (d, i) <- dates.zipWithIndex
+    } yield {
+      val base = if (t == "^GSPC") 4700.0 else 37000.0
+      f"$d,$t,${base + i - 5}%.2f,${base + i + 5}%.2f,${base + i - 10}%.2f,${base + i}%.2f,${base + i}%.2f,${1000000 + i}"
+    }
+    Files.write(Paths.get(landing, "stocks_2024-02-29.csv"),
+      ("Date,Ticker,Open,High,Low,Close,AdjClose,Volume" +: rows).mkString("\n").getBytes)
+    Files.write(Paths.get(landing, "world_bank_2024-02-29.csv"),
+      "date,GDPGrowthRate,InflationRate\n2024-01-01,2.5,3.1".getBytes)
+    val out = Files.createTempDirectory("graft_serve_star").toString
+    StarSchemaBuilder.build(spark, landing, out)
+    out
+  }
+
+  test("chartSeries returns the filtered slice, ordered") {
+    val serve = new StarServe(spark, starDir)
+    val rows = serve.chartSeries("^GSPC", "2024-01-10", "2024-01-19").collect()
+    assert(rows.length == 10)
+    assert(rows.map(_.getDate(0).toString).toSeq == rows.map(_.getDate(0).toString).sorted.toSeq)
+    // econ join carried through to the serve layer
+    assert(rows.forall(_.getDouble(2) == 2.5))
+    serve.release()
+  }
+
+  test("plan gate: filter sits BELOW the sort; scan is the cached fact") {
+    val serve = new StarServe(spark, starDir)
+    val plan = serve.factSlice("^GSPC", "2024-01-10", "2024-01-19")
+      .queryExecution.executedPlan.toString
+    val sortAt = plan.indexOf("Sort")
+    val filterAt = plan.indexOf("Filter")
+    assert(sortAt >= 0 && filterAt >= 0)
+    // tree prints parent-first: Sort above means filter EXECUTES first
+    assert(sortAt < filterAt,
+      s"filter must execute below the sort:\n${plan.take(3000)}")
+    assert(plan.contains("InMemoryTableScan"), "fact must serve from cache")
+    serve.release()
+  }
+
+  test("plan gate: latest-k is top-k (TakeOrderedAndProject), not a full sort") {
+    val serve = new StarServe(spark, starDir)
+    val plan = serve.latest("^DJI", 5).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(3000))
+    assert(serve.latest("^DJI", 5).collect().length == 5)
+    serve.release()
+  }
+
+  test("dim lookup and date bounds match the data") {
+    val serve = new StarServe(spark, starDir)
+    assert(serve.indexKeyFor("^GSPC").isDefined)
+    assert(serve.indexKeyFor("NOPE").isEmpty)
+    val (lo, hi) = serve.factDateBounds()
+    assert(lo.toString == "2024-01-01" && hi.toString == "2024-02-29")
+    serve.release()
+  }
+}
