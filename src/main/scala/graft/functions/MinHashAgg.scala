@@ -55,16 +55,25 @@ case class MinHashAgg(
     a.length < b.length
   }
 
+  // Hot-path allocations hoisted out of update(): the JCA provider
+  // lookup (MessageDigest.getInstance) and the per-seed prefix bytes
+  // would otherwise run once per input ROW (× numHashes for the
+  // prefixes). Thread-local digest: one Expression instance can serve
+  // concurrent tasks in the same executor JVM.
+  @transient private lazy val localMd: ThreadLocal[MessageDigest] =
+    ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
+  @transient private lazy val seedPrefix: Array[Array[Byte]] =
+    Array.tabulate(numHashes)(j => s"$j|".getBytes("UTF-8"))
+
   override def update(buf: Array[Array[Byte]], input: InternalRow): Array[Array[Byte]] = {
     val v = child.eval(input)
     if (v != null) {
       val s = v.asInstanceOf[UTF8String].getBytes
-      val md = MessageDigest.getInstance("MD5")
+      val md = localMd.get()
       var j = 0
       while (j < numHashes) {
         md.reset()
-        md.update(j.toString.getBytes("UTF-8"))
-        md.update('|'.toByte)
+        md.update(seedPrefix(j))
         md.update(s)
         val h = md.digest()
         if (buf(j) == null || less(h, buf(j))) buf(j) = h

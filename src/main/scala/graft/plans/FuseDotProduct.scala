@@ -25,9 +25,10 @@ import graft.functions.DotProduct
   * be double 0.0, the finish lambda the identity, and both inputs
   * ARRAY<DOUBLE>.
   *
-  * Injected by `graft.GraftExtensions` (spark.sql.extensions) as a
-  * resolution-batch rule, so SQL and DataFrame users get the kernel
-  * without code changes.
+  * Injected by `graft.GraftExtensions` (spark.sql.extensions) as an
+  * OPTIMIZER rule (injectOptimizerRule) — it must run after lambda
+  * resolution so the NamedLambdaVariable shapes below exist. SQL and
+  * DataFrame users get the kernel without code changes.
   */
 object FuseDotProduct extends Rule[LogicalPlan] {
 

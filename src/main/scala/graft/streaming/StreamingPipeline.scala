@@ -89,54 +89,91 @@ object StreamingPipeline {
     * into the previous snapshot (anti-join out the updated keys, union
     * the new rows) and publishes the result as a fresh snapshot
     * directory; the `_LATEST` pointer is written to a temp name and
-    * RENAMED over — readers via `readLatestSnapshot` see exactly one
-    * consistent version of every key, never a truncated pointer.
-    * Superseded snapshots are retired (keeping one grace copy for
-    * in-flight readers). All IO goes through the Hadoop FileSystem of
-    * `outDir`, so object-store destinations (s3a://, ObjectStore) work
-    * the same as local paths; swap the directory flip for a
+    * RENAMED over.
+    *
+    * Recovery contract: foreachBatch is AT-LEAST-ONCE — after a crash
+    * between the pointer flip and the checkpoint commit the same
+    * batchId re-runs, and the previous snapshot it would read IS the
+    * directory it would overwrite. The replay guard below detects that
+    * (pointer already names this batch's snapshot) and skips the
+    * re-apply, making the batch idempotent.
+    *
+    * Pointer atomicity: rename is atomic on HDFS/local filesystems, so
+    * readers there see either the old or the new pointer. On S3A,
+    * rename is copy+delete and there is additionally a delete→rename
+    * window — `readLatestSnapshot` retries on a missing pointer to
+    * cover both. Superseded snapshots are retired (keeping one grace
+    * copy for in-flight readers). Swap the directory flip for a
     * transactional table format where one is available. */
   def upsertSink(agg: DataFrame, keyCols: Seq[String], outDir: String,
       checkpointDir: String) =
     agg.writeStream
       .outputMode(OutputMode.Update)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val spark = batch.sparkSession
-        val conf = spark.sparkContext.hadoopConfiguration
-        val out = new Path(outDir)
-        val fs = out.getFileSystem(conf)
-        val merged =
-          if (fs.exists(new Path(out, "_LATEST"))) {
-            val prev = readLatestSnapshot(spark, outDir)
-            prev.join(batch, keyCols, "left_anti").unionByName(batch)
-          } else batch
-        val snap = s"$outDir/snapshot_$batchId"
-        merged.write.mode("overwrite").parquet(snap)
-        // atomic pointer flip: write temp, rename over _LATEST
-        val tmp = new Path(out, s"_LATEST.tmp_$batchId")
-        val ptr = fs.create(tmp, true)
-        try ptr.write(s"snapshot_$batchId".getBytes("UTF-8")) finally ptr.close()
-        fs.delete(new Path(out, "_LATEST"), false)
-        fs.rename(tmp, new Path(out, "_LATEST"))
-        // retire snapshots older than the previous one; ignore foreign
-        // non-numeric snapshot_* names rather than crash-looping
-        fs.listStatus(out).foreach { st =>
-          val name = st.getPath.getName
-          if (name.startsWith("snapshot_"))
-            scala.util.Try(name.stripPrefix("snapshot_").toLong).toOption
-              .filter(_ < batchId - 1)
-              .foreach(_ => fs.delete(st.getPath, true))
-        }
-        ()
+        applyUpsertBatch(batch, batchId, keyCols, outDir)
       }
       .option("checkpointLocation", checkpointDir)
 
-  /** Read the snapshot the `_LATEST` pointer names. */
+  /** One micro-batch of the upsert sink (see `upsertSink` scaladoc for
+    * the recovery/atomicity contract). Idempotent per batchId —
+    * replaying an already-applied batch is a no-op. */
+  private[graft] def applyUpsertBatch(batch: DataFrame, batchId: Long,
+      keyCols: Seq[String], outDir: String): Unit = {
+    val spark = batch.sparkSession
+    val conf = spark.sparkContext.hadoopConfiguration
+    val out = new Path(outDir)
+    val fs = out.getFileSystem(conf)
+    val ptrPath = new Path(out, "_LATEST")
+    val currentPtr =
+      if (fs.exists(ptrPath)) {
+        val in = fs.open(ptrPath)
+        Some(try new String(in.readAllBytes(), "UTF-8").trim finally in.close())
+      } else None
+    // replay guard (see scaladoc): this batch already fully applied
+    if (!currentPtr.contains(s"snapshot_$batchId")) {
+      val merged = currentPtr match {
+        case Some(_) =>
+          val prev = readLatestSnapshot(spark, outDir)
+          prev.join(batch, keyCols, "left_anti").unionByName(batch)
+        case None => batch
+      }
+      val snap = s"$outDir/snapshot_$batchId"
+      merged.write.mode("overwrite").parquet(snap)
+      // pointer flip: write temp, rename over _LATEST
+      val tmp = new Path(out, s"_LATEST.tmp_$batchId")
+      val ptr = fs.create(tmp, true)
+      try ptr.write(s"snapshot_$batchId".getBytes("UTF-8")) finally ptr.close()
+      fs.delete(ptrPath, false)
+      if (!fs.rename(tmp, ptrPath))
+        throw new java.io.IOException(
+          s"failed to flip _LATEST to snapshot_$batchId (rename returned false)")
+    }
+    // retire snapshots older than the previous one; ignore foreign
+    // non-numeric snapshot_* names rather than crash-looping
+    fs.listStatus(out).foreach { st =>
+      val name = st.getPath.getName
+      if (name.startsWith("snapshot_"))
+        scala.util.Try(name.stripPrefix("snapshot_").toLong).toOption
+          .filter(_ < batchId - 1)
+          .foreach(_ => fs.delete(st.getPath, true))
+    }
+  }
+
+  /** Read the snapshot the `_LATEST` pointer names. Retries a missing
+    * pointer briefly: writers flip it via delete→rename, and on object
+    * stores the rename itself is non-atomic (copy+delete), so a reader
+    * can catch the gap. */
   def readLatestSnapshot(spark: SparkSession, outDir: String): DataFrame = {
     val out = new Path(outDir)
     val fs = out.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val in = fs.open(new Path(out, "_LATEST"))
-    val latest = try new String(in.readAllBytes(), "UTF-8").trim finally in.close()
-    spark.read.parquet(s"$outDir/$latest")
+    def readPtr(attempt: Int): String =
+      try {
+        val in = fs.open(new Path(out, "_LATEST"))
+        try new String(in.readAllBytes(), "UTF-8").trim finally in.close()
+      } catch {
+        case e: java.io.FileNotFoundException if attempt < 5 =>
+          Thread.sleep(100L << attempt); readPtr(attempt + 1)
+      }
+    spark.read.parquet(s"$outDir/${readPtr(0)}")
   }
 }

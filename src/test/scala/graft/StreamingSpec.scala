@@ -99,6 +99,24 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("upsert batch replay is idempotent (at-least-once foreachBatch recovery)") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft_upsert_replay").toString
+    val b0 = Seq(("k1", 1L), ("k2", 1L)).toDF("k", "n")
+    StreamingPipeline.applyUpsertBatch(b0, 0L, Seq("k"), out)
+    val b1 = Seq(("k2", 5L), ("k3", 1L)).toDF("k", "n")
+    StreamingPipeline.applyUpsertBatch(b1, 1L, Seq("k"), out)
+    def snap() = StreamingPipeline.readLatestSnapshot(spark, out)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val applied = snap()
+    assert(applied == Map("k1" -> 1L, "k2" -> 5L, "k3" -> 1L))
+    // crash-between-flip-and-checkpoint-commit → the same batchId
+    // re-runs; the replay guard must leave the snapshot untouched
+    // (without it, the merge would read the directory being overwritten)
+    StreamingPipeline.applyUpsertBatch(b1, 1L, Seq("k"), out)
+    assert(snap() == applied)
+  }
+
   test("stateful sessionize agrees with the batch lag+cumsum sessionizer") {
     import spark.implicits._
     val events = spark.read.parquet(fixtureDir)
