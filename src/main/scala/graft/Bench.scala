@@ -33,12 +33,13 @@ object Bench {
       // one-time build unless consumers account for it.
       SparkEntry.queries("q_text_fingerprint")(spark, sfDir).count()
     }
-    // Two timed runs per query, min reported (declared in the JSON).
+    // Three timed runs per query, min reported (declared in the JSON).
     // This VM shows multi-second scheduler stalls at random (observed
-    // 2-4x inflation on single runs with an idle host); min-of-2 keeps
-    // one stall from masquerading as engine cost while still charging
-    // each query its own planning + codegen.
-    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
+    // 2-4x inflation on single runs with an idle host); min-of-N keeps
+    // stalls from masquerading as engine cost while still charging
+    // each query its own planning + codegen. N=3 because one stall can
+    // span two consecutive runs of the same query.
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val results = SparkEntry.queries.map { case (name, fn) =>
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()

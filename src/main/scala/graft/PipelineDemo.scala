@@ -6,8 +6,9 @@ import org.apache.spark.sql.functions._
 import graft.etl.StarSchemaBuilder
 import graft.ops.{Dedup, Multimodal, Similarity}
 
-/** End-to-end demo of the non-oracle library surface: star-schema ETL
-  * from landing CSVs, near-dup detection, ANN search, multimodal
+/** End-to-end demo of the non-oracle library surface: ingest through
+  * the injectable-fetch adapters + landing CSV sink, star-schema ETL,
+  * the serving layer, near-dup detection, ANN search, multimodal
   * plumbing, and the streaming tumbling aggregation — one run, real
   * outputs, printed summaries. */
 object PipelineDemo {
@@ -20,25 +21,45 @@ object PipelineDemo {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
     val sf = "/root/testdata/sf0.001"
 
-    // --- star-schema ETL over a synthetic landing zone ---
+    // --- ingest: injectable-fetch adapters (S5/S6) + landing sink (S8) ---
     val landing = Files.createTempDirectory("demo_landing").toString
+    val tickers = Seq("^GSPC", "^DJI", "^NDX")
     val dates = Iterator.iterate(java.time.LocalDate.parse("2024-01-01"))(_.plusDays(1))
       .takeWhile(!_.isAfter(java.time.LocalDate.parse("2024-02-15"))).toSeq
-    val rows = for { t <- Seq("^GSPC", "^DJI", "^NDX"); (d, i) <- dates.zipWithIndex } yield
-      f"$d,$t,100.0,110.0,90.0,${100.0 + i + (if (t == "^DJI") 50 else 0)}%.2f,100.0,${1000L + i}"
-    Files.write(java.nio.file.Paths.get(landing, "stocks_2024-02-15.csv"),
-      ("Date,Ticker,Open,High,Low,Close,AdjClose,Volume" +: rows).mkString("\n").getBytes)
-    Files.write(java.nio.file.Paths.get(landing, "world_bank_2024-02-15.csv"),
-      "date,GDPGrowthRate,InflationRate\n2024-01-01,2.5,3.1".getBytes)
-    val starOut = Files.createTempDirectory("demo_star").toString
+    // canned "yfinance" payload: wide (ticker, field) columns per date
+    val fields = Seq("Open", "High", "Low", "Close", "Adj Close", "Volume")
+    val wideCols = Seq("Date") ++ (for (t <- tickers; f <- fields) yield s"$t:$f")
+    val wide = dates.zipWithIndex.map { case (d, i) =>
+        (d.toString +: tickers.flatMap { t =>
+          val close = 100.0 + i + (if (t == "^DJI") 50 else 0)
+          Seq("100.0", "110.0", "90.0", f"$close%.2f", "100.0", s"${1000L + i}")
+        }).mkString("|")
+      }.toDF("raw").select(split(col("raw"), "\\|").as("p"))
+      .select(wideCols.zipWithIndex.map { case (c, i) => col("p").getItem(i).as(c) }: _*)
+    val landed = graft.sources.ExternalAdapters.fetchStocksIncrement(
+      spark, landing, (_, _, _) => wide,
+      today = java.time.LocalDate.parse("2024-02-15"), tickers = tickers)
+    println(s"[demo] landed stocks increment = $landed")
+    graft.sources.ExternalAdapters.fetchWorldBank(spark, landing,
+      () => Seq(("2024-01-01", 2.5, 3.1))
+        .toDF("Date", "GDP Growth", "Inflation, Consumer Prices"),
+      java.time.LocalDate.parse("2024-02-15"))
     println(s"[demo] watermark = ${StarSchemaBuilder.lastSavedDate(spark, landing, "stocks")}")
+
+    // --- star-schema ETL over the landed zone ---
+    val starOut = Files.createTempDirectory("demo_star").toString
     val star = StarSchemaBuilder.build(spark, landing, starOut)
     star.foreach { case (n, _) =>
       println(s"[demo] $n rows = ${spark.read.parquet(s"$starOut/$n.parquet").count()}") }
-    spark.read.parquet(s"$starOut/fact_table.parquet")
-      .orderBy(col("IndexKey"), col("DateKey")).show(3)
+
+    // --- serving layer: filter-below-sort slice from the cached star ---
+    val serve = new graft.serve.StarServe(spark, starOut)
+    println("[demo] serve chartSeries ^DJI 2024-01-10..2024-01-14:")
+    serve.chartSeries("^DJI", "2024-01-10", "2024-01-14").show()
+    serve.release()
 
     // --- near-dup detection on the documents corpus ---
     val docs = queries.t(spark, sf, "documents")
@@ -62,6 +83,12 @@ object PipelineDemo {
     val decoded = Multimodal.decode(media)
     println(s"[demo] media decoded = ${decoded.count()}; " +
       s"frames sampled = ${Multimodal.sampleFrames(decoded, 5000).count()}")
+
+    // --- approximate distinct (HLL++) vs exact ---
+    val li = queries.t(spark, sf, "lineitem")
+    val approx = graft.ops.Sketches.approxCountDistinct(li, col("l_partkey")).head.getLong(0)
+    val exact = li.select(col("l_partkey")).distinct().count()
+    println(s"[demo] approx distinct parts = $approx (exact $exact)")
 
     // --- streaming tumbling agg over an event stream ---
     val streamDir = Files.createTempDirectory("demo_stream").toString
