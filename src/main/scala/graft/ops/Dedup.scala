@@ -164,32 +164,37 @@ object Dedup {
     * only candidate documents' shingles, not the corpus. */
   def jaccardFromShingles(shRaw: DataFrame,
       candidates: Option[DataFrame] = None,
-      candidateIds: Option[DataFrame] = None): DataFrame = candidates match {
-    case Some(c) =>
-      // candidateIds (single `id` column) lets callers supply the doc
-      // restriction from a cheaper derivation than the pair self-join
-      // (e.g. lshCandidateDocIds' one-pass bucket-occupancy scan).
-      val candIds = candidateIds.getOrElse(
-        c.select(explode(array(col("id1"), col("id2"))).as("id")).distinct())
-      // broadcast(): candidate ids/pairs are a vanishing fraction of
-      // the corpus BY CONSTRUCTION (LSH bounds them), so they are
-      // legitimate build sides. Without the hint Spark sort-merge-
-      // joins, exchanging + sorting the full shingle table once per
-      // consumer; with it the big side is never shuffled.
-      val sh = shRaw.join(broadcast(candIds), Seq("id"), "left_semi").distinct()
-      jaccardOnPairs(sh, c)
-    case None =>
-      // All-pairs verify — test scale only (the scaladoc contract).
-      val sh = shRaw.distinct()
-      val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n"))
-      val inter = sh.as("a").join(sh.as("b"),
-          col("a.s") === col("b.s") && col("a.id") < col("b.id"))
-        .groupBy(col("a.id").as("id1"), col("b.id").as("id2"))
-        .agg(count(lit(1)).as("inter"))
-      inter
-        .join(sizes.toDF("id1", "n1"), "id1")
-        .join(sizes.toDF("id2", "n2"), "id2")
-        .withColumn("jac", col("inter") / (col("n1") + col("n2") - col("inter")))
+      candidateIds: Option[DataFrame] = None): DataFrame = {
+    // Doc restriction applies when EITHER form is given: explicit ids
+    // (e.g. lshCandidateDocIds' one-pass bucket-occupancy scan — the
+    // cheap derivation) or ids implied by the candidate pairs.
+    // broadcast(): candidate ids/pairs are a vanishing fraction of the
+    // corpus BY CONSTRUCTION (LSH bounds them), so they are legitimate
+    // build sides. Without the hint Spark sort-merge-joins, exchanging
+    // + sorting the full shingle table once per consumer; with it the
+    // big side is never shuffled.
+    val ids = candidateIds.orElse(candidates.map(c =>
+      c.select(explode(array(col("id1"), col("id2"))).as("id")).distinct()))
+    val restricted = ids match {
+      case Some(i) => shRaw.join(broadcast(i), Seq("id"), "left_semi")
+      case None => shRaw
+    }
+    val sh = restricted.distinct()
+    candidates match {
+      case Some(c) => jaccardOnPairs(sh, c)
+      case None =>
+        // All-pairs verify within the (possibly restricted) doc set —
+        // unrestricted all-pairs is test scale only (scaladoc contract).
+        val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n"))
+        val inter = sh.as("a").join(sh.as("b"),
+            col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+          .groupBy(col("a.id").as("id1"), col("b.id").as("id2"))
+          .agg(count(lit(1)).as("inter"))
+        inter
+          .join(sizes.toDF("id1", "n1"), "id1")
+          .join(sizes.toDF("id2", "n2"), "id2")
+          .withColumn("jac", col("inter") / (col("n1") + col("n2") - col("inter")))
+    }
   }
 
   /** Exact Jaccard for exactly the given (id1, id2) pairs over a
@@ -207,7 +212,11 @@ object Dedup {
     * merge join would add. */
   def jaccardOnPairs(sh: DataFrame, pairs: DataFrame): DataFrame = {
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n"))
-    val inter = broadcast(pairs.select(col("id1"), col("id2")))
+    // distinct(): a duplicated candidate pair would fan the shingle
+    // match out twice and double-count inter (jac > 1, or a zero
+    // denominator for exact dups). LSH callers are distinct already;
+    // this guards the public API at candidate-bounded cost.
+    val inter = broadcast(pairs.select(col("id1"), col("id2")).distinct())
       .join(sh.select(col("id").as("id1"), col("s")), Seq("id1"))
       .join(sh.select(col("id").as("id2"), col("s")).hint("shuffle_hash"),
         Seq("id2", "s"))

@@ -51,13 +51,17 @@ object Multimodal {
   }
 
   /** Real image decode via the JDK's ImageIO; None when the payload is
-    * not a parseable image (corrupt bytes, or not an image at all). */
+    * not a parseable image (corrupt bytes, or not an image at all).
+    * NonFatal, not just IOException: the JDK plugin decoders throw
+    * IllegalArgumentException / index errors on malformed payloads
+    * that pass the format sniff — one such row must not kill the
+    * partition. */
   private def decodeImage(id: Long, bytes: Array[Byte]): Option[DecodedMeta] =
     try {
       Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
         .map(img => DecodedMeta(id, "image", bytes.length.toLong,
           width = img.getWidth, height = img.getHeight, duration_ms = 0L))
-    } catch { case _: java.io.IOException => None }
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Decode a media Dataset to metadata rows; one codec init per
     * partition (the `it =>` closure), streaming through rows. Images
@@ -79,8 +83,10 @@ object Multimodal {
   def extractFeatures(media: Dataset[MediaRow]): DataFrame = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5") // per partition
       it.map { m =>
-        val h = java.security.MessageDigest.getInstance("MD5").digest(m.bytes)
+        md.reset()
+        val h = md.digest(m.bytes)
         (m.media_id, h.take(8).map(b => (b & 0xff) / 255.0f))
       }
     }.toDF("media_id", "features")
@@ -94,7 +100,9 @@ object Multimodal {
   def resize(media: Dataset[MediaRow], width: Int, height: Int): DataFrame = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
-      // one digest + scaler context per partition
+      // one digest instance per partition, reset per row (the JCA
+      // provider lookup is the hot-path cost, same as MinHashAgg)
+      val h = java.security.MessageDigest.getInstance("MD5")
       it.map { m =>
         val realPng: Option[Array[Byte]] =
           if (m.kind != "image") None
@@ -111,8 +119,10 @@ object Multimodal {
               javax.imageio.ImageIO.write(out, "png", baos)
               baos.toByteArray
             }
-          } catch { case _: java.io.IOException => None }
-        val h = java.security.MessageDigest.getInstance("MD5")
+            // NonFatal: malformed payloads throw runtime exceptions from
+            // the JDK decoders, not just IOException (see decodeImage)
+          } catch { case scala.util.control.NonFatal(_) => None }
+        h.reset()
         realPng match {
           case Some(png) => h.update(png)
           case None =>

@@ -32,8 +32,13 @@ object ExternalAdapters {
   def stackYfinance(wide: DataFrame, tickers: Seq[String]): DataFrame = {
     require(tickers.nonEmpty, "at least one ticker")
     val fields = Seq("Open", "High", "Low", "Close", "Adj Close", "Volume")
+    // escape for selectExpr: ' in string literals doubles, ` in quoted
+    // identifiers doubles — a ticker like BRK'A must not break (or
+    // inject into) the stack() expression
+    def sqlLit(s: String) = "'" + s.replace("'", "''") + "'"
+    def sqlIdent(s: String) = "`" + s.replace("`", "``") + "`"
     val stackArgs = tickers.map { t =>
-      s"'$t', " + fields.map(f => s"`$t:$f`").mkString(", ")
+      s"${sqlLit(t)}, " + fields.map(f => sqlIdent(s"$t:$f")).mkString(", ")
     }.mkString(", ")
     wide.selectExpr("Date",
         s"stack(${tickers.length}, $stackArgs) AS (Ticker, Open, High, Low, Close, AdjClose, Volume)")
@@ -66,14 +71,23 @@ object ExternalAdapters {
       today: LocalDate,
       tickers: Seq[String] = Seq("^DJI", "^GSPC", "^NDX"),
       prefix: String = "stocks"): Option[String] = {
-    val lastSave = graft.etl.StarSchemaBuilder
+    val watermark = graft.etl.StarSchemaBuilder
       .lastSavedDate(spark, landingDir, prefix)
+    val lastSave = watermark
       .getOrElse(LocalDate.of(2000, 1, 1)) // reference start date (:56)
     if (!lastSave.isBefore(today)) None // "Stock data up to date" (:60-62)
     else {
-      val wide = fetch(tickers, lastSave, today)
-      Some(graft.etl.Landing.appendDay(
-        stackYfinance(wide, tickers), landingDir, prefix, today))
+      val stacked = stackYfinance(fetch(tickers, lastSave, today), tickers)
+      // exclusive start when a watermark exists: yfinance-style clients
+      // are start-INCLUSIVE, and the watermark day is already landed —
+      // re-landing it would duplicate (Date, Ticker) rows in the
+      // landing union and corrupt the fact windows. (The reference
+      // re-lands it; that is a reference bug, corrected here.)
+      val increment = watermark match {
+        case Some(w) => stacked.filter(col("Date") > lit(w.toString).cast("date"))
+        case None => stacked
+      }
+      Some(graft.etl.Landing.appendDay(increment, landingDir, prefix, today))
     }
   }
 

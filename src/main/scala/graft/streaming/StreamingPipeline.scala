@@ -94,9 +94,16 @@ object StreamingPipeline {
     * Recovery contract: foreachBatch is AT-LEAST-ONCE — after a crash
     * between the pointer flip and the checkpoint commit the same
     * batchId re-runs, and the previous snapshot it would read IS the
-    * directory it would overwrite. The replay guard below detects that
-    * (pointer already names this batch's snapshot) and skips the
-    * re-apply, making the batch idempotent.
+    * directory it would overwrite. Snapshot names carry a run tag
+    * (derived from the checkpoint location) besides the batchId, and
+    * the replay guard skips the re-apply when the batch's own snapshot
+    * is already the newest COMPLETE one — the run tag keeps a fresh
+    * stream (new checkpoint, restarted batch ids) over an existing
+    * outDir from mistaking the old run's batches for its own replays.
+    * A crash in the delete→rename pointer window loses only the
+    * pointer, not the data: the writer falls back to the newest
+    * complete (_SUCCESS-marked) snapshot as the merge base and
+    * re-flips the pointer.
     *
     * Pointer atomicity: rename is atomic on HDFS/local filesystems, so
     * readers there see either the old or the new pointer. On S3A,
@@ -106,55 +113,75 @@ object StreamingPipeline {
     * copy for in-flight readers). Swap the directory flip for a
     * transactional table format where one is available. */
   def upsertSink(agg: DataFrame, keyCols: Seq[String], outDir: String,
-      checkpointDir: String) =
+      checkpointDir: String) = {
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(checkpointDir.getBytes("UTF-8")).take(4).map(b => f"$b%02x").mkString
     agg.writeStream
       .outputMode(OutputMode.Update)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        applyUpsertBatch(batch, batchId, keyCols, outDir)
+        applyUpsertBatch(batch, batchId, keyCols, outDir, tag)
       }
       .option("checkpointLocation", checkpointDir)
+  }
+
+  /** Leading numeric id of a `snapshot_<id>[_<tag>]` name. */
+  private def snapId(name: String): Option[Long] = {
+    val digits = name.stripPrefix("snapshot_").takeWhile(_.isDigit)
+    if (digits.isEmpty) None else scala.util.Try(digits.toLong).toOption
+  }
 
   /** One micro-batch of the upsert sink (see `upsertSink` scaladoc for
-    * the recovery/atomicity contract). Idempotent per batchId —
-    * replaying an already-applied batch is a no-op. */
+    * the recovery/atomicity contract). Idempotent per (runTag,
+    * batchId) — replaying an already-applied batch is a no-op. */
   private[graft] def applyUpsertBatch(batch: DataFrame, batchId: Long,
-      keyCols: Seq[String], outDir: String): Unit = {
+      keyCols: Seq[String], outDir: String, runTag: String = "run"): Unit = {
     val spark = batch.sparkSession
     val conf = spark.sparkContext.hadoopConfiguration
     val out = new Path(outDir)
     val fs = out.getFileSystem(conf)
     val ptrPath = new Path(out, "_LATEST")
+    val target = s"snapshot_${batchId}_$runTag"
     val currentPtr =
       if (fs.exists(ptrPath)) {
         val in = fs.open(ptrPath)
         Some(try new String(in.readAllBytes(), "UTF-8").trim finally in.close())
       } else None
-    // replay guard (see scaladoc): this batch already fully applied
-    if (!currentPtr.contains(s"snapshot_$batchId")) {
-      val merged = currentPtr match {
-        case Some(_) =>
-          val prev = readLatestSnapshot(spark, outDir)
+    def isComplete(name: String): Boolean =
+      fs.exists(new Path(out, s"$name/_SUCCESS"))
+    // merge base: the pointer's target, or — writer recovery after a
+    // crash inside the pointer window — the newest complete snapshot
+    val prevSnapshot = currentPtr.filter(isComplete).orElse {
+      if (!fs.exists(out)) None
+      else fs.listStatus(out).toSeq.map(_.getPath.getName)
+        .filter(n => n.startsWith("snapshot_") && snapId(n).isDefined && isComplete(n))
+        .sortBy(n => snapId(n).get).lastOption
+    }
+    // replay guard: this (runTag, batchId) already wrote its snapshot
+    if (!prevSnapshot.contains(target)) {
+      val merged = prevSnapshot match {
+        case Some(p) =>
+          val prev = spark.read.parquet(s"$outDir/$p")
           prev.join(batch, keyCols, "left_anti").unionByName(batch)
         case None => batch
       }
-      val snap = s"$outDir/snapshot_$batchId"
-      merged.write.mode("overwrite").parquet(snap)
-      // pointer flip: write temp, rename over _LATEST
+      merged.write.mode("overwrite").parquet(s"$outDir/$target")
+    }
+    if (!currentPtr.contains(target)) {
+      // (re-)flip pointer: write temp, rename over _LATEST
       val tmp = new Path(out, s"_LATEST.tmp_$batchId")
       val ptr = fs.create(tmp, true)
-      try ptr.write(s"snapshot_$batchId".getBytes("UTF-8")) finally ptr.close()
+      try ptr.write(target.getBytes("UTF-8")) finally ptr.close()
       fs.delete(ptrPath, false)
       if (!fs.rename(tmp, ptrPath))
         throw new java.io.IOException(
-          s"failed to flip _LATEST to snapshot_$batchId (rename returned false)")
+          s"failed to flip _LATEST to $target (rename returned false)")
     }
     // retire snapshots older than the previous one; ignore foreign
     // non-numeric snapshot_* names rather than crash-looping
     fs.listStatus(out).foreach { st =>
       val name = st.getPath.getName
       if (name.startsWith("snapshot_"))
-        scala.util.Try(name.stripPrefix("snapshot_").toLong).toOption
-          .filter(_ < batchId - 1)
+        snapId(name).filter(_ < batchId - 1)
           .foreach(_ => fs.delete(st.getPath, true))
     }
   }

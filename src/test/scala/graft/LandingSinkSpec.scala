@@ -86,11 +86,23 @@ class LandingSinkSpec extends AnyFunSuite {
       today = LocalDate.parse("2024-03-01"), tickers = tickers)
     assert(p2.isEmpty && fetchedWindow.isEmpty)
 
-    // next day → incremental window from the watermark
-    val p3 = ExternalAdapters.fetchStocksIncrement(spark, dir, fetch,
+    // next day → incremental window from the watermark; an inclusive-
+    // start client (yfinance) returns the watermark day AGAIN — it must
+    // be filtered out, landing only the new day (no duplicate rows in
+    // the landing union)
+    val fetchBoth = (_: Seq[String], start: LocalDate, end: LocalDate) => {
+      fetchedWindow = Some((start, end))
+      wideFrame(Seq("2024-03-01", "2024-03-02"))
+    }
+    val p3 = ExternalAdapters.fetchStocksIncrement(spark, dir, fetchBoth,
       today = LocalDate.parse("2024-03-02"), tickers = tickers)
     assert(p3.isDefined)
     assert(fetchedWindow.contains((LocalDate.parse("2024-03-01"), LocalDate.parse("2024-03-02"))))
+    val all = StarSchemaBuilder.readLanding(spark, dir, "stocks",
+      StarSchemaBuilder.stocksSchema)
+    assert(all.count() == 4) // 2 tickers × (03-01 once + 03-02 once)
+    assert(all.groupBy("Date", "Ticker").count()
+      .filter(col("count") > 1).count() == 0)
   }
 
   test("fetchWorldBank renames indicator columns and lands") {

@@ -117,6 +117,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(snap() == applied)
   }
 
+  test("upsert recovers from a missing pointer and distinguishes runs") {
+    import spark.implicits._
+    val fs = new org.apache.hadoop.fs.Path("/").getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val out = Files.createTempDirectory("graft_upsert_recover").toString
+    StreamingPipeline.applyUpsertBatch(
+      Seq(("k1", 1L)).toDF("k", "n"), 0L, Seq("k"), out, runTag = "aaaa")
+    StreamingPipeline.applyUpsertBatch(
+      Seq(("k2", 2L)).toDF("k", "n"), 1L, Seq("k"), out, runTag = "aaaa")
+    def snap() = StreamingPipeline.readLatestSnapshot(spark, out)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(snap() == Map("k1" -> 1L, "k2" -> 2L))
+    // crash inside the delete→rename window: pointer gone, data intact —
+    // the writer must fall back to the newest complete snapshot
+    fs.delete(new org.apache.hadoop.fs.Path(out, "_LATEST"), false)
+    StreamingPipeline.applyUpsertBatch(
+      Seq(("k3", 3L)).toDF("k", "n"), 2L, Seq("k"), out, runTag = "aaaa")
+    assert(snap() == Map("k1" -> 1L, "k2" -> 2L, "k3" -> 3L))
+    // a FRESH stream (new checkpoint → new tag) over the same outDir
+    // restarts batch ids at 0 — that is NOT a replay; its batch must
+    // merge, not be skipped
+    StreamingPipeline.applyUpsertBatch(
+      Seq(("k1", 9L)).toDF("k", "n"), 0L, Seq("k"), out, runTag = "bbbb")
+    assert(snap() == Map("k1" -> 9L, "k2" -> 2L, "k3" -> 3L))
+  }
+
   test("stateful sessionize agrees with the batch lag+cumsum sessionizer") {
     import spark.implicits._
     val events = spark.read.parquet(fixtureDir)
