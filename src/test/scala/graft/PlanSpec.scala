@@ -53,6 +53,22 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("jaccard verify: no sort-merge join, no full-corpus broadcast") {
+    val df = q("q_dedup_ngram_jaccard")
+    df.collect() // finalize AQE
+    val p = plan(df)
+    // every join is hash-based: the candidate restriction + pair fanout
+    // broadcast candidate-bounded sides, and the (id2, s) intersection
+    // is a shuffled hash join — a SortMergeJoin would mean the shingle
+    // table is being exchanged+sorted per consumer again
+    assert(!p.contains("SortMergeJoin"), p.take(4000))
+    // set-op pre-aggregation: union/intersect/except shuffle distincts
+    val pu = plan(q("q_union_distinct"))
+    // each union branch aggregates BEFORE the exchange (partial
+    // HashAggregate below Exchange) — the |rows|→|distinct| shrink
+    assert("HashAggregate".r.findAllIn(pu).length >= 4, pu.take(4000))
+  }
+
   test("vector pair join: dot kernel is codegen, join is broadcast") {
     val df = q("q_dedup_embed_topk")
     df.collect() // finalize the AQE plan so codegen stages are visible

@@ -92,4 +92,35 @@ class PropertySpec extends AnyFunSuite {
       assert(nSessions == expectedSessions, s"seed=$seed got=$nSessions want=$expectedSessions")
     }
   }
+
+  test("jaccard: scores in (0,1]; candidate-restricted ⊆ all-pairs; dup pairs harmless") {
+    // random docs built from a tiny vocabulary → plenty of shared
+    // shingles across docs
+    val wordGen = Gen.oneOf("alpha", "beta", "gamma", "delta", "eps")
+    val docGen = Gen.listOfN(12, wordGen).map(_.mkString(" "))
+    for (seed <- 1L to 3L) {
+      val docs = (0 until 12).map { i =>
+        (i.toLong, sample(docGen, seed * 100 + i)) }.toDF("doc_id", "text")
+      val all = graft.ops.Dedup
+        .ngramJaccardPairs(docs, col("text"), col("doc_id"))
+        .collect().map(r => (r.getAs[Long]("id1"), r.getAs[Long]("id2")) -> r.getAs[Double]("jac")).toMap
+      assert(all.values.forall(j => j > 0.0 && j <= 1.0), s"seed=$seed $all")
+      // exact duplicate docs must score exactly 1.0
+      val dup = graft.ops.Dedup.ngramJaccardPairs(
+          Seq((1L, "a b c d e"), (2L, "a b c d e")).toDF("doc_id", "text"),
+          col("text"), col("doc_id")).collect()
+      assert(dup.length == 1 && dup.head.getAs[Double]("jac") == 1.0)
+      // candidate restriction selects exactly those pairs, same scores;
+      // duplicated candidate pairs must not change the result
+      val somePairs = all.keys.take(3).toSeq
+      if (somePairs.nonEmpty) {
+        val cands = (somePairs ++ somePairs).toDF("id1", "id2") // dups on purpose
+        val restricted = graft.ops.Dedup
+          .ngramJaccardPairs(docs, col("text"), col("doc_id"), candidates = Some(cands))
+          .collect().map(r => (r.getAs[Long]("id1"), r.getAs[Long]("id2")) -> r.getAs[Double]("jac")).toMap
+        assert(restricted.keySet == somePairs.toSet, s"seed=$seed")
+        restricted.foreach { case (k, j) => assert(j == all(k), s"seed=$seed pair=$k") }
+      }
+    }
+  }
 }
