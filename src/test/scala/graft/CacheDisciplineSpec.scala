@@ -1,0 +1,34 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Library-usage cache discipline: the dedup queries pin shared
+  * artifacts (shingles, LSH bands, candidate-restricted shingles) for
+  * cross-query reuse; `ExtendedQueries.releaseCaches` must free every
+  * one of them so a long-lived session embedding the library does not
+  * leak executor memory. Asserted on the executor block store
+  * (`getRDDStorageInfo`), not on plan shape — the queries re-register
+  * their lazy cache entries on every build, but released entries hold
+  * no blocks. */
+class CacheDisciplineSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("releaseCaches frees every block the dedup queries pinned") {
+    def pinned: Set[Int] = spark.sparkContext.getRDDStorageInfo.map(_.id).toSet
+    val before = pinned
+    // run the cache-heaviest declared queries end to end (materializes
+    // the shingle + band + candidate-restricted caches)
+    SparkEntry.queries("q_dedup_minhash_lsh")(spark, sfTiny).count()
+    SparkEntry.queries("q_dedup_ngram_jaccard")(spark, sfTiny).count()
+    val during = pinned
+    assert((during -- before).nonEmpty,
+      "queries are expected to pin shared artifacts while in use")
+    graft.queries.ExtendedQueries.releaseCaches(spark, sfTiny)
+    val after = pinned
+    assert((after -- before).isEmpty,
+      s"blocks still pinned after releaseCaches: ${after -- before}")
+    // the queries still work (and re-pin) after release
+    assert(SparkEntry.queries("q_dedup_ngram_jaccard")(spark, sfTiny).count() > 0)
+    graft.queries.ExtendedQueries.releaseCaches(spark, sfTiny)
+  }
+}
