@@ -39,10 +39,13 @@ object Multimodal {
       width: Int, height: Int, duration_ms: Long)
 
   /** Deterministic fake "decode": header fields derived from the
-    * payload hash. REPLACE with a real codec per `kind` — the
-    * per-partition batching below is the production shape. */
-  private def decodeStub(id: Long, kind: String, bytes: Array[Byte]): DecodedMeta = {
-    val h = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+    * payload hash (digest instance supplied per partition). REPLACE
+    * with a real codec per `kind` — the per-partition batching below
+    * is the production shape. */
+  private def decodeStub(md: java.security.MessageDigest, id: Long,
+      kind: String, bytes: Array[Byte]): DecodedMeta = {
+    md.reset()
+    val h = md.digest(bytes)
     def u(i: Int): Int = h(i) & 0xff
     DecodedMeta(id, kind, bytes.length.toLong,
       width = 16 * (1 + u(0) % 240),
@@ -71,9 +74,10 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       // real impl: init audio/video codecs HERE, once per partition
+      val md = java.security.MessageDigest.getInstance("MD5")
       it.map { m =>
         val real = if (m.kind == "image") decodeImage(m.media_id, m.bytes) else None
-        real.getOrElse(decodeStub(m.media_id, m.kind, m.bytes))
+        real.getOrElse(decodeStub(md, m.media_id, m.kind, m.bytes))
       }
     }
   }

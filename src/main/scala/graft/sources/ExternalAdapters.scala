@@ -32,10 +32,13 @@ object ExternalAdapters {
   def stackYfinance(wide: DataFrame, tickers: Seq[String]): DataFrame = {
     require(tickers.nonEmpty, "at least one ticker")
     val fields = Seq("Open", "High", "Low", "Close", "Adj Close", "Volume")
-    // escape for selectExpr: ' in string literals doubles, ` in quoted
-    // identifiers doubles — a ticker like BRK'A must not break (or
-    // inject into) the stack() expression
-    def sqlLit(s: String) = "'" + s.replace("'", "''") + "'"
+    // escape for selectExpr: backslash doubles FIRST (the default
+    // parser treats \ as an escape inside string literals — a trailing
+    // \ would swallow the closing quote), then ' doubles; ` in quoted
+    // identifiers doubles — a ticker like BRK'A or A\ must not break
+    // (or inject into) the stack() expression
+    def sqlLit(s: String) =
+      "'" + s.replace("\\", "\\\\").replace("'", "''") + "'"
     def sqlIdent(s: String) = "`" + s.replace("`", "``") + "`"
     val stackArgs = tickers.map { t =>
       s"${sqlLit(t)}, " + fields.map(f => sqlIdent(s"$t:$f")).mkString(", ")
@@ -59,9 +62,11 @@ object ExternalAdapters {
       .withColumnRenamed("Date", "date")
 
   /** Full stock-ingest task (fetch_stocks.py:39-78) with injectable
-    * fetch: watermark from landed object names, fetch the
-    * (lastSaved, today] increment, reshape, land one CSV object.
-    * Returns the landed path, or None when already up to date.
+    * fetch: watermark from landed object names, fetch the window from
+    * the watermark, reshape, drop rows at or before the max Date
+    * already landed (works for start-inclusive AND end-exclusive
+    * clients), land one CSV object. Returns the landed path, or None
+    * when already up to date / the increment is empty.
     *
     * `fetch(tickers, start, end)` returns the wide frame
     * `stackYfinance` expects; production adapts a real client, tests
@@ -78,16 +83,27 @@ object ExternalAdapters {
     if (!lastSave.isBefore(today)) None // "Stock data up to date" (:60-62)
     else {
       val stacked = stackYfinance(fetch(tickers, lastSave, today), tickers)
-      // exclusive start when a watermark exists: yfinance-style clients
-      // are start-INCLUSIVE, and the watermark day is already landed —
-      // re-landing it would duplicate (Date, Ticker) rows in the
-      // landing union and corrupt the fact windows. (The reference
-      // re-lands it; that is a reference bug, corrected here.)
-      val increment = watermark match {
-        case Some(w) => stacked.filter(col("Date") > lit(w.toString).cast("date"))
+      // Dedup boundary = max Date actually LANDED, not the filename
+      // watermark: an end-exclusive client (yfinance) fetched only
+      // through watermark-1 on the previous run, so rows ON the
+      // watermark day may be genuinely new — filtering on the filename
+      // date would drop them forever. Against landed DATA, inclusive
+      // clients lose their duplicate re-fetch and exclusive clients
+      // lose nothing. (The reference re-lands the overlap — duplicate
+      // rows; corrected here.)
+      val lastLanded: Option[java.sql.Date] =
+        if (watermark.isEmpty) None
+        else Option(graft.etl.StarSchemaBuilder
+          .readLanding(spark, landingDir, prefix, graft.etl.StarSchemaBuilder.stocksSchema)
+          .agg(max(col("Date"))).head.getDate(0))
+      val increment = lastLanded match {
+        case Some(d) => stacked.filter(col("Date") > lit(d))
         case None => stacked
       }
-      Some(graft.etl.Landing.appendDay(increment, landingDir, prefix, today))
+      // nothing new (weekend/holiday run): do not land an empty object
+      // or advance the watermark
+      if (increment.isEmpty) None
+      else Some(graft.etl.Landing.appendDay(increment, landingDir, prefix, today))
     }
   }
 

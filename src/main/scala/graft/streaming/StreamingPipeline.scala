@@ -149,12 +149,21 @@ object StreamingPipeline {
     def isComplete(name: String): Boolean =
       fs.exists(new Path(out, s"$name/_SUCCESS"))
     // merge base: the pointer's target, or — writer recovery after a
-    // crash inside the pointer window — the newest complete snapshot
+    // crash inside the pointer window — our own target if it completed
+    // (crash was mid-flip), else the newest complete snapshot of THIS
+    // run, else (genuine cross-run continuation) the newest of any run.
+    // Never a raw max-by-id across runs first: a fresh run's low batch
+    // ids must not lose to a previous run's high ones.
     val prevSnapshot = currentPtr.filter(isComplete).orElse {
       if (!fs.exists(out)) None
-      else fs.listStatus(out).toSeq.map(_.getPath.getName)
-        .filter(n => n.startsWith("snapshot_") && snapId(n).isDefined && isComplete(n))
-        .sortBy(n => snapId(n).get).lastOption
+      else {
+        val complete = fs.listStatus(out).toSeq.map(_.getPath.getName)
+          .filter(n => n.startsWith("snapshot_") && snapId(n).isDefined && isComplete(n))
+        complete.find(_ == target)
+          .orElse(complete.filter(_.endsWith(s"_$runTag"))
+            .sortBy(n => snapId(n).get).lastOption)
+          .orElse(complete.sortBy(n => snapId(n).get).lastOption)
+      }
     }
     // replay guard: this (runTag, batchId) already wrote its snapshot
     if (!prevSnapshot.contains(target)) {
@@ -176,13 +185,17 @@ object StreamingPipeline {
         throw new java.io.IOException(
           s"failed to flip _LATEST to $target (rename returned false)")
     }
-    // retire snapshots older than the previous one; ignore foreign
-    // non-numeric snapshot_* names rather than crash-looping
+    // retire everything but the current snapshot and its merge base
+    // (the base is the grace copy for in-flight readers of the old
+    // pointer). Keying on names, not this run's batch counter, retires
+    // a previous run's high-id snapshots immediately — they would
+    // otherwise linger (and poison the pointer-loss fallback above).
+    // Foreign non-snapshot names are ignored rather than crash-looping.
+    val keep = (prevSnapshot.toSet + target)
     fs.listStatus(out).foreach { st =>
       val name = st.getPath.getName
-      if (name.startsWith("snapshot_"))
-        snapId(name).filter(_ < batchId - 1)
-          .foreach(_ => fs.delete(st.getPath, true))
+      if (name.startsWith("snapshot_") && snapId(name).isDefined && !keep(name))
+        fs.delete(st.getPath, true)
     }
   }
 

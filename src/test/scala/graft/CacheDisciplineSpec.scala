@@ -15,6 +15,10 @@ class CacheDisciplineSpec extends AnyFunSuite {
 
   test("releaseCaches frees every block the dedup queries pinned") {
     def pinned: Set[Int] = spark.sparkContext.getRDDStorageInfo.map(_.id).toSet
+    // other suites share this session and may already hold the same
+    // plan-keyed cache entries (e.g. PlanSpec's jaccard gate) — release
+    // first so `before` is a clean baseline and the pin is attributable
+    graft.queries.ExtendedQueries.releaseCaches(spark, sfTiny)
     val before = pinned
     // run the cache-heaviest declared queries end to end (materializes
     // the shingle + band + candidate-restricted caches)

@@ -103,6 +103,15 @@ class LandingSinkSpec extends AnyFunSuite {
     assert(all.count() == 4) // 2 tickers × (03-01 once + 03-02 once)
     assert(all.groupBy("Date", "Ticker").count()
       .filter(col("count") > 1).count() == 0)
+
+    // weekend/holiday run: the client returns only already-landed days
+    // → no empty object landed, watermark unchanged
+    val p4 = ExternalAdapters.fetchStocksIncrement(spark, dir,
+      (_: Seq[String], _: LocalDate, _: LocalDate) => wideFrame(Seq("2024-03-02")),
+      today = LocalDate.parse("2024-03-03"), tickers = tickers)
+    assert(p4.isEmpty)
+    assert(StarSchemaBuilder.lastSavedDate(spark, dir, "stocks")
+      .contains(LocalDate.parse("2024-03-02")))
   }
 
   test("fetchWorldBank renames indicator columns and lands") {
