@@ -123,25 +123,34 @@ object Dedup {
   }
 
   /** SimHash-32 signature per document as a 32-char '0'/'1' string:
-    * per-token md5-derived 32-bit hashes, weighted bit majority. */
-  def simHashSignatures(docs: DataFrame, textCol: Column, idCol: Column): DataFrame =
-    docs.select(idCol.as("id"), explode(split(textCol, " ")).as("tok"))
+    * per-token md5-derived 32-bit hashes, weighted bit majority.
+    *
+    * The 32 weighted bit-sums are 32 aggregate COLUMNS over the
+    * (id, token, count) table — one hash aggregate, map-side
+    * combinable — rather than exploding every token row 32× (a 32×
+    * shuffle blowup) and aggregating per (id, bitpos). Bit j's ±1 sign
+    * comes from nibble j/4 of the 8-hex-char token hash; identical
+    * arithmetic to the DuckDB oracle's unnest formulation. */
+  def simHashSignatures(docs: DataFrame, textCol: Column, idCol: Column): DataFrame = {
+    val tokc = docs.select(idCol.as("id"), explode(split(textCol, " ")).as("tok"))
       .filter(length(col("tok")) > 0)
       .groupBy(col("id"), col("tok")).agg(count(lit(1)).as("cnt"))
       .withColumn("h", substring(md5(col("tok").cast("binary")), 1, 8))
-      .select(col("id"), col("cnt"), col("h"),
-        explode(sequence(lit(0), lit(31))).as("bitpos"))
-      .withColumn("nib",
-        expr("instr('0123456789abcdef', substring(h, CAST(bitpos DIV 4 AS INT) + 1, 1)) - 1"))
-      .withColumn("p",
-        expr("CASE bitpos % 4 WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 4 ELSE 8 END"))
-      .withColumn("contrib", expr("cnt * (2 * ((nib DIV p) % 2) - 1)"))
-      .groupBy(col("id"), col("bitpos"))
-      .agg(sum(col("contrib")).as("sbit"))
-      .withColumn("c", when(col("sbit") > 0, "1").otherwise("0"))
-      .groupBy(col("id"))
-      .agg(expr("concat_ws('', transform(sort_array(collect_list(struct(bitpos, c))), x -> x.c))")
-        .as("simhash"))
+    // hex nibbles as ints, once per token row
+    val withNibs = (0 until 8).foldLeft(tokc) { (df, k) =>
+      df.withColumn(s"n$k",
+        expr(s"instr('0123456789abcdef', substring(h, ${k + 1}, 1)) - 1"))
+    }
+    val bitSums = (0 until 32).map { j =>
+      val nib = col(s"n${j / 4}")
+      val p = 1 << (j % 4)
+      sum(col("cnt") * ((nib.divide(p).cast("int") % 2) * 2 - 1)).as(s"b$j")
+    }
+    val sig = concat((0 until 32).map(j =>
+      when(col(s"b$j") > 0, "1").otherwise("0")): _*)
+    withNibs.groupBy(col("id")).agg(bitSums.head, bitSums.tail: _*)
+      .select(col("id"), sig.as("simhash"))
+  }
 
   /** Exact Jaccard over distinct n-gram shingle sets for given
     * candidate pairs (or all pairs when `candidates` is None — test
