@@ -240,15 +240,17 @@ object ExtendedQueries {
 
     // Rolling polynomial hash (Rabin-Karp shape) over the 40-char
     // prefix: h = (h*31 + code) mod 1e9+7 — pure integer fold,
-    // identical on both engines.
+    // identical on both engines. Uses the native codegen kernel
+    // (graft.functions.RollingHash) instead of the triple-HOF
+    // aggregate/transform/split chain, which is CodegenFallback and
+    // interprets two lambdas per character (bitwise-equal per
+    // RollingHashSpec; oracle unchanged).
     "q_text_rolling_hash" -> { (s, d) =>
       t(s, d, "documents")
         .filter(length(col("text")) > 0)
         .select(col("doc_id"),
-          expr("""aggregate(
-                 |  transform(split(substring(text, 1, 40), ''), c -> CAST(ascii(c) AS BIGINT)),
-                 |  CAST(0 AS BIGINT),
-                 |  (h, c) -> (h * 31 + c) % 1000000007)""".stripMargin).as("rhash"))
+          graft.functions.RollingHash
+            .rollingHash(substring(col("text"), 1, 40)).as("rhash"))
         .orderBy(col("doc_id"))
     },
 
