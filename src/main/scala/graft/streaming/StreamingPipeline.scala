@@ -43,6 +43,18 @@ object StreamingPipeline {
         sum(col("value").cast(DecimalType(18, 4))).cast("double").as("sum_v"))
       .select(col("w.start").as("h"), col("event_type"), col("n"), col("sum_v"))
 
+  /** Streaming exact dedup — the streaming twin of
+    * `graft.ops.Dedup.dedupExact`: keeps the first arrival per key,
+    * with dedup state EVICTED once the key's event time falls behind
+    * the watermark (`dropDuplicatesWithinWatermark`), so state is
+    * bounded by the watermark horizon, not stream lifetime. A plain
+    * `dropDuplicates` on an unbounded stream grows state forever —
+    * the 100 TB/∞-time failure mode this exists to avoid. */
+  def dedupStream(events: DataFrame, keyCols: Seq[String],
+      watermarkCol: String = "ts", delay: String = "1 hour"): DataFrame =
+    events.withWatermark(watermarkCol, delay)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long)
   case class SessionState(sessionId: Long, lastTs: Long, count: Long)
   case class SessionOut(user_id: Long, session_id: Long, n_events: Long)

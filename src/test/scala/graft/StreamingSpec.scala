@@ -117,6 +117,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(snap() == applied)
   }
 
+  test("streaming dedup keeps first arrival per key within the watermark") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val q = StreamingPipeline.dedupStream(
+        mem.toDF.toDF("event_id", "ts", "value"), Seq("event_id"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("dedup_stream").start()
+    try {
+      mem.addData(
+        (1L, ts("2024-01-01 10:00:00"), 1.0),
+        (1L, ts("2024-01-01 10:00:01"), 99.0), // dup key, later arrival
+        (2L, ts("2024-01-01 10:05:00"), 2.0))
+      q.processAllAvailable()
+      // replayed dup in a later batch, still inside the watermark
+      mem.addData((2L, ts("2024-01-01 10:06:00"), 77.0),
+        (3L, ts("2024-01-01 10:07:00"), 3.0))
+      q.processAllAvailable()
+      val out = spark.table("dedup_stream")
+        .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+      assert(out == Map(1L -> 1.0, 2L -> 2.0, 3L -> 3.0), out.toString)
+    } finally q.stop()
+  }
+
   test("upsert recovers from a missing pointer and distinguishes runs") {
     import spark.implicits._
     val fs = new org.apache.hadoop.fs.Path("/").getFileSystem(
