@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.CorpusClean
+
+/** The composed cleaning pipeline: each stage drops what it should on
+  * a fixture with known language/quality/dup structure, survivors keep
+  * the original schema, and the stats frame reconciles. */
+class CorpusCleanSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // quality text: ≥30 tokens, diverse vocabulary, enough stopwords
+  private def goodText(seed: Int) =
+    (0 until 35).map(i => if (i % 5 == 0) "the" else s"w$seed$i").mkString(" ")
+
+  private val fixture = Seq(
+    (1L, goodText(1)),                     // keeper
+    (2L, goodText(2)),                     // keeper
+    (3L, goodText(1)),                     // exact dup of 1 → dropped
+    (4L, goodText(2) + " extraword"),      // near dup of 2 → dropped
+    (5L, "uno dos tres"),                  // non-en (no stopwords) → dropped
+    (6L, ("the " * 40).trim)               // en but zero diversity → dropped
+  ).toDF("doc_id", "text")
+
+  test("stages drop language, quality, exact and near duplicates") {
+    val out = CorpusClean.clean(fixture, col("text"), col("doc_id"))
+    val kept = out.docs.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 2L), kept.toString)
+    // original schema preserved
+    assert(out.docs.columns.toSeq == Seq("doc_id", "text"))
+  }
+
+  test("stage stats reconcile in → out per stage") {
+    val out = CorpusClean.clean(fixture, col("text"), col("doc_id"))
+    val stats = out.stageStats().collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(stats("language") == (6L, 5L))    // doc 5 dropped
+    assert(stats("quality") == (5L, 4L))     // doc 6 dropped
+    assert(stats("exact_dedup") == (4L, 3L)) // doc 3 dropped
+    assert(stats("near_dedup") == (3L, 2L))  // doc 4 dropped
+    // chain property: each stage's input is the previous stage's output
+    val order = Seq("language", "quality", "exact_dedup", "near_dedup")
+    order.sliding(2).foreach { case Seq(a, b) =>
+      assert(stats(a)._2 == stats(b)._1, s"$a out != $b in")
+    }
+  }
+}
