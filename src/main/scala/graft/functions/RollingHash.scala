@@ -18,10 +18,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * over UTF-16 code units with zero allocation.
   *
   * Semantics match the HOF chain exactly (RollingHashSpec asserts
-  * bitwise equality): Spark's `split(s, '')` yields UTF-16 code units
-  * and `ascii` returns the lead unit's codepoint, which equals
-  * `String.charAt` for all BMP text; null input yields null; the
-  * empty string folds zero elements → 0.
+  * bitwise equality, including non-BMP input): Spark's `split(s, '')`
+  * emits one string per Unicode CODE POINT and `ascii` returns
+  * `codePointAt(0)`, so the fold must step by code points —
+  * `codePointAt` + `Character.charCount`, not `charAt` (a
+  * supplementary char is ONE fold step of its code point, not two
+  * surrogate steps). Null input yields null; the empty string folds
+  * zero elements → 0.
   */
 case class RollingHash(child: Expression) extends UnaryExpression {
 
@@ -38,8 +41,9 @@ case class RollingHash(child: Expression) extends UnaryExpression {
     var h = 0L
     var i = 0
     while (i < s.length) {
-      h = (h * 31 + s.charAt(i)) % 1000000007L
-      i += 1
+      val cp = s.codePointAt(i)
+      h = (h * 31 + cp) % 1000000007L
+      i += Character.charCount(cp)
     }
     h
   }
@@ -48,12 +52,16 @@ case class RollingHash(child: Expression) extends UnaryExpression {
     val s = ctx.freshName("rhStr")
     val h = ctx.freshName("rhAcc")
     val i = ctx.freshName("rhIdx")
+    val cp = ctx.freshName("rhCp")
     nullSafeCodeGen(ctx, ev, in =>
       s"""
          |String $s = $in.toString();
          |long $h = 0L;
-         |for (int $i = 0; $i < $s.length(); $i++) {
-         |  $h = ($h * 31L + $s.charAt($i)) % 1000000007L;
+         |int $i = 0;
+         |while ($i < $s.length()) {
+         |  int $cp = $s.codePointAt($i);
+         |  $h = ($h * 31L + $cp) % 1000000007L;
+         |  $i += java.lang.Character.charCount($cp);
          |}
          |${ev.value} = $h;
        """.stripMargin)

@@ -43,9 +43,13 @@ object CorpusClean {
 
   /** Result: cleaned docs (original schema) + per-stage counts
     * (stage, docs_in, docs_out). `stageStats` is a thunk: the counting
-    * jobs (one count per stage) run only when invoked — callers that
-    * only want the cleaned corpus never pay for them. */
-  case class Cleaned(docs: DataFrame, stageStats: () => DataFrame)
+    * jobs run only when invoked — callers that only want the cleaned
+    * corpus never pay for them. `release()` drops the two frames the
+    * pipeline persists internally (exact-dedup survivors + their
+    * shingles, each consumed by multiple downstream branches); call it
+    * when done with BOTH the cleaned corpus and the stats. */
+  case class Cleaned(docs: DataFrame, stageStats: () => DataFrame,
+      release: () => Unit)
 
   def clean(docs: DataFrame, textCol: Column, idCol: Column,
       cfg: Config = Config()): Cleaned = {
@@ -53,14 +57,24 @@ object CorpusClean {
       TextAnalysis.langId(textCol, cfg.stopwords, cfg.lang, cfg.langThreshold) === cfg.lang)
     val qualityKept = langKept.filter(
       TextAnalysis.qualityOk(textCol, cfg.minTokens, cfg.minTtr))
-    val exactKept = Dedup.dedupExact(qualityKept, textCol, idCol)
+    // persisted: the anti-join left side, the shingle scan, and both
+    // count paths all read this — without the pin each consumer
+    // re-runs the filter+window chain from the raw scan
+    val exactKept = Dedup.dedupExact(qualityKept, textCol, idCol).cache()
 
-    // near-dup: LSH candidates over the exact-deduped survivors, then
-    // exact Jaccard verify restricted to those candidates
-    val cands = Dedup.minHashLshCandidates(exactKept, textCol, idCol,
-      cfg.numHashes, cfg.bands, cfg.shingleLen, cacheBands = false)
-    val verified = Dedup.ngramJaccardPairs(exactKept, textCol, idCol,
-        cfg.shingleLen, candidates = Some(cands))
+    // near-dup over the exact-deduped survivors: ONE shingle frame
+    // feeds signature/band building AND the Jaccard verify (persisted
+    // — the band build and the verify's three consumers share it)
+    val sh = Dedup.shingles(exactKept, textCol, idCol, cfg.shingleLen).cache()
+    val bands = Dedup.lshBands(
+      Dedup.minHashSignaturesFast(sh, cfg.numHashes), cfg.numHashes, cfg.bands)
+    val cands = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.h") === col("b.h") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"))
+      .distinct()
+    val candIds = Dedup.lshCandidateDocIds(bands)
+    val verified = Dedup.jaccardFromShingles(sh, Some(cands), Some(candIds))
       .filter(col("jac") >= cfg.jaccardThreshold)
     // drop the higher id of each verified pair (broadcast: the drop
     // list is bounded by |verified pairs| — LSH-bounded by construction)
@@ -69,18 +83,26 @@ object CorpusClean {
       idCol === col("__drop_id"), "left_anti")
 
     Cleaned(nearKept,
-      () => stageCounts(docs, langKept, qualityKept, exactKept, nearKept))
+      () => stageCounts(docs, textCol, cfg, exactKept, nearKept),
+      () => { sh.unpersist(); exactKept.unpersist() })
   }
 
-  /** Per-stage survivor counts. Separate so callers that only want the
-    * cleaned corpus never pay for the counting jobs. */
-  private def stageCounts(raw: DataFrame, lang: DataFrame, quality: DataFrame,
+  /** Per-stage survivor counts: the language and quality numbers come
+    * from ONE pass over the raw corpus (conditional sums — the filters
+    * are pure codegen'd columns), the dedup numbers from the persisted
+    * survivor frames, so no stage's chain re-runs more than once. */
+  private def stageCounts(raw: DataFrame, textCol: Column, cfg: Config,
       exact: DataFrame, near: DataFrame): DataFrame = {
     val spark = raw.sparkSession
     import spark.implicits._
-    val total = raw.count()
-    val nLang = lang.count()
-    val nQual = quality.count()
+    val langOk = TextAnalysis.langId(
+      textCol, cfg.stopwords, cfg.lang, cfg.langThreshold) === cfg.lang
+    val qualOk = langOk && TextAnalysis.qualityOk(textCol, cfg.minTokens, cfg.minTtr)
+    val row = raw.agg(
+      count(lit(1)).as("total"),
+      sum(langOk.cast("long")).as("n_lang"),
+      sum(qualOk.cast("long")).as("n_qual")).head
+    val (total, nLang, nQual) = (row.getLong(0), row.getLong(1), row.getLong(2))
     val nExact = exact.count()
     val nNear = near.count()
     Seq(

@@ -26,24 +26,28 @@ class CorpusCleanSpec extends AnyFunSuite {
 
   test("stages drop language, quality, exact and near duplicates") {
     val out = CorpusClean.clean(fixture, col("text"), col("doc_id"))
-    val kept = out.docs.select("doc_id").collect().map(_.getLong(0)).toSet
-    assert(kept == Set(1L, 2L), kept.toString)
-    // original schema preserved
-    assert(out.docs.columns.toSeq == Seq("doc_id", "text"))
+    try {
+      val kept = out.docs.select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(kept == Set(1L, 2L), kept.toString)
+      // original schema preserved
+      assert(out.docs.columns.toSeq == Seq("doc_id", "text"))
+    } finally out.release()
   }
 
   test("stage stats reconcile in → out per stage") {
     val out = CorpusClean.clean(fixture, col("text"), col("doc_id"))
-    val stats = out.stageStats().collect()
-      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
-    assert(stats("language") == (6L, 5L))    // doc 5 dropped
-    assert(stats("quality") == (5L, 4L))     // doc 6 dropped
-    assert(stats("exact_dedup") == (4L, 3L)) // doc 3 dropped
-    assert(stats("near_dedup") == (3L, 2L))  // doc 4 dropped
-    // chain property: each stage's input is the previous stage's output
-    val order = Seq("language", "quality", "exact_dedup", "near_dedup")
-    order.sliding(2).foreach { case Seq(a, b) =>
-      assert(stats(a)._2 == stats(b)._1, s"$a out != $b in")
-    }
+    try {
+      val stats = out.stageStats().collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(stats("language") == (6L, 5L))    // doc 5 dropped
+      assert(stats("quality") == (5L, 4L))     // doc 6 dropped
+      assert(stats("exact_dedup") == (4L, 3L)) // doc 3 dropped
+      assert(stats("near_dedup") == (3L, 2L))  // doc 4 dropped
+      // chain property: each stage's input is the previous stage's output
+      val order = Seq("language", "quality", "exact_dedup", "near_dedup")
+      order.sliding(2).foreach { case Seq(a, b) =>
+        assert(stats(a)._2 == stats(b)._1, s"$a out != $b in")
+      }
+    } finally out.release()
   }
 }

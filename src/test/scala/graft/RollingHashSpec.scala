@@ -19,7 +19,10 @@ class RollingHashSpec extends AnyFunSuite {
   test("kernel equals the HOF formulation on varied strings") {
     val rows = Seq("a", "hello world", "The quick brown fox", "  spaces  ",
       "punct!@#$%^&*()", "0123456789" * 20, "tab\tnewline\n",
-      "ünïcödé BMP chars €¥", "x")
+      "ünïcödé BMP chars €¥", "x",
+      // non-BMP: split('')/ascii step by CODE POINTS — one fold step
+      // per supplementary char, not two surrogate steps
+      "emoji 😀 and 𝄞 clef", "𝄞x")
     val df = rows.toDF("s")
     val out = df.select(
         expr(hof).as("hof"),

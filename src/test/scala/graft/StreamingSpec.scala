@@ -137,8 +137,10 @@ class StreamingSpec extends AnyFunSuite {
       mem.addData((2L, ts("2024-01-01 10:06:00"), 77.0),
         (3L, ts("2024-01-01 10:07:00"), 3.0))
       q.processAllAvailable()
-      val out = spark.table("dedup_stream")
-        .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+      val rows = spark.table("dedup_stream").collect()
+      // row count FIRST: toMap would mask a duplicate emission
+      assert(rows.length == 3, rows.mkString(","))
+      val out = rows.map(r => r.getLong(0) -> r.getDouble(2)).toMap
       assert(out == Map(1L -> 1.0, 2L -> 2.0, 3L -> 3.0), out.toString)
     } finally q.stop()
   }
