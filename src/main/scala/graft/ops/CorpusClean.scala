@@ -39,7 +39,12 @@ object CorpusClean {
       numHashes: Int = 8,
       bands: Int = 2,
       shingleLen: Int = 3,
-      jaccardThreshold: Double = 0.8)
+      jaccardThreshold: Double = 0.8,
+      /** true → group verified pairs into connected components and
+        * keep one canonical (min-id) doc per component — transitive
+        * chains (A≈B≈C with A,C never a pair) collapse fully. false →
+        * greedy one-hop (drop the higher id of each pair). */
+      useConnectedComponents: Boolean = false)
 
   /** Result: cleaned docs (original schema) + per-stage counts
     * (stage, docs_in, docs_out). `stageStats` is a thunk: the counting
@@ -76,9 +81,15 @@ object CorpusClean {
     val candIds = Dedup.lshCandidateDocIds(bands)
     val verified = Dedup.jaccardFromShingles(sh, Some(cands), Some(candIds))
       .filter(col("jac") >= cfg.jaccardThreshold)
-    // drop the higher id of each verified pair (broadcast: the drop
-    // list is bounded by |verified pairs| — LSH-bounded by construction)
-    val dropIds = verified.select(col("id2").as("__drop_id")).distinct()
+    // drop list (broadcast: bounded by |verified pairs| — LSH-bounded
+    // by construction): greedy one-hop, or full connected components
+    // when configured (see Config.useConnectedComponents)
+    val dropIds =
+      if (cfg.useConnectedComponents)
+        Dedup.connectedComponents(verified.select(col("id1"), col("id2")))
+          .filter(col("id") =!= col("comp"))
+          .select(col("id").as("__drop_id"))
+      else verified.select(col("id2").as("__drop_id")).distinct()
     val nearKept = exactKept.join(broadcast(dropIds),
       idCol === col("__drop_id"), "left_anti")
 

@@ -122,6 +122,47 @@ object Dedup {
       .select(col("id")).distinct()
   }
 
+  /** Connected components over an undirected pair list (id1, id2):
+    * returns (id, comp) where comp is the MINIMUM id reachable from
+    * `id` — the canonical representative of its duplicate group.
+    *
+    * Min-label propagation: each round every vertex takes the min of
+    * its own label and its neighbors' labels; converged when a round
+    * changes nothing. Rounds needed ≤ graph diameter — near-dup
+    * clusters are shallow (pairs come from shared LSH buckets), so a
+    * handful of rounds suffices; `maxIter` bounds pathological chains.
+    *
+    * Scale shape: each round is one join + one aggregation on (id,
+    * label) pairs — no vertex ever carries more than a long label, and
+    * `localCheckpoint` truncates the growing lineage each round (the
+    * driver-side loop is iteration control, not data; the data stays
+    * distributed). The convergence check aggregates a single count. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id1").as("src"), col("id2").as("dst"))
+      .union(pairs.select(col("id2").as("src"), col("id1").as("dst")))
+      .distinct()
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id"))
+      .localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      val neighborMin = edges.join(labels, edges("src") === labels("id"))
+        .groupBy(col("dst").as("id2_"))
+        .agg(min(col("comp")).as("nmin"))
+      val next = labels.join(neighborMin, labels("id") === col("id2_"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp"),
+          (col("nmin").isNotNull && col("nmin") < col("comp")).as("changed"))
+      val mat = next.localCheckpoint()
+      converged = mat.filter(col("changed")).limit(1).isEmpty
+      labels = mat.select(col("id"), col("comp"))
+      iter += 1
+    }
+    labels
+  }
+
   /** SimHash-32 signature per document as a 32-char '0'/'1' string:
     * per-token md5-derived 32-bit hashes, weighted bit majority.
     *

@@ -34,6 +34,25 @@ class CorpusCleanSpec extends AnyFunSuite {
     } finally out.release()
   }
 
+  test("connected components: transitive chains collapse to the min id") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (6L, 5L)).toDF("id1", "id2")
+    val comp = graft.ops.Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // 1-2-3-4 chain all labels 1 (even though 1 and 4 never pair);
+    // 5-6 labels 5; ids not in any pair are absent
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 5L, 6L -> 5L),
+      comp.toString)
+  }
+
+  test("connected-components mode keeps one canonical doc per dup group") {
+    val out = CorpusClean.clean(fixture, col("text"), col("doc_id"),
+      CorpusClean.Config(useConnectedComponents = true))
+    try {
+      val kept = out.docs.select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(kept == Set(1L, 2L), kept.toString)
+    } finally out.release()
+  }
+
   test("stage stats reconcile in → out per stage") {
     val out = CorpusClean.clean(fixture, col("text"), col("doc_id"))
     try {
