@@ -28,6 +28,24 @@ import org.apache.spark.sql.functions._
   */
 object ExtendedQueries {
 
+  /** Session-scoped memo for the shared cached frames (shingles, band
+    * table, candidate-restricted shingles). The queries are `(session,
+    * dir) => DataFrame` lambdas re-invoked per benchmark run; calling
+    * `.cache()` on a freshly built plan each time still resolves to the
+    * one materialization (CacheManager matches by plan), but every
+    * repeat call logs `WARN CacheManager: Asked to cache already cached
+    * data` — noise that has broken the driver's bench-tail JSON parse
+    * two rounds running. Memoizing the cached frame per (session, dir)
+    * requests caching exactly once and also skips plan re-analysis on
+    * repeat calls. Entries are dropped by [[releaseCaches]].
+    */
+  private val memoStore = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession, String, String),
+    org.apache.spark.sql.DataFrame]()
+  private def memoCache(key: String, s: org.apache.spark.sql.SparkSession, d: String)(
+      build: => org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    memoStore.computeIfAbsent((s, d, key), _ => build.cache())
+
   /** doc_id + 3-gram word shingles (docs with ≥3 tokens).
     *
     * The scan is repartitioned first: the testdata is one single-row-
@@ -37,16 +55,17 @@ object ExtendedQueries {
     * and the repartition is unnecessary — but it is exactly the "fan
     * out cheap rows before expensive per-row work" shape that also
     * fixes skewed-split layouts on a cluster.
+    *
+    * Cached (memoized): three declared queries (minhash, jaccard,
+    * fingerprint) share this exact subtree.
     */
   private def shingles(s: org.apache.spark.sql.SparkSession, d: String) =
-    graft.ops.Dedup.shingles(
-        t(s, d, "documents").repartition(s.sparkContext.defaultParallelism),
-        col("text"), col("doc_id"))
-      .withColumnRenamed("id", "doc_id")
-      // cache(): three declared queries (minhash, jaccard, fingerprint)
-      // share this exact subtree — the CacheManager substitutes the
-      // materialized copy into whichever runs later in the session.
-      .cache()
+    memoCache("shingles", s, d) {
+      graft.ops.Dedup.shingles(
+          t(s, d, "documents").repartition(s.sparkContext.defaultParallelism),
+          col("text"), col("doc_id"))
+        .withColumnRenamed("id", "doc_id")
+    }
 
   private val shinglesSql =
     """SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
@@ -65,19 +84,19 @@ object ExtendedQueries {
     * same plan, so the CacheManager serves one materialization to all.
     * At scale this is "materialize signatures before LSH" — the
     * standard shape. */
-  private def bandTable(s: org.apache.spark.sql.SparkSession, d: String) = {
-    val mh = graft.ops.Dedup
-      .minHashSignaturesFast(shingles(s, d).withColumnRenamed("doc_id", "id"), 8)
-      .withColumnRenamed("id", "doc_id")
-    mh.select(col("doc_id"), explode(array(
-        struct(lit(1L).as("band"),
-          md5(concat_ws("", col("m0"), col("m1"), col("m2"), col("m3")).cast("binary")).as("h")),
-        struct(lit(2L).as("band"),
-          md5(concat_ws("", col("m4"), col("m5"), col("m6"), col("m7")).cast("binary")).as("h"))))
-        .as("bh"))
-      .select(col("doc_id"), col("bh.band").as("band"), col("bh.h").as("h"))
-      .cache()
-  }
+  private def bandTable(s: org.apache.spark.sql.SparkSession, d: String) =
+    memoCache("bands", s, d) {
+      val mh = graft.ops.Dedup
+        .minHashSignaturesFast(shingles(s, d).withColumnRenamed("doc_id", "id"), 8)
+        .withColumnRenamed("id", "doc_id")
+      mh.select(col("doc_id"), explode(array(
+          struct(lit(1L).as("band"),
+            md5(concat_ws("", col("m0"), col("m1"), col("m2"), col("m3")).cast("binary")).as("h")),
+          struct(lit(2L).as("band"),
+            md5(concat_ws("", col("m4"), col("m5"), col("m6"), col("m7")).cast("binary")).as("h"))))
+          .as("bh"))
+        .select(col("doc_id"), col("bh.band").as("band"), col("bh.h").as("h"))
+    }
 
   /** Candidate pairs (doc1 < doc2) sharing ≥1 LSH bucket — the linear-
     * cost candidate generator both near-dup queries build on. The join
@@ -97,25 +116,24 @@ object ExtendedQueries {
     * table, no pair self-join), is broadcast (candidate-bounded), and
     * the result is cached: it feeds per-doc sizes AND both sides of
     * the pairwise intersection, and is tiny by construction. */
-  private def restrictedShingles(s: org.apache.spark.sql.SparkSession, d: String) = {
-    val candIds = graft.ops.Dedup.lshCandidateDocIds(
-      bandTable(s, d).withColumnRenamed("doc_id", "id"))
-    shingles(s, d).withColumnRenamed("doc_id", "id")
-      .join(broadcast(candIds), Seq("id"), "left_semi")
-      .distinct()
-      .cache()
-  }
+  private def restrictedShingles(s: org.apache.spark.sql.SparkSession, d: String) =
+    memoCache("restricted", s, d) {
+      val candIds = graft.ops.Dedup.lshCandidateDocIds(
+        bandTable(s, d).withColumnRenamed("doc_id", "id"))
+      shingles(s, d).withColumnRenamed("doc_id", "id")
+        .join(broadcast(candIds), Seq("id"), "left_semi")
+        .distinct()
+    }
 
   /** Release the session-pinned shingle/band/candidate caches (the
     * declared dedup queries share them; a long-lived session embedding
     * this library should call this after a dedup batch completes).
-    * cache() is lazy and keyed by plan equality, so re-deriving the
-    * same plans here resolves to the live cache entries. */
-  def releaseCaches(s: org.apache.spark.sql.SparkSession, d: String): Unit = {
-    restrictedShingles(s, d).unpersist()
-    bandTable(s, d).unpersist()
-    shingles(s, d).unpersist()
-  }
+    * Unpersists the memoized frames and drops the memo entries, so the
+    * next query call rebuilds and re-caches from scratch. */
+  def releaseCaches(s: org.apache.spark.sql.SparkSession, d: String): Unit =
+    Seq("restricted", "bands", "shingles").foreach { key =>
+      Option(memoStore.remove((s, d, key))).foreach(_.unpersist())
+    }
 
   val queries: Map[String, QFn] = Map(
     // MinHash (8 perms via seeded md5, lexicographic min) + LSH
