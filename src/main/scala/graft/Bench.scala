@@ -42,6 +42,9 @@ object Bench {
       // shingles per query, so cross-engine totals differ by that
       // one-time build unless consumers account for it.
       SparkEntry.queries("q_text_fingerprint")(spark, sfDir).count()
+      // Same for the shared embedding-norms cache (three embed queries
+      // consume it) — q_similarity_cosine is its cheapest consumer.
+      SparkEntry.queries("q_similarity_cosine")(spark, sfDir).count()
     }
     // Three timed runs per query, min reported (declared in the JSON).
     // This VM shows multi-second scheduler stalls at random (observed

@@ -98,6 +98,23 @@ object ExtendedQueries {
         .select(col("doc_id"), col("bh.band").as("band"), col("bh.h").as("h"))
     }
 
+  /** vec_id + double-cast vector + L2 norm — the shared base of the
+    * three embedding queries (pair top-k, single-query ANN, consecutive
+    * cosine). Cached (memoized): norms are computed once per vector,
+    * and the cache's 32 partitions (from the repartition below) keep
+    * the O(n²) pair loop parallel even though the source parquet is a
+    * single split. Without this, each run of each embed query re-scans
+    * and re-shuffles the table on BOTH sides of its self-join.
+    */
+  private[queries] def embedNorms(s: org.apache.spark.sql.SparkSession, d: String) =
+    memoCache("embednorm", s, d) {
+      import graft.functions.GraftFunctions.dot
+      t(s, d, "embeddings")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+    }
+
   /** Candidate pairs (doc1 < doc2) sharing ≥1 LSH bucket — the linear-
     * cost candidate generator both near-dup queries build on. The join
     * shuffles only (band, h) keys, never text. */
@@ -131,7 +148,7 @@ object ExtendedQueries {
     * Unpersists the memoized frames and drops the memo entries, so the
     * next query call rebuilds and re-caches from scratch. */
   def releaseCaches(s: org.apache.spark.sql.SparkSession, d: String): Unit =
-    Seq("restricted", "bands", "shingles").foreach { key =>
+    Seq("restricted", "bands", "shingles", "embednorm").foreach { key =>
       Option(memoStore.remove((s, d, key))).foreach(_.unpersist())
     }
 
@@ -178,12 +195,10 @@ object ExtendedQueries {
     // chains — same IEEE summation order, bit-identical output.
     "q_dedup_embed_topk" -> { (s, d) =>
       graft.functions.GraftFunctions.register(s)
-      // Repartition: single-split input would leave the O(n²) pair loop
-      // on one core (the broadcast side is tiny either way).
-      val e = t(s, d, "embeddings")
-        .repartition(s.sparkContext.defaultParallelism)
-        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-        .withColumn("nrm", sqrt(expr("graft_dot(v, v)")))
+      // Both sides of the pair join read the shared embedNorms cache:
+      // norms once per vector (O(n), below the join), and the cache's
+      // 32 partitions keep the O(n²) pair loop parallel.
+      val e = embedNorms(s, d)
       val a = e.toDF("id1", "v1", "n1")
       val b = e.toDF("id2", "v2", "n2")
       a.join(b, col("id1") < col("id2"))
@@ -198,9 +213,7 @@ object ExtendedQueries {
     // LSH-bucketed scale path lives in graft.ops.Similarity).
     "q_ann_topk" -> { (s, d) =>
       graft.functions.GraftFunctions.register(s)
-      val e = t(s, d, "embeddings")
-        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-        .withColumn("nrm", sqrt(expr("graft_dot(v, v)")))
+      val e = embedNorms(s, d)
       val q = broadcast(e.filter(col("vec_id") === 0)
         .select(col("v").as("qv"), col("nrm").as("qn")))
       e.crossJoin(q)

@@ -48,9 +48,9 @@ object NorthStarQueries {
     // chain — bit-identical), rounded to 4 dp (SURVEY §7.3 rule 10).
     "q_similarity_cosine" -> { (s, d) =>
       import graft.functions.GraftFunctions.dot
-      val e = t(s, d, "embeddings")
-        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-        .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+      // Shared cached base (vec_id, double vector, norm) with the two
+      // ExtendedQueries embed queries — norms computed once per vector.
+      val e = ExtendedQueries.embedNorms(s, d)
       val a = e.toDF("id1", "v1", "n1")
       val b = e.toDF("id2", "v2", "n2")
       a.join(b, col("id2") === col("id1") + 1)
