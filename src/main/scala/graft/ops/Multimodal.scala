@@ -8,14 +8,16 @@ import org.apache.spark.sql.functions._
   * Media are opaque `binary` columns with typed metadata — the Spark
   * side (schema, partitioning, batch shape, lineage) is real and
   * tested. IMAGE decode/resize are REAL (JDK-built-in `javax.imageio`
-  * — PNG/JPEG/GIF/BMP, no external libraries); audio/video kernels are
-  * STUBS (no codec libraries in this container): `decodeStub` derives
-  * deterministic fake dimensions/features from the md5 of the payload,
-  * so tests are reproducible and the stub is trivially swappable for a
-  * real codec (same signature, per-partition batching already in
-  * place). Image payloads that fail to parse also fall back to the
-  * stub rather than failing the partition — a 100 TB corpus always
-  * contains corrupt bytes.
+  * — PNG/JPEG/GIF/BMP) and AUDIO metadata decode is REAL (JDK-built-in
+  * `javax.sound.sampled` — WAV/AIFF/AU header parse → sample rate,
+  * channels, duration), both with zero external libraries. Only the
+  * VIDEO kernel is a STUB (no video codec exists in the JDK or this
+  * container): `decodeStub` derives deterministic fake dimensions/
+  * features from the md5 of the payload, so tests are reproducible and
+  * the stub is trivially swappable for a real codec (same signature,
+  * per-partition batching already in place). Payloads that fail to
+  * parse also fall back to the stub rather than failing the partition
+  * — a 100 TB corpus always contains corrupt bytes.
   *
   * 100 TB design notes:
   *  - payloads stay in executor space end-to-end (no driver collect);
@@ -34,9 +36,12 @@ object Multimodal {
   case class MediaRow(media_id: Long, kind: String, bytes: Array[Byte],
       source: String)
 
-  /** Decoded metadata (stub: md5-derived, deterministic). */
+  /** Decoded metadata. width/height are image/video dimensions (0 for
+    * audio); sample_rate/channels are audio properties (0 for image/
+    * video and for stub rows). */
   case class DecodedMeta(media_id: Long, kind: String, n_bytes: Long,
-      width: Int, height: Int, duration_ms: Long)
+      width: Int, height: Int, duration_ms: Long,
+      sample_rate: Int = 0, channels: Int = 0)
 
   /** Deterministic fake "decode": header fields derived from the
     * payload hash (digest instance supplied per partition). REPLACE
@@ -66,17 +71,45 @@ object Multimodal {
           width = img.getWidth, height = img.getHeight, duration_ms = 0L))
     } catch { case scala.util.control.NonFatal(_) => None }
 
+  /** Real audio metadata decode via the JDK's `javax.sound.sampled`
+    * (WAV/AIFF/AU — the formats the built-in providers parse). Header
+    * parse only: sample rate, channel count, and duration from the
+    * frame length — the payload's sample data is never decoded, so the
+    * per-row cost is O(header), not O(bytes). None on unparseable
+    * payloads (UnsupportedAudioFileException and friends are NonFatal)
+    * or streams with unknown frame length. */
+  private def decodeAudio(id: Long, bytes: Array[Byte]): Option[DecodedMeta] =
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val fmt = ais.getFormat
+        val frames = ais.getFrameLength
+        if (frames < 0 || fmt.getFrameRate <= 0) None
+        else Some(DecodedMeta(id, "audio", bytes.length.toLong,
+          width = 0, height = 0,
+          duration_ms = math.round(frames * 1000.0 / fmt.getFrameRate),
+          sample_rate = math.round(fmt.getSampleRate),
+          channels = fmt.getChannels))
+      } finally ais.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   /** Decode a media Dataset to metadata rows; one codec init per
     * partition (the `it =>` closure), streaming through rows. Images
-    * decode for real (ImageIO header parse → true width/height);
-    * audio/video (and unparseable images) take the stub. */
+    * (ImageIO → true width/height) and audio (javax.sound header parse
+    * → true rate/channels/duration) decode for real; video and
+    * unparseable payloads take the stub. */
   def decode(media: Dataset[MediaRow]): Dataset[DecodedMeta] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
-      // real impl: init audio/video codecs HERE, once per partition
+      // real impl: init a video codec HERE, once per partition
       val md = java.security.MessageDigest.getInstance("MD5")
       it.map { m =>
-        val real = if (m.kind == "image") decodeImage(m.media_id, m.bytes) else None
+        val real = m.kind match {
+          case "image" => decodeImage(m.media_id, m.bytes)
+          case "audio" => decodeAudio(m.media_id, m.bytes)
+          case _       => None
+        }
         real.getOrElse(decodeStub(md, m.media_id, m.kind, m.bytes))
       }
     }
@@ -149,12 +182,32 @@ object Multimodal {
         explode(sequence(lit(0L), col("duration_ms") - 1, lit(everyMs))).as("frame_ms"))
   }
 
-  /** Synthetic media table for tests/demos: deterministic payloads. */
+  /** A real PCM WAV payload (16-bit mono, little-endian) with
+    * deterministic sample data — genuine input for [[decodeAudio]].
+    * Executor-safe: built from JDK classes only. */
+  def wavBytes(durationMs: Int, sampleRate: Int = 8000, seed: Long = 0L): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(sampleRate.toFloat, 16, 1, true, false)
+    val nFrames = sampleRate.toLong * durationMs / 1000
+    val data = Array.tabulate[Byte]((nFrames * 2).toInt)(j => ((seed * 131 + j * 17) % 251).toByte)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, nFrames)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+    baos.toByteArray
+  }
+
+  /** Synthetic media table for tests/demos: deterministic payloads.
+    * Audio rows carry REAL WAV bytes (so the decode path is exercised
+    * end-to-end); image/video rows carry opaque bytes that exercise
+    * the corrupt-payload stub fallback. */
   def syntheticMedia(spark: SparkSession, n: Int): Dataset[MediaRow] = {
     import spark.implicits._
     spark.range(n.toLong).as[Long].map { i =>
       val kind = if (i % 3 == 0) "image" else if (i % 3 == 1) "audio" else "video"
-      val bytes = Array.tabulate[Byte](64 + (i % 64).toInt)(j => ((i * 131 + j * 17) % 251).toByte)
+      val bytes =
+        if (kind == "audio") wavBytes(100 + (i % 10).toInt * 50, seed = i)
+        else Array.tabulate[Byte](64 + (i % 64).toInt)(j => ((i * 131 + j * 17) % 251).toByte)
       MediaRow(i, kind, bytes, s"src${i % 5}")
     }
   }

@@ -61,10 +61,33 @@ class MultimodalSpec extends AnyFunSuite {
     val a = Multimodal.decode(media).collect().sortBy(_.media_id)
     val b = Multimodal.decode(media).collect().sortBy(_.media_id)
     assert(a.toSeq == b.toSeq)
-    assert(a.forall(m => m.width % 16 == 0 && m.height % 16 == 0))
+    // synthetic image payloads are corrupt → stub dims; video is
+    // always the stub; audio is REAL WAV → true duration/rate/channels
+    assert(a.filter(_.kind != "audio").forall(m =>
+      m.width % 16 == 0 && m.height % 16 == 0))
     assert(a.filter(_.kind == "image").forall(_.duration_ms == 0L))
     assert(a.filter(_.kind != "image").forall(_.duration_ms > 0L))
+    a.filter(_.kind == "audio").foreach { m =>
+      assert(m.duration_ms == 100 + (m.media_id % 10) * 50,
+        s"media ${m.media_id}: true WAV duration expected")
+      assert(m.sample_rate == 8000 && m.channels == 1)
+    }
+    assert(a.filter(_.kind != "audio").forall(m =>
+      m.sample_rate == 0 && m.channels == 0))
     assert(a.forall(_.n_bytes >= 64))
+  }
+
+  test("real WAV payloads decode to true rate/channels/duration; corrupt audio falls back") {
+    import spark.implicits._
+    val media = Seq(
+      Multimodal.MediaRow(1L, "audio", Multimodal.wavBytes(1000, sampleRate = 16000), "srcA"),
+      Multimodal.MediaRow(2L, "audio", Multimodal.wavBytes(250, sampleRate = 44100), "srcA"),
+      // corrupt audio payload must fall back to the stub, not fail
+      Multimodal.MediaRow(3L, "audio", Array[Byte](9, 9, 9, 9), "srcB")).toDS()
+    val out = Multimodal.decode(media).collect().sortBy(_.media_id)
+    assert(out(0).duration_ms == 1000L && out(0).sample_rate == 16000 && out(0).channels == 1)
+    assert(out(1).duration_ms == 250L && out(1).sample_rate == 44100 && out(1).channels == 1)
+    assert(out(2).sample_rate == 0 && out(2).duration_ms > 0L) // stub signature
   }
 
   test("feature extraction yields fixed-width normalized vectors") {
