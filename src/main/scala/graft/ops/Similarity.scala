@@ -146,30 +146,83 @@ object Similarity {
     centroids
   }
 
-  /** Approximate top-k via IVF: exact cosine inside the query's
-    * `nprobe` nearest inverted lists. */
-  def ivfTopK(corpus: DataFrame, idCol: Column, vecCol: Column,
-      query: DataFrame, queryVec: Column, k: Int,
+  /** The `nprobe` nearest centroid ids for a vector column, as an
+    * array expression: per-centroid (dist, cid) structs, sorted (struct
+    * order = dist then cid, matching [[assignExpr]]'s tie-break),
+    * sliced to nprobe, projected to cid. Pure Column work — probe
+    * selection runs on executors, so a MILLION query rows cost zero
+    * driver round-trips. */
+  private def probeExpr(v: Column, centroids: Seq[(Int, Seq[Double])],
+      nprobe: Int): Column = {
+    val cands = centroids.map { case (cid, c) =>
+      val cLit = array(c.map(lit): _*)
+      val cn = math.sqrt(c.map(x => x * x).sum)
+      struct((lit(1.0) - GraftFunctions.dot(v, cLit) /
+        (sqrt(GraftFunctions.dot(v, v)) * lit(cn))).as("dist"),
+        lit(cid).as("cid"))
+    }
+    transform(slice(sort_array(array(cands: _*)), 1, nprobe),
+      s => s.getField("cid"))
+  }
+
+  /** Batch IVF search: exact cosine top-k per query row, probing each
+    * query's `nprobe` nearest inverted lists.
+    *
+    * 100 TB shape: centroids are the only collected state (the model —
+    * k × dims doubles); probe assignment is a per-row expression on the
+    * query frame (no driver round-trip per query); the probe join is an
+    * equi-join on cluster id, so each corpus partition is read once per
+    * probing query-cluster, not per query×corpus pair; the per-query
+    * top-k is one window over the join output, partitioned by query id.
+    * Queries are broadcast (a query batch is small by definition — for
+    * a corpus-sized "query" set use the LSH pair path instead). */
+  def ivfTopKBatch(corpus: DataFrame, idCol: Column, vecCol: Column,
+      query: DataFrame, queryIdCol: Column, queryVec: Column, k: Int,
       nClusters: Int = 16, nprobe: Int = 4, iters: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    ivfProbeJoin(corpus, idCol, vecCol, query, queryIdCol, queryVec,
+        nClusters, nprobe, iters)
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("id"))))
+      .filter(col("__rk") <= k)
+      .drop("__rk")
+  }
+
+  /** Shared IVF probe join: (qid, id, cos) for every corpus vector in
+    * any of its query's probed inverted lists. */
+  private def ivfProbeJoin(corpus: DataFrame, idCol: Column, vecCol: Column,
+      query: DataFrame, queryIdCol: Column, queryVec: Column,
+      nClusters: Int, nprobe: Int, iters: Int): DataFrame = {
     val centroids = ivfCentroids(corpus, idCol, vecCol, nClusters, iters)
     val base = corpus.select(idCol.as("id"), vecCol.cast("array<double>").as("v"))
       .withColumn("cid", assignExpr(col("v"), centroids))
+    val q = query
+      .select(queryIdCol.as("qid"), queryVec.cast("array<double>").as("qv"))
+      .withColumn("cid", explode(probeExpr(col("qv"), centroids, nprobe)))
+    base.join(broadcast(q), Seq("cid"))
+      .select(col("qid"), col("id"),
+        round(cosine(col("v"), col("qv")), 4).as("cos"))
+  }
+
+  /** Approximate top-k via IVF: exact cosine inside the query's
+    * `nprobe` nearest inverted lists. Single-query convenience over
+    * [[ivfTopKBatch]]. */
+  def ivfTopK(corpus: DataFrame, idCol: Column, vecCol: Column,
+      query: DataFrame, queryVec: Column, k: Int,
+      nClusters: Int = 16, nprobe: Int = 4, iters: Int = 2): DataFrame = {
     val qv = query.select(queryVec.cast("array<double>").as("qv"))
-    // the query's nprobe nearest centroids, as a literal id set
-    val qRows = qv.limit(2).collect()
-    require(qRows.length == 1,
-      s"ivfTopK expects exactly one query row, got ${qRows.length}" +
-        " — probe selection and the unlabeled top-k are per-query")
-    val qVec = qRows.head.getSeq[Double](0).toIndexedSeq
-    val qn = math.sqrt(qVec.map(x => x * x).sum)
-    val probeIds = centroids.map { case (cid, c) =>
-      val cn = math.sqrt(c.map(x => x * x).sum)
-      val dot = c.zip(qVec).map { case (a, b) => a * b }.sum
-      (1.0 - dot / (cn * qn), cid)
-    }.sorted.take(nprobe).map(_._2)
-    base.filter(col("cid").isin(probeIds: _*))
-      .crossJoin(broadcast(qv))
-      .select(col("id"), round(cosine(col("v"), col("qv")), 4).as("cos"))
+    // the unlabeled output schema (id, cos) is only meaningful for one
+    // query — a labeled batch goes through ivfTopKBatch directly
+    val nq = qv.limit(2).count()
+    require(nq == 1,
+      s"ivfTopK expects exactly one query row, got $nq" +
+        " — use ivfTopKBatch for labeled multi-query search")
+    // orderBy+limit (TakeOrderedAndProject), not the per-qid window:
+    // one query IS one group, and a constant partition key would move
+    // everything to a single window partition.
+    ivfProbeJoin(corpus, idCol, vecCol,
+        qv, lit(0L), col("qv"), nClusters, nprobe, iters)
+      .select(col("id"), col("cos"))
       .orderBy(col("cos").desc, col("id"))
       .limit(k)
   }

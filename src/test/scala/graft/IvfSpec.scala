@@ -45,4 +45,42 @@ class IvfSpec extends AnyFunSuite {
     // the query's own cluster is always probed — recall is never zero
     assert((ivf.toSet intersect brute).nonEmpty)
   }
+
+  test("batch search with exhaustive probe matches per-query brute force") {
+    val queries = corpus.filter(col("vec_id") < 10)
+    val batch = ops.Similarity.ivfTopKBatch(
+        corpus, col("vec_id"), col("embedding"),
+        queries, col("vec_id"), col("embedding"), k = 5,
+        nClusters = 8, nprobe = 8, iters = 1)
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (qid, rs) =>
+        qid -> rs.map(r => (r.getLong(1), r.getDouble(2)))
+          .sortBy { case (id, cos) => (-cos, id) }.toSeq
+      }
+    assert(batch.keySet == (0L until 10L).toSet)
+    (0L until 10L).foreach { qid =>
+      val brute = ops.Similarity.bruteForceTopK(
+          corpus, col("vec_id"), col("embedding"),
+          corpus.filter(col("vec_id") === qid), col("embedding"), k = 5)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(batch(qid) == brute, s"query $qid: batch != brute force")
+    }
+  }
+
+  test("batch partial probe keeps per-query result count and id domain") {
+    val queries = corpus.filter(col("vec_id") < 10)
+    val out = ops.Similarity.ivfTopKBatch(
+        corpus, col("vec_id"), col("embedding"),
+        queries, col("vec_id"), col("embedding"), k = 5,
+        nClusters = 8, nprobe = 2, iters = 2)
+      .collect()
+    val perQuery = out.groupBy(_.getLong(0)).view.mapValues(_.length).toMap
+    // every query's own cluster is probed, which holds ≥ the query
+    // itself, so each query returns rows; counts are capped at k
+    assert(perQuery.keySet == (0L until 10L).toSet)
+    assert(perQuery.values.forall(n => n >= 1 && n <= 5))
+    val ids = corpus.collect().map(_.getLong(0)).toSet
+    assert(out.forall(r => ids.contains(r.getLong(1))))
+  }
 }
