@@ -21,12 +21,52 @@ import org.apache.spark.sql.functions._
   *  - dim lookups (`indexKeyFor`) collect a KB-sized dimension — the
   *    reference does the same `dict(zip(...))` (:97-99).
   */
-class StarServe(spark: SparkSession, starDir: String) {
+class StarServe(spark: SparkSession, starDir: String,
+    factSnapshotDir: Option[String] = None) {
 
-  /** Cached star frames (reference reads the same four objects,
+  // The fact source is either the static star parquet (batch publish)
+  // or — snapshot mode — whatever snapshot the streaming upsert sink's
+  // `_LATEST` pointer names, closing the reference's daily-batch →
+  // dashboard loop with the incremental pipeline instead. Cached
+  // either way; in snapshot mode `refresh()` polls the pointer (one
+  // metadata read) and swaps the cache pin only when it moved.
+  @volatile private var factPtr: Option[String] =
+    factSnapshotDir.flatMap(d =>
+      graft.streaming.StreamingPipeline.latestSnapshotName(spark, d))
+  private var factCache: Option[DataFrame] = None
+
+  private def loadFact(): DataFrame = (factSnapshotDir match {
+    case Some(d) => graft.streaming.StreamingPipeline.readLatestSnapshot(spark, d)
+    case None    => spark.read.parquet(s"$starDir/fact_table.parquet")
+  }).cache()
+
+  /** Cached fact frame (reference reads the same objects,
     * app.py:75-95). */
-  lazy val fact: DataFrame =
-    spark.read.parquet(s"$starDir/fact_table.parquet").cache()
+  def fact: DataFrame = synchronized {
+    factCache.getOrElse { val f = loadFact(); factCache = Some(f); f }
+  }
+
+  /** Snapshot mode: re-read the `_LATEST` pointer; when it names a new
+    * snapshot, drop the cache pin so the next accessor call loads and
+    * caches the new one. Returns true when a swap happened. Static
+    * mode (no snapshot dir) always returns false — the star parquet is
+    * immutable by the publish contract. */
+  def refresh(): Boolean = synchronized {
+    factSnapshotDir match {
+      case None => false
+      case Some(d) =>
+        val p = graft.streaming.StreamingPipeline.latestSnapshotName(spark, d)
+        if (p == factPtr) false
+        else {
+          factCache.foreach(_.unpersist())
+          factCache = None
+          factPtr = p
+          true
+        }
+    }
+  }
+
+  /** Cached star dimension frames. */
   lazy val dimStockIndex: DataFrame =
     spark.read.parquet(s"$starDir/dim_stock_index.parquet").cache()
   lazy val dimDate: DataFrame =
@@ -71,6 +111,19 @@ class StarServe(spark: SparkSession, starDir: String) {
       .limit(k)
 
   /** Release the serve-layer cache pins. */
-  def release(): Unit =
-    Seq(fact, dimStockIndex, dimDate, dimCountry).foreach(_.unpersist())
+  def release(): Unit = synchronized {
+    factCache.foreach(_.unpersist())
+    factCache = None
+    Seq(dimStockIndex, dimDate, dimCountry).foreach(_.unpersist())
+  }
+}
+
+object StarServe {
+  /** Serve dims from the published star, and the fact from a streaming
+    * upsert snapshot directory (`StreamingPipeline.upsertSink` output):
+    * the serving tier tracks the incremental pipeline via `refresh()`
+    * instead of waiting for the next full star publish. */
+  def fromStreamingSnapshots(spark: SparkSession, starDir: String,
+      snapshotDir: String): StarServe =
+    new StarServe(spark, starDir, Some(snapshotDir))
 }

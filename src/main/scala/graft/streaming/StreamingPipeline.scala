@@ -211,6 +211,21 @@ object StreamingPipeline {
     }
   }
 
+  /** The snapshot name the `_LATEST` pointer currently names, if any
+    * — the cheap poll for cache-refresh decisions (serve layer): one
+    * pointer read, no parquet open. None while no snapshot has ever
+    * been published (or during the writer's brief flip window). */
+  def latestSnapshotName(spark: SparkSession, outDir: String): Option[String] = {
+    val out = new Path(outDir)
+    val fs = out.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val p = new Path(out, "_LATEST")
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      Some(try new String(in.readAllBytes(), "UTF-8").trim finally in.close())
+    }
+  }
+
   /** Read the snapshot the `_LATEST` pointer names. Retries a missing
     * pointer briefly: writers flip it via delete→rename, and on object
     * stores the rename itself is non-atomic (copy+delete), so a reader

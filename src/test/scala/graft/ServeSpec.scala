@@ -73,4 +73,35 @@ class ServeSpec extends AnyFunSuite {
     assert(lo.toString == "2024-01-01" && hi.toString == "2024-02-29")
     serve.release()
   }
+
+  test("snapshot mode serves the latest upsert and swaps on refresh()") {
+    import graft.streaming.StreamingPipeline
+    val snapDir = Files.createTempDirectory("graft_serve_snap").toString
+    // fact-shaped upsert batches keyed on (IndexKey, DateKey): the
+    // round trip is upsert sink → _LATEST pointer → served slice
+    val static = new StarServe(spark, starDir)
+    val key = static.indexKeyFor("^GSPC").get
+    static.release()
+    def batch(close: Double, date: String) = {
+      import spark.implicits._
+      Seq((key, java.sql.Date.valueOf(date), close, 2.5))
+        .toDF("IndexKey", "DateKey", "Close", "GDPGrowthRate")
+    }
+    StreamingPipeline.applyUpsertBatch(
+      batch(100.0, "2024-03-01"), 0L, Seq("IndexKey", "DateKey"), snapDir, "serve")
+    val serve = StarServe.fromStreamingSnapshots(spark, starDir, snapDir)
+    val s0 = serve.chartSeries("^GSPC", "2024-03-01", "2024-03-31").collect()
+    assert(s0.length == 1 && s0.head.getDouble(1) == 100.0)
+    // a new upsert batch revises the close; the serve layer must NOT
+    // see it until refresh() observes the pointer flip
+    StreamingPipeline.applyUpsertBatch(
+      batch(101.5, "2024-03-01"), 1L, Seq("IndexKey", "DateKey"), snapDir, "serve")
+    assert(serve.chartSeries("^GSPC", "2024-03-01", "2024-03-31")
+      .head.getDouble(1) == 100.0, "cached snapshot must serve until refresh")
+    assert(serve.refresh(), "pointer moved — refresh must swap")
+    assert(serve.chartSeries("^GSPC", "2024-03-01", "2024-03-31")
+      .head.getDouble(1) == 101.5)
+    assert(!serve.refresh(), "no pointer change — refresh must be a no-op")
+    serve.release()
+  }
 }
