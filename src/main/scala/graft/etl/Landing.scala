@@ -16,6 +16,13 @@ import org.apache.spark.sql.DataFrame
   * `readLanding`'s `{prefix}_*.csv` glob and `lastSavedDate`'s
   * name-based watermark both treat the directory as the day's object.
   *
+  * NOTE for consumers OUTSIDE this repo: `{prefix}_{date}.csv` is a
+  * DIRECTORY holding `part-*.csv` + `_SUCCESS`, not a single object —
+  * any Spark/Hive/DuckDB reader handles it transparently, but a plain
+  * S3 GET of the `.csv` key will not. If a downstream system needs the
+  * single-object layout, rename `part-*` over the directory with the
+  * Hadoop FS API after the write (cheap: one object per day).
+  *
   * Scale note: a daily increment is small by construction (one day of
   * rows), so `coalesce(1)` writes the single object the reference
   * writes without a shuffle; the full history remains many objects,

@@ -25,7 +25,12 @@ import org.apache.spark.sql.functions._
   *
   * Every stage is lazy; `clean` returns the cleaned corpus plus a
   * per-stage survivor-count frame (computed from the same lazy plans —
-  * callers pay for counts only if they evaluate them).
+  * callers pay for counts only if they evaluate them). EXCEPTION:
+  * `useConnectedComponents = true` runs the iterative CC label
+  * propagation (eager Spark jobs — localCheckpoint + a convergence
+  * probe per round) INSIDE `clean`, forcing the upstream
+  * filter/dedup/LSH/verify chain at call time; the greedy default
+  * keeps the whole pipeline lazy.
   */
 object CorpusClean {
 
@@ -49,10 +54,11 @@ object CorpusClean {
   /** Result: cleaned docs (original schema) + per-stage counts
     * (stage, docs_in, docs_out). `stageStats` is a thunk: the counting
     * jobs run only when invoked — callers that only want the cleaned
-    * corpus never pay for them. `release()` drops the two frames the
-    * pipeline persists internally (exact-dedup survivors + their
-    * shingles, each consumed by multiple downstream branches); call it
-    * when done with BOTH the cleaned corpus and the stats. */
+    * corpus never pay for them. `release()` drops the three frames the
+    * pipeline persists internally (exact-dedup survivors, their
+    * shingles, and the LSH band table, each consumed by multiple
+    * downstream branches); call it when done with BOTH the cleaned
+    * corpus and the stats. */
   case class Cleaned(docs: DataFrame, stageStats: () => DataFrame,
       release: () => Unit)
 
@@ -71,8 +77,12 @@ object CorpusClean {
     // feeds signature/band building AND the Jaccard verify (persisted
     // — the band build and the verify's three consumers share it)
     val sh = Dedup.shingles(exactKept, textCol, idCol, cfg.shingleLen).cache()
+    // persisted too: the band table feeds both sides of the candidate
+    // self-join AND the candidate-id pass — without the pin the
+    // MinHash aggregation over all shingles recomputes up to 3×
     val bands = Dedup.lshBands(
       Dedup.minHashSignaturesFast(sh, cfg.numHashes), cfg.numHashes, cfg.bands)
+      .cache()
     val cands = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.h") === col("b.h") &&
           col("a.id") < col("b.id"))
@@ -95,7 +105,7 @@ object CorpusClean {
 
     Cleaned(nearKept,
       () => stageCounts(docs, textCol, cfg, exactKept, nearKept),
-      () => { sh.unpersist(); exactKept.unpersist() })
+      () => { bands.unpersist(); sh.unpersist(); exactKept.unpersist() })
   }
 
   /** Per-stage survivor counts: the language and quality numbers come

@@ -145,6 +145,7 @@ object Dedup {
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id"))
       .localCheckpoint()
+    var prevMat = labels
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
@@ -155,13 +156,34 @@ object Dedup {
         .select(col("id"),
           least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp"),
           (col("nmin").isNotNull && col("nmin") < col("comp")).as("changed"))
-      val mat = next.localCheckpoint()
+      val mat = next.localCheckpoint() // eager: materializes before we drop prev
       converged = mat.filter(col("changed")).limit(1).isEmpty
       labels = mat.select(col("id"), col("comp"))
+      // the previous round's checkpoint blocks are dead once the new
+      // one is materialized — free them instead of pinning one RDD per
+      // round for the session's lifetime
+      freeCheckpointBlocks(prevMat)
+      prevMat = mat
       iter += 1
     }
+    if (!converged)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"connectedComponents stopped at maxIter=$maxIter without converging: " +
+          "components wider than maxIter hops keep >1 canonical label. " +
+          "Raise maxIter (rounds needed <= graph diameter).")
+    freeCheckpointBlocks(edges)
     labels
   }
+
+  /** Unpersist the cached RDD blocks behind a localCheckpoint'd frame
+    * (Dataset.unpersist only covers CacheManager entries; checkpoint
+    * blocks are pinned on the RDD itself). Non-blocking — readers of
+    * already-launched stages are unaffected. */
+  private def freeCheckpointBlocks(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collectLeaves().foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
+      case _ => ()
+    }
 
   /** SimHash-32 signature per document as a 32-char '0'/'1' string:
     * per-token md5-derived 32-bit hashes, weighted bit majority.

@@ -91,11 +91,20 @@ object ExternalAdapters {
       // clients lose their duplicate re-fetch and exclusive clients
       // lose nothing. (The reference re-lands the overlap — duplicate
       // rows; corrected here.)
+      // Only the NEWEST landed object is read for the boundary: every
+      // increment this function lands contains strictly newer dates
+      // than all prior objects (enforced by the `Date > lastLanded`
+      // filter below), so its max(Date) is the history's max(Date).
+      // Scanning the whole history here would be O(history) per daily
+      // increment — unbounded growth for a bounded question.
       val lastLanded: Option[java.sql.Date] =
-        if (watermark.isEmpty) None
-        else Option(graft.etl.StarSchemaBuilder
-          .readLanding(spark, landingDir, prefix, graft.etl.StarSchemaBuilder.stocksSchema)
-          .agg(max(col("Date"))).head.getDate(0))
+        watermark.flatMap { wm =>
+          Option(spark.read
+            .option("header", "true")
+            .schema(graft.etl.StarSchemaBuilder.stocksSchema)
+            .csv(s"$landingDir/${prefix}_$wm.csv")
+            .agg(max(col("Date"))).head.getDate(0))
+        }
       val increment = lastLanded match {
         case Some(d) => stacked.filter(col("Date") > lit(d))
         case None => stacked
