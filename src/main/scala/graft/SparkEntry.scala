@@ -45,13 +45,13 @@ object SparkEntry {
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreQueries.queries ++ JoinQueries.queries ++ AggQueries.queries ++
       WindowQueries.queries ++ ScalarQueries.queries ++ NorthStarQueries.queries ++
-      ExtendedQueries.queries
+      ExtendedQueries.queries ++ TrainPrepQueries.queries
 
   /** For each key in `queries`, equivalent DuckDB SQL on the same tables. */
   val oracleSql: Map[String, String] =
     CoreQueries.sql ++ JoinQueries.sql ++ AggQueries.sql ++
       WindowQueries.sql ++ ScalarQueries.sql ++ NorthStarQueries.sql ++
-      ExtendedQueries.sql
+      ExtendedQueries.sql ++ TrainPrepQueries.sql
 
   require(queries.keySet == oracleSql.keySet,
     s"queries/oracleSql key mismatch: ${(queries.keySet diff oracleSql.keySet) ++ (oracleSql.keySet diff queries.keySet)}")

@@ -1,0 +1,71 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-set preparation operators: deterministic dataset splits
+  * and fixed-token-budget sequence packing — the two assignment steps
+  * between a cleaned corpus (`CorpusClean`) and a training run.
+  *
+  * Both are pure column/window logic: no shuffle beyond the one the
+  * semantics require (split: none — a row-local hash; packing: one
+  * hash exchange on the shard key), no driver-side state, and
+  * deterministic under retry/partitioning because every decision is a
+  * function of row values only.
+  */
+object TrainPrep {
+
+  /** Deterministic split label ("train" / "test" / "val") from the md5
+    * of a key column — the standard content-hash split: stable across
+    * runs, machines, and partitionings; re-running the pipeline with
+    * more data never moves an existing document between splits
+    * (md5(key) is fixed), which leakage-free eval depends on.
+    *
+    * `valCut`/`testCut` are 2-hex-digit thresholds on the hash prefix:
+    * hex-lexicographic compare, so "0d" ≈ 13/256 ≈ 5.1% val,
+    * "0d".."29" ≈ 28/256 ≈ 10.9% test, rest train. Fractions are
+    * EXPECTED values — exact per-corpus counts vary with the hash, as
+    * with every hash split.
+    *
+    * Scale: row-local expression — no shuffle, no state; survives any
+    * partitioning. Split on a STABLE key (content hash or durable id),
+    * never a position-derived one. */
+  def splitLabel(key: Column, valCut: String = "0d", testCut: String = "29"): Column = {
+    require(valCut < testCut, s"valCut '$valCut' must sort below testCut '$testCut'")
+    val fp = md5(key.cast("binary"))
+    when(fp < lit(valCut), "val")
+      .when(fp < lit(testCut), "test")
+      .otherwise("train")
+  }
+
+  /** Greedy fixed-budget sequence packing: documents are taken in
+    * `orderCol` order within each `shardCol` group, and a document is
+    * assigned to bin `floor(tokens_before_it / budget)` — the bin its
+    * FIRST token lands in (bins may overflow past the budget at the
+    * boundary document; packing that splits documents is a tokenizer
+    * concern, not an assignment concern).
+    *
+    * Returns the input plus (shard, bin) columns.
+    *
+    * Scale: packing is inherently sequential in the pack order, so the
+    * sequentiality is confined to a SHARD (one window partition) and
+    * shards run in parallel — the standard corpus-sharding shape. One
+    * exchange on the shard key; the running sum is a single ordered
+    * window, O(rows) per shard. A global (unsharded) pack is a
+    * one-partition window — fine for a demo, a bottleneck at scale;
+    * PlanSpec-style gates should always see a real shard key here. */
+  def packBins(df: DataFrame, shardCol: Column, orderCol: Column,
+      tokCol: Column, budget: Long): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val w = Window.partitionBy(shardCol).orderBy(orderCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("shard", shardCol)
+      .withColumn("__tok", tokCol.cast("long"))
+      .withColumn("__cum", sum(col("__tok")).over(w))
+      // integer `div`: exact bin ids at any magnitude (a double floor
+      // would lose exactness past 2^52 total tokens per shard)
+      .withColumn("bin", expr(s"(__cum - __tok) div $budget"))
+      .drop("__cum", "__tok")
+  }
+}

@@ -1,0 +1,76 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+/** Declared training-prep queries (SURVEY §2.11 extension): the two
+  * assignment steps between a cleaned corpus and a training run,
+  * backed by `graft.ops.TrainPrep`.
+  *
+  * Both are exact-integer / hash-deterministic, so the DuckDB oracle
+  * hash-matches bit-for-bit (hex md5 compare and integer `div` have
+  * identical semantics in both engines).
+  */
+object TrainPrepQueries {
+
+  val queries: Map[String, QFn] = Map(
+    // Deterministic content-hash train/val/test split: per-split doc
+    // and token counts. Row-local hash — no shuffle before the final
+    // 3-group aggregate; a document never migrates splits when the
+    // corpus grows (md5(text) is stable), the property eval hygiene
+    // depends on.
+    "q_train_split" -> { (s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          graft.ops.TrainPrep.splitLabel(col("text")).as("split"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tok"))
+        .orderBy(col("split"))
+    },
+
+    // Greedy fixed-budget sequence packing: shard by doc_id % 8
+    // (shards pack in parallel — the sequential cumsum is confined to
+    // one window partition per shard), assign each doc the bin where
+    // its first token lands (budget 2048), report per-bin occupancy.
+    // Window shuffles once on the shard key; aggregate reuses it.
+    "q_pack_sequences" -> { (s, d) =>
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), (col("doc_id") % 8).as("shard_key"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"))
+      graft.ops.TrainPrep.packBins(
+          docs, col("shard_key"), col("doc_id"), col("n_tok"), budget = 2048L)
+        .groupBy(col("shard"), col("bin"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tok"),
+          min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+        .orderBy(col("shard"), col("bin"))
+    },
+  )
+
+  val sql: Map[String, String] = Map(
+    "q_train_split" ->
+      """SELECT CASE WHEN md5(text) < '0d' THEN 'val'
+        |            WHEN md5(text) < '29' THEN 'test'
+        |            ELSE 'train' END AS split,
+        |       count(*) AS n_docs,
+        |       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tok
+        |FROM documents
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_pack_sequences" ->
+      """WITH toks AS (
+        |  SELECT doc_id, doc_id % 8 AS shard,
+        |         len(string_split(text, ' ')) AS n_tok
+        |  FROM documents
+        |), cum AS (
+        |  SELECT doc_id, shard, n_tok,
+        |         sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+        |  FROM toks
+        |)
+        |SELECT shard, CAST((c - n_tok) // 2048 AS BIGINT) AS bin,
+        |       count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tok,
+        |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM cum
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+  )
+}

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.TrainPrep
+
+/** graft.ops.TrainPrep — deterministic splits and sequence packing. */
+class TrainPrepSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def docs = spark.read.parquet(s"$sfTiny/documents.parquet")
+
+  test("split is deterministic, total, and stable under corpus growth") {
+    val labeled = docs.select(col("doc_id"),
+      TrainPrep.splitLabel(col("text")).as("split"))
+    val a = labeled.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val b = labeled.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a == b)
+    assert(a.values.toSet.subsetOf(Set("train", "test", "val")))
+    // stability: the label of a doc must not depend on which other
+    // docs are present (hash is row-local) — recompute on a half corpus
+    val half = docs.filter(col("doc_id") % 2 === 0).select(col("doc_id"),
+        TrainPrep.splitLabel(col("text")).as("split"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    half.foreach { case (id, s) => assert(a(id) == s) }
+    // all three splits occur and train dominates on any real corpus
+    val byLabel = a.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(byLabel.keySet == Set("train", "test", "val"))
+    assert(byLabel("train") > byLabel("test") && byLabel("test") > byLabel("val"))
+  }
+
+  test("splitLabel rejects misordered cuts") {
+    intercept[IllegalArgumentException] {
+      TrainPrep.splitLabel(col("text"), valCut = "29", testCut = "0d")
+    }
+  }
+
+  test("packBins: bins fill in order and overflow only at a boundary doc") {
+    val toks = docs.select(col("doc_id"), (col("doc_id") % 4).as("sh"),
+      size(split(col("text"), " ")).cast("long").as("n_tok"))
+    val budget = 512L
+    val packed = TrainPrep.packBins(toks, col("sh"), col("doc_id"),
+      col("n_tok"), budget).collect()
+    // reference packing computed sequentially per shard on the driver
+    packed.groupBy(_.getLong(1)).foreach { case (_, rows) =>
+      var cum = 0L
+      rows.sortBy(_.getLong(0)).foreach { r =>
+        assert(r.getLong(4) == cum / budget, s"doc ${r.getLong(0)}")
+        cum += r.getLong(2)
+      }
+    }
+    // bin ids are dense from 0 within each shard
+    packed.groupBy(_.getLong(1)).foreach { case (sh, rows) =>
+      val bins = rows.map(_.getLong(4)).distinct.sorted.toSeq
+      assert(bins == (0L until bins.length.toLong).toSeq,
+        s"shard $sh bins not dense: ${bins.mkString(",")}")
+    }
+  }
+
+  test("packBins window shuffles once on the shard key") {
+    val toks = docs.select(col("doc_id"), (col("doc_id") % 4).as("sh"),
+      size(split(col("text"), " ")).cast("long").as("n_tok"))
+    val plan = TrainPrep.packBins(toks, col("sh"), col("doc_id"),
+      col("n_tok"), 512L).queryExecution.executedPlan.toString
+    assert(plan.contains("Window"), plan.take(2000))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected one shard exchange, got $exchanges:\n${plan.take(3000)}")
+  }
+}
