@@ -80,6 +80,14 @@ class PlanSpec extends AnyFunSuite {
     // one (the kernel would be interpreted under a CodegenFallback).
     val dotLine = p.linesIterator.find(l => l.contains("graft_dot") && l.contains("Project"))
     assert(dotLine.exists(_.contains("*(")), s"dot projection not codegen'd:\n$p")
+    // both join sides must read the shared embedNorms cache — without
+    // it each run re-scans and re-shuffles the embeddings table twice
+    // and recomputes every norm (the r2→r3 5.5s→0.6s regression fix)
+    // (the InMemoryRelation subtree embeds the cache-BUILD plan, which
+    // legitimately contains the parquet scan — only the count of cache
+    // reads is asserted)
+    val imScans = p.linesIterator.count(_.contains("InMemoryTableScan"))
+    assert(imScans >= 2, s"embed pair join must read the norms cache on both sides:\n$p")
   }
 
   test("window queries shuffle once on the partition key") {
