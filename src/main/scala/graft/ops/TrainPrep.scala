@@ -68,4 +68,31 @@ object TrainPrep {
       .withColumn("bin", expr(s"(__cum - __tok) div $budget"))
       .drop("__cum", "__tok")
   }
+
+  /** Decontamination: training documents sharing ≥ `minOverlap`
+    * DISTINCT word n-grams with the eval corpus — the standard
+    * benchmark-leakage sweep run before training. Returns
+    * (id, n_overlap) rows for the contaminated training docs; anti-join
+    * the result against the training set to drop them.
+    *
+    * Scale shape: both sides reduce to DISTINCT (doc, shingle) /
+    * (shingle) sets BEFORE the join — per-document repetition never
+    * reaches the exchange, and the eval side carries |distinct eval
+    * shingles| (eval corpora are benchmark-sized, so Catalyst/AQE
+    * broadcasts it in practice). The join exchanges shingle keys, the
+    * overlap count is one partial+final aggregate on the training doc
+    * id. Stopword-dominated hot shingles are deduped per side, so the
+    * worst key fan-out is |train docs containing it| — the same bound
+    * as any inverted-index build. */
+  def decontaminate(train: DataFrame, eval: DataFrame,
+      textCol: Column, idCol: Column,
+      shingleLen: Int = 3, minOverlap: Long = 5L): DataFrame = {
+    val tsh = Dedup.shingles(train, textCol, idCol, shingleLen).distinct()
+    val esh = Dedup.shingles(eval, textCol, idCol, shingleLen)
+      .select(col("s")).distinct()
+    tsh.join(esh, "s")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_overlap"))
+      .filter(col("n_overlap") >= minOverlap)
+  }
 }

@@ -44,6 +44,22 @@ object TrainPrepQueries {
           min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
         .orderBy(col("shard"), col("bin"))
     },
+
+    // Decontamination: train-split docs sharing ≥5 distinct 3-gram
+    // shingles with the eval (val+test) splits — the benchmark-leakage
+    // sweep. Both sides dedup to distinct (doc, shingle) / (shingle)
+    // sets BELOW the join, so per-doc repetition never reaches the
+    // exchange and the eval side is benchmark-sized by construction.
+    "q_decontaminate" -> { (s, d) =>
+      val labeled = t(s, d, "documents")
+        .withColumn("split", graft.ops.TrainPrep.splitLabel(col("text")))
+      graft.ops.TrainPrep.decontaminate(
+          labeled.filter(col("split") === "train"),
+          labeled.filter(col("split") =!= "train"),
+          col("text"), col("doc_id"), shingleLen = 3, minOverlap = 5L)
+        .select(col("id").as("doc_id"), col("n_overlap"))
+        .orderBy(col("doc_id"))
+    },
   )
 
   val sql: Map[String, String] = Map(
@@ -72,5 +88,24 @@ object TrainPrepQueries {
         |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
         |FROM cum
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_decontaminate" ->
+      """WITH labeled AS (
+        |  SELECT doc_id, text,
+        |         CASE WHEN md5(text) < '0d' THEN 'val'
+        |              WHEN md5(text) < '29' THEN 'test'
+        |              ELSE 'train' END AS split
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id, split, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+        |  FROM (SELECT doc_id, split, string_split(text, ' ') AS w FROM labeled)
+        |       , unnest(range(1, greatest(len(w) - 1, 1))) AS u(i)
+        |  WHERE len(w) >= 3
+        |), tsh AS (SELECT DISTINCT doc_id, s FROM sh WHERE split = 'train'),
+        |   esh AS (SELECT DISTINCT s FROM sh WHERE split <> 'train')
+        |SELECT t.doc_id, count(*) AS n_overlap
+        |FROM tsh t JOIN esh e USING (s)
+        |GROUP BY 1 HAVING count(*) >= 5
+        |ORDER BY 1""".stripMargin,
   )
 }

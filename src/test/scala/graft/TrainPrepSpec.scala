@@ -57,6 +57,36 @@ class TrainPrepSpec extends AnyFunSuite {
     }
   }
 
+  test("decontaminate flags exactly the docs sharing enough distinct shingles") {
+    import spark.implicits._
+    val train = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"), // 4 shingles, all shared
+      (2L, "one two three four five six seven"),   // disjoint from eval
+      (3L, "alpha beta gamma nine ten"),           // 1 shared shingle
+      (4L, "alpha beta gamma delta epsilon nope")  // 3 shared
+    ).toDF("doc_id", "text")
+    val eval_ = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta")).toDF("doc_id", "text")
+    def run(min: Long) = graft.ops.TrainPrep.decontaminate(
+        train, eval_, col("text"), col("doc_id"), shingleLen = 3, minOverlap = min)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(run(4L) == Map(1L -> 4L))
+    assert(run(3L) == Map(1L -> 4L, 4L -> 3L))
+    assert(run(1L) == Map(1L -> 4L, 3L -> 1L, 4L -> 3L))
+  }
+
+  test("decontaminate dedups both sides below the join (distinct shingle sets)") {
+    import spark.implicits._
+    // repetition inside a doc must not inflate the overlap count
+    val train = Seq((1L, "x y z x y z x y z")).toDF("doc_id", "text")
+    val eval_ = Seq((9L, "x y z x y z")).toDF("doc_id", "text")
+    val out = graft.ops.TrainPrep.decontaminate(
+        train, eval_, col("text"), col("doc_id"), shingleLen = 3, minOverlap = 1L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // distinct shingles of "x y z x y z x y z": {x y z, y z x, z x y}
+    assert(out == Map(1L -> 3L))
+  }
+
   test("packBins window shuffles once on the shard key") {
     val toks = docs.select(col("doc_id"), (col("doc_id") % 4).as("sh"),
       size(split(col("text"), " ")).cast("long").as("n_tok"))
