@@ -86,10 +86,21 @@ object TrainPrep {
     * as any inverted-index build. */
   def decontaminate(train: DataFrame, eval: DataFrame,
       textCol: Column, idCol: Column,
-      shingleLen: Int = 3, minOverlap: Long = 5L): DataFrame = {
-    val tsh = Dedup.shingles(train, textCol, idCol, shingleLen).distinct()
-    val esh = Dedup.shingles(eval, textCol, idCol, shingleLen)
-      .select(col("s")).distinct()
+      shingleLen: Int = 3, minOverlap: Long = 5L): DataFrame =
+    decontaminateFromShingles(
+      Dedup.shingles(train, textCol, idCol, shingleLen),
+      Dedup.shingles(eval, textCol, idCol, shingleLen).select(col("s")),
+      minOverlap)
+
+  /** [[decontaminate]] over pre-computed shingle rows: `trainShingles`
+    * is (id, s) for the training side, `evalShingles` any frame with an
+    * `s` column for the eval side. Use this form when a shared shingle
+    * table already exists (one corpus scan feeding dedup AND
+    * decontamination — the pipeline shape at scale). */
+  def decontaminateFromShingles(trainShingles: DataFrame,
+      evalShingles: DataFrame, minOverlap: Long = 5L): DataFrame = {
+    val tsh = trainShingles.select(col("id"), col("s")).distinct()
+    val esh = evalShingles.select(col("s")).distinct()
     tsh.join(esh, "s")
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_overlap"))

@@ -59,7 +59,7 @@ object ExtendedQueries {
     * Cached (memoized): three declared queries (minhash, jaccard,
     * fingerprint) share this exact subtree.
     */
-  private def shingles(s: org.apache.spark.sql.SparkSession, d: String) =
+  private[queries] def shingles(s: org.apache.spark.sql.SparkSession, d: String) =
     memoCache("shingles", s, d) {
       graft.ops.Dedup.shingles(
           t(s, d, "documents").repartition(s.sparkContext.defaultParallelism),

@@ -51,12 +51,16 @@ object TrainPrepQueries {
     // sets BELOW the join, so per-doc repetition never reaches the
     // exchange and the eval side is benchmark-sized by construction.
     "q_decontaminate" -> { (s, d) =>
-      val labeled = t(s, d, "documents")
-        .withColumn("split", graft.ops.TrainPrep.splitLabel(col("text")))
-      graft.ops.TrainPrep.decontaminate(
-          labeled.filter(col("split") === "train"),
-          labeled.filter(col("split") =!= "train"),
-          col("text"), col("doc_id"), shingleLen = 3, minOverlap = 5L)
+      // one corpus scan: the shared memoized shingle cache feeds both
+      // sides; the split label is a cheap (id, split) join against it
+      val ids = t(s, d, "documents")
+        .select(col("doc_id").as("id"),
+          graft.ops.TrainPrep.splitLabel(col("text")).as("split"))
+      val sh = ExtendedQueries.shingles(s, d).withColumnRenamed("doc_id", "id")
+      graft.ops.TrainPrep.decontaminateFromShingles(
+          sh.join(ids.filter(col("split") === "train").select("id"), "id"),
+          sh.join(ids.filter(col("split") =!= "train").select("id"), "id"),
+          minOverlap = 5L)
         .select(col("id").as("doc_id"), col("n_overlap"))
         .orderBy(col("doc_id"))
     },
