@@ -55,6 +55,48 @@ object StreamingPipeline {
     events.withWatermark(watermarkCol, delay)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  case class TrainDoc(doc_id: Long, text: String)
+
+  /** Streaming decontamination — the streaming twin of
+    * `graft.ops.TrainPrep.decontaminate`: drop arriving training
+    * documents sharing ≥ `minOverlap` distinct `shingleLen`-gram
+    * shingles with a STATIC eval corpus.
+    *
+    * Why not the batch shape (explode → join → groupBy(doc))? A
+    * streaming aggregation keyed by doc id keeps one state row per
+    * document FOREVER (docs have no event time to watermark on) —
+    * unbounded state on an unbounded stream. Instead the eval shingle
+    * set — benchmark-sized by construction, the same model-like-state
+    * argument as the IVF centroids — is collected once and BROADCAST,
+    * and each document's verdict is computed row-locally from its own
+    * text: zero streaming state, trivially exactly-once under replay,
+    * with an early exit at `minOverlap` so the common contaminated-doc
+    * case never scans its full text. */
+  def decontaminateStream(docs: Dataset[TrainDoc], evalShingles: DataFrame,
+      shingleLen: Int = 3, minOverlap: Int = 5): Dataset[TrainDoc] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val evalSet = evalShingles.select(col("s")).distinct().as[String]
+      .collect().toSet
+    val bc = spark.sparkContext.broadcast(evalSet)
+    docs.filter { d =>
+      val w = d.text.split(" ")
+      if (w.length < shingleLen) true
+      else {
+        val set = bc.value
+        val seen = scala.collection.mutable.HashSet.empty[String]
+        var overlap = 0
+        var i = 0
+        while (i + shingleLen <= w.length && overlap < minOverlap) {
+          val s = w.slice(i, i + shingleLen).mkString(" ")
+          if (seen.add(s) && set.contains(s)) overlap += 1
+          i += 1
+        }
+        overlap < minOverlap
+      }
+    }
+  }
+
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long)
   case class SessionState(sessionId: Long, lastTs: Long, count: Long)
   case class SessionOut(user_id: Long, session_id: Long, n_events: Long)

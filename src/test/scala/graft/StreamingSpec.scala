@@ -72,6 +72,40 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming decontamination agrees with the batch operator, stateless") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val evalDocs = Seq((100L, "alpha beta gamma delta epsilon zeta eta"))
+      .toDF("doc_id", "text")
+    val evalShingles = graft.ops.Dedup.shingles(
+      evalDocs, col("text"), col("doc_id"))
+    val docs = Seq(
+      StreamingPipeline.TrainDoc(1L, "alpha beta gamma delta epsilon zeta"), // 4 shared
+      StreamingPipeline.TrainDoc(2L, "one two three four five six"),         // clean
+      StreamingPipeline.TrainDoc(3L, "alpha beta gamma unrelated tail"),     // 1 shared
+      StreamingPipeline.TrainDoc(4L, "xy"))                                  // < shingleLen tokens
+    val mem = MemoryStream[StreamingPipeline.TrainDoc]
+    val q = StreamingPipeline.decontaminateStream(
+        mem.toDS(), evalShingles, shingleLen = 3, minOverlap = 4)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("decon_out").start()
+    try {
+      mem.addData(docs.take(2))
+      q.processAllAvailable()
+      mem.addData(docs.drop(2)) // second batch: no cross-batch state
+      q.processAllAvailable()
+      val kept = spark.table("decon_out").collect().map(_.getLong(0)).toSet
+      assert(kept == Set(2L, 3L, 4L), s"doc 1 is contaminated (4 overlaps): $kept")
+      // agreement with the batch operator on the same data
+      val batchFlagged = graft.ops.TrainPrep.decontaminate(
+          docs.map(d => (d.doc_id, d.text)).toDF("doc_id", "text"),
+          evalDocs, col("text"), col("doc_id"), shingleLen = 3, minOverlap = 4L)
+        .collect().map(_.getLong(0)).toSet
+      assert(batchFlagged == Set(1L))
+    } finally q.stop()
+  }
+
   test("upsertSink publishes one consistent snapshot; no stale re-emissions") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
