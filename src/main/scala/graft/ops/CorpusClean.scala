@@ -14,6 +14,10 @@ import org.apache.spark.sql.functions._
   *   3. exact dedup       (Dedup.dedupExact — keep lowest id per hash)
   *   4. near-dup dedup    (MinHash+LSH candidates → exact Jaccard
   *                         verify ≥ threshold → greedy keep-lowest-id)
+  *   5. decontamination   (optional, when an eval corpus is supplied:
+  *                         TrainPrep.decontaminateFromShingles over
+  *                         the SAME shingle frame stage 4 built — the
+  *                         eval sweep costs no extra corpus scan)
   *
   * Near-dup elimination uses the standard greedy rule: a document is
   * dropped when it is the HIGHER id of any verified pair. This keeps
@@ -49,7 +53,11 @@ object CorpusClean {
         * keep one canonical (min-id) doc per component — transitive
         * chains (A≈B≈C with A,C never a pair) collapse fully. false →
         * greedy one-hop (drop the higher id of each pair). */
-      useConnectedComponents: Boolean = false)
+      useConnectedComponents: Boolean = false,
+      /** distinct shared shingles with the eval corpus at which a
+        * surviving doc is dropped as contaminated (stage 5; only used
+        * when `clean` receives an eval corpus). */
+      decontamMinOverlap: Long = 5L)
 
   /** Result: cleaned docs (original schema) + per-stage counts
     * (stage, docs_in, docs_out). `stageStats` is a thunk: the counting
@@ -63,7 +71,7 @@ object CorpusClean {
       release: () => Unit)
 
   def clean(docs: DataFrame, textCol: Column, idCol: Column,
-      cfg: Config = Config()): Cleaned = {
+      cfg: Config = Config(), evalCorpus: Option[DataFrame] = None): Cleaned = {
     val langKept = docs.filter(
       TextAnalysis.langId(textCol, cfg.stopwords, cfg.lang, cfg.langThreshold) === cfg.lang)
     val qualityKept = langKept.filter(
@@ -103,8 +111,27 @@ object CorpusClean {
     val nearKept = exactKept.join(broadcast(dropIds),
       idCol === col("__drop_id"), "left_anti")
 
-    Cleaned(nearKept,
-      () => stageCounts(docs, textCol, cfg, exactKept, nearKept),
+    // stage 5 (optional): decontaminate the survivors against an eval
+    // corpus, reusing the stage-4 shingle frame — restricting it to
+    // survivors is a semi-join below the distinct, so the sweep costs
+    // |survivor shingles| + |eval shingles|, never a new corpus scan
+    val finalKept = evalCorpus match {
+      case None => nearKept
+      case Some(ev) =>
+        val survivorSh = sh.join(
+          nearKept.select(idCol.as("__keep_id")),
+          col("id") === col("__keep_id"), "left_semi")
+        val evalSh = Dedup.shingles(ev, textCol, idCol, cfg.shingleLen)
+        val contaminated = TrainPrep.decontaminateFromShingles(
+            survivorSh, evalSh, cfg.decontamMinOverlap)
+          .select(col("id").as("__drop_id"))
+        nearKept.join(broadcast(contaminated),
+          idCol === col("__drop_id"), "left_anti")
+    }
+
+    Cleaned(finalKept,
+      () => stageCounts(docs, textCol, cfg, exactKept, nearKept,
+        if (evalCorpus.isDefined) Some(finalKept) else None),
       () => { bands.unpersist(); sh.unpersist(); exactKept.unpersist() })
   }
 
@@ -113,7 +140,8 @@ object CorpusClean {
     * are pure codegen'd columns), the dedup numbers from the persisted
     * survivor frames, so no stage's chain re-runs more than once. */
   private def stageCounts(raw: DataFrame, textCol: Column, cfg: Config,
-      exact: DataFrame, near: DataFrame): DataFrame = {
+      exact: DataFrame, near: DataFrame,
+      decontaminated: Option[DataFrame] = None): DataFrame = {
     val spark = raw.sparkSession
     import spark.implicits._
     val langOk = TextAnalysis.langId(
@@ -126,11 +154,15 @@ object CorpusClean {
     val (total, nLang, nQual) = (row.getLong(0), row.getLong(1), row.getLong(2))
     val nExact = exact.count()
     val nNear = near.count()
-    Seq(
+    val base = Seq(
       ("language", total, nLang),
       ("quality", nLang, nQual),
       ("exact_dedup", nQual, nExact),
       ("near_dedup", nExact, nNear))
-      .toDF("stage", "docs_in", "docs_out")
+    val rows = decontaminated match {
+      case Some(fin) => base :+ (("decontaminate", nNear, fin.count()))
+      case None => base
+    }
+    rows.toDF("stage", "docs_in", "docs_out")
   }
 }

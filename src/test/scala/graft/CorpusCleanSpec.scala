@@ -67,6 +67,23 @@ class CorpusCleanSpec extends AnyFunSuite {
       order.sliding(2).foreach { case Seq(a, b) =>
         assert(stats(a)._2 == stats(b)._1, s"$a out != $b in")
       }
+      // no eval corpus supplied → no decontamination stage reported
+      assert(!stats.contains("decontaminate"))
+    } finally out.release()
+  }
+
+  test("eval corpus adds a decontamination stage that drops leaked docs") {
+    // eval doc shares doc 1's text (>= 5 shared 3-grams); doc 2 clean
+    val evalCorpus = Seq((100L, goodText(1) + " evaltail")).toDF("doc_id", "text")
+    val out = CorpusClean.clean(fixture, col("text"), col("doc_id"),
+      CorpusClean.Config(), evalCorpus = Some(evalCorpus))
+    try {
+      val kept = out.docs.select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(kept == Set(2L), s"doc 1 leaks into eval and must drop: $kept")
+      val stats = out.stageStats().collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(stats("near_dedup") == (3L, 2L))
+      assert(stats("decontaminate") == (2L, 1L))
     } finally out.release()
   }
 }
