@@ -123,4 +123,45 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("packBins: bin ids match a sequential per-shard fold on random token counts") {
+    val tokGen = Gen.listOfN(80, Gen.choose(1, 700))
+    for (seed <- 1L to 5L) {
+      val toks = sample(tokGen, seed).zipWithIndex
+        .map { case (n, i) => (i.toLong, (i % 3).toLong, n.toLong) }
+      val df = toks.toDF("doc_id", "sh", "n_tok")
+      val budget = 1000L
+      val got = graft.ops.TrainPrep
+        .packBins(df, col("sh"), col("doc_id"), col("n_tok"), budget)
+        .collect().map(r => r.getLong(0) -> r.getLong(4)).toMap
+      // sequential reference: running cumsum per shard, bin = before/budget
+      toks.groupBy(_._2).foreach { case (_, rows) =>
+        var cum = 0L
+        rows.sortBy(_._1).foreach { case (id, _, n) =>
+          assert(got(id) == cum / budget, s"seed=$seed doc=$id")
+          cum += n
+        }
+      }
+      // every doc is assigned exactly one bin; bins are non-negative
+      assert(got.size == toks.size && got.values.forall(_ >= 0L))
+    }
+  }
+
+  test("splitLabel: total, deterministic, and invariant to row co-location") {
+    val textGen = Gen.listOfN(6, Gen.alphaLowerStr.map(_.take(8))).map(_.mkString(" "))
+    for (seed <- 1L to 3L) {
+      val texts = (0 until 100).map(i => (i.toLong, sample(textGen, seed * 1000 + i)))
+      val one = texts.toDF("id", "text")
+        .select(col("id"), graft.ops.TrainPrep.splitLabel(col("text")).as("s"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      // same rows, different partitioning → identical labels
+      val shuffled = scala.util.Random.javaRandomToRandom(
+        new java.util.Random(seed)).shuffle(texts).toDF("id", "text")
+        .repartition(7)
+        .select(col("id"), graft.ops.TrainPrep.splitLabel(col("text")).as("s"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(one == shuffled, s"seed=$seed")
+      assert(one.values.toSet.subsetOf(Set("train", "test", "val")))
+    }
+  }
 }
