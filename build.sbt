@@ -28,3 +28,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// Driver-contract mains (Bench/Verify/Smoke) emit machine-parsed
+// stdout; route log4j2 to the quiet config for `run`/`runMain` ONLY.
+// Tests and embedders keep their own logging (the file is not
+// auto-discovered — see its header).
+run / javaOptions +=
+  "-Dlog4j2.configurationFile=classpath:graft-quiet-log4j2.properties"

@@ -121,7 +121,11 @@ object CorpusClean {
         val survivorSh = sh.join(
           nearKept.select(idCol.as("__keep_id")),
           col("id") === col("__keep_id"), "left_semi")
-        val evalSh = Dedup.shingles(ev, textCol, idCol, cfg.shingleLen)
+        // rebind by NAME for the foreign eval frame: a caller passing
+        // frame-bound columns (docs("text")) would otherwise fail
+        // analysis when the same Column is applied to evalCorpus
+        val evalSh = Dedup.shingles(ev, rebind(textCol), rebind(idCol),
+          cfg.shingleLen)
         val contaminated = TrainPrep.decontaminateFromShingles(
             survivorSh, evalSh, cfg.decontamMinOverlap)
           .select(col("id").as("__drop_id"))
@@ -133,6 +137,19 @@ object CorpusClean {
       () => stageCounts(docs, textCol, cfg, exactKept, nearKept,
         if (evalCorpus.isDefined) Some(finalKept) else None),
       () => { bands.unpersist(); sh.unpersist(); exactKept.unpersist() })
+  }
+
+  /** A plain attribute Column re-expressed as an unresolved name, so
+    * it can resolve against a DIFFERENT frame with the same column
+    * name; non-attribute expressions pass through unchanged (they
+    * could never have been frame-bound to begin with). */
+  private def rebind(c: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.expression(c) match {
+      case a: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
+        col(a.name)
+      case _ => c
+    }
   }
 
   /** Per-stage survivor counts: the language and quality numbers come

@@ -43,8 +43,15 @@ object ExtendedQueries {
     (org.apache.spark.sql.SparkSession, String, String),
     org.apache.spark.sql.DataFrame]()
   private def memoCache(key: String, s: org.apache.spark.sql.SparkSession, d: String)(
-      build: => org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      build: => org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    // evict entries of stopped sessions so a session-per-batch embedder
+    // that never calls releaseCaches cannot pin dead SparkSessions (and
+    // their plans) in this static map forever; the map holds at most a
+    // handful of keys, so the sweep is O(entries) trivial
+    val it = memoStore.keySet.iterator
+    while (it.hasNext) if (it.next()._1.sparkContext.isStopped) it.remove()
     memoStore.computeIfAbsent((s, d, key), _ => build.cache())
+  }
 
   /** doc_id + 3-gram word shingles (docs with ≥3 tokens).
     *

@@ -36,8 +36,15 @@ class StarServe(spark: SparkSession, starDir: String,
   private var factCache: Option[DataFrame] = None
 
   private def loadFact(): DataFrame = (factSnapshotDir match {
-    case Some(d) => graft.streaming.StreamingPipeline.readLatestSnapshot(spark, d)
-    case None    => spark.read.parquet(s"$starDir/fact_table.parquet")
+    case Some(d) =>
+      // record the pointer ACTUALLY loaded: without this, a snapshot
+      // published between construction and the first fact() call makes
+      // the next refresh() see a "moved" pointer and drop a cache that
+      // already holds the new data. (A flip between these two reads is
+      // benign — refresh() just reloads once.)
+      factPtr = graft.streaming.StreamingPipeline.latestSnapshotName(spark, d)
+      graft.streaming.StreamingPipeline.readLatestSnapshot(spark, d)
+    case None => spark.read.parquet(s"$starDir/fact_table.parquet")
   }).cache()
 
   /** Cached fact frame (reference reads the same objects,

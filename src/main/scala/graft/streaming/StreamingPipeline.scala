@@ -80,7 +80,10 @@ object StreamingPipeline {
       .collect().toSet
     val bc = spark.sparkContext.broadcast(evalSet)
     docs.filter { d =>
-      val w = d.text.split(" ")
+      // limit -1: keep trailing empty tokens, matching Spark's split()
+      // in Dedup.shingles — without it a trailing space makes the two
+      // operators disagree on boundary shingles and doc eligibility
+      val w = d.text.split(" ", -1)
       if (w.length < shingleLen) true
       else {
         val set = bc.value
@@ -261,11 +264,13 @@ object StreamingPipeline {
     val out = new Path(outDir)
     val fs = out.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val p = new Path(out, "_LATEST")
-    if (!fs.exists(p)) None
-    else {
+    // open directly and treat not-found as None: an exists() pre-check
+    // would race the writer's delete→rename flip (TOCTOU) and turn the
+    // gap into a crash instead of the documented None
+    try {
       val in = fs.open(p)
       Some(try new String(in.readAllBytes(), "UTF-8").trim finally in.close())
-    }
+    } catch { case _: java.io.FileNotFoundException => None }
   }
 
   /** Read the snapshot the `_LATEST` pointer names. Retries a missing

@@ -86,4 +86,16 @@ class CorpusCleanSpec extends AnyFunSuite {
       assert(stats("decontaminate") == (2L, 1L))
     } finally out.release()
   }
+
+  test("frame-bound columns work with a foreign eval corpus (rebind by name)") {
+    val evalCorpus = Seq((100L, goodText(1) + " evaltail")).toDF("doc_id", "text")
+    // docs("text") is bound to `fixture` — stage 5 must rebind it by
+    // name before applying it to the unrelated eval frame
+    val out = CorpusClean.clean(fixture, fixture("text"), fixture("doc_id"),
+      CorpusClean.Config(), evalCorpus = Some(evalCorpus))
+    try {
+      val kept = out.docs.select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(kept == Set(2L), kept.toString)
+    } finally out.release()
+  }
 }
