@@ -84,6 +84,24 @@ object PipelineDemo {
     println(s"[demo] media decoded = ${decoded.count()}; " +
       s"frames sampled = ${Multimodal.sampleFrames(decoded, 5000).count()}")
 
+    // --- training-set prep: clean → decontaminate → split → pack ---
+    val evalDocs = docs.filter(col("doc_id") % 97 === 0)
+    val cleaned = graft.ops.CorpusClean.clean(
+      docs.filter(col("doc_id") % 97 =!= 0), col("text"), col("doc_id"),
+      graft.ops.CorpusClean.Config(), evalCorpus = Some(evalDocs))
+    println("[demo] corpus-clean stage stats (incl. decontamination):")
+    cleaned.stageStats().show()
+    val labeled = cleaned.docs.withColumn("split",
+      graft.ops.TrainPrep.splitLabel(col("text")))
+    val packed = graft.ops.TrainPrep.packBins(
+      labeled.filter(col("split") === "train")
+        .select(col("doc_id"), (col("doc_id") % 4).as("shard_key"),
+          size(split(col("text"), " ")).cast("long").as("n_tok")),
+      col("shard_key"), col("doc_id"), col("n_tok"), budget = 2048L)
+    println(s"[demo] train docs packed into " +
+      s"${packed.select(col("shard"), col("bin")).distinct().count()} bins")
+    cleaned.release()
+
     // --- approximate distinct (HLL++) vs exact ---
     val li = queries.t(spark, sf, "lineitem")
     val approx = graft.ops.Sketches.approxCountDistinct(li, col("l_partkey")).head.getLong(0)
