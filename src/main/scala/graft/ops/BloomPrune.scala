@@ -1,0 +1,63 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types.BinaryType
+
+/** Bloom-filter join pruning — drop big-side rows that cannot match
+  * BEFORE their shuffle, the standard row-level runtime filter for
+  * selective large×medium joins.
+  *
+  * Spark's optimizer injects this automatically inside a single query
+  * when `spark.sql.optimizer.runtime.bloomFilter.enabled` fires; this
+  * operator makes the same machinery EXPLICIT so the sketch can be
+  * (a) built once and reused across many queries against the same
+  * medium side, and (b) applied to scans the optimizer cannot see
+  * through (a pre-filter before a `mapPartitions` codec stage, a
+  * hand-built stream-static join). Uses Spark's own
+  * `BloomFilterAggregate` / `BloomFilterMightContain` expressions via
+  * the namespace bridge — no new sketch implementation, identical
+  * hashing (XxHash64) on both sides.
+  *
+  * 100 TB shape: the sketch is built with one partial+final aggregate
+  * over the SMALL side's keys and collected to the driver — model-like
+  * state, `numBits/8` bytes by construction (1 MiB default), the same
+  * argument as the IVF centroid collect. It re-enters the plan as a
+  * literal, so the big side's probe is a row-local codegen'd filter
+  * below its exchange: rows that cannot join are dropped before they
+  * are hashed, serialized, or shuffled. False positives only (never
+  * drops a matching row); the join itself stays exact.
+  */
+object BloomPrune {
+
+  /** Serialized bloom filter over `key` of `df` (XxHash64 domain).
+    * `numBits` defaults to 8M bits = 1 MiB ≈ 1% fpp at 1M items. */
+  def buildFilter(df: DataFrame, key: Column,
+      expectedItems: Long = 1000000L, numBits: Long = 8L * 1024 * 1024): Array[Byte] = {
+    val hashed = new XxHash64(Seq(ColumnBridge.expression(key)))
+    val agg = new BloomFilterAggregate(hashed,
+      Literal(expectedItems), Literal(numBits)).toAggregateExpression()
+    df.select(ColumnBridge.column(agg)).head.getAs[Array[Byte]](0)
+  }
+
+  /** Membership-test Column for a previously built filter: true when
+    * `key` MIGHT be in the sketch (false ⇒ definitely absent). */
+  def mightContain(filter: Array[Byte], key: Column): Column =
+    ColumnBridge.column(BloomFilterMightContain(
+      Literal(filter, BinaryType),
+      new XxHash64(Seq(ColumnBridge.expression(key)))))
+
+  /** Inner equi-join with the big side bloom-pruned below its shuffle.
+    * Semantically identical to `big.join(small, bigKey === smallKey)`
+    * — the bloom filter admits false positives only, and the join
+    * removes those. */
+  def prunedJoin(big: DataFrame, bigKey: Column,
+      small: DataFrame, smallKey: Column,
+      expectedItems: Long = 1000000L,
+      numBits: Long = 8L * 1024 * 1024): DataFrame = {
+    val bf = buildFilter(small, smallKey, expectedItems, numBits)
+    big.filter(mightContain(bf, bigKey)).join(small, bigKey === smallKey)
+  }
+}
