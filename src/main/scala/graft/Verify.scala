@@ -22,10 +22,20 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+      // one retry: the queries are deterministic, so a second failure
+      // is a real bug, but a transient executor/broadcast hiccup (this
+      // VM shows them) must not zero the query's correctness record
+      def attempt(): Unit = fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      try attempt()
+      catch { case e1: Throwable =>
+        System.err.println(s"[verify] $name attempt 1 failed: " +
+          s"${e1.getClass.getName}: ${e1.getMessage} — retrying")
+        try attempt()
+        catch { case e2: Throwable =>
+          System.err.println(s"[verify] $name failed: " +
+            s"${e2.getClass.getName}: ${e2.getMessage}")
+        }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -73,6 +73,50 @@ object Dedup {
       (0 until numHashes).map(j => col("__mh").getItem(j).as(s"m$j")): _*)
   }
 
+  /** The same MinHash signature as [[minHashSignatures]], computed
+    * ROW-LOCALLY as higher-order-function columns over the document's
+    * own shingle array — no explode, no aggregation, no state. This is
+    * the streaming-safe form (a per-doc groupBy on an unbounded stream
+    * would keep state per document forever); on the batch path prefer
+    * [[minHashSignaturesFast]], whose one-pass typed aggregate stays
+    * codegen'd where HOFs are CodegenFallback. Byte-identical output
+    * (spec-enforced). Returns null signature columns for docs with
+    * fewer than `shingleLen` tokens — filter those out first when
+    * banding. */
+  def minHashColumns(textCol: Column, numHashes: Int = 8,
+      shingleLen: Int = 3): Seq[Column] = {
+    val n = shingleLen
+    val w = split(textCol, " ")
+    val sh = transform(sequence(lit(1), size(w) - (n - 1)),
+      i => concat_ws(" ", (0 until n).map(k => element_at(w, i + lit(k))): _*))
+    (0 until numHashes).map { j =>
+      when(size(w) >= n,
+        array_min(transform(sh,
+          s => md5(concat_ws("|", lit(j.toString), s).cast("binary")))))
+        .as(s"m$j")
+    }
+  }
+
+  /** Row-local LSH band keys (id, band, h) straight from the text —
+    * [[minHashColumns]] + banding in one stateless projection, so it
+    * runs unchanged on a STREAM (each arriving doc emits its `bands`
+    * bucket keys; join them against an indexed band table for
+    * incremental near-dup candidates). Docs with fewer than
+    * `shingleLen` tokens emit nothing, matching [[shingles]]. */
+  def lshBandKeys(docs: DataFrame, textCol: Column, idCol: Column,
+      numHashes: Int = 8, bands: Int = 2, shingleLen: Int = 3): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val ms = minHashColumns(textCol, numHashes, shingleLen)
+    val bandStructs = (0 until bands).map { b =>
+      struct(lit(b.toLong).as("band"),
+        md5(concat_ws("", (b * r until (b + 1) * r).map(ms): _*).cast("binary")).as("h"))
+    }
+    docs.filter(size(split(textCol, " ")) >= shingleLen)
+      .select(idCol.as("id"), explode(array(bandStructs: _*)).as("bh"))
+      .select(col("id"), col("bh.band").as("band"), col("bh.h").as("h"))
+  }
+
   /** LSH banding over a MinHash signature frame: (id, band, h). */
   def lshBands(mh: DataFrame, numHashes: Int, bands: Int): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")

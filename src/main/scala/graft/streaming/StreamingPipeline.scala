@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
@@ -54,6 +54,31 @@ object StreamingPipeline {
       watermarkCol: String = "ts", delay: String = "1 hour"): DataFrame =
     events.withWatermark(watermarkCol, delay)
       .dropDuplicatesWithinWatermark(keyCols)
+
+  /** Incremental near-dup candidate maintenance: each arriving doc
+    * emits its LSH band keys ROW-LOCALLY (`Dedup.lshBandKeys` — the
+    * stateless MinHash-column form; a per-doc aggregation would keep
+    * unbounded stream state) and joins them against a STATIC indexed
+    * band table, yielding (new_id, candidate_id) pairs for the exact
+    * verify stage. Stream–static inner join: no watermark, no state —
+    * the index side is a bounded batch frame (refresh it by restarting
+    * the query or via the upsert-sink snapshot pattern). Pairs are NOT
+    * deduplicated across bands (a streaming distinct would be
+    * stateful); the downstream verify treats candidate pairs as a set,
+    * and `Dedup.jaccardOnPairs`-style verifies are idempotent per
+    * pair. */
+  def nearDupCandidatesStream(docs: DataFrame, textCol: Column,
+      idCol: Column, indexBands: DataFrame,
+      numHashes: Int = 8, bands: Int = 2, shingleLen: Int = 3): DataFrame = {
+    val newKeys = graft.ops.Dedup
+      .lshBandKeys(docs, textCol, idCol, numHashes, bands, shingleLen)
+    val idx = indexBands.select(col("band").as("__iband"),
+      col("h").as("__ih"), col("id").as("candidate_id"))
+    newKeys.join(idx,
+        col("band") === col("__iband") && col("h") === col("__ih") &&
+          col("id") =!= col("candidate_id"))
+      .select(col("id").as("new_id"), col("candidate_id"))
+  }
 
   case class TrainDoc(doc_id: Long, text: String)
 

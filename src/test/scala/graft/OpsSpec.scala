@@ -36,6 +36,33 @@ class OpsSpec extends AnyFunSuite {
     assert(mh(1L) != mh(4L))
   }
 
+  test("row-local MinHash columns are byte-identical to the aggregate form") {
+    // corpus docs at sf0.001 — real texts, incl. short-doc edge cases
+    val corpus = spark.read.parquet(s"${TestSpark.sfTiny}/documents.parquet")
+      .limit(200)
+    val agg = Dedup.minHashSignaturesFast(
+        Dedup.shingles(corpus, col("text"), col("doc_id")))
+      .collect().map(r => r.getLong(0) -> (1 to 8).map(r.getString).mkString("|")).toMap
+    val local = corpus.select(col("doc_id") +:
+        Dedup.minHashColumns(col("text")): _*)
+      .collect().map(r => r.getLong(0) ->
+        (1 to 8).map(i => Option(r.getString(i)).orNull)).toMap
+    // every doc the aggregate path signed gets the same signature
+    agg.foreach { case (id, sig) =>
+      assert(local(id).mkString("|") == sig, s"doc $id") }
+    // docs too short to shingle sign null on the row-local path and
+    // are absent from the aggregate path
+    local.filter(_._2.contains(null)).keys.foreach { id =>
+      assert(!agg.contains(id), s"doc $id") }
+    // band keys agree as a set with the signature-frame banding
+    val fromSig = Dedup.lshBands(Dedup.minHashSignaturesFast(
+        Dedup.shingles(corpus, col("text"), col("doc_id"))), 8, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val rowLocal = Dedup.lshBandKeys(corpus, col("text"), col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(rowLocal == fromSig)
+  }
+
   test("LSH candidates include exact and near dups, not unrelated docs") {
     val cand = Dedup.minHashLshCandidates(docs, col("text"), col("doc_id"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

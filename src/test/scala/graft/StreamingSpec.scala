@@ -106,6 +106,33 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming near-dup candidates match the batch LSH pairs against the index") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    // static index over an existing corpus
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "completely different words about spark query engines here"))
+      .toDF("doc_id", "text")
+    val index = graft.ops.Dedup.lshBandKeys(corpus, col("text"), col("doc_id"))
+    // arriving docs: 10 = exact dup of 1; 11 = unrelated; 12 = too short
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamingPipeline.nearDupCandidatesStream(
+        mem.toDF.toDF("doc_id", "text"), col("text"), col("doc_id"), index)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("neardup_out").start()
+    try {
+      mem.addData((10L, "the quick brown fox jumps over the lazy dog"),
+        (11L, "nothing shared with anything else at all zero overlap"),
+        (12L, "too short"))
+      q.processAllAvailable()
+      val pairs = spark.table("neardup_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs == Set((10L, 1L)), s"only the dup pairs with doc 1: $pairs")
+    } finally q.stop()
+  }
+
   test("upsertSink publishes one consistent snapshot; no stale re-emissions") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
