@@ -69,6 +69,36 @@ object TrainPrep {
       .drop("__cum", "__tok")
   }
 
+  /** Deterministic stratified sampling: keep a hash-stable fraction of
+    * each stratum. `fractions` maps stratum value → keep probability;
+    * strata absent from the map are dropped. Unlike `df.stat.sampleBy`
+    * (seeded RNG over row ORDER — different partitioning, different
+    * sample) the decision is a pure function of `keyCol`'s content, so
+    * the sample is reproducible across runs, partitionings, and
+    * cluster sizes, and a row never flaps in/out as the corpus grows.
+    *
+    * Mechanics: md5(key) is uniform in [0, 16^4) on its 4-hex-char
+    * prefix; keep when prefix < round(fraction · 65536) rendered as a
+    * 4-hex threshold — the same hex-compare trick as [[splitLabel]],
+    * so fractions are exact to 1/65536. Row-local → no shuffle. */
+  def stratifiedSample(df: DataFrame, stratumCol: Column, keyCol: Column,
+      fractions: Map[String, Double]): DataFrame = {
+    require(fractions.values.forall(f => f >= 0.0 && f <= 1.0),
+      "fractions must be in [0, 1]")
+    val fp = md5(keyCol.cast("binary")).substr(1, 4)
+    val keep = fractions.foldLeft(lit(false)) { case (acc, (stratum, f)) =>
+      val v = math.round(f * 65536.0).min(65536L)
+      // v = 65536 (f = 1.0) keeps the whole stratum — there is no
+      // 4-hex threshold above every prefix, so special-case it; all
+      // other thresholds compare 4 chars against 4 chars exactly
+      val cond =
+        if (v >= 65536L) stratumCol === stratum
+        else stratumCol === stratum && fp < lit(f"$v%04x")
+      acc || cond
+    }
+    df.filter(keep)
+  }
+
   /** Decontamination: training documents sharing ≥ `minOverlap`
     * DISTINCT word n-grams with the eval corpus — the standard
     * benchmark-leakage sweep run before training. Returns

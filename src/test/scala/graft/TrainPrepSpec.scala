@@ -57,6 +57,30 @@ class TrainPrepSpec extends AnyFunSuite {
     }
   }
 
+  test("stratifiedSample: deterministic, per-stratum rates, absent strata dropped") {
+    val labeled = docs.select(col("doc_id"), col("text"), col("lang"))
+    val fractions = Map("en" -> 0.5, "de" -> 1.0)
+    def run() = graft.ops.TrainPrep.stratifiedSample(
+        labeled, col("lang"), col("text"), fractions)
+      .collect().map(_.getLong(0)).toSet
+    val a = run()
+    assert(a == run(), "sample must be identical across runs")
+    // partitioning must not change the sample (content-hash decision)
+    val b = graft.ops.TrainPrep.stratifiedSample(
+        labeled.repartition(13), col("lang"), col("text"), fractions)
+      .collect().map(_.getLong(0)).toSet
+    assert(a == b)
+    val langOf = labeled.collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val total = langOf.groupBy(_._2).view.mapValues(_.size).toMap
+    val kept = a.groupBy(langOf).view.mapValues(_.size).toMap
+    // f=1.0 stratum keeps everything; unlisted strata keep nothing
+    assert(kept.getOrElse("de", 0) == total.getOrElse("de", 0))
+    assert(a.forall(id => fractions.contains(langOf(id))))
+    // f=0.5 stratum keeps roughly half (hash-uniform; generous bounds)
+    val en = kept.getOrElse("en", 0).toDouble / total("en")
+    assert(en > 0.3 && en < 0.7, s"en keep rate $en")
+  }
+
   test("decontaminate flags exactly the docs sharing enough distinct shingles") {
     import spark.implicits._
     val train = Seq(
