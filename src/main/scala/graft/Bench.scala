@@ -4,9 +4,13 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    // Log quieting lives in src/main/resources/log4j2.properties
-    // (root=error): a user-level config is the only thing that beats
-    // Spark's own default-config install, which happens during session
+    // Log quieting lives in src/main/resources/graft-quiet-log4j2
+    // .properties (root=error), activated by the -Dlog4j2
+    // .configurationFile option build.sbt sets for `run`/`runMain` —
+    // it is NOT auto-discovered, so launching outside sbt (spark-
+    // submit / java -cp) must pass that option itself. A config
+    // present at logger init is the only thing that beats Spark's own
+    // default-config install, which happens during session
     // construction — before setLogLevel could run.
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

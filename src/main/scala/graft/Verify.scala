@@ -27,12 +27,15 @@ object Verify {
       // VM shows them) must not zero the query's correctness record
       def attempt(): Unit = fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
+      // NonFatal only: re-running an identical plan on an OOM'd/
+      // corrupted JVM doubles the damage — fatal errors propagate
+      import scala.util.control.NonFatal
       try attempt()
-      catch { case e1: Throwable =>
+      catch { case NonFatal(e1) =>
         System.err.println(s"[verify] $name attempt 1 failed: " +
           s"${e1.getClass.getName}: ${e1.getMessage} — retrying")
         try attempt()
-        catch { case e2: Throwable =>
+        catch { case NonFatal(e2) =>
           System.err.println(s"[verify] $name failed: " +
             s"${e2.getClass.getName}: ${e2.getMessage}")
         }

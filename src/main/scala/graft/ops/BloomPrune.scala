@@ -33,7 +33,13 @@ import org.apache.spark.sql.types.BinaryType
 object BloomPrune {
 
   /** Serialized bloom filter over `key` of `df` (XxHash64 domain).
-    * `numBits` defaults to 8M bits = 1 MiB ≈ 1% fpp at 1M items. */
+    * `numBits` defaults to 8M bits = 1 MiB ≈ 1% fpp at 1M items.
+    *
+    * TYPE CONTRACT: the probe key later passed to [[mightContain]]
+    * must have the SAME data type as `key` — XxHash64 hashes the same
+    * numeric value differently per width (int vs long), so a type
+    * mismatch silently fails membership for true matches.
+    * [[prunedJoin]] normalizes both sides automatically. */
   def buildFilter(df: DataFrame, key: Column,
       expectedItems: Long = 1000000L, numBits: Long = 8L * 1024 * 1024): Array[Byte] = {
     val hashed = new XxHash64(Seq(ColumnBridge.expression(key)))
@@ -57,7 +63,17 @@ object BloomPrune {
       small: DataFrame, smallKey: Column,
       expectedItems: Long = 1000000L,
       numBits: Long = 8L * 1024 * 1024): DataFrame = {
-    val bf = buildFilter(small, smallKey, expectedItems, numBits)
-    big.filter(mightContain(bf, bigKey)).join(small, bigKey === smallKey)
+    // normalize the hash domain: XxHash64 hashes int(5) and long(5)
+    // differently, so mismatched key widths (a common parquet-writer
+    // artifact) would silently drop true matches. Hash both sides as
+    // strings when the resolved types differ; the JOIN itself keeps
+    // the original columns and Spark's own coercion.
+    val bigT = big.select(bigKey).schema.head.dataType
+    val smallT = small.select(smallKey).schema.head.dataType
+    val (bk, sk) =
+      if (bigT == smallT) (bigKey, smallKey)
+      else (bigKey.cast("string"), smallKey.cast("string"))
+    val bf = buildFilter(small, sk, expectedItems, numBits)
+    big.filter(mightContain(bf, bk)).join(small, bigKey === smallKey)
   }
 }

@@ -147,7 +147,9 @@ object CorpusClean {
     import org.apache.spark.sql.graft.ColumnBridge
     ColumnBridge.expression(c) match {
       case a: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
-        col(a.name)
+        // backtick-quote: a flat name containing '.' must not be
+        // reparsed as a qualifier / nested-field path
+        col(s"`${a.name}`")
       case _ => c
     }
   }

@@ -85,17 +85,30 @@ object Dedup {
     * banding. */
   def minHashColumns(textCol: Column, numHashes: Int = 8,
       shingleLen: Int = 3): Seq[Column] = {
-    val n = shingleLen
-    val w = split(textCol, " ")
-    val sh = transform(sequence(lit(1), size(w) - (n - 1)),
-      i => concat_ws(" ", (0 until n).map(k => element_at(w, i + lit(k))): _*))
-    (0 until numHashes).map { j =>
-      when(size(w) >= n,
-        array_min(transform(sh,
-          s => md5(concat_ws("|", lit(j.toString), s).cast("binary")))))
-        .as(s"m$j")
-    }
+    val sh = shingleArray(textCol, shingleLen)
+    (0 until numHashes).map(j => minOverShingleArray(sh, j).as(s"m$j"))
+    // NOTE: each returned column re-embeds the tokenize+shingle tree
+    // (HOFs are CodegenFallback — no subexpression elimination), so
+    // this convenience form shingles ~numHashes× per row. On a hot
+    // path, project [[shingleArray]] into a real column once and map
+    // [[minOverShingleArray]] over it — what [[lshBandKeys]] does.
   }
+
+  /** The document's shingle array as one Column; null when the doc has
+    * fewer than `n` tokens (sequence() would otherwise run DESCENDING
+    * from 1 and read element_at(w, 0)). */
+  def shingleArray(textCol: Column, n: Int = 3): Column = {
+    val w = split(textCol, " ")
+    when(size(w) >= n,
+      transform(sequence(lit(1), size(w) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(k => element_at(w, i + lit(k))): _*)))
+  }
+
+  /** min(md5("{j}|" + s)) over a shingle-array column — one MinHash
+    * permutation, row-local. */
+  def minOverShingleArray(shCol: Column, j: Int): Column =
+    array_min(transform(shCol,
+      s => md5(concat_ws("|", lit(j.toString), s).cast("binary"))))
 
   /** Row-local LSH band keys (id, band, h) straight from the text —
     * [[minHashColumns]] + banding in one stateless projection, so it
@@ -107,13 +120,20 @@ object Dedup {
       numHashes: Int = 8, bands: Int = 2, shingleLen: Int = 3): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    val ms = minHashColumns(textCol, numHashes, shingleLen)
+    // materialize the shingle array ONCE as a real column: the m_j
+    // minima below reference it by attribute, so the tokenize+shingle
+    // work runs once per row, not numHashes× (CollapseProject does not
+    // re-inline a multi-referenced non-cheap expression)
+    val shingled = docs
+      .select(idCol.as("id"), shingleArray(textCol, shingleLen).as("__sh"))
+      .filter(col("__sh").isNotNull)
+    val ms = (0 until numHashes).map(j => minOverShingleArray(col("__sh"), j))
     val bandStructs = (0 until bands).map { b =>
       struct(lit(b.toLong).as("band"),
         md5(concat_ws("", (b * r until (b + 1) * r).map(ms): _*).cast("binary")).as("h"))
     }
-    docs.filter(size(split(textCol, " ")) >= shingleLen)
-      .select(idCol.as("id"), explode(array(bandStructs: _*)).as("bh"))
+    shingled
+      .select(col("id"), explode(array(bandStructs: _*)).as("bh"))
       .select(col("id"), col("bh.band").as("band"), col("bh.h").as("h"))
   }
 

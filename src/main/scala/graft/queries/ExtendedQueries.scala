@@ -44,13 +44,24 @@ object ExtendedQueries {
     org.apache.spark.sql.DataFrame]()
   private def memoCache(key: String, s: org.apache.spark.sql.SparkSession, d: String)(
       build: => org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    // NO computeIfAbsent: the builders nest (restrictedShingles →
+    // bandTable → shingles), and mutating a ConcurrentHashMap from
+    // inside an in-flight computeIfAbsent mapping function violates
+    // its contract (recursive-update IllegalStateException / livelock).
+    // get + putIfAbsent keeps every map mutation outside any mapping
+    // function; a lost race returns the winner's frame — both plans
+    // resolve to the one CacheManager entry, so nothing leaks.
+    val k = (s, d, key)
+    val existing = memoStore.get(k)
+    if (existing != null) return existing
     // evict entries of stopped sessions so a session-per-batch embedder
     // that never calls releaseCaches cannot pin dead SparkSessions (and
     // their plans) in this static map forever; the map holds at most a
     // handful of keys, so the sweep is O(entries) trivial
     val it = memoStore.keySet.iterator
     while (it.hasNext) if (it.next()._1.sparkContext.isStopped) it.remove()
-    memoStore.computeIfAbsent((s, d, key), _ => build.cache())
+    val built = build.cache()
+    Option(memoStore.putIfAbsent(k, built)).getOrElse(built)
   }
 
   /** doc_id + 3-gram word shingles (docs with ≥3 tokens).
