@@ -64,6 +64,38 @@ object TrainPrepQueries {
         .select(col("id").as("doc_id"), col("n_overlap"))
         .orderBy(col("doc_id"))
     },
+
+    // Deterministic stratified sample: language-weighted corpus
+    // rebalance (drop zh entirely, halve en, keep the rest) — per-lang
+    // survivor counts. The keep decision is a pure function of the
+    // text hash, so the DuckDB oracle reproduces it exactly.
+    "q_sample_stratified" -> { (s, d) =>
+      graft.ops.TrainPrep.stratifiedSample(
+          t(s, d, "documents"), col("lang"), col("text"),
+          Map("en" -> 0.5, "fr" -> 1.0, "es" -> 1.0, "de" -> 0.25))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
+        .orderBy(col("lang"))
+    },
+
+    // Bloom-pruned join: big side filtered below its shuffle by a
+    // bloom sketch of the small side's keys — semantically EXACT (the
+    // join removes false positives), so the oracle is the plain join.
+    // Declares the pruning operator through the equivalence property.
+    "q_bloom_prune_join" -> { (s, d) =>
+      val li = t(s, d, "lineitem")
+      val hotParts = t(s, d, "part")
+        .filter(col("p_partkey") % 10 === 0)
+        .select(col("p_partkey"), col("p_brand"))
+      graft.ops.BloomPrune.prunedJoin(
+          li, col("l_partkey"), hotParts, col("p_partkey"),
+          expectedItems = 100000L, numBits = 1L << 20)
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_items"),
+          // decimal sum: partition-order-independent AND oracle-exact
+          sum(col("l_quantity").cast("decimal(18,4)")).cast("double").as("sum_qty"))
+        .orderBy(col("p_brand"))
+    },
   )
 
   val sql: Map[String, String] = Map(
@@ -111,5 +143,21 @@ object TrainPrepQueries {
         |FROM tsh t JOIN esh e USING (s)
         |GROUP BY 1 HAVING count(*) >= 5
         |ORDER BY 1""".stripMargin,
+
+    "q_sample_stratified" ->
+      """SELECT lang, count(*) AS n_docs, min(doc_id) AS first_doc
+        |FROM documents
+        |WHERE (lang = 'en' AND substr(md5(text), 1, 4) < '8000')
+        |   OR lang = 'fr' OR lang = 'es'
+        |   OR (lang = 'de' AND substr(md5(text), 1, 4) < '4000')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_bloom_prune_join" ->
+      """SELECT p_brand, count(*) AS n_items,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |JOIN (SELECT p_partkey, p_brand FROM part WHERE p_partkey % 10 = 0) p
+        |  ON l_partkey = p_partkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }
