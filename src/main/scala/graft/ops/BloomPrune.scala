@@ -65,15 +65,28 @@ object BloomPrune {
       numBits: Long = 8L * 1024 * 1024): DataFrame = {
     // normalize the hash domain: XxHash64 hashes int(5) and long(5)
     // differently, so mismatched key widths (a common parquet-writer
-    // artifact) would silently drop true matches. Hash both sides as
-    // strings when the resolved types differ; the JOIN itself keeps
-    // the original columns and Spark's own coercion.
+    // artifact) would silently drop true matches. Integral widths
+    // widen losslessly to long; for any OTHER type mismatch there is
+    // no cast guaranteed to agree with the join's own coercion
+    // (long 5 vs decimal 5.00 render differently as strings), so the
+    // bloom step is SKIPPED — pruning is an optimization, and the
+    // plain join is always correct.
+    import org.apache.spark.sql.types.{ByteType, ShortType, IntegerType, LongType}
+    val integral = Set[org.apache.spark.sql.types.DataType](
+      ByteType, ShortType, IntegerType, LongType)
     val bigT = big.select(bigKey).schema.head.dataType
     val smallT = small.select(smallKey).schema.head.dataType
-    val (bk, sk) =
-      if (bigT == smallT) (bigKey, smallKey)
-      else (bigKey.cast("string"), smallKey.cast("string"))
-    val bf = buildFilter(small, sk, expectedItems, numBits)
-    big.filter(mightContain(bf, bk)).join(small, bigKey === smallKey)
+    val keys: Option[(Column, Column)] =
+      if (bigT == smallT) Some((bigKey, smallKey))
+      else if (integral(bigT) && integral(smallT))
+        Some((bigKey.cast("long"), smallKey.cast("long")))
+      else None
+    keys match {
+      case Some((bk, sk)) =>
+        val bf = buildFilter(small, sk, expectedItems, numBits)
+        big.filter(mightContain(bf, bk)).join(small, bigKey === smallKey)
+      case None =>
+        big.join(small, bigKey === smallKey)
+    }
   }
 }

@@ -147,9 +147,10 @@ object CorpusClean {
     import org.apache.spark.sql.graft.ColumnBridge
     ColumnBridge.expression(c) match {
       case a: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
-        // backtick-quote: a flat name containing '.' must not be
-        // reparsed as a qualifier / nested-field path
-        col(s"`${a.name}`")
+        // backtick-quote (with embedded backticks doubled): a flat
+        // name containing '.' must not be reparsed as a qualifier /
+        // nested-field path
+        col("`" + a.name.replace("`", "``") + "`")
       case _ => c
     }
   }

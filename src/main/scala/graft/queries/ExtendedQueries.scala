@@ -54,14 +54,25 @@ object ExtendedQueries {
     val k = (s, d, key)
     val existing = memoStore.get(k)
     if (existing != null) return existing
-    // evict entries of stopped sessions so a session-per-batch embedder
-    // that never calls releaseCaches cannot pin dead SparkSessions (and
-    // their plans) in this static map forever; the map holds at most a
-    // handful of keys, so the sweep is O(entries) trivial
-    val it = memoStore.keySet.iterator
-    while (it.hasNext) if (it.next()._1.sparkContext.isStopped) it.remove()
-    val built = build.cache()
-    Option(memoStore.putIfAbsent(k, built)).getOrElse(built)
+    // miss path under a reentrant lock: concurrent first-callers would
+    // otherwise both run build.cache(), and the loser's second cache()
+    // request logs the CacheManager WARN this memo exists to suppress.
+    // synchronized (not computeIfAbsent) because the builders nest —
+    // same-thread reentry is legal here, illegal in a CHM mapping fn.
+    memoStore.synchronized {
+      val raced = memoStore.get(k)
+      if (raced != null) raced
+      else {
+        // evict entries of stopped sessions so a session-per-batch
+        // embedder that never calls releaseCaches cannot pin dead
+        // SparkSessions (and their plans) in this static map forever
+        val it = memoStore.keySet.iterator
+        while (it.hasNext) if (it.next()._1.sparkContext.isStopped) it.remove()
+        val built = build.cache()
+        memoStore.put(k, built)
+        built
+      }
+    }
   }
 
   /** doc_id + 3-gram word shingles (docs with ≥3 tokens).

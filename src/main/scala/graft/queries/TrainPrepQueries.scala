@@ -66,9 +66,9 @@ object TrainPrepQueries {
     },
 
     // Deterministic stratified sample: language-weighted corpus
-    // rebalance (drop zh entirely, halve en, keep the rest) — per-lang
-    // survivor counts. The keep decision is a pure function of the
-    // text hash, so the DuckDB oracle reproduces it exactly.
+    // rebalance (drop zh entirely, halve en, quarter de, keep fr/es)
+    // — per-lang survivor counts. The keep decision is a pure function
+    // of the text hash, so the DuckDB oracle reproduces it exactly.
     "q_sample_stratified" -> { (s, d) =>
       graft.ops.TrainPrep.stratifiedSample(
           t(s, d, "documents"), col("lang"), col("text"),
