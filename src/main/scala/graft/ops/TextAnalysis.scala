@@ -55,6 +55,33 @@ object TextAnalysis {
   /** Full-content fingerprint. */
   def fingerprint(text: Column): Column = md5(text.cast("binary"))
 
+  /** Email pattern, restricted to syntax with identical semantics in
+    * Java regex and RE2 (explicit character classes, no lookaround) so
+    * the same literal runs in Spark and the DuckDB oracle. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** URL pattern — explicit character class instead of `\S` (whose
+    * definition differs between Java regex and RE2). */
+  val UrlRe = "https?://[A-Za-z0-9./_%?=&#:-]+"
+
+  /** Number of non-overlapping matches of `re` in `text`. */
+  def countMatches(text: Column, re: String): Column =
+    size(regexp_extract_all(text, lit(re), lit(0))).cast("long")
+
+  /** PII scrubbing: redact URLs then emails with placeholder tokens —
+    * the pre-training privacy pass. URLs first: in a userinfo URL
+    * (`https://u@host/`) the scheme+user prefix is taken by the URL
+    * pass, so the email pass never re-classifies `u@host` as an
+    * address. Idempotent (placeholders contain no `@` or `://`, so a
+    * second pass matches nothing).
+    *
+    * Scale: row-local codegen'd `regexp_replace` — no shuffle; both
+    * patterns are backtracking-safe (no nested quantifiers). */
+  def scrubPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, UrlRe, "<URL>"),
+      EmailRe, "<EMAIL>")
+
   /** Winnowing-style minimum shingle-hash fingerprint per document
     * (robust to suffix edits, unlike the full-content hash). */
   def minShingleFingerprint(docs: DataFrame, text: Column, id: Column,

@@ -99,6 +99,78 @@ object TrainPrep {
     df.filter(keep)
   }
 
+  /** Overlapping fixed-size token-window chunking — the context-window
+    * preparation step between a cleaned corpus and tokenization (and
+    * the RAG indexing shape): each document becomes one row per window
+    * of `chunkSize` tokens, windows starting every `chunkSize -
+    * overlap` tokens. Returns (id, chunk_start, n_tok, chunk_text);
+    * the final (short) window is kept — padding/truncation is a
+    * tokenizer concern.
+    *
+    * Scale: row-local generate (explode of an O(n_tok/stride) start
+    * array) — no shuffle, no state; output size is input tokens ×
+    * chunkSize/stride, the unavoidable overlap amplification, and the
+    * explode streams through whole-stage codegen without
+    * materializing per-document chunk lists. */
+  def chunkTokens(df: DataFrame, textCol: Column, idCol: Column,
+      chunkSize: Int, overlap: Int = 0): DataFrame = {
+    require(chunkSize > 0, "chunkSize must be positive")
+    require(overlap >= 0 && overlap < chunkSize,
+      s"overlap $overlap must be in [0, chunkSize)")
+    val stride = (chunkSize - overlap).toLong
+    df.select(idCol.as("id"), split(textCol, " ").as("__w"))
+      .select(col("id"), col("__w"),
+        explode(sequence(
+          lit(0L), (size(col("__w")) - 1).cast("long"), lit(stride)))
+          .as("chunk_start"))
+      .select(col("id"), col("chunk_start"),
+        slice(col("__w"), col("chunk_start").cast("int") + 1, lit(chunkSize))
+          .as("__c"))
+      .select(col("id"), col("chunk_start"),
+        size(col("__c")).cast("long").as("n_tok"),
+        array_join(col("__c"), " ").as("chunk_text"))
+  }
+
+  /** Deterministic corpus mixing: replicate each stratum by a
+    * (possibly fractional) epoch weight — the dataset-mixture step of
+    * a training run (e.g. upsample a high-quality source 2.25×, keep
+    * wikipedia at 1.0, downsample crawl to 0.5). A weight `e` emits
+    * `floor(e)` full copies of every row plus one extra copy of a
+    * hash-stable `e - floor(e)` fraction (same 4-hex-prefix threshold
+    * as [[stratifiedSample]], exact to 1/65536); strata absent from
+    * the map are dropped. Adds an `epoch` column (0-based copy index)
+    * so downstream shuffling can salt on it.
+    *
+    * Deterministic by construction: which rows get the fractional
+    * extra copy is a pure function of `keyCol`'s content, so the mix
+    * is reproducible across runs, partitionings, and cluster sizes.
+    *
+    * Scale: row-local explode — no shuffle; the amplification factor
+    * is exactly the mixture weight, and replication happens inside the
+    * scan's codegen stage, never through a join. */
+  def mixCorpus(df: DataFrame, stratumCol: Column, keyCol: Column,
+      epochs: Map[String, Double]): DataFrame = {
+    require(epochs.values.forall(e => e >= 0.0 && e <= 1000.0),
+      "epoch weights must be in [0, 1000]")
+    val fp = md5(keyCol.cast("binary")).substr(1, 4)
+    val copies = epochs.foldLeft(lit(0L)) { case (acc, (stratum, e)) =>
+      val whole = math.floor(e).toLong
+      val frac = math.round((e - whole) * 65536.0).min(65536L)
+      val extra =
+        if (frac <= 0L) lit(0L)
+        else if (frac >= 65536L) lit(1L)
+        else when(fp < lit(f"$frac%04x"), 1L).otherwise(0L)
+      when(stratumCol === stratum, lit(whole) + extra).otherwise(acc)
+    }
+    // filter BEFORE sequence: sequence(0, -1) would flip to a
+    // descending step-(-1) range, not an empty one
+    df.withColumn("__copies", copies)
+      .filter(col("__copies") > 0)
+      .withColumn("epoch",
+        explode(sequence(lit(0L), col("__copies") - 1, lit(1L))))
+      .drop("__copies")
+  }
+
   /** Decontamination: training documents sharing ≥ `minOverlap`
     * DISTINCT word n-grams with the eval corpus — the standard
     * benchmark-leakage sweep run before training. Returns

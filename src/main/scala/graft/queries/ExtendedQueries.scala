@@ -337,6 +337,25 @@ object ExtendedQueries {
         .withColumn("est_bpe_tokens", expr("(n_chars + 3) DIV 4"))
         .orderBy(col("doc_id"))
     },
+
+    // PII scrubbing: redact URLs/emails, count redactions. The corpus
+    // is synthetic (zero PII), so the query plants one deterministic
+    // email + URL per doc IN the query — visible on both engines — and
+    // verifies the scrubbed text by hash; the patterns use the
+    // Java-regex/RE2-identical subset (TextAnalysis.EmailRe/UrlRe).
+    "q_scrub_pii" -> { (s, d) =>
+      import graft.ops.TextAnalysis
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          concat(col("text"), lit(" contact user"), col("doc_id"),
+            lit("@mail.example.org or https://docs.example.org/d/"),
+            col("doc_id"), lit("?ref=x")).as("raw"))
+        .select(col("doc_id"),
+          TextAnalysis.countMatches(col("raw"), TextAnalysis.UrlRe).as("n_urls"),
+          TextAnalysis.countMatches(col("raw"), TextAnalysis.EmailRe).as("n_emails"),
+          md5(TextAnalysis.scrubPii(col("raw"))).as("scrub_md5"))
+        .orderBy(col("doc_id"))
+    },
   )
 
   val sql: Map[String, String] = Map(
@@ -490,5 +509,24 @@ object ExtendedQueries {
         |       len(string_split(text, ' ')) AS n_ws_tokens,
         |       (n_chars + 3) // 4 AS est_bpe_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_scrub_pii" ->
+      """WITH aug AS (
+        |  SELECT doc_id,
+        |         text || ' contact user' || doc_id
+        |           || '@mail.example.org or https://docs.example.org/d/'
+        |           || doc_id || '?ref=x' AS raw
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(raw,
+        |    'https?://[A-Za-z0-9./_%?=&#:-]+')) AS BIGINT) AS n_urls,
+        |  CAST(len(regexp_extract_all(raw,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  md5(regexp_replace(
+        |        regexp_replace(raw, 'https?://[A-Za-z0-9./_%?=&#:-]+', '<URL>', 'g'),
+        |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'))
+        |    AS scrub_md5
+        |FROM aug ORDER BY doc_id""".stripMargin,
   )
 }

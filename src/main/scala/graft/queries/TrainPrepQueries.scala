@@ -78,6 +78,31 @@ object TrainPrepQueries {
         .orderBy(col("lang"))
     },
 
+    // Overlapping token-window chunking (context-window prep / RAG
+    // indexing): 32-token windows every 24 tokens; chunk text verified
+    // by hash. Row-local explode — no shuffle before the final sort.
+    "q_chunk_windows" -> { (s, d) =>
+      graft.ops.TrainPrep.chunkTokens(
+          t(s, d, "documents"), col("text"), col("doc_id"),
+          chunkSize = 32, overlap = 8)
+        .select(col("id").as("doc_id"), col("chunk_start"), col("n_tok"),
+          md5(col("chunk_text")).as("chunk_md5"))
+        .orderBy(col("doc_id"), col("chunk_start"))
+    },
+
+    // Deterministic corpus mixing: fractional per-language epoch
+    // weights (en 1.5, fr 2.25, es 0.5, de 3.0; zh dropped) — row
+    // counts per (lang, epoch copy). The fractional extra copy is a
+    // pure function of the text hash, so the oracle reproduces it.
+    "q_mix_epochs" -> { (s, d) =>
+      graft.ops.TrainPrep.mixCorpus(
+          t(s, d, "documents"), col("lang"), col("text"),
+          Map("en" -> 1.5, "fr" -> 2.25, "es" -> 0.5, "de" -> 3.0))
+        .groupBy(col("lang"), col("epoch"))
+        .agg(count(lit(1)).as("n_rows"), min(col("doc_id")).as("first_doc"))
+        .orderBy(col("lang"), col("epoch"))
+    },
+
     // Bloom-pruned join: big side filtered below its shuffle by a
     // bloom sketch of the small side's keys — semantically EXACT (the
     // join removes false positives), so the oracle is the plain join.
@@ -151,6 +176,29 @@ object TrainPrepQueries {
         |   OR lang = 'fr' OR lang = 'es'
         |   OR (lang = 'de' AND substr(md5(text), 1, 4) < '4000')
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_chunk_windows" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        |SELECT doc_id, i AS chunk_start,
+        |       CAST(len(list_slice(w, i + 1, i + 32)) AS BIGINT) AS n_tok,
+        |       md5(array_to_string(list_slice(w, i + 1, i + 32), ' ')) AS chunk_md5
+        |FROM w, unnest(range(0, len(w), 24)) AS u(i)
+        |ORDER BY 1, 2""".stripMargin,
+
+    "q_mix_epochs" ->
+      """WITH m AS (
+        |  SELECT lang, doc_id,
+        |    CASE lang WHEN 'en' THEN 1 WHEN 'fr' THEN 2
+        |              WHEN 'es' THEN 0 WHEN 'de' THEN 3 ELSE 0 END
+        |    + CASE WHEN lang = 'en' AND substr(md5(text), 1, 4) < '8000' THEN 1
+        |           WHEN lang = 'fr' AND substr(md5(text), 1, 4) < '4000' THEN 1
+        |           WHEN lang = 'es' AND substr(md5(text), 1, 4) < '8000' THEN 1
+        |           ELSE 0 END AS copies
+        |  FROM documents
+        |)
+        |SELECT lang, e AS epoch, count(*) AS n_rows, min(doc_id) AS first_doc
+        |FROM m, unnest(range(0, copies)) AS u(e)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_bloom_prune_join" ->
       """SELECT p_brand, count(*) AS n_items,

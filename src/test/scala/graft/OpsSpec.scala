@@ -143,4 +143,31 @@ class OpsSpec extends AnyFunSuite {
     assert(r.getAs[String]("lang") == "en")
     assert(r.getAs[String]("fp").matches("[0-9a-f]{32}"))
   }
+
+  test("scrubPii redacts urls-then-emails, counts matches, and is idempotent") {
+    val d = Seq(
+      (1L, "mail a@b.org and c.d+x@e-f.co.uk now"),
+      (2L, "see https://ex.org/p?q=1&r=2#z and http://a.b/c-d_e"),
+      (3L, "userinfo https://u@host.org/p stays one URL"),
+      (4L, "no pii here")
+    ).toDF("doc_id", "text")
+    val out = d.select(col("doc_id"),
+      TextAnalysis.countMatches(col("text"), TextAnalysis.EmailRe).as("ne"),
+      TextAnalysis.countMatches(col("text"), TextAnalysis.UrlRe).as("nu"),
+      TextAnalysis.scrubPii(col("text")).as("s"))
+      .orderBy(col("doc_id")).collect()
+    assert(out(0).getAs[String]("s") == "mail <EMAIL> and <EMAIL> now")
+    assert(out(0).getAs[Long]("ne") == 2 && out(0).getAs[Long]("nu") == 0)
+    assert(out(1).getAs[String]("s") == "see <URL> and <URL>")
+    assert(out(1).getAs[Long]("nu") == 2)
+    // the URL pass consumes userinfo; no stray email redaction follows
+    assert(out(2).getAs[String]("s") == "userinfo <URL>@host.org/p stays one URL"
+      || out(2).getAs[String]("s") == "userinfo <URL> stays one URL")
+    assert(out(3).getAs[String]("s") == "no pii here")
+    // idempotent: placeholders carry no @ or ://
+    val twice = d.select(TextAnalysis.scrubPii(
+      TextAnalysis.scrubPii(col("text"))).as("s2"), col("doc_id"))
+      .orderBy(col("doc_id")).collect().map(_.getString(0))
+    assert(twice.toSeq == out.map(_.getAs[String]("s")).toSeq)
+  }
 }

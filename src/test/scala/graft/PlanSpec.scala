@@ -107,6 +107,26 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Union"), p)
   }
 
+  test("train-prep generators are row-local: no exchange below the explode") {
+    // chunking and mixing replicate rows inside the scan stage — the
+    // only exchanges allowed are the ones their FINAL global sort /
+    // aggregate demands (rangepartitioning; mix adds one hash exchange
+    // for its group-by). A hash exchange under the Generate would mean
+    // replication is being shuffled instead of generated in place.
+    for (name <- Seq("q_chunk_windows", "q_mix_epochs")) {
+      val p = plan(q(name))
+      assert(p.contains("Generate explode"), s"$name:\n$p")
+      val generateIdx = p.indexOf("Generate explode")
+      // plan prints root-first: anything AFTER the Generate line is
+      // below it in the tree — no exchange may appear there
+      assert(!p.substring(generateIdx).contains("Exchange"),
+        s"$name shuffles below its generator:\n$p")
+    }
+    // scrubbing is a pure projection: no exchange except the final sort
+    val ps = plan(q("q_scrub_pii"))
+    assert(!ps.contains("Exchange hashpartitioning"), ps)
+  }
+
   test("aggregations are partial+final (map-side combine present)") {
     val p = plan(q("q_agg_group"))
     val aggs = p.linesIterator.count(_.trim.startsWith("+- HashAggregate")) +

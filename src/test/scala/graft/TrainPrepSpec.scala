@@ -111,6 +111,61 @@ class TrainPrepSpec extends AnyFunSuite {
     assert(out == Map(1L -> 3L))
   }
 
+  test("chunkTokens: stride coverage, short tail kept, zero-overlap reconstruction") {
+    import spark.implicits._
+    val text = (1 to 50).map(i => s"w$i").mkString(" ")
+    val one = Seq((7L, text)).toDF("doc_id", "text")
+    val chunks = TrainPrep.chunkTokens(one, col("text"), col("doc_id"),
+        chunkSize = 16, overlap = 4)
+      .orderBy(col("chunk_start")).collect()
+    // starts every stride=12 while < 50 tokens: 0,12,24,36,48
+    assert(chunks.map(_.getLong(1)).toSeq == Seq(0L, 12L, 24L, 36L, 48L))
+    // all full except the tail windows that run off the end
+    assert(chunks.map(_.getLong(2)).toSeq == Seq(16L, 16L, 16L, 14L, 2L))
+    assert(chunks.head.getString(3) == (1 to 16).map(i => s"w$i").mkString(" "))
+    assert(chunks.last.getString(3) == "w49 w50")
+    // overlap=0: chunks partition the token stream exactly
+    val flat = TrainPrep.chunkTokens(one, col("text"), col("doc_id"),
+        chunkSize = 16, overlap = 0)
+      .orderBy(col("chunk_start")).collect().map(_.getString(3)).mkString(" ")
+    assert(flat == text)
+    intercept[IllegalArgumentException] {
+      TrainPrep.chunkTokens(one, col("text"), col("doc_id"), 16, 16)
+    }
+  }
+
+  test("mixCorpus: whole weights replicate exactly; fraction matches stratifiedSample") {
+    val base = docs.select(col("doc_id"), col("text"), col("lang"))
+    val mixed = TrainPrep.mixCorpus(base, col("lang"), col("text"),
+      Map("en" -> 1.5, "de" -> 2.0))
+    val rows = mixed.select(col("doc_id"), col("lang"), col("epoch")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // absent strata emit nothing
+    assert(rows.forall(r => r._2 == "en" || r._2 == "de"))
+    // de 2.0: every de doc exactly twice, epochs 0 and 1
+    val deTotal = base.filter(col("lang") === "de").count()
+    val deEpochs = rows.filter(_._2 == "de").groupBy(_._1).view.mapValues(
+      _.map(_._3).sorted.toSeq).toMap
+    assert(deEpochs.size == deTotal)
+    assert(deEpochs.values.forall(_ == Seq(0L, 1L)))
+    // en 1.5: everyone at epoch 0; the epoch-1 extras are EXACTLY the
+    // docs a 0.5 stratified sample keeps (same hash threshold)
+    val enIds = base.filter(col("lang") === "en")
+      .collect().map(_.getLong(0)).toSet
+    val epoch0 = rows.filter(r => r._2 == "en" && r._3 == 0L).map(_._1).toSet
+    val epoch1 = rows.filter(r => r._2 == "en" && r._3 == 1L).map(_._1).toSet
+    assert(epoch0 == enIds)
+    val sampled = TrainPrep.stratifiedSample(base, col("lang"), col("text"),
+      Map("en" -> 0.5)).collect().map(_.getLong(0)).toSet
+    assert(epoch1 == sampled)
+    // deterministic under repartitioning
+    val again = TrainPrep.mixCorpus(base.repartition(13), col("lang"),
+        col("text"), Map("en" -> 1.5, "de" -> 2.0))
+      .select(col("doc_id"), col("epoch")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(again == rows.map(r => (r._1, r._3)).sorted.toSeq)
+  }
+
   test("packBins window shuffles once on the shard key") {
     val toks = docs.select(col("doc_id"), (col("doc_id") % 4).as("sh"),
       size(split(col("text"), " ")).cast("long").as("n_tok"))
