@@ -51,6 +51,9 @@ object Bench {
       // Same for the shared embedding-norms cache (three embed queries
       // consume it) — q_similarity_cosine is its cheapest consumer.
       SparkEntry.queries("q_similarity_cosine")(spark, sfDir).count()
+      // And the shared (doc, token) count cache (token_df / tfidf /
+      // entropy consume it) — q_token_df is its cheapest consumer.
+      SparkEntry.queries("q_token_df")(spark, sfDir).count()
     }
     // Three timed runs per query, min reported (declared in the JSON).
     // This VM shows multi-second scheduler stalls at random (observed

@@ -45,13 +45,15 @@ object SparkEntry {
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreQueries.queries ++ JoinQueries.queries ++ AggQueries.queries ++
       WindowQueries.queries ++ ScalarQueries.queries ++ NorthStarQueries.queries ++
-      ExtendedQueries.queries ++ TrainPrepQueries.queries
+      ExtendedQueries.queries ++ TrainPrepQueries.queries ++
+      CorpusStatsQueries.queries
 
   /** For each key in `queries`, equivalent DuckDB SQL on the same tables. */
   val oracleSql: Map[String, String] =
     CoreQueries.sql ++ JoinQueries.sql ++ AggQueries.sql ++
       WindowQueries.sql ++ ScalarQueries.sql ++ NorthStarQueries.sql ++
-      ExtendedQueries.sql ++ TrainPrepQueries.sql
+      ExtendedQueries.sql ++ TrainPrepQueries.sql ++
+      CorpusStatsQueries.sql
 
   require(queries.keySet == oracleSql.keySet,
     s"queries/oracleSql key mismatch: ${(queries.keySet diff oracleSql.keySet) ++ (oracleSql.keySet diff queries.keySet)}")

@@ -1,0 +1,176 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-level statistics for LLM training-data curation: token
+  * term/document frequencies (the classic language-model counting
+  * job), TF-IDF term weighting, Gopher-style repetition metrics
+  * (duplicate-token fraction, top-bigram coverage), and per-document
+  * token-distribution entropy.
+  *
+  * Replicates the aggregate/reporting semantics of the reference's
+  * analytics layer (tiisnel/stock_data_project streamlit/app.py:69-101
+  * computes grouped aggregates + ratios over the fact table; here the
+  * same grouped-aggregate shapes run over token streams) extended to
+  * the corpus-statistics operators a pre-training pipeline needs.
+  *
+  * Determinism devices (SURVEY §7.3):
+  *  - every float reduction that crosses a partition boundary is
+  *    carried as an exact integer sum — `ln` terms are converted to
+  *    fixed-point BIGINTs per row (`round(ln(x)*1e6)`), summed
+  *    exactly, and divided back to double once at the end. Partition
+  *    order can never change the result, on 32 local threads or 1000
+  *    executors.
+  *  - ratios of exact integer counts are single IEEE divisions —
+  *    bit-identical across engines.
+  *
+  * Scale notes (the 100 TB shapes):
+  *  - `tokenFrequencies` is two partial+final hash aggregates — the
+  *    (token, doc) dedup combine runs map-side, so the exchange
+  *    carries distinct pairs, not token occurrences.
+  *  - `tfIdf` joins the token stream against the vocabulary-sized df
+  *    table on the token key — Spark broadcasts it while it fits and
+  *    falls back to a shuffle join when the vocabulary outgrows the
+  *    threshold; no driver-side collection either way.
+  *  - repetition metrics and entropy terms are row-local expressions
+  *    below one final aggregate; nothing shuffles full texts.
+  */
+object CorpusStats {
+
+  /** Fixed-point natural log: round(ln(x) * 1e6) as BIGINT. Exact
+    * integer afterwards — summable in any order. 1e6 keeps c*ln(c)
+    * products for per-doc counts well inside BIGINT range. */
+  private def lnFp(x: Column): Column =
+    round(log(x.cast("double")) * lit(1000000L)).cast("long")
+
+  /** One row per token occurrence: (idCol, tok). The explode runs
+    * where the scan runs — repartition upstream if the source layout
+    * is a single split (see ExtendedQueries.shingles note). */
+  def tokens(df: DataFrame, text: Column, id: Column): DataFrame =
+    df.select(id.as("id"), explode(split(text, " ")).as("tok"))
+
+  /** Per-(doc, token) occurrence counts — the shared intermediate of
+    * every corpus statistic below (term/doc frequency, TF-IDF,
+    * entropy). One map-side-combinable hash aggregate; the exchange
+    * carries distinct (id, tok) pairs, never raw occurrences. Callers
+    * running several statistics over one corpus should compute (and
+    * cache) this once. */
+  def docTokenCounts(toks: DataFrame): DataFrame =
+    toks.groupBy(col("id"), col("tok")).agg(count(lit(1)).as("c"))
+
+  /** Corpus term frequency + document frequency per token, from the
+    * shared (id, tok, c) counts: tf = Σc, df = #docs. A single
+    * `count(distinct id)` formulation would expand to the same
+    * two-phase plan; the explicit intermediate is reusable. */
+  def tokenFrequenciesFromCounts(counts: DataFrame): DataFrame =
+    counts.groupBy(col("tok"))
+      .agg(sum(col("c")).as("tf"), count(lit(1)).as("df"))
+
+  def tokenFrequencies(toks: DataFrame): DataFrame =
+    tokenFrequenciesFromCounts(docTokenCounts(toks))
+
+  /** Per-(doc, token) TF-IDF with a FIXED-POINT idf: the idf weight
+    * `ln((N+1)/(df+1))` is rounded to an integer micro-nat
+    * (`round(ln(..)*1e6)`), so every downstream score
+    * (`tf * idf_fp`) is an exact BIGINT — rankings and hash-compares
+    * are deterministic across engines and partitionings, with ties
+    * broken lexicographically by token.
+    *
+    * `nDocs` is passed by the caller (a prior cheap count or a known
+    * corpus size) rather than computed here, keeping the operator a
+    * pure plan transform. */
+  def tfIdf(toks: DataFrame, nDocs: Long): DataFrame =
+    tfIdfFromCounts(docTokenCounts(toks), nDocs)
+
+  /** TF-IDF from the shared (id, tok, c) counts frame: df is one more
+    * aggregate over the counts (#docs per token), joined back on the
+    * token key. */
+  def tfIdfFromCounts(counts: DataFrame, nDocs: Long): DataFrame = {
+    val df = counts.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      .withColumn("idf_fp", lnFp((lit(nDocs) + lit(1)).cast("double") / (col("df") + lit(1))))
+    counts.withColumnRenamed("c", "tf").join(df, "tok")
+      .select(col("id"), col("tok"), col("tf"),
+        (col("tf") * col("idf_fp")).as("score_fp"))
+  }
+
+  /** Top-k TF-IDF terms per document (rank by exact integer score
+    * desc, token asc — fully deterministic). One window shuffle on the
+    * doc key. */
+  def tfIdfTop(toks: DataFrame, nDocs: Long, k: Int): DataFrame =
+    tfIdfTopFromCounts(docTokenCounts(toks), nDocs, k)
+
+  def tfIdfTopFromCounts(counts: DataFrame, nDocs: Long, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("id"))
+      .orderBy(col("score_fp").desc, col("tok"))
+    tfIdfFromCounts(counts, nDocs)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+  }
+
+  /** Row-local duplicate-token stats: token count, distinct count,
+    * duplicate fraction (1 - distinct/total — the Gopher-style
+    * repetition signal). Pure expressions; no shuffle. */
+  def repetitionStats(text: Column): (Column, Column, Column) = {
+    val w = split(text, " ")
+    val nTok = size(w).cast("long")
+    val nDis = size(array_distinct(w)).cast("long")
+    val dupFrac = round(lit(1.0) - nDis.cast("double") / nTok.cast("double"), 4)
+    (nTok, nDis, dupFrac)
+  }
+
+  /** Adjacent word bigrams of a whitespace-tokenized text (empty for
+    * texts under two tokens — guarded: `sequence(1, 0)` would count
+    * DOWN in Spark, and `element_at(w, 0)` is an ANSI error).
+    * Row-local. */
+  def bigrams(text: Column): Column = {
+    val w = split(text, " ")
+    when(size(w) >= 2,
+      transform(sequence(lit(1), size(w) - lit(1)),
+        i => concat_ws(" ", element_at(w, i), element_at(w, i + lit(1)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Most frequent bigram per document and the fraction of bigram
+    * slots it covers (the Gopher top-2-gram repetition rule). Ties
+    * break lexicographically. One explode + two hash aggregates +
+    * one window shuffle on the doc key. */
+  def topBigram(df: DataFrame, text: Column, id: Column): DataFrame = {
+    val bg = df.select(id.as("id"), (size(split(text, " ")) - lit(1)).cast("long").as("n_bg"),
+        explode(bigrams(text)).as("bg"))
+    val counts = bg.groupBy(col("id"), col("n_bg"), col("bg"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("id")).orderBy(col("c").desc, col("bg"))
+    counts.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("id"), col("bg"), col("c"),
+        round(col("c").cast("double") / col("n_bg").cast("double"), 4).as("frac"))
+  }
+
+  /** Per-document Shannon entropy (nats) of the token distribution,
+    * computed ENTIRELY in exact integer arithmetic until one final
+    * division:
+    *
+    *   H = ln(n) - (1/n) * Σ c·ln(c)
+    *     ≈ (round(ln(n)·1e6)·n - Σ c·round(ln(c)·1e6)) / (n·1e6)
+    *
+    * The Σ runs over per-token counts c as a BIGINT sum of exact
+    * products — map-side combinable, partition-order independent (a
+    * double Σ c·ln(c) would drift with aggregation order at 1000
+    * executors). Error from the fixed-point ln is ≤ n·0.5e-6/n·1e0 =
+    * 5e-7 nats — invisible at the 4 dp the callers round to.
+    *
+    * Input: the (id, tok) occurrence stream. Two hash aggregates, one
+    * shuffle on (id, tok) then a reuse-partitioned one on (id). */
+  def tokenEntropy(toks: DataFrame): DataFrame =
+    tokenEntropyFromCounts(docTokenCounts(toks))
+
+  /** Entropy from the shared (id, tok, c) counts frame. */
+  def tokenEntropyFromCounts(counts: DataFrame): DataFrame =
+    counts.groupBy(col("id"))
+      .agg(sum(col("c")).as("n"), sum(col("c") * lnFp(col("c"))).as("s_fp"))
+      .select(col("id"), col("n"),
+        round((lnFp(col("n")) * col("n") - col("s_fp")).cast("double") /
+          (col("n").cast("double") * lit(1e6)), 4).as("entropy"))
+}

@@ -29,4 +29,22 @@ object Sketches {
       column: Column, rsd: Double = 0.05): DataFrame =
     df.groupBy(groupCols: _*)
       .agg(approx_count_distinct(column, rsd).as("approx_distinct"))
+
+  /** Per-group approximate quantiles (Greenwald-Khanna via Spark's
+    * `approx_percentile`): the scale path behind q_quantiles_multi's
+    * exact percentile — the GK sketch merges associatively (map-side
+    * combinable, O(sketch) bytes per group exchanged) where exact
+    * percentile collects every value of a group. `accuracy` bounds
+    * rank error at 1/accuracy. Output: `groupCols` + `q_0..q_{n-1}`
+    * scalar columns in `probs` order. */
+  def approxQuantilesBy(df: DataFrame, groupCols: Seq[Column],
+      column: Column, probs: Seq[Double],
+      accuracy: Int = 10000): DataFrame = {
+    val arr = approx_percentile(column,
+      array(probs.map(lit): _*), lit(accuracy))
+    df.groupBy(groupCols: _*)
+      .agg(arr.as("q"))
+      .select(groupCols ++
+        probs.indices.map(i => element_at(col("q"), i + 1).as(s"q_$i")): _*)
+  }
 }

@@ -1,0 +1,165 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.ops.CorpusStats
+
+/** Declared corpus-statistics queries (SURVEY §2.11 extension): the
+  * counting/weighting/repetition jobs a pre-training data pipeline
+  * runs over the whole corpus, backed by `graft.ops.CorpusStats`.
+  *
+  * Determinism: every cross-partition float reduction is carried as an
+  * exact fixed-point BIGINT (`round(ln(x)*1e6)` per row, integer sums)
+  * and divided back to double exactly once; rankings order by exact
+  * integers with lexicographic tiebreaks. See CorpusStats scaladoc.
+  */
+object CorpusStatsQueries {
+
+  /** Shared memoized per-(doc, token) count frame: q_token_df,
+    * q_tfidf_top and q_doc_entropy are all one aggregate away from it.
+    * Cached via the same session-scoped memo as the shingle/band/norm
+    * frames (released together by `ExtendedQueries.releaseCaches`).
+    * Repartitioned first — the testdata parquet is a single split
+    * (see ExtendedQueries.shingles note). */
+  private[queries] def docTokenCounts(s: org.apache.spark.sql.SparkSession, d: String) =
+    ExtendedQueries.memoCache("toktf", s, d) {
+      CorpusStats.docTokenCounts(
+        CorpusStats.tokens(
+          t(s, d, "documents").repartition(s.sparkContext.defaultParallelism),
+          col("text"), col("doc_id")))
+    }
+
+  val queries: Map[String, QFn] = Map(
+    // Corpus token term/document frequency — the LM counting job.
+    // Two partial+final hash aggregates; the exchange carries distinct
+    // (tok, doc) pairs, never raw occurrences. Top 40 by (tf, tok).
+    "q_token_df" -> { (s, d) =>
+      CorpusStats.tokenFrequenciesFromCounts(docTokenCounts(s, d))
+        .orderBy(col("tf").desc, col("tok"))
+        .limit(40)
+    },
+
+    // Top-3 TF-IDF terms per document. Fixed-point idf (micro-nats as
+    // BIGINT) makes scores exact integers: ranking and hash-compare
+    // are deterministic on any engine/partitioning. The df side is
+    // vocabulary-sized — broadcast while it fits, shuffle join beyond.
+    "q_tfidf_top" -> { (s, d) =>
+      val nDocs = t(s, d, "documents").count()
+      CorpusStats.tfIdfTopFromCounts(docTokenCounts(s, d), nDocs, 3)
+        .select(col("id").as("doc_id"), col("tok"), col("tf"),
+          col("score_fp"), col("rk").cast("long").as("rk"))
+        .orderBy(col("doc_id"), col("rk"))
+    },
+
+    // Gopher-style duplicate-token fraction: row-local split/distinct
+    // stats, one filter — the repetition gate of a quality pipeline.
+    "q_repeat_tokens" -> { (s, d) =>
+      val (nTok, nDis, dupFrac) = CorpusStats.repetitionStats(col("text"))
+      t(s, d, "documents")
+        .select(col("doc_id"), nTok.as("n_tok"), nDis.as("n_distinct"),
+          dupFrac.as("dup_frac"))
+        .filter(col("dup_frac") > 0.5)
+        .orderBy(col("dup_frac").desc, col("doc_id"))
+    },
+
+    // Most frequent bigram per doc + covered fraction of bigram slots
+    // (the Gopher top-2-gram rule). Explode + hash agg + one window
+    // shuffle on the doc key; ties break lexicographically.
+    "q_top_bigram" -> { (s, d) =>
+      // repartition: single-split testdata parquet (shingles note) —
+      // fan out before the explode + per-row bigram work
+      CorpusStats.topBigram(
+          t(s, d, "documents").repartition(s.sparkContext.defaultParallelism),
+          col("text"), col("doc_id"))
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))
+    },
+
+    // Per-doc token-distribution entropy in exact fixed-point integer
+    // sums (partition-order independent — a double Σ c·ln(c) would
+    // drift at 1000 executors). Two map-side-combinable aggregates.
+    "q_doc_entropy" -> { (s, d) =>
+      CorpusStats.tokenEntropyFromCounts(docTokenCounts(s, d))
+        .select(col("id").as("doc_id"), col("n"), col("entropy"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Exact multi-quantile profile per group (quartiles of order value
+    // by priority) — ONE percentile aggregate evaluates all three
+    // cut-points in a single pass, then the array is flattened to
+    // scalar columns (the driver comparator is scalar-proven). Exact
+    // percentile is the declared semantics; approx_percentile is the
+    // sketch-based scale path (Sketches.scala) when a full per-group
+    // collection is too expensive.
+    "q_quantiles_multi" -> { (s, d) =>
+      t(s, d, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          percentile(col("o_totalprice"),
+            array(lit(0.25), lit(0.5), lit(0.75))).as("q"))
+        .select(col("o_orderpriority"), col("n"),
+          round(element_at(col("q"), 1), 4).as("q25"),
+          round(element_at(col("q"), 2), 4).as("q50"),
+          round(element_at(col("q"), 3), 4).as("q75"))
+        .orderBy(col("o_orderpriority"))
+    }
+  )
+
+  val sql: Map[String, String] = Map(
+    "q_token_df" ->
+      """WITH tok AS (SELECT doc_id AS id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |pd AS (SELECT tok, id, count(*) AS c FROM tok GROUP BY 1, 2)
+        |SELECT tok, CAST(sum(c) AS BIGINT) AS tf, CAST(count(*) AS BIGINT) AS df
+        |FROM pd GROUP BY tok
+        |ORDER BY tf DESC, tok LIMIT 40""".stripMargin,
+
+    "q_tfidf_top" ->
+      """WITH tok AS (SELECT doc_id AS id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |tf AS (SELECT id, tok, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
+        |df AS (SELECT tok, CAST(count(DISTINCT id) AS BIGINT) AS df FROM tok GROUP BY 1),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+        |sc AS (SELECT id, tf.tok AS tok, tf,
+        |         tf * CAST(round(ln((n.n + 1) / (df.df + 1.0)) * 1000000) AS BIGINT) AS score_fp
+        |       FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN n),
+        |rk AS (SELECT *, row_number() OVER (PARTITION BY id ORDER BY score_fp DESC, tok) AS rk FROM sc)
+        |SELECT id AS doc_id, tok, tf, score_fp, CAST(rk AS BIGINT) AS rk
+        |FROM rk WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
+
+    "q_repeat_tokens" ->
+      """SELECT doc_id,
+        |       CAST(len(w) AS BIGINT) AS n_tok,
+        |       CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct,
+        |       round(1.0 - len(list_distinct(w)) / CAST(len(w) AS DOUBLE), 4) AS dup_frac
+        |FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        |WHERE round(1.0 - len(list_distinct(w)) / CAST(len(w) AS DOUBLE), 4) > 0.5
+        |ORDER BY dup_frac DESC, doc_id""".stripMargin,
+
+    "q_top_bigram" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |bg AS (SELECT doc_id, CAST(len(w) - 1 AS BIGINT) AS n_bg,
+        |         unnest(list_transform(range(2, len(w) + 1), i -> w[i-1] || ' ' || w[i])) AS bg
+        |       FROM t WHERE len(w) >= 2),
+        |c AS (SELECT doc_id, n_bg, bg, CAST(count(*) AS BIGINT) AS c FROM bg GROUP BY 1, 2, 3),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, bg) AS rk FROM c)
+        |SELECT doc_id, bg, c, round(c / CAST(n_bg AS DOUBLE), 4) AS frac
+        |FROM r WHERE rk = 1 ORDER BY doc_id""".stripMargin,
+
+    "q_doc_entropy" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1, 2),
+        |ag AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+        |         CAST(sum(c * CAST(round(ln(c) * 1000000) AS BIGINT)) AS BIGINT) AS s_fp
+        |       FROM tf GROUP BY 1)
+        |SELECT doc_id, n,
+        |       round((CAST(round(ln(n) * 1000000) AS BIGINT) * n - s_fp) /
+        |             (n * 1000000.0), 4) AS entropy
+        |FROM ag ORDER BY doc_id""".stripMargin,
+
+    "q_quantiles_multi" ->
+      """WITH g AS (SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        |                  quantile_cont(o_totalprice, [0.25, 0.5, 0.75]) AS q
+        |           FROM orders GROUP BY o_orderpriority)
+        |SELECT o_orderpriority, n,
+        |       round(q[1], 4) AS q25, round(q[2], 4) AS q50, round(q[3], 4) AS q75
+        |FROM g ORDER BY o_orderpriority""".stripMargin
+  )
+}

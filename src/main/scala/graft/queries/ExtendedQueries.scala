@@ -42,7 +42,7 @@ object ExtendedQueries {
   private val memoStore = new java.util.concurrent.ConcurrentHashMap[
     (org.apache.spark.sql.SparkSession, String, String),
     org.apache.spark.sql.DataFrame]()
-  private def memoCache(key: String, s: org.apache.spark.sql.SparkSession, d: String)(
+  private[queries] def memoCache(key: String, s: org.apache.spark.sql.SparkSession, d: String)(
       build: => org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     // NO computeIfAbsent: the builders nest (restrictedShingles →
     // bandTable → shingles), and mutating a ConcurrentHashMap from
@@ -177,7 +177,7 @@ object ExtendedQueries {
     * Unpersists the memoized frames and drops the memo entries, so the
     * next query call rebuilds and re-caches from scratch. */
   def releaseCaches(s: org.apache.spark.sql.SparkSession, d: String): Unit =
-    Seq("restricted", "bands", "shingles", "embednorm").foreach { key =>
+    Seq("restricted", "bands", "shingles", "embednorm", "toktf").foreach { key =>
       Option(memoStore.remove((s, d, key))).foreach(_.unpersist())
     }
 

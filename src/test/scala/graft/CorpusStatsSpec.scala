@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.CorpusStats
+
+/** graft.ops.CorpusStats — token frequencies, TF-IDF, repetition
+  * metrics, entropy: hand-computed expectations on a fixed corpus plus
+  * plan-shape gates (partial aggregation, fixed-point determinism).
+  */
+class CorpusStatsSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  // 4 docs, vocabulary {a,b,c,d}; counts chosen for hand arithmetic
+  private def corpus = Seq(
+    (1L, "a a a b"),     // a:3 b:1
+    (2L, "a b b c"),     // a:1 b:2 c:1
+    (3L, "c c c c"),     // c:4
+    (4L, "a d")          // a:1 d:1
+  ).toDF("doc_id", "text")
+
+  private def toks = CorpusStats.tokens(corpus, col("text"), col("doc_id"))
+
+  test("tokenFrequencies: tf and df match hand counts") {
+    val m = CorpusStats.tokenFrequencies(toks).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(m == Map("a" -> ((5L, 3L)), "b" -> ((3L, 2L)),
+      "c" -> ((5L, 2L)), "d" -> ((1L, 1L))))
+  }
+
+  test("tfIdf: fixed-point scores are exact integers matching ln formula") {
+    def idfFp(df: Long): Long = math.round(math.log(5.0 / (df + 1)) * 1e6)
+    val rows = CorpusStats.tfIdf(toks, nDocs = 4L).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(3)).toMap
+    assert(rows((1L, "a")) == 3 * idfFp(3))
+    assert(rows((3L, "c")) == 4 * idfFp(2))
+    assert(rows((4L, "d")) == 1 * idfFp(1))
+  }
+
+  test("tfIdfTop: rank orders by score desc then token, k bounds rows") {
+    val top = CorpusStats.tfIdfTop(toks, 4L, 1).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // doc 1: a has tf 3 but the lowest idf (df 3); b (tf 1, df 2) wins
+    // iff 3*ln(5/4) < 1*ln(5/3): 0.669 vs 0.511 — a wins. Check.
+    assert(top(1L) == "a")
+    assert(top(3L) == "c")
+    // doc 4: a (df 3, idf ln(5/4)=0.223) vs d (df 1, idf ln(5/2)=0.916)
+    assert(top(4L) == "d")
+  }
+
+  test("repetitionStats: duplicate fraction is exact") {
+    val (nTok, nDis, dup) = CorpusStats.repetitionStats(col("text"))
+    val m = corpus.select(col("doc_id"), nTok, nDis, dup).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(m(1L) == ((4L, 2L, 0.5)))
+    assert(m(3L) == ((4L, 1L, 0.75)))
+    assert(m(4L) == ((2L, 2L, 0.0)))
+  }
+
+  test("bigrams: adjacent pairs; sub-2-token texts yield empty, not error") {
+    val bg = Seq((1L, "x y z"), (2L, "solo"), (3L, ""))
+      .toDF("id", "text")
+      .select(col("id"), CorpusStats.bigrams(col("text")).as("bg"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(bg(1L) == Seq("x y", "y z"))
+    assert(bg(2L) == Seq.empty)
+    assert(bg(3L) == Seq.empty)
+  }
+
+  test("topBigram: most frequent bigram with lexicographic tiebreak") {
+    val df = Seq(
+      (1L, "a b a b a"),   // "a b" x2, "b a" x2 -> tie, "a b" wins
+      (2L, "q r s")        // all once -> "q r" (lexicographic)
+    ).toDF("doc_id", "text")
+    val m = CorpusStats.topBigram(df, col("text"), col("doc_id")).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(m(1L) == (("a b", 2L, 0.5)))   // 2 of 4 bigram slots
+    assert(m(2L) == (("q r", 1L, 0.5)))   // 1 of 2 slots
+  }
+
+  test("tokenEntropy: fixed-point result within 1e-4 of exact entropy") {
+    val m = CorpusStats.tokenEntropy(toks).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    def h(cs: Seq[Long]): Double = {
+      val n = cs.sum.toDouble
+      -cs.map(c => c / n * math.log(c / n)).sum
+    }
+    assert(m(1L)._1 == 4L)
+    assert(math.abs(m(1L)._2 - h(Seq(3, 1))) < 1e-4)
+    assert(m(3L)._2 == 0.0)                       // single token type
+    assert(math.abs(m(4L)._2 - math.log(2)) < 1e-4)
+  }
+
+  test("plan: frequency/entropy aggregates are partial+final (map-side combine)") {
+    for (df <- Seq(CorpusStats.tokenFrequencies(toks),
+        CorpusStats.tokenEntropy(toks))) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("partial_"), s"no partial aggregate in:\n$plan")
+    }
+  }
+
+  test("plan: repetition stats and bigrams stay row-local (no exchange below explode)") {
+    val bg = corpus.select(col("doc_id"), explode(CorpusStats.bigrams(col("text"))))
+    val plan = bg.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+  }
+}

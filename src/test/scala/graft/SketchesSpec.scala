@@ -36,6 +36,40 @@ class SketchesSpec extends AnyFunSuite {
     }
   }
 
+  test("grouped approx quantiles within rank-error bound of exact") {
+    val o = graft.queries.t(spark, sf, "orders")
+    val probs = Seq(0.25, 0.5, 0.75)
+    // exact per-group quartiles via sorted collection on the driver
+    val exact = o.select(col("o_orderpriority"), col("o_totalprice"))
+      .collect().groupBy(_.getString(0)).map { case (k, rows) =>
+        val v = rows.map(_.getDouble(1)).sorted
+        k -> probs.map(p => v(math.ceil(p * v.length).toInt - 1))
+      }
+    val approx = Sketches.approxQuantilesBy(o, Seq(col("o_orderpriority")),
+        col("o_totalprice"), probs, accuracy = 10000)
+      .collect().map(r => r.getString(0) ->
+        probs.indices.map(i => r.getDouble(i + 1))).toMap
+    assert(approx.keySet == exact.keySet)
+    // accuracy=10000 → rank error ≤ n/10000; groups are ~3k rows, so
+    // the approx quantile must land within a few ranks of exact —
+    // assert the VALUE sits inside a 1%-of-range band
+    for ((k, ex) <- exact) {
+      val range = ex.last - ex.head
+      probs.indices.foreach { i =>
+        assert(math.abs(approx(k)(i) - ex(i)) <= 0.05 * range + 1e-9,
+          s"group $k p=${probs(i)} approx=${approx(k)(i)} exact=${ex(i)}")
+      }
+    }
+  }
+
+  test("approx quantiles: partial aggregation present") {
+    val o = graft.queries.t(spark, sf, "orders")
+    val plan = Sketches.approxQuantilesBy(o, Seq(col("o_orderpriority")),
+        col("o_totalprice"), Seq(0.5))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_approx_percentile"), plan.take(2000))
+  }
+
   test("partial aggregation present (map-side combinable sketch)") {
     val li = graft.queries.t(spark, sf, "lineitem")
     val plan = Sketches.approxCountDistinctBy(li,
