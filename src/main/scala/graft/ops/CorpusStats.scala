@@ -148,6 +148,18 @@ object CorpusStats {
         round(col("c").cast("double") / col("n_bg").cast("double"), 4).as("frac"))
   }
 
+  /** Approximate top tokens of a corpus via the Misra-Gries sketch
+    * (`graft.functions.FreqItemsAgg`): one pass, O(capacity) state per
+    * partial, O(capacity) bytes exchanged — the scale path when the
+    * vocabulary is too large to count exactly (`tokenFrequencies`) but
+    * only the head of the distribution matters. Returns (item, est)
+    * rows, est desc; counts may undercount by ≤ n/(capacity+1) and are
+    * exact when the vocabulary fits in `capacity`. */
+  def heavyHitterTokens(toks: DataFrame, capacity: Int = 256): DataFrame =
+    toks.agg(graft.functions.FreqItemsAgg.freqItems(col("tok"), capacity).as("hh"))
+      .select(explode(col("hh")).as("e"))
+      .select(col("e.item").as("item"), col("e.est").as("est"))
+
   /** Per-document Shannon entropy (nats) of the token distribution,
     * computed ENTIRELY in exact integer arithmetic until one final
     * division:

@@ -125,6 +125,35 @@ object StreamingPipeline {
     }
   }
 
+  /** Watermarked stream-stream interval join: pair each left-stream
+    * row with the right-stream rows of the same `key` whose event time
+    * falls in `[left.ts, left.ts + within]` — attribution / enrichment
+    * across two live streams (click→purchase, event→fact), inner join,
+    * append mode.
+    *
+    * State bounds (the reason this shape survives an unbounded
+    * stream): BOTH sides carry a watermark and the join predicate
+    * carries an explicit time range, so Spark derives how long each
+    * side's rows can still find partners and evicts buffered state
+    * past `watermark + within`. A stream-stream join without the range
+    * constraint buffers both streams forever. Right columns come back
+    * `r_`-prefixed.
+    *
+    * Scale: state and shuffle are keyed by (`key`) — the same hash
+    * exchange a batch equi-join would do, with the buffer bounded by
+    * the interval, not stream lifetime. */
+  def intervalJoinStream(left: DataFrame, right: DataFrame,
+      key: String = "user_id", tsCol: String = "ts",
+      delay: String = "1 hour", within: String = "30 minutes"): DataFrame = {
+    val l = left.withWatermark(tsCol, delay)
+    val r = right.select(right.columns.map(c => col(c).as(s"r_$c")): _*)
+      .withWatermark(s"r_$tsCol", delay)
+    l.join(r,
+      col(key) === col(s"r_$key") &&
+        col(s"r_$tsCol") >= col(tsCol) &&
+        col(s"r_$tsCol") <= col(tsCol) + expr(s"INTERVAL $within"))
+  }
+
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long)
   case class SessionState(sessionId: Long, lastTs: Long, count: Long)
   case class SessionOut(user_id: Long, session_id: Long, n_events: Long)

@@ -38,6 +38,73 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches the batch join on closed state") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val clicks = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val buys = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val q = StreamingPipeline.intervalJoinStream(
+        clicks.toDF.toDF("user_id", "ts", "page"),
+        buys.toDF.toDF("user_id", "ts", "amount"),
+        within = "30 minutes")
+      .select(col("user_id"), col("page"), col("r_amount"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ssj_out").start()
+    try {
+      clicks.addData(
+        (1L, ts("2024-01-01 10:00:00"), "a"),   // buy at 10:10 → joins
+        (1L, ts("2024-01-01 11:00:00"), "b"),   // no buy within 30 min
+        (2L, ts("2024-01-01 10:05:00"), "c"))   // buy at 10:20 → joins
+      buys.addData(
+        (1L, ts("2024-01-01 10:10:00"), 5.0),
+        (1L, ts("2024-01-01 12:30:00"), 7.0),   // outside b's interval
+        (2L, ts("2024-01-01 10:20:00"), 9.0))
+      q.processAllAvailable()
+      // advance both watermarks so all join state closes
+      clicks.addData((9L, ts("2024-01-01 20:00:00"), "z"))
+      buys.addData((9L, ts("2024-01-01 20:00:01"), 0.0))
+      q.processAllAvailable()
+      val got = spark.table("ssj_out")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+      // the 20:00 sentinel pair also joins (1 s apart, same user)
+      assert(got == Set((1L, "a", 5.0), (2L, "c", 9.0), (9L, "z", 0.0)), got.toString)
+    } finally q.stop()
+  }
+
+  test("interval join buffers are watermark-bounded (state rows evicted)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val l = MemoryStream[(Long, java.sql.Timestamp)]
+    val r = MemoryStream[(Long, java.sql.Timestamp)]
+    val q = StreamingPipeline.intervalJoinStream(
+        l.toDF.toDF("user_id", "ts"), r.toDF.toDF("user_id", "ts"),
+        delay = "10 minutes", within = "10 minutes")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ssj_state_out").start()
+    try {
+      l.addData((1L, ts("2024-01-01 10:00:00")))
+      r.addData((1L, ts("2024-01-01 10:01:00")))
+      q.processAllAvailable()
+      // push both event-time watermarks far past 10:00 + delay + within
+      l.addData((2L, ts("2024-01-01 15:00:00")))
+      r.addData((2L, ts("2024-01-01 15:00:00")))
+      q.processAllAvailable()
+      l.addData((3L, ts("2024-01-01 15:30:00")))
+      r.addData((3L, ts("2024-01-01 15:30:00")))
+      q.processAllAvailable()
+      val state = q.lastProgress.stateOperators
+      assert(state.nonEmpty)
+      // the 10:00 rows can no longer join anything → must have been
+      // evicted; remaining state is just the recent rows
+      assert(state.head.numRowsTotal <= 4,
+        s"join state grew unbounded: ${state.head.numRowsTotal}")
+    } finally q.stop()
+  }
+
   test("watermark drops late data from closed windows (append mode)") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
