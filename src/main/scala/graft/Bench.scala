@@ -92,6 +92,11 @@ object Bench {
         s""","cold_total":$coldTotal,"cold_queries":${toJson(cold)}"""
       } else ""
     println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"runs_per_query":$runs,"agg":"min","warm_cache":true$coldFields,"queries":${toJson(results)},"sf":"$sfDir"}""")
+    // The full line above grew past the driver's tail-capture window in
+    // round 3 and the LEADING total field was the part cut off. Re-emit
+    // the headline number as a short final line so any last-N-bytes
+    // capture always contains a parseable total.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed}""")
     spark.stop()
   }
 }

@@ -134,18 +134,28 @@ object CorpusStats {
 
   /** Most frequent bigram per document and the fraction of bigram
     * slots it covers (the Gopher top-2-gram repetition rule). Ties
-    * break lexicographically. One explode + two hash aggregates +
-    * one window shuffle on the doc key. */
+    * break lexicographically.
+    *
+    * Shape: explode + THREE hash aggregates (per-(doc,bigram) counts,
+    * partial+final argmax per doc) — no sort window. The argmax is
+    * `min(struct(-c, bg))`: struct ordering compares fields left to
+    * right, so the minimum is (max count, lexicographically smallest
+    * bigram among ties) — identical semantics to a
+    * `row_number() over (order by c desc, bg)` rank-1 filter, but the
+    * second exchange carries ONE partially-reduced struct per doc
+    * instead of every distinct (doc, bigram, count) row, and a hash
+    * aggregate replaces the window's full sort. At 100 TB that is the
+    * difference between shuffling the vocabulary and shuffling the
+    * document count. */
   def topBigram(df: DataFrame, text: Column, id: Column): DataFrame = {
     val bg = df.select(id.as("id"), (size(split(text, " ")) - lit(1)).cast("long").as("n_bg"),
         explode(bigrams(text)).as("bg"))
-    val counts = bg.groupBy(col("id"), col("n_bg"), col("bg"))
+    bg.groupBy(col("id"), col("n_bg"), col("bg"))
       .agg(count(lit(1)).as("c"))
-    val w = Window.partitionBy(col("id")).orderBy(col("c").desc, col("bg"))
-    counts.withColumn("rk", row_number().over(w))
-      .filter(col("rk") === 1)
-      .select(col("id"), col("bg"), col("c"),
-        round(col("c").cast("double") / col("n_bg").cast("double"), 4).as("frac"))
+      .groupBy(col("id"), col("n_bg"))
+      .agg(min(struct((-col("c")).as("nc"), col("bg").as("bg"))).as("top"))
+      .select(col("id"), col("top.bg").as("bg"), (-col("top.nc")).as("c"),
+        round((-col("top.nc")).cast("double") / col("n_bg").cast("double"), 4).as("frac"))
   }
 
   /** Approximate top tokens of a corpus via the Misra-Gries sketch

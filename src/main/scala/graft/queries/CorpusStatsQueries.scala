@@ -24,8 +24,7 @@ object CorpusStatsQueries {
     ExtendedQueries.memoCache("toktf", s, d) {
       CorpusStats.docTokenCounts(
         CorpusStats.tokens(
-          t(s, d, "documents").repartition(s.sparkContext.defaultParallelism),
-          col("text"), col("doc_id")))
+          ExtendedQueries.docProfile(s, d), col("text"), col("doc_id")))
     }
 
   val queries: Map[String, QFn] = Map(
@@ -43,7 +42,12 @@ object CorpusStatsQueries {
     // are deterministic on any engine/partitioning. The df side is
     // vocabulary-sized — broadcast while it fits, shuffle join beyond.
     "q_tfidf_top" -> { (s, d) =>
-      val nDocs = t(s, d, "documents").count()
+      // corpus size memoized beside the toktf cache: a driver-side
+      // count() per invocation was a whole extra Spark job (full scan)
+      // before the real plan even started
+      val nDocs = ExtendedQueries.memoCount("ndocs", s, d) {
+        t(s, d, "documents").count()
+      }
       CorpusStats.tfIdfTopFromCounts(docTokenCounts(s, d), nDocs, 3)
         .select(col("id").as("doc_id"), col("tok"), col("tf"),
           col("score_fp"), col("rk").cast("long").as("rk"))
@@ -54,7 +58,7 @@ object CorpusStatsQueries {
     // stats, one filter — the repetition gate of a quality pipeline.
     "q_repeat_tokens" -> { (s, d) =>
       val (nTok, nDis, dupFrac) = CorpusStats.repetitionStats(col("text"))
-      t(s, d, "documents")
+      ExtendedQueries.docProfile(s, d)
         .select(col("doc_id"), nTok.as("n_tok"), nDis.as("n_distinct"),
           dupFrac.as("dup_frac"))
         .filter(col("dup_frac") > 0.5)
@@ -62,14 +66,16 @@ object CorpusStatsQueries {
     },
 
     // Most frequent bigram per doc + covered fraction of bigram slots
-    // (the Gopher top-2-gram rule). Explode + hash agg + one window
-    // shuffle on the doc key; ties break lexicographically.
+    // (the Gopher top-2-gram rule). Explode + three hash aggregates —
+    // the per-doc argmax is min(struct(-c, bg)), not a rank window, so
+    // the second exchange carries one partial struct per doc instead of
+    // every distinct (doc, bigram, count) row. Ties break
+    // lexicographically (struct field-order comparison).
     "q_top_bigram" -> { (s, d) =>
-      // repartition: single-split testdata parquet (shingles note) —
-      // fan out before the explode + per-row bigram work
+      // shared docProfile cache: fanned out before the explode +
+      // per-row bigram work (single-split testdata parquet)
       CorpusStats.topBigram(
-          t(s, d, "documents").repartition(s.sparkContext.defaultParallelism),
-          col("text"), col("doc_id"))
+          ExtendedQueries.docProfile(s, d), col("text"), col("doc_id"))
         .withColumnRenamed("id", "doc_id")
         .orderBy(col("doc_id"))
     },

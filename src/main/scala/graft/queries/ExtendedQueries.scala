@@ -90,9 +90,7 @@ object ExtendedQueries {
     */
   private[queries] def shingles(s: org.apache.spark.sql.SparkSession, d: String) =
     memoCache("shingles", s, d) {
-      graft.ops.Dedup.shingles(
-          t(s, d, "documents").repartition(s.sparkContext.defaultParallelism),
-          col("text"), col("doc_id"))
+      graft.ops.Dedup.shingles(docProfile(s, d), col("text"), col("doc_id"))
         .withColumnRenamed("id", "doc_id")
     }
 
@@ -144,6 +142,21 @@ object ExtendedQueries {
         .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
     }
 
+  /** The raw documents table, repartitioned and cached — the shared
+    * scan of every row-local text query (quality, langid, token count,
+    * edit distance, rolling hash, PII scrub, repetition stats, top
+    * bigram). The testdata parquet is ONE split, so an uncached scan
+    * runs every per-row expression on a single core; the cache fans the
+    * rows across all cores once and serves each query from memory
+    * (r3 showed q_text_quality paying 0.6 s for what are row-local
+    * expressions — the whole cost was the serial scan). At real scale
+    * the scan has thousands of splits and this helper degrades to a
+    * plain pass-through shape; released by [[releaseCaches]]. */
+  private[queries] def docProfile(s: org.apache.spark.sql.SparkSession, d: String) =
+    memoCache("docprof", s, d) {
+      t(s, d, "documents").repartition(s.sparkContext.defaultParallelism)
+    }
+
   /** Candidate pairs (doc1 < doc2) sharing ≥1 LSH bucket — the linear-
     * cost candidate generator both near-dup queries build on. The join
     * shuffles only (band, h) keys, never text. */
@@ -171,15 +184,40 @@ object ExtendedQueries {
         .distinct()
     }
 
+  /** Session-scoped memo for shared SCALAR statistics (e.g. the corpus
+    * document count feeding TF-IDF's idf): computing one costs a full
+    * Spark job per query invocation otherwise. Same lifecycle as the
+    * frame memo — dropped by [[releaseCaches]] so cold-mode benchmarks
+    * charge the recount to the query that needs it. */
+  private val scalarStore = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession, String, String), java.lang.Long]()
+  private[queries] def memoCount(key: String, s: org.apache.spark.sql.SparkSession, d: String)(
+      build: => Long): Long = {
+    val k = (s, d, key)
+    val existing = scalarStore.get(k)
+    if (existing != null) return existing
+    // builders may run whole Spark jobs — keep them outside any CHM
+    // mapping function (same reentrancy discipline as memoCache above)
+    val built = java.lang.Long.valueOf(build)
+    val raced = scalarStore.putIfAbsent(k, built)
+    if (raced != null) raced else built
+  }
+
   /** Release the session-pinned shingle/band/candidate caches (the
     * declared dedup queries share them; a long-lived session embedding
     * this library should call this after a dedup batch completes).
     * Unpersists the memoized frames and drops the memo entries, so the
     * next query call rebuilds and re-caches from scratch. */
-  def releaseCaches(s: org.apache.spark.sql.SparkSession, d: String): Unit =
-    Seq("restricted", "bands", "shingles", "embednorm", "toktf").foreach { key =>
+  def releaseCaches(s: org.apache.spark.sql.SparkSession, d: String): Unit = {
+    Seq("restricted", "bands", "shingles", "embednorm", "toktf", "docprof").foreach { key =>
       Option(memoStore.remove((s, d, key))).foreach(_.unpersist())
     }
+    val it = scalarStore.keySet.iterator
+    while (it.hasNext) {
+      val k = it.next()
+      if (k._1 == s && k._2 == d) it.remove()
+    }
+  }
 
   val queries: Map[String, QFn] = Map(
     // MinHash (8 perms via seeded md5, lexicographic min) + LSH
@@ -192,9 +230,7 @@ object ExtendedQueries {
     // majority over the document; signature emitted as a 32-char
     // '0'/'1' string (integer arithmetic throughout).
     "q_dedup_simhash" -> { (s, d) =>
-      graft.ops.Dedup.simHashSignatures(
-          t(s, d, "documents").repartition(s.sparkContext.defaultParallelism),
-          col("text"), col("doc_id"))
+      graft.ops.Dedup.simHashSignatures(docProfile(s, d), col("text"), col("doc_id"))
         .withColumnRenamed("id", "doc_id")
         .orderBy(col("doc_id"))
     },
@@ -256,7 +292,7 @@ object ExtendedQueries {
     // n-gram-heuristic language ID: stopword-ratio classifier
     // (integer counts; ratio is an int/int division).
     "q_text_langid" -> { (s, d) =>
-      t(s, d, "documents")
+      docProfile(s, d)
         .select(col("doc_id"), col("lang"), split(col("text"), " ").as("w"))
         .withColumn("n_tok", size(col("w")).cast("long"))
         .withColumn("n_stop",
@@ -272,7 +308,7 @@ object ExtendedQueries {
     // Quality scoring: token count, type-token ratio, average word
     // length, pass/fail flag — all from exact integer counts.
     "q_text_quality" -> { (s, d) =>
-      t(s, d, "documents")
+      docProfile(s, d)
         .select(col("doc_id"), col("n_chars"), split(col("text"), " ").as("w"),
           length(col("text")).as("len"))
         .withColumn("n_tok", size(col("w")).cast("long"))
@@ -292,7 +328,7 @@ object ExtendedQueries {
       val fpMin = shingles(s, d)
         .groupBy(col("doc_id"))
         .agg(min(md5(col("s").cast("binary"))).as("fp_min"))
-      t(s, d, "documents")
+      docProfile(s, d)
         .select(col("doc_id"), md5(col("text").cast("binary")).as("fp_full"))
         .join(fpMin, Seq("doc_id"), "left")
         .orderBy(col("doc_id"))
@@ -306,7 +342,7 @@ object ExtendedQueries {
     // interprets two lambdas per character (bitwise-equal per
     // RollingHashSpec; oracle unchanged).
     "q_text_rolling_hash" -> { (s, d) =>
-      t(s, d, "documents")
+      docProfile(s, d)
         .filter(length(col("text")) > 0)
         .select(col("doc_id"),
           graft.functions.RollingHash
@@ -318,7 +354,10 @@ object ExtendedQueries {
     // prefixes (classic Levenshtein DP — exact integers, identical on
     // both engines; the building block for fuzzy near-dup verify).
     "q_text_edit_distance" -> { (s, d) =>
-      val doc = t(s, d, "documents")
+      // both sides of the consecutive-pair self-join read the shared
+      // docProfile cache — r3's regression was this query scanning the
+      // single-split parquet twice, serially
+      val doc = docProfile(s, d)
         .select(col("doc_id"), substring(col("text"), 1, 60).as("head"))
       val a = doc.toDF("doc1", "h1")
       val b = doc.toDF("doc2", "h2")
@@ -331,7 +370,7 @@ object ExtendedQueries {
     // Token counting: whitespace tokens, characters, and a BPE-style
     // estimate (≈ 4 chars/token, integer arithmetic).
     "q_text_token_count" -> { (s, d) =>
-      t(s, d, "documents")
+      docProfile(s, d)
         .select(col("doc_id"), col("n_chars"),
           size(split(col("text"), " ")).cast("long").as("n_ws_tokens"))
         .withColumn("est_bpe_tokens", expr("(n_chars + 3) DIV 4"))
@@ -345,7 +384,7 @@ object ExtendedQueries {
     // Java-regex/RE2-identical subset (TextAnalysis.EmailRe/UrlRe).
     "q_scrub_pii" -> { (s, d) =>
       import graft.ops.TextAnalysis
-      t(s, d, "documents")
+      docProfile(s, d)
         .select(col("doc_id"),
           concat(col("text"), lit(" contact user"), col("doc_id"),
             lit("@mail.example.org or https://docs.example.org/d/"),

@@ -19,7 +19,7 @@ object NorthStarQueries {
   val queries: Map[String, QFn] = Map(
     // Tokenize + per-word counts (split/explode/groupBy).
     "q_text_tokens" -> { (s, d) =>
-      t(s, d, "documents")
+      ExtendedQueries.docProfile(s, d)
         .select(explode(split(col("text"), " ")).as("word"))
         .filter(length(col("word")) > 0)
         .groupBy(col("word"))
@@ -32,7 +32,7 @@ object NorthStarQueries {
     // prefix yields real duplicate groups). Emits one row per dup
     // group with the kept (min) doc_id — the "keep-first" policy.
     "q_dedup_exact" -> { (s, d) =>
-      t(s, d, "documents")
+      ExtendedQueries.docProfile(s, d)
         .select(
           md5(concat_ws(" ", slice(split(col("text"), " "), 1, 8)).cast("binary")).as("fp"),
           col("doc_id"))

@@ -19,7 +19,7 @@ object TrainPrepQueries {
     // corpus grows (md5(text) is stable), the property eval hygiene
     // depends on.
     "q_train_split" -> { (s, d) =>
-      t(s, d, "documents")
+      ExtendedQueries.docProfile(s, d)
         .select(col("doc_id"),
           graft.ops.TrainPrep.splitLabel(col("text")).as("split"),
           size(split(col("text"), " ")).cast("long").as("n_tok"))
@@ -34,7 +34,7 @@ object TrainPrepQueries {
     // its first token lands (budget 2048), report per-bin occupancy.
     // Window shuffles once on the shard key; aggregate reuses it.
     "q_pack_sequences" -> { (s, d) =>
-      val docs = t(s, d, "documents")
+      val docs = ExtendedQueries.docProfile(s, d)
         .select(col("doc_id"), (col("doc_id") % 8).as("shard_key"),
           size(split(col("text"), " ")).cast("long").as("n_tok"))
       graft.ops.TrainPrep.packBins(
@@ -53,7 +53,7 @@ object TrainPrepQueries {
     "q_decontaminate" -> { (s, d) =>
       // one corpus scan: the shared memoized shingle cache feeds both
       // sides; the split label is a cheap (id, split) join against it
-      val ids = t(s, d, "documents")
+      val ids = ExtendedQueries.docProfile(s, d)
         .select(col("doc_id").as("id"),
           graft.ops.TrainPrep.splitLabel(col("text")).as("split"))
       val sh = ExtendedQueries.shingles(s, d).withColumnRenamed("doc_id", "id")
@@ -71,7 +71,7 @@ object TrainPrepQueries {
     // of the text hash, so the DuckDB oracle reproduces it exactly.
     "q_sample_stratified" -> { (s, d) =>
       graft.ops.TrainPrep.stratifiedSample(
-          t(s, d, "documents"), col("lang"), col("text"),
+          ExtendedQueries.docProfile(s, d), col("lang"), col("text"),
           Map("en" -> 0.5, "fr" -> 1.0, "es" -> 1.0, "de" -> 0.25))
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
@@ -83,7 +83,7 @@ object TrainPrepQueries {
     // by hash. Row-local explode — no shuffle before the final sort.
     "q_chunk_windows" -> { (s, d) =>
       graft.ops.TrainPrep.chunkTokens(
-          t(s, d, "documents"), col("text"), col("doc_id"),
+          ExtendedQueries.docProfile(s, d), col("text"), col("doc_id"),
           chunkSize = 32, overlap = 8)
         .select(col("id").as("doc_id"), col("chunk_start"), col("n_tok"),
           md5(col("chunk_text")).as("chunk_md5"))
@@ -96,7 +96,7 @@ object TrainPrepQueries {
     // pure function of the text hash, so the oracle reproduces it.
     "q_mix_epochs" -> { (s, d) =>
       graft.ops.TrainPrep.mixCorpus(
-          t(s, d, "documents"), col("lang"), col("text"),
+          ExtendedQueries.docProfile(s, d), col("lang"), col("text"),
           Map("en" -> 1.5, "fr" -> 2.25, "es" -> 0.5, "de" -> 3.0))
         .groupBy(col("lang"), col("epoch"))
         .agg(count(lit(1)).as("n_rows"), min(col("doc_id")).as("first_doc"))

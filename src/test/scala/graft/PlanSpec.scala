@@ -118,8 +118,15 @@ class PlanSpec extends AnyFunSuite {
       assert(p.contains("Generate explode"), s"$name:\n$p")
       val generateIdx = p.indexOf("Generate explode")
       // plan prints root-first: anything AFTER the Generate line is
-      // below it in the tree — no exchange may appear there
-      assert(!p.substring(generateIdx).contains("Exchange"),
+      // below it in the tree — no exchange may appear there. The scan
+      // below is the shared docProfile cache, whose printed
+      // InMemoryRelation subtree embeds the cache-BUILD plan (a
+      // one-time repartition exchange, not a per-query shuffle) — cut
+      // the assertion window at the cache boundary.
+      val below = p.substring(generateIdx)
+      val cacheIdx = below.indexOf("InMemoryRelation")
+      val perQuery = if (cacheIdx >= 0) below.substring(0, cacheIdx) else below
+      assert(!perQuery.contains("Exchange"),
         s"$name shuffles below its generator:\n$p")
     }
     // scrubbing is a pure projection: no exchange except the final sort
