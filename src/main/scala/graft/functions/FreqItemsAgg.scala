@@ -37,7 +37,7 @@ case class FreqItemsAgg(
     capacity: Int = 64,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[java.util.HashMap[UTF8String, Long]] {
+  extends TypedImperativeAggregate[java.util.HashMap[UTF8String, java.lang.Long]] {
 
   require(capacity > 0, s"capacity must be positive, got $capacity")
 
@@ -48,44 +48,49 @@ case class FreqItemsAgg(
     containsNull = false)
   override def prettyName: String = "graft_freq_items"
 
-  override def createAggregationBuffer(): java.util.HashMap[UTF8String, Long] =
-    new java.util.HashMap[UTF8String, Long](capacity * 2)
+  override def createAggregationBuffer(): java.util.HashMap[UTF8String, java.lang.Long] =
+    new java.util.HashMap[UTF8String, java.lang.Long](capacity * 2)
 
   /** Decrement every counter by `by` (≥1), dropping non-positives —
     * the Misra-Gries eviction step, O(capacity) amortized over the
     * `by` arrivals that funded it. */
-  private def decrementAll(buf: java.util.HashMap[UTF8String, Long], by: Long): Unit = {
+  private def decrementAll(buf: java.util.HashMap[UTF8String, java.lang.Long], by: Long): Unit = {
     val it = buf.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()
-      if (e.getValue <= by) it.remove() else e.setValue(e.getValue - by)
+      if (e.getValue.longValue <= by) it.remove()
+      else e.setValue(java.lang.Long.valueOf(e.getValue.longValue - by))
     }
   }
 
-  override def update(buf: java.util.HashMap[UTF8String, Long],
-      input: InternalRow): java.util.HashMap[UTF8String, Long] = {
+  override def update(buf: java.util.HashMap[UTF8String, java.lang.Long],
+      input: InternalRow): java.util.HashMap[UTF8String, java.lang.Long] = {
     val v = child.eval(input)
     if (v != null) {
       val s = v.asInstanceOf[UTF8String]
+      // boxed values so a missing key is a real null, not an unboxed 0
       val cur = buf.get(s)
-      if (cur != null && cur > 0) buf.put(s, cur + 1)
+      if (cur != null) buf.put(s, java.lang.Long.valueOf(cur.longValue + 1L))
       else if (buf.size < capacity)
         // clone: the UTF8String may point into a reused unsafe-row
         // buffer; storing it un-copied corrupts the sketch
-        buf.put(s.clone(), 1L)
+        buf.put(s.clone(), java.lang.Long.valueOf(1L))
       else decrementAll(buf, 1L)
     }
     buf
   }
 
-  override def merge(buf: java.util.HashMap[UTF8String, Long],
-      other: java.util.HashMap[UTF8String, Long]): java.util.HashMap[UTF8String, Long] = {
+  override def merge(buf: java.util.HashMap[UTF8String, java.lang.Long],
+      other: java.util.HashMap[UTF8String, java.lang.Long]): java.util.HashMap[UTF8String, java.lang.Long] = {
     val it = other.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()
       val cur = buf.get(e.getKey)
+      // new keys (cur == null) come from a deserialized buffer whose
+      // UTF8Strings own their bytes — clone only to keep the invariant
+      // explicit if that ever changes
       buf.put(if (cur == null) e.getKey.clone() else e.getKey,
-        (if (cur == null) 0L else cur) + e.getValue)
+        java.lang.Long.valueOf((if (cur == null) 0L else cur.longValue) + e.getValue.longValue))
     }
     if (buf.size > capacity) {
       // subtract the (capacity+1)-th largest count; ≥ that many
@@ -100,11 +105,11 @@ case class FreqItemsAgg(
     buf
   }
 
-  override def eval(buf: java.util.HashMap[UTF8String, Long]): Any = {
+  override def eval(buf: java.util.HashMap[UTF8String, java.lang.Long]): Any = {
     val entries = new Array[(UTF8String, Long)](buf.size)
     var i = 0
     val it = buf.entrySet().iterator()
-    while (it.hasNext) { val e = it.next(); entries(i) = (e.getKey, e.getValue); i += 1 }
+    while (it.hasNext) { val e = it.next(); entries(i) = (e.getKey, e.getValue.longValue); i += 1 }
     val sorted = entries.sortWith { case ((ia, ca), (ib, cb)) =>
       if (ca != cb) ca > cb else ia.compareTo(ib) < 0
     }
@@ -113,7 +118,7 @@ case class FreqItemsAgg(
     }.asInstanceOf[Array[Any]])
   }
 
-  override def serialize(buf: java.util.HashMap[UTF8String, Long]): Array[Byte] = {
+  override def serialize(buf: java.util.HashMap[UTF8String, java.lang.Long]): Array[Byte] = {
     var size = 4
     val it0 = buf.keySet().iterator()
     while (it0.hasNext) size += 4 + it0.next().numBytes() + 8
@@ -123,12 +128,12 @@ case class FreqItemsAgg(
     while (it.hasNext) {
       val e = it.next()
       val b = e.getKey.getBytes
-      bb.putInt(b.length); bb.put(b); bb.putLong(e.getValue)
+      bb.putInt(b.length); bb.put(b); bb.putLong(e.getValue.longValue)
     }
     bb.array()
   }
 
-  override def deserialize(bytes: Array[Byte]): java.util.HashMap[UTF8String, Long] = {
+  override def deserialize(bytes: Array[Byte]): java.util.HashMap[UTF8String, java.lang.Long] = {
     val bb = java.nio.ByteBuffer.wrap(bytes)
     val n = bb.getInt
     val buf = createAggregationBuffer()
@@ -137,7 +142,7 @@ case class FreqItemsAgg(
       val len = bb.getInt
       val b = new Array[Byte](len)
       bb.get(b)
-      buf.put(UTF8String.fromBytes(b), bb.getLong)
+      buf.put(UTF8String.fromBytes(b), java.lang.Long.valueOf(bb.getLong))
       i += 1
     }
     buf

@@ -41,7 +41,15 @@ object CorpusStats {
 
   /** Fixed-point natural log: round(ln(x) * 1e6) as BIGINT. Exact
     * integer afterwards — summable in any order. 1e6 keeps c*ln(c)
-    * products for per-doc counts well inside BIGINT range. */
+    * products for per-doc counts well inside BIGINT range.
+    *
+    * Cross-ENGINE caveat: partition-order independence is guaranteed
+    * (the sum is over integers), but bit-parity with another engine's
+    * ln() additionally assumes both libms agree to the ulp at the
+    * .5-micro-nat rounding boundaries. Java's StrictMath-backed
+    * Math.log and DuckDB's libm have agreed on every tested input;
+    * a platform where they differ would flip single units — compare
+    * *_fp columns with a ±1 tolerance there instead of exact hash. */
   private def lnFp(x: Column): Column =
     round(log(x.cast("double")) * lit(1000000L)).cast("long")
 

@@ -16,6 +16,16 @@ import org.apache.spark.sql.functions._
   */
 object TrainPrep {
 
+  /** Key column rendered md5-hashable: Spark only permits
+    * STRING→BINARY casts, so a numeric "durable id" key passed
+    * directly would fail analysis. Casting through string first is a
+    * no-op for string keys (hashes — and therefore existing splits —
+    * are unchanged) and makes numeric/date keys legal. The string
+    * rendering is Spark's canonical CAST, stable across versions for
+    * integral types. */
+  private def hashableKey(key: Column): Column =
+    key.cast("string").cast("binary")
+
   /** Deterministic split label ("train" / "test" / "val") from the md5
     * of a key column — the standard content-hash split: stable across
     * runs, machines, and partitionings; re-running the pipeline with
@@ -33,7 +43,7 @@ object TrainPrep {
     * never a position-derived one. */
   def splitLabel(key: Column, valCut: String = "0d", testCut: String = "29"): Column = {
     require(valCut < testCut, s"valCut '$valCut' must sort below testCut '$testCut'")
-    val fp = md5(key.cast("binary"))
+    val fp = md5(hashableKey(key))
     when(fp < lit(valCut), "val")
       .when(fp < lit(testCut), "test")
       .otherwise("train")
@@ -58,6 +68,13 @@ object TrainPrep {
   def packBins(df: DataFrame, shardCol: Column, orderCol: Column,
       tokCol: Column, budget: Long): DataFrame = {
     require(budget > 0, "budget must be positive")
+    // withColumn silently REPLACES same-named input columns — fail
+    // loudly instead of corrupting caller data under the output/temp
+    // names this operator owns
+    val reserved = Seq("shard", "bin", "__tok", "__cum").filter(df.columns.contains)
+    require(reserved.isEmpty,
+      s"packBins reserves output/temp column names ${reserved.mkString(", ")}; " +
+        "rename them in the input first")
     val w = Window.partitionBy(shardCol).orderBy(orderCol)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.withColumn("shard", shardCol)
@@ -85,7 +102,7 @@ object TrainPrep {
       fractions: Map[String, Double]): DataFrame = {
     require(fractions.values.forall(f => f >= 0.0 && f <= 1.0),
       "fractions must be in [0, 1]")
-    val fp = md5(keyCol.cast("binary")).substr(1, 4)
+    val fp = md5(hashableKey(keyCol)).substr(1, 4)
     val keep = fractions.foldLeft(lit(false)) { case (acc, (stratum, f)) =>
       val v = math.round(f * 65536.0).min(65536L)
       // v = 65536 (f = 1.0) keeps the whole stratum — there is no
@@ -152,7 +169,7 @@ object TrainPrep {
       epochs: Map[String, Double]): DataFrame = {
     require(epochs.values.forall(e => e >= 0.0 && e <= 1000.0),
       "epoch weights must be in [0, 1000]")
-    val fp = md5(keyCol.cast("binary")).substr(1, 4)
+    val fp = md5(hashableKey(keyCol)).substr(1, 4)
     val copies = epochs.foldLeft(lit(0L)) { case (acc, (stratum, e)) =>
       val whole = math.floor(e).toLong
       val frac = math.round((e - whole) * 65536.0).min(65536L)

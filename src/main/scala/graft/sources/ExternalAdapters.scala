@@ -97,13 +97,23 @@ object ExternalAdapters {
       // filter below), so its max(Date) is the history's max(Date).
       // Scanning the whole history here would be O(history) per daily
       // increment — unbounded growth for a bounded question.
+      // Invariant guard: those invariants hold for objects THIS writer
+      // landed, but an out-of-band writer could land an empty object
+      // under the newest watermark name — then max(Date) is null, and
+      // treating that as "nothing landed" would silently re-land the
+      // whole window as duplicates. Fall back to the full-history scan
+      // (correct for any landing contents) instead.
       val lastLanded: Option[java.sql.Date] =
         watermark.flatMap { wm =>
-          Option(spark.read
+          val newestMax = Option(spark.read
             .option("header", "true")
             .schema(graft.etl.StarSchemaBuilder.stocksSchema)
             .csv(s"$landingDir/${prefix}_$wm.csv")
             .agg(max(col("Date"))).head.getDate(0))
+          newestMax.orElse(Option(
+            graft.etl.StarSchemaBuilder.readLanding(spark, landingDir,
+                prefix, graft.etl.StarSchemaBuilder.stocksSchema)
+              .agg(max(col("Date"))).head.getDate(0)))
         }
       val increment = lastLanded match {
         case Some(d) => stacked.filter(col("Date") > lit(d))

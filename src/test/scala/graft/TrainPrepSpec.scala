@@ -166,6 +166,30 @@ class TrainPrepSpec extends AnyFunSuite {
     assert(again == rows.map(r => (r._1, r._3)).sorted.toSeq)
   }
 
+  test("splitLabel accepts a numeric key and matches its string render") {
+    // Spark only casts STRING→BINARY, so the key goes through a string
+    // cast first; a numeric durable id must analyze AND agree with the
+    // same id pre-rendered as a string
+    val byNum = docs.select(col("doc_id"),
+        TrainPrep.splitLabel(col("doc_id")).as("s")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    val byStr = docs.select(col("doc_id"),
+        TrainPrep.splitLabel(col("doc_id").cast("string")).as("s")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(byNum == byStr)
+    assert(byNum.map(_._2).distinct.sorted == Seq("test", "train", "val"))
+  }
+
+  test("packBins rejects inputs that already use its output names") {
+    val clash = docs.select(col("doc_id"), lit(1L).as("bin"),
+      size(split(col("text"), " ")).cast("long").as("n_tok"))
+    val e = intercept[IllegalArgumentException] {
+      TrainPrep.packBins(clash, col("doc_id") % 4, col("doc_id"),
+        col("n_tok"), 512L)
+    }
+    assert(e.getMessage.contains("bin"))
+  }
+
   test("packBins window shuffles once on the shard key") {
     val toks = docs.select(col("doc_id"), (col("doc_id") % 4).as("sh"),
       size(split(col("text"), " ")).cast("long").as("n_tok"))
