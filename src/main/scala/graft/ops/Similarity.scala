@@ -59,6 +59,12 @@ object Similarity {
     }
   }
 
+  /** The full deterministic hyperplane family as data — public so an
+    * external system (a cross-engine oracle, another indexer) can
+    * replicate the buckets bit-for-bit. */
+  def planes(seed: Int, nBits: Int, dims: Int): Seq[Seq[Double]] =
+    (0 until nBits).map(b => plane(seed, b, dims))
+
   /** Sign-LSH bucket id (a `nBits`-char '0'/'1' string) per vector.
     * `dims` must match the embedding dimensionality. */
   def lshBuckets(corpus: DataFrame, idCol: Column, vecCol: Column,
@@ -69,6 +75,30 @@ object Similarity {
       when(GraftFunctions.dot(v, planeLit) >= 0, "1").otherwise("0")
     }
     corpus.select(idCol.as("id"), v.as("v"), concat(bitCols: _*).as("bucket"))
+  }
+
+  /** Sign-LSH bucket id as an EXACT-INTEGER expression: vector
+    * components quantized to micro-units (`round(x*1e6)` as BIGINT),
+    * plane components already integers (see [[plane]]), so each bit is
+    * the sign of a BIGINT sum — bit-identical across engines,
+    * partitionings, and summation orders, unlike the double-dot
+    * [[lshBuckets]] whose sign could in principle flip on a libm/ulp
+    * boundary. This is the variant to use when the bucket id must be
+    * reproducible outside Spark (e.g. a cross-engine dedup contract);
+    * recall/cost behavior is the same sign-LSH. Magnitudes: |plane| <
+    * 2^23, |quantized| ≤ ~2^20·|x|, 64 terms — comfortably inside
+    * BIGINT. */
+  def lshBucketQuantized(vecCol: Column, nBits: Int = 8, seed: Int = 42,
+      dims: Int = 64): Column = {
+    val bits = (0 until nBits).map { b =>
+      val pLit = array(plane(seed, b, dims).map(x => lit(x.toLong)): _*)
+      val dotInt = aggregate(
+        zip_with(vecCol.cast("array<double>"), pLit,
+          (x, y) => round(x * lit(1000000.0d)).cast("long") * y),
+        lit(0L), (acc, t) => acc + t)
+      when(dotInt >= 0, "1").otherwise("0")
+    }
+    concat(bits: _*)
   }
 
   /** Approximate top-k: exact cosine within the query's LSH bucket.
@@ -102,6 +132,14 @@ object Similarity {
   // reads |corpus| · nprobe/k of the pair space instead of all of it.
   // ---------------------------------------------------------------
 
+  /** Past this many centroids, assignment stops inlining the model as
+    * literals (a k-term `least` expression: fine at k=16, a codegen /
+    * analysis blowup at a realistic k of 4k–64k lists) and goes
+    * through a broadcast centroid RELATION + min-struct aggregate
+    * instead — same result (see IvfSpec equivalence case), plan size
+    * O(1) in k. */
+  private[graft] val AssignLiteralMaxK = 64
+
   /** Nearest-centroid id for a vector column, given the collected
     * centroid model (cluster id → array<double>). Ties break to the
     * lower cluster id (least over (dist, cid) structs). */
@@ -116,6 +154,47 @@ object Similarity {
     least(cands: _*).getField("cid")
   }
 
+  /** The centroid model as a broadcast-able k-row frame
+    * (cid, c, cn): the large-k alternative to literal inlining. */
+  private def centroidFrame(spark: org.apache.spark.sql.SparkSession,
+      centroids: Seq[(Int, Seq[Double])]): DataFrame = {
+    import spark.implicits._
+    centroids.map { case (cid, c) =>
+      (cid, c, math.sqrt(c.map(x => x * x).sum))
+    }.toDF("__cid", "__c", "__cn")
+  }
+
+  /** Nearest-centroid assignment via a broadcast centroid relation:
+    * each vector row joins the k-row model (broadcast nested-loop —
+    * the k-fanout is consumed by the partial aggregate in the SAME
+    * stage, so nothing ×k ever crosses the network), then argmin by
+    * `min(struct(dist, cid))` — identical semantics (including the
+    * lower-cid tie-break) to [[assignExpr]]'s literal `least`.
+    * Input must have columns (id, v); output is (id, v, cid). */
+  private def assignByJoin(base: DataFrame,
+      centroids: Seq[(Int, Seq[Double])]): DataFrame = {
+    val cf = broadcast(centroidFrame(base.sparkSession, centroids))
+    base.crossJoin(cf)
+      .select(col("id"), col("v"),
+        struct((lit(1.0) - GraftFunctions.dot(col("v"), col("__c")) /
+          (sqrt(GraftFunctions.dot(col("v"), col("v"))) * col("__cn"))).as("dist"),
+          col("__cid").as("cid")).as("dc"))
+      .groupBy(col("id"), col("v"))
+      .agg(min(col("dc")).as("best"))
+      .select(col("id"), col("v"), col("best").getField("cid").as("cid"))
+  }
+
+  /** (id, v, cid) for every corpus row — literal expression below the
+    * inlining threshold, broadcast-relation join above it.
+    * `maxLiteralK` is a test seam: IvfSpec pins it to force each path
+    * on the same centroids and assert byte-identical assignments. */
+  private[graft] def assignClusters(base: DataFrame,
+      centroids: Seq[(Int, Seq[Double])],
+      maxLiteralK: Int = AssignLiteralMaxK): DataFrame =
+    if (centroids.size <= maxLiteralK)
+      base.withColumn("cid", assignExpr(col("v"), centroids))
+    else assignByJoin(base, centroids)
+
   /** Train an IVF coarse quantizer: k centroids over `corpus`.
     * Returns (cluster_id, centroid) rows. Deterministic: md5-seeded
     * init, decimal-mean Lloyd updates. */
@@ -129,7 +208,7 @@ object Similarity {
       .collect().zipWithIndex
       .map { case (r, i) => (i, r.getSeq[Double](1).toIndexedSeq) }.toIndexedSeq
     for (_ <- 0 until iters) {
-      val assigned = base.withColumn("cid", assignExpr(col("v"), centroids))
+      val assigned = assignClusters(base, centroids)
       val means = assigned
         .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy(col("cid"), col("pos"))
@@ -194,11 +273,30 @@ object Similarity {
       query: DataFrame, queryIdCol: Column, queryVec: Column,
       nClusters: Int, nprobe: Int, iters: Int): DataFrame = {
     val centroids = ivfCentroids(corpus, idCol, vecCol, nClusters, iters)
-    val base = corpus.select(idCol.as("id"), vecCol.cast("array<double>").as("v"))
-      .withColumn("cid", assignExpr(col("v"), centroids))
-    val q = query
+    val base = assignClusters(
+      corpus.select(idCol.as("id"), vecCol.cast("array<double>").as("v")),
+      centroids)
+    val qBase = query
       .select(queryIdCol.as("qid"), queryVec.cast("array<double>").as("qv"))
-      .withColumn("cid", explode(probeExpr(col("qv"), centroids, nprobe)))
+    val q =
+      if (centroids.size <= AssignLiteralMaxK)
+        qBase.withColumn("cid", explode(probeExpr(col("qv"), centroids, nprobe)))
+      else {
+        // large-k probe: rank the broadcast centroid relation per query
+        // row instead of sorting a k-literal array expression. The
+        // window partitions on qid — queries are a batch, so the sort
+        // input is nprobe-bounded per query, never corpus-sized.
+        import org.apache.spark.sql.expressions.Window
+        val cf = broadcast(centroidFrame(query.sparkSession, centroids))
+        qBase.crossJoin(cf)
+          .withColumn("__dist",
+            lit(1.0) - GraftFunctions.dot(col("qv"), col("__c")) /
+              (sqrt(GraftFunctions.dot(col("qv"), col("qv"))) * col("__cn")))
+          .withColumn("__rk", row_number().over(
+            Window.partitionBy(col("qid")).orderBy(col("__dist"), col("__cid"))))
+          .filter(col("__rk") <= nprobe)
+          .select(col("qid"), col("qv"), col("__cid").as("cid"))
+      }
     base.join(broadcast(q), Seq("cid"))
       .select(col("qid"), col("id"),
         round(cosine(col("v"), col("qv")), 4).as("cos"))

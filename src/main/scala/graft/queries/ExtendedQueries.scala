@@ -273,6 +273,31 @@ object ExtendedQueries {
         .limit(20)
     },
 
+    // Embedding near-dup, LINEAR declared path: sign-LSH buckets
+    // (8 md5-derived hyperplanes, micro-unit-quantized integer dot so
+    // the bucket id is bit-identical on any engine — see
+    // Similarity.lshBucketQuantized), then exact cosine top-20 WITHIN
+    // buckets only. The join is an equi-join on the bucket key: at
+    // 100 TB the pair space is Σ|bucket|² instead of |corpus|² — this,
+    // not q_dedup_embed_topk's brute force, is the production
+    // embedding-dedup shape; the brute-force query remains as the
+    // recall/correctness baseline.
+    "q_dedup_embed_lsh" -> { (s, d) =>
+      graft.functions.GraftFunctions.register(s)
+      val e = embedNorms(s, d).withColumn("bucket",
+        graft.ops.Similarity.lshBucketQuantized(col("v")))
+      val a = e.select(col("bucket"), col("vec_id").as("id1"),
+        col("v").as("v1"), col("nrm").as("n1"))
+      val b = e.select(col("bucket"), col("vec_id").as("id2"),
+        col("v").as("v2"), col("nrm").as("n2"))
+      a.join(b, "bucket")
+        .filter(col("id1") < col("id2"))
+        .select(col("id1"), col("id2"), col("bucket"),
+          round(expr("graft_dot(v1, v2)") / (col("n1") * col("n2")), 4).as("cos"))
+        .orderBy(col("cos").desc, col("id1"), col("id2"))
+        .limit(20)
+    },
+
     // ANN top-10 for one query vector (vec_id = 0), brute-force cosine
     // baseline (broadcast query vector + codegen'd dot kernel; the
     // LSH-bucketed scale path lives in graft.ops.Similarity).
@@ -487,6 +512,33 @@ object ExtendedQueries {
         |JOIN (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS bv FROM embeddings) b
         |  ON a.vec_id < b.vec_id
         |ORDER BY cos DESC, id1, id2 LIMIT 20""".stripMargin,
+
+    // Bucket parity: the oracle recomputes the SAME sign-LSH buckets
+    // from the same md5-derived planes (inlined below as integer list
+    // literals via Similarity.planes) over micro-unit-quantized
+    // components — every per-bit sum is exact BIGINT arithmetic in
+    // both engines, so bucket ids agree bit-for-bit by construction.
+    "q_dedup_embed_lsh" -> {
+      val bitExprs = graft.ops.Similarity.planes(42, 8, 64).map { p =>
+        val pl = p.map(_.toLong).mkString("[", ", ", "]")
+        "(CASE WHEN list_sum(list_transform(range(1, 65), " +
+          s"k -> CAST(round(v[k] * 1000000.0) AS BIGINT) * ($pl)[k])) >= 0 " +
+          "THEN '1' ELSE '0' END)"
+      }
+      s"""WITH e AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+         |), b AS (
+         |  SELECT vec_id, v,
+         |    sqrt(list_sum(list_transform(range(1, 65), k -> v[k] * v[k]))) AS nrm,
+         |    ${bitExprs.mkString(" || ")} AS bucket
+         |  FROM e
+         |)
+         |SELECT a.vec_id AS id1, b2.vec_id AS id2, a.bucket,
+         |  round(list_sum(list_transform(range(1, 65), k -> a.v[k] * b2.v[k]))
+         |        / (a.nrm * b2.nrm), 4) AS cos
+         |FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+         |ORDER BY cos DESC, id1, id2 LIMIT 20""".stripMargin
+    },
 
     "q_ann_topk" ->
       """SELECT e.vec_id,

@@ -68,6 +68,51 @@ class IvfSpec extends AnyFunSuite {
     }
   }
 
+  test("k=256: broadcast-join assignment equals the literal path, and trains end-to-end") {
+    // 256 centroids is past AssignLiteralMaxK (64): production code
+    // takes the broadcast-relation + min-struct path. Pin maxLiteralK
+    // to force EACH path over the same centroid model and require
+    // identical assignments (same lower-cid tie-break).
+    val base = corpus.select(col("vec_id").as("id"),
+      col("embedding").cast("array<double>").as("v"))
+    val centroids = ops.Similarity.ivfCentroids(
+      corpus, col("vec_id"), col("embedding"), k = 256, iters = 1)
+    assert(centroids.size == 256)
+    val byJoin = ops.Similarity.assignClusters(base, centroids, maxLiteralK = -1)
+      .select(col("id"), col("cid")).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+    val byLiteral = ops.Similarity.assignClusters(base, centroids,
+        maxLiteralK = Int.MaxValue)
+      .select(col("id"), col("cid")).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+    assert(byJoin == byLiteral)
+    // plan sanity: the join path's plan size is O(1) in k — no 256-arm
+    // least() expression tree
+    val plan = ops.Similarity.assignClusters(base, centroids, maxLiteralK = -1)
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.contains("least("), plan.take(500))
+    // and the end-to-end batch search (train + assign + probe) runs
+    // through the large-k path: exhaustive probe == brute force still
+    val q = corpus.filter(col("vec_id") < 3)
+    val batch = ops.Similarity.ivfTopKBatch(
+        corpus, col("vec_id"), col("embedding"),
+        q, col("vec_id"), col("embedding"), k = 3,
+        nClusters = 256, nprobe = 256, iters = 1)
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (qid, rs) =>
+        qid -> rs.map(r => (r.getLong(1), r.getDouble(2)))
+          .sortBy { case (id, cos) => (-cos, id) }.toSeq
+      }
+    (0L until 3L).foreach { qid =>
+      val brute = ops.Similarity.bruteForceTopK(
+          corpus, col("vec_id"), col("embedding"),
+          corpus.filter(col("vec_id") === qid), col("embedding"), k = 3)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(batch(qid) == brute, s"query $qid: large-k batch != brute force")
+    }
+  }
+
   test("batch partial probe keeps per-query result count and id domain") {
     val queries = corpus.filter(col("vec_id") < 10)
     val out = ops.Similarity.ivfTopKBatch(
