@@ -43,6 +43,33 @@ object Multimodal {
       width: Int, height: Int, duration_ms: Long,
       sample_rate: Int = 0, channels: Int = 0)
 
+  /** Pluggable VIDEO codec — the one kernel this container cannot
+    * implement for real (no video codec exists in the JDK). A real
+    * deployment implements this pair against its native library
+    * (JavaCV/FFmpeg, a JNI wrapper, …) and passes the provider to
+    * [[decode]]; everything else — schema, per-partition batching,
+    * corrupt-row fallback, executor-side payloads — is already the
+    * production shape and covered by MultimodalSpec with a fake codec.
+    *
+    * Lifecycle contract: the PROVIDER is the small serializable handle
+    * shipped in the task closure; `open()` runs ONCE PER PARTITION
+    * (amortizing JNI/model init over the partition's rows, the same
+    * contract as the digest instances above) and the returned codec is
+    * `close()`d when the partition's iterator is exhausted. A codec
+    * instance is only ever used by one partition-task thread. */
+  trait VideoCodec extends java.io.Closeable {
+    /** Container/stream metadata for one payload; None when the bytes
+      * are not parseable video (the caller falls back to the stub —
+      * one corrupt row must never kill a partition). */
+    def decode(mediaId: Long, bytes: Array[Byte]): Option[DecodedMeta]
+    override def close(): Unit = ()
+  }
+
+  /** Serializable per-partition factory for [[VideoCodec]]. */
+  trait VideoCodecProvider extends Serializable {
+    def open(): VideoCodec
+  }
+
   /** Deterministic fake "decode": header fields derived from the
     * payload hash (digest instance supplied per partition). REPLACE
     * with a real codec per `kind` — the per-partition batching below
@@ -97,20 +124,38 @@ object Multimodal {
   /** Decode a media Dataset to metadata rows; one codec init per
     * partition (the `it =>` closure), streaming through rows. Images
     * (ImageIO → true width/height) and audio (javax.sound header parse
-    * → true rate/channels/duration) decode for real; video and
-    * unparseable payloads take the stub. */
-  def decode(media: Dataset[MediaRow]): Dataset[DecodedMeta] = {
+    * → true rate/channels/duration) decode for real; video decodes
+    * through `videoCodec` when one is supplied (opened once per
+    * partition, closed at iterator exhaustion) and falls back to the
+    * stub otherwise — as do unparseable payloads of any kind. */
+  def decode(media: Dataset[MediaRow],
+      videoCodec: Option[VideoCodecProvider] = None): Dataset[DecodedMeta] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
-      // real impl: init a video codec HERE, once per partition
       val md = java.security.MessageDigest.getInstance("MD5")
-      it.map { m =>
+      val codec = videoCodec.map(_.open()) // once per partition
+      val out = it.map { m =>
         val real = m.kind match {
           case "image" => decodeImage(m.media_id, m.bytes)
           case "audio" => decodeAudio(m.media_id, m.bytes)
+          case "video" => codec.flatMap(c =>
+            try c.decode(m.media_id, m.bytes)
+            catch { case scala.util.control.NonFatal(_) => None })
           case _       => None
         }
         real.getOrElse(decodeStub(md, m.media_id, m.kind, m.bytes))
+      }
+      // close the codec when the partition is drained (mapPartitions
+      // consumes the iterator fully or the task dies with the JVM —
+      // either way native handles are bounded per executor)
+      new Iterator[DecodedMeta] {
+        private var closed = false
+        override def hasNext: Boolean = {
+          val h = out.hasNext
+          if (!h && !closed) { closed = true; codec.foreach(_.close()) }
+          h
+        }
+        override def next(): DecodedMeta = out.next()
       }
     }
   }

@@ -7,6 +7,32 @@ import graft.ops.Multimodal
 /** Spark-side plumbing for opaque media columns: schema, determinism,
   * batch shape. Image decode/resize are real (ImageIO); audio/video
   * kernels are documented stubs. */
+object MultimodalSpec {
+  // lifecycle counters — local[*] executors share the JVM, so these
+  // observe per-partition open/close from task threads
+  val opens = new java.util.concurrent.atomic.AtomicInteger(0)
+  val closes = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Fake codec: header-parses [w, h, seconds] from the payload —
+    * stands in for a JavaCV/FFmpeg-backed implementation and proves
+    * the seam (provider shipped in the closure, open per partition,
+    * close at drain, None → stub fallback) end-to-end. */
+  class FakeCodec extends Multimodal.VideoCodec {
+    opens.incrementAndGet()
+    override def decode(mediaId: Long,
+        bytes: Array[Byte]): Option[Multimodal.DecodedMeta] =
+      if (bytes.length < 3) None
+      else Some(Multimodal.DecodedMeta(mediaId, "video", bytes.length.toLong,
+        width = bytes(0).toInt, height = bytes(1).toInt,
+        duration_ms = bytes(2).toInt * 1000L))
+    override def close(): Unit = closes.incrementAndGet()
+  }
+
+  object FakeProvider extends Multimodal.VideoCodecProvider {
+    override def open(): Multimodal.VideoCodec = new FakeCodec
+  }
+}
+
 class MultimodalSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
@@ -88,6 +114,32 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out(0).duration_ms == 1000L && out(0).sample_rate == 16000 && out(0).channels == 1)
     assert(out(1).duration_ms == 250L && out(1).sample_rate == 44100 && out(1).channels == 1)
     assert(out(2).sample_rate == 0 && out(2).duration_ms > 0L) // stub signature
+  }
+
+  test("pluggable video codec: decodes video rows, per-partition open/close, stub fallback") {
+    import spark.implicits._
+    MultimodalSpec.opens.set(0)
+    MultimodalSpec.closes.set(0)
+    // payloads with a parseable fake header: [w, h, seconds, ...]
+    def vid(w: Byte, h: Byte, sec: Byte) = Array[Byte](w, h, sec, 0, 0)
+    val media = Seq(
+      Multimodal.MediaRow(1L, "video", vid(12, 7, 3), "srcA"),
+      Multimodal.MediaRow(2L, "video", vid(20, 11, 9), "srcA"),
+      // too-short payload: codec returns None → stub fallback
+      Multimodal.MediaRow(3L, "video", Array[Byte](1), "srcB"),
+      // non-video rows must never touch the codec
+      Multimodal.MediaRow(4L, "audio", Multimodal.wavBytes(500), "srcB"))
+      .toDS().repartition(2)
+    val out = Multimodal.decode(media, Some(MultimodalSpec.FakeProvider))
+      .collect().sortBy(_.media_id)
+    assert(out(0).width == 12 && out(0).height == 7 && out(0).duration_ms == 3000L)
+    assert(out(1).width == 20 && out(1).height == 11 && out(1).duration_ms == 9000L)
+    assert(out(2).width % 16 == 0 && out(2).height % 16 == 0) // stub dims
+    assert(out(3).sample_rate == 8000 && out(3).duration_ms == 500L)
+    // local[*] tasks share this JVM, so the static counters see every
+    // partition: one open and one close per partition, no leaks
+    assert(MultimodalSpec.opens.get == 2, s"opens=${MultimodalSpec.opens.get}")
+    assert(MultimodalSpec.closes.get == MultimodalSpec.opens.get)
   }
 
   test("feature extraction yields fixed-width normalized vectors") {
