@@ -345,21 +345,37 @@ object Dedup {
     * for non-candidate pairs, unlike a candidate-doc self-join which
     * computes all C(|cand docs|, 2) overlaps and discards most.
     * shuffle_hash: both sides are candidate-bounded; avoids the sort a
-    * merge join would add. */
-  def jaccardOnPairs(sh: DataFrame, pairs: DataFrame): DataFrame = {
-    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    * merge join would add.
+    *
+    * Set sizes ride THROUGH the intersection join (each shingle row
+    * carries its doc's `n`; the group-by takes `max` — constant within
+    * a group) instead of joining a separate sizes aggregate back onto
+    * the pairs: the old two broadcast(sizes) joins cost two extra
+    * broadcast-build jobs per run, a fixed-overhead tax that dominated
+    * the candidate-bounded work. An input that already HAS an `n`
+    * column (a persisted sized-shingle table — the repeated-verify
+    * shape) skips even the sizing window. */
+  def jaccardOnPairs(sh: DataFrame, pairs: DataFrame,
+      pairsDistinct: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sized =
+      if (sh.columns.contains("n")) sh.select(col("id"), col("s"), col("n"))
+      else sh.select(col("id"), col("s"))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy(col("id"))))
     // distinct(): a duplicated candidate pair would fan the shingle
     // match out twice and double-count inter (jac > 1, or a zero
-    // denominator for exact dups). LSH callers are distinct already;
-    // this guards the public API at candidate-bounded cost.
-    val inter = broadcast(pairs.select(col("id1"), col("id2")).distinct())
-      .join(sh.select(col("id").as("id1"), col("s")), Seq("id1"))
-      .join(sh.select(col("id").as("id2"), col("s")).hint("shuffle_hash"),
-        Seq("id2", "s"))
-      .groupBy(col("id1"), col("id2")).agg(count(lit(1)).as("inter"))
-    inter
-      .join(broadcast(sizes.toDF("id1", "n1")), "id1")
-      .join(broadcast(sizes.toDF("id2", "n2")), "id2")
+    // denominator for exact dups). LSH callers generate distinct pairs
+    // already and may assert so (`pairsDistinct`) to keep the exchange
+    // + aggregate out of the broadcast-build job; the default guards
+    // the public API at candidate-bounded cost.
+    val p = pairs.select(col("id1"), col("id2"))
+    broadcast(if (pairsDistinct) p else p.distinct())
+      .join(sized.select(col("id").as("id1"), col("s"), col("n").as("n1")), Seq("id1"))
+      .join(sized.select(col("id").as("id2"), col("s"), col("n").as("n2"))
+        .hint("shuffle_hash"), Seq("id2", "s"))
+      .groupBy(col("id1"), col("id2"))
+      .agg(count(lit(1)).as("inter"), max(col("n1")).as("n1"), max(col("n2")).as("n2"))
       .withColumn("jac", col("inter") / (col("n1") + col("n2") - col("inter")))
+      .select(col("id1"), col("id2"), col("inter"), col("jac"))
   }
 }

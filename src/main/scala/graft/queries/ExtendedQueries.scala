@@ -159,15 +159,19 @@ object ExtendedQueries {
 
   /** Candidate pairs (doc1 < doc2) sharing ≥1 LSH bucket — the linear-
     * cost candidate generator both near-dup queries build on. The join
-    * shuffles only (band, h) keys, never text. */
-  private def lshCandidatePairs(s: org.apache.spark.sql.SparkSession, d: String) = {
-    val bands = bandTable(s, d)
-    bands.as("a").join(bands.as("b"),
-        col("a.band") === col("b.band") && col("a.h") === col("b.h") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
-      .distinct()
-  }
+    * shuffles only (band, h) keys, never text. Cached (memoized): the
+    * minhash query RETURNS it and the jaccard verify broadcasts it —
+    * without the cache the jaccard run re-executes the band self-join
+    * + distinct inside its broadcast-build job every invocation. */
+  private def lshCandidatePairs(s: org.apache.spark.sql.SparkSession, d: String) =
+    memoCache("candpairs", s, d) {
+      val bands = bandTable(s, d)
+      bands.as("a").join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.h") === col("b.h") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
+        .distinct()
+    }
 
   /** Distinct shingle sets of LSH-candidate documents only — the
     * verify-stage working set. The candidate-doc restriction comes
@@ -182,6 +186,11 @@ object ExtendedQueries {
       shingles(s, d).withColumnRenamed("doc_id", "id")
         .join(broadcast(candIds), Seq("id"), "left_semi")
         .distinct()
+        // pre-size each doc's set INTO the cache: jaccardOnPairs reads
+        // `n` off the shingle rows instead of re-aggregating sizes and
+        // joining them back per run (two broadcast-build jobs saved)
+        .withColumn("n", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("id"))))
     }
 
   /** Session-scoped memo for shared SCALAR statistics (e.g. the corpus
@@ -209,7 +218,8 @@ object ExtendedQueries {
     * Unpersists the memoized frames and drops the memo entries, so the
     * next query call rebuilds and re-caches from scratch. */
   def releaseCaches(s: org.apache.spark.sql.SparkSession, d: String): Unit = {
-    Seq("restricted", "bands", "shingles", "embednorm", "toktf", "docprof").foreach { key =>
+    Seq("restricted", "bands", "shingles", "embednorm", "toktf", "docprof",
+        "candpairs").foreach { key =>
       Option(memoStore.remove((s, d, key))).foreach(_.unpersist())
     }
     val it = scalarStore.keySet.iterator
@@ -245,7 +255,9 @@ object ExtendedQueries {
     // inter/union are exact ints → the division is bit-identical.
     "q_dedup_ngram_jaccard" -> { (s, d) =>
       val cands = lshCandidatePairs(s, d).toDF("id1", "id2")
-      graft.ops.Dedup.jaccardOnPairs(restrictedShingles(s, d), cands)
+      // pairsDistinct: the candpairs cache is distinct by construction
+      graft.ops.Dedup.jaccardOnPairs(restrictedShingles(s, d), cands,
+          pairsDistinct = true)
         .filter(col("jac") >= 0.5)
         .select(col("id1").as("doc1"), col("id2").as("doc2"),
           col("inter"), col("jac"))
