@@ -117,6 +117,33 @@ object Similarity {
   }
 
   // ---------------------------------------------------------------
+  // Int8 scalar quantization — the ANN memory-footprint step: an
+  // array<double> embedding becomes 64 bytes + one double scale (8.1×
+  // smaller), which is what makes a 100 TB vector corpus cache- and
+  // shuffle-affordable. Per-vector max-abs scaling (the symmetric
+  // scheme every vector store ships): q[k] = round(v[k]/scale),
+  // scale = max|v|/127 — all plain IEEE arithmetic, no libm, so the
+  // quantized values are bit-identical on any engine.
+  // ---------------------------------------------------------------
+
+  /** Per-vector symmetric int8 scale: max|v| / 127. Zero vectors get
+    * scale 0 — pair with [[int8Quantize]], which maps them to zero
+    * codes rather than dividing by zero. */
+  def int8Scale(v: Column): Column =
+    array_max(transform(v, x => abs(x))) / lit(127.0)
+
+  /** Quantized codes (array<long> in [-127, 127]) for a vector under a
+    * per-vector scale. Row-local; `round` is half-away-from-zero in
+    * both Spark and DuckDB, so codes cross-check exactly. */
+  def int8Quantize(v: Column, scale: Column): Column =
+    when(scale === 0.0, transform(v, _ => lit(0L)))
+      .otherwise(transform(v, x => round(x / scale).cast("long")))
+
+  /** Reconstruction (dequantized vector) — codes × scale. */
+  def int8Dequantize(q: Column, scale: Column): Column =
+    transform(q, x => x.cast("double") * scale)
+
+  // ---------------------------------------------------------------
   // IVF (inverted-file) index — the coarse-quantizer scale path.
   //
   // Train: deterministic seeding (k smallest md5(id)) + a few Lloyd

@@ -326,6 +326,28 @@ object ExtendedQueries {
         .limit(10)
     },
 
+    // Int8 scalar quantization of the embedding column — the ANN
+    // memory-footprint step (64 doubles → 64 bytes + a scale). Codes
+    // are round(v/scale) with per-vector max-abs scale: plain IEEE
+    // divisions + half-away-from-zero rounds, no libm — so code sums,
+    // saturation counts, and the L1 reconstruction error cross-check
+    // exactly against the oracle recomputing the same scheme.
+    // Row-local throughout; the only exchange is the output sort.
+    "q_embed_quantize" -> { (s, d) =>
+      import graft.ops.Similarity
+      val e = embedNorms(s, d)
+        .withColumn("scale", Similarity.int8Scale(col("v")))
+        .withColumn("q", Similarity.int8Quantize(col("v"), col("scale")))
+      e.select(col("vec_id"),
+          round(col("scale"), 6).as("scale_r"),
+          aggregate(col("q"), lit(0L), (acc, x) => acc + x).as("sum_q"),
+          size(filter(col("q"), x => abs(x) === 127)).cast("long").as("n_sat"),
+          round(aggregate(
+            zip_with(col("v"), col("q"), (x, qq) => abs(x - qq.cast("double") * col("scale"))),
+            lit(0.0d), (acc, x) => acc + x), 6).as("l1_err_r"))
+        .orderBy(col("vec_id"))
+    },
+
     // n-gram-heuristic language ID: stopword-ratio classifier
     // (integer counts; ratio is an int/int division).
     "q_text_langid" -> { (s, d) =>
@@ -562,6 +584,30 @@ object ExtendedQueries {
         |CROSS JOIN (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0) q
         |WHERE e.vec_id <> 0
         |ORDER BY cos DESC, e.vec_id LIMIT 10""".stripMargin,
+
+    "q_embed_quantize" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |), s AS (
+        |  SELECT vec_id, v,
+        |    list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+        |  FROM e
+        |), q AS (
+        |  SELECT vec_id, v, scale,
+        |    CASE WHEN scale = 0
+        |         THEN list_transform(v, x -> CAST(0 AS BIGINT))
+        |         ELSE list_transform(v, x -> CAST(round(x / scale) AS BIGINT))
+        |    END AS qv
+        |  FROM s
+        |)
+        |SELECT vec_id,
+        |  round(scale, 6) AS scale_r,
+        |  CAST(list_sum(qv) AS BIGINT) AS sum_q,
+        |  CAST(len(list_filter(qv, x -> abs(x) = 127)) AS BIGINT) AS n_sat,
+        |  round(list_sum(list_transform(range(1, 65),
+        |    k -> abs(v[k] - qv[k] * scale))), 6) AS l1_err_r
+        |FROM q
+        |ORDER BY vec_id""".stripMargin,
 
     "q_text_langid" ->
       """SELECT doc_id, lang,

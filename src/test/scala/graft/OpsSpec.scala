@@ -129,6 +129,55 @@ class OpsSpec extends AnyFunSuite {
     assert(approx.forall(r => exact(r.getLong(0)) == r.getDouble(1)))
   }
 
+  test("quantized LSH buckets: well-formed, deterministic, scale-invariant, near-identical vectors collide") {
+    val emb = graft.queries.t(spark, TestSpark.sfTiny, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val b = emb.withColumn("bucket", Similarity.lshBucketQuantized(col("v")))
+    val rows = b.collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(rows.values.forall(s => s.length == 8 && s.forall(c => c == '0' || c == '1')))
+    // sign-LSH is direction-only: a positively scaled copy of a vector
+    // lands in the same bucket (quantization changes magnitude by the
+    // scale factor, signs of the plane dots do not move)
+    val scaled = emb.withColumn("v", transform(col("v"), x => x * lit(3.0)))
+      .withColumn("bucket", Similarity.lshBucketQuantized(col("v")))
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(scaled == rows)
+    // deterministic across recomputation
+    val again = b.collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(again == rows)
+    // buckets actually partition the space (more than one bucket used)
+    assert(rows.values.toSet.size > 1)
+  }
+
+  test("int8 quantization: codes bounded, round-trip error within scale/2 per dim, zero vector safe") {
+    val emb = graft.queries.t(spark, TestSpark.sfTiny, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("scale", Similarity.int8Scale(col("v")))
+      .withColumn("q", Similarity.int8Quantize(col("v"), col("scale")))
+      .withColumn("r", Similarity.int8Dequantize(col("q"), col("scale")))
+    val rows = emb.limit(100).collect()
+    rows.foreach { row =>
+      val scale = row.getDouble(2)
+      val q = row.getSeq[Long](3)
+      val v = row.getSeq[Double](1)
+      val r = row.getSeq[Double](4)
+      assert(q.forall(c => c >= -127 && c <= 127), s"codes out of range: $q")
+      // symmetric rounding: each dim reconstructs within half a step
+      v.zip(r).foreach { case (x, y) =>
+        assert(math.abs(x - y) <= scale / 2 + 1e-12, s"dim err ${math.abs(x - y)} > ${scale / 2}")
+      }
+    }
+    // zero vector: scale 0, zero codes, exact reconstruction
+    val z = Seq((0L, Seq.fill(4)(0.0))).toDF("vec_id", "v")
+      .withColumn("scale", Similarity.int8Scale(col("v")))
+      .withColumn("q", Similarity.int8Quantize(col("v"), col("scale")))
+      .withColumn("r", Similarity.int8Dequantize(col("q"), col("scale")))
+      .head
+    assert(z.getDouble(2) == 0.0)
+    assert(z.getSeq[Long](3).forall(_ == 0L))
+    assert(z.getSeq[Double](4).forall(_ == 0.0))
+  }
+
   test("text analysis columns: counts, ttr, quality, langid") {
     val d = Seq((1L, "the cat sat on the mat")).toDF("doc_id", "text")
     val r = d.select(
