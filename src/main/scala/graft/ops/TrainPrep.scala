@@ -217,10 +217,25 @@ object TrainPrep {
     * table already exists (one corpus scan feeding dedup AND
     * decontamination — the pipeline shape at scale). */
   def decontaminateFromShingles(trainShingles: DataFrame,
-      evalShingles: DataFrame, minOverlap: Long = 5L): DataFrame = {
-    val tsh = trainShingles.select(col("id"), col("s")).distinct()
+      evalShingles: DataFrame, minOverlap: Long = 5L,
+      trainDistinct: Boolean = false): DataFrame = {
+    // trainDistinct: callers holding a materialized deduplicated
+    // shingle index (the decontamination-service shape) assert the
+    // train side is already distinct per (id, s), skipping a full
+    // re-shuffle of the big side per sweep. The eval side is always
+    // re-distinct-ed: its input is per-DOC distinct, but the overlap
+    // join needs shingle-level distinctness across eval docs.
+    val t0 = trainShingles.select(col("id"), col("s"))
+    val tsh = if (trainDistinct) t0 else t0.distinct()
     val esh = evalShingles.select(col("s")).distinct()
-    tsh.join(esh, "s")
+    // The eval side is benchmark-sized BY CONTRACT (held-out splits /
+    // eval suites, not a second corpus), so broadcasting its distinct
+    // shingle set is the scale-correct join side: the train corpus
+    // never shuffles on the shingle key, each train partition streams
+    // against the broadcast hash set. Cached-frame size estimates
+    // otherwise push Spark to a sort-merge join that exchanges + sorts
+    // the full train side per sweep.
+    tsh.join(broadcast(esh), "s")
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_overlap"))
       .filter(col("n_overlap") >= minOverlap)

@@ -100,6 +100,27 @@ object ExtendedQueries {
       |       , unnest(range(1, greatest(len(w) - 1, 1))) AS u(i)
       |  WHERE len(w) >= 3""".stripMargin
 
+  /** Distinct (id, s, split) shingle rows labeled with the train/val/
+    * test split — the decontamination working set. Cached (memoized):
+    * without it every q_decontaminate invocation re-joins the split
+    * labels onto the full shingle table and re-runs the big
+    * train-side DISTINCT (the dominant cost — the exchange carries
+    * every (doc, shingle) occurrence). With it, an invocation is a
+    * filter over the cached distinct rows + the eval-side
+    * shingle-level distinct + one join. At scale this is "materialize
+    * the deduplicated shingle index once, sweep many benchmarks
+    * against it" — the decontamination service shape. */
+  private[queries] def labeledShingles(s: org.apache.spark.sql.SparkSession, d: String) =
+    memoCache("shsplit", s, d) {
+      val ids = docProfile(s, d)
+        .select(col("doc_id").as("id"),
+          graft.ops.TrainPrep.splitLabel(col("text")).as("split"))
+      shingles(s, d).withColumnRenamed("doc_id", "id")
+        .join(ids, "id")
+        .select(col("id"), col("s"), col("split"))
+        .distinct()
+    }
+
   /** LSH band table (doc_id, band, h) over the shared shingle cache:
     * one-pass typed MinHash sketch (graft.functions.MinHashAgg —
     * ObjectHashAggregate, not the SortAggregate the 8-column
@@ -219,7 +240,7 @@ object ExtendedQueries {
     * next query call rebuilds and re-caches from scratch. */
   def releaseCaches(s: org.apache.spark.sql.SparkSession, d: String): Unit = {
     Seq("restricted", "bands", "shingles", "embednorm", "toktf", "docprof",
-        "candpairs").foreach { key =>
+        "candpairs", "shsplit").foreach { key =>
       Option(memoStore.remove((s, d, key))).foreach(_.unpersist())
     }
     val it = scalarStore.keySet.iterator

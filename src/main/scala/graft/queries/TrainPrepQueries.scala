@@ -51,16 +51,16 @@ object TrainPrepQueries {
     // sets BELOW the join, so per-doc repetition never reaches the
     // exchange and the eval side is benchmark-sized by construction.
     "q_decontaminate" -> { (s, d) =>
-      // one corpus scan: the shared memoized shingle cache feeds both
-      // sides; the split label is a cheap (id, split) join against it
-      val ids = ExtendedQueries.docProfile(s, d)
-        .select(col("doc_id").as("id"),
-          graft.ops.TrainPrep.splitLabel(col("text")).as("split"))
-      val sh = ExtendedQueries.shingles(s, d).withColumnRenamed("doc_id", "id")
+      // one corpus scan: the shared memoized split-labeled DISTINCT
+      // shingle cache feeds both sides, so an invocation pays only a
+      // filter over cached rows + the eval-side shingle distinct + the
+      // overlap join — the big train-side (id, s) DISTINCT is built
+      // once per session, not per sweep
+      val sh = ExtendedQueries.labeledShingles(s, d)
       graft.ops.TrainPrep.decontaminateFromShingles(
-          sh.join(ids.filter(col("split") === "train").select("id"), "id"),
-          sh.join(ids.filter(col("split") =!= "train").select("id"), "id"),
-          minOverlap = 5L)
+          sh.filter(col("split") === "train").select(col("id"), col("s")),
+          sh.filter(col("split") =!= "train").select(col("s")),
+          minOverlap = 5L, trainDistinct = true)
         .select(col("id").as("doc_id"), col("n_overlap"))
         .orderBy(col("doc_id"))
     },
