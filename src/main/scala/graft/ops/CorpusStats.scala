@@ -203,4 +203,53 @@ object CorpusStats {
       .select(col("id"), col("n"),
         round((lnFp(col("n")) * col("n") - col("s_fp")).cast("double") /
           (col("n").cast("double") * lit(1e6)), 4).as("entropy"))
+
+  /** Per-(doc, bigram) occurrence counts — the shared intermediate of
+    * the bigram statistics (top-bigram uses its own guarded transform;
+    * this one feeds the LM scorer). One map-side-combinable hash
+    * aggregate; the exchange carries distinct (id, bigram) pairs. */
+  def docBigramCounts(df: DataFrame, text: Column, id: Column): DataFrame =
+    df.select(id.as("id"), explode(bigrams(text)).as("bg"))
+      .groupBy(col("id"), col("bg")).agg(count(lit(1)).as("c"))
+
+  /** Per-document score under the corpus's own MLE bigram language
+    * model — the classic in-domain fluency / quality signal (docs that
+    * score far below the corpus average are repetitive garbage or
+    * out-of-distribution):
+    *
+    *   score = Σ_occurrences ln P(w2 | w1)
+    *         = Σ cnt(doc, w1w2) · (ln c(w1w2) − ln c(w1·))
+    *
+    * where c(w1·) = Σ_w2 c(w1,w2) — first-word context totals, so each
+    * conditional sums to 1 exactly. Both ln terms are per-row
+    * fixed-point micro-nat BIGINTs ([[lnFp]]) and the per-doc sum is
+    * exact integer arithmetic — partition-order independent at 1000
+    * executors; one double division at the end (avg nats/bigram).
+    *
+    * Plan shape: the model tables derive from the SAME (id, bg, c)
+    * counts being scored (one partial+final agg each — no second
+    * corpus scan); the score join is bigram-vocabulary-sized on one
+    * side and candidate on the other — Catalyst picks broadcast while
+    * the vocab fits, shuffle join beyond, and either way the exchange
+    * carries distinct (doc, bigram) pairs, never raw occurrences.
+    * Scores are always ≤ 0; avg_nats is the length-normalized form. */
+  def bigramLmFromCounts(docBg: DataFrame): DataFrame = {
+    val corpus = docBg.groupBy(col("bg")).agg(sum(col("c")).as("c_bg"))
+    val ctx = corpus
+      .select(substring_index(col("bg"), " ", 1).as("w1"), col("c_bg"))
+      .groupBy(col("w1")).agg(sum(col("c_bg")).as("c_w1"))
+    docBg
+      .join(corpus, "bg")
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .join(ctx, "w1")
+      .groupBy(col("id"))
+      .agg(sum(col("c")).as("n_bg"),
+        sum(col("c") * (lnFp(col("c_bg")) - lnFp(col("c_w1")))).as("score_fp"))
+      .select(col("id"), col("n_bg"), col("score_fp"),
+        round(col("score_fp").cast("double") /
+          (col("n_bg").cast("double") * lit(1e6)), 4).as("avg_nats"))
+  }
+
+  def bigramLmScore(df: DataFrame, text: Column, id: Column): DataFrame =
+    bigramLmFromCounts(docBigramCounts(df, text, id))
 }

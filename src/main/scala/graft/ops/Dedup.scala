@@ -378,4 +378,53 @@ object Dedup {
       .withColumn("jac", col("inter") / (col("n1") + col("n2") - col("inter")))
       .select(col("id1"), col("id2"), col("inter"), col("jac"))
   }
+
+  /** Near-duplicate pairs by SimHash Hamming distance, found via band
+    * blocking — the LINEAR pair-generation path for signature-level
+    * dedup (the MinHash/LSH dual for SimHash sketches).
+    *
+    * Input: (id, simhash) rows as produced by [[simHashSignatures]]
+    * (32-char '0'/'1' string). The 32 bits are cut into `nBands`
+    * equal substrings; a pair is examined only when at least one band
+    * matches exactly, i.e. the self-join is an EQUI-join on
+    * (band, substring) — it shuffles band keys, never pair space. By
+    * pigeonhole, any pair with Hamming distance < `nBands` shares an
+    * identical band, so for maxHamming ≤ nBands-1 the blocked result
+    * EQUALS the all-pairs result — exact, not approximate, recall.
+    *
+    * The distance itself is integer arithmetic: the bit-string parses
+    * to a BIGINT (base-2 `conv`) and the distance is
+    * `bit_count(sig1 XOR sig2)` — one codegen'd instruction pair per
+    * candidate, engine-portable (DuckDB: `bit_count(xor(a::BIT,
+    * b::BIT))`).
+    *
+    * 100 TB shape: cost is Σ|band bucket|² over 4·n band rows, same
+    * contract as MinHash-LSH banding; no all-pairs product exists in
+    * the plan. Skewed buckets (a common signature) are the salting
+    * candidate — at that point the bucket IS an exact-dup cluster and
+    * exact dedup should run first. */
+  def simHashNearDupPairs(sigs: DataFrame, maxHamming: Int = 3,
+      nBands: Int = 4): DataFrame = {
+    require(32 % nBands == 0, s"nBands must divide 32, got $nBands")
+    require(maxHamming < nBands,
+      s"band blocking is exact only for maxHamming < nBands ($maxHamming >= $nBands)")
+    val w = 32 / nBands
+    val withSig = sigs.select(col("id"), col("simhash"),
+      conv(col("simhash"), 2, 10).cast("long").as("sig"))
+    val bands = withSig.select(col("id"), col("sig"),
+      explode(array((0 until nBands).map(b =>
+        struct(lit(b).as("band"),
+          substring(col("simhash"), 1 + b * w, w).as("bh"))): _*)).as("b"))
+      .select(col("id"), col("sig"),
+        col("b.band").as("band"), col("b.bh").as("bh"))
+    bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"),
+        expr("bit_count(a.sig ^ b.sig)").cast("long").as("ham"))
+      // filter BELOW the distinct: only qualifying pairs (a small
+      // fraction of band collisions) reach the dedup exchange
+      .filter(col("ham") <= maxHamming)
+      .distinct()
+  }
 }

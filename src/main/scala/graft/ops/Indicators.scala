@@ -1,0 +1,72 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Technical-indicator operators over per-key ordered price series —
+  * the analytical layer the reference computes in its fact-table build
+  * (daily return `fetch_stocks.py:213`, rolling volatility
+  * `fetch_stocks.py:216`) extended with the two classic momentum /
+  * risk indicators a stock dashboard adds next: RSI and maximum
+  * drawdown.
+  *
+  * Determinism contract (the same §7.3 discipline as the declared
+  * window queries): prices enter as exact DECIMAL, every windowed
+  * reduction (gain/loss sums, running max) happens in DECIMAL — exact
+  * under any partitioning / 1000-executor merge order — and each
+  * indicator performs exactly ONE double division at the end (IEEE-
+  * identical on any engine).
+  *
+  * 100 TB shape: both indicators are a single hash exchange on the
+  * series key and one sort per partition (the window). No joins, no
+  * second shuffle; a follow-up per-key aggregate (drawdown) reuses the
+  * window's partitioning, so it adds no exchange.
+  */
+object Indicators {
+
+  /** Cutler's RSI (simple-moving-average form — the deterministic
+    * variant; Wilder's EMA smoothing is order-dependent recursive
+    * state): `100 * SMA(gain, n) / (SMA(gain, n) + SMA(loss, n))`
+    * over the `period`-diff trailing window.
+    *
+    * Returns the input plus `rn` (position in its series) and `rsi`
+    * (non-null from row `period`+1 on, when a full window of diffs
+    * exists; null when the window's total movement is zero).
+    *
+    * `price` must be DECIMAL (cast upstream — exact diffs/sums);
+    * `orderCols` must form a total order within a key (unique
+    * tiebreakers included) or ranks are non-deterministic. */
+  def rsi(df: DataFrame, key: Column, orderCols: Seq[Column],
+      price: Column, period: Int = 14): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(orderCols: _*)
+    val frame = w.rowsBetween(-(period - 1), 0)
+    val diff = price - lag(price, 1).over(w)
+    val sumG = sum(greatest(diff, lit(0))).over(frame)
+    val sumL = sum(greatest(-diff, lit(0))).over(frame)
+    df.withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("rsi",
+        when(col("rn") >= period + 1 && (sumG + sumL) > 0,
+          round(lit(100.0) * sumG.cast("double") /
+            (sumG + sumL).cast("double"), 4)))
+  }
+
+  /** Maximum drawdown per series key: the most negative
+    * peak-to-trough fraction `price / running_max(price) - 1`.
+    * Running max is exact DECIMAL; each row performs one double
+    * division; the per-key min then compares IEEE doubles — all
+    * deterministic. Output: (key, n_obs, max_drawdown), one row per
+    * key, drawdown rounded to 4 dp (0.0 for a monotone-rising
+    * series). The groupBy reuses the window's hash partitioning on
+    * `key`, so the whole operator is ONE exchange. */
+  def maxDrawdown(df: DataFrame, key: Column, orderCols: Seq[Column],
+      price: Column): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(orderCols: _*)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val dd = price.cast("double") / max(price).over(w).cast("double") - lit(1.0)
+    df.withColumn("__dd", dd)
+      .groupBy(key.as("key"))
+      .agg(count(lit(1)).as("n_obs"),
+        round(min(col("__dd")), 4).as("max_drawdown"))
+  }
+}

@@ -59,10 +59,17 @@ object Skew {
     * which case salting only matters when the join must shuffle, e.g.
     * the small side exceeds the broadcast threshold). */
   def saltedJoin(skewed: DataFrame, small: DataFrame, key: String,
-      saltFrom: Column, n: Int = 16): DataFrame = {
+      saltFrom: Column, n: Int = 16,
+      forceShuffle: Boolean = false): DataFrame = {
     val saltedLeft = skewed.withColumn("__salt", salt(saltFrom, n))
-    val replicated = small.withColumn("__salt",
+    val replicated0 = small.withColumn("__salt",
       explode(array((0 until n).map(i => lit(i)): _*)))
+    // forceShuffle pins a shuffle-hash join: when the replicated side
+    // is under the broadcast threshold Catalyst would broadcast it and
+    // the salt is decorative; the flag makes the salted SHUFFLE shape
+    // (the case this operator exists for) reproducible at test scale.
+    val replicated =
+      if (forceShuffle) replicated0.hint("shuffle_hash") else replicated0
     saltedLeft.join(replicated, Seq(key, "__salt")).drop("__salt")
   }
 }

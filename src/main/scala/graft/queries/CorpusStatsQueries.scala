@@ -80,6 +80,19 @@ object CorpusStatsQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Per-doc score under the corpus's own MLE bigram LM (fluency /
+    // quality signal). The model tables derive from the same
+    // (doc, bigram) counts being scored; all ln terms are fixed-point
+    // micro-nat BIGINTs, so the per-doc sums are exact integers under
+    // any partitioning; one double division (avg nats) at the end.
+    "q_bigram_lm" -> { (s, d) =>
+      CorpusStats.bigramLmScore(
+          ExtendedQueries.docProfile(s, d), col("text"), col("doc_id"))
+        .select(col("id").as("doc_id"), col("n_bg"), col("score_fp"),
+          col("avg_nats"))
+        .orderBy(col("doc_id"))
+    },
+
     // Per-doc token-distribution entropy in exact fixed-point integer
     // sums (partition-order independent — a double Σ c·ln(c) would
     // drift at 1000 executors). Two map-side-combinable aggregates.
@@ -148,6 +161,26 @@ object CorpusStatsQueries {
         |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, bg) AS rk FROM c)
         |SELECT doc_id, bg, c, round(c / CAST(n_bg AS DOUBLE), 4) AS frac
         |FROM r WHERE rk = 1 ORDER BY doc_id""".stripMargin,
+
+    "q_bigram_lm" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |bg AS (SELECT doc_id,
+        |         unnest(list_transform(range(2, len(w) + 1), i -> w[i-1] || ' ' || w[i])) AS bg
+        |       FROM t WHERE len(w) >= 2),
+        |dbg AS (SELECT doc_id, bg, CAST(count(*) AS BIGINT) AS c FROM bg GROUP BY 1, 2),
+        |corpus AS (SELECT bg, CAST(sum(c) AS BIGINT) AS c_bg FROM dbg GROUP BY 1),
+        |ctx AS (SELECT split_part(bg, ' ', 1) AS w1, CAST(sum(c_bg) AS BIGINT) AS c_w1
+        |        FROM corpus GROUP BY 1),
+        |sc AS (SELECT d.doc_id, CAST(sum(d.c) AS BIGINT) AS n_bg,
+        |         CAST(sum(d.c * (CAST(round(ln(co.c_bg) * 1000000) AS BIGINT) -
+        |                         CAST(round(ln(x.c_w1) * 1000000) AS BIGINT))) AS BIGINT) AS score_fp
+        |       FROM dbg d
+        |       JOIN corpus co USING (bg)
+        |       JOIN ctx x ON split_part(d.bg, ' ', 1) = x.w1
+        |       GROUP BY 1)
+        |SELECT doc_id, n_bg, score_fp,
+        |       round(score_fp / (n_bg * 1000000.0), 4) AS avg_nats
+        |FROM sc ORDER BY doc_id""".stripMargin,
 
     "q_doc_entropy" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),

@@ -121,6 +121,26 @@ object ExtendedQueries {
         .distinct()
     }
 
+  /** Per-doc MinHash signature columns (id, m0..m7) over the shared
+    * shingle cache — one ObjectHashAggregate pass. Cached (memoized):
+    * the band table derives from it, and the sketch-accuracy query
+    * (q_minhash_est) reads the raw components. At scale this is the
+    * persisted signature table every LSH pass re-reads. */
+  private[queries] def mhSignatures(s: org.apache.spark.sql.SparkSession, d: String) =
+    memoCache("mhsig", s, d) {
+      graft.ops.Dedup
+        .minHashSignaturesFast(shingles(s, d).withColumnRenamed("doc_id", "id"), 8)
+    }
+
+  /** Per-doc SimHash-32 signatures (id, simhash) — cached: both the
+    * signature-dump query (q_dedup_simhash) and the Hamming near-dup
+    * pair query (q_dedup_simhash_ham) read it, and at scale it is the
+    * materialized signature table the banded pair join runs against. */
+  private[queries] def simSignatures(s: org.apache.spark.sql.SparkSession, d: String) =
+    memoCache("simsig", s, d) {
+      graft.ops.Dedup.simHashSignatures(docProfile(s, d), col("text"), col("doc_id"))
+    }
+
   /** LSH band table (doc_id, band, h) over the shared shingle cache:
     * one-pass typed MinHash sketch (graft.functions.MinHashAgg —
     * ObjectHashAggregate, not the SortAggregate the 8-column
@@ -134,9 +154,7 @@ object ExtendedQueries {
     * standard shape. */
   private def bandTable(s: org.apache.spark.sql.SparkSession, d: String) =
     memoCache("bands", s, d) {
-      val mh = graft.ops.Dedup
-        .minHashSignaturesFast(shingles(s, d).withColumnRenamed("doc_id", "id"), 8)
-        .withColumnRenamed("id", "doc_id")
+      val mh = mhSignatures(s, d).withColumnRenamed("id", "doc_id")
       mh.select(col("doc_id"), explode(array(
           struct(lit(1L).as("band"),
             md5(concat_ws("", col("m0"), col("m1"), col("m2"), col("m3")).cast("binary")).as("h")),
@@ -240,7 +258,7 @@ object ExtendedQueries {
     * next query call rebuilds and re-caches from scratch. */
   def releaseCaches(s: org.apache.spark.sql.SparkSession, d: String): Unit = {
     Seq("restricted", "bands", "shingles", "embednorm", "toktf", "docprof",
-        "candpairs", "shsplit").foreach { key =>
+        "candpairs", "shsplit", "mhsig", "simsig").foreach { key =>
       Option(memoStore.remove((s, d, key))).foreach(_.unpersist())
     }
     val it = scalarStore.keySet.iterator
@@ -261,9 +279,49 @@ object ExtendedQueries {
     // majority over the document; signature emitted as a 32-char
     // '0'/'1' string (integer arithmetic throughout).
     "q_dedup_simhash" -> { (s, d) =>
-      graft.ops.Dedup.simHashSignatures(docProfile(s, d), col("text"), col("doc_id"))
+      simSignatures(s, d)
         .withColumnRenamed("id", "doc_id")
         .orderBy(col("doc_id"))
+    },
+
+    // SimHash near-dup PAIRS via band blocking: 4 bands of 8 bits,
+    // pairs examined only on an exact band match (equi-join on the
+    // band substring — linear, never all-pairs), Hamming ≤ 3 verified
+    // by bit_count(xor) over the parsed 32-bit signatures. For
+    // maxHamming < nBands the blocking is EXACT by pigeonhole, so the
+    // oracle can verify against the same band-join formulation.
+    "q_dedup_simhash_ham" -> { (s, d) =>
+      graft.ops.Dedup.simHashNearDupPairs(simSignatures(s, d),
+          maxHamming = 3, nBands = 4)
+        .select(col("id1").as("doc1"), col("id2").as("doc2"), col("ham"))
+        .orderBy(col("doc1"), col("doc2"))
+    },
+
+    // MinHash sketch accuracy on LSH candidate pairs: component-
+    // agreement estimate (n_agree/8 — the unbiased MinHash Jaccard
+    // estimator) against the EXACT shingle-set Jaccard, with the
+    // absolute error. The pair space is the LSH candidate set (linear
+    // contract, shared cache); signatures join onto the broadcast
+    // pairs, exact Jaccard reuses the candidate-restricted sized
+    // shingle cache. est and jac are exact rational doubles (eighths /
+    // integer division), so the comparison is engine-portable.
+    "q_minhash_est" -> { (s, d) =>
+      val cands = lshCandidatePairs(s, d).toDF("id1", "id2")
+      val sigs = mhSignatures(s, d)
+      val agree = (0 until 8)
+        .map(k => when(col(s"a.m$k") === col(s"b.m$k"), 1).otherwise(0))
+        .reduce(_ + _)
+      val est = broadcast(cands)
+        .join(sigs.as("a"), col("id1") === col("a.id"))
+        .join(sigs.as("b").hint("shuffle_hash"), col("id2") === col("b.id"))
+        .select(col("id1"), col("id2"), agree.cast("long").as("n_agree"))
+      val jac = graft.ops.Dedup.jaccardOnPairs(restrictedShingles(s, d),
+        cands, pairsDistinct = true)
+      est.join(jac, Seq("id1", "id2"))
+        .select(col("id1").as("doc1"), col("id2").as("doc2"),
+          col("n_agree"), (col("n_agree") / lit(8.0)).as("est"), col("jac"),
+          round(abs(col("n_agree") / lit(8.0) - col("jac")), 4).as("err"))
+        .orderBy(col("doc1"), col("doc2"))
     },
 
     // Exact n-gram Jaccard verify restricted to LSH candidate pairs —
@@ -517,6 +575,90 @@ object ExtendedQueries {
         |SELECT doc_id,
         |       string_agg(CASE WHEN sbit > 0 THEN '1' ELSE '0' END, '' ORDER BY bitpos) AS simhash
         |FROM sums GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Band-blocked Hamming pairs: same 4×8-bit blocking as the Spark
+    // plan (exact for ham ≤ 3 by pigeonhole); the distance is DuckDB
+    // BIT-string arithmetic over the same '0'/'1' signatures.
+    "q_dedup_simhash_ham" ->
+      """WITH tokc AS (
+        |  SELECT doc_id, tok, count(*) AS cnt,
+        |         substr(md5(tok), 1, 8) AS h
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+        |  WHERE length(tok) > 0
+        |  GROUP BY doc_id, tok
+        |), bits AS (
+        |  SELECT doc_id, cnt, h, u.bitpos,
+        |         strpos('0123456789abcdef', substr(h, CAST(bitpos // 4 AS INT) + 1, 1)) - 1 AS nib,
+        |         CASE bitpos % 4 WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 4 ELSE 8 END AS p
+        |  FROM tokc, unnest(range(0, 32)) AS u(bitpos)
+        |), sums AS (
+        |  SELECT doc_id, bitpos, sum(cnt * (2 * ((nib // p) % 2) - 1)) AS sbit
+        |  FROM bits GROUP BY doc_id, bitpos
+        |), sigs AS (
+        |  SELECT doc_id,
+        |         string_agg(CASE WHEN sbit > 0 THEN '1' ELSE '0' END, '' ORDER BY bitpos) AS simhash
+        |  FROM sums GROUP BY doc_id
+        |), bands AS (
+        |  SELECT doc_id, simhash, u.b,
+        |         substr(simhash, 1 + 8 * CAST(u.b AS INT), 8) AS bh
+        |  FROM sigs, unnest(range(0, 4)) AS u(b)
+        |)
+        |SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2,
+        |       CAST(bit_count(xor(a.simhash::BIT, b.simhash::BIT)) AS BIGINT) AS ham
+        |FROM bands a
+        |JOIN bands b ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.simhash::BIT, b.simhash::BIT)) <= 3
+        |ORDER BY doc1, doc2""".stripMargin,
+
+    // Sketch accuracy: the same minhash/band/candidate CTE chain, the
+    // component-agreement estimate joined against the exact Jaccard.
+    "q_minhash_est" ->
+      s"""WITH sh AS (
+         |  $shinglesSql
+         |), mh AS (
+         |  SELECT doc_id,
+         |    min(md5('0|' || s)) AS m0, min(md5('1|' || s)) AS m1,
+         |    min(md5('2|' || s)) AS m2, min(md5('3|' || s)) AS m3,
+         |    min(md5('4|' || s)) AS m4, min(md5('5|' || s)) AS m5,
+         |    min(md5('6|' || s)) AS m6, min(md5('7|' || s)) AS m7
+         |  FROM sh GROUP BY doc_id
+         |), bands AS (
+         |  SELECT doc_id, 1 AS band, md5(m0 || m1 || m2 || m3) AS h FROM mh
+         |  UNION ALL
+         |  SELECT doc_id, 2 AS band, md5(m4 || m5 || m6 || m7) AS h FROM mh
+         |), cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id
+         |), agree AS (
+         |  SELECT c.doc1, c.doc2,
+         |    CAST(CAST(a.m0 = b.m0 AS INT) + CAST(a.m1 = b.m1 AS INT) +
+         |         CAST(a.m2 = b.m2 AS INT) + CAST(a.m3 = b.m3 AS INT) +
+         |         CAST(a.m4 = b.m4 AS INT) + CAST(a.m5 = b.m5 AS INT) +
+         |         CAST(a.m6 = b.m6 AS INT) + CAST(a.m7 = b.m7 AS INT) AS BIGINT) AS n_agree
+         |  FROM cand c
+         |  JOIN mh a ON a.doc_id = c.doc1
+         |  JOIN mh b ON b.doc_id = c.doc2
+         |), shd AS (
+         |  SELECT DISTINCT * FROM sh
+         |), sizes AS (
+         |  SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id
+         |), inter AS (
+         |  SELECT c.doc1, c.doc2, count(*) AS inter
+         |  FROM cand c
+         |  JOIN shd a ON a.doc_id = c.doc1
+         |  JOIN shd b ON b.doc_id = c.doc2 AND b.s = a.s
+         |  GROUP BY 1, 2
+         |)
+         |SELECT g.doc1, g.doc2, g.n_agree,
+         |       g.n_agree / 8.0 AS est,
+         |       i.inter * 1.0 / (s1.n + s2.n - i.inter) AS jac,
+         |       round(abs(g.n_agree / 8.0 - i.inter * 1.0 / (s1.n + s2.n - i.inter)), 4) AS err
+         |FROM agree g
+         |JOIN inter i ON i.doc1 = g.doc1 AND i.doc2 = g.doc2
+         |JOIN sizes s1 ON s1.doc_id = g.doc1
+         |JOIN sizes s2 ON s2.doc_id = g.doc2
+         |ORDER BY 1, 2""".stripMargin,
 
     // Same candidate restriction as the Spark plan: the minhash-LSH
     // CTE chain generates candidate pairs; Jaccard is verified only on

@@ -103,6 +103,37 @@ object JoinQueries {
             unix_micros(col("asof_pts").cast("timestamp"))).as("us_since_purchase"))
         .orderBy(col("event_id"))
     },
+
+    // Salted skew join: lineitem ⋈ 3-row returnflag profile on the
+    // HOT key l_returnflag (3 values → without salting, 3 reducers
+    // own the whole shuffle). graft.ops.Skew.saltedJoin spreads each
+    // hot key over 16 salt partitions (forceShuffle: at test scale
+    // Catalyst would broadcast the tiny replicated side and make the
+    // salt decorative); result rows are identical to the plain join
+    // (the oracle), declaring the technique through the equivalence
+    // property, like q_bloom_prune_join. All arithmetic is exact
+    // (decimal sums, integer compares) — the join enriches each row
+    // with its flag's totals and counts rows priced above their
+    // flag's mean via the cross-multiplied exact comparison.
+    "q_salt_skew_join" -> { (s, d) =>
+      val li = t(s, d, "lineitem")
+        .select(col("l_returnflag"), col("l_orderkey"),
+          col("l_extendedprice").cast("decimal(18,2)").as("px"))
+      val dim = li.groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_flag"), sum(col("px")).as("s_flag"))
+      graft.ops.Skew.saltedJoin(
+          li, dim, key = "l_returnflag",
+          saltFrom = col("l_orderkey"), n = 16, forceShuffle = true)
+        // px > mean(flag)  ⟺  px * n_flag > sum(flag): exact decimal
+        // cross-multiplication — no division anywhere
+        .select(col("l_returnflag"),
+          when(col("px") * col("n_flag") > col("s_flag"), 1)
+            .otherwise(0).as("above"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("above")).cast("long").as("n_above_avg"))
+        .orderBy(col("l_returnflag"))
+    },
   )
 
   val sql: Map[String, String] = Map(
@@ -154,5 +185,20 @@ object JoinQueries {
         |FROM events e ASOF LEFT JOIN p
         |  ON e.user_id = p.user_id AND e.ts >= p.pts
         |ORDER BY e.event_id""".stripMargin,
+
+    // The plain (unsalted) join — salting must not change a row.
+    "q_salt_skew_join" ->
+      """WITH li AS (
+        |  SELECT l_returnflag, CAST(l_extendedprice AS DECIMAL(18,2)) AS px
+        |  FROM lineitem
+        |), dim AS (
+        |  SELECT l_returnflag AS rf, count(*) AS n_flag, sum(px) AS s_flag
+        |  FROM li GROUP BY 1
+        |)
+        |SELECT l.l_returnflag, count(*) AS n_items,
+        |       CAST(sum(CASE WHEN l.px * d.n_flag > d.s_flag THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_above_avg
+        |FROM li l JOIN dim d ON l.l_returnflag = d.rf
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

@@ -92,6 +92,30 @@ class CorpusStatsSpec extends AnyFunSuite {
     assert(math.abs(m(4L)._2 - math.log(2)) < 1e-4)
   }
 
+  test("bigram LM: hand-computed conditional log-probs; scores never positive") {
+    // corpus bigrams: doc1 "a a","a a","a b"; doc2 "a b","b b","b c";
+    // doc3 "c c"×3; doc4 "a d".
+    // c(a a)=2 c(a b)=2 c(a d)=1 → c(a·)=5; c(b b)=1 c(b c)=1 → c(b·)=2;
+    // c(c c)=3 → c(c·)=3.
+    val out = CorpusStats.bigramLmScore(corpus, col("text"), col("doc_id"))
+      .orderBy(col("id")).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    def fp(x: Long): Long = math.round(math.log(x.toDouble) * 1e6)
+    // doc3: 3 occurrences of "c c": score_fp = 3·(fp(3) − fp(3)) = 0
+    assert(out(3L) == ((3L, 0L, 0.0)))
+    // doc4: one "a d": fp(1) − fp(5) = −fp(5)
+    assert(out(4L)._2 == -fp(5))
+    // doc1: 2·(fp(2)−fp(5)) + (fp(2)−fp(5)) = 3·(fp(2)−fp(5))
+    assert(out(1L)._2 == 3 * (fp(2) - fp(5)))
+    // MLE log-probs are ≤ 0 always
+    assert(out.values.forall(_._2 <= 0))
+    // avg_nats = round(score_fp / (n_bg · 1e6), 4)
+    val expAvg = BigDecimal(out(1L)._2.toDouble / (3 * 1e6))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(1L)._3 == expAvg)
+  }
+
   test("plan: frequency/entropy aggregates are partial+final (map-side combine)") {
     for (df <- Seq(CorpusStats.tokenFrequencies(toks),
         CorpusStats.tokenEntropy(toks))) {

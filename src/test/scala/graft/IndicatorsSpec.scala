@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** graft.ops.Indicators — RSI and max drawdown on hand-computed
+  * series, plus the null/guard semantics and key isolation. */
+class IndicatorsSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  // One key, strictly interleaved gains/losses of known size. Using
+  // period = 2 keeps the arithmetic hand-checkable: with prices
+  // 10, 11, 13, 12, 16 the diffs are +1, +2, -1, +4.
+  private val px = Seq(
+    ("A", 1, 10.00), ("A", 2, 11.00), ("A", 3, 13.00),
+    ("A", 4, 12.00), ("A", 5, 16.00),
+    // second key: monotone rising — never draws down, RSI = 100
+    ("B", 1, 1.00), ("B", 2, 2.00), ("B", 3, 3.00)
+  ).toDF("k", "i", "p")
+
+  private def runRsi(period: Int) =
+    ops.Indicators.rsi(px, col("k"), Seq(col("i")),
+        col("p").cast("decimal(18,2)"), period)
+      .select(col("k"), col("i"), col("rsi"))
+      .orderBy(col("k"), col("i")).collect()
+      .map(r => (r.getString(0), r.getInt(1), Option(r.getAs[Any]("rsi"))))
+      .toSeq
+
+  test("rsi: hand-computed values, null until a full diff window") {
+    val out = runRsi(2)
+    // A: rn 1,2 null (needs period+1 = 3 rows); rn 3: gains (1,2) no
+    // losses → 100; rn 4: window diffs (+2,-1) → 100*2/3 = 66.6667;
+    // rn 5: (-1,+4) → 100*4/5 = 80.
+    assert(out.filter(_._1 == "A").map(_._3) ==
+      Seq(None, None, Some(100.0), Some(66.6667), Some(80.0)))
+    // B monotone rising: all-gain windows → 100 from rn 3 on.
+    assert(out.filter(_._1 == "B").map(_._3) == Seq(None, None, Some(100.0)))
+  }
+
+  test("rsi: zero-movement window is null, not a division error") {
+    val flat = Seq(("F", 1, 5.0), ("F", 2, 5.0), ("F", 3, 5.0))
+      .toDF("k", "i", "p")
+    val out = ops.Indicators.rsi(flat, col("k"), Seq(col("i")),
+        col("p").cast("decimal(18,2)"), 2)
+      .select(col("rsi")).collect()
+    assert(out.forall(_.isNullAt(0)))
+  }
+
+  test("max drawdown: hand-computed trough, zero for monotone series") {
+    val out = ops.Indicators.maxDrawdown(px, col("k"), Seq(col("i")),
+        col("p").cast("decimal(18,2)"))
+      .orderBy(col("key")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    // A: running max peaks at 13; trough 12/13 - 1 = -0.0769 (4 dp)
+    assert(out == Seq(("A", 5L, -0.0769), ("B", 3L, 0.0)))
+  }
+
+  test("series are isolated per key (no cross-key leakage in windows)") {
+    // B's first row must not see A's prices: its rn restarts, so with
+    // period=2 B's first two rows are null even though A has 5 rows.
+    val out = runRsi(2)
+    assert(out.filter(_._1 == "B").take(2).forall(_._3.isEmpty))
+  }
+}

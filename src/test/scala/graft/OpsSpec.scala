@@ -98,6 +98,26 @@ class OpsSpec extends AnyFunSuite {
     assert(ham(sig(1L), sig(3L)) < ham(sig(1L), sig(4L)))
   }
 
+  test("simhash band-blocked pairs equal all-pairs Hamming filter (exact recall)") {
+    // real corpus slice: blocked result must equal the quadratic scan
+    val sigs = Dedup.simHashSignatures(
+      graft.queries.t(spark, TestSpark.sfTiny, "documents").limit(120),
+      col("text"), col("doc_id"))
+    val blocked = Dedup.simHashNearDupPairs(sigs, maxHamming = 3, nBands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    def ham(a: String, b: String): Long = a.zip(b).count { case (x, y) => x != y }.toLong
+    val all = sigs.collect().map(r => r.getLong(0) -> r.getString(1))
+    val brute = (for {
+      (i1, s1) <- all; (i2, s2) <- all
+      if i1 < i2 && ham(s1, s2) <= 3
+    } yield (i1, i2, ham(s1, s2))).toSet
+    assert(blocked == brute)
+    // pigeonhole bound is tight: maxHamming >= nBands must be rejected
+    intercept[IllegalArgumentException] {
+      Dedup.simHashNearDupPairs(sigs, maxHamming = 4, nBands = 4)
+    }
+  }
+
   test("cosine: self-similarity = 1.0; brute-force top-k ordered") {
     val emb = graft.queries.t(spark, TestSpark.sfTiny, "embeddings")
     val self = emb.limit(1)

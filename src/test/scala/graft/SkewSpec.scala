@@ -42,6 +42,22 @@ class SkewSpec extends AnyFunSuite {
     assert(plain.exceptAll(salted).isEmpty && salted.exceptAll(plain).isEmpty)
   }
 
+  test("saltedJoin forceShuffle: plan shuffles on (key, salt), rows unchanged") {
+    val o = queries.t(spark, sfTiny, "orders")
+      .select(col("o_orderkey"), col("o_custkey").as("c_custkey"))
+    val c = queries.t(spark, sfTiny, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val salted = ops.Skew.saltedJoin(o, c, "c_custkey",
+      saltFrom = col("o_orderkey"), n = 4, forceShuffle = true)
+    val plan = salted.queryExecution.executedPlan.toString
+    // the shuffle join must exist (no broadcast of the replicated
+    // side) and its exchange must carry the salt column
+    assert(plan.contains("ShuffledHashJoin"), s"expected shuffle join:\n$plan")
+    assert(plan.contains("__salt"), s"expected salt in exchange keys:\n$plan")
+    assert(salted.count() ==
+      o.join(c, Seq("c_custkey")).count())
+  }
+
   test("salt is deterministic and in range") {
     val s = spark.range(1000)
       .select(ops.Skew.salt(col("id"), 16).as("s"))
