@@ -233,22 +233,41 @@ object CorpusStats {
     * the vocab fits, shuffle join beyond, and either way the exchange
     * carries distinct (doc, bigram) pairs, never raw occurrences.
     * Scores are always ≤ 0; avg_nats is the length-normalized form. */
-  def bigramLmFromCounts(docBg: DataFrame): DataFrame = {
+  def bigramLmFromCounts(docBg: DataFrame): DataFrame =
+    bigramLmScoreWithModel(docBg, bigramLmModel(docBg))
+
+  /** The LM itself as a table: per-bigram fixed-point conditional
+    * log-prob `w_fp = round(ln c(w1w2)·1e6) − round(ln c(w1·)·1e6)`.
+    * Bigram-vocabulary sized. Materialize (cache) it when many
+    * scoring passes reuse one model — the train-once/score-often
+    * shape; the w1 totals join is vocab×vocab, paid once inside the
+    * model build instead of per scoring pass. */
+  def bigramLmModel(docBg: DataFrame): DataFrame = {
     val corpus = docBg.groupBy(col("bg")).agg(sum(col("c")).as("c_bg"))
     val ctx = corpus
       .select(substring_index(col("bg"), " ", 1).as("w1"), col("c_bg"))
       .groupBy(col("w1")).agg(sum(col("c_bg")).as("c_w1"))
-    docBg
-      .join(corpus, "bg")
+    corpus
       .withColumn("w1", substring_index(col("bg"), " ", 1))
       .join(ctx, "w1")
+      .select(col("bg"), (lnFp(col("c_bg")) - lnFp(col("c_w1"))).as("w_fp"))
+  }
+
+  /** Score documents against a prebuilt [[bigramLmModel]]: one
+    * equi-join on the bigram key + one per-doc aggregate. When both
+    * inputs are persisted partitioned on `bg` (the cache discipline
+    * the declared query uses), the join is exchange-free and the only
+    * shuffle is the per-doc partial-aggregate merge (|docs|·partials,
+    * not |bigram occurrences|). */
+  def bigramLmScoreWithModel(docBg: DataFrame, model: DataFrame): DataFrame =
+    docBg
+      .join(model, "bg")
       .groupBy(col("id"))
       .agg(sum(col("c")).as("n_bg"),
-        sum(col("c") * (lnFp(col("c_bg")) - lnFp(col("c_w1")))).as("score_fp"))
+        sum(col("c") * col("w_fp")).as("score_fp"))
       .select(col("id"), col("n_bg"), col("score_fp"),
         round(col("score_fp").cast("double") /
           (col("n_bg").cast("double") * lit(1e6)), 4).as("avg_nats"))
-  }
 
   def bigramLmScore(df: DataFrame, text: Column, id: Column): DataFrame =
     bigramLmFromCounts(docBigramCounts(df, text, id))

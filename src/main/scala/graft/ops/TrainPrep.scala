@@ -218,7 +218,8 @@ object TrainPrep {
     * decontamination — the pipeline shape at scale). */
   def decontaminateFromShingles(trainShingles: DataFrame,
       evalShingles: DataFrame, minOverlap: Long = 5L,
-      trainDistinct: Boolean = false): DataFrame = {
+      trainDistinct: Boolean = false,
+      broadcastEval: Boolean = true): DataFrame = {
     // trainDistinct: callers holding a materialized deduplicated
     // shingle index (the decontamination-service shape) assert the
     // train side is already distinct per (id, s), skipping a full
@@ -229,13 +230,18 @@ object TrainPrep {
     val tsh = if (trainDistinct) t0 else t0.distinct()
     val esh = evalShingles.select(col("s")).distinct()
     // The eval side is benchmark-sized BY CONTRACT (held-out splits /
-    // eval suites, not a second corpus), so broadcasting its distinct
-    // shingle set is the scale-correct join side: the train corpus
-    // never shuffles on the shingle key, each train partition streams
-    // against the broadcast hash set. Cached-frame size estimates
-    // otherwise push Spark to a sort-merge join that exchanges + sorts
-    // the full train side per sweep.
-    tsh.join(broadcast(esh), "s")
+    // eval suites, not a second corpus). Two scale-correct join sides:
+    //  - broadcastEval = true (default, one-shot sweep): broadcast the
+    //    distinct eval shingle set; the train corpus never shuffles on
+    //    the shingle key. Cached-frame size estimates otherwise push
+    //    Spark to a sort-merge join that exchanges + sorts the full
+    //    train side per sweep.
+    //  - broadcastEval = false (repeated sweeps over a PERSISTED
+    //    shingle index partitioned on `s`, the declared query's cache
+    //    discipline): both sides are already co-partitioned, so the
+    //    plain join is exchange-free — cheaper than re-building a
+    //    broadcast per sweep.
+    tsh.join(if (broadcastEval) broadcast(esh) else esh, "s")
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_overlap"))
       .filter(col("n_overlap") >= minOverlap)

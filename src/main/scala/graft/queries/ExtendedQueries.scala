@@ -121,6 +121,45 @@ object ExtendedQueries {
         .distinct()
     }
 
+  /** Train-side distinct (id, s) rows, partitioned AND sorted on the
+    * shingle key into the cache — the persisted decontamination index.
+    * A separate cache entry from [[labeledShingles]] (not a filter of
+    * it): the overlap join reads train and eval sides together, and a
+    * self-join of ONE cached frame re-aliases one side's attributes,
+    * which breaks its partitioning match and re-introduces an
+    * exchange. Two distinct cache entries keep both sides
+    * co-partitioned + pre-sorted, so the sort-merge overlap join runs
+    * with no exchange and no train-side sort per sweep. */
+  private[queries] def trainShingleIdx(s: org.apache.spark.sql.SparkSession, d: String) =
+    memoCache("shtrain", s, d) {
+      labeledShingles(s, d).filter(col("split") === "train")
+        .select(col("id"), col("s"))
+        .repartition(s.sparkContext.defaultParallelism, col("s"))
+        .sortWithinPartitions(col("s"))
+    }
+
+  /** Eval-side distinct shingle set, co-partitioned/sorted with
+    * [[trainShingleIdx]] — benchmark-sized by the split contract. */
+  private[queries] def evalShingleSet(s: org.apache.spark.sql.SparkSession, d: String) =
+    memoCache("sheval", s, d) {
+      labeledShingles(s, d).filter(col("split") =!= "train")
+        .select(col("s")).distinct()
+        .repartition(s.sparkContext.defaultParallelism, col("s"))
+        .sortWithinPartitions(col("s"))
+    }
+
+  /** Exact Jaccard verify results (id1, id2, inter, jac) over the LSH
+    * candidate pairs — cached: the near-dup verify query filters it
+    * and the sketch-accuracy query joins against it, and at scale it
+    * is the materialized verified-pairs table every downstream
+    * consumer (dup grouping, accuracy monitoring, survivorship) reads
+    * rather than re-running the pair intersection. */
+  private def jaccardPairs(s: org.apache.spark.sql.SparkSession, d: String) =
+    memoCache("jacpairs", s, d) {
+      graft.ops.Dedup.jaccardOnPairs(restrictedShingles(s, d),
+        lshCandidatePairs(s, d).toDF("id1", "id2"), pairsDistinct = true)
+    }
+
   /** Per-doc MinHash signature columns (id, m0..m7) over the shared
     * shingle cache — one ObjectHashAggregate pass. Cached (memoized):
     * the band table derives from it, and the sketch-accuracy query
@@ -258,7 +297,8 @@ object ExtendedQueries {
     * next query call rebuilds and re-caches from scratch. */
   def releaseCaches(s: org.apache.spark.sql.SparkSession, d: String): Unit = {
     Seq("restricted", "bands", "shingles", "embednorm", "toktf", "docprof",
-        "candpairs", "shsplit", "mhsig", "simsig").foreach { key =>
+        "candpairs", "shsplit", "shtrain", "sheval", "mhsig", "simsig",
+        "bgcounts", "bgmodel", "jacpairs").foreach { key =>
       Option(memoStore.remove((s, d, key))).foreach(_.unpersist())
     }
     val it = scalarStore.keySet.iterator
@@ -315,9 +355,7 @@ object ExtendedQueries {
         .join(sigs.as("a"), col("id1") === col("a.id"))
         .join(sigs.as("b").hint("shuffle_hash"), col("id2") === col("b.id"))
         .select(col("id1"), col("id2"), agree.cast("long").as("n_agree"))
-      val jac = graft.ops.Dedup.jaccardOnPairs(restrictedShingles(s, d),
-        cands, pairsDistinct = true)
-      est.join(jac, Seq("id1", "id2"))
+      est.join(jaccardPairs(s, d), Seq("id1", "id2"))
         .select(col("id1").as("doc1"), col("id2").as("doc2"),
           col("n_agree"), (col("n_agree") / lit(8.0)).as("est"), col("jac"),
           round(abs(col("n_agree") / lit(8.0) - col("jac")), 4).as("err"))
@@ -333,10 +371,10 @@ object ExtendedQueries {
     // broadcast or all-pairs shuffle exists anywhere in the plan.
     // inter/union are exact ints → the division is bit-identical.
     "q_dedup_ngram_jaccard" -> { (s, d) =>
-      val cands = lshCandidatePairs(s, d).toDF("id1", "id2")
-      // pairsDistinct: the candpairs cache is distinct by construction
-      graft.ops.Dedup.jaccardOnPairs(restrictedShingles(s, d), cands,
-          pairsDistinct = true)
+      // the verified-pairs cache: built once per session from the
+      // candidate-restricted sized shingles (pairsDistinct by
+      // construction); this query filters it, q_minhash_est joins it
+      jaccardPairs(s, d)
         .filter(col("jac") >= 0.5)
         .select(col("id1").as("doc1"), col("id2").as("doc2"),
           col("inter"), col("jac"))

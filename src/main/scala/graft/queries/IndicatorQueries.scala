@@ -52,9 +52,11 @@ object IndicatorQueries {
         |         CAST(l_extendedprice AS DECIMAL(18,2)) AS price
         |  FROM lineitem
         |), diffs AS (
+        |  -- exact integer sub-cent units, mirroring the Spark plan:
+        |  -- the decimal diff is integer-valued after the scale shift
         |  SELECT *,
         |    CAST(row_number() OVER w AS BIGINT) AS rn,
-        |    price - lag(price, 1) OVER w AS diff
+        |    CAST((price - lag(price, 1) OVER w) * 10000 AS BIGINT) AS diff
         |  FROM px
         |  WINDOW w AS (PARTITION BY l_partkey
         |               ORDER BY l_shipdate, l_orderkey, l_linenumber)

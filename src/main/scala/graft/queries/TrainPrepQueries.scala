@@ -51,16 +51,16 @@ object TrainPrepQueries {
     // sets BELOW the join, so per-doc repetition never reaches the
     // exchange and the eval side is benchmark-sized by construction.
     "q_decontaminate" -> { (s, d) =>
-      // one corpus scan: the shared memoized split-labeled DISTINCT
-      // shingle cache feeds both sides, so an invocation pays only a
-      // filter over cached rows + the eval-side shingle distinct + the
-      // overlap join — the big train-side (id, s) DISTINCT is built
-      // once per session, not per sweep
-      val sh = ExtendedQueries.labeledShingles(s, d)
+      // one corpus scan builds the split-labeled distinct shingle
+      // cache once per session; the sweep itself reads the two
+      // derived caches (train index + eval set), co-partitioned AND
+      // pre-sorted on the shingle key, so the overlap join runs with
+      // no exchange and no train-side sort — the only shuffle left is
+      // the per-doc aggregate merge
       graft.ops.TrainPrep.decontaminateFromShingles(
-          sh.filter(col("split") === "train").select(col("id"), col("s")),
-          sh.filter(col("split") =!= "train").select(col("s")),
-          minOverlap = 5L, trainDistinct = true)
+          ExtendedQueries.trainShingleIdx(s, d),
+          ExtendedQueries.evalShingleSet(s, d),
+          minOverlap = 5L, trainDistinct = true, broadcastEval = false)
         .select(col("id").as("doc_id"), col("n_overlap"))
         .orderBy(col("doc_id"))
     },
