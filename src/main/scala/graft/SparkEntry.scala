@@ -46,14 +46,16 @@ object SparkEntry {
     CoreQueries.queries ++ JoinQueries.queries ++ AggQueries.queries ++
       WindowQueries.queries ++ ScalarQueries.queries ++ NorthStarQueries.queries ++
       ExtendedQueries.queries ++ TrainPrepQueries.queries ++
-      CorpusStatsQueries.queries ++ IndicatorQueries.queries
+      CorpusStatsQueries.queries ++ IndicatorQueries.queries ++
+      BehaviorQueries.queries
 
   /** For each key in `queries`, equivalent DuckDB SQL on the same tables. */
   val oracleSql: Map[String, String] =
     CoreQueries.sql ++ JoinQueries.sql ++ AggQueries.sql ++
       WindowQueries.sql ++ ScalarQueries.sql ++ NorthStarQueries.sql ++
       ExtendedQueries.sql ++ TrainPrepQueries.sql ++
-      CorpusStatsQueries.sql ++ IndicatorQueries.sql
+      CorpusStatsQueries.sql ++ IndicatorQueries.sql ++
+      BehaviorQueries.sql
 
   require(queries.keySet == oracleSql.keySet,
     s"queries/oracleSql key mismatch: ${(queries.keySet diff oracleSql.keySet) ++ (oracleSql.keySet diff queries.keySet)}")

@@ -1,0 +1,67 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Event-log behavioral analytics: ordered conversion funnels and
+  * cohort retention — the product-analytics jobs that run next to
+  * sessionization on the same event stream.
+  *
+  * 100 TB shape: every step aggregates per user FIRST (map-side
+  * combinable — the exchange carries |users| rows, never raw events),
+  * then joins user-level frames, which co-partition on the user key
+  * at scale. Stage gates are min-timestamp comparisons (exact micros)
+  * and retention buckets integer day arithmetic — deterministic under
+  * any partitioning.
+  */
+object Behavior {
+
+  /** Per-user first-completion times of an ORDERED stage sequence:
+    * a user completes stage k only with an event of `stages(k)` at or
+    * after their stage-(k-1) completion time. Output: one row per
+    * user that completed stage 1, with columns `t_<stage>` (null once
+    * the user drops out — later stages are inner-joined away; the
+    * frame for stage counting is [[funnelCounts]]). */
+  def funnelTimes(events: DataFrame, userCol: Column, typeCol: Column,
+      tsCol: Column, stages: Seq[String]): Seq[DataFrame] = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    val first = events.filter(typeCol === stages.head)
+      .groupBy(userCol.as("user_id"))
+      .agg(min(tsCol).as(s"t_${stages.head}"))
+    stages.tail.foldLeft(Seq(first)) { (acc, stage) =>
+      val prevT = col(s"t_${stages(acc.size - 1)}")
+      val next = events.filter(typeCol === stage)
+        .select(userCol.as("user_id"), tsCol.as("__ts"))
+        .join(acc.last, "user_id")
+        .filter(col("__ts") >= prevT)
+        .groupBy(col("user_id"))
+        .agg(min(col("__ts")).as(s"t_$stage"))
+      acc :+ next
+    }
+  }
+
+  /** One-row funnel summary: `n_<stage>` = users who reached each
+    * stage in order. Monotone non-increasing by construction. */
+  def funnelCounts(events: DataFrame, userCol: Column, typeCol: Column,
+      tsCol: Column, stages: Seq[String]): DataFrame =
+    funnelTimes(events, userCol, typeCol, tsCol, stages)
+      .zip(stages)
+      .map { case (df, stage) => df.agg(count(lit(1)).as(s"n_$stage")) }
+      .reduce(_.crossJoin(_))
+
+  /** Weekly cohort retention: users bucketed by first-seen day,
+    * distinct active users per (cohort day, week index). */
+  def cohortRetention(events: DataFrame, userCol: Column,
+      tsCol: Column): DataFrame = {
+    val cohort = events.groupBy(userCol.as("user_id"))
+      .agg(date_trunc("day", min(tsCol))
+        .cast("timestamp_ntz").as("cohort_day"))
+    events.select(userCol.as("user_id"), tsCol.as("__ts"))
+      .join(cohort, "user_id")
+      .select(col("user_id"), col("cohort_day"),
+        (datediff(col("__ts").cast("date"), col("cohort_day").cast("date"))
+          .cast("long") / 7).cast("long").as("week"))
+      .groupBy(col("cohort_day"), col("week"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+  }
+}

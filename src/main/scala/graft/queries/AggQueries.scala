@@ -43,6 +43,27 @@ object AggQueries {
         .agg(min(col("o_orderdate")).as("min_d"), max(col("o_orderdate")).as("max_d"))
     },
 
+    // Fixed-width 10-bucket histogram of order totals — the data-
+    // profiling pass. The (min, max) bounds come from one 1-row
+    // aggregate broadcast under the bucketing scan (no driver action,
+    // no second shuffle); bucket math is shared IEEE arithmetic, the
+    // max row clamps into the last bucket. Two map-side-combinable
+    // aggregates total.
+    "q_hist" -> { (s, d) =>
+      val o = t(s, d, "orders")
+      val m = o.agg(min(col("o_totalprice")).as("mn"),
+        max(col("o_totalprice")).as("mx"))
+      o.crossJoin(broadcast(m))
+        .select(least(floor((col("o_totalprice") - col("mn")) /
+            ((col("mx") - col("mn")) / 10)), lit(9)).cast("long").as("bucket"),
+          col("o_totalprice"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("o_totalprice")).as("lo"),
+          max(col("o_totalprice")).as("hi"))
+        .orderBy(col("bucket"))
+    },
+
     // Hierarchy totals region→nation. Grouping-null rows sort NULLS
     // FIRST explicitly on both engines (Spark's ASC default vs DuckDB's
     // NULLS LAST default — SURVEY §7.3 rule 2).
@@ -157,6 +178,15 @@ object AggQueries {
 
     "q_agg_minmax" ->
       """SELECT min(o_orderdate) AS min_d, max(o_orderdate) AS max_d FROM orders""",
+
+    "q_hist" ->
+      """WITH m AS (
+        |  SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx FROM orders
+        |)
+        |SELECT CAST(least(floor((o_totalprice - mn) / ((mx - mn) / 10)), 9) AS BIGINT) AS bucket,
+        |       count(*) AS n, min(o_totalprice) AS lo, max(o_totalprice) AS hi
+        |FROM orders, m
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_rollup" ->
       """SELECT r_name, n_name, count(*) AS n_cust,

@@ -402,6 +402,29 @@ object ExtendedQueries {
         .limit(20)
     },
 
+    // Group-bounded similarity: top-3 most-similar vector pairs WITHIN
+    // each label — the "near-dups inside a class" audit. The pair join
+    // is an equi-join on the label key, so the pair space is
+    // Σ|label group|², never |corpus|² (the partition-pruned dual of
+    // the LSH bucket join; at scale the group key is the natural
+    // partitioning). Reads the shared norms cache; per-label ranking
+    // is one window on the exact rounded cosine with id tiebreaks.
+    "q_embed_label_topk" -> { (s, d) =>
+      graft.functions.GraftFunctions.register(s)
+      val lbl = t(s, d, "embeddings").select(col("vec_id"), col("label"))
+      val e = embedNorms(s, d).join(lbl, "vec_id")
+      val a = e.toDF("id1", "v1", "n1", "lbl")
+      val b = e.toDF("id2", "v2", "n2", "lbl2")
+      a.join(b, col("lbl") === col("lbl2") && col("id1") < col("id2"))
+        .select(col("lbl").cast("long").as("label"), col("id1"), col("id2"),
+          round(expr("graft_dot(v1, v2)") / (col("n1") * col("n2")), 4).as("cos"))
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("label"))
+            .orderBy(col("cos").desc, col("id1"), col("id2"))).cast("long"))
+        .filter(col("rk") <= 3)
+        .orderBy(col("label"), col("rk"))
+    },
+
     // Embedding near-dup, LINEAR declared path: sign-LSH buckets
     // (8 md5-derived hyperplanes, micro-unit-quantized integer dot so
     // the bucket id is bit-identical on any engine — see
@@ -774,6 +797,28 @@ object ExtendedQueries {
          |FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
          |ORDER BY cos DESC, id1, id2 LIMIT 20""".stripMargin
     },
+
+    "q_embed_label_topk" ->
+      """WITH e0 AS (
+        |  SELECT vec_id, CAST(label AS BIGINT) AS label,
+        |         CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings
+        |), e AS (
+        |  SELECT vec_id, label, v,
+        |         sqrt(list_sum(list_transform(range(1, 65), k -> v[k] * v[k]))) AS nrm
+        |  FROM e0
+        |), pairs AS (
+        |  SELECT a.label, a.vec_id AS id1, b.vec_id AS id2,
+        |    round(list_sum(list_transform(range(1, 65), k -> a.v[k] * b.v[k]))
+        |          / (a.nrm * b.nrm), 4) AS cos
+        |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        |), r AS (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY label
+        |            ORDER BY cos DESC, id1, id2) AS BIGINT) AS rk
+        |  FROM pairs
+        |)
+        |SELECT label, id1, id2, cos, rk FROM r
+        |WHERE rk <= 3 ORDER BY label, rk""".stripMargin,
 
     "q_ann_topk" ->
       """SELECT e.vec_id,
