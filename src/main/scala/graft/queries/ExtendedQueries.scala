@@ -521,6 +521,36 @@ object ExtendedQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Composite cleaning gate — the CorpusClean pipeline's decision
+    // logic as ONE declared aggregate: per-gate failure counts
+    // (length, repetition, type-token ratio, exact-dup) and the
+    // survivor count. Row-local gates cost zero shuffle; the only
+    // exchange is the md5-group window (exact-dup keep-first) + the
+    // final 1-row aggregate. Gates mirror q_text_quality /
+    // q_repeat_tokens thresholds, so the families stay consistent.
+    "q_quality_gates" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = split(col("text"), " ")
+      val nTok = size(w).cast("long")
+      val ttr = size(array_distinct(w)).cast("long") / nTok
+      val dupFrac = lit(1.0) - size(array_distinct(w)).cast("double") / nTok.cast("double")
+      val keepFirst = min(col("doc_id"))
+        .over(Window.partitionBy(md5(col("text").cast("binary")))) === col("doc_id")
+      docProfile(s, d)
+        .select(col("doc_id"),
+          (nTok >= 30).as("len_ok"),
+          (dupFrac <= 0.5).as("rep_ok"),
+          (ttr >= 0.3).as("ttr_ok"),
+          keepFirst.as("uniq_ok"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(!col("len_ok"), 1).otherwise(0)).cast("long").as("fail_len"),
+          sum(when(!col("rep_ok"), 1).otherwise(0)).cast("long").as("fail_rep"),
+          sum(when(!col("ttr_ok"), 1).otherwise(0)).cast("long").as("fail_ttr"),
+          sum(when(!col("uniq_ok"), 1).otherwise(0)).cast("long").as("fail_dup"),
+          sum(when(col("len_ok") && col("rep_ok") && col("ttr_ok") &&
+            col("uniq_ok"), 1).otherwise(0)).cast("long").as("n_keep"))
+    },
+
     // Document fingerprinting: full-text md5 + winnowing-style minimum
     // shingle hash (a 1-permutation MinHash).
     "q_text_fingerprint" -> { (s, d) =>
@@ -864,6 +894,26 @@ object ExtendedQueries {
         |            THEN 'en' ELSE 'und' END AS pred_lang
         |FROM (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents)
         |ORDER BY doc_id""".stripMargin,
+
+    "q_quality_gates" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |    len(string_split(text, ' ')) >= 30 AS len_ok,
+        |    (1.0 - len(list_distinct(string_split(text, ' '))) /
+        |           CAST(len(string_split(text, ' ')) AS DOUBLE)) <= 0.5 AS rep_ok,
+        |    (len(list_distinct(string_split(text, ' '))) /
+        |     len(string_split(text, ' '))) >= 0.3 AS ttr_ok,
+        |    min(doc_id) OVER (PARTITION BY md5(text)) = doc_id AS uniq_ok
+        |  FROM documents
+        |)
+        |SELECT count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN NOT len_ok THEN 1 ELSE 0 END) AS BIGINT) AS fail_len,
+        |  CAST(sum(CASE WHEN NOT rep_ok THEN 1 ELSE 0 END) AS BIGINT) AS fail_rep,
+        |  CAST(sum(CASE WHEN NOT ttr_ok THEN 1 ELSE 0 END) AS BIGINT) AS fail_ttr,
+        |  CAST(sum(CASE WHEN NOT uniq_ok THEN 1 ELSE 0 END) AS BIGINT) AS fail_dup,
+        |  CAST(sum(CASE WHEN len_ok AND rep_ok AND ttr_ok AND uniq_ok
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
+        |FROM g""".stripMargin,
 
     "q_text_quality" ->
       """SELECT doc_id,

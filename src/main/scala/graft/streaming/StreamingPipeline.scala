@@ -158,6 +158,52 @@ object StreamingPipeline {
   case class SessionState(sessionId: Long, lastTs: Long, count: Long)
   case class SessionOut(user_id: Long, session_id: Long, n_events: Long)
 
+  case class TypedEvent(event_id: Long, ts: java.sql.Timestamp,
+    user_id: Long, event_type: String)
+  case class FunnelState(stage: Int, tReached: Long)
+  case class FunnelOut(user_id: Long, stage: Long, stage_name: String,
+    t_reached: java.sql.Timestamp)
+
+  /** Stateful streaming conversion funnel — the incremental form of
+    * `graft.ops.Behavior.funnelCounts`: per user, advance through the
+    * ORDERED `stages` sequence; stage k+1 is reached by the first
+    * `stages(k+1)` event at-or-after the stage-k completion time.
+    * Emits one row per stage ADVANCEMENT (update stream — downstream
+    * counts distinct users per stage for the live funnel dashboard).
+    *
+    * Agrees with the batch operator on any prefix of the event log
+    * (spec-asserted): events inside a micro-batch are processed in
+    * (ts, event_id) order, and the monotone state (stage index +
+    * completion time) makes cross-batch ordering irrelevant for
+    * already-passed stages — a late event can never regress a user.
+    *
+    * State is ONE (stage, ts) pair per user — bounded by |users| like
+    * the session state above, constant per key, no growth with stream
+    * length; pair with state TTL in production for user churn. */
+  def funnelStream(events: Dataset[TypedEvent], stages: Seq[String]): Dataset[FunnelOut] = {
+    import events.sparkSession.implicits._
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelOut](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        case (userId, it, state: GroupState[FunnelState]) =>
+          val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var s = state.getOption.getOrElse(FunnelState(-1, Long.MinValue))
+          val out = scala.collection.mutable.ArrayBuffer.empty[FunnelOut]
+          sorted.foreach { e =>
+            val next = s.stage + 1
+            if (next < stages.length && e.event_type == stages(next) &&
+                (s.stage < 0 || e.ts.getTime >= s.tReached)) {
+              s = FunnelState(next, e.ts.getTime)
+              out += FunnelOut(userId, next.toLong + 1, stages(next),
+                new java.sql.Timestamp(e.ts.getTime))
+            }
+          }
+          state.update(s)
+          out.iterator
+      }
+  }
+
   /** Stateful 30-minute-gap sessionization via flatMapGroupsWithState —
     * the custom-state path the reference cannot express at all.
     *

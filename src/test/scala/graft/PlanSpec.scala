@@ -141,4 +141,38 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate"), p)
     assert(aggs >= 2, s"expected partial+final aggregate pair:\n$p")
   }
+
+  test("per-label embed top-k: pair join is keyed, never cartesian") {
+    val p = plan(q("q_embed_label_topk"))
+    assert(!p.contains("CartesianProduct"), p)
+    // the label equi-key must be a join key (bounded pair space), and
+    // the codegen dot kernel must survive on the pair path
+    assert(p.contains("graft_dot") || p.contains("dot("), p)
+  }
+
+  test("outlier gate: the 5-row percentile cut broadcasts back over the scan") {
+    val p = plan(q("q_outlier_p95"))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"expected broadcast of the per-type cut:\n$p")
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("histogram: 1-row bounds aggregate broadcasts, no second scan shuffle") {
+    val p = plan(q("q_hist"))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"expected broadcast of the 1-row bounds:\n$p")
+    // bucket groupBy is the only hash exchange
+    val hashExchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hashExchanges == 1, s"expected 1 hash exchange:\n$p")
+  }
+
+  test("funnel: exchanges carry per-user aggregates, not raw events") {
+    val p = plan(q("q_funnel"))
+    // every hash exchange must partition on user_id (the per-user
+    // min-aggregation keys) — a non-user exchange would mean raw
+    // events are being shuffled for the stage joins
+    val badExchange = p.linesIterator.filter(_.contains("Exchange hashpartitioning"))
+      .exists(l => !l.contains("user_id"))
+    assert(!badExchange, s"non-user-key exchange in funnel plan:\n$p")
+  }
 }

@@ -173,6 +173,46 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming funnel agrees with the batch operator across micro-batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val events = Seq(
+      // u1 converts fully, split across two micro-batches
+      StreamingPipeline.TypedEvent(1L, ts("2024-01-01 10:00:00"), 1L, "view"),
+      StreamingPipeline.TypedEvent(2L, ts("2024-01-01 10:05:00"), 1L, "click"),
+      StreamingPipeline.TypedEvent(3L, ts("2024-01-01 10:10:00"), 1L, "purchase"),
+      // u2 purchases BEFORE clicking — must stop at click
+      StreamingPipeline.TypedEvent(4L, ts("2024-01-01 09:00:00"), 2L, "view"),
+      StreamingPipeline.TypedEvent(5L, ts("2024-01-01 09:30:00"), 2L, "purchase"),
+      StreamingPipeline.TypedEvent(6L, ts("2024-01-01 10:00:00"), 2L, "click"),
+      // u3 clicks without viewing — enters no stage
+      StreamingPipeline.TypedEvent(7L, ts("2024-01-01 11:00:00"), 3L, "click"))
+    val stages = Seq("view", "click", "purchase")
+    val mem = MemoryStream[StreamingPipeline.TypedEvent]
+    val q = StreamingPipeline.funnelStream(mem.toDS(), stages)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("funnel_out").start()
+    try {
+      mem.addData(events.take(4)) // u1 view+click+purchase, u2 view
+      q.processAllAvailable()
+      mem.addData(events.drop(4)) // u2's out-of-order rest, u3
+      q.processAllAvailable()
+      val got = spark.table("funnel_out")
+        .collect().map(r => (r.getLong(0), r.getString(2))).toSet
+      assert(got == Set((1L, "view"), (1L, "click"), (1L, "purchase"),
+        (2L, "view"), (2L, "click")))
+      // per-stage user counts match the batch operator on the same log
+      val batch = graft.ops.Behavior.funnelCounts(
+          events.toDF(), col("user_id"), col("event_type"), col("ts"), stages)
+        .head()
+      val streamCounts = stages.map(st =>
+        got.count(_._2 == st).toLong)
+      assert(streamCounts == Seq(batch.getLong(0), batch.getLong(1), batch.getLong(2)))
+    } finally q.stop()
+  }
+
   test("streaming near-dup candidates match the batch LSH pairs against the index") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
