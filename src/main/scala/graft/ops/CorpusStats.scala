@@ -109,10 +109,16 @@ object CorpusStats {
   def tfIdfTop(toks: DataFrame, nDocs: Long, k: Int): DataFrame =
     tfIdfTopFromCounts(docTokenCounts(toks), nDocs, k)
 
-  def tfIdfTopFromCounts(counts: DataFrame, nDocs: Long, k: Int): DataFrame = {
+  def tfIdfTopFromCounts(counts: DataFrame, nDocs: Long, k: Int): DataFrame =
+    tfIdfTopFromScores(tfIdfFromCounts(counts, nDocs), k)
+
+  /** The top-k rank step alone, over a prebuilt (id, tok, tf,
+    * score_fp) score table — callers that persist the scored frame
+    * (train-once/rank-often) pay only this window per pass. */
+  def tfIdfTopFromScores(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("id"))
       .orderBy(col("score_fp").desc, col("tok"))
-    tfIdfFromCounts(counts, nDocs)
+    scored
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
   }
@@ -165,6 +171,18 @@ object CorpusStats {
       .select(col("id"), col("top.bg").as("bg"), (-col("top.nc")).as("c"),
         round((-col("top.nc")).cast("double") / col("n_bg").cast("double"), 4).as("frac"))
   }
+
+  /** [[topBigram]] over precomputed (id, bg, c) counts
+    * ([[docBigramCounts]] — the cache the bigram-LM scorer shares):
+    * the slot total n_bg = Σ c per doc, identical to tokens−1, so the
+    * whole operator collapses to ONE hash aggregate over the count
+    * table — no per-run explode, no second exchange. */
+  def topBigramFromCounts(docBg: DataFrame): DataFrame =
+    docBg.groupBy(col("id"))
+      .agg(sum(col("c")).as("n_bg"),
+        min(struct((-col("c")).as("nc"), col("bg").as("bg"))).as("top"))
+      .select(col("id"), col("top.bg").as("bg"), (-col("top.nc")).as("c"),
+        round((-col("top.nc")).cast("double") / col("n_bg").cast("double"), 4).as("frac"))
 
   /** Approximate top tokens of a corpus via the Misra-Gries sketch
     * (`graft.functions.FreqItemsAgg`): one pass, O(capacity) state per

@@ -298,7 +298,7 @@ object ExtendedQueries {
   def releaseCaches(s: org.apache.spark.sql.SparkSession, d: String): Unit = {
     Seq("restricted", "bands", "shingles", "embednorm", "toktf", "docprof",
         "candpairs", "shsplit", "shtrain", "sheval", "mhsig", "simsig",
-        "bgcounts", "bgmodel", "jacpairs").foreach { key =>
+        "bgcounts", "bgmodel", "jacpairs", "tfidfscore").foreach { key =>
       Option(memoStore.remove((s, d, key))).foreach(_.unpersist())
     }
     val it = scalarStore.keySet.iterator
