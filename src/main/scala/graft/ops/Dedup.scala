@@ -347,21 +347,18 @@ object Dedup {
     * shuffle_hash: both sides are candidate-bounded; avoids the sort a
     * merge join would add.
     *
-    * Set sizes ride THROUGH the intersection join (each shingle row
-    * carries its doc's `n`; the group-by takes `max` — constant within
-    * a group) instead of joining a separate sizes aggregate back onto
-    * the pairs: the old two broadcast(sizes) joins cost two extra
-    * broadcast-build jobs per run, a fixed-overhead tax that dominated
-    * the candidate-bounded work. An input that already HAS an `n`
-    * column (a persisted sized-shingle table — the repeated-verify
-    * shape) skips even the sizing window. */
+    * Set sizes: an input that already HAS an `n` column (a persisted
+    * sized-shingle table — the repeated-verify shape) carries sizes
+    * THROUGH the intersection join (the group-by takes `max`,
+    * constant within a group) — zero extra sizing work per run. An
+    * unsized input pays one map-side-combinable groupBy (the exchange
+    * carries |candidate docs| partial rows, the table having been
+    * semi-joined to candidate ids first) joined back onto the
+    * candidate-bounded aggregated pairs — never a count-over-window,
+    * which would shuffle + sort every shingle OCCURRENCE to size the
+    * sets. */
   def jaccardOnPairs(sh: DataFrame, pairs: DataFrame,
       pairsDistinct: Boolean = false): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val sized =
-      if (sh.columns.contains("n")) sh.select(col("id"), col("s"), col("n"))
-      else sh.select(col("id"), col("s"))
-        .withColumn("n", count(lit(1)).over(Window.partitionBy(col("id"))))
     // distinct(): a duplicated candidate pair would fan the shingle
     // match out twice and double-count inter (jac > 1, or a zero
     // denominator for exact dups). LSH callers generate distinct pairs
@@ -369,14 +366,42 @@ object Dedup {
     // + aggregate out of the broadcast-build job; the default guards
     // the public API at candidate-bounded cost.
     val p = pairs.select(col("id1"), col("id2"))
-    broadcast(if (pairsDistinct) p else p.distinct())
-      .join(sized.select(col("id").as("id1"), col("s"), col("n").as("n1")), Seq("id1"))
-      .join(sized.select(col("id").as("id2"), col("s"), col("n").as("n2"))
-        .hint("shuffle_hash"), Seq("id2", "s"))
-      .groupBy(col("id1"), col("id2"))
-      .agg(count(lit(1)).as("inter"), max(col("n1")).as("n1"), max(col("n2")).as("n2"))
-      .withColumn("jac", col("inter") / (col("n1") + col("n2") - col("inter")))
-      .select(col("id1"), col("id2"), col("inter"), col("jac"))
+    val bp = broadcast(if (pairsDistinct) p else p.distinct())
+    if (sh.columns.contains("n")) {
+      // pre-sized input (a persisted sized-shingle table — the
+      // repeated-verify shape): sizes ride THROUGH the intersection
+      // join and the group-by takes max (constant within a group) —
+      // no extra sizing jobs at all.
+      val sized = sh.select(col("id"), col("s"), col("n"))
+      bp.join(sized.select(col("id").as("id1"), col("s"), col("n").as("n1")), Seq("id1"))
+        .join(sized.select(col("id").as("id2"), col("s"), col("n").as("n2"))
+          .hint("shuffle_hash"), Seq("id2", "s"))
+        .groupBy(col("id1"), col("id2"))
+        .agg(count(lit(1)).as("inter"), max(col("n1")).as("n1"), max(col("n2")).as("n2"))
+        .withColumn("jac", col("inter") / (col("n1") + col("n2") - col("inter")))
+        .select(col("id1"), col("id2"), col("inter"), col("jac"))
+    } else {
+      // unsized input: per-doc set sizes via a map-side-combinable
+      // groupBy (the exchange carries |docs| partial rows) — never a
+      // count-over-window, which would shuffle + sort every shingle
+      // occurrence just to size the sets. The size table is semi-
+      // joined down to candidate documents before broadcasting, so
+      // both broadcasts stay candidate-bounded at any corpus size.
+      val plain = sh.select(col("id"), col("s"))
+      val candIds = bp.select(col("id1").as("id"))
+        .union(bp.select(col("id2").as("id"))).distinct()
+      val sizes = plain.join(candIds, Seq("id"), "left_semi")
+        .groupBy(col("id")).agg(count(lit(1)).as("n"))
+      bp.join(plain.select(col("id").as("id1"), col("s")), Seq("id1"))
+        .join(plain.select(col("id").as("id2"), col("s")).hint("shuffle_hash"),
+          Seq("id2", "s"))
+        .groupBy(col("id1"), col("id2"))
+        .agg(count(lit(1)).as("inter"))
+        .join(broadcast(sizes.select(col("id").as("id1"), col("n").as("n1"))), Seq("id1"))
+        .join(broadcast(sizes.select(col("id").as("id2"), col("n").as("n2"))), Seq("id2"))
+        .withColumn("jac", col("inter") / (col("n1") + col("n2") - col("inter")))
+        .select(col("id1"), col("id2"), col("inter"), col("jac"))
+    }
   }
 
   /** Near-duplicate pairs by SimHash Hamming distance, found via band

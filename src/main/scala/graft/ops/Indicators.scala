@@ -47,6 +47,12 @@ object Indicators {
     * tiebreakers included) or ranks are non-deterministic. */
   def rsi(df: DataFrame, key: Column, orderCols: Seq[Column],
       price: Column, period: Int = 14): DataFrame = {
+    // same reserved-name discipline as TrainPrep.packBins: withColumn
+    // silently OVERWRITES same-named inputs, so fail loudly instead
+    val reserved = Seq("rn", "rsi", "__d", "__sg", "__sl")
+    val clash = df.columns.toSet.intersect(reserved.toSet)
+    require(clash.isEmpty,
+      s"input already has column(s) $clash reserved by rsi()")
     val w = Window.partitionBy(key).orderBy(orderCols: _*)
     val frame = w.rowsBetween(-(period - 1), 0)
     // exact integer units: DECIMAL diff → long via a pure scale shift
@@ -74,6 +80,8 @@ object Indicators {
     * `key`, so the whole operator is ONE exchange. */
   def maxDrawdown(df: DataFrame, key: Column, orderCols: Seq[Column],
       price: Column): DataFrame = {
+    require(!df.columns.contains("__dd"),
+      "input already has column __dd reserved by maxDrawdown()")
     val w = Window.partitionBy(key).orderBy(orderCols: _*)
       .rowsBetween(Window.unboundedPreceding, 0)
     val dd = price.cast("double") / max(price).over(w).cast("double") - lit(1.0)

@@ -134,6 +134,20 @@ object Multimodal {
     media.mapPartitions { it =>
       val md = java.security.MessageDigest.getInstance("MD5")
       val codec = videoCodec.map(_.open()) // once per partition
+      // close on TASK COMPLETION, not iterator exhaustion: a
+      // partially-consumed partition (limit/take stops pulling early)
+      // or a failed-and-retried task never drains the iterator, and
+      // the executor JVM survives both — without the listener each
+      // such task would leak one native codec handle per partition.
+      // The listener fires on every task end (success, failure, or
+      // kill); outside a task (plain-iterator unit tests) fall back
+      // to close-on-exhaustion below.
+      val closeOnce = {
+        val closed = new java.util.concurrent.atomic.AtomicBoolean(false)
+        () => if (closed.compareAndSet(false, true)) codec.foreach(_.close())
+      }
+      Option(org.apache.spark.TaskContext.get())
+        .foreach(_.addTaskCompletionListener[Unit](_ => closeOnce()))
       val out = it.map { m =>
         val real = m.kind match {
           case "image" => decodeImage(m.media_id, m.bytes)
@@ -145,14 +159,10 @@ object Multimodal {
         }
         real.getOrElse(decodeStub(md, m.media_id, m.kind, m.bytes))
       }
-      // close the codec when the partition is drained (mapPartitions
-      // consumes the iterator fully or the task dies with the JVM —
-      // either way native handles are bounded per executor)
       new Iterator[DecodedMeta] {
-        private var closed = false
         override def hasNext: Boolean = {
           val h = out.hasNext
-          if (!h && !closed) { closed = true; codec.foreach(_.close()) }
+          if (!h) closeOnce()
           h
         }
         override def next(): DecodedMeta = out.next()

@@ -201,14 +201,22 @@ object Similarity {
   private def assignByJoin(base: DataFrame,
       centroids: Seq[(Int, Seq[Double])]): DataFrame = {
     val cf = broadcast(centroidFrame(base.sparkSession, centroids))
-    base.crossJoin(cf)
-      .select(col("id"), col("v"),
+    // multiplicity-preserving: the argmin groupBy would collapse
+    // duplicate (id, v) input rows into one output row — diverging
+    // from the literal withColumn path, which is row-for-row. Count
+    // duplicates BEFORE the k-fanout (also: k distance evaluations
+    // per DISTINCT row, not per row) and re-expand after the argmin.
+    val counted = base.groupBy(col("id"), col("v")).agg(count(lit(1)).as("__m"))
+    counted.crossJoin(cf)
+      .select(col("id"), col("v"), col("__m"),
         struct((lit(1.0) - GraftFunctions.dot(col("v"), col("__c")) /
           (sqrt(GraftFunctions.dot(col("v"), col("v"))) * col("__cn"))).as("dist"),
           col("__cid").as("cid")).as("dc"))
-      .groupBy(col("id"), col("v"))
+      .groupBy(col("id"), col("v"), col("__m"))
       .agg(min(col("dc")).as("best"))
-      .select(col("id"), col("v"), col("best").getField("cid").as("cid"))
+      .select(col("id"), col("v"), col("best").getField("cid").as("cid"),
+        explode(sequence(lit(1L), col("__m"))).as("__i"))
+      .drop("__i")
   }
 
   /** (id, v, cid) for every corpus row — literal expression below the

@@ -530,10 +530,15 @@ object ExtendedQueries {
     // q_repeat_tokens thresholds, so the families stay consistent.
     "q_quality_gates" -> { (s, d) =>
       import org.apache.spark.sql.expressions.Window
-      val w = split(col("text"), " ")
-      val nTok = size(w).cast("long")
-      val ttr = size(array_distinct(w)).cast("long") / nTok
-      val dupFrac = lit(1.0) - size(array_distinct(w)).cast("double") / nTok.cast("double")
+      // token/distinct counts from the one definition
+      // (CorpusStats.repetitionStats) so the families cannot diverge —
+      // but the duplicate fraction is recomputed UNROUNDED here:
+      // repetitionStats rounds to 4 dp for display, and a rounded
+      // value would flip the <= 0.5 gate at the boundary relative to
+      // the oracle's exact arithmetic
+      val (nTok, nDis, _) = graft.ops.CorpusStats.repetitionStats(col("text"))
+      val ttr = nDis / nTok
+      val dupFrac = lit(1.0) - nDis.cast("double") / nTok.cast("double")
       val keepFirst = min(col("doc_id"))
         .over(Window.partitionBy(md5(col("text").cast("binary")))) === col("doc_id")
       docProfile(s, d)

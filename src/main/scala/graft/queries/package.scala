@@ -57,9 +57,18 @@ package object queries {
     val it2 = sessionsConfigured.iterator
     while (it2.hasNext) if (it2.next().sparkContext.isStopped) it2.remove()
     tableMemo.computeIfAbsent(k, { _ =>
-      if (sessionsConfigured.add(spark) &&
-          spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").isEmpty)
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // conf check once per session, not once per table load — but the
+      // session is marked configured only AFTER the set lands, inside
+      // the lock: with a bare add()-then-set, a concurrent first caller
+      // for another table would see the session already marked and
+      // read nano-timestamp parquet before the winner's conf.set ran
+      if (!sessionsConfigured.contains(spark)) sessionsConfigured.synchronized {
+        if (!sessionsConfigured.contains(spark)) {
+          if (spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").isEmpty)
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+          sessionsConfigured.add(spark)
+        }
+      }
       val df = spark.read.parquet(s"$sfDir/$name.parquet")
       df.schema.fields.foldLeft(df) { (acc, f) =>
         if (f.name == "ts" && f.dataType == LongType)

@@ -171,11 +171,18 @@ object StreamingPipeline {
     * Emits one row per stage ADVANCEMENT (update stream — downstream
     * counts distinct users per stage for the live funnel dashboard).
     *
-    * Agrees with the batch operator on any prefix of the event log
-    * (spec-asserted): events inside a micro-batch are processed in
-    * (ts, event_id) order, and the monotone state (stage index +
-    * completion time) makes cross-batch ordering irrelevant for
-    * already-passed stages — a late event can never regress a user.
+    * Agrees with the batch operator on any IN-ORDER prefix of the
+    * event log (spec-asserted, including equal-timestamp stage
+    * chains: the batch gate is `>=`, so a batch's events are
+    * re-scanned until no further stage advances — a purchase sharing
+    * its timestamp with the click that unlocks it converts even when
+    * the sort visits it first). The monotone state (stage index +
+    * completion time) means a LATE event (arriving after later
+    * event-times were already processed) can never regress a user;
+    * it may under-count relative to a batch re-run over the full log
+    * — the inherent streaming-vs-batch gap for out-of-order delivery
+    * without buffering. Feed event-time-ordered batches (the file
+    * source's natural order) for exact parity.
     *
     * State is ONE (stage, ts) pair per user — bounded by |users| like
     * the session state above, constant per key, no growth with stream
@@ -190,10 +197,22 @@ object StreamingPipeline {
           val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
           var s = state.getOption.getOrElse(FunnelState(-1, Long.MinValue))
           val out = scala.collection.mutable.ArrayBuffer.empty[FunnelOut]
-          sorted.foreach { e =>
+          // one full scan per stage advance (≤ |stages| scans,
+          // batch-local), taking the FIRST qualifying event for
+          // exactly the next stage each time — the literal batch
+          // semantics (min qualifying ts per stage, >= gate), so an
+          // equal-ts qualifying event sorted BEFORE its unlocking
+          // stage still converts, and a chained advance can never
+          // skip past an earlier-sorted minimal event
+          var advanced = true
+          while (advanced) {
             val next = s.stage + 1
-            if (next < stages.length && e.event_type == stages(next) &&
-                (s.stage < 0 || e.ts.getTime >= s.tReached)) {
+            val hit =
+              if (next >= stages.length) None
+              else sorted.find(e => e.event_type == stages(next) &&
+                (s.stage < 0 || e.ts.getTime >= s.tReached))
+            advanced = hit.isDefined
+            hit.foreach { e =>
               s = FunnelState(next, e.ts.getTime)
               out += FunnelOut(userId, next.toLong + 1, stages(next),
                 new java.sql.Timestamp(e.ts.getTime))

@@ -20,10 +20,15 @@ class CacheDisciplineSpec extends AnyFunSuite {
     // first so `before` is a clean baseline and the pin is attributable
     graft.queries.ExtendedQueries.releaseCaches(spark, sfTiny)
     val before = pinned
-    // run the cache-heaviest declared queries end to end (materializes
-    // the shingle + band + candidate-restricted caches)
-    SparkEntry.queries("q_dedup_minhash_lsh")(spark, sfTiny).count()
-    SparkEntry.queries("q_dedup_ngram_jaccard")(spark, sfTiny).count()
+    // run one query from EVERY cache family end to end (shingles +
+    // bands + candidates + verified pairs, split-labeled shingle
+    // index, signature tables, bigram counts + LM model, TF-IDF
+    // scores, embedding norms) — a cache key added to a query but
+    // missing from releaseCaches fails the leak assertion below
+    Seq("q_dedup_minhash_lsh", "q_dedup_ngram_jaccard", "q_minhash_est",
+      "q_dedup_simhash_ham", "q_decontaminate", "q_bigram_lm",
+      "q_top_bigram", "q_tfidf_top", "q_similarity_cosine")
+      .foreach(n => SparkEntry.queries(n)(spark, sfTiny).count())
     val during = pinned
     assert((during -- before).nonEmpty,
       "queries are expected to pin shared artifacts while in use")

@@ -199,13 +199,23 @@ class StreamingSpec extends AnyFunSuite {
       q.processAllAvailable()
       mem.addData(events.drop(4)) // u2's out-of-order rest, u3
       q.processAllAvailable()
+      // u9: purchase SHARES the click's timestamp but sorts first
+      // (lower event_id) — the batch >= gate counts it, so the
+      // streaming fixpoint must too, in one micro-batch
+      val u9 = Seq(
+        StreamingPipeline.TypedEvent(90L, ts("2024-01-02 10:00:00"), 9L, "view"),
+        StreamingPipeline.TypedEvent(91L, ts("2024-01-02 10:05:00"), 9L, "purchase"),
+        StreamingPipeline.TypedEvent(92L, ts("2024-01-02 10:05:00"), 9L, "click"))
+      mem.addData(u9)
+      q.processAllAvailable()
       val got = spark.table("funnel_out")
         .collect().map(r => (r.getLong(0), r.getString(2))).toSet
       assert(got == Set((1L, "view"), (1L, "click"), (1L, "purchase"),
-        (2L, "view"), (2L, "click")))
+        (2L, "view"), (2L, "click"),
+        (9L, "view"), (9L, "click"), (9L, "purchase")))
       // per-stage user counts match the batch operator on the same log
       val batch = graft.ops.Behavior.funnelCounts(
-          events.toDF(), col("user_id"), col("event_type"), col("ts"), stages)
+          (events ++ u9).toDF(), col("user_id"), col("event_type"), col("ts"), stages)
         .head()
       val streamCounts = stages.map(st =>
         got.count(_._2 == st).toLong)
