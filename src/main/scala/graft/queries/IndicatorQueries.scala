@@ -78,8 +78,11 @@ object IndicatorQueries {
 
     "q_drawdown" ->
       """WITH px AS (
+        |  -- exact integer sub-unit prices, mirroring the Spark plan:
+        |  -- both division operands are integers < 2^53, so their
+        |  -- doubles are exact and the quotient is engine-independent
         |  SELECT l_partkey, l_orderkey, l_linenumber, l_shipdate,
-        |         CAST(l_extendedprice AS DECIMAL(18,2)) AS price
+        |         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 10000 AS BIGINT) AS price
         |  FROM lineitem
         |), dd AS (
         |  SELECT l_partkey,
