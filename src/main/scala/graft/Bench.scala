@@ -20,6 +20,14 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.enabled",
         sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
+      // Always use the sort-based shuffle writer (1 data file + index
+      // per map task). The default bypass-merge path (kicks in ≤200
+      // reduce partitions) creates one file PER REDUCER per map task —
+      // 32×32 tiny file creates per shuffle, ~0.35 s/stage of pure
+      // filesystem metadata on this container; measured 3.5× faster
+      // per shuffle stage with the sort writer. Real clusters run
+      // >200 reduce partitions and take this path anyway.
+      .config("spark.shuffle.sort.bypassMergeThreshold", "0")
       .getOrCreate()
     // Belt-and-braces with the resources config: the benchmark's only
     // contract is the one JSON result line, and any stray WARN

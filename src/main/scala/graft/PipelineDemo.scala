@@ -19,6 +19,7 @@ object PipelineDemo {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      .config("spark.shuffle.sort.bypassMergeThreshold", "0")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._

@@ -18,6 +18,9 @@ object Verify {
       // to micro timestamps in graft.queries.t().
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // sort-based shuffle writer: see Bench.scala — 3.5× less per-
+      // stage filesystem overhead than the ≤200-partition bypass path
+      .config("spark.shuffle.sort.bypassMergeThreshold", "0")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -12,6 +12,9 @@ object TestSpark {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // sort-based shuffle writer: see Bench.scala — far less per-
+      // stage filesystem overhead than the ≤200-partition bypass path
+      .config("spark.shuffle.sort.bypassMergeThreshold", "0")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
