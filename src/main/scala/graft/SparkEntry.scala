@@ -47,7 +47,7 @@ object SparkEntry {
       WindowQueries.queries ++ ScalarQueries.queries ++ NorthStarQueries.queries ++
       ExtendedQueries.queries ++ TrainPrepQueries.queries ++
       CorpusStatsQueries.queries ++ IndicatorQueries.queries ++
-      BehaviorQueries.queries
+      BehaviorQueries.queries ++ SqlSurfaceQueries.queries
 
   /** For each key in `queries`, equivalent DuckDB SQL on the same tables. */
   val oracleSql: Map[String, String] =
@@ -55,7 +55,7 @@ object SparkEntry {
       WindowQueries.sql ++ ScalarQueries.sql ++ NorthStarQueries.sql ++
       ExtendedQueries.sql ++ TrainPrepQueries.sql ++
       CorpusStatsQueries.sql ++ IndicatorQueries.sql ++
-      BehaviorQueries.sql
+      BehaviorQueries.sql ++ SqlSurfaceQueries.sql
 
   require(queries.keySet == oracleSql.keySet,
     s"queries/oracleSql key mismatch: ${(queries.keySet diff oracleSql.keySet) ++ (oracleSql.keySet diff queries.keySet)}")

@@ -415,13 +415,24 @@ object ExtendedQueries {
       val e = embedNorms(s, d).join(lbl, "vec_id")
       val a = e.toDF("id1", "v1", "n1", "lbl")
       val b = e.toDF("id2", "v2", "n2", "lbl2")
-      a.join(b, col("lbl") === col("lbl2") && col("id1") < col("id2"))
-        .select(col("lbl").cast("long").as("label"), col("id1"), col("id2"),
+      // shuffle_hash (not broadcast): the pre-join exchanges carry the
+      // 2×|corpus| input VECTORS hashed on the label key, and the rank
+      // window below — keyed on the same lbl column, not a cast of it,
+      // so Catalyst can prove the partitioning matches — reuses that
+      // layout. A broadcast pair join here would generate Σ|group|²
+      // pair rows and then pay a full exchange OF THE PAIRS to feed
+      // the window: the shuffled quantity would grow quadratically
+      // while this plan's exchanges stay linear in the corpus.
+      a.join(b.hint("shuffle_hash"),
+          col("lbl") === col("lbl2") && col("id1") < col("id2"))
+        .select(col("lbl"), col("id1"), col("id2"),
           round(expr("graft_dot(v1, v2)") / (col("n1") * col("n2")), 4).as("cos"))
         .withColumn("rk", row_number().over(
-          org.apache.spark.sql.expressions.Window.partitionBy(col("label"))
+          org.apache.spark.sql.expressions.Window.partitionBy(col("lbl"))
             .orderBy(col("cos").desc, col("id1"), col("id2"))).cast("long"))
         .filter(col("rk") <= 3)
+        .select(col("lbl").cast("long").as("label"), col("id1"), col("id2"),
+          col("cos"), col("rk"))
         .orderBy(col("label"), col("rk"))
     },
 

@@ -1,0 +1,289 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Declared queries widening the SQL/window/array surface (SURVEY
+  * §2.11, round 4): distribution window functions, ordered string
+  * aggregation, FILTER-style conditional aggregates, per-group mode,
+  * gaps-and-islands, UNPIVOT, a banded interval join, regex extraction
+  * and higher-order array functions — the remaining relational idioms
+  * an analyst coming from the reference's DuckDB dialect
+  * (`streamlit/app.py:22-36`) would reach for next.
+  *
+  * Determinism discipline (§7.3): every ordering carries a unique
+  * tiebreak; collect_list order is canonicalized with array_sort
+  * before concatenation; double-valued window ratios are rounded to
+  * 4 dp; exact sums run in DECIMAL; timestamp arithmetic uses the
+  * unix_micros ↔ epoch_us integer idiom shared with q_sessionize.
+  */
+object SqlSurfaceQueries {
+
+  val queries: Map[String, QFn] = Map(
+
+    // Distribution window functions per brand: percent_rank and
+    // cume_dist over retail price (unique tiebreak p_partkey), plus
+    // the cheapest/priciest part ids via first/last over the full
+    // frame. One hash exchange on p_brand; everything else is the
+    // window sort.
+    "q_window_cume" -> { (s, d) =>
+      val w = Window.partitionBy(col("p_brand"))
+        .orderBy(col("p_retailprice"), col("p_partkey"))
+      val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      t(s, d, "part")
+        .select(col("p_partkey"), col("p_brand"), col("p_retailprice"),
+          round(percent_rank().over(w), 4).as("pr"),
+          round(cume_dist().over(w), 4).as("cd"),
+          first(col("p_partkey")).over(w).as("cheapest_id"),
+          last(col("p_partkey")).over(full).as("priciest_id"))
+        .orderBy(col("p_brand"), col("p_retailprice"), col("p_partkey"))
+    },
+
+    // Ordered string aggregation per nation: supplier names sorted and
+    // joined. collect_list has NO deterministic order under Spark's
+    // partitioning — array_sort canonicalizes before concat, which is
+    // exactly the ORDER BY inside DuckDB's string_agg. Dim join is
+    // broadcast; one exchange on n_name.
+    "q_string_agg" -> { (s, d) =>
+      t(s, d, "supplier")
+        .join(broadcast(t(s, d, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_suppliers"),
+          concat_ws(",", array_sort(collect_list(col("s_name")))).as("names"))
+        .orderBy(col("n_name"))
+    },
+
+    // FILTER-clause conditional aggregation: one pass over lineitem,
+    // every aggregate gated by its own predicate (the idiomatic
+    // replacement for N self-joins). Monetary sums in exact DECIMAL.
+    "q_conditional_agg" -> { (s, d) =>
+      val px = col("l_extendedprice").cast("decimal(18,2)")
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n_items"),
+          count(when(col("l_quantity") > 25, 1)).as("n_heavy"),
+          sum(when(col("l_discount") > 0.05, px)).as("sum_discounted"),
+          count(when(col("l_tax") === 0.0, 1)).as("n_taxfree"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    // Per-group mode with a deterministic tie-break: most frequent
+    // order priority per order status (ties broken by priority value).
+    // Two map-side-combinable aggregations + a rank over the tiny
+    // (status, priority) count table — the exchanges carry counts,
+    // never order rows.
+    "q_mode" -> { (s, d) =>
+      val counts = t(s, d, "orders")
+        .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+      counts
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("o_orderstatus"))
+            .orderBy(col("n").desc, col("o_orderpriority"))))
+        .filter(col("rk") === 1)
+        .select(col("o_orderstatus"), col("o_orderpriority").as("mode_priority"),
+          col("n").as("n_orders"))
+        .orderBy(col("o_orderstatus"))
+    },
+
+    // Gaps-and-islands: runs of consecutive active DAYS per user. The
+    // island key is day_number − row_number (constant within a run) —
+    // the classic trick, all within one window partitioning on
+    // user_id; the follow-up groupBy reuses that hash layout.
+    "q_gap_islands" -> { (s, d) =>
+      val day = to_date(col("ts"))
+      val dayNum = datediff(day, lit("2024-01-01").cast("date")).cast("long")
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day_num"))
+      t(s, d, "events")
+        .select(col("user_id"), day.as("day"), dayNum.as("day_num"))
+        .distinct()
+        .withColumn("isl", col("day_num") - row_number().over(w))
+        .groupBy(col("user_id"), col("isl"))
+        .agg(min(col("day")).as("start_day"), max(col("day")).as("end_day"),
+          count(lit(1)).as("n_days"))
+        .select(col("user_id"), col("start_day"), col("end_day"), col("n_days"))
+        .orderBy(col("user_id"), col("start_day"))
+    },
+
+    // UNPIVOT: per-flag measure columns rotated to (measure, value)
+    // rows via stack() — the inverse of q_pivot. Values are cast to a
+    // common exact DECIMAL before stacking so the unioned column has
+    // one type on both engines.
+    "q_unpivot" -> { (s, d) =>
+      val px = col("l_extendedprice").cast("decimal(18,2)")
+      val qty = col("l_quantity").cast("decimal(18,2)")
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_items"), sum(qty).as("sum_qty"), sum(px).as("sum_px"))
+        .selectExpr("l_returnflag",
+          """stack(3,
+            |  'n_items', CAST(n_items AS DECIMAL(38,2)),
+            |  'sum_qty', CAST(sum_qty AS DECIMAL(38,2)),
+            |  'sum_px',  CAST(sum_px  AS DECIMAL(38,2))) AS (measure, value)""".stripMargin)
+        .orderBy(col("l_returnflag"), col("measure"))
+    },
+
+    // Banded interval join: for each purchase, the count of the same
+    // user's clicks in the preceding hour. NOT a range-condition join
+    // (which Spark would execute as a per-key cartesian with a
+    // filter): each purchase explodes to its two candidate hour bins,
+    // the join is an EQUI-join on (user_id, hour_bin), and the exact
+    // interval predicate filters the bin-bounded candidates. At
+    // 100 TB the shuffle carries each row at most twice and the pair
+    // space is bounded by per-(user, hour) activity — the standard
+    // time-binning contract, same family as the as-of join.
+    "q_interval_join" -> { (s, d) =>
+      val us = unix_micros(col("ts").cast("timestamp"))
+      val hourUs = 3600L * 1000000L
+      val ev = t(s, d, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id"),
+          us.as("p_us"), (us / lit(hourUs)).cast("long").as("bin0"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), us.as("c_us"),
+          (us / lit(hourUs)).cast("long").as("bin"))
+      purchases
+        .select(col("p_id"), col("user_id"), col("p_us"),
+          explode(array(col("bin0"), col("bin0") - 1)).as("bin"))
+        .join(clicks, Seq("user_id", "bin"))
+        .filter(col("c_us") > col("p_us") - lit(hourUs) && col("c_us") <= col("p_us"))
+        .groupBy(col("p_id"))
+        .agg(count(lit(1)).as("n_clicks_1h"))
+        .select(col("p_id").as("event_id"), col("n_clicks_1h"))
+        .orderBy(col("event_id"))
+    },
+
+    // Regex extraction over documents: capitalized-word matches via a
+    // pattern whose semantics agree between java.util.regex and RE2
+    // (plain character classes, no backtracking constructs). Row-local
+    // expressions; no shuffle except the output sort.
+    "q_regex_extract" -> { (s, d) =>
+      val caps = regexp_extract_all(col("text"), lit("[A-Z][a-z]+"), lit(0))
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          size(caps).cast("long").as("n_caps"),
+          when(size(caps) > 0, element_at(caps, 1)).as("first_cap"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Higher-order array functions on embeddings: reverse-dot via
+    // zip_with + sequential aggregate fold — the declarative
+    // (non-kernel) path, exercising Spark's lambda expressions against
+    // DuckDB's list_transform/list_sum. Both engines fold the 64
+    // products left-to-right, so the double result is bit-identical
+    // before the display rounding.
+    "q_array_zip" -> { (s, d) =>
+      val v = col("embedding").cast("array<double>")
+      val rdot = aggregate(
+        zip_with(v, reverse(v), (x, y) => x * y),
+        lit(0.0), (acc, x) => acc + x)
+      t(s, d, "embeddings")
+        .select(col("vec_id"), round(rdot, 4).as("rdot"))
+        .orderBy(col("vec_id"))
+    },
+  )
+
+  val sql: Map[String, String] = Map(
+    "q_window_cume" ->
+      """SELECT p_partkey, p_brand, p_retailprice,
+        |       round(percent_rank() OVER w, 4) AS pr,
+        |       round(cume_dist() OVER w, 4) AS cd,
+        |       first_value(p_partkey) OVER w AS cheapest_id,
+        |       last_value(p_partkey) OVER
+        |         (PARTITION BY p_brand ORDER BY p_retailprice, p_partkey
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |         AS priciest_id
+        |FROM part
+        |WINDOW w AS (PARTITION BY p_brand ORDER BY p_retailprice, p_partkey)
+        |ORDER BY p_brand, p_retailprice, p_partkey""".stripMargin,
+
+    "q_string_agg" ->
+      """SELECT n_name, count(*) AS n_suppliers,
+        |       string_agg(s_name, ',' ORDER BY s_name) AS names
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "q_conditional_agg" ->
+      """SELECT l_returnflag,
+        |       count(*) AS n_items,
+        |       count(*) FILTER (WHERE l_quantity > 25) AS n_heavy,
+        |       sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+        |         FILTER (WHERE l_discount > 0.05) AS sum_discounted,
+        |       count(*) FILTER (WHERE l_tax = 0.0) AS n_taxfree
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_mode" ->
+      """SELECT o_orderstatus, o_orderpriority AS mode_priority, n AS n_orders
+        |FROM (
+        |  SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |         row_number() OVER (PARTITION BY o_orderstatus
+        |                            ORDER BY count(*) DESC, o_orderpriority) AS rk
+        |  FROM orders GROUP BY o_orderstatus, o_orderpriority
+        |)
+        |WHERE rk = 1 ORDER BY o_orderstatus""".stripMargin,
+
+    "q_gap_islands" ->
+      """WITH days AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day,
+        |         date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day_num
+        |  FROM events
+        |), isl AS (
+        |  SELECT user_id, day, day_num,
+        |         day_num - row_number() OVER (PARTITION BY user_id ORDER BY day_num) AS isl
+        |  FROM days
+        |)
+        |SELECT user_id, min(day) AS start_day, max(day) AS end_day,
+        |       count(*) AS n_days
+        |FROM isl GROUP BY user_id, isl
+        |ORDER BY user_id, start_day""".stripMargin,
+
+    "q_unpivot" ->
+      """WITH agg AS (
+        |  SELECT l_returnflag, count(*) AS n_items,
+        |         sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+        |         sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_px
+        |  FROM lineitem GROUP BY l_returnflag
+        |)
+        |SELECT l_returnflag, measure, value FROM (
+        |  SELECT l_returnflag, 'n_items' AS measure,
+        |         CAST(n_items AS DECIMAL(38,2)) AS value FROM agg
+        |  UNION ALL
+        |  SELECT l_returnflag, 'sum_qty', CAST(sum_qty AS DECIMAL(38,2)) FROM agg
+        |  UNION ALL
+        |  SELECT l_returnflag, 'sum_px', CAST(sum_px AS DECIMAL(38,2)) FROM agg
+        |)
+        |ORDER BY l_returnflag, measure""".stripMargin,
+
+    "q_interval_join" ->
+      """WITH p AS (
+        |  SELECT event_id AS p_id, user_id, epoch_us(ts) AS p_us
+        |  FROM events WHERE event_type = 'purchase'
+        |), c AS (
+        |  SELECT user_id, epoch_us(ts) AS c_us
+        |  FROM events WHERE event_type = 'click'
+        |)
+        |SELECT p_id AS event_id, count(*) AS n_clicks_1h
+        |FROM p JOIN c ON p.user_id = c.user_id
+        |              AND c.c_us > p.p_us - 3600000000
+        |              AND c.c_us <= p.p_us
+        |GROUP BY p_id ORDER BY event_id""".stripMargin,
+
+    "q_regex_extract" ->
+      """SELECT doc_id,
+        |       len(regexp_extract_all(text, '[A-Z][a-z]+')) AS n_caps,
+        |       CASE WHEN len(regexp_extract_all(text, '[A-Z][a-z]+')) > 0
+        |            THEN regexp_extract_all(text, '[A-Z][a-z]+')[1] END AS first_cap
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_array_zip" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |)
+        |SELECT vec_id,
+        |       round(list_sum(list_transform(range(1, 65),
+        |             k -> v[k] * v[65 - k])), 4) AS rdot
+        |FROM e ORDER BY vec_id""".stripMargin,
+  )
+}
