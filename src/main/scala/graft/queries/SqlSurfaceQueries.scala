@@ -108,20 +108,24 @@ object SqlSurfaceQueries {
     },
 
     // UNPIVOT: per-flag measure columns rotated to (measure, value)
-    // rows via stack() — the inverse of q_pivot. Values are cast to a
-    // common exact DECIMAL before stacking so the unioned column has
-    // one type on both engines.
+    // rows via the native unpivot API (an Expand node) — the inverse
+    // of q_pivot. Values are cast to a common exact DECIMAL first so
+    // the unioned column has one type on both engines. Expand, not
+    // stack(): the stack() Generate node measured ~0.4 s of fixed
+    // overhead per fresh plan; Expand stays inside codegen.
     "q_unpivot" -> { (s, d) =>
       val px = col("l_extendedprice").cast("decimal(18,2)")
       val qty = col("l_quantity").cast("decimal(18,2)")
       t(s, d, "lineitem")
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n_items"), sum(qty).as("sum_qty"), sum(px).as("sum_px"))
-        .selectExpr("l_returnflag",
-          """stack(3,
-            |  'n_items', CAST(n_items AS DECIMAL(38,2)),
-            |  'sum_qty', CAST(sum_qty AS DECIMAL(38,2)),
-            |  'sum_px',  CAST(sum_px  AS DECIMAL(38,2))) AS (measure, value)""".stripMargin)
+        .select(col("l_returnflag"),
+          col("n_items").cast("decimal(38,2)").as("n_items"),
+          col("sum_qty").cast("decimal(38,2)").as("sum_qty"),
+          col("sum_px").cast("decimal(38,2)").as("sum_px"))
+        .unpivot(Array(col("l_returnflag")),
+          Array(col("n_items"), col("sum_qty"), col("sum_px")),
+          "measure", "value")
         .orderBy(col("l_returnflag"), col("measure"))
     },
 
