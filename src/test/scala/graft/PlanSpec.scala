@@ -175,4 +175,53 @@ class PlanSpec extends AnyFunSuite {
       .exists(l => !l.contains("user_id"))
     assert(!badExchange, s"non-user-key exchange in funnel plan:\n$p")
   }
+
+  test("interval join is bin-keyed equi, never a range cartesian") {
+    val p = plan(q("q_interval_join"))
+    // the 1-hour band must enter as an equi-join on (user_id, bin) —
+    // a range-predicate join would plan as BroadcastNestedLoopJoin or
+    // CartesianProduct and explode quadratically at scale
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
+    assert(p.contains("Join") && p.contains("bin"), p)
+  }
+
+  test("gaps-and-islands: groupBy reuses the window's user-key layout") {
+    val p = plan(q("q_gap_islands"))
+    // distinct + window + island groupBy all key on user_id: the only
+    // hash exchanges allowed are user-keyed (plus the final range sort)
+    val badExchange = p.linesIterator.filter(_.contains("Exchange hashpartitioning"))
+      .exists(l => !l.contains("user_id"))
+    assert(!badExchange, s"non-user-key hash exchange:\n$p")
+  }
+
+  test("mode: exchanges carry (status, priority) counts, not order rows") {
+    val df = q("q_mode")
+    df.collect() // finalize AQE
+    val p = plan(df)
+    // the count aggregate must be partial+final (map-side combine), so
+    // the exchange payload is the tiny count table
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("unpivot plans as Expand inside codegen, not a Generate") {
+    val p = plan(q("q_unpivot"))
+    assert(p.contains("Expand"), p)
+    assert(!p.contains("Generate"), p)
+  }
+
+  test("regex extraction and array zip are row-local below the sort") {
+    for (name <- Seq("q_regex_extract", "q_array_zip")) {
+      val p = plan(q(name))
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"$name shuffles what should be row-local work:\n$p")
+    }
+  }
+
+  test("string agg: dim join broadcasts; one exchange on the group key") {
+    val p = plan(q("q_string_agg"))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"), p)
+    val hashExchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hashExchanges <= 2, s"expected the n_name aggregation exchanges only:\n$p")
+  }
 }
