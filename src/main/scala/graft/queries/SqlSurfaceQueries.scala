@@ -159,6 +159,23 @@ object SqlSurfaceQueries {
         .orderBy(col("event_id"))
     },
 
+    // Exact per-group top-k WITHOUT a sort window: the mergeable
+    // k-heap aggregate (graft.functions.TopKAgg). The rank-window
+    // idiom shuffles and sorts every row of every group; this plan's
+    // exchange carries one O(k) heap per group from each map task —
+    // the shape that survives a 100× scale-up. The oracle IS the
+    // rank window, asserting exact equivalence.
+    "q_topk_agg" -> { (s, d) =>
+      t(s, d, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(graft.functions.TopKAgg.topK(
+          col("o_totalprice"), col("o_orderkey"), 3).as("top"))
+        .select(col("o_orderpriority"), posexplode(col("top")))
+        .select(col("o_orderpriority"), (col("pos") + 1).cast("long").as("rk"),
+          col("col.id").as("o_orderkey"), col("col.score").as("o_totalprice"))
+        .orderBy(col("o_orderpriority"), col("rk"))
+    },
+
     // Regex extraction over documents: capitalized-word matches via a
     // pattern whose semantics agree between java.util.regex and RE2
     // (plain character classes, no backtracking constructs). Row-local
@@ -273,6 +290,15 @@ object SqlSurfaceQueries {
         |              AND c.c_us > p.p_us - 3600000000
         |              AND c.c_us <= p.p_us
         |GROUP BY p_id ORDER BY event_id""".stripMargin,
+
+    "q_topk_agg" ->
+      """SELECT o_orderpriority, rk, o_orderkey, o_totalprice FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |         row_number() OVER (PARTITION BY o_orderpriority
+        |                            ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        |  FROM orders
+        |)
+        |WHERE rk <= 3 ORDER BY o_orderpriority, rk""".stripMargin,
 
     "q_regex_extract" ->
       """SELECT doc_id,
