@@ -381,6 +381,23 @@ object ExtendedQueries {
         .orderBy(col("doc1"), col("doc2"))
     },
 
+    // Duplicate GROUPS: connected components over the verified near-dup
+    // pair graph — the step that turns pairwise matches into dedup
+    // decisions (keep one doc per component). Min-label iteration on
+    // the candidate-bounded pair set; the oracle replays the same graph
+    // with a recursive transitive-closure CTE, so equivalence is exact
+    // (both converge to the component-minimum id). Scale: the input is
+    // the LSH-verified pair list — |pairs| rows, never |corpus|² — and
+    // each iteration is one keyed join + min-aggregate; rounds ≤ graph
+    // diameter (near-dup components are shallow by construction).
+    "q_dup_groups" -> { (s, d) =>
+      val pairs = jaccardPairs(s, d).filter(col("jac") >= 0.5)
+        .select(col("id1"), col("id2"))
+      graft.ops.Dedup.connectedComponents(pairs)
+        .select(col("id").as("doc_id"), col("comp").as("group_id"))
+        .orderBy(col("doc_id"))
+    },
+
     // Embedding-cosine near-dup: top-20 most-similar vector pairs,
     // brute force (correctness baseline for the LSH ANN in graft.ops).
     // Norms are computed ONCE per vector below the pair join (O(n), not
@@ -805,6 +822,52 @@ object ExtendedQueries {
          |JOIN sizes s2 ON s2.doc_id = doc2
          |WHERE inter * 1.0 / (s1.n + s2.n - inter) >= 0.5
          |ORDER BY doc1, doc2""".stripMargin,
+
+    "q_dup_groups" ->
+      s"""WITH RECURSIVE sh AS (
+         |  $shinglesSql
+         |), mh AS (
+         |  SELECT doc_id,
+         |    min(md5('0|' || s)) AS m0, min(md5('1|' || s)) AS m1,
+         |    min(md5('2|' || s)) AS m2, min(md5('3|' || s)) AS m3,
+         |    min(md5('4|' || s)) AS m4, min(md5('5|' || s)) AS m5,
+         |    min(md5('6|' || s)) AS m6, min(md5('7|' || s)) AS m7
+         |  FROM sh GROUP BY doc_id
+         |), bands AS (
+         |  SELECT doc_id, 1 AS band, md5(m0 || m1 || m2 || m3) AS h FROM mh
+         |  UNION ALL
+         |  SELECT doc_id, 2 AS band, md5(m4 || m5 || m6 || m7) AS h FROM mh
+         |), cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id
+         |), shd AS (
+         |  SELECT DISTINCT * FROM sh
+         |), sizes AS (
+         |  SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id
+         |), inter AS (
+         |  SELECT c.doc1, c.doc2, count(*) AS inter
+         |  FROM cand c
+         |  JOIN shd a ON a.doc_id = c.doc1
+         |  JOIN shd b ON b.doc_id = c.doc2 AND b.s = a.s
+         |  GROUP BY 1, 2
+         |), pairs AS (
+         |  SELECT doc1, doc2
+         |  FROM inter
+         |  JOIN sizes s1 ON s1.doc_id = doc1
+         |  JOIN sizes s2 ON s2.doc_id = doc2
+         |  WHERE inter * 1.0 / (s1.n + s2.n - inter) >= 0.5
+         |), edges AS (
+         |  SELECT doc1 AS src, doc2 AS dst FROM pairs
+         |  UNION
+         |  SELECT doc2, doc1 FROM pairs
+         |), reach AS (
+         |  SELECT src AS id, src AS lbl FROM edges
+         |  UNION
+         |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+         |)
+         |SELECT id AS doc_id, min(lbl) AS group_id
+         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
 
     "q_dedup_embed_topk" ->
       """SELECT a.vec_id AS id1, b.vec_id AS id2,

@@ -159,6 +159,24 @@ object SqlSurfaceQueries {
         .orderBy(col("event_id"))
     },
 
+    // Null semantics in one query: a nullable group key (nulls form
+    // ONE group on both engines), a null-safe equality join
+    // (<=> ⟺ IS NOT DISTINCT FROM — planned as a hash join on the
+    // coalesced key, not a nested loop), and explicit NULLS FIRST
+    // ordering (Spark defaults nulls-first ascending, DuckDB
+    // nulls-last — never rely on either default).
+    "q_null_semantics" -> { (s, d) =>
+      val li = t(s, d, "lineitem")
+      val a = li.groupBy(expr("nullif(l_tax, 0.0)").as("tax_key"))
+        .agg(count(lit(1)).as("n_all"))
+      val b = li.filter(col("l_quantity") > 25)
+        .groupBy(expr("nullif(l_tax, 0.0)").as("tax_key2"))
+        .agg(count(lit(1)).as("n_heavy"))
+      a.join(b, col("tax_key") <=> col("tax_key2"), "left")
+        .select(col("tax_key"), col("n_all"), col("n_heavy"))
+        .orderBy(asc_nulls_first("tax_key"))
+    },
+
     // Exact per-group top-k WITHOUT a sort window: the mergeable
     // k-heap aggregate (graft.functions.TopKAgg). The rank-window
     // idiom shuffles and sorts every row of every group; this plan's
@@ -290,6 +308,18 @@ object SqlSurfaceQueries {
         |              AND c.c_us > p.p_us - 3600000000
         |              AND c.c_us <= p.p_us
         |GROUP BY p_id ORDER BY event_id""".stripMargin,
+
+    "q_null_semantics" ->
+      """WITH a AS (
+        |  SELECT nullif(l_tax, 0.0) AS tax_key, count(*) AS n_all
+        |  FROM lineitem GROUP BY 1
+        |), b AS (
+        |  SELECT nullif(l_tax, 0.0) AS tax_key2, count(*) AS n_heavy
+        |  FROM lineitem WHERE l_quantity > 25 GROUP BY 1
+        |)
+        |SELECT tax_key, n_all, n_heavy
+        |FROM a LEFT JOIN b ON a.tax_key IS NOT DISTINCT FROM b.tax_key2
+        |ORDER BY tax_key NULLS FIRST""".stripMargin,
 
     "q_topk_agg" ->
       """SELECT o_orderpriority, rk, o_orderkey, o_totalprice FROM (
