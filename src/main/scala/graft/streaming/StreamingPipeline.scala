@@ -43,6 +43,28 @@ object StreamingPipeline {
         sum(col("value").cast(DecimalType(18, 4))).cast("double").as("sum_v"))
       .select(col("w.start").as("h"), col("event_type"), col("n"), col("sum_v"))
 
+  /** Native session windows — the engine-managed twin of the
+    * mapGroupsWithState sessionizer below ([[sessionize]]): Spark's
+    * `session_window` merges per-user windows whose events are within
+    * `gap` of each other, closing (and finalizing) a session when the
+    * watermark passes its end. Use THIS when the output you need is
+    * per-session aggregates (state handled by the engine, mergeable
+    * across micro-batches, spillable); use [[sessionize]] when custom
+    * per-event state transitions are required. State is bounded by
+    * the watermark horizon × active users — the same contract as the
+    * tumbling aggregate above.
+    *
+    * Emits one row per CLOSED session: (user_id, session start/end,
+    * n_events). Append mode: rows appear only after the watermark
+    * passes the session end, so results are final — no retractions. */
+  def sessionWindowStream(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("w.start").as("t_start"),
+        col("w.end").as("t_end"), col("n_events"))
+
   /** Streaming exact dedup — the streaming twin of
     * `graft.ops.Dedup.dedupExact`: keeps the first arrival per key,
     * with dedup state EVICTED once the key's event time falls behind

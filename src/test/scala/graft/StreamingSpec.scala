@@ -363,4 +363,38 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(got == want)
   }
+
+  test("native session_window stream: closed sessions match the batch gap split") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val mem = MemoryStream[(Long, java.sql.Timestamp)]
+    val q = StreamingPipeline.sessionWindowStream(
+        mem.toDF.toDF("user_id", "ts"), gap = "30 minutes")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sw_out").start()
+    try {
+      mem.addData(
+        (1L, ts("2024-01-01 10:00:00")), (1L, ts("2024-01-01 10:10:00")),
+        (1L, ts("2024-01-01 12:00:00")), // > 30 min gap → second session
+        (2L, ts("2024-01-01 10:05:00")))
+      q.processAllAvailable()
+      // sentinel far past every session end: advances the watermark so
+      // the engine closes + emits all prior sessions on the NEXT batch
+      mem.addData((99L, ts("2024-01-02 12:00:00")))
+      q.processAllAvailable()
+      mem.addData((99L, ts("2024-01-03 12:00:00")))
+      q.processAllAvailable()
+      val got = spark.table("sw_out").filter(col("user_id") < 99)
+        .collect().map(r => (r.getLong(0), r.get(1).toString, r.getLong(3))).toSet
+      // append mode emits each closed session exactly once, with the
+      // session start = first event and count = events inside the gap
+      // chain — the same split the batch lag+cumsum sessionizer makes
+      assert(got == Set(
+        (1L, "2024-01-01 10:00:00.0", 2L),
+        (1L, "2024-01-01 12:00:00.0", 1L),
+        (2L, "2024-01-01 10:05:00.0", 1L)))
+    } finally q.stop()
+  }
 }
