@@ -159,6 +159,25 @@ object SqlSurfaceQueries {
         .orderBy(col("event_id"))
     },
 
+    // grouping()/grouping_id() markers on a cube: the only reliable
+    // way to tell a rollup-generated NULL (subtotal row) from a NULL
+    // that was in the data — q_null_semantics' concern composed with
+    // q_cube's. The nullable key (nullif on tax) makes the ambiguity
+    // real: without the marker, the data-null group and the subtotal
+    // row print identically.
+    "q_grouping_id" -> { (s, d) =>
+      t(s, d, "lineitem")
+        // key computed BELOW the cube: grouping(col) must reference a
+        // grouping column verbatim, so an expression key needs a name
+        .select(col("l_returnflag"), expr("nullif(l_tax, 0.0)").as("tax_key"))
+        .cube(col("l_returnflag"), col("tax_key"))
+        .agg(count(lit(1)).as("n"),
+          grouping(col("l_returnflag")).cast("long").as("g_flag"),
+          grouping(col("tax_key")).cast("long").as("g_tax"))
+        .orderBy(col("g_flag"), col("g_tax"),
+          asc_nulls_first("l_returnflag"), asc_nulls_first("tax_key"))
+    },
+
     // Null semantics in one query: a nullable group key (nulls form
     // ONE group on both engines), a null-safe equality join
     // (<=> ⟺ IS NOT DISTINCT FROM — planned as a hash join on the
@@ -308,6 +327,14 @@ object SqlSurfaceQueries {
         |              AND c.c_us > p.p_us - 3600000000
         |              AND c.c_us <= p.p_us
         |GROUP BY p_id ORDER BY event_id""".stripMargin,
+
+    "q_grouping_id" ->
+      """SELECT l_returnflag, nullif(l_tax, 0.0) AS tax_key, count(*) AS n,
+        |       CAST(grouping(l_returnflag) AS BIGINT) AS g_flag,
+        |       CAST(grouping(nullif(l_tax, 0.0)) AS BIGINT) AS g_tax
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, nullif(l_tax, 0.0))
+        |ORDER BY g_flag, g_tax, l_returnflag NULLS FIRST, tax_key NULLS FIRST""".stripMargin,
 
     "q_null_semantics" ->
       """WITH a AS (
