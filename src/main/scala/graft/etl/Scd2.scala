@@ -1,0 +1,74 @@
+package graft.etl
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Type-2 slowly-changing-dimension maintenance — the versioned form
+  * of the reference's dimension rebuild (`fetch_stocks.py:186-203`
+  * recreates dim tables wholesale each day; at warehouse scale the
+  * dimensions keep HISTORY instead: each key holds a chain of rows
+  * `[valid_from, valid_to)` with exactly one open row per key).
+  *
+  * Determinism: several updates for one key in a single batch are
+  * applied in (ts, then attribute lexicographic) order — a total
+  * order, so the surviving chain is partition-independent. Attribute
+  * comparison is null-safe (`<=>`): a null attribute equals null,
+  * changes to/from null version correctly.
+  *
+  * 100 TB shape: ONE hash shuffle of each side on the dimension key
+  * (the outer join); closed history rows pass through untouched —
+  * the merge cost follows |open rows| + |updates|, never |history|.
+  * Updates per batch are typically ≪ dimension size, so AQE turns the
+  * join broadcast when stats allow.
+  */
+object Scd2 {
+
+  /** Merge `updates` (key, attrs…, `tsCol`) into the versioned
+    * dimension `current` (key, attrs…, valid_from, valid_to; open rows
+    * have valid_to IS NULL). Returns the full new versioned table.
+    *
+    * A key's open row is closed (valid_to = update ts) and a new open
+    * row appended whenever any attribute differs null-safely; updates
+    * identical to the open row are no-ops (idempotent re-application).
+    * Unknown keys insert a fresh open row. */
+  def merge(current: DataFrame, updates: DataFrame, key: String,
+      tsCol: String, attrs: Seq[String]): DataFrame = {
+    require(attrs.nonEmpty, "attrs must name at least one tracked column")
+    val history = current.filter(col("valid_to").isNotNull)
+    val open = current.filter(col("valid_to").isNull)
+
+    // collapse each key's batch to its LAST update in total order —
+    // intermediate same-batch states are not representable as SCD2
+    // rows anyway (their valid_from would equal their valid_to)
+    val ordered = Window.partitionBy(col(key))
+      .orderBy((col(tsCol) +: attrs.map(col)).map(_.desc): _*)
+    val latest = updates
+      .withColumn("__rn", row_number().over(ordered))
+      .filter(col("__rn") === 1).drop("__rn")
+
+    val changed = attrs.map(a => !(col(s"o.$a") <=> col(s"u.$a")))
+      .reduce(_ || _)
+    val j = open.as("o").join(latest.as("u"),
+      col(s"o.$key") === col(s"u.$key"), "full_outer")
+
+    val keepOpen = j.filter(col(s"u.$key").isNull || (col(s"o.$key").isNotNull && !changed))
+      .select(col(s"o.$key").as(key) +: attrs.map(a => col(s"o.$a").as(a)) :+
+        col("o.valid_from").as("valid_from") :+ col("o.valid_to").as("valid_to"): _*)
+    val closedNow = j.filter(col(s"o.$key").isNotNull && col(s"u.$key").isNotNull && changed)
+      .select(col(s"o.$key").as(key) +: attrs.map(a => col(s"o.$a").as(a)) :+
+        col("o.valid_from").as("valid_from") :+ col(s"u.$tsCol").as("valid_to"): _*)
+    val openedNow = j.filter(col(s"u.$key").isNotNull && (col(s"o.$key").isNull || changed))
+      .select(col(s"u.$key").as(key) +: attrs.map(a => col(s"u.$a").as(a)) :+
+        col(s"u.$tsCol").as("valid_from") :+ lit(null).cast("timestamp").as("valid_to"): _*)
+
+    history.select(keepOpen.columns.map(col): _*)
+      .unionByName(keepOpen).unionByName(closedNow).unionByName(openedNow)
+  }
+
+  /** The row of each key valid AT `at` (point-in-time dimension read):
+    * valid_from <= at < valid_to (open row = unbounded end). */
+  def asOf(versioned: DataFrame, at: Column): DataFrame =
+    versioned.filter(col("valid_from") <= at &&
+      (col("valid_to").isNull || at < col("valid_to")))
+}

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.etl.Scd2
+
+/** SCD2 merge: version chains, idempotence, same-batch collapse,
+  * null-safe change detection, and the point-in-time read. */
+class Scd2Spec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  private val empty = Seq.empty[(Long, String, java.sql.Timestamp, java.sql.Timestamp)]
+    .toDF("k", "city", "valid_from", "valid_to")
+
+  test("insert, change, and no-op update build the right chains") {
+    val u1 = Seq((1L, "berlin", ts("2024-01-01 00:00:00")),
+      (2L, "paris", ts("2024-01-01 00:00:00"))).toDF("k", "city", "ts")
+    val v1 = Scd2.merge(empty, u1, "k", "ts", Seq("city"))
+    assert(v1.count() == 2 && v1.filter(col("valid_to").isNull).count() == 2)
+
+    // key 1 moves; key 2 update is identical → no new version
+    val u2 = Seq((1L, "madrid", ts("2024-02-01 00:00:00")),
+      (2L, "paris", ts("2024-02-01 00:00:00"))).toDF("k", "city", "ts")
+    val v2 = Scd2.merge(v1, u2, "k", "ts", Seq("city"))
+    val rows = v2.orderBy(col("k"), col("valid_from"))
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        Option(r.getTimestamp(3)).map(_.toString).orNull))
+    assert(rows.toSeq == Seq(
+      (1L, "berlin", "2024-02-01 00:00:00.0"),
+      (1L, "madrid", null),
+      (2L, "paris", null)))
+
+    // re-applying the same batch is a no-op (idempotence)
+    val v3 = Scd2.merge(v2, u2, "k", "ts", Seq("city"))
+    assert(v3.count() == v2.count())
+  }
+
+  test("several updates for one key in a batch collapse to the last") {
+    val u = Seq((1L, "a", ts("2024-01-01 00:00:00")),
+      (1L, "b", ts("2024-01-03 00:00:00")),
+      (1L, "c", ts("2024-01-02 00:00:00"))).toDF("k", "city", "ts")
+    val v = Scd2.merge(empty, u, "k", "ts", Seq("city"))
+    val open = v.filter(col("valid_to").isNull).collect()
+    assert(open.length == 1 && open.head.getString(1) == "b") // latest ts wins
+  }
+
+  test("null-safe change detection: null→value and value→null version") {
+    val u1 = Seq((1L, Option.empty[String], ts("2024-01-01 00:00:00")))
+      .toDF("k", "city", "ts")
+    val v1 = Scd2.merge(empty, u1, "k", "ts", Seq("city"))
+    val u2 = Seq((1L, Option("rome"), ts("2024-02-01 00:00:00"))).toDF("k", "city", "ts")
+    val v2 = Scd2.merge(v1, u2, "k", "ts", Seq("city"))
+    assert(v2.count() == 2) // null → rome versioned
+    val v3 = Scd2.merge(v2, u2, "k", "ts", Seq("city"))
+    assert(v3.count() == 2) // identical non-null re-apply: no-op
+  }
+
+  test("asOf returns each key's row valid at the probe instant") {
+    val u1 = Seq((1L, "berlin", ts("2024-01-01 00:00:00"))).toDF("k", "city", "ts")
+    val u2 = Seq((1L, "madrid", ts("2024-02-01 00:00:00"))).toDF("k", "city", "ts")
+    val v = Scd2.merge(Scd2.merge(empty, u1, "k", "ts", Seq("city")),
+      u2, "k", "ts", Seq("city"))
+    assert(Scd2.asOf(v, lit(ts("2024-01-15 00:00:00"))).head().getString(1) == "berlin")
+    assert(Scd2.asOf(v, lit(ts("2024-03-01 00:00:00"))).head().getString(1) == "madrid")
+    // probe before history begins: no row
+    assert(Scd2.asOf(v, lit(ts("2023-12-01 00:00:00"))).isEmpty)
+  }
+
+  test("history rows pass through untouched and cost no join") {
+    val u1 = Seq((1L, "berlin", ts("2024-01-01 00:00:00"))).toDF("k", "city", "ts")
+    val v1 = Scd2.merge(empty, u1, "k", "ts", Seq("city"))
+    val u2 = Seq((1L, "madrid", ts("2024-02-01 00:00:00"))).toDF("k", "city", "ts")
+    val v2 = Scd2.merge(v1, u2, "k", "ts", Seq("city"))
+    val u3 = Seq((1L, "oslo", ts("2024-03-01 00:00:00"))).toDF("k", "city", "ts")
+    val v3 = Scd2.merge(v2, u3, "k", "ts", Seq("city"))
+    // chain: berlin[Jan,Feb) madrid[Feb,Mar) oslo[Mar,∞)
+    val chain = v3.orderBy(col("valid_from")).collect().map(_.getString(1)).toSeq
+    assert(chain == Seq("berlin", "madrid", "oslo"))
+  }
+}
