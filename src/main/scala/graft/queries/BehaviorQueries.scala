@@ -26,7 +26,7 @@ object BehaviorQueries {
     // converts a stage only with an event at-or-after their previous
     // stage's first timestamp. One row: users entering each stage.
     "q_funnel" -> { (s, d) =>
-      graft.ops.Behavior.funnelCounts(t(s, d, "events"),
+      graft.ops.Behavior.funnelCounts(ExtendedQueries.eventProfile(s, d),
         col("user_id"), col("event_type"), col("ts"),
         Seq("view", "click", "purchase"))
     },
@@ -35,7 +35,7 @@ object BehaviorQueries {
     // percentile of value per event type, and how many events exceed
     // it — the telemetry-cleaning pass before training on metrics.
     "q_outlier_p95" -> { (s, d) =>
-      val e = t(s, d, "events")
+      val e = ExtendedQueries.eventProfile(s, d)
       val cut = e.groupBy(col("event_type"))
         .agg(percentile(col("value"), lit(0.95)).as("p95"))
       e.join(broadcast(cut), "event_type")
@@ -51,7 +51,7 @@ object BehaviorQueries {
     // distinct active users per (cohort day, week index). All
     // integer day arithmetic.
     "q_cohort_retention" -> { (s, d) =>
-      graft.ops.Behavior.cohortRetention(t(s, d, "events"),
+      graft.ops.Behavior.cohortRetention(ExtendedQueries.eventProfile(s, d),
           col("user_id"), col("ts"))
         .orderBy(col("cohort_day"), col("week"))
     },

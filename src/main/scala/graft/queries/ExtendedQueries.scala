@@ -235,6 +235,16 @@ object ExtendedQueries {
       t(s, d, "documents").repartition(s.sparkContext.defaultParallelism)
     }
 
+  /** Cached, fanned-out events scan — same rationale as [[docProfile]]
+    * (the testdata parquet is ONE split, so per-row work before the
+    * first shuffle runs on a single core without it). Eleven declared
+    * queries read events; the JSON-parsing ones (q_map_ops,
+    * q_json_extract) are pure per-row work and gain the most. */
+  private[queries] def eventProfile(s: org.apache.spark.sql.SparkSession, d: String) =
+    memoCache("eventprof", s, d) {
+      t(s, d, "events").repartition(s.sparkContext.defaultParallelism)
+    }
+
   /** Candidate pairs (doc1 < doc2) sharing ≥1 LSH bucket — the linear-
     * cost candidate generator both near-dup queries build on. The join
     * shuffles only (band, h) keys, never text. Cached (memoized): the
@@ -297,8 +307,8 @@ object ExtendedQueries {
     * next query call rebuilds and re-caches from scratch. */
   def releaseCaches(s: org.apache.spark.sql.SparkSession, d: String): Unit = {
     Seq("restricted", "bands", "shingles", "embednorm", "toktf", "docprof",
-        "candpairs", "shsplit", "shtrain", "sheval", "mhsig", "simsig",
-        "bgcounts", "bgmodel", "jacpairs", "tfidfscore").foreach { key =>
+        "eventprof", "candpairs", "shsplit", "shtrain", "sheval", "mhsig",
+        "simsig", "bgcounts", "bgmodel", "jacpairs", "tfidfscore").foreach { key =>
       Option(memoStore.remove((s, d, key))).foreach(_.unpersist())
     }
     val it = scalarStore.keySet.iterator

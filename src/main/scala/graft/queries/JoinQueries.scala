@@ -87,7 +87,7 @@ object JoinQueries {
     // range-join fanout). Right side pre-deduped per (user_id, ts)
     // keeping max event_id, so the match is deterministic.
     "q_asof_join" -> { (s, d) =>
-      val e = t(s, d, "events")
+      val e = ExtendedQueries.eventProfile(s, d)
       val p = e.filter(col("event_type") === "purchase")
         .groupBy(col("user_id"), col("ts").as("pts"))
         .agg(max(col("event_id")).as("pid"))

@@ -39,7 +39,7 @@ object ScalarQueries {
 
     // JSON scalar extraction from the events.props JSON string.
     "q_json_extract" -> { (s, d) =>
-      t(s, d, "events")
+      ExtendedQueries.eventProfile(s, d)
         .select(col("event_id"),
           get_json_object(col("props"), "$.k").cast("long").as("k"))
         .orderBy(col("event_id"))
@@ -77,7 +77,7 @@ object ScalarQueries {
     // the looked-up value): the driver's pandas compare sorts column
     // values and cannot hash ARRAY cells.
     "q_map_ops" -> { (s, d) =>
-      t(s, d, "events")
+      ExtendedQueries.eventProfile(s, d)
         .select(col("event_id"),
           expr("from_json(props, 'map<string,bigint>')").as("m"))
         .select(col("event_id"),

@@ -96,7 +96,7 @@ object SqlSurfaceQueries {
       val day = to_date(col("ts"))
       val dayNum = datediff(day, lit("2024-01-01").cast("date")).cast("long")
       val w = Window.partitionBy(col("user_id")).orderBy(col("day_num"))
-      t(s, d, "events")
+      ExtendedQueries.eventProfile(s, d)
         .select(col("user_id"), day.as("day"), dayNum.as("day_num"))
         .distinct()
         .withColumn("isl", col("day_num") - row_number().over(w))
@@ -141,7 +141,7 @@ object SqlSurfaceQueries {
     "q_interval_join" -> { (s, d) =>
       val us = unix_micros(col("ts").cast("timestamp"))
       val hourUs = 3600L * 1000000L
-      val ev = t(s, d, "events")
+      val ev = ExtendedQueries.eventProfile(s, d)
       val purchases = ev.filter(col("event_type") === "purchase")
         .select(col("event_id").as("p_id"), col("user_id"),
           us.as("p_us"), (us / lit(hourUs)).cast("long").as("bin0"))

@@ -44,7 +44,7 @@ object WindowQueries {
       val n = count(col("value")).over(frame)
       val sx = sum(dv).over(frame).cast("double")
       val sxx = sum(dv * dv).over(frame).cast("double")
-      t(s, d, "events")
+      ExtendedQueries.eventProfile(s, d)
         .select(col("user_id"), col("event_id"), col("ts"),
           when(n >= 20,
             sqrt(greatest((sxx - sx * sx / n) / (n - lit(1)), lit(0.0)))).as("roll_std"))
@@ -66,7 +66,7 @@ object WindowQueries {
     // buckets via date_trunc — identical semantics to the Structured
     // Streaming `window($"ts", "1 hour")` variant in graft.streaming.
     "q_window_tumbling" -> { (s, d) =>
-      t(s, d, "events")
+      ExtendedQueries.eventProfile(s, d)
         // date_trunc yields a session-tz timestamp; cast back to NTZ so
         // the written parquet matches DuckDB's timezone-less TIMESTAMP.
         .groupBy(date_trunc("hour", col("ts")).cast("timestamp_ntz").as("h"), col("event_type"))
@@ -80,7 +80,7 @@ object WindowQueries {
     // in-frame, so no tiebreaker is needed for determinism; the order
     // column goes through DECIMAL for exact cross-engine comparison.
     "q_window_range_frame" -> { (s, d) =>
-      t(s, d, "events")
+      ExtendedQueries.eventProfile(s, d)
         .select(col("event_id"), col("user_id"), col("value"),
           expr("""count(*) OVER (PARTITION BY user_id
                  |               ORDER BY CAST(value AS DECIMAL(18,4))
@@ -110,7 +110,7 @@ object WindowQueries {
       val us = unix_micros(col("ts").cast("timestamp"))
       val prevUs = lag(us, 1).over(w)
       val isNew = when(prevUs.isNull || (us - prevUs) > lit(1800000000L), lit(1L)).otherwise(lit(0L))
-      t(s, d, "events")
+      ExtendedQueries.eventProfile(s, d)
         .select(col("user_id"), col("event_id"), col("ts"),
           sum(isNew).over(w.rowsBetween(Window.unboundedPreceding, 0)).as("session_id"))
         .groupBy(col("user_id"), col("session_id"))
