@@ -41,13 +41,37 @@ object Behavior {
   }
 
   /** One-row funnel summary: `n_<stage>` = users who reached each
-    * stage in order. Monotone non-increasing by construction. */
+    * stage in order. Monotone non-increasing by construction.
+    *
+    * Same semantics as chaining [[funnelTimes]] (spec-asserted), but
+    * ONE exchange instead of a join per stage: each stage's
+    * first-completion time is a conditional window min over the user
+    * partition (`min(ts | type = stage ∧ ts ≥ t_prev)` — t_prev is
+    * partition-constant, so the chain is k unsorted window passes over
+    * the same hash layout), the per-user collapse reuses that layout,
+    * and only the final 1-row count crosses partitions. */
   def funnelCounts(events: DataFrame, userCol: Column, typeCol: Column,
-      tsCol: Column, stages: Seq[String]): DataFrame =
-    funnelTimes(events, userCol, typeCol, tsCol, stages)
-      .zip(stages)
-      .map { case (df, stage) => df.agg(count(lit(1)).as(s"n_$stage")) }
-      .reduce(_.crossJoin(_))
+      tsCol: Column, stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+    var df = events.select(userCol.as("user_id"), typeCol.as("__type"),
+      tsCol.as("__ts"))
+    var prev: Option[Column] = None
+    stages.foreach { stage =>
+      val cond = prev match {
+        case None    => col("__type") === stage
+        case Some(p) => col("__type") === stage && col("__ts") >= p
+      }
+      df = df.withColumn(s"t_$stage", min(when(cond, col("__ts"))).over(w))
+      prev = Some(col(s"t_$stage"))
+    }
+    df.groupBy(col("user_id"))
+      .agg(max(col(s"t_${stages.head}")).as(s"t_${stages.head}"),
+        stages.tail.map(st => max(col(s"t_$st")).as(s"t_$st")): _*)
+      .agg(count(col(s"t_${stages.head}")).as(s"n_${stages.head}"),
+        stages.tail.map(st => count(col(s"t_$st")).as(s"n_$st")): _*)
+  }
 
   /** Weekly cohort retention: users bucketed by first-seen day,
     * distinct active users per (cohort day, week index). */
