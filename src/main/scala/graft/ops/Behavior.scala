@@ -74,14 +74,19 @@ object Behavior {
   }
 
   /** Weekly cohort retention: users bucketed by first-seen day,
-    * distinct active users per (cohort day, week index). */
+    * distinct active users per (cohort day, week index).
+    *
+    * The cohort day is a window min over the user partition — the
+    * per-user aggregate rides along each event row without the
+    * aggregate+self-join round trip (one exchange on user, then the
+    * distinct-count exchange on the output key; nothing else). */
   def cohortRetention(events: DataFrame, userCol: Column,
       tsCol: Column): DataFrame = {
-    val cohort = events.groupBy(userCol.as("user_id"))
-      .agg(date_trunc("day", min(tsCol))
-        .cast("timestamp_ntz").as("cohort_day"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
     events.select(userCol.as("user_id"), tsCol.as("__ts"))
-      .join(cohort, "user_id")
+      .withColumn("cohort_day",
+        date_trunc("day", min(col("__ts")).over(w)).cast("timestamp_ntz"))
       .select(col("user_id"), col("cohort_day"),
         (datediff(col("__ts").cast("date"), col("cohort_day").cast("date"))
           .cast("long") / 7).cast("long").as("week"))
