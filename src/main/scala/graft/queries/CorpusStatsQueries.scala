@@ -70,6 +70,27 @@ object CorpusStatsQueries {
         .orderBy(col("doc_id"), col("rk"))
     },
 
+    // Misra-Gries heavy hitters as a DECLARED query: top-20 corpus
+    // tokens from the mergeable O(capacity) sketch
+    // (graft.functions.FreqItemsAgg). With capacity (64) ≥ the
+    // corpus's distinct-token count, no decrement ever fires and every
+    // estimate is EXACT under any partitioning/merge order — which is
+    // what lets the oracle be the plain exact count. At a 100 TB
+    // vocabulary the same plan degrades gracefully to the documented
+    // undercount bounds instead of an OOM-ing exact shuffle; the
+    // exactness precondition is the declared test-scale contract.
+    "q_heavy_hitters" -> { (s, d) =>
+      val sketch = CorpusStats.tokens(
+          ExtendedQueries.docProfile(s, d), col("text"), col("doc_id"))
+        .agg(graft.functions.FreqItemsAgg.freqItems(col("tok"), 64).as("items"))
+        .select(posexplode(col("items")))
+      sketch
+        .select((col("pos") + 1).cast("long").as("rk"),
+          col("col.item").as("tok"), col("col.est").as("n"))
+        .filter(col("rk") <= 20)
+        .orderBy(col("rk"))
+    },
+
     // Gopher-style duplicate-token fraction: row-local split/distinct
     // stats, one filter — the repetition gate of a quality pipeline.
     "q_repeat_tokens" -> { (s, d) =>
@@ -150,6 +171,12 @@ object CorpusStatsQueries {
   )
 
   val sql: Map[String, String] = Map(
+    "q_heavy_hitters" ->
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+        |cnt AS (SELECT tok, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY tok)
+        |SELECT CAST(row_number() OVER (ORDER BY n DESC, tok) AS BIGINT) AS rk, tok, n
+        |FROM cnt ORDER BY rk LIMIT 20""".stripMargin,
+
     "q_token_df" ->
       """WITH tok AS (SELECT doc_id AS id, unnest(string_split(text, ' ')) AS tok FROM documents),
         |pd AS (SELECT tok, id, count(*) AS c FROM tok GROUP BY 1, 2)
