@@ -104,6 +104,31 @@ object JoinQueries {
         .orderBy(col("event_id"))
     },
 
+    // FORWARD as-of with tolerance: for every event, the user's next
+    // purchase within one hour (earliest purchase ts ≥ event ts, else
+    // null). Same union+window single-shuffle plan as the backward
+    // declared query — the direction flips the scan order, the
+    // tolerance nulls stale matches; no range fanout either way. The
+    // oracle expresses the identical contract as a LATERAL top-1.
+    "q_asof_forward" -> { (s, d) =>
+      val e = ExtendedQueries.eventProfile(s, d)
+      val p = e.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts").cast("timestamp").as("pts"))
+        .agg(max(col("event_id")).as("pid"))
+        .select(col("user_id"), col("pts"), col("pid"))
+      graft.ops.AsOfJoin.forward(
+          e.select(col("event_id"), col("user_id"),
+            col("ts").cast("timestamp").as("ts")), p,
+          keys = Seq("user_id"), leftTs = "ts", rightTs = "pts",
+          payload = Seq("pid", "pts"),
+          toleranceMicros = Some(3600L * 1000000L))
+        .select(col("event_id"), col("user_id"),
+          col("ts").cast("timestamp_ntz").as("ts"),
+          col("asof_pid").as("next_purchase_id"),
+          col("asof_pts").cast("timestamp_ntz").as("next_purchase_ts"))
+        .orderBy(col("event_id"))
+    },
+
     // Salted skew join: lineitem ⋈ 3-row returnflag profile on the
     // HOT key l_returnflag (3 values → without salting, 3 reducers
     // own the whole shuffle). graft.ops.Skew.saltedJoin spreads each
@@ -184,6 +209,21 @@ object JoinQueries {
         |       epoch_us(e.ts) - epoch_us(p.pts) AS us_since_purchase
         |FROM events e ASOF LEFT JOIN p
         |  ON e.user_id = p.user_id AND e.ts >= p.pts
+        |ORDER BY e.event_id""".stripMargin,
+
+    "q_asof_forward" ->
+      """WITH p AS (
+        |  SELECT user_id, ts AS pts, max(event_id) AS pid
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+        |)
+        |SELECT e.event_id, e.user_id, e.ts,
+        |       nxt.pid AS next_purchase_id, nxt.pts AS next_purchase_ts
+        |FROM events e LEFT JOIN LATERAL (
+        |  SELECT pid, pts FROM p
+        |  WHERE p.user_id = e.user_id AND p.pts >= e.ts
+        |    AND epoch_us(p.pts) - epoch_us(e.ts) <= 3600000000
+        |  ORDER BY p.pts LIMIT 1
+        |) nxt ON true
         |ORDER BY e.event_id""".stripMargin,
 
     // The plain (unsalted) join — salting must not change a row.
