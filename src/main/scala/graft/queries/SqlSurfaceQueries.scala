@@ -13,9 +13,12 @@ import org.apache.spark.sql.functions._
   *
   * Determinism discipline (§7.3): every ordering carries a unique
   * tiebreak; collect_list order is canonicalized with array_sort
-  * before concatenation; double-valued window ratios are rounded to
-  * 4 dp; exact sums run in DECIMAL; timestamp arithmetic uses the
-  * unix_micros ↔ epoch_us integer idiom shared with q_sessionize.
+  * before concatenation; exact sums run in DECIMAL; timestamp
+  * arithmetic uses the unix_micros ↔ epoch_us integer idiom shared
+  * with q_sessionize. Small-integer ratios (percent_rank/cume_dist)
+  * are emitted UNROUNDED — the raw double is engine-identical, while
+  * a display round hits .5 boundaries where Spark (HALF_UP) and
+  * DuckDB (half-even) disagree.
   */
 object SqlSurfaceQueries {
 
@@ -30,10 +33,15 @@ object SqlSurfaceQueries {
       val w = Window.partitionBy(col("p_brand"))
         .orderBy(col("p_retailprice"), col("p_partkey"))
       val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      // pr/cd emitted UNROUNDED: (rank−1)/(n−1) over exact small ints
+      // is the same correctly-rounded double on any engine, but a
+      // 4 dp display round lands on .5 boundaries (57/800 = .07125)
+      // where Spark rounds HALF_UP and DuckDB half-even — rounding
+      // CREATED the only cross-engine divergence (bit sf0.1 row 18454)
       t(s, d, "part")
         .select(col("p_partkey"), col("p_brand"), col("p_retailprice"),
-          round(percent_rank().over(w), 4).as("pr"),
-          round(cume_dist().over(w), 4).as("cd"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"),
           first(col("p_partkey")).over(w).as("cheapest_id"),
           last(col("p_partkey")).over(full).as("priciest_id"))
         .orderBy(col("p_brand"), col("p_retailprice"), col("p_partkey"))
@@ -246,8 +254,8 @@ object SqlSurfaceQueries {
   val sql: Map[String, String] = Map(
     "q_window_cume" ->
       """SELECT p_partkey, p_brand, p_retailprice,
-        |       round(percent_rank() OVER w, 4) AS pr,
-        |       round(cume_dist() OVER w, 4) AS cd,
+        |       percent_rank() OVER w AS pr,
+        |       cume_dist() OVER w AS cd,
         |       first_value(p_partkey) OVER w AS cheapest_id,
         |       last_value(p_partkey) OVER
         |         (PARTITION BY p_brand ORDER BY p_retailprice, p_partkey
