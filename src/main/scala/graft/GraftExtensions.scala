@@ -4,7 +4,9 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.DotProduct
+import graft.functions.{DotProduct, FreqItemsAgg, RollingHash, TopKAgg}
+import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.types.IntegerType
 
 /** Session-extension entry point: registers graft's native Catalyst
   * expressions on every session built with it, so SQL users get them
@@ -23,8 +25,47 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
       (children: Seq[Expression]) => graft.functions.GraftFunctions.build(children)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_rolling_hash"),
+      new ExpressionInfo(classOf[RollingHash].getName, "graft_rolling_hash"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1,
+          s"graft_rolling_hash requires exactly 1 argument, got ${children.length}")
+        RollingHash(children.head)
+      }))
+    // Aggregates: the analyzer wraps a returned AggregateFunction in
+    // its AggregateExpression, so SQL `graft_top_k(score, id, 3)` and
+    // `graft_freq_items(tok, 64)` work in GROUP BY queries directly.
+    ext.injectFunction((
+      FunctionIdentifier("graft_top_k"),
+      new ExpressionInfo(classOf[TopKAgg].getName, "graft_top_k"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3,
+          s"graft_top_k requires (score, id, k), got ${children.length} arguments")
+        TopKAgg(children(0), children(1), foldableInt(children(2), "k"))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_freq_items"),
+      new ExpressionInfo(classOf[FreqItemsAgg].getName, "graft_freq_items"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          s"graft_freq_items requires (value, capacity), got ${children.length} arguments")
+        FreqItemsAgg(children(0), foldableInt(children(1), "capacity"))
+      }))
     // Fuse the declarative aggregate(zip_with(·,·,*),0.0,+) idiom into
     // the codegen kernel on every query (see graft.plans.FuseDotProduct).
     ext.injectOptimizerRule(_ => graft.plans.FuseDotProduct)
+  }
+
+  private def foldableInt(e: Expression, name: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case other if other.foldable =>
+      other.eval() match {
+        case i: Int => i
+        case l: Long => l.toInt
+        case v => throw new IllegalArgumentException(
+          s"$name must be an integer literal, got $v")
+      }
+    case _ => throw new IllegalArgumentException(s"$name must be a literal")
   }
 }

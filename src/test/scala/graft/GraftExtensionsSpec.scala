@@ -21,4 +21,28 @@ class GraftExtensionsSpec extends AnyFunSuite {
       .head().getDouble(0)
     assert(v == 32.0)
   }
+
+  test("extension session resolves the scalar and aggregate kernels in SQL") {
+    TestSpark.spark
+    val s: SparkSession = SparkSession.builder()
+      .master("local[4]")
+      .withExtensions(new GraftExtensions)
+      .create()
+    val rh = s.sql("SELECT graft_rolling_hash('abc') AS h").head().getLong(0)
+    assert(rh > 0)
+    // graft_top_k in a GROUP BY: top-2 by (score desc, id asc)
+    val topk = s.sql(
+      """SELECT g, graft_top_k(score, id, 2) AS top FROM VALUES
+        |  ('a', 1.0d, 1L), ('a', 3.0d, 2L), ('a', 2.0d, 3L),
+        |  ('b', 5.0d, 4L) AS t(g, score, id)
+        |GROUP BY g ORDER BY g""".stripMargin).collect()
+    val aTop = topk(0).getSeq[org.apache.spark.sql.Row](1).map(r => r.getLong(0))
+    assert(aTop == Seq(2L, 3L))
+    // graft_freq_items: exact counts while capacity holds
+    val fi = s.sql(
+      """SELECT graft_freq_items(x, 8) AS items FROM VALUES
+        |  ('p'), ('p'), ('q') AS t(x)""".stripMargin)
+      .head().getSeq[org.apache.spark.sql.Row](0)
+    assert(fi.map(r => (r.getString(0), r.getLong(1))) == Seq(("p", 2L), ("q", 1L)))
+  }
 }
