@@ -118,6 +118,38 @@ object AggQueries {
           |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)
     },
 
+    // PERCENTILE_DISC (WITHIN GROUP) — the discrete quantile: returns
+    // an ACTUAL data value, so unlike the interpolated percentile no
+    // arithmetic happens and cross-engine equality is value identity.
+    // SQL-string entry: WITHIN GROUP has no DataFrame API.
+    "q_percentile_disc" -> { (s, d) =>
+      t(s, d, "orders").createOrReplaceTempView("graft_orders_v")
+      s.sql(
+        """SELECT o_orderpriority,
+          |       percentile_disc(0.25) WITHIN GROUP (ORDER BY o_totalprice) AS p25,
+          |       percentile_disc(0.5)  WITHIN GROUP (ORDER BY o_totalprice) AS p50,
+          |       percentile_disc(0.75) WITHIN GROUP (ORDER BY o_totalprice) AS p75
+          |FROM graft_orders_v
+          |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+    },
+
+    // max_by/min_by (⟺ DuckDB arg_max/arg_min): which-row aggregates.
+    // The ordering key is a UNIQUE scalar (price-cents · 10⁷ + order
+    // key — exact in BIGINT) because both engines' arg extremes are
+    // nondeterministic under ties and DuckDB's arg_max cannot take a
+    // composite key.
+    "q_arg_extrema" -> { (s, d) =>
+      val ukey = (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long") *
+        lit(10000000L) + col("o_orderkey")
+      t(s, d, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          max_by(col("o_orderkey"), ukey).as("max_order"),
+          min_by(col("o_orderkey"), ukey).as("min_order"),
+          max(col("o_totalprice").cast("decimal(18,2)")).as("max_price"))
+        .orderBy(col("o_orderpriority"))
+    },
+
     // Correlation + regression slope per group, computed from EXACT
     // decimal moment sums (Σx, Σy, Σxy, Σx², Σy²) with one final
     // double expression — Spark's corr()/regr_slope() accumulate
@@ -212,6 +244,22 @@ object AggQueries {
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS DOUBLE) AS notspec,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) FILTER (o_orderpriority = '5-LOW') AS DOUBLE) AS low
         |FROM orders GROUP BY 1 ORDER BY yr""".stripMargin,
+
+    "q_percentile_disc" ->
+      """SELECT o_orderpriority,
+        |       quantile_disc(o_totalprice, 0.25) AS p25,
+        |       quantile_disc(o_totalprice, 0.5)  AS p50,
+        |       quantile_disc(o_totalprice, 0.75) AS p75
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_arg_extrema" ->
+      """SELECT o_orderpriority,
+        |       arg_max(o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |               * 10000000 + o_orderkey) AS max_order,
+        |       arg_min(o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |               * 10000000 + o_orderkey) AS min_order,
+        |       max(CAST(o_totalprice AS DECIMAL(18,2))) AS max_price
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "q_sql_grouping_sets" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
