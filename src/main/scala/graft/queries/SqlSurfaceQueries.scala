@@ -167,6 +167,40 @@ object SqlSurfaceQueries {
         .orderBy(col("event_id"))
     },
 
+    // Date spine: a contiguous calendar generated from the data's own
+    // min/max order dates — the reference's dim_date build
+    // (fetch_stocks.py:165-184) as a declared query. sequence+explode
+    // over the 1-row bounds aggregate: the generator output is the
+    // calendar length, independent of fact-table size.
+    "q_date_spine" -> { (s, d) =>
+      t(s, d, "orders")
+        .agg(to_date(min(col("o_orderdate"))).as("d0"),
+          to_date(max(col("o_orderdate"))).as("d1"))
+        .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+        .select(col("day"),
+          year(col("day")).cast("long").as("y"),
+          month(col("day")).cast("long").as("m"),
+          dayofmonth(col("day")).cast("long").as("dom"))
+        .orderBy(col("day"))
+    },
+
+    // Arbitrary-origin time bucketing: 90-minute buckets anchored at
+    // 00:15 — integer micros arithmetic on both engines (floor to the
+    // bucket start), the general form of q_window_tumbling's
+    // date_trunc. Bucket id = floor((us − origin) / width).
+    "q_time_bucket" -> { (s, d) =>
+      val us = unix_micros(col("ts").cast("timestamp"))
+      val originUs = 15L * 60 * 1000000L   // 00:15 after the epoch day
+      val widthUs = 90L * 60 * 1000000L
+      val bucketStart = (floor((us - lit(originUs)) / lit(widthUs)).cast("long")
+        * lit(widthUs)) + lit(originUs)
+      ExtendedQueries.eventProfile(s, d)
+        .groupBy(timestamp_micros(bucketStart).cast("timestamp_ntz").as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_v"))
+        .orderBy(col("bucket"))
+    },
+
     // grouping()/grouping_id() markers on a cube: the only reliable
     // way to tell a rollup-generated NULL (subtotal row) from a NULL
     // that was in the data — q_null_semantics' concern composed with
@@ -335,6 +369,27 @@ object SqlSurfaceQueries {
         |              AND c.c_us > p.p_us - 3600000000
         |              AND c.c_us <= p.p_us
         |GROUP BY p_id ORDER BY event_id""".stripMargin,
+
+    "q_date_spine" ->
+      """WITH b AS (
+        |  SELECT CAST(min(o_orderdate) AS DATE) AS d0,
+        |         CAST(max(o_orderdate) AS DATE) AS d1
+        |  FROM orders
+        |)
+        |SELECT CAST(u.day AS DATE) AS day,
+        |       CAST(year(u.day) AS BIGINT) AS y,
+        |       CAST(month(u.day) AS BIGINT) AS m,
+        |       CAST(day(u.day) AS BIGINT) AS dom
+        |FROM b, unnest(generate_series(b.d0, b.d1, INTERVAL 1 DAY)) AS u(day)
+        |ORDER BY day""".stripMargin,
+
+    "q_time_bucket" ->
+      """SELECT epoch_ms(((epoch_us(ts) - 900000000) // 5400000000)
+        |         * 5400000 + 900000) AS bucket,
+        |       count(*) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_v
+        |FROM events
+        |GROUP BY 1 ORDER BY bucket""".stripMargin,
 
     "q_grouping_id" ->
       """SELECT l_returnflag, nullif(l_tax, 0.0) AS tax_key, count(*) AS n,
