@@ -218,6 +218,22 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("date spine: generator output scales with the calendar, not the fact table") {
+    val p = plan(q("q_date_spine"))
+    // the sequence explode must sit ABOVE the 1-row bounds aggregate —
+    // a Generate below the aggregate would replicate fact rows
+    assert(p.contains("Generate explode"), p)
+    val genIdx = p.indexOf("Generate explode")
+    assert(p.indexOf("HashAggregate") > genIdx || p.indexOf("SortAggregate") > genIdx,
+      s"bounds aggregate must be BELOW the generator:\n$p")
+  }
+
+  test("time bucket: one hash exchange, integer bucket key") {
+    val p = plan(q("q_time_bucket"))
+    val hashExchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hashExchanges == 1, s"expected only the bucket groupBy exchange:\n$p")
+  }
+
   test("string agg: dim join broadcasts; one exchange on the group key") {
     val p = plan(q("q_string_agg"))
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"), p)
