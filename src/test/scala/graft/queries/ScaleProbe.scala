@@ -1,0 +1,100 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Empirical scaling probe (dev harness, not part of the driver
+  * contract): synthesizes ×2 / ×4 variants of the sf0.1 tables under
+  * /tmp and times representative declared queries at each size, so
+  * SCALE.md's linearity claims carry measured curves instead of
+  * assertions.
+  *
+  * Copy construction preserves workload STRUCTURE, not just volume:
+  * ids are offset per copy (distinct keys — series/user/doc counts
+  * scale ×N with constant per-key cardinality), document texts get a
+  * per-copy suffix token (per-copy dup structure preserved; no
+  * cross-copy exact dups that would square the LSH candidate space),
+  * and embeddings shift one coordinate per copy (distinct LSH/IVF
+  * buckets per copy — bucket COUNT scales, bucket sizes stay flat).
+  */
+object ScaleProbe {
+  private val Base = "/root/testdata/sf0.1"
+  private val Work = "/tmp/graft_scale"
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.shuffle.sort.bypassMergeThreshold", "0")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1000000).selectExpr("sum(id)").collect()
+
+    for (n <- Seq(2, 4)) build(spark, n)
+
+    val queries = Seq(
+      "q_agg_group",            // partial+final agg over lineitem
+      "q_window_lag_return",    // sort-window over lineitem series
+      "q_rsi",                  // heavier window chain
+      "q_join_inner_equi",      // broadcast-dim join
+      "q_sessionize",           // event windows
+      "q_token_df",             // corpus token counting
+      "q_dedup_minhash_lsh",    // sketch + band join
+      "q_dedup_embed_lsh")      // LSH bucket pair join
+
+    println(f"${"query"}%-22s ${"x1"}%8s ${"x2"}%8s ${"x4"}%8s  x2/x1  x4/x1")
+    for (q <- queries) {
+      val t = Seq(Base, s"$Work/x2", s"$Work/x4").map { d =>
+        graft.queries.ExtendedQueries.releaseCaches(spark, d)
+        val runs = (1 to 3).map { _ =>
+          val t0 = System.nanoTime()
+          graft.SparkEntry.queries(q)(spark, d).count()
+          (System.nanoTime() - t0) / 1e9
+        }
+        runs.min
+      }
+      println(f"$q%-22s ${t(0)}%8.2f ${t(1)}%8.2f ${t(2)}%8.2f  ${t(1)/t(0)}%5.2f  ${t(2)/t(0)}%5.2f")
+    }
+    spark.stop()
+  }
+
+  private def build(spark: SparkSession, n: Int): Unit = {
+    val out = s"$Work/x$n"
+    if (new java.io.File(s"$out/_OK").exists()) return
+    def copies(df: DataFrame, f: (DataFrame, Int) => DataFrame): DataFrame =
+      (0 until n).map(k => f(df, k)).reduce(_ unionByName _)
+    def read(t: String) = spark.read.parquet(s"$Base/$t.parquet")
+
+    // small dims copied as-is (broadcast sides stay broadcast at 100 TB too)
+    for (t <- Seq("region", "nation", "customer", "supplier", "part"))
+      read(t).write.mode("overwrite").parquet(s"$out/$t.parquet")
+
+    val liMaxOrder = 10000000L
+    copies(read("lineitem"), (df, k) => df
+        .withColumn("l_orderkey", col("l_orderkey") + lit(k * liMaxOrder))
+        .withColumn("l_partkey", col("l_partkey") + lit(k * 1000000L)))
+      .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+    copies(read("orders"), (df, k) => df
+        .withColumn("o_orderkey", col("o_orderkey") + lit(k * liMaxOrder))
+        .withColumn("o_custkey", col("o_custkey")))
+      .write.mode("overwrite").parquet(s"$out/orders.parquet")
+    copies(read("events"), (df, k) => df
+        .withColumn("event_id", col("event_id") + lit(k * 100000000L))
+        .withColumn("user_id", col("user_id") + lit(k * 1000000L)))
+      .write.mode("overwrite").parquet(s"$out/events.parquet")
+    copies(read("documents"), (df, k) => df
+        .withColumn("doc_id", col("doc_id") + lit(k * 10000000L))
+        .withColumn("text", concat(col("text"), lit(s" copytok$k"))))
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    copies(read("embeddings"), (df, k) => df
+        .withColumn("vec_id", col("vec_id") + lit(k * 10000000L))
+        .withColumn("embedding",
+          when(lit(k) === 0, col("embedding")).otherwise(
+            concat(array((element_at(col("embedding"), 1) + lit(k.toFloat * 7f))),
+              slice(col("embedding"), 2, 63)))))
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    new java.io.File(s"$out/_OK").createNewFile()
+    ()
+  }
+}
