@@ -167,6 +167,55 @@ object SqlSurfaceQueries {
         .orderBy(col("event_id"))
     },
 
+    // Salted aggregation equivalence (the aggregation dual of
+    // q_salt_skew_join): two-phase (key, salt) partials then merge —
+    // a hot key spreads over n partial groups; the oracle is the
+    // PLAIN aggregate, asserting the salting changes nothing. Sums in
+    // exact DECIMAL; the avg division happens once, in double.
+    "q_salt_skew_agg" -> { (s, d) =>
+      graft.ops.Skew.saltedAgg(
+          t(s, d, "lineitem")
+            .select(col("l_returnflag"), col("l_orderkey"),
+              col("l_extendedprice").cast("decimal(18,2)").as("px")),
+          keys = Seq("l_returnflag"), valueCol = "px",
+          saltFrom = col("l_orderkey"), n = 16)
+        .select(col("l_returnflag"),
+          col("sum_v").cast("double").as("sum_px"), col("cnt"),
+          col("min_v").cast("double").as("min_px"),
+          col("max_v").cast("double").as("max_px"),
+          (col("sum_v").cast("double") / col("cnt")).as("avg_px"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    // SLIDING event windows: 2-hour buckets every hour — each event
+    // lands in exactly two overlapping buckets (the batch twin of a
+    // sliding streaming aggregation). Spark's window(slide) generates
+    // the bucket fanout below the aggregate; the oracle spells the
+    // same two bucket starts per row with unnest.
+    "q_window_sliding" -> { (s, d) =>
+      ExtendedQueries.eventProfile(s, d)
+        .groupBy(window(col("ts"), "2 hours", "1 hour").as("w"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_v"))
+        .select(col("w.start").cast("timestamp_ntz").as("w_start"),
+          col("n"), col("sum_v"))
+        .orderBy(col("w_start"))
+    },
+
+    // Engine-managed SESSION windows in batch: the same session_window
+    // expression the streaming pipeline uses, oracle-verified. NB the
+    // gap semantics are half-open — an event at exactly prev+30min
+    // starts a NEW session (>=), unlike q_sessionize's strict-> gap;
+    // the oracle mirrors session_window's rule.
+    "q_session_window" -> { (s, d) =>
+      ExtendedQueries.eventProfile(s, d)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("w.start").cast("timestamp_ntz").as("t_start"),
+          col("n_events"))
+        .orderBy(col("user_id"), col("t_start"))
+    },
+
     // Date spine: a contiguous calendar generated from the data's own
     // min/max order dates — the reference's dim_date build
     // (fetch_stocks.py:165-184) as a declared query. sequence+explode
@@ -369,6 +418,44 @@ object SqlSurfaceQueries {
         |              AND c.c_us > p.p_us - 3600000000
         |              AND c.c_us <= p.p_us
         |GROUP BY p_id ORDER BY event_id""".stripMargin,
+
+    "q_salt_skew_agg" ->
+      """SELECT l_returnflag,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_px,
+        |       count(l_extendedprice) AS cnt,
+        |       CAST(min(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS min_px,
+        |       CAST(max(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS max_px,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |         / count(l_extendedprice) AS avg_px
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_window_sliding" ->
+      """WITH fan AS (
+        |  SELECT u.w_start, value FROM events,
+        |    unnest([date_trunc('hour', ts),
+        |            date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS u(w_start)
+        |)
+        |SELECT w_start, count(*) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_v
+        |FROM fan GROUP BY w_start ORDER BY w_start""".stripMargin,
+
+    "q_session_window" ->
+      """WITH flags AS (
+        |  SELECT user_id, event_id, ts,
+        |         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
+        |              THEN 1 ELSE 0 END AS is_new
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), sess AS (
+        |  SELECT user_id, ts,
+        |         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                           ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM flags
+        |)
+        |SELECT user_id, min(ts) AS t_start, count(*) AS n_events
+        |FROM sess GROUP BY user_id, sid
+        |ORDER BY user_id, t_start""".stripMargin,
 
     "q_date_spine" ->
       """WITH b AS (
