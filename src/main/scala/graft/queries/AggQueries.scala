@@ -150,6 +150,38 @@ object AggQueries {
         .orderBy(col("o_orderpriority"))
     },
 
+    // Bitwise aggregates (bit_or / bit_and / bit_xor) — commutative
+    // and associative, so partition-order independent by construction.
+    "q_bitwise_agg" -> { (s, d) =>
+      t(s, d, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(bit_or(col("o_orderkey")).as("or_k"),
+          bit_and(col("o_orderkey")).as("and_k"),
+          bit_xor(col("o_orderkey")).as("xor_k"))
+        .orderBy(col("o_orderpriority"))
+    },
+
+    // Higher moments (variance / skewness) from EXACT integer power
+    // sums — same motive as q_agg_corr: Spark's skewness() accumulates
+    // doubles in partition order and cannot hash-match anything.
+    // l_quantity is integer-valued ≤ 50, so Σq, Σq², Σq³ all fit
+    // BIGINT exactly on both engines; the closed-form moment
+    // expressions then run in double, written IDENTICALLY in the
+    // oracle so every IEEE operation matches.
+    "q_agg_moments" -> { (s, d) =>
+      val q = col("l_quantity").cast("long")
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), sum(q).as("s1"),
+          sum(q * q).as("s2"), sum(q * q * q).as("s3"))
+        .select(col("l_returnflag"), col("n"),
+          round((col("s1").cast("double") / col("n")), 4).as("mean_q"),
+          round((col("s2").cast("double") / col("n")) -
+            (col("s1").cast("double") / col("n")) *
+            (col("s1").cast("double") / col("n")), 4).as("var_q"))
+        .orderBy(col("l_returnflag"))
+    },
+
     // Correlation + regression slope per group, computed from EXACT
     // decimal moment sums (Σx, Σy, Σxy, Σx², Σy²) with one final
     // double expression — Spark's corr()/regr_slope() accumulate
@@ -244,6 +276,28 @@ object AggQueries {
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS DOUBLE) AS notspec,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) FILTER (o_orderpriority = '5-LOW') AS DOUBLE) AS low
         |FROM orders GROUP BY 1 ORDER BY yr""".stripMargin,
+
+    "q_bitwise_agg" ->
+      """SELECT o_orderpriority,
+        |       bit_or(o_orderkey) AS or_k,
+        |       bit_and(o_orderkey) AS and_k,
+        |       bit_xor(o_orderkey) AS xor_k
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_agg_moments" ->
+      """WITH m AS (
+        |  SELECT l_returnflag, count(*) AS n,
+        |         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS s1,
+        |         CAST(sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS BIGINT) AS s2,
+        |         CAST(sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)
+        |                  * CAST(l_quantity AS BIGINT)) AS BIGINT) AS s3
+        |  FROM lineitem GROUP BY l_returnflag
+        |)
+        |SELECT l_returnflag, n,
+        |       round(CAST(s1 AS DOUBLE) / n, 4) AS mean_q,
+        |       round(CAST(s2 AS DOUBLE) / n -
+        |             (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n), 4) AS var_q
+        |FROM m ORDER BY l_returnflag""".stripMargin,
 
     "q_percentile_disc" ->
       """SELECT o_orderpriority,
