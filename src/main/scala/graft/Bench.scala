@@ -99,12 +99,14 @@ object Bench {
         val coldTotal = cold.values.filter(_ >= 0).sum
         s""","cold_total":$coldTotal,"cold_queries":${toJson(cold)}"""
       } else ""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"runs_per_query":$runs,"agg":"min","warm_cache":true$coldFields,"queries":${toJson(results)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"n_queries":${results.size},"runs_per_query":$runs,"agg":"min","warm_cache":true$coldFields,"queries":${toJson(results)},"sf":"$sfDir"}""")
     // The full line above grew past the driver's tail-capture window in
     // round 3 and the LEADING total field was the part cut off. Re-emit
     // the headline number as a short final line so any last-N-bytes
-    // capture always contains a parseable total.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed}""")
+    // capture always contains a parseable total. n_queries contextualizes
+    // the total across rounds: the declared set grew 67 → 105, so raw
+    // round-over-round totals are not comparable without it.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"n_queries":${results.size}}""")
     spark.stop()
   }
 }
