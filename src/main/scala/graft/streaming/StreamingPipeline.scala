@@ -43,6 +43,19 @@ object StreamingPipeline {
         sum(col("value").cast(DecimalType(18, 4))).cast("double").as("sum_v"))
       .select(col("w.start").as("h"), col("event_type"), col("n"), col("sum_v"))
 
+  /** Sliding windows over the stream: 2-hour buckets every hour —
+    * each event contributes to two overlapping windows (the streaming
+    * twin of the declared q_window_sliding). Same watermark contract
+    * as [[tumblingHourly]]; the window fanout happens below the
+    * stateful aggregation, so state is |open windows| × |groups|. */
+  def slidingTwoHour(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "2 hours", "1 hour").as("w"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 4))).cast("double").as("sum_v"))
+      .select(col("w.start").as("w_start"), col("n"), col("sum_v"))
+
   /** Native session windows — the engine-managed twin of the
     * mapGroupsWithState sessionizer below ([[sessionize]]): Spark's
     * `session_window` merges per-user windows whose events are within

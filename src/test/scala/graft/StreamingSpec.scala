@@ -38,6 +38,26 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming sliding-window aggregation matches the declared batch query") {
+    val stream = StreamingPipeline.readEventStream(spark, fixtureDir)
+    val q = StreamingPipeline.slidingTwoHour(stream)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("sliding_out").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("sliding_out")
+        .select(col("w_start").cast("timestamp_ntz").as("w_start"),
+          col("n"), col("sum_v"))
+        .collect().map(r => r.get(0).toString -> (r.getLong(1), r.getDouble(2))).toMap
+      // the declared q_window_sliding runs the SAME window(width, slide)
+      // fanout in batch over the same events — identical buckets and
+      // decimal-exact sums, streaming slicing notwithstanding
+      val want = SparkEntry.queries("q_window_sliding")(spark, TestSpark.sfTiny)
+        .collect().map(r => r.get(0).toString -> (r.getLong(1), r.getDouble(2))).toMap
+      assert(got == want)
+    } finally q.stop()
+  }
+
   test("stream-stream interval join matches the batch join on closed state") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
