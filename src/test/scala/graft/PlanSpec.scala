@@ -234,6 +234,22 @@ class PlanSpec extends AnyFunSuite {
     assert(hashExchanges == 1, s"expected only the bucket groupBy exchange:\n$p")
   }
 
+  test("salted agg: both phases map-side combine; no row-level shuffle on the raw key") {
+    val p = plan(q("q_salt_skew_agg"))
+    // phase 1 groups on (key, salt), phase 2 on key — at least two
+    // partial+final HashAggregate pairs, no SortAggregate fallback
+    assert("HashAggregate".r.findAllIn(p).length >= 4, p)
+    assert(!p.contains("SortAggregate"), p)
+  }
+
+  test("session and sliding windows: the aggregation is the only hash exchange") {
+    for (name <- Seq("q_session_window", "q_window_sliding", "q_time_bucket")) {
+      val p = plan(q(name))
+      val hashExchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+      assert(hashExchanges <= 1, s"$name: expected at most the one aggregation exchange:\n$p")
+    }
+  }
+
   test("string agg: dim join broadcasts; one exchange on the group key") {
     val p = plan(q("q_string_agg"))
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"), p)
