@@ -31,7 +31,14 @@ object Scd2 {
     * A key's open row is closed (valid_to = update ts) and a new open
     * row appended whenever any attribute differs null-safely; updates
     * identical to the open row are no-ops (idempotent re-application).
-    * Unknown keys insert a fresh open row. */
+    * Unknown keys insert a fresh open row.
+    *
+    * Out-of-order batches: an update whose ts is AT OR BEFORE its
+    * key's open-row valid_from is STALE — applying it would close the
+    * open row with valid_to <= valid_from (an inverted/empty interval
+    * that `asOf` can never return). Stale updates are dropped as
+    * no-ops; rewriting already-closed history from late data is a
+    * bitemporal backfill, out of scope for this forward-only merge. */
   def merge(current: DataFrame, updates: DataFrame, key: String,
       tsCol: String, attrs: Seq[String]): DataFrame = {
     require(attrs.nonEmpty, "attrs must name at least one tracked column")
@@ -52,13 +59,19 @@ object Scd2 {
     val j = open.as("o").join(latest.as("u"),
       col(s"o.$key") === col(s"u.$key"), "full_outer")
 
-    val keepOpen = j.filter(col(s"u.$key").isNull || (col(s"o.$key").isNotNull && !changed))
+    // late-arriving update for an interval that already started: a
+    // no-op (see scaladoc) — the open row survives, nothing is closed
+    val stale = col(s"o.$key").isNotNull &&
+      col(s"u.$tsCol") <= col("o.valid_from")
+    val applies = changed && !stale
+
+    val keepOpen = j.filter(col(s"u.$key").isNull || (col(s"o.$key").isNotNull && !applies))
       .select(col(s"o.$key").as(key) +: attrs.map(a => col(s"o.$a").as(a)) :+
         col("o.valid_from").as("valid_from") :+ col("o.valid_to").as("valid_to"): _*)
-    val closedNow = j.filter(col(s"o.$key").isNotNull && col(s"u.$key").isNotNull && changed)
+    val closedNow = j.filter(col(s"o.$key").isNotNull && col(s"u.$key").isNotNull && applies)
       .select(col(s"o.$key").as(key) +: attrs.map(a => col(s"o.$a").as(a)) :+
         col("o.valid_from").as("valid_from") :+ col(s"u.$tsCol").as("valid_to"): _*)
-    val openedNow = j.filter(col(s"u.$key").isNotNull && (col(s"o.$key").isNull || changed))
+    val openedNow = j.filter(col(s"u.$key").isNotNull && (col(s"o.$key").isNull || applies))
       .select(col(s"u.$key").as(key) +: attrs.map(a => col(s"u.$a").as(a)) :+
         col(s"u.$tsCol").as("valid_from") :+ lit(null).cast("timestamp").as("valid_to"): _*)
 

@@ -37,11 +37,16 @@ case class FreqItemsAgg(
     capacity: Int = 64,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[java.util.HashMap[UTF8String, java.lang.Long]] {
+  extends TypedImperativeAggregate[java.util.HashMap[UTF8String, java.lang.Long]]
+  with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
 
   require(capacity > 0, s"capacity must be positive, got $capacity")
 
   override def children: Seq[Expression] = Seq(child)
+  // Analysis-time coercion: SQL calls over non-string columns (ints,
+  // dates) cast to STRING instead of ClassCastException-ing in update().
+  // (covariant Seq[DataType] — AbstractDataType itself is private[sql])
+  override def inputTypes: Seq[DataType] = Seq(StringType)
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(
     StructType(Seq(StructField("item", StringType), StructField("est", LongType))),

@@ -32,11 +32,17 @@ case class TopKAgg(
     k: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[java.util.TreeSet[(Double, Long)]] {
+  extends TypedImperativeAggregate[java.util.TreeSet[(Double, Long)]]
+  with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
 
   require(k > 0, s"k must be positive, got $k")
 
   override def children: Seq[Expression] = Seq(score, id)
+  // Analysis-time coercion so the SQL path (graft_top_k over DECIMAL /
+  // INT columns) casts instead of ClassCastException-ing at execution;
+  // the Column API's explicit casts become no-ops under this.
+  // (covariant Seq[DataType] — AbstractDataType itself is private[sql])
+  override def inputTypes: Seq[DataType] = Seq(DoubleType, LongType)
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(
     StructType(Seq(StructField("id", LongType), StructField("score", DoubleType))),

@@ -134,13 +134,16 @@ object AggQueries {
     },
 
     // max_by/min_by (⟺ DuckDB arg_max/arg_min): which-row aggregates.
-    // The ordering key is a UNIQUE scalar (price-cents · 10⁷ + order
+    // The ordering key is a UNIQUE scalar (price-cents · 10¹¹ + order
     // key — exact in BIGINT) because both engines' arg extremes are
     // nondeterministic under ties and DuckDB's arg_max cannot take a
-    // composite key.
+    // composite key. Injectivity bound: requires o_orderkey < 10¹¹
+    // (≈ sf 15 000; TPC-H orderkey ≈ 6·10⁶·sf) and price-cents ·
+    // 10¹¹ < 2⁶³ (price < ~$920 M — TPC-H max is ~$600 K). Beyond
+    // that scale, switch the ukey to DECIMAL(38,0) on both engines.
     "q_arg_extrema" -> { (s, d) =>
       val ukey = (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long") *
-        lit(10000000L) + col("o_orderkey")
+        lit(100000000000L) + col("o_orderkey")
       t(s, d, "orders")
         .groupBy(col("o_orderpriority"))
         .agg(
@@ -355,9 +358,9 @@ object AggQueries {
     "q_arg_extrema" ->
       """SELECT o_orderpriority,
         |       arg_max(o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
-        |               * 10000000 + o_orderkey) AS max_order,
+        |               * 100000000000 + o_orderkey) AS max_order,
         |       arg_min(o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
-        |               * 10000000 + o_orderkey) AS min_order,
+        |               * 100000000000 + o_orderkey) AS min_order,
         |       max(CAST(o_totalprice AS DECIMAL(18,2))) AS max_price
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 

@@ -132,14 +132,17 @@ object JoinQueries {
     // Salted skew join: lineitem ⋈ 3-row returnflag profile on the
     // HOT key l_returnflag (3 values → without salting, 3 reducers
     // own the whole shuffle). graft.ops.Skew.saltedJoin spreads each
-    // hot key over 16 salt partitions (forceShuffle: at test scale
-    // Catalyst would broadcast the tiny replicated side and make the
-    // salt decorative); result rows are identical to the plain join
-    // (the oracle), declaring the technique through the equivalence
-    // property, like q_bloom_prune_join. All arithmetic is exact
-    // (decimal sums, integer compares) — the join enriches each row
-    // with its flag's totals and counts rows priced above their
-    // flag's mean via the cross-multiplied exact comparison.
+    // hot key over salt partitions; result rows are identical to the
+    // plain join (the oracle), declaring the technique through the
+    // equivalence property, like q_bloom_prune_join. The declared
+    // query runs UN-forced: at bench scale Catalyst correctly
+    // broadcasts the tiny replicated dim (the plan you'd want), and
+    // the salted SHUFFLE shape — the 100 TB case where the dim
+    // exceeds the broadcast threshold — is separately plan-gated in
+    // SkewSpec ("forceShuffle: plan shuffles on (key, salt)"). All
+    // arithmetic is exact (decimal sums, integer compares) — the join
+    // enriches each row with its flag's totals and counts rows priced
+    // above their flag's mean via the cross-multiplied comparison.
     "q_salt_skew_join" -> { (s, d) =>
       val li = t(s, d, "lineitem")
         .select(col("l_returnflag"), col("l_orderkey"),
@@ -148,7 +151,7 @@ object JoinQueries {
         .agg(count(lit(1)).as("n_flag"), sum(col("px")).as("s_flag"))
       graft.ops.Skew.saltedJoin(
           li, dim, key = "l_returnflag",
-          saltFrom = col("l_orderkey"), n = 16, forceShuffle = true)
+          saltFrom = col("l_orderkey"), n = 4)
         // px > mean(flag)  ⟺  px * n_flag > sum(flag): exact decimal
         // cross-multiplication — no division anywhere
         .select(col("l_returnflag"),

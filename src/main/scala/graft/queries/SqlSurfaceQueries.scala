@@ -72,7 +72,7 @@ object SqlSurfaceQueries {
         .agg(
           count(lit(1)).as("n_items"),
           count(when(col("l_quantity") > 25, 1)).as("n_heavy"),
-          sum(when(col("l_discount") > 0.05, px)).as("sum_discounted"),
+          sum(when(col("l_discount") > 0.05, px)).cast("decimal(18,2)").as("sum_discounted"),
           count(when(col("l_tax") === 0.0, 1)).as("n_taxfree"))
         .orderBy(col("l_returnflag"))
     },
@@ -128,9 +128,9 @@ object SqlSurfaceQueries {
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n_items"), sum(qty).as("sum_qty"), sum(px).as("sum_px"))
         .select(col("l_returnflag"),
-          col("n_items").cast("decimal(38,2)").as("n_items"),
-          col("sum_qty").cast("decimal(38,2)").as("sum_qty"),
-          col("sum_px").cast("decimal(38,2)").as("sum_px"))
+          col("n_items").cast("decimal(18,2)").as("n_items"),
+          col("sum_qty").cast("decimal(18,2)").as("sum_qty"),
+          col("sum_px").cast("decimal(18,2)").as("sum_px"))
         .unpivot(Array(col("l_returnflag")),
           Array(col("n_items"), col("sum_qty"), col("sum_px")),
           "measure", "value")
@@ -358,8 +358,8 @@ object SqlSurfaceQueries {
       """SELECT l_returnflag,
         |       count(*) AS n_items,
         |       count(*) FILTER (WHERE l_quantity > 25) AS n_heavy,
-        |       sum(CAST(l_extendedprice AS DECIMAL(18,2)))
-        |         FILTER (WHERE l_discount > 0.05) AS sum_discounted,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+        |         FILTER (WHERE l_discount > 0.05) AS DECIMAL(18,2)) AS sum_discounted,
         |       count(*) FILTER (WHERE l_tax = 0.0) AS n_taxfree
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
@@ -397,11 +397,11 @@ object SqlSurfaceQueries {
         |)
         |SELECT l_returnflag, measure, value FROM (
         |  SELECT l_returnflag, 'n_items' AS measure,
-        |         CAST(n_items AS DECIMAL(38,2)) AS value FROM agg
+        |         CAST(n_items AS DECIMAL(18,2)) AS value FROM agg
         |  UNION ALL
-        |  SELECT l_returnflag, 'sum_qty', CAST(sum_qty AS DECIMAL(38,2)) FROM agg
+        |  SELECT l_returnflag, 'sum_qty', CAST(sum_qty AS DECIMAL(18,2)) FROM agg
         |  UNION ALL
-        |  SELECT l_returnflag, 'sum_px', CAST(sum_px AS DECIMAL(38,2)) FROM agg
+        |  SELECT l_returnflag, 'sum_px', CAST(sum_px AS DECIMAL(18,2)) FROM agg
         |)
         |ORDER BY l_returnflag, measure""".stripMargin,
 

@@ -45,4 +45,25 @@ class GraftExtensionsSpec extends AnyFunSuite {
       .head().getSeq[org.apache.spark.sql.Row](0)
     assert(fi.map(r => (r.getString(0), r.getLong(1))) == Seq(("p", 2L), ("q", 1L)))
   }
+
+  test("SQL aggregates coerce non-canonical input types at analysis") {
+    TestSpark.spark
+    val s: SparkSession = SparkSession.builder()
+      .master("local[4]")
+      .withExtensions(new GraftExtensions)
+      .create()
+    // DECIMAL score + INT id — pre-ImplicitCastInputTypes this threw
+    // ClassCastException at execution (raw eval().asInstanceOf)
+    val top = s.sql(
+      """SELECT graft_top_k(CAST(score AS DECIMAL(10,2)), id, 2) AS top
+        |FROM VALUES (1.50, 1), (3.25, 2), (2.00, 3) AS t(score, id)""".stripMargin)
+      .head().getSeq[org.apache.spark.sql.Row](0)
+    assert(top.map(_.getLong(0)) == Seq(2L, 3L))
+    assert(top.map(_.getDouble(1)) == Seq(3.25, 2.0))
+    // INT input to the string sketch casts to its string form
+    val fi2 = s.sql(
+      "SELECT graft_freq_items(x, 8) AS items FROM VALUES (7), (7), (9) AS t(x)")
+      .head().getSeq[org.apache.spark.sql.Row](0)
+    assert(fi2.map(r => (r.getString(0), r.getLong(1))) == Seq(("7", 2L), ("9", 1L)))
+  }
 }

@@ -250,6 +250,26 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("funnel: k window passes share one user-hash exchange, no extra sorts") {
+    // funnelCounts chains each stage's conditional window min by
+    // referencing the previous withColumn output inside the next
+    // window's condition; its "k unsorted passes over one hash
+    // layout" claim depends on Catalyst collapsing the interposed
+    // Projects — a regression here would silently multiply exchanges
+    // on the hottest event-log query, so the shape is gated.
+    val p = plan(q("q_funnel"))
+    val hashExchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hashExchanges == 1, s"expected ONE user_id exchange under the windows:\n$p")
+    assert("\\bWindow\\b".r.findAllIn(p).length >= 3,
+      s"expected the 3 stage window passes:\n$p")
+    // the windows have no ORDER BY — the only Sort allowed is the one
+    // clustering pass on user_id that WindowExec itself requires
+    // (" Sort [" misses neither "+- Sort […]" nor "*(n) Sort […]" and
+    // never matches SortAggregate/SortMergeJoin)
+    assert(p.linesIterator.count(_.contains(" Sort [")) <= 1,
+      s"expected at most the clustering sort:\n$p")
+  }
+
   test("string agg: dim join broadcasts; one exchange on the group key") {
     val p = plan(q("q_string_agg"))
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"), p)

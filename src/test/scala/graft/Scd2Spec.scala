@@ -69,6 +69,24 @@ class Scd2Spec extends AnyFunSuite {
     assert(Scd2.asOf(v, lit(ts("2023-12-01 00:00:00"))).isEmpty)
   }
 
+  test("stale update (ts <= open valid_from) is a no-op, never inverts an interval") {
+    val u1 = Seq((1L, "berlin", ts("2024-02-01 00:00:00"))).toDF("k", "city", "ts")
+    val v1 = Scd2.merge(empty, u1, "k", "ts", Seq("city"))
+    // a late batch arrives with an OLDER ts and a different attribute:
+    // applying it would close berlin with valid_to < valid_from
+    val late = Seq((1L, "madrid", ts("2024-01-15 00:00:00"))).toDF("k", "city", "ts")
+    val v2 = Scd2.merge(v1, late, "k", "ts", Seq("city"))
+    val rows = v2.collect()
+    assert(rows.length == 1 && rows.head.getString(1) == "berlin" &&
+      rows.head.isNullAt(3)) // open row survives unchanged
+    // same-instant update (ts == valid_from) is equally stale
+    val sameTs = Seq((1L, "oslo", ts("2024-02-01 00:00:00"))).toDF("k", "city", "ts")
+    val v3 = Scd2.merge(v1, sameTs, "k", "ts", Seq("city"))
+    assert(v3.count() == 1 && v3.head().getString(1) == "berlin")
+    // no row anywhere in the chain has valid_to <= valid_from
+    assert(v2.filter(col("valid_to") <= col("valid_from")).isEmpty)
+  }
+
   test("history rows pass through untouched and cost no join") {
     val u1 = Seq((1L, "berlin", ts("2024-01-01 00:00:00"))).toDF("k", "city", "ts")
     val v1 = Scd2.merge(empty, u1, "k", "ts", Seq("city"))
