@@ -16,20 +16,59 @@ import org.apache.spark.sql.SparkSession
   */
 object ObjectStore {
 
+  /** The three classes the zero-rename commit path needs at runtime:
+    * the factory Hadoop resolves for `s3a://` output (hadoop-aws) and
+    * the Spark-side protocol/committer bindings (spark-hadoop-cloud). */
+  val CommitterFactoryClass = "org.apache.hadoop.fs.s3a.commit.S3ACommitterFactory"
+  val CommitProtocolClass = "org.apache.spark.internal.io.cloud.PathOutputCommitProtocol"
+  val ParquetCommitterClass = "org.apache.spark.internal.io.cloud.BindingParquetOutputCommitter"
+
+  /** True when the whole zero-rename stack is on the classpath. */
+  def magicCommitterAvailable: Boolean =
+    Seq(CommitterFactoryClass, CommitProtocolClass, ParquetCommitterClass)
+      .forall { cn =>
+        try { Class.forName(cn, false, getClass.getClassLoader); true }
+        catch { case _: ClassNotFoundException => false }
+      }
+
   /** Point `s3a://` at an S3-compatible endpoint (MinIO-style:
     * path-style access, static credentials). Mirrors the reference's
-    * httpfs block 1:1. */
+    * httpfs block 1:1.
+    *
+    * Committer: `fs.s3a.committer.name=magic` alone is INERT — Hadoop
+    * only consults it once the S3A committer factory is bound to the
+    * `s3a` scheme and Spark's commit protocol is the PathOutput
+    * bridge, so without those a real object store silently falls back
+    * to rename commits (O(data) copies + a non-atomic window). This
+    * sets the full stack: magic.enabled + the factory scheme binding
+    * always (they are plain Hadoop conf), and the two Spark-side
+    * classes only when they are actually loadable — pointing Spark at
+    * an absent class would break every parquet write in the session.
+    *
+    * @return true when the zero-rename stack is fully installed;
+    *         false = endpoint config landed but commits will rename
+    *         (hadoop-aws / spark-hadoop-cloud not deployed — callers
+    *         targeting a REAL object store should treat false as a
+    *         deployment error, not a soft degrade) */
   def configureS3(spark: SparkSession, endpoint: String,
       accessKey: String, secretKey: String,
-      pathStyle: Boolean = true, ssl: Boolean = false): Unit = {
+      pathStyle: Boolean = true, ssl: Boolean = false): Boolean = {
     val c = spark.sparkContext.hadoopConfiguration
     c.set("fs.s3a.endpoint", endpoint)
     c.set("fs.s3a.access.key", accessKey)
     c.set("fs.s3a.secret.key", secretKey)
     c.set("fs.s3a.path.style.access", pathStyle.toString)
     c.set("fs.s3a.connection.ssl.enabled", ssl.toString)
-    // deterministic committer behavior for object stores (no rename)
+    // deterministic zero-rename committer for object stores
     c.set("fs.s3a.committer.name", "magic")
+    c.set("fs.s3a.committer.magic.enabled", "true")
+    c.set("mapreduce.outputcommitter.factory.scheme.s3a", CommitterFactoryClass)
+    val ready = magicCommitterAvailable
+    if (ready) {
+      spark.conf.set("spark.sql.sources.commitProtocolClass", CommitProtocolClass)
+      spark.conf.set("spark.sql.parquet.output.committer.class", ParquetCommitterClass)
+    }
+    ready
   }
 
   /** Configure from environment, the reference's convention
