@@ -294,20 +294,58 @@ object Similarity {
       query: DataFrame, queryIdCol: Column, queryVec: Column, k: Int,
       nClusters: Int = 16, nprobe: Int = 4, iters: Int = 2): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val centroids = ivfCentroids(corpus, idCol, vecCol, nClusters, iters)
     ivfProbeJoin(corpus, idCol, vecCol, query, queryIdCol, queryVec,
-        nClusters, nprobe, iters)
+        centroids, nprobe)
       .withColumn("__rk", row_number().over(
         Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("id"))))
       .filter(col("__rk") <= k)
       .drop("__rk")
   }
 
+  /** IVF recall diagnostic (the q_ivf_recall property query): trains
+    * ONE coarse quantizer, probes it exhaustively (nprobe = nClusters
+    * — every inverted list is scanned, so the result is the EXACT
+    * top-k by construction, independently recomputable by any exact
+    * engine) and at `nprobePartial`, and returns one row per query:
+    *
+    *   (qid, full_ids: the exact top-k id list in rank order,
+    *    recall_partial: |partial ∩ full| as an exact integer)
+    *
+    * full_ids is hash-exact cross-engine (rank order = round(cos,4)
+    * DESC, id ASC — a total order, same parity contract q_ann_topk
+    * proves); recall_partial's VALUE depends on the trained model, so
+    * declared queries compare it as a disclosed band (§7.3 rule 8),
+    * like q_approx_distinct.
+    *
+    * Scale shape: one model train (centroids are the only collected
+    * state), corpus assigned once and reused by both probes, each
+    * probe an equi-join on cluster id, top-k per query via the
+    * mergeable TopKAgg heap (the exchange carries |queries|·k entries,
+    * not candidate rows). */
+  def ivfRecall(corpus: DataFrame, idCol: Column, vecCol: Column,
+      query: DataFrame, queryIdCol: Column, queryVec: Column, k: Int,
+      nClusters: Int = 16, nprobePartial: Int = 4, iters: Int = 2): DataFrame = {
+    import graft.functions.TopKAgg
+    val centroids = ivfCentroids(corpus, idCol, vecCol, nClusters, iters)
+    def topIds(nprobe: Int, out: String): DataFrame =
+      ivfProbeJoin(corpus, idCol, vecCol, query, queryIdCol, queryVec,
+          centroids, nprobe)
+        .groupBy(col("qid"))
+        .agg(TopKAgg.topK(col("cos"), col("id"), k).as("__t"))
+        .select(col("qid"), expr("transform(__t, s -> s.id)").as(out))
+    topIds(nClusters, "full_ids")
+      .join(topIds(nprobePartial, "part_ids"), "qid")
+      .select(col("qid"), col("full_ids"),
+        size(array_intersect(col("full_ids"), col("part_ids")))
+          .as("recall_partial"))
+  }
+
   /** Shared IVF probe join: (qid, id, cos) for every corpus vector in
-    * any of its query's probed inverted lists. */
+    * any of its query's probed inverted lists, given a trained model. */
   private def ivfProbeJoin(corpus: DataFrame, idCol: Column, vecCol: Column,
       query: DataFrame, queryIdCol: Column, queryVec: Column,
-      nClusters: Int, nprobe: Int, iters: Int): DataFrame = {
-    val centroids = ivfCentroids(corpus, idCol, vecCol, nClusters, iters)
+      centroids: Seq[(Int, Seq[Double])], nprobe: Int): DataFrame = {
     val base = assignClusters(
       corpus.select(idCol.as("id"), vecCol.cast("array<double>").as("v")),
       centroids)
@@ -353,8 +391,8 @@ object Similarity {
     // orderBy+limit (TakeOrderedAndProject), not the per-qid window:
     // one query IS one group, and a constant partition key would move
     // everything to a single window partition.
-    ivfProbeJoin(corpus, idCol, vecCol,
-        qv, lit(0L), col("qv"), nClusters, nprobe, iters)
+    ivfProbeJoin(corpus, idCol, vecCol, qv, lit(0L), col("qv"),
+        ivfCentroids(corpus, idCol, vecCol, nClusters, iters), nprobe)
       .select(col("id"), col("cos"))
       .orderBy(col("cos").desc, col("id"))
       .limit(k)

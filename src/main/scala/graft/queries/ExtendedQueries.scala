@@ -504,6 +504,44 @@ object ExtendedQueries {
         .limit(10)
     },
 
+    // IVF-probe ANN as a DECLARED property query (§7.3 rule 8): the
+    // exhaustive probe (nprobe = nClusters) scans every inverted
+    // list, so its per-query top-10 id list IS the exact brute-force
+    // answer — rank order round(cos,4) DESC, id ASC, the total order
+    // whose cross-engine parity q_ann_topk already hash-proves — and
+    // the oracle recomputes it with a plain window, never seeing the
+    // model. The partial probe's recall against it DOES depend on the
+    // trained quantizer (deterministic: md5-seeded init, decimal-mean
+    // Lloyd — but engine-specific), so it is compared as a disclosed
+    // BATCH band: total recall@10 across the 10-query batch >= 30 of
+    // 100 at nprobe=4 of 16. Calibration (this data is uniform-random,
+    // the worst case for clustering): random-probe expectation is 25;
+    // measured totals are 51/55/56 at sf0.001/0.01/0.1 with per-query
+    // minima as low as 3 — a batch band is ~√10 lower-variance than a
+    // per-query one, which is why the band is on the sum. The exact
+    // per-query values stay out of the hash.
+    "q_ivf_recall" -> { (s, d) =>
+      import graft.ops.Similarity
+      import org.apache.spark.sql.expressions.Window
+      val e = embedNorms(s, d)
+      Similarity.ivfRecall(
+          e.filter(col("vec_id") >= 10), col("vec_id"), col("v"),
+          e.filter(col("vec_id") < 10), col("vec_id"), col("v"),
+          k = 10, nClusters = 16, nprobePartial = 4)
+        // 10-row frame: the unpartitioned window is a 10-row sum.
+        // Exploded to (qid, rk, id) scalar rows — no declared query
+        // emits ARRAY finals (driver-hash hazard, same family as
+        // §7.3 rule 11's wide decimals).
+        .select(col("qid"), col("full_ids"),
+          (sum(col("recall_partial")).over(Window.partitionBy()) >= 30)
+            .as("recall_band"))
+        .select(col("qid"), posexplode(col("full_ids")).as(Seq("pos", "id")),
+          col("recall_band"))
+        .select(col("qid"), (col("pos") + 1).cast("long").as("rk"),
+          col("id"), col("recall_band"))
+        .orderBy(col("qid"), col("rk"))
+    },
+
     // Int8 scalar quantization of the embedding column — the ANN
     // memory-footprint step (64 doubles → 64 bytes + a scale). Codes
     // are round(v/scale) with per-vector max-abs scale: plain IEEE
@@ -949,6 +987,28 @@ object ExtendedQueries {
         |CROSS JOIN (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0) q
         |WHERE e.vec_id <> 0
         |ORDER BY cos DESC, e.vec_id LIMIT 10""".stripMargin,
+
+    "q_ivf_recall" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |), q AS (
+        |  SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10
+        |), c AS (
+        |  SELECT vec_id AS id, v FROM e WHERE vec_id >= 10
+        |), pairs AS (
+        |  SELECT q.qid, c.id,
+        |    round(
+        |      list_sum(list_transform(range(1, 65), k -> v[k] * qv[k])) /
+        |      (sqrt(list_sum(list_transform(range(1, 65), k -> v[k] * v[k]))) *
+        |       sqrt(list_sum(list_transform(range(1, 65), k -> qv[k] * qv[k])))), 4) AS cos
+        |  FROM c CROSS JOIN q
+        |), ranked AS (
+        |  SELECT qid, id, cos,
+        |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id) AS rk
+        |  FROM pairs
+        |)
+        |SELECT qid, CAST(rk AS BIGINT) AS rk, id, true AS recall_band
+        |FROM ranked WHERE rk <= 10 ORDER BY qid, rk""".stripMargin,
 
     "q_embed_quantize" ->
       """WITH e AS (

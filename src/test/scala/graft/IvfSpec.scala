@@ -113,6 +113,25 @@ class IvfSpec extends AnyFunSuite {
     }
   }
 
+  test("ivfRecall: full_ids is exactly brute force; recall_partial is a true intersection") {
+    val c = corpus.filter(col("vec_id") >= 10)
+    val q = corpus.filter(col("vec_id") < 10)
+    val r = ops.Similarity.ivfRecall(
+        c, col("vec_id"), col("embedding"), q, col("vec_id"), col("embedding"),
+        k = 5, nClusters = 8, nprobePartial = 2, iters = 1)
+      .collect().map(row => (row.getLong(0),
+        row.getSeq[Long](1), row.getInt(2))).sortBy(_._1)
+    assert(r.map(_._1).toSeq == (0L until 10L).toSeq)
+    r.foreach { case (qid, fullIds, recall) =>
+      val brute = ops.Similarity.bruteForceTopK(
+          c, col("vec_id"), col("embedding"),
+          corpus.filter(col("vec_id") === qid), col("embedding"), k = 5)
+        .collect().map(_.getLong(0)).toSeq
+      assert(fullIds == brute, s"query $qid: exhaustive probe != brute force")
+      assert(recall >= 0 && recall <= 5, s"query $qid: recall out of range")
+    }
+  }
+
   test("batch partial probe keeps per-query result count and id domain") {
     val queries = corpus.filter(col("vec_id") < 10)
     val out = ops.Similarity.ivfTopKBatch(
