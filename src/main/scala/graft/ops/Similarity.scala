@@ -295,12 +295,15 @@ object Similarity {
       nClusters: Int = 16, nprobe: Int = 4, iters: Int = 2): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val centroids = ivfCentroids(corpus, idCol, vecCol, nClusters, iters)
-    ivfProbeJoin(corpus, idCol, vecCol, query, queryIdCol, queryVec,
-        centroids, nprobe)
+    ivfProbeJoin(
+        assignClusters(
+          corpus.select(idCol.as("id"), vecCol.cast("array<double>").as("v")),
+          centroids),
+        query, queryIdCol, queryVec, centroids, nprobe)
       .withColumn("__rk", row_number().over(
         Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("id"))))
       .filter(col("__rk") <= k)
-      .drop("__rk")
+      .drop("__rk", "__prank")
   }
 
   /** IVF recall diagnostic (the q_ivf_recall property query): trains
@@ -319,41 +322,66 @@ object Similarity {
     * like q_approx_distinct.
     *
     * Scale shape: one model train (centroids are the only collected
-    * state), corpus assigned once and reused by both probes, each
-    * probe an equi-join on cluster id, top-k per query via the
-    * mergeable TopKAgg heap (the exchange carries |queries|·k entries,
-    * not candidate rows). */
+    * state), then ONE probe join and ONE aggregation: the partial
+    * probe's candidate set is a prefix-subset of the exhaustive one
+    * (same model, same distance order), so both top-k heaps fold over
+    * the single exhaustive join — the partial heap just skips rows
+    * whose probe rank exceeds `nprobePartial` (TopKAgg ignores null
+    * scores). The exchange carries 2·|queries|·k heap entries, the
+    * candidate join is executed once, not twice. */
   def ivfRecall(corpus: DataFrame, idCol: Column, vecCol: Column,
       query: DataFrame, queryIdCol: Column, queryVec: Column, k: Int,
       nClusters: Int = 16, nprobePartial: Int = 4, iters: Int = 2): DataFrame = {
-    import graft.functions.TopKAgg
     val centroids = ivfCentroids(corpus, idCol, vecCol, nClusters, iters)
-    def topIds(nprobe: Int, out: String): DataFrame =
-      ivfProbeJoin(corpus, idCol, vecCol, query, queryIdCol, queryVec,
-          centroids, nprobe)
-        .groupBy(col("qid"))
-        .agg(TopKAgg.topK(col("cos"), col("id"), k).as("__t"))
-        .select(col("qid"), expr("transform(__t, s -> s.id)").as(out))
-    topIds(nClusters, "full_ids")
-      .join(topIds(nprobePartial, "part_ids"), "qid")
-      .select(col("qid"), col("full_ids"),
-        size(array_intersect(col("full_ids"), col("part_ids")))
-          .as("recall_partial"))
+    ivfRecallAssigned(
+      assignClusters(
+        corpus.select(idCol.as("id"), vecCol.cast("array<double>").as("v")),
+        centroids),
+      centroids, query, queryIdCol, queryVec, k, nprobePartial)
   }
 
-  /** Shared IVF probe join: (qid, id, cos) for every corpus vector in
-    * any of its query's probed inverted lists, given a trained model. */
-  private def ivfProbeJoin(corpus: DataFrame, idCol: Column, vecCol: Column,
+  /** [[ivfRecall]] over a pre-trained model: `assigned` is the
+    * (id, v, cid) corpus from [[assignClusters]], `centroids` the
+    * model that produced it. The serve-path entry point — an IVF
+    * index is trained once and probed many times, so callers memoize
+    * (model, assignment) per corpus and pay only probe + aggregate
+    * per call. */
+  def ivfRecallAssigned(assigned: DataFrame,
+      centroids: Seq[(Int, Seq[Double])], query: DataFrame,
+      queryIdCol: Column, queryVec: Column, k: Int,
+      nprobePartial: Int): DataFrame = {
+    import graft.functions.TopKAgg
+    ivfProbeJoin(assigned, query, queryIdCol, queryVec,
+        centroids, nprobe = centroids.size)
+      .groupBy(col("qid"))
+      .agg(
+        TopKAgg.topK(col("cos"), col("id"), k).as("__tf"),
+        TopKAgg.topK(when(col("__prank") <= nprobePartial, col("cos")),
+          col("id"), k).as("__tp"))
+      .select(col("qid"),
+        expr("transform(__tf, s -> s.id)").as("full_ids"),
+        size(array_intersect(expr("transform(__tf, s -> s.id)"),
+          expr("transform(__tp, s -> s.id)"))).as("recall_partial"))
+  }
+
+  /** Shared IVF probe join: (qid, id, cos, __prank) for every corpus
+    * vector in any of its query's probed inverted lists, given a
+    * trained model and its (id, v, cid) corpus assignment. `__prank`
+    * is the 1-based probe rank of the candidate's cluster for that
+    * query (1 = the query's nearest list) — a prefix filter on it
+    * reproduces a smaller-nprobe probe exactly. */
+  private def ivfProbeJoin(assigned: DataFrame,
       query: DataFrame, queryIdCol: Column, queryVec: Column,
       centroids: Seq[(Int, Seq[Double])], nprobe: Int): DataFrame = {
-    val base = assignClusters(
-      corpus.select(idCol.as("id"), vecCol.cast("array<double>").as("v")),
-      centroids)
+    val base = assigned
     val qBase = query
       .select(queryIdCol.as("qid"), queryVec.cast("array<double>").as("qv"))
     val q =
       if (centroids.size <= AssignLiteralMaxK)
-        qBase.withColumn("cid", explode(probeExpr(col("qv"), centroids, nprobe)))
+        qBase
+          .select(col("qid"), col("qv"),
+            posexplode(probeExpr(col("qv"), centroids, nprobe)).as(Seq("__pos", "cid")))
+          .withColumn("__prank", col("__pos") + 1).drop("__pos")
       else {
         // large-k probe: rank the broadcast centroid relation per query
         // row instead of sorting a k-literal array expression. The
@@ -368,11 +396,12 @@ object Similarity {
           .withColumn("__rk", row_number().over(
             Window.partitionBy(col("qid")).orderBy(col("__dist"), col("__cid"))))
           .filter(col("__rk") <= nprobe)
-          .select(col("qid"), col("qv"), col("__cid").as("cid"))
+          .select(col("qid"), col("qv"), col("__cid").as("cid"),
+            col("__rk").as("__prank"))
       }
     base.join(broadcast(q), Seq("cid"))
       .select(col("qid"), col("id"),
-        round(cosine(col("v"), col("qv")), 4).as("cos"))
+        round(cosine(col("v"), col("qv")), 4).as("cos"), col("__prank"))
   }
 
   /** Approximate top-k via IVF: exact cosine inside the query's
@@ -391,8 +420,12 @@ object Similarity {
     // orderBy+limit (TakeOrderedAndProject), not the per-qid window:
     // one query IS one group, and a constant partition key would move
     // everything to a single window partition.
-    ivfProbeJoin(corpus, idCol, vecCol, qv, lit(0L), col("qv"),
-        ivfCentroids(corpus, idCol, vecCol, nClusters, iters), nprobe)
+    val centroids = ivfCentroids(corpus, idCol, vecCol, nClusters, iters)
+    ivfProbeJoin(
+        assignClusters(
+          corpus.select(idCol.as("id"), vecCol.cast("array<double>").as("v")),
+          centroids),
+        qv, lit(0L), col("qv"), centroids, nprobe)
       .select(col("id"), col("cos"))
       .orderBy(col("cos").desc, col("id"))
       .limit(k)

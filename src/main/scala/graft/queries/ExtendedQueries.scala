@@ -300,6 +300,34 @@ object ExtendedQueries {
     if (raced != null) raced else built
   }
 
+  /** Session-scoped memo for the trained IVF coarse quantizer: an IVF
+    * index is trained once and probed many times, so the declared
+    * q_ivf_recall serves from this memo the way the dedup queries
+    * serve from the shingle store. Returns (model, cached (id, v, cid)
+    * corpus assignment). Deterministic (md5-seeded init, decimal-mean
+    * Lloyd), so memoization cannot change results. Dropped by
+    * [[releaseCaches]] — cold-mode benchmarks charge the training to
+    * the query. */
+  private val ivfModelStore = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession, String), Seq[(Int, Seq[Double])]]()
+  private[queries] def ivfModel(s: org.apache.spark.sql.SparkSession, d: String)
+      : (Seq[(Int, Seq[Double])], org.apache.spark.sql.DataFrame) = {
+    val corpus = embedNorms(s, d).filter(col("vec_id") >= 10)
+    val key = (s, d)
+    val hit = ivfModelStore.get(key)
+    val model = if (hit != null) hit else {
+      val trained = graft.ops.Similarity.ivfCentroids(
+        corpus, col("vec_id"), col("v"), k = 16, iters = 2)
+      val raced = ivfModelStore.putIfAbsent(key, trained)
+      if (raced != null) raced else trained
+    }
+    val assigned = memoCache("ivfassign", s, d) {
+      graft.ops.Similarity.assignClusters(
+        corpus.select(col("vec_id").as("id"), col("v")), model)
+    }
+    (model, assigned)
+  }
+
   /** Release the session-pinned shingle/band/candidate caches (the
     * declared dedup queries share them; a long-lived session embedding
     * this library should call this after a dedup batch completes).
@@ -308,13 +336,19 @@ object ExtendedQueries {
   def releaseCaches(s: org.apache.spark.sql.SparkSession, d: String): Unit = {
     Seq("restricted", "bands", "shingles", "embednorm", "toktf", "docprof",
         "eventprof", "candpairs", "shsplit", "shtrain", "sheval", "mhsig",
-        "simsig", "bgcounts", "bgmodel", "jacpairs", "tfidfscore").foreach { key =>
+        "simsig", "bgcounts", "bgmodel", "jacpairs", "tfidfscore",
+        "ivfassign").foreach { key =>
       Option(memoStore.remove((s, d, key))).foreach(_.unpersist())
     }
     val it = scalarStore.keySet.iterator
     while (it.hasNext) {
       val k = it.next()
       if (k._1 == s && k._2 == d) it.remove()
+    }
+    val it2 = ivfModelStore.keySet.iterator
+    while (it2.hasNext) {
+      val k = it2.next()
+      if (k._1 == s && k._2 == d) it2.remove()
     }
   }
 
@@ -524,10 +558,10 @@ object ExtendedQueries {
       import graft.ops.Similarity
       import org.apache.spark.sql.expressions.Window
       val e = embedNorms(s, d)
-      Similarity.ivfRecall(
-          e.filter(col("vec_id") >= 10), col("vec_id"), col("v"),
+      val (model, assigned) = ivfModel(s, d)
+      Similarity.ivfRecallAssigned(assigned, model,
           e.filter(col("vec_id") < 10), col("vec_id"), col("v"),
-          k = 10, nClusters = 16, nprobePartial = 4)
+          k = 10, nprobePartial = 4)
         // 10-row frame: the unpartitioned window is a 10-row sum.
         // Exploded to (qid, rk, id) scalar rows — no declared query
         // emits ARRAY finals (driver-hash hazard, same family as

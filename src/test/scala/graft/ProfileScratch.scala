@@ -21,7 +21,31 @@ object ProfileScratch {
     }
     // mirror Bench warm-up
     spark.range(1000000).selectExpr("sum(id)").collect()
-    names.foreach { n =>
+    if (sys.env.get("SPARK_GRAFT_PHASES").contains("1")) {
+      // per-phase floor breakdown: build / analyze / optimize /
+      // physical-plan / execute, min of 3 fresh plans each
+      println(f"${"query"}%-24s ${"build"}%7s ${"analyze"}%7s ${"optim"}%7s ${"plan"}%7s ${"exec"}%7s ${"total"}%7s")
+      names.foreach { n =>
+        val t = Array.fill(6)(Double.MaxValue)
+        (1 to 3).foreach { _ =>
+          val t0 = System.nanoTime()
+          val df = SparkEntry.queries(n)(spark, sfDir)
+          val t1 = System.nanoTime()
+          val qe = df.queryExecution
+          qe.assertAnalyzed()
+          val t2 = System.nanoTime()
+          qe.optimizedPlan
+          val t3 = System.nanoTime()
+          qe.executedPlan
+          val t4 = System.nanoTime()
+          df.count()
+          val t5 = System.nanoTime()
+          val d = Seq(t1 - t0, t2 - t1, t3 - t2, t4 - t3, t5 - t4, t5 - t0).map(_ / 1e9)
+          (0 until 6).foreach(i => t(i) = math.min(t(i), d(i)))
+        }
+        println(f"$n%-24s ${t(0)}%7.3f ${t(1)}%7.3f ${t(2)}%7.3f ${t(3)}%7.3f ${t(4)}%7.3f ${t(5)}%7.3f")
+      }
+    } else names.foreach { n =>
       val df = SparkEntry.queries(n)(spark, sfDir)
       println(s"=== $n plan ===")
       df.explain("formatted")
