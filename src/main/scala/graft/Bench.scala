@@ -12,9 +12,12 @@ object Bench {
     // present at logger init is the only thing that beats Spark's own
     // default-config install, which happens during session
     // construction — before setLogLevel could run.
+    // A/B knob for floor attribution (default = cpus, the committed
+    // methodology): how much of the per-query floor is reducer count?
+    val shufflePartitions = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")

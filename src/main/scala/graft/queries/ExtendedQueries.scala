@@ -337,7 +337,7 @@ object ExtendedQueries {
     Seq("restricted", "bands", "shingles", "embednorm", "toktf", "docprof",
         "eventprof", "candpairs", "shsplit", "shtrain", "sheval", "mhsig",
         "simsig", "bgcounts", "bgmodel", "jacpairs", "tfidfscore",
-        "ivfassign").foreach { key =>
+        "ivfassign", "dupcc").foreach { key =>
       Option(memoStore.remove((s, d, key))).foreach(_.unpersist())
     }
     val it = scalarStore.keySet.iterator
@@ -434,12 +434,21 @@ object ExtendedQueries {
     // the LSH-verified pair list — |pairs| rows, never |corpus|² — and
     // each iteration is one keyed join + min-aggregate; rounds ≤ graph
     // diameter (near-dup components are shallow by construction).
+    // The converged component labeling is memoized: the min-label
+    // iteration runs DRIVER-side rounds (a localCheckpoint action per
+    // round) at plan-BUILD time, so without the memo every invocation
+    // re-pays the whole iteration even though its input (the cached
+    // jaccard pair list) is itself memoized. The labeling is the
+    // deterministic fixpoint of that input — same artifact lifecycle
+    // as the shingle store; releaseCaches drops it (cold mode
+    // re-iterates).
     "q_dup_groups" -> { (s, d) =>
-      val pairs = jaccardPairs(s, d).filter(col("jac") >= 0.5)
-        .select(col("id1"), col("id2"))
-      graft.ops.Dedup.connectedComponents(pairs)
-        .select(col("id").as("doc_id"), col("comp").as("group_id"))
-        .orderBy(col("doc_id"))
+      memoCache("dupcc", s, d) {
+        val pairs = jaccardPairs(s, d).filter(col("jac") >= 0.5)
+          .select(col("id1"), col("id2"))
+        graft.ops.Dedup.connectedComponents(pairs)
+          .select(col("id").as("doc_id"), col("comp").as("group_id"))
+      }.orderBy(col("doc_id"))
     },
 
     // Embedding-cosine near-dup: top-20 most-similar vector pairs,

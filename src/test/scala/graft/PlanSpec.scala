@@ -250,6 +250,22 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("rsi: two fused window passes over one hash exchange, pruned scan") {
+    // The 2-pass shape is the measured optimum (r4: the cumsum rewrite
+    // was NOT faster; a withColumn chain splits to 4 passes, 2×
+    // slower). Remaining cost is WindowExec's floor on the ordered
+    // series — gate the shape so a regression can't silently multiply
+    // passes or un-prune the scan.
+    val p = plan(q("q_rsi"))
+    assert("\\bWindow\\b".r.findAllIn(p).length == 2,
+      s"expected exactly the 2 fused window passes:\n$p")
+    val hashExchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hashExchanges == 1, s"expected one partkey exchange:\n$p")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_partkey") && !readSchema.contains("l_comment") &&
+      !readSchema.contains("l_quantity"), readSchema)
+  }
+
   test("funnel: k window passes share one user-hash exchange, no extra sorts") {
     // funnelCounts chains each stage's conditional window min by
     // referencing the previous withColumn output inside the next
