@@ -216,8 +216,13 @@ object ExtendedQueries {
       import graft.functions.GraftFunctions.dot
       t(s, d, "embeddings")
         .repartition(s.sparkContext.defaultParallelism)
-        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        // label rides along (4 bytes/row): q_embed_label_topk would
+        // otherwise re-scan the parquet and broadcast-join the labels
+        // onto this cache on every invocation
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"),
+          col("label"))
         .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+        .select(col("vec_id"), col("v"), col("nrm"), col("label"))
     }
 
   /** The raw documents table, repartitioned and cached — the shared
@@ -462,7 +467,7 @@ object ExtendedQueries {
       // Both sides of the pair join read the shared embedNorms cache:
       // norms once per vector (O(n), below the join), and the cache's
       // 32 partitions keep the O(n²) pair loop parallel.
-      val e = embedNorms(s, d)
+      val e = embedNorms(s, d).select("vec_id", "v", "nrm")
       val a = e.toDF("id1", "v1", "n1")
       val b = e.toDF("id2", "v2", "n2")
       a.join(b, col("id1") < col("id2"))
@@ -481,8 +486,9 @@ object ExtendedQueries {
     // is one window on the exact rounded cosine with id tiebreaks.
     "q_embed_label_topk" -> { (s, d) =>
       graft.functions.GraftFunctions.register(s)
-      val lbl = t(s, d, "embeddings").select(col("vec_id"), col("label"))
-      val e = embedNorms(s, d).join(lbl, "vec_id")
+      // label is carried in the embedNorms cache — no per-invocation
+      // re-scan/join to attach it
+      val e = embedNorms(s, d)
       val a = e.toDF("id1", "v1", "n1", "lbl")
       val b = e.toDF("id2", "v2", "n2", "lbl2")
       // shuffle_hash (not broadcast): the pre-join exchanges carry the

@@ -50,7 +50,7 @@ object NorthStarQueries {
       import graft.functions.GraftFunctions.dot
       // Shared cached base (vec_id, double vector, norm) with the two
       // ExtendedQueries embed queries — norms computed once per vector.
-      val e = ExtendedQueries.embedNorms(s, d)
+      val e = ExtendedQueries.embedNorms(s, d).select("vec_id", "v", "nrm")
       val a = e.toDF("id1", "v1", "n1")
       val b = e.toDF("id2", "v2", "n2")
       a.join(b, col("id2") === col("id1") + 1)
