@@ -364,6 +364,37 @@ object Similarity {
           expr("transform(__tp, s -> s.id)"))).as("recall_partial"))
   }
 
+  /** Scored IVF probe candidates as a pure row-local plan: each query
+    * row expands to its `nprobe` nearest inverted lists (literal
+    * centroid expression — executor-side, no driver round-trip, no
+    * state), equi-joins the static (id, v, cid) assignment on cluster
+    * id, and scores each candidate. Returns (qid, id, cos,
+    * probe_rank).
+    *
+    * Because every step is stateless, `queries` may be a STREAMING
+    * frame: the result is a stream–static join (the online ANN serving
+    * path — see graft.streaming.StreamingPipeline.ivfProbeStream).
+    * Top-k selection is left to the consumer: per-query rank needs
+    * aggregation, which on a stream belongs in the sink's micro-batch
+    * (all of one query's candidates land in its own micro-batch).
+    * Literal-path only: the large-k broadcast-relation probe ranks
+    * with a window, which streams don't support. */
+  def ivfProbeCandidates(queries: DataFrame, queryIdCol: Column,
+      queryVec: Column, centroids: Seq[(Int, Seq[Double])],
+      assigned: DataFrame, nprobe: Int): DataFrame = {
+    require(centroids.size <= AssignLiteralMaxK,
+      s"ivfProbeCandidates inlines the model as literals: ${centroids.size}" +
+        s" clusters > $AssignLiteralMaxK — use ivfTopKBatch (batch-only) for large k")
+    queries
+      .select(queryIdCol.as("qid"), queryVec.cast("array<double>").as("qv"))
+      .select(col("qid"), col("qv"),
+        posexplode(probeExpr(col("qv"), centroids, nprobe)).as(Seq("__pos", "cid")))
+      .join(assigned.select(col("cid"), col("id"), col("v")), Seq("cid"))
+      .select(col("qid"), col("id"),
+        round(cosine(col("v"), col("qv")), 4).as("cos"),
+        (col("__pos") + 1).as("probe_rank"))
+  }
+
   /** Shared IVF probe join: (qid, id, cos, __prank) for every corpus
     * vector in any of its query's probed inverted lists, given a
     * trained model and its (id, v, cid) corpus assignment. `__prank`

@@ -115,6 +115,25 @@ object StreamingPipeline {
       .select(col("id").as("new_id"), col("candidate_id"))
   }
 
+  /** Streaming IVF probe — the online ANN serving twin of
+    * `graft.ops.Similarity.ivfTopKBatch`: a stream of query vectors
+    * scored against a STATIC trained index (the centroid model inlined
+    * as literals, the assigned inverted lists as the static join
+    * side), emitting (qid, id, cos, probe_rank) candidates.
+    *
+    * Stream–static equi-join on cluster id: no watermark, no state —
+    * same contract as [[nearDupCandidatesStream]]'s band index; the
+    * index refreshes by query restart or the upsert-sink snapshot
+    * pattern. Per-query top-k belongs in the consumer's micro-batch
+    * (rank needs aggregation; all of one query's candidates land in
+    * its own micro-batch) — StreamingSpec asserts batch parity with
+    * ivfTopKBatch through exactly that sink-side rank. */
+  def ivfProbeStream(queries: DataFrame, queryIdCol: Column,
+      queryVec: Column, centroids: Seq[(Int, Seq[Double])],
+      assigned: DataFrame, nprobe: Int = 4): DataFrame =
+    graft.ops.Similarity.ivfProbeCandidates(
+      queries, queryIdCol, queryVec, centroids, assigned, nprobe)
+
   case class TrainDoc(doc_id: Long, text: String)
 
   /** Streaming decontamination — the streaming twin of

@@ -270,6 +270,56 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("ivfProbeStream: streamed queries score identically to the batch probe") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val emb = spark.read.parquet(s"${TestSpark.sfTiny}/embeddings.parquet")
+    val corpus = emb.filter(col("vec_id") >= 10)
+    val queries = emb.filter(col("vec_id") < 10)
+    // train ONE static index, shared by the stream and the batch twin
+    val centroids = graft.ops.Similarity.ivfCentroids(
+      corpus, col("vec_id"), col("embedding"), k = 8, iters = 1)
+    val assigned = graft.ops.Similarity.assignClusters(
+      corpus.select(col("vec_id").as("id"),
+        col("embedding").cast("array<double>").as("v")), centroids)
+    // batch reference: exhaustive probe top-5 per query
+    val batchTop = graft.ops.Similarity.ivfTopKBatch(
+        corpus, col("vec_id"), col("embedding"),
+        queries, col("vec_id"), col("embedding"), k = 5,
+        nClusters = 8, nprobe = 8, iters = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).map { case (q, rs) =>
+        q -> rs.map(t => (t._2, t._3)).sortBy { case (id, cos) => (-cos, id) }.toSeq
+      }
+    // stream the same queries through the static index
+    val mem = MemoryStream[(Long, Seq[Double])]
+    val q = StreamingPipeline.ivfProbeStream(
+        mem.toDF.toDF("vec_id", "qv"), col("vec_id"), col("qv"),
+        centroids, assigned, nprobe = 8)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ivf_probe_out").start()
+    try {
+      val qRows = queries.select(col("vec_id"),
+          col("embedding").cast("array<double>"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+      mem.addData(qRows.toIndexedSeq: _*)
+      q.processAllAvailable()
+      // sink-side per-query top-5 over the candidate stream
+      val streamTop = spark.table("ivf_probe_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .groupBy(_._1).map { case (qid, rs) =>
+          qid -> rs.map(t => (t._2, t._3))
+            .sortBy { case (id, cos) => (-cos, id) }.take(5).toSeq
+        }
+      assert(streamTop.keySet == batchTop.keySet)
+      streamTop.keySet.foreach { qid =>
+        assert(streamTop(qid) == batchTop(qid),
+          s"query $qid: stream != batch\n${streamTop(qid)}\n${batchTop(qid)}")
+      }
+    } finally q.stop()
+  }
+
   test("upsertSink publishes one consistent snapshot; no stale re-emissions") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
