@@ -242,8 +242,10 @@ object Dedup {
   /** Unpersist the cached RDD blocks behind a localCheckpoint'd frame
     * (Dataset.unpersist only covers CacheManager entries; checkpoint
     * blocks are pinned on the RDD itself). Non-blocking — readers of
-    * already-launched stages are unaffected. */
-  private def freeCheckpointBlocks(df: DataFrame): Unit =
+    * already-launched stages are unaffected. private[graft]: the
+    * query-cache release path must also free the checkpoint blocks
+    * under the memoized connected-components frame. */
+  private[graft] def freeCheckpointBlocks(df: DataFrame): Unit =
     df.queryExecution.analyzed.collectLeaves().foreach {
       case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
       case _ => ()

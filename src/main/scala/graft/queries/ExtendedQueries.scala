@@ -343,7 +343,13 @@ object ExtendedQueries {
         "eventprof", "candpairs", "shsplit", "shtrain", "sheval", "mhsig",
         "simsig", "bgcounts", "bgmodel", "jacpairs", "tfidfscore",
         "ivfassign", "dupcc").foreach { key =>
-      Option(memoStore.remove((s, d, key))).foreach(_.unpersist())
+      Option(memoStore.remove((s, d, key))).foreach { df =>
+        df.unpersist()
+        // the dupcc frame reads from a localCheckpoint — its blocks
+        // are pinned on the RDD, not in the CacheManager (no-op for
+        // frames without LogicalRDD leaves)
+        graft.ops.Dedup.freeCheckpointBlocks(df)
+      }
     }
     val it = scalarStore.keySet.iterator
     while (it.hasNext) {

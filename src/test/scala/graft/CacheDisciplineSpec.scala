@@ -27,7 +27,8 @@ class CacheDisciplineSpec extends AnyFunSuite {
     // missing from releaseCaches fails the leak assertion below
     Seq("q_dedup_minhash_lsh", "q_dedup_ngram_jaccard", "q_minhash_est",
       "q_dedup_simhash_ham", "q_decontaminate", "q_bigram_lm",
-      "q_top_bigram", "q_tfidf_top", "q_similarity_cosine", "q_map_ops")
+      "q_top_bigram", "q_tfidf_top", "q_similarity_cosine", "q_map_ops",
+      "q_dup_groups", "q_ivf_recall")
       .foreach(n => SparkEntry.queries(n)(spark, sfTiny).count())
     val during = pinned
     assert((during -- before).nonEmpty,
