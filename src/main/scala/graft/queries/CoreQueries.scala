@@ -89,25 +89,30 @@ object CoreQueries {
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
     },
 
-    // U2: INTERSECT (distinct set semantics on both engines). Sides are
-    // pre-aggregated to distinct dates so the semi-join Spark rewrites
-    // INTERSECT into exchanges |distinct dates|, not |rows| (same
-    // rationale as q_union_distinct; INTERSECT is idempotent under
-    // per-side DISTINCT).
+    // U2: INTERSECT (distinct set semantics on both engines). Sides
+    // are pre-aggregated to distinct dates so the join exchanges
+    // |distinct dates|, not |rows| (INTERSECT is idempotent under
+    // per-side DISTINCT) — and the set op is expressed as the
+    // null-safe SEMI join directly: Dataset.intersect would bolt a
+    // redundant distinct ON TOP of the join, re-shuffling the
+    // surviving side a second time (measurable here, a full extra
+    // |a|-row exchange at 100 TB). <=> reproduces INTERSECT's
+    // NULL-equality exactly (vacuous for these non-null dates,
+    // load-bearing on nullable keys).
     "q_intersect" -> { (s, d) =>
       val a = t(s, d, "lineitem").select(to_date(col("l_shipdate")).as("d")).distinct()
       val b = t(s, d, "orders").select(to_date(col("o_orderdate")).as("d")).distinct()
-      a.intersect(b).orderBy(col("d"))
+      a.join(b, a("d") <=> b("d"), "left_semi").orderBy(col("d"))
     },
 
     // U2: EXCEPT — ship dates never seen as order dates (non-empty:
     // l_shipdate extends past max o_orderdate in the testdata).
-    // Pre-aggregated per side (EXCEPT is idempotent under per-side
-    // DISTINCT), shrinking the anti-join exchange ~200×.
+    // Pre-aggregated per side, then the null-safe ANTI join —
+    // same redundant-final-distinct avoidance as q_intersect.
     "q_except" -> { (s, d) =>
       val a = t(s, d, "lineitem").select(to_date(col("l_shipdate")).as("d")).distinct()
       val b = t(s, d, "orders").select(to_date(col("o_orderdate")).as("d")).distinct()
-      a.except(b).orderBy(col("d"))
+      a.join(b, a("d") <=> b("d"), "left_anti").orderBy(col("d"))
     },
   )
 

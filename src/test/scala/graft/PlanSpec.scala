@@ -250,6 +250,21 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("set ops: per-side distincts only — no redundant dedup above the join") {
+    // Dataset.intersect/except bolt a distinct ON TOP of their join;
+    // over pre-distincted sides that re-shuffles the surviving rows a
+    // second time (a full extra |a|-row exchange at scale). The
+    // declared queries express the set op as the null-safe semi/anti
+    // join directly — exactly 2 partial+final aggregate pairs (the
+    // two per-side distincts) and the join, nothing above it.
+    for ((name, joinType) <- Seq("q_intersect" -> "LeftSemi", "q_except" -> "LeftAnti")) {
+      val p = plan(q(name))
+      assert(p.contains(joinType), s"$name: expected a $joinType join:\n$p")
+      assert("HashAggregate".r.findAllIn(p).length == 4,
+        s"$name: expected only the 2 per-side distinct pairs:\n$p")
+    }
+  }
+
   test("rsi: two fused window passes over one hash exchange, pruned scan") {
     // The 2-pass shape is the measured optimum (r4: the cumsum rewrite
     // was NOT faster; a withColumn chain splits to 4 passes, 2×
