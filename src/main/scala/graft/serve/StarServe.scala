@@ -108,6 +108,24 @@ class StarServe(spark: SparkSession, starDir: String,
     factSlice(indexCode, start, end)
       .select(col("DateKey"), col("Close"), col("GDPGrowthRate"))
 
+  /** The rendered dual-axis chart (app.py:114-130): the chartSeries
+    * slice — already filtered and ordered in the Catalyst plan —
+    * collected and drawn as deterministic SVG. The collect is the
+    * serving-tier materialization the reference's `st.pyplot` does on
+    * the same KB-sized slice; an empty slice renders the reference's
+    * warning banner (app.py:131). */
+  def chartSvg(indexCode: String, start: String, end: String): String = {
+    val name = dimStockIndex.filter(col("IndexCode") === indexCode)
+      .select(col("IndexName")).collect().headOption
+      .map(_.getString(0)).getOrElse(indexCode)
+    val rows = chartSeries(indexCode, start, end).collect().toSeq.map { r =>
+      (r.getDate(0).toLocalDate.toEpochDay,
+        if (r.isNullAt(1)) None else Some(r.getDouble(1)),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))
+    }
+    ChartRender.dualAxis(s"Close Price and GDP Growth - $name", rows)
+  }
+
   /** Latest-k rows for a table widget: top-k plan
     * (TakeOrderedAndProject), never a full sort. */
   def latest(indexCode: String, k: Int): DataFrame =

@@ -104,4 +104,20 @@ class ServeSpec extends AnyFunSuite {
     assert(!serve.refresh(), "no pointer change — refresh must be a no-op")
     serve.release()
   }
+
+  test("chartSvg renders the slice end-to-end with the dim-resolved title") {
+    val serve = new StarServe(spark, starDir)
+    val svg = serve.chartSvg("^GSPC", "2024-01-10", "2024-01-19")
+    // title resolves IndexCode → IndexName through the dimension
+    assert(svg.contains("Close Price and GDP Growth - S&amp;P 500"))
+    // both axes drew: Close varies (polyline), GDP is constant 2.5 in
+    // the fixture (still a polyline, horizontal)
+    assert("<polyline".r.findAllIn(svg).length == 2)
+    // deterministic: same slice, same bytes
+    assert(svg == serve.chartSvg("^GSPC", "2024-01-10", "2024-01-19"))
+    // empty slice → the reference's warning banner
+    assert(serve.chartSvg("^GSPC", "2031-01-01", "2031-01-02")
+      .contains("No data found"))
+    serve.release()
+  }
 }
