@@ -40,19 +40,30 @@ object PipelineDemo {
         }).mkString("|")
       }.toDF("raw").select(split(col("raw"), "\\|").as("p"))
       .select(wideCols.zipWithIndex.map { case (c, i) => col("p").getItem(i).as(c) }: _*)
-    val landed = graft.sources.ExternalAdapters.fetchStocksIncrement(
-      spark, landing, (_, _, _) => wide,
-      today = java.time.LocalDate.parse("2024-02-15"), tickers = tickers)
-    println(s"[demo] landed stocks increment = $landed")
-    graft.sources.ExternalAdapters.fetchWorldBank(spark, landing,
-      () => Seq(("2024-01-01", 2.5, 3.1))
-        .toDF("Date", "GDP Growth", "Inflation, Consumer Prices"),
-      java.time.LocalDate.parse("2024-02-15"))
-    println(s"[demo] watermark = ${StarSchemaBuilder.lastSavedDate(spark, landing, "stocks")}")
-
-    // --- star-schema ETL over the landed zone ---
+    // the reference DAG (fetch stocks >> fetch world bank >> build
+    // star), driven by the orchestration shim: one logical daily run
     val starOut = Files.createTempDirectory("demo_star").toString
-    val star = StarSchemaBuilder.build(spark, landing, starOut)
+    var star: Map[String, org.apache.spark.sql.DataFrame] = Map.empty
+    val dag = graft.etl.Scheduler.referenceDag(
+      fetchStocks = rd => {
+        val landed = graft.sources.ExternalAdapters.fetchStocksIncrement(
+          spark, landing, (_, _, _) => wide,
+          today = rd.toLocalDate, tickers = tickers)
+        println(s"[demo] landed stocks increment = $landed")
+      },
+      fetchWorldBank = rd => graft.sources.ExternalAdapters.fetchWorldBank(
+        spark, landing,
+        () => Seq(("2024-01-01", 2.5, 3.1))
+          .toDF("Date", "GDP Growth", "Inflation, Consumer Prices"),
+        rd.toLocalDate),
+      buildStar = _ => star = StarSchemaBuilder.build(spark, landing, starOut))
+    val runs = dag.catchUpTo(
+      now = java.time.LocalDateTime.parse("2024-02-15T06:00"),
+      lastRun = Some(java.time.LocalDateTime.parse("2024-02-14T00:00")))
+    runs.foreach { case (rd, states) =>
+      println(s"[demo] dag run $rd: " + dag.topo.map(t =>
+        s"${t.id}=${states(t.id)}").mkString(", ")) }
+    println(s"[demo] watermark = ${StarSchemaBuilder.lastSavedDate(spark, landing, "stocks")}")
     star.foreach { case (n, _) =>
       println(s"[demo] $n rows = ${spark.read.parquet(s"$starOut/$n.parquet").count()}") }
 
@@ -60,6 +71,9 @@ object PipelineDemo {
     val serve = new graft.serve.StarServe(spark, starOut)
     println("[demo] serve chartSeries ^DJI 2024-01-10..2024-01-14:")
     serve.chartSeries("^DJI", "2024-01-10", "2024-01-14").show()
+    val svg = serve.chartSvg("^DJI", "2024-01-10", "2024-01-14")
+    println(s"[demo] chartSvg bytes = ${svg.length}, " +
+      s"series = ${"<polyline".r.findAllIn(svg).length}")
     serve.release()
 
     // --- near-dup detection on the documents corpus ---
