@@ -1,9 +1,13 @@
 package graft.etl
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import java.net.URI
 
-/** Physical-layout helpers: the two techniques that delete shuffles
-  * and scans at 100 TB rather than merely speeding them up.
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Physical-layout helpers: the techniques that delete shuffles and
+  * scans at 100 TB rather than merely speeding them up.
   *
   *  - **Bucketing**: write both sides of a recurring equi-join
   *    pre-hash-partitioned on the join key (`bucketBy`). Joins on the
@@ -16,9 +20,21 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    §2.1 S7) becomes partition pruning — a date filter scans only
   *    matching directories (`PartitionFilters` in the plan), the
   *    engine-native form of the incremental-load predicate.
+  *  - **Compaction**: an incremental pipeline (the reference lands one
+  *    object per day; the streaming upsert writes one snapshot per
+  *    batch) accretes small files, and at scale the scan cost becomes
+  *    listing + task-launch overhead, not bytes. `compact` rewrites a
+  *    directory to size-targeted files, swap-published.
+  *  - **Z-order clustering**: sort by an interleaved-bit key over two
+  *    range-filtered columns before writing, so parquet row-group
+  *    min/max stats stay tight on BOTH columns — a selective filter
+  *    on either prunes row groups the linear sort order would
+  *    scatter across the whole file.
   *
-  * LayoutSpec asserts both plan effects (no Exchange under the
-  * bucketed join; PartitionFilters on the pruned scan).
+  * LayoutSpec asserts the plan/IO effects of each (no Exchange under
+  * the bucketed join; PartitionFilters on the pruned scan; file-count
+  * and byte-identity after compaction; fewer scan-surfaced rows from
+  * the z-ordered layout under a 2-D selective filter).
   */
 object Layout {
 
@@ -47,4 +63,104 @@ object Layout {
       .partitionBy(partitionCol)
       .mode("overwrite")
       .parquet(path)
+
+  /** Rewrite the parquet directory at `path` into
+    * ceil(bytes/targetFileBytes) files and swap the result in.
+    * Returns (filesBefore, filesAfter); a no-op (and no rewrite job)
+    * when the directory already meets the target.
+    *
+    * The swap is write-to-temp → delete → rename: on HDFS-like stores
+    * the rename is atomic, on object stores the compacted data is
+    * fully durable before the old files go — a reader can race the
+    * delete/rename gap, which is the documented limit of
+    * table-format-free compaction (a real lakehouse does this swap
+    * under a metadata commit; the REWRITE itself is identical).
+    *
+    * Scale shape: one job, one round-robin exchange of exactly the
+    * bytes being compacted; driver work is a file listing. Run it
+    * per-partition (see `compactPartitioned`) so the unit of rewrite
+    * stays bounded no matter how large the table grows. */
+  def compact(spark: SparkSession, path: String,
+      targetFileBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
+    val fs = FileSystem.get(new URI(path), spark.sparkContext.hadoopConfiguration)
+    val dir = new Path(path)
+    val parts = fs.listStatus(dir).filter(s => s.isFile &&
+      s.getPath.getName.startsWith("part-"))
+    val total = parts.map(_.getLen).sum
+    val want = math.max(1L, (total + targetFileBytes - 1) / targetFileBytes).toInt
+    if (want >= parts.length) return (parts.length, parts.length)
+
+    val tmp = new Path(path + "__compacting")
+    fs.delete(tmp, true)
+    // repartition (round-robin), not coalesce: coalesce would also
+    // narrow the PARALLELISM of the read+decode work to `want` tasks
+    spark.read.parquet(path).repartition(want)
+      .write.mode("overwrite").parquet(tmp.toString)
+    val after = fs.listStatus(tmp).count(s => s.isFile &&
+      s.getPath.getName.startsWith("part-"))
+    fs.delete(dir, true)
+    require(fs.rename(tmp, dir), s"compaction swap failed for $path")
+    (parts.length, after)
+  }
+
+  /** Compact every leaf partition directory of a `partitionBy` layout
+    * independently — bounded rewrite units, and untouched partitions
+    * keep their files (incremental compaction: in practice only the
+    * partitions the last loads touched fall under the target). */
+  def compactPartitioned(spark: SparkSession, root: String,
+      targetFileBytes: Long = 128L * 1024 * 1024): Map[String, (Int, Int)] = {
+    val fs = FileSystem.get(new URI(root), spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(new Path(root))
+      .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+      .map { s =>
+        s.getPath.getName -> compact(spark, s.getPath.toString, targetFileBytes)
+      }.toMap
+  }
+
+  /** Morton (Z-order) key over two columns, each linearly bucketed
+    * into `bits` bits by its [min,max] range, bits interleaved with
+    * the classic mask-spread — a handful of codegen'd bitwise ops per
+    * row, no UDF. Linear bucketing is order-preserving and cheap; for
+    * heavily skewed columns substitute quantile boundaries for the
+    * min/max scale (same interleave).
+    *
+    * `bounds` carries (minA, maxA, minB, maxB) — the one tiny
+    * aggregate the caller computes once (the "model", like the IVF
+    * centroids); constant-folded into the row expression. */
+  def zvalue(a: Column, b: Column,
+      bounds: (Double, Double, Double, Double), bits: Int = 20): Column = {
+    require(bits >= 1 && bits <= 31, s"bits=$bits outside [1,31]")
+    val scaleMax = (1L << bits) - 1
+    def bucket(c: Column, lo: Double, hi: Double): Column =
+      if (hi == lo) lit(0L)
+      else least(lit(scaleMax), greatest(lit(0L),
+        ((c.cast("double") - lit(lo)) / lit(hi - lo) * lit(scaleMax.toDouble))
+          .cast("long")))
+    // spread the low 31 bits of x so bit i lands at position 2i
+    def spread(x: Column): Column = {
+      var v = x.bitwiseAND(lit(0x7FFFFFFFL))
+      v = (v.bitwiseOR(shiftleft(v, 16))).bitwiseAND(lit(0x0000FFFF0000FFFFL))
+      v = (v.bitwiseOR(shiftleft(v, 8))).bitwiseAND(lit(0x00FF00FF00FF00FFL))
+      v = (v.bitwiseOR(shiftleft(v, 4))).bitwiseAND(lit(0x0F0F0F0F0F0F0F0FL))
+      v = (v.bitwiseOR(shiftleft(v, 2))).bitwiseAND(lit(0x3333333333333333L))
+      (v.bitwiseOR(shiftleft(v, 1))).bitwiseAND(lit(0x5555555555555555L))
+    }
+    spread(bucket(a, bounds._1, bounds._2))
+      .bitwiseOR(shiftleft(spread(bucket(b, bounds._3, bounds._4)), 1))
+  }
+
+  /** Write `df` clustered by the Z-order of (`colA`, `colB`): one
+    * range exchange on the z-key (the same exchange a plain sorted
+    * write pays), then parquet whose row-group min/max stats are
+    * tight on BOTH columns. Readers filtering a range of EITHER
+    * column skip row groups via the pushed predicate — 2-D pruning
+    * from a 1-D sort, the standard lakehouse clustering trade. */
+  def zorderWrite(df: DataFrame, path: String, colA: String, colB: String,
+      bits: Int = 20, options: Map[String, String] = Map.empty): Unit = {
+    val r = df.agg(min(col(colA)).cast("double"), max(col(colA)).cast("double"),
+      min(col(colB)).cast("double"), max(col(colB)).cast("double")).head
+    val bounds = (r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))
+    df.sort(zvalue(col(colA), col(colB), bounds, bits))
+      .write.mode("overwrite").options(options).parquet(path)
+  }
 }

@@ -52,4 +52,115 @@ class LayoutSpec extends AnyFunSuite {
     val expected = ev.filter(col("d") === lit(someDay)).count()
     assert(q.count() == expected && expected > 0)
   }
+
+  test("compact rewrites a small-file directory to the target count, byte-identically") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    val ev = queries.t(spark, sfTiny, "events")
+    ev.repartition(32).write.mode("overwrite").parquet(dir)
+    val checksum = spark.read.parquet(dir)
+      .agg(sum(hash(col("event_id"), col("user_id"), col("value")).cast("long")),
+        count(lit(1))).head
+    val (before, after) = etl.Layout.compact(spark, dir, targetFileBytes = 1L << 30)
+    assert(before == 32 && after == 1, s"$before -> $after")
+    val re = spark.read.parquet(dir)
+      .agg(sum(hash(col("event_id"), col("user_id"), col("value")).cast("long")),
+        count(lit(1))).head
+    assert(re == checksum, "compaction must not change the data")
+    // already compact → no-op, no rewrite
+    assert(etl.Layout.compact(spark, dir, 1L << 30) == ((1, 1)))
+  }
+
+  test("compactPartitioned compacts each leaf partition independently") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact_part").toString
+    val ev = queries.t(spark, sfTiny, "events")
+      .withColumn("d", to_date(col("ts")))
+    // simulate many tiny incremental loads per partition
+    ev.repartition(8).write.partitionBy("d").mode("overwrite").parquet(dir)
+    val total = ev.count()
+    val report = etl.Layout.compactPartitioned(spark, dir, 1L << 30)
+    assert(report.nonEmpty && report.values.forall { case (b, a) => a <= b && a == 1 })
+    assert(spark.read.parquet(dir).count() == total)
+  }
+
+  test("z-order layout prunes row groups on BOTH range columns") {
+    val lin = java.nio.file.Files.createTempDirectory("graft_lin").toString
+    val zo = java.nio.file.Files.createTempDirectory("graft_zo").toString
+    // sf0.01: 10k events, user_id 0..149, value 0..~490 — enough rows
+    // for many row groups at a small block size
+    val ev = queries.t(spark, "/root/testdata/sf0.01", "events")
+      .select("event_id", "user_id", "value")
+    // tiny row groups so the file holds many; one output file each so
+    // the comparison is purely row-group pruning, not file layout
+    val opts = Map("parquet.block.size" -> (16 * 1024).toString,
+      "parquet.page.size" -> (4 * 1024).toString)
+    ev.coalesce(1).sortWithinPartitions("user_id")
+      .write.mode("overwrite").options(opts).parquet(lin)
+    etl.Layout.zorderWrite(ev.coalesce(1), zo, "user_id", "value", options = opts)
+
+    def scanned(path: String, pred: org.apache.spark.sql.Column): (Long, Long) = {
+      val df = spark.read.parquet(path).filter(pred)
+      // execute THIS QueryExecution (count() would build another one
+      // whose metrics we'd never see), then read the scan's metric
+      val n = df.collect().length.toLong
+      val plan = df.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case p => p
+      }
+      val scans = plan.collectWithSubqueries {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }
+      (scans.map(_.metrics("numOutputRows").value).sum, n)
+    }
+    // THE z-order claim: a range filter on the column the linear sort
+    // does NOT order by. Linear row groups all span value's full
+    // range (no pruning — every row surfaces); z-ordered groups have
+    // tight value bounds and skip.
+    val predV = col("value").between(50, 100)
+    val (linRowsV, linCountV) = scanned(lin, predV)
+    val (zoRowsV, zoCountV) = scanned(zo, predV)
+    assert(linCountV == zoCountV && zoCountV == ev.filter(predV).count()
+      && zoCountV > 0, "same query, same answer")
+    assert(zoRowsV < linRowsV,
+      s"z-order must prune on the non-sort column: zo=$zoRowsV lin=$linRowsV")
+    // and the trade documented: on the linear layout's OWN sort
+    // column, linear pruning is optimal and z-order is only partial —
+    // but still strictly better than no pruning
+    val predU = col("user_id").between(10, 20)
+    val (linRowsU, _) = scanned(lin, predU)
+    val (zoRowsU, zoCountU) = scanned(zo, predU)
+    val total = ev.count()
+    assert(linRowsU <= zoRowsU, "linear is optimal on its own sort column")
+    assert(zoRowsU < total,
+      s"z-order must still prune the first dimension: zo=$zoRowsU total=$total")
+    assert(zoCountU == ev.filter(predU).count())
+  }
+
+  test("zvalue matches an independent per-bit Morton reference") {
+    val bounds = (0.0, 1023.0, 0.0, 1023.0)
+    import spark.implicits._
+    // independent reference: same bucket arithmetic, naive bit loop
+    // instead of the mask-spread
+    def bucketRef(v: Double): Long = math.min(1023L, math.max(0L,
+      ((v - 0.0) / 1023.0 * 1023.0).toLong))
+    def zRef(a: Double, b: Double): Long =
+      (0 until 31).foldLeft(0L) { (acc, i) =>
+        acc | ((bucketRef(a) >> i & 1L) << (2 * i)) |
+          ((bucketRef(b) >> i & 1L) << (2 * i + 1))
+      }
+    val grid = for (a <- 0L to 1023L by 89L; b <- 0L to 1023L by 97L) yield (a, b)
+    val got = grid.toDF("a", "b")
+      .select(etl.Layout.zvalue(col("a"), col("b"), bounds, bits = 10).as("z"))
+      .collect().map(_.getLong(0))
+    grid.zip(got).foreach { case ((a, b), z) =>
+      assert(z == zRef(a.toDouble, b.toDouble), s"($a,$b)")
+    }
+    // exact corners: (0,0) -> 0; (max,0) -> even bits; (0,max) -> odd
+    // bits; (max,max) -> all 20 bits
+    val corners = Seq((0L, 0L), (1023L, 0L), (0L, 1023L), (1023L, 1023L))
+      .toDF("a", "b")
+      .select(etl.Layout.zvalue(col("a"), col("b"), bounds, bits = 10).as("z"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(corners == Seq(0L, 0x55555L, 0xAAAAAL, 0xFFFFFL))
+  }
 }
