@@ -1,0 +1,133 @@
+package graft.etl
+
+import java.net.URI
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** File-level min/max data-skipping index — the reader-side payoff of
+  * `Layout.zorderWrite`. Parquet row-group stats already prune WITHIN
+  * a file once the scan opens it; at 100 TB the cost that remains is
+  * opening and footer-reading hundreds of thousands of files. A tiny
+  * per-file (min,max) manifest lets the planner drop whole files
+  * before any scan task launches — the table-format-free core of what
+  * Delta/Iceberg file statistics do (SNIPPETS.md §delta-stats is the
+  * public pattern).
+  *
+  * Honesty contract: skipping is an IO optimization ONLY. `prunedScan`
+  * re-applies the exact range predicate on top of the pruned file set,
+  * and any live file the manifest does not cover is always read — so a
+  * stale manifest (files appended since the last `writeManifest`) can
+  * cost speed, never rows. `SkippingSpec` asserts both properties.
+  *
+  * Scale shape: the manifest build is one distributed partial+final
+  * aggregation keyed by `input_file_name()` — output is O(#files)
+  * rows, ~100 bytes each (at 100 TB / 128 MB files ≈ 800 k rows,
+  * a few tens of MB — the same order as the file index Spark's own
+  * scan planning holds on the driver). File selection filters the
+  * manifest IN Spark and collects only surviving names; run it
+  * per-partition-directory to bound even that.
+  */
+object Skipping {
+
+  /** Inclusive range predicate on one column: lo ≤ col ≤ hi. Bounds
+    * are compared in double space (the manifest stores stats as
+    * double); `None` leaves that side open. */
+  final case class ColRange(col: String, lo: Option[Double], hi: Option[Double]) {
+    /** The exact row-level predicate re-applied after pruning. */
+    def exact: Column = {
+      val c = org.apache.spark.sql.functions.col(col).cast("double")
+      (lo, hi) match {
+        case (Some(l), Some(h)) => c >= l && c <= h
+        case (Some(l), None)    => c >= l
+        case (None, Some(h))    => c <= h
+        case (None, None)       => lit(true)
+      }
+    }
+    /** File-survives predicate over the manifest's min_/max_ columns.
+      * Null stats (a file whose column is entirely null) keep the
+      * file — conservative, and null rows are then dropped by the
+      * exact predicate. */
+    def overlaps: Column = {
+      val mn = org.apache.spark.sql.functions.col(s"min_$col")
+      val mx = org.apache.spark.sql.functions.col(s"max_$col")
+      val lower = hi.map(h => mn <= h).getOrElse(lit(true))
+      val upper = lo.map(l => mx >= l).getOrElse(lit(true))
+      (lower && upper) || mn.isNull || mx.isNull
+    }
+  }
+
+  /** Files skipped vs read, for assertions and operator logs. */
+  final case class SkipStats(liveFiles: Int, readFiles: Int, uncovered: Int) {
+    def skipped: Int = liveFiles - readFiles
+  }
+
+  /** Sibling path convention — the data directory stays pure parquet. */
+  def manifestPath(dataPath: String): String =
+    dataPath.stripSuffix("/") + "_skipidx"
+
+  /** Per-file stats for `cols` in ONE distributed agg job:
+    * `file, rows, min_<c>, max_<c>...`. Stats are cast to double so
+    * the manifest schema is column-type-agnostic (order-preserving for
+    * the numeric/date types worth range-indexing). */
+  def buildManifest(spark: SparkSession, dataPath: String,
+      cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "index at least one column")
+    val aggs = cols.flatMap(c => Seq(
+      min(col(c).cast("double")).as(s"min_$c"),
+      max(col(c).cast("double")).as(s"max_$c")))
+    spark.read.parquet(dataPath)
+      .select(input_file_name().as("file") +: cols.map(col): _*)
+      .groupBy("file")
+      .agg(count(lit(1)).as("rows"), aggs: _*)
+  }
+
+  /** Build and persist the manifest beside the data; returns its path.
+    * O(#files) rows — a single output file is deliberate. */
+  def writeManifest(spark: SparkSession, dataPath: String,
+      cols: Seq[String]): String = {
+    val out = manifestPath(dataPath)
+    buildManifest(spark, dataPath, cols)
+      .coalesce(1).write.mode("overwrite").parquet(out)
+    out
+  }
+
+  /** Scheme-free path key so manifest strings (`input_file_name`,
+    * e.g. `file:///x/y`) and listing paths (`file:/x/y`) compare. */
+  private def key(p: String): String = new Path(p).toUri.getPath
+
+  private def liveParts(spark: SparkSession, dataPath: String): Seq[Path] = {
+    val fs = FileSystem.get(new URI(dataPath),
+      spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(new Path(dataPath))
+      .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+      .map(_.getPath).toSeq
+  }
+
+  /** Read `dataPath` with files pruned by the manifest under the
+    * conjunction of `preds`, then the exact predicates re-applied.
+    * Files missing from the manifest (appended after the last
+    * `writeManifest`) are always read; manifest entries for deleted
+    * files are ignored. */
+  def prunedScan(spark: SparkSession, dataPath: String,
+      preds: Seq[ColRange]): (DataFrame, SkipStats) = {
+    require(preds.nonEmpty, "prunedScan needs at least one range")
+    val live = liveParts(spark, dataPath)
+    val liveByKey = live.map(p => key(p.toString) -> p).toMap
+    val man = spark.read.parquet(manifestPath(dataPath))
+    val covered = man.select("file").collect().map(r => key(r.getString(0))).toSet
+    val surviving = man.filter(preds.map(_.overlaps).reduce(_ && _))
+      .select("file").collect().map(r => key(r.getString(0))).toSet
+    val uncovered = live.filterNot(p => covered(key(p.toString)))
+    val chosen = liveByKey.collect { case (k, p) if surviving(k) => p }.toSeq ++ uncovered
+
+    val exact = preds.map(_.exact).reduce(_ && _)
+    val df =
+      if (chosen.isEmpty)
+        // schema from the full layout, zero rows — no file task runs
+        spark.read.parquet(dataPath).filter(lit(false))
+      else spark.read.parquet(chosen.map(_.toString): _*)
+    (df.filter(exact), SkipStats(live.size, chosen.size, uncovered.size))
+  }
+}

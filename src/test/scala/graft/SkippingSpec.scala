@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.etl.Skipping
+import graft.etl.Skipping.ColRange
+
+/** graft.etl.Skipping — file-level min/max pruning over a z-ordered
+  * layout must (a) return exactly the full-scan answer, (b) actually
+  * skip files on range filters over EITHER clustered column (the 2-D
+  * payoff a linear sort cannot give), and (c) never lose rows to a
+  * stale manifest. */
+class SkippingSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private lazy val dir: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft_skip").toString
+    val li = queries.t(spark, sfTiny, "lineitem")
+      .select("l_orderkey", "l_quantity", "l_extendedprice")
+    // 16 output files so pruning has granularity to show (AQE would
+    // coalesce this tiny sort shuffle back to one partition)
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try etl.Layout.zorderWrite(li, d, "l_quantity", "l_extendedprice")
+    finally {
+      spark.conf.set("spark.sql.shuffle.partitions", "4")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    }
+    Skipping.writeManifest(spark, d, Seq("l_quantity", "l_extendedprice"))
+    d
+  }
+
+  private def fullFilter(preds: Seq[ColRange]): Long =
+    spark.read.parquet(dir).filter(preds.map(_.exact).reduce(_ && _)).count()
+
+  test("pruned scan equals the full scan and skips files on the FIRST z column") {
+    val preds = Seq(ColRange("l_quantity", Some(1.0), Some(5.0)))
+    val (df, stats) = Skipping.prunedScan(spark, dir, preds)
+    assert(df.count() == fullFilter(preds) && df.count() > 0)
+    assert(stats.uncovered == 0)
+    assert(stats.skipped > 0,
+      s"selective range on l_quantity should drop files: $stats")
+  }
+
+  test("pruned scan equals the full scan and skips files on the SECOND z column") {
+    val r = spark.read.parquet(dir)
+      .agg(min("l_extendedprice"), max("l_extendedprice")).head()
+    val lo = r.getDouble(0)
+    val hi = lo + (r.getDouble(1) - lo) * 0.1
+    val preds = Seq(ColRange("l_extendedprice", Some(lo), Some(hi)))
+    val (df, stats) = Skipping.prunedScan(spark, dir, preds)
+    assert(df.count() == fullFilter(preds) && df.count() > 0)
+    assert(stats.skipped > 0,
+      s"selective range on l_extendedprice should drop files: $stats")
+  }
+
+  test("conjunction over both columns prunes at least as hard as either alone") {
+    val qa = Seq(ColRange("l_quantity", Some(1.0), Some(5.0)))
+    val r = spark.read.parquet(dir)
+      .agg(min("l_extendedprice"), max("l_extendedprice")).head()
+    val lo = r.getDouble(0)
+    val hi = lo + (r.getDouble(1) - lo) * 0.1
+    val qb = Seq(ColRange("l_extendedprice", Some(lo), Some(hi)))
+    val (dfBoth, sBoth) = Skipping.prunedScan(spark, dir, qa ++ qb)
+    val (_, sA) = Skipping.prunedScan(spark, dir, qa)
+    val (_, sB) = Skipping.prunedScan(spark, dir, qb)
+    assert(dfBoth.count() == fullFilter(qa ++ qb))
+    assert(sBoth.readFiles <= math.min(sA.readFiles, sB.readFiles), s"$sBoth vs $sA / $sB")
+  }
+
+  test("range outside the data reads zero files and returns zero rows") {
+    val preds = Seq(ColRange("l_quantity", Some(1e9), None))
+    val (df, stats) = Skipping.prunedScan(spark, dir, preds)
+    assert(stats.readFiles == 0 && df.count() == 0)
+  }
+
+  test("files appended after the manifest are always read (stale index loses speed, never rows)") {
+    val d = java.nio.file.Files.createTempDirectory("graft_skip_stale").toString
+    val li = queries.t(spark, sfTiny, "lineitem")
+      .select("l_orderkey", "l_quantity", "l_extendedprice")
+    etl.Layout.zorderWrite(li.filter(col("l_quantity") > 5), d,
+      "l_quantity", "l_extendedprice")
+    Skipping.writeManifest(spark, d, Seq("l_quantity"))
+    // append rows INSIDE the query range with no manifest rebuild
+    li.filter(col("l_quantity") <= 5).coalesce(1)
+      .write.mode("append").parquet(d)
+    val preds = Seq(ColRange("l_quantity", Some(1.0), Some(5.0)))
+    val (df, stats) = Skipping.prunedScan(spark, d, preds)
+    assert(stats.uncovered > 0, s"appended file must be uncovered: $stats")
+    assert(df.count() ==
+      spark.read.parquet(d).filter(preds.head.exact).count() && df.count() > 0)
+  }
+}
