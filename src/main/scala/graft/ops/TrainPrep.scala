@@ -86,6 +86,28 @@ object TrainPrep {
       .drop("__cum", "__tok")
   }
 
+  /** Write the corpus as exactly `numShards` parquet shard files with
+    * the two locality properties a training loader wants: every row of
+    * one `keyCol` value lands in ONE shard (key locality — a loader
+    * can hold per-key state without cross-file merges), and rows
+    * within a shard file are stored sorted by (`keyCol`, `orderCol`)
+    * (sequential reads stream each key's rows in order).
+    *
+    * Scale: this is `repartition(hash(key))` + `sortWithinPartitions`
+    * — ONE hash exchange and per-partition local sorts. The naive
+    * spelling (global `orderBy(key, order)` then write) pays a range
+    * exchange whose skew is the hottest key and serializes the tail;
+    * local sorts of hash-balanced shards are the shape that survives
+    * 100 TB. TrainPrepSpec asserts both file properties and that the
+    * plan carries no global Sort. */
+  def exportShards(df: DataFrame, path: String, keyCol: Column,
+      orderCol: Column, numShards: Int): Unit = {
+    require(numShards > 0, "numShards must be positive")
+    df.repartition(numShards, keyCol)
+      .sortWithinPartitions(keyCol, orderCol)
+      .write.mode("overwrite").parquet(path)
+  }
+
   /** Deterministic stratified sampling: keep a hash-stable fraction of
     * each stratum. `fractions` maps stratum value → keep probability;
     * strata absent from the map are dropped. Unlike `df.stat.sampleBy`

@@ -190,6 +190,38 @@ class TrainPrepSpec extends AnyFunSuite {
     assert(e.getMessage.contains("bin"))
   }
 
+  test("exportShards: key locality, within-file order, no global sort in the plan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_shards").toString
+    val docs = queries.t(spark, sfTiny, "documents")
+      .select(col("doc_id"), col("lang"), length(col("text")).as("len"))
+    TrainPrep.exportShards(docs, dir, col("lang"), col("doc_id"), 4)
+
+    val files = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.startsWith("part-")).map(_.toString).sorted
+    assert(files.length >= 2, s"expected multiple shard files, got ${files.length}")
+    // total preserved
+    assert(spark.read.parquet(dir).count() == docs.count())
+    // every lang appears in exactly one shard file; rows inside each
+    // file are stored sorted by (lang, doc_id)
+    val perFile = files.map { f =>
+      val rows = spark.read.parquet(f).select("lang", "doc_id").collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+      assert(rows.sameElements(rows.sortBy(identity)), s"unsorted shard $f")
+      rows.map(_._1).toSet
+    }
+    val langCount = perFile.map(_.size).sum
+    assert(langCount == perFile.reduce(_ ++ _).size,
+      s"a key spans multiple shards: ${perFile.mkString(", ")}")
+    // plan: one hash repartition, local sort only (global=false)
+    val plan = docs.repartition(4, col("lang"))
+      .sortWithinPartitions(col("lang"), col("doc_id"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Sort [") && plan.contains("false, 0"),
+      s"expected a local (non-global) sort:\n$plan")
+    assert(!plan.contains("rangepartitioning"),
+      s"global range sort must not appear:\n$plan")
+  }
+
   test("packBins window shuffles once on the shard key") {
     val toks = docs.select(col("doc_id"), (col("doc_id") % 4).as("sh"),
       size(split(col("text"), " ")).cast("long").as("n_tok"))
