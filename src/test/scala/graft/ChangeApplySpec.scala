@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.etl.ChangeApply
+
+/** graft.etl.ChangeApply — CDC MERGE semantics: latest-wins with a
+  * stored version, tombstoned deletes, idempotent re-application,
+  * batch-slicing invariance, and the documented expiry trade. */
+class ChangeApplySpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private val key = "k"
+  private val attrs = Seq("v")
+
+  private def snap0: DataFrame =
+    Seq.empty[(String, String, Long, Boolean)]
+      .toDF("k", "v", "__ts", "__deleted")
+
+  private def changes(rows: (String, String, String, Long)*): DataFrame =
+    rows.toDF("k", "v", "op", "ts")
+
+  private def state(df: DataFrame): Map[String, (String, Long, Boolean)] =
+    df.collect().map(r => r.getString(0) ->
+      ((r.getString(1), r.getLong(2), r.getBoolean(3)))).toMap
+
+  private def live(df: DataFrame): Map[String, String] =
+    ChangeApply.current(df).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+
+  test("insert, update, delete; within-batch latest wins") {
+    val b = changes(("a", "a1", "I", 1), ("a", "a2", "U", 5), ("a", "aX", "U", 3),
+      ("b", "b1", "I", 2), ("c", "c1", "I", 1), ("c", null, "D", 9))
+    val s = ChangeApply.merge(snap0, b, key, attrs)
+    assert(live(s) == Map("a" -> "a2", "b" -> "b1"))
+    // c survives as a tombstone, not a live row
+    assert(state(s)("c") == ((null, 9L, true)))
+  }
+
+  test("re-applying the same batch is a no-op; stale changes are dropped") {
+    val b1 = changes(("a", "new", "U", 10), ("d", null, "D", 10))
+    val applied = ChangeApply.merge(
+      ChangeApply.merge(snap0, changes(("a", "old", "I", 1), ("d", "d1", "I", 1)),
+        key, attrs), b1, key, attrs)
+    val again = ChangeApply.merge(applied, b1, key, attrs)
+    assert(state(again) == state(applied))
+    // late update older than the applied one: dropped
+    val late = ChangeApply.merge(applied, changes(("a", "stale", "U", 5)), key, attrs)
+    assert(live(late)("a") == "new")
+    // late pre-delete change cannot resurrect the tombstoned key
+    val res = ChangeApply.merge(applied, changes(("d", "zombie", "U", 5)), key, attrs)
+    assert(!live(res).contains("d"))
+  }
+
+  test("applying batches sequentially equals applying their union at once") {
+    // deliberately OUT-OF-ORDER slicing: batch 2 carries older ts than
+    // batch 1 for the same keys
+    val b1 = changes(("a", "a-late", "U", 9), ("b", null, "D", 8), ("c", "c1", "I", 3))
+    val b2 = changes(("a", "a-early", "I", 2), ("b", "b-early", "I", 2),
+      ("c", "c2", "U", 7))
+    val seq12 = ChangeApply.merge(ChangeApply.merge(snap0, b1, key, attrs), b2, key, attrs)
+    val seq21 = ChangeApply.merge(ChangeApply.merge(snap0, b2, key, attrs), b1, key, attrs)
+    val union = ChangeApply.merge(snap0, b1.unionByName(b2), key, attrs)
+    assert(state(seq12) == state(union) && state(seq21) == state(union))
+    assert(live(union) == Map("a" -> "a-late", "c" -> "c2"))
+  }
+
+  test("expire reclaims old tombstones and only then can late data resurrect") {
+    val applied = ChangeApply.merge(snap0,
+      changes(("d", "d1", "I", 1), ("d", null, "D", 5)), key, attrs)
+    val kept = ChangeApply.expire(applied, lit(5L))     // horizon at the delete
+    assert(state(kept).contains("d"))
+    val gone = ChangeApply.expire(applied, lit(6L))     // horizon past it
+    assert(!state(gone).contains("d"))
+    // the documented trade: after expiry a pre-delete change returns
+    val z = ChangeApply.merge(gone, changes(("d", "zombie", "U", 3)), key, attrs)
+    assert(live(z).get("d").contains("zombie"))
+  }
+
+  test("persisted advance bootstraps, folds order-events, and reports live count") {
+    val path = java.nio.file.Files.createTempDirectory("graft_cdc")
+      .resolve("snap").toString
+    val o = queries.t(spark, sfTiny, "orders")
+      .select(col("o_orderkey").cast("string").as("k"),
+        col("o_orderstatus").as("v"))
+    val inserts = o.withColumn("op", lit("I")).withColumn("ts", lit(1L))
+    val n1 = ChangeApply.advance(spark, path, inserts, key, attrs)
+    assert(n1 == o.count())
+    // second batch: delete every 'F' order, update every 'O' to 'X'
+    val dels = o.filter(col("v") === "F")
+      .withColumn("op", lit("D")).withColumn("ts", lit(2L))
+    val upds = o.filter(col("v") === "O").withColumn("v", lit("X"))
+      .withColumn("op", lit("U")).withColumn("ts", lit(2L))
+    val n2 = ChangeApply.advance(spark, path, dels.unionByName(upds), key, attrs)
+    assert(n2 == o.count() - o.filter(col("v") === "F").count())
+    val liveNow = ChangeApply.current(spark.read.parquet(path))
+    assert(liveNow.filter(col("v") === "F").count() == 0)
+    assert(liveNow.filter(col("v") === "X").count() ==
+      o.filter(col("v") === "O").count())
+  }
+
+  test("merge plan: window exchange on changes only, no sort on the snapshot side") {
+    val big = queries.t(spark, sfTiny, "orders")
+      .select(col("o_orderkey").cast("string").as("k"),
+        col("o_orderstatus").as("v"), lit(1L).as("__ts"),
+        lit(false).as("__deleted"))
+    val delta = changes(("1", "x", "U", 2))
+    val plan = ChangeApply.merge(big, delta, key, attrs)
+      .queryExecution.executedPlan.toString
+    // exactly one window (the per-key latest collapse)
+    assert("(?s)Window".r.findAllIn(plan).length == 1, plan)
+    // the snapshot side must not be globally sorted
+    assert(!plan.contains("rangepartitioning"), plan)
+  }
+}
