@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.etl.Expectations
+import graft.etl.Expectations._
+
+/** graft.etl.Expectations — violation counts must be exact, the
+  * quarantine split must agree with them, NULL predicate results must
+  * count as violations, and the row-rule pass must stay one job. */
+class ExpectationsSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private lazy val dirty = Seq(
+    (1L, "alice@x.io", 10.0, "AA"),
+    (2L, null, 20.0, "BB"),        // null email
+    (3L, "bob@y.org", -5.0, "AA"), // range violation
+    (4L, "not-an-email", 30.0, "CC"), // regex + FK violation
+    (4L, "dup@x.io", 40.0, "BB"),  // duplicate key
+    (5L, "eve@z.net", 1e9, null)   // range + null FK (FK skips nulls)
+  ).toDF("id", "email", "amount", "country")
+
+  private lazy val dims = Seq("AA", "BB").toDF("code")
+
+  private val rules = Seq(
+    notNull("email"),
+    inRange("amount", 0.0, 100.0),
+    matches("email", "^[^@]+@[^@]+\\.[a-z]+$"))
+
+  test("violation counts are exact, including uniqueness and FK") {
+    val report = Expectations.check(dirty, rules, uniqueKey = Seq("id"),
+      foreignKeys = Map("fk(country->code)" -> (("country", dims, "code"))))
+    val byName = report.map(v => v.rule -> v.violations).toMap
+    assert(byName("not_null(email)") == 1)
+    assert(byName("in_range(amount)") == 2) // -5 and 1e9
+    assert(byName("matches(email)") == 2)   // null + not-an-email
+    assert(byName("unique(id)") == 1)       // one extra row for id=4
+    assert(byName("fk(country->code)") == 1) // CC; null country skipped
+    assert(report.count(_.passed) == 0)
+  }
+
+  test("a clean table passes every rule") {
+    val clean = dirty.filter(col("id") === 1L)
+    val report = Expectations.check(clean, rules, uniqueKey = Seq("id"),
+      foreignKeys = Map("fk" -> (("country", dims, "code"))))
+    assert(report.forall(_.passed))
+  }
+
+  test("NULL predicate results quarantine, not pass") {
+    // col('amount') > 15 is NULL for a null amount — must violate
+    val withNull = Seq((1L, Some(20.0)), (2L, None))
+      .toDF("id", "amount")
+    val r = Seq(satisfies("gt15", col("amount") > 15.0))
+    val report = Expectations.check(withNull, r)
+    assert(report.head.violations == 1)
+    val (good, bad) = Expectations.split(withNull, r)
+    assert(good.count() == 1 && bad.count() == 1)
+  }
+
+  test("split quarantines exactly the counted rows and names broken rules") {
+    val (good, bad) = Expectations.split(dirty, rules)
+    assert(good.count() == 2 && bad.count() == 4) // ids 1, 4(dup) pass rows
+    val failsOf = bad.select(col("id"), col("email"), col("__failed")).collect()
+      .map(r => (r.getLong(0), Option(r.getString(1))) -> r.getSeq[String](2).toSet).toMap
+    assert(failsOf((3L, Some("bob@y.org"))) == Set("in_range(amount)"))
+    assert(failsOf((2L, None)) == Set("not_null(email)", "matches(email)"))
+    // every quarantined row broke at least one rule; good rows broke none
+    assert(failsOf.values.forall(_.nonEmpty))
+  }
+
+  test("row rules + uniqueness evaluate as one aggregate job (single scan)") {
+    val rowAndUnique = dirty.agg(
+      sum(when(coalesce(rules.head.rowPredicate.get, lit(false)), 0L)
+        .otherwise(1L)),
+      count(lit(1)) - count_distinct(struct(col("id"))))
+    val plan = rowAndUnique.queryExecution.executedPlan.toString
+    // one scan of the input: a LocalTableScan (literal test data) or
+    // one FileScan — never two
+    val scans = "(?i)(LocalTableScan|Scan parquet)".r.findAllIn(plan).length
+    assert(scans == 1, s"expected a single scan:\n$plan")
+  }
+}
