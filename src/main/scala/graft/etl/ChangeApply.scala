@@ -88,18 +88,18 @@ object ChangeApply {
     val fs = FileSystem.get(new URI(path),
       spark.sparkContext.hadoopConfiguration)
     val dir = new Path(path)
+    val tmp = new Path(path + "__applying")
+    Swap.recover(fs, dir, tmp) // finish an interrupted publish first
     val empty = changes
       .select(col(key) +: attrs.map(col) :+ col(tsCol).as("__ts") :+
         lit(false).as("__deleted"): _*)
       .limit(0)
     val base = if (fs.exists(dir)) spark.read.parquet(path) else empty
     val next = merge(base, changes, key, attrs, opCol, tsCol)
-    val tmp = new Path(path + "__applying")
     fs.delete(tmp, true)
     next.write.mode("overwrite").parquet(tmp.toString)
     val live = current(spark.read.parquet(tmp.toString)).count()
-    fs.delete(dir, true)
-    require(fs.rename(tmp, dir), s"snapshot swap failed for $path")
+    Swap.publish(fs, dir, tmp)
     live
   }
 }

@@ -85,16 +85,16 @@ object IncrementalAgg {
     val fs = FileSystem.get(new URI(statePath),
       spark.sparkContext.hadoopConfiguration)
     val dir = new Path(statePath)
+    val tmp = new Path(statePath + "__advancing")
+    Swap.recover(fs, dir, tmp) // finish an interrupted publish first
     val deltaState = partialState(delta, keys, valueCol)
     val next =
       if (fs.exists(dir)) mergeState(spark.read.parquet(statePath), deltaState, keys)
       else deltaState
-    val tmp = new Path(statePath + "__advancing")
     fs.delete(tmp, true)
     next.write.mode("overwrite").parquet(tmp.toString)
     val groups = spark.read.parquet(tmp.toString).count()
-    fs.delete(dir, true)
-    require(fs.rename(tmp, dir), s"state swap failed for $statePath")
+    Swap.publish(fs, dir, tmp)
     groups
   }
 }

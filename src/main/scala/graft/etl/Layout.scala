@@ -84,6 +84,7 @@ object Layout {
       targetFileBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
     val fs = FileSystem.get(new URI(path), spark.sparkContext.hadoopConfiguration)
     val dir = new Path(path)
+    Swap.recover(fs, dir, new Path(path + "__compacting"))
     val parts = fs.listStatus(dir).filter(s => s.isFile &&
       s.getPath.getName.startsWith("part-"))
     val total = parts.map(_.getLen).sum
@@ -98,8 +99,7 @@ object Layout {
       .write.mode("overwrite").parquet(tmp.toString)
     val after = fs.listStatus(tmp).count(s => s.isFile &&
       s.getPath.getName.startsWith("part-"))
-    fs.delete(dir, true)
-    require(fs.rename(tmp, dir), s"compaction swap failed for $path")
+    Swap.publish(fs, dir, tmp)
     (parts.length, after)
   }
 

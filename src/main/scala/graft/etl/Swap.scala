@@ -1,0 +1,34 @@
+package graft.etl
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+/** Swap-publish for directory-valued state (compacted layouts,
+  * incremental-agg state, CDC snapshots): write the next version to a
+  * tmp dir, then delete→rename over the live one.
+  *
+  * The delete→rename gap is the pattern's one crash window — after it,
+  * the data exists only under the tmp name. [[recover]] closes it:
+  * callers invoke it before READING the live dir, promoting a complete
+  * (_SUCCESS-marked) orphan tmp when the live dir is missing. Combined
+  * with version-guarded merges (ChangeApply) or checkpoint replays
+  * (foreachBatch sinks), a crash at any instant loses no state.
+  * Readers can still race the gap on object stores — the documented
+  * limit of table-format-free publishing (see `Layout.compact`).
+  */
+private[etl] object Swap {
+
+  /** Promote an interrupted publish: live dir missing + complete tmp
+    * present → rename tmp into place. Returns true if it recovered. */
+  def recover(fs: FileSystem, live: Path, tmp: Path): Boolean =
+    if (!fs.exists(live) && fs.exists(new Path(tmp, "_SUCCESS"))) {
+      require(fs.rename(tmp, live), s"swap recovery failed for $live")
+      true
+    } else false
+
+  /** Publish `tmp` over `live` (delete→rename). `tmp` must be fully
+    * written (parquet writes leave _SUCCESS). */
+  def publish(fs: FileSystem, live: Path, tmp: Path): Unit = {
+    fs.delete(live, true)
+    require(fs.rename(tmp, live), s"swap publish failed for $live")
+  }
+}

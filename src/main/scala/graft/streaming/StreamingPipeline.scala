@@ -354,6 +354,30 @@ object StreamingPipeline {
       .option("checkpointLocation", checkpointDir)
   }
 
+  /** Streaming CDC apply — the 14th variant: a change feed
+    * (key, attrs…, op ∈ I/U/D, ts) continuously folded into the
+    * versioned snapshot at `outDir` via `graft.etl.ChangeApply`, one
+    * micro-batch per apply.
+    *
+    * Recovery contract: foreachBatch is AT-LEAST-ONCE, and that is
+    * sufficient here WITHOUT a replay guard — ChangeApply.merge is
+    * version-guarded (a replayed change's ts is never newer than the
+    * stored `__ts`, so re-applying a batch is a no-op) and
+    * batch-slicing invariant (a restart that re-slices the source
+    * converges to the same snapshot). The publish crash window is
+    * closed by `Swap.recover` inside `advance`. Read the live table
+    * with `ChangeApply.current(spark.read.parquet(outDir))`. */
+  def cdcApplySink(changes: DataFrame, key: String, attrs: Seq[String],
+      outDir: String, checkpointDir: String,
+      opCol: String = "op", tsCol: String = "ts") =
+    changes.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.etl.ChangeApply.advance(batch.sparkSession, outDir, batch,
+          key, attrs, opCol, tsCol): Unit
+      }
+      .option("checkpointLocation", checkpointDir)
+
   /** Leading numeric id of a `snapshot_<id>[_<tag>]` name. */
   private def snapId(name: String): Option[Long] = {
     val digits = name.stripPrefix("snapshot_").takeWhile(_.isDigit)

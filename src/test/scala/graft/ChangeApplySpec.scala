@@ -102,6 +102,22 @@ class ChangeApplySpec extends AnyFunSuite {
       o.filter(col("v") === "O").count())
   }
 
+  test("advance recovers a publish interrupted between delete and rename") {
+    val path = java.nio.file.Files.createTempDirectory("graft_cdc_crash")
+      .resolve("snap").toString
+    ChangeApply.advance(spark, path, changes(("a", "a1", "I", 1)), key, attrs)
+    // simulate a crash inside the swap window: the live dir is gone,
+    // the fully-written next version sits under the tmp name
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path),
+      spark.sparkContext.hadoopConfiguration)
+    val dir = new org.apache.hadoop.fs.Path(path)
+    val tmp = new org.apache.hadoop.fs.Path(path + "__applying")
+    require(fs.rename(dir, tmp))
+    val n = ChangeApply.advance(spark, path, changes(("b", "b1", "I", 2)), key, attrs)
+    assert(n == 2)
+    assert(live(spark.read.parquet(path)) == Map("a" -> "a1", "b" -> "b1"))
+  }
+
   test("merge plan: window exchange on changes only, no sort on the snapshot side") {
     val big = queries.t(spark, sfTiny, "orders")
       .select(col("o_orderkey").cast("string").as("k"),

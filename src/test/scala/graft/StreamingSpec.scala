@@ -467,4 +467,33 @@ class StreamingSpec extends AnyFunSuite {
         (2L, "2024-01-01 10:05:00.0", 1L)))
     } finally q.stop()
   }
+
+  test("streaming CDC apply folds the change feed into the versioned snapshot") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft_cdc_stream")
+    val outDir = base.resolve("snap").toString
+    val ckpt = base.resolve("ckpt").toString
+    val mem = MemoryStream[(String, String, String, Long)]
+    val q = StreamingPipeline.cdcApplySink(
+      mem.toDF().toDF("k", "v", "op", "ts"),
+      "k", Seq("v"), outDir, ckpt).start()
+    try {
+      mem.addData(("a", "a1", "I", 1L), ("b", "b1", "I", 1L))
+      q.processAllAvailable()
+      // second micro-batch: update a, delete b, insert c — plus a
+      // stale change that must lose to the stored version
+      mem.addData(("a", "a2", "U", 5L), ("a", "aStale", "U", 2L),
+        ("b", null, "D", 4L), ("c", "c1", "I", 3L))
+      q.processAllAvailable()
+      val live = graft.etl.ChangeApply.current(spark.read.parquet(outDir))
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(live == Map("a" -> "a2", "c" -> "c1"))
+      // the delete is a tombstone, not a lost row
+      val d = spark.read.parquet(outDir)
+        .filter(col("k") === "b").select("__deleted").head()
+      assert(d.getBoolean(0))
+    } finally q.stop()
+  }
 }
