@@ -67,6 +67,20 @@ object PipelineDemo {
     star.foreach { case (n, _) =>
       println(s"[demo] $n rows = ${spark.read.parquet(s"$starOut/$n.parquet").count()}") }
 
+    // --- data-quality gate on the fresh star build ---
+    import graft.etl.Expectations
+    val factDf = spark.read.parquet(s"$starOut/fact_table.parquet")
+    val dimIdx = spark.read.parquet(s"$starOut/dim_stock_index.parquet")
+    val report = Expectations.check(factDf,
+      Seq(Expectations.notNull("DateKey"),
+        Expectations.inRange("Close", 0.0, 1e6),
+        Expectations.satisfies("high_ge_low", col("High") >= col("Low"))),
+      uniqueKey = Seq("DateKey", "IndexKey"),
+      foreignKeys = Map("fk(IndexKey)" -> (("IndexKey", dimIdx, "IndexKey"))))
+    report.foreach(v => println(s"[demo] expectation ${v.rule}: " +
+      (if (v.passed) "pass" else s"${v.violations} violations")))
+    require(report.forall(_.passed), "star build failed its quality gate")
+
     // --- serving layer: filter-below-sort slice from the cached star ---
     val serve = new graft.serve.StarServe(spark, starOut)
     println("[demo] serve chartSeries ^DJI 2024-01-10..2024-01-14:")

@@ -74,9 +74,11 @@ object Expectations {
         }.toSeq
       }
     val fks = foreignKeys.map { case (name, (childCol, dim, dimCol)) =>
+      // alias the dim side: child and dim key columns usually share a
+      // name in a star schema, which would make the raw join ambiguous
       Violation(name, df.filter(col(childCol).isNotNull)
-        .join(broadcast(dim.select(col(dimCol))),
-          col(childCol) === col(dimCol), "left_anti").count())
+        .join(broadcast(dim.select(col(dimCol).as("__fk_ref")).distinct()),
+          col(childCol) === col("__fk_ref"), "left_anti").count())
     }
     base ++ fks
   }

@@ -41,6 +41,13 @@ class ExpectationsSpec extends AnyFunSuite {
     assert(report.count(_.passed) == 0)
   }
 
+  test("FK check works when child and dim key columns share a name") {
+    val dimsSameName = dims.withColumnRenamed("code", "country")
+    val report = Expectations.check(dirty, Nil,
+      foreignKeys = Map("fk" -> (("country", dimsSameName, "country"))))
+    assert(report.head.violations == 1)
+  }
+
   test("a clean table passes every rule") {
     val clean = dirty.filter(col("id") === 1L)
     val report = Expectations.check(clean, rules, uniqueKey = Seq("id"),
