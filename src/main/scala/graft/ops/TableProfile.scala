@@ -1,0 +1,73 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{NumericType, StringType}
+
+import graft.functions.FreqItemsAgg
+
+/** One-pass table profiling — the discovery step before writing
+  * `Expectations` rules or choosing a layout: per column, null rate,
+  * approximate distinct count (HLL++), min/max, and (strings) the
+  * Misra-Gries heavy hitters, ALL computed in a single partial+final
+  * aggregate over one scan. Profiling 100 TB is itself a 100 TB scan;
+  * what must NOT happen is one scan per column or per metric — the
+  * whole profile is one job whose result is a single row, exploded
+  * driver-side into the long (column, metric) report.
+  *
+  * Reuses the library's native kernels: `approx_count_distinct`
+  * (HLL++) and `FreqItemsAgg` (bounded-memory heavy hitters), so the
+  * per-column state is O(sketch), never O(distinct values).
+  */
+object TableProfile {
+
+  final case class ColumnProfile(column: String, rows: Long, nulls: Long,
+      approxDistinct: Long, min: Option[String], max: Option[String],
+      topItems: Seq[(String, Long)]) {
+    def nullRate: Double = if (rows == 0) 0.0 else nulls.toDouble / rows
+  }
+
+  /** Profile the given columns (default: all non-complex columns).
+    * `topKCapacity` bounds the heavy-hitter sketch for string
+    * columns; numeric/date/timestamp columns report min/max instead. */
+  def profile(df: DataFrame, columns: Seq[String] = Nil,
+      topKCapacity: Int = 16): Seq[ColumnProfile] = {
+    val fields = df.schema.fields
+      .filter(f => columns.isEmpty || columns.contains(f.name))
+      .filter(f => f.dataType.isInstanceOf[NumericType] ||
+        f.dataType == StringType ||
+        f.dataType.typeName.startsWith("date") ||
+        f.dataType.typeName.startsWith("timestamp"))
+    require(fields.nonEmpty, "no profilable columns selected")
+
+    def isString(f: org.apache.spark.sql.types.StructField) =
+      f.dataType == StringType
+
+    val aggs: Seq[Column] = count(lit(1)).as("__rows") +: fields.flatMap { f =>
+      val c = col(f.name)
+      Seq(
+        sum(when(c.isNull, 1L).otherwise(0L)).as(s"__nulls_${f.name}"),
+        approx_count_distinct(c).as(s"__dist_${f.name}"),
+        min(c).cast("string").as(s"__min_${f.name}"),
+        max(c).cast("string").as(s"__max_${f.name}")) ++
+      (if (isString(f))
+        Seq(FreqItemsAgg.freqItems(c, topKCapacity).as(s"__top_${f.name}"))
+      else Nil)
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    val rows = row.getAs[Long]("__rows")
+    fields.map { f =>
+      val top: Seq[(String, Long)] =
+        if (isString(f))
+          row.getAs[scala.collection.Seq[org.apache.spark.sql.Row]](s"__top_${f.name}")
+            .map(r => (Option(r.get(0)).map(_.toString).orNull, r.getLong(1))).toSeq
+        else Nil
+      ColumnProfile(f.name, rows,
+        row.getAs[Long](s"__nulls_${f.name}"),
+        row.getAs[Long](s"__dist_${f.name}"),
+        Option(row.getAs[String](s"__min_${f.name}")),
+        Option(row.getAs[String](s"__max_${f.name}")),
+        top)
+    }.toSeq
+  }
+}
