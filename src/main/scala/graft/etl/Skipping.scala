@@ -100,9 +100,15 @@ object Skipping {
   private def liveParts(spark: SparkSession, dataPath: String): Seq[Path] = {
     val fs = FileSystem.get(new URI(dataPath),
       spark.sparkContext.hadoopConfiguration)
-    fs.listStatus(new Path(dataPath))
-      .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
-      .map(_.getPath).toSeq
+    // recursive: a partitionBy layout keeps its part files in
+    // key=value subdirectories
+    val it = fs.listFiles(new Path(dataPath), true)
+    val buf = Seq.newBuilder[Path]
+    while (it.hasNext) {
+      val s = it.next()
+      if (s.isFile && s.getPath.getName.startsWith("part-")) buf += s.getPath
+    }
+    buf.result()
   }
 
   /** Read `dataPath` with files pruned by the manifest under the
@@ -127,7 +133,10 @@ object Skipping {
       if (chosen.isEmpty)
         // schema from the full layout, zero rows — no file task runs
         spark.read.parquet(dataPath).filter(lit(false))
-      else spark.read.parquet(chosen.map(_.toString): _*)
+      // basePath keeps partition columns resolvable when reading leaf
+      // files out of a partitionBy layout
+      else spark.read.option("basePath", dataPath)
+        .parquet(chosen.map(_.toString): _*)
     (df.filter(exact), SkipStats(live.size, chosen.size, uncovered.size))
   }
 }

@@ -75,6 +75,25 @@ class SkippingSpec extends AnyFunSuite {
     assert(stats.readFiles == 0 && df.count() == 0)
   }
 
+  test("pruned scan works over a partitionBy layout (recursive listing + basePath)") {
+    val d = java.nio.file.Files.createTempDirectory("graft_skip_part").toString
+    val ev = queries.t(spark, sfTiny, "events")
+      .select(col("event_id"), col("value"), col("ts"))
+      .withColumn("d", to_date(col("ts"))).drop("ts")
+    etl.Layout.writePartitioned(ev, d, "d")
+    Skipping.writeManifest(spark, d, Seq("value"))
+    val mx = ev.agg(max("value")).head().getDouble(0)
+    val preds = Seq(ColRange("value", Some(mx * 0.9), None))
+    val (df, stats) = Skipping.prunedScan(spark, d, preds)
+    val expected = spark.read.parquet(d).filter(preds.head.exact)
+    assert(stats.uncovered == 0 && stats.liveFiles > 1)
+    assert(df.count() == expected.count() && df.count() > 0)
+    // partition column survives the leaf-file read
+    assert(df.columns.contains("d"))
+    assert(df.select("d").distinct().count() ==
+      expected.select("d").distinct().count())
+  }
+
   test("files appended after the manifest are always read (stale index loses speed, never rows)") {
     val d = java.nio.file.Files.createTempDirectory("graft_skip_stale").toString
     val li = queries.t(spark, sfTiny, "lineitem")
