@@ -93,9 +93,54 @@ object Skipping {
     out
   }
 
+  /** Incremental refresh: stat ONLY files the manifest doesn't cover
+    * and drop entries for deleted files — O(|new files|) scan instead
+    * of a full rebuild after every append (at 800 k files the full
+    * rebuild is itself a 100 TB scan). Falls back to a full build when
+    * no manifest exists. Returns (statted, dropped). */
+  def refreshManifest(spark: SparkSession, dataPath: String,
+      cols: Seq[String]): (Int, Int) = {
+    val manPath = manifestPath(dataPath)
+    val fs = FileSystem.get(new URI(dataPath),
+      spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new Path(manPath))) {
+      val n = liveParts(spark, dataPath).size
+      writeManifest(spark, dataPath, cols)
+      return (n, 0)
+    }
+    val live = liveParts(spark, dataPath)
+    val liveKeys = live.map(p => key(p.toString)).toSet
+    val old = spark.read.parquet(manPath)
+    val oldKeys = old.select("file").collect().map(r => key(r.getString(0))).toSet
+    val missing = live.filterNot(p => oldKeys(key(p.toString)))
+    val keptOld = old.filter(
+      udf((f: String) => liveKeys(key(f))).apply(col("file")))
+    val next =
+      if (missing.isEmpty) keptOld
+      else {
+        val aggs = cols.flatMap(c => Seq(
+          min(col(c).cast("double")).as(s"min_$c"),
+          max(col(c).cast("double")).as(s"max_$c")))
+        val fresh = spark.read.option("basePath", dataPath)
+          .parquet(missing.map(_.toString): _*)
+          .select(input_file_name().as("file") +: cols.map(col): _*)
+          .groupBy("file")
+          .agg(count(lit(1)).as("rows"), aggs: _*)
+        keptOld.unionByName(fresh)
+      }
+    val tmp = new Path(manPath + "__refreshing")
+    fs.delete(tmp, true)
+    next.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    Swap.publish(fs, new Path(manPath), tmp)
+    (missing.size, (oldKeys -- liveKeys).size)
+  }
+
   /** Scheme-free path key so manifest strings (`input_file_name`,
     * e.g. `file:///x/y`) and listing paths (`file:/x/y`) compare. */
   private def key(p: String): String = new Path(p).toUri.getPath
+
+  /** Visible for tests: the scheme-free compare key. */
+  private[graft] def manifestKeyForTest(p: String): String = key(p)
 
   private def liveParts(spark: SparkSession, dataPath: String): Seq[Path] = {
     val fs = FileSystem.get(new URI(dataPath),

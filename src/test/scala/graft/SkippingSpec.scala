@@ -94,6 +94,34 @@ class SkippingSpec extends AnyFunSuite {
       expected.select("d").distinct().count())
   }
 
+  test("refreshManifest stats only new files, drops dead entries, equals a full rebuild") {
+    val d = java.nio.file.Files.createTempDirectory("graft_skip_refresh").toString
+    val li = queries.t(spark, sfTiny, "lineitem")
+      .select("l_orderkey", "l_quantity")
+    li.filter(col("l_quantity") > 10).repartition(3)
+      .write.mode("overwrite").parquet(d)
+    Skipping.writeManifest(spark, d, Seq("l_quantity"))
+    // append one file, delete one original
+    li.filter(col("l_quantity") <= 10).coalesce(1)
+      .write.mode("append").parquet(d)
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(d),
+      spark.sparkContext.hadoopConfiguration)
+    val victim = fs.listStatus(new org.apache.hadoop.fs.Path(d))
+      .filter(s => s.getPath.getName.startsWith("part-")).head.getPath
+    fs.delete(victim, false)
+    val (statted, dropped) = Skipping.refreshManifest(spark, d, Seq("l_quantity"))
+    assert(statted == 1 && dropped == 1, s"($statted, $dropped)")
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (Skipping.manifestKeyForTest(r.getString(0)),
+        r.getLong(1), r.getDouble(2), r.getDouble(3))).sortBy(_._1).toSeq
+    assert(canon(spark.read.parquet(Skipping.manifestPath(d))) ==
+      canon(Skipping.buildManifest(spark, d, Seq("l_quantity"))))
+    // and the refreshed manifest covers everything live
+    val (_, stats) = Skipping.prunedScan(spark, d,
+      Seq(Skipping.ColRange("l_quantity", Some(1.0), Some(5.0))))
+    assert(stats.uncovered == 0)
+  }
+
   test("files appended after the manifest are always read (stale index loses speed, never rows)") {
     val d = java.nio.file.Files.createTempDirectory("graft_skip_stale").toString
     val li = queries.t(spark, sfTiny, "lineitem")
