@@ -51,6 +51,51 @@ object Skew {
       .withColumn("avg_v", col("sum_v") / col("cnt"))
   }
 
+  /** Detect hot keys in ONE pass with the Misra-Gries sketch: keys
+    * whose estimated row share is at least `threshold`. The sketch
+    * undercounts by at most rows/capacity, so pick
+    * `capacity ≥ 2/threshold` (default pairing 64 ↔ 1%) and every key
+    * at/above threshold surfaces; marginal keys may come along —
+    * harmless, salting a warm key costs nothing. Returns the raw
+    * key values (whatever type the column carries). */
+  def hotKeys(df: DataFrame, key: Column, threshold: Double = 0.01,
+      capacity: Int = 64): Seq[Any] = {
+    require(capacity >= 2 / threshold,
+      s"capacity $capacity too small for threshold $threshold (want ≥ ${2 / threshold})")
+    val row = df.agg(
+      graft.functions.FreqItemsAgg.freqItems(key, capacity).as("top"),
+      count(lit(1)).as("n")).head()
+    val n = row.getAs[Long]("n")
+    row.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("top")
+      .filter(r => r.getLong(1) >= (threshold * n - n / capacity).ceil.toLong)
+      .map(_.get(0)).filter(_ != null).toSeq
+  }
+
+  /** Partial-salted inner equi-join: ONLY rows carrying a hot key are
+    * salted, and only the hot keys' small-side rows replicate — cold
+    * keys keep salt 0 and exactly one small-side copy. One join, one
+    * plan; the small side's shuffle volume grows by (n−1)·|hot rows|
+    * instead of (n−1)·|small| as in [[saltedJoin]] — the difference
+    * between "replicate a few dictionary entries" and "replicate the
+    * dictionary" at 100 TB. Feed `hot` from [[hotKeys]] (profiling
+    * pass) or from known pathological values. Result rows equal
+    * `skewed.join(small, key)` exactly. */
+  def partialSaltedJoin(skewed: DataFrame, small: DataFrame, key: String,
+      saltFrom: Column, hot: Seq[Any], n: Int = 16,
+      forceShuffle: Boolean = false): DataFrame = {
+    require(n >= 1, "salt fan-out must be at least 1")
+    def isHot(c: Column): Column =
+      if (hot.isEmpty) lit(false) else coalesce(c.isin(hot: _*), lit(false))
+    val saltedLeft = skewed.withColumn("__salt",
+      when(isHot(col(key)), salt(saltFrom, n)).otherwise(lit(0L)))
+    val replicated0 = small.withColumn("__salt", explode(
+      when(isHot(col(key)), array((0 until n).map(i => lit(i.toLong)): _*))
+        .otherwise(array(lit(0L)))))
+    val replicated =
+      if (forceShuffle) replicated0.hint("shuffle_hash") else replicated0
+    saltedLeft.join(replicated, Seq(key, "__salt")).drop("__salt")
+  }
+
   /** Inner equi-join where `skewed`'s join key is hot: replicate
     * `small` once per salt value and route each skewed row to one
     * replica. Exactly the rows of `skewed.join(small, key)`, spread

@@ -58,6 +58,49 @@ class SkewSpec extends AnyFunSuite {
       o.join(c, Seq("c_custkey")).count())
   }
 
+  test("hotKeys surfaces the planted hot key; partialSaltedJoin equals the plain join") {
+    import spark.implicits._
+    // 2000 rows of one hot key + a long cold tail
+    val skewed = ((1 to 2000).map(_ => "HOT") ++ (1 to 500).map(i => s"k$i"))
+      .zipWithIndex.map { case (k, i) => (k, i.toLong) }.toDF("key", "rid")
+    val small = ("HOT" +: (1 to 500).map(i => s"k$i")).zipWithIndex
+      .map { case (k, i) => (k, s"payload$i") }.toDF("key", "payload")
+
+    val hot = ops.Skew.hotKeys(skewed, col("key"), threshold = 0.1, capacity = 64)
+    assert(hot.contains("HOT"), s"hot=$hot")
+    // the cold tail (each key 1/2500 of rows) must not flood the list
+    assert(hot.size < 10, s"hot=$hot")
+
+    val got = ops.Skew.partialSaltedJoin(skewed, small, "key",
+      saltFrom = col("rid"), hot = hot, n = 8)
+    val want = skewed.join(small, "key")
+    assert(got.count() == want.count())
+    assert(got.select("key", "rid", "payload").collect().map(_.toString).sorted.toSeq ==
+      want.select("key", "rid", "payload").collect().map(_.toString).sorted.toSeq)
+    // hot rows really spread: the salted left carries >1 distinct salt
+    // for the hot key and exactly salt 0 for cold keys
+    val saltedLeft = skewed.withColumn("__salt",
+      when(col("key").isin(hot: _*), ops.Skew.salt(col("rid"), 8)).otherwise(lit(0L)))
+    assert(saltedLeft.filter(col("key") === "HOT")
+      .select("__salt").distinct().count() > 1)
+    assert(saltedLeft.filter(col("key") =!= "HOT")
+      .select("__salt").distinct().count() == 1)
+    // replication is partial: |small| + (n-1)*|hot| rows, not n*|small|
+    val repl = small.withColumn("__salt", explode(
+      when(col("key").isin(hot: _*),
+        array((0 until 8).map(i => lit(i.toLong)): _*))
+        .otherwise(array(lit(0L))))).count()
+    assert(repl == small.count() + 7 * hot.size)
+  }
+
+  test("partialSaltedJoin with no hot keys degenerates to the plain join") {
+    import spark.implicits._
+    val l = Seq(("a", 1L), ("b", 2L)).toDF("key", "rid")
+    val r = Seq(("a", "x"), ("b", "y")).toDF("key", "payload")
+    val got = ops.Skew.partialSaltedJoin(l, r, "key", col("rid"), hot = Nil, n = 8)
+    assert(got.count() == 2)
+  }
+
   test("salt is deterministic and in range") {
     val s = spark.range(1000)
       .select(ops.Skew.salt(col("id"), 16).as("s"))
