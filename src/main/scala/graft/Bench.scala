@@ -73,8 +73,16 @@ object Bench {
     // each query its own planning + codegen. N=3 because one stall can
     // span two consecutive runs of the same query.
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    // Iteration knob: SPARK_GRAFT_BENCH_ONLY=q_a,q_b restricts the
+    // timed set (the warm-up and methodology stay identical), so a
+    // single query can be re-measured without paying the full sweep.
+    val only: Set[String] = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty)
     def timedPass(runsN: Int, coldEachQuery: Boolean): Map[String, Double] =
-      SparkEntry.queries.map { case (name, fn) =>
+      SparkEntry.queries
+        .filter { case (name, _) => only.isEmpty || only(name) }
+        .map { case (name, fn) =>
         if (coldEachQuery) graft.queries.ExtendedQueries.releaseCaches(spark, sfDir)
         val times = (1 to runsN).map { _ =>
           val t0 = System.nanoTime()

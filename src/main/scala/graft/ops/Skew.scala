@@ -54,12 +54,12 @@ object Skew {
   /** Detect hot keys in ONE pass with the Misra-Gries sketch: keys
     * whose estimated row share is at least `threshold`. The sketch
     * undercounts by at most rows/capacity, so pick
-    * `capacity ≥ 2/threshold` (default pairing 64 ↔ 1%) and every key
+    * `capacity ≥ 2/threshold` (default pairing 200 ↔ 1%) and every key
     * at/above threshold surfaces; marginal keys may come along —
     * harmless, salting a warm key costs nothing. Returns the raw
     * key values (whatever type the column carries). */
   def hotKeys(df: DataFrame, key: Column, threshold: Double = 0.01,
-      capacity: Int = 64): Seq[Any] = {
+      capacity: Int = 200): Seq[Any] = {
     require(capacity >= 2 / threshold,
       s"capacity $capacity too small for threshold $threshold (want ≥ ${2 / threshold})")
     val row = df.agg(
