@@ -92,7 +92,8 @@ object Skew {
       when(isHot(col(key)), array((0 until n).map(i => lit(i.toLong)): _*))
         .otherwise(array(lit(0L)))))
     val replicated =
-      if (forceShuffle) replicated0.hint("shuffle_hash") else replicated0
+      if (forceShuffle) replicated0.hint("shuffle_hash")
+      else broadcast(replicated0)
     saltedLeft.join(replicated, Seq(key, "__salt")).drop("__salt")
   }
 
@@ -113,8 +114,17 @@ object Skew {
     // is under the broadcast threshold Catalyst would broadcast it and
     // the salt is decorative; the flag makes the salted SHUFFLE shape
     // (the case this operator exists for) reproducible at test scale.
+    // The un-forced path pins the broadcast on the REPLICATED side:
+    // without the hint, size-only estimation (no CBO) carries the
+    // child's size through the Aggregate+Generate feeding `small`, so
+    // the few-row dim "looks" bigger than the pruned fact scan and
+    // Catalyst broadcasts the FACT — backwards at any scale. The
+    // operator's contract is that `small` is small; when it is not,
+    // the salted-shuffle regime (forceShuffle) is the right call
+    // anyway.
     val replicated =
-      if (forceShuffle) replicated0.hint("shuffle_hash") else replicated0
+      if (forceShuffle) replicated0.hint("shuffle_hash")
+      else broadcast(replicated0)
     saltedLeft.join(replicated, Seq(key, "__salt")).drop("__salt")
   }
 }

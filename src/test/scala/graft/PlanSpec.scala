@@ -242,6 +242,19 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortAggregate"), p)
   }
 
+  test("salted join: the replicated dim aggregate broadcasts, the fact streams") {
+    // regression gate for the un-forced declared query: size-only
+    // estimation carries child sizes through the dim's
+    // Aggregate+Generate, which once flipped the broadcast onto the
+    // FACT side (BuildLeft) — backwards at any scale. The operator
+    // pins broadcast() on the replicated side; the fact scan must be
+    // the streamed side.
+    val p = plan(q("q_salt_skew_join"))
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast join:\n$p")
+    assert(p.contains("BuildRight"), s"replicated dim must be the build side:\n$p")
+    assert(!p.contains("BuildLeft"), s"fact side must stream, not broadcast:\n$p")
+  }
+
   test("session and sliding windows: the aggregation is the only hash exchange") {
     for (name <- Seq("q_session_window", "q_window_sliding", "q_time_bucket")) {
       val p = plan(q(name))

@@ -42,6 +42,21 @@ class SkewSpec extends AnyFunSuite {
     assert(plain.exceptAll(salted).isEmpty && salted.exceptAll(plain).isEmpty)
   }
 
+  test("saltedJoin un-forced: the replicated dim is the broadcast build side") {
+    val o = queries.t(spark, sfTiny, "orders")
+      .select(col("o_orderkey"), col("o_custkey").as("c_custkey"))
+    val c = queries.t(spark, sfTiny, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val salted = ops.Skew.saltedJoin(o, c, "c_custkey",
+      saltFrom = col("o_orderkey"), n = 4)
+    val plan = salted.queryExecution.executedPlan.toString
+    // regression gate: size-only estimation once put the broadcast on
+    // the FACT side (BuildLeft) — the replicated dim (the right side)
+    // must be the build side at any scale
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
+    assert(plan.contains("BuildRight"), s"replicated dim must be the build side:\n$plan")
+  }
+
   test("saltedJoin forceShuffle: plan shuffles on (key, salt), rows unchanged") {
     val o = queries.t(spark, sfTiny, "orders")
       .select(col("o_orderkey"), col("o_custkey").as("c_custkey"))
