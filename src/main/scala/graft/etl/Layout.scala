@@ -117,6 +117,42 @@ object Layout {
       }.toMap
   }
 
+  /** Parquet writer options enabling a split-block bloom filter on
+    * each named column, sized for its expected per-row-group distinct
+    * count. The gap these close: row-group min/max stats (and the
+    * z-order clustering above) only prune RANGE-correlated columns — a
+    * point lookup on a high-cardinality key the layout is NOT sorted
+    * by (a document id in a time-partitioned corpus, a user id in an
+    * event log) finds every row group's [min,max] spanning the probe
+    * and reads the whole table. A bloom filter answers "definitely not
+    * in this row group" for equality predicates regardless of layout,
+    * so the scan skips all but the (few) groups that can hold the key.
+    * Spark's reader applies them through the parquet row-group filter
+    * whenever `spark.sql.parquet.filterPushdown` is on (the default).
+    *
+    * `ndv` sizes each row group's filter (bits ≈ 1.2 × ndv at the
+    * default 1% false-positive rate): estimate DISTINCT KEYS PER ROW
+    * GROUP, not per table — oversizing wastes footer bytes on every
+    * group, undersizing inflates false positives, and a false positive
+    * only costs a read (never wrong rows — the exact predicate still
+    * runs above the scan). */
+  def bloomOptions(ndvByCol: Map[String, Long]): Map[String, String] =
+    ndvByCol.flatMap { case (c, ndv) =>
+      require(ndv > 0, s"bloom ndv for $c must be positive")
+      Seq(s"parquet.bloom.filter.enabled#$c" -> "true",
+        s"parquet.bloom.filter.expected.ndv#$c" -> ndv.toString)
+    }
+
+  /** Write `df` with bloom filters on the point-lookup columns (plus
+    * any extra writer `options`, e.g. block sizing). Combine with
+    * `partitionBy`/z-order freely — bloom filters are per-column,
+    * per-row-group metadata and orthogonal to row order. */
+  def writeBloom(df: DataFrame, path: String, ndvByCol: Map[String, Long],
+      options: Map[String, String] = Map.empty): Unit =
+    df.write.mode("overwrite")
+      .options(bloomOptions(ndvByCol) ++ options)
+      .parquet(path)
+
   /** Morton (Z-order) key over two columns, each linearly bucketed
     * into `bits` bits by its [min,max] range, bits interleaved with
     * the classic mask-spread — a handful of codegen'd bitwise ops per
