@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver machine-parses Bench/Verify stdout. sbt's default
+// strategy for forked runs routes child stdout through its logger,
+// prefixing every line with "[info] " — which broke the driver's
+// JSON parse in rounds 1-5 ("parsed": null in every BENCH_r*.json).
+// StdoutOutput passes the child's stdout through verbatim.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

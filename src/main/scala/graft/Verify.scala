@@ -5,7 +5,13 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    // args: <sfDir> <outDir> [onlyCsv] — the optional third arg
+    // restricts the dump to named queries for fast local iteration;
+    // the driver always passes exactly two.
+    val (sfDir, outDir) = (args(0), args(1))
+    val only: Set[String] =
+      if (args.length > 2) args(2).split(",").map(_.trim).filter(_.nonEmpty).toSet
+      else Set.empty
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -24,7 +30,9 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries
+      .filter { case (name, _) => only.isEmpty || only(name) }
+      .foreach { case (name, fn) =>
       // one retry: the queries are deterministic, so a second failure
       // is a real bug, but a transient executor/broadcast hiccup (this
       // VM shows them) must not zero the query's correctness record

@@ -130,8 +130,9 @@ object Layout {
     * Spark's reader applies them through the parquet row-group filter
     * whenever `spark.sql.parquet.filterPushdown` is on (the default).
     *
-    * `ndv` sizes each row group's filter (bits ≈ 1.2 × ndv at the
-    * default 1% false-positive rate): estimate DISTINCT KEYS PER ROW
+    * `ndv` sizes each row group's filter (bytes ≈ 1.2 × ndv, i.e.
+    * ~9.6 bits per distinct value at the default 1% false-positive
+    * rate): estimate DISTINCT KEYS PER ROW
     * GROUP, not per table — oversizing wastes footer bytes on every
     * group, undersizing inflates false positives, and a false positive
     * only costs a read (never wrong rows — the exact predicate still
@@ -148,10 +149,18 @@ object Layout {
     * `partitionBy`/z-order freely — bloom filters are per-column,
     * per-row-group metadata and orthogonal to row order. */
   def writeBloom(df: DataFrame, path: String, ndvByCol: Map[String, Long],
-      options: Map[String, String] = Map.empty): Unit =
+      options: Map[String, String] = Map.empty): Unit = {
+    // Parquet matches the '#<col>' option suffix case-SENSITIVELY
+    // against the written schema; a typo'd name silently writes no
+    // filter and the point-lookup pruning is lost with no error.
+    val missing = ndvByCol.keySet -- df.columns.toSet
+    require(missing.isEmpty,
+      s"writeBloom: columns ${missing.mkString(", ")} not in schema " +
+        s"[${df.columns.mkString(", ")}] (match is case-sensitive)")
     df.write.mode("overwrite")
       .options(bloomOptions(ndvByCol) ++ options)
       .parquet(path)
+  }
 
   /** Morton (Z-order) key over two columns, each linearly bucketed
     * into `bits` bits by its [min,max] range, bits interleaved with

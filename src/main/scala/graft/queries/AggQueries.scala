@@ -149,7 +149,9 @@ object AggQueries {
         .agg(
           max_by(col("o_orderkey"), ukey).as("max_order"),
           min_by(col("o_orderkey"), ukey).as("min_order"),
-          max(col("o_totalprice").cast("decimal(18,2)")).as("max_price"))
+          // exact decimal max, DOUBLE at the boundary (§7.3: no
+          // DECIMAL finals — see q_unpivot)
+          max(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("max_price"))
         .orderBy(col("o_orderpriority"))
     },
 
@@ -361,7 +363,7 @@ object AggQueries {
         |               * 100000000000 + o_orderkey) AS max_order,
         |       arg_min(o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
         |               * 100000000000 + o_orderkey) AS min_order,
-        |       max(CAST(o_totalprice AS DECIMAL(18,2))) AS max_price
+        |       CAST(max(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS max_price
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "q_sql_grouping_sets" ->

@@ -72,7 +72,9 @@ object SqlSurfaceQueries {
         .agg(
           count(lit(1)).as("n_items"),
           count(when(col("l_quantity") > 25, 1)).as("n_heavy"),
-          sum(when(col("l_discount") > 0.05, px)).cast("decimal(18,2)").as("sum_discounted"),
+          // exact decimal sum, DOUBLE at the boundary (§7.3: no
+          // DECIMAL finals — see q_unpivot)
+          sum(when(col("l_discount") > 0.05, px)).cast("double").as("sum_discounted"),
           count(when(col("l_tax") === 0.0, 1)).as("n_taxfree"))
         .orderBy(col("l_returnflag"))
     },
@@ -117,10 +119,15 @@ object SqlSurfaceQueries {
 
     // UNPIVOT: per-flag measure columns rotated to (measure, value)
     // rows via the native unpivot API (an Expand node) — the inverse
-    // of q_pivot. Values are cast to a common exact DECIMAL first so
-    // the unioned column has one type on both engines. Expand, not
-    // stack(): the stack() Generate node measured ~0.4 s of fixed
-    // overhead per fresh plan; Expand stays inside codegen.
+    // of q_pivot. Sums are computed in exact DECIMAL, then the final
+    // value column is cast to DOUBLE on BOTH engines (§7.3: no
+    // DECIMAL finals — a decimal reaches pandas as an object Decimal
+    // via pyarrow but as float64 via DuckDB, so its string form
+    // diverges on integer-valued cents: '20028.00' vs '20028.0'. The
+    // same exact decimal casts to the same IEEE double on both
+    // engines, so DOUBLE finals hash identically on every read path).
+    // Expand, not stack(): the stack() Generate node measured ~0.4 s
+    // of fixed overhead per fresh plan; Expand stays inside codegen.
     "q_unpivot" -> { (s, d) =>
       val px = col("l_extendedprice").cast("decimal(18,2)")
       val qty = col("l_quantity").cast("decimal(18,2)")
@@ -128,9 +135,9 @@ object SqlSurfaceQueries {
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n_items"), sum(qty).as("sum_qty"), sum(px).as("sum_px"))
         .select(col("l_returnflag"),
-          col("n_items").cast("decimal(18,2)").as("n_items"),
-          col("sum_qty").cast("decimal(18,2)").as("sum_qty"),
-          col("sum_px").cast("decimal(18,2)").as("sum_px"))
+          col("n_items").cast("double").as("n_items"),
+          col("sum_qty").cast("double").as("sum_qty"),
+          col("sum_px").cast("double").as("sum_px"))
         .unpivot(Array(col("l_returnflag")),
           Array(col("n_items"), col("sum_qty"), col("sum_px")),
           "measure", "value")
@@ -359,7 +366,7 @@ object SqlSurfaceQueries {
         |       count(*) AS n_items,
         |       count(*) FILTER (WHERE l_quantity > 25) AS n_heavy,
         |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
-        |         FILTER (WHERE l_discount > 0.05) AS DECIMAL(18,2)) AS sum_discounted,
+        |         FILTER (WHERE l_discount > 0.05) AS DOUBLE) AS sum_discounted,
         |       count(*) FILTER (WHERE l_tax = 0.0) AS n_taxfree
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
@@ -397,11 +404,11 @@ object SqlSurfaceQueries {
         |)
         |SELECT l_returnflag, measure, value FROM (
         |  SELECT l_returnflag, 'n_items' AS measure,
-        |         CAST(n_items AS DECIMAL(18,2)) AS value FROM agg
+        |         CAST(n_items AS DOUBLE) AS value FROM agg
         |  UNION ALL
-        |  SELECT l_returnflag, 'sum_qty', CAST(sum_qty AS DECIMAL(18,2)) FROM agg
+        |  SELECT l_returnflag, 'sum_qty', CAST(sum_qty AS DOUBLE) FROM agg
         |  UNION ALL
-        |  SELECT l_returnflag, 'sum_px', CAST(sum_px AS DECIMAL(18,2)) FROM agg
+        |  SELECT l_returnflag, 'sum_px', CAST(sum_px AS DOUBLE) FROM agg
         |)
         |ORDER BY l_returnflag, measure""".stripMargin,
 

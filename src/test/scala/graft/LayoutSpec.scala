@@ -136,6 +136,20 @@ class LayoutSpec extends AnyFunSuite {
     assert(zoCountU == ev.filter(predU).count())
   }
 
+  test("writeBloom rejects columns absent from the schema (case-sensitive)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bloom").toString
+    val ev = queries.t(spark, sfTiny, "events").select("event_id", "user_id")
+    // parquet matches the '#<col>' option suffix case-sensitively, so a
+    // wrong-case name would silently write no filter — must be refused
+    val e = intercept[IllegalArgumentException] {
+      etl.Layout.writeBloom(ev, dir, Map("EVENT_ID" -> 1000L))
+    }
+    assert(e.getMessage.contains("EVENT_ID"))
+    // exact-case names pass and the write succeeds
+    etl.Layout.writeBloom(ev, dir, Map("event_id" -> 1000L))
+    assert(spark.read.parquet(dir).count() == ev.count())
+  }
+
   test("zvalue matches an independent per-bit Morton reference") {
     val bounds = (0.0, 1023.0, 0.0, 1023.0)
     import spark.implicits._
