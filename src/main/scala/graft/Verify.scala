@@ -12,6 +12,12 @@ object Verify {
     val only: Set[String] =
       if (args.length > 2) args(2).split(",").map(_.trim).filter(_.nonEmpty).toSet
       else Set.empty
+    // A typo'd name would otherwise match nothing and dump zero queries
+    // with exit 0 — the same silent-failure class the writeBloom schema
+    // guard exists to prevent.
+    val unknown = only -- SparkEntry.queries.keySet
+    require(unknown.isEmpty,
+      s"unknown query name(s): ${unknown.toSeq.sorted.mkString(", ")}")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -64,7 +70,11 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // Keep the manifest consistent with the dumped parquet set: a
+    // filtered run must not emit a full manifest whose unlisted entries
+    // read as missing results to the driver's compare.
     val json = SparkEntry.oracleSql
+      .filter { case (k, _) => only.isEmpty || only(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

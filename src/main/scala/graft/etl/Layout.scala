@@ -153,10 +153,24 @@ object Layout {
     // Parquet matches the '#<col>' option suffix case-SENSITIVELY
     // against the written schema; a typo'd name silently writes no
     // filter and the point-lookup pruning is lost with no error.
-    val missing = ndvByCol.keySet -- df.columns.toSet
+    // Dotted paths are valid parquet option keys for nested fields
+    // (e.g. "meta.user_id"), so resolve each segment against the
+    // struct schema rather than top-level column names only.
+    def resolves(path: String): Boolean = {
+      import org.apache.spark.sql.types.{StructType, DataType}
+      def walk(dt: DataType, segs: List[String]): Boolean = (dt, segs) match {
+        case (_, Nil) => true
+        case (st: StructType, s :: rest) =>
+          st.fields.find(_.name == s).exists(f => walk(f.dataType, rest))
+        case _ => false
+      }
+      walk(df.schema, path.split('.').toList)
+    }
+    val missing = ndvByCol.keySet.filterNot(resolves)
     require(missing.isEmpty,
       s"writeBloom: columns ${missing.mkString(", ")} not in schema " +
-        s"[${df.columns.mkString(", ")}] (match is case-sensitive)")
+        s"[${df.columns.mkString(", ")}] (match is case-sensitive; " +
+        "dotted paths resolve nested struct fields)")
     df.write.mode("overwrite")
       .options(bloomOptions(ndvByCol) ++ options)
       .parquet(path)

@@ -148,6 +148,16 @@ class LayoutSpec extends AnyFunSuite {
     // exact-case names pass and the write succeeds
     etl.Layout.writeBloom(ev, dir, Map("event_id" -> 1000L))
     assert(spark.read.parquet(dir).count() == ev.count())
+    // dotted paths resolve nested struct fields (valid parquet option
+    // keys), while a dotted path with a bad leaf is still refused
+    val nested = ev.select(struct(col("event_id"), col("user_id")).as("meta"))
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_bloom2").toString
+    etl.Layout.writeBloom(nested, dir2, Map("meta.user_id" -> 1000L))
+    assert(spark.read.parquet(dir2).count() == nested.count())
+    val e2 = intercept[IllegalArgumentException] {
+      etl.Layout.writeBloom(nested, dir2, Map("meta.nope" -> 1000L))
+    }
+    assert(e2.getMessage.contains("meta.nope"))
   }
 
   test("zvalue matches an independent per-bit Morton reference") {
