@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.etl.SketchRollup
+import graft.etl.SketchRollup.Columns
+
+/** graft.etl.SketchRollup — folded sketch state must report the same
+  * counts/cardinalities as a from-scratch build (HLL registers and
+  * MinHash minima are value-determined), keep KLL quantiles inside the
+  * sketch's rank-error envelope, be fold-order invariant on the
+  * deterministic fields, and survive the persisted advance
+  * round-trip. */
+class SketchRollupSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private val keys = Seq("lang")
+  private val cols = Columns(
+    distinctCol = "doc_id", quantileCol = "n_chars", textCol = "text")
+
+  private lazy val docs = queries.t(spark, sfTiny, "documents")
+    .select("lang", "doc_id", "n_chars", "text")
+
+  /** Three disjoint covering batches, split by doc id. */
+  private lazy val batches: Seq[DataFrame] =
+    (0 until 3).map(i => docs.filter(col("doc_id") % 3 === i))
+
+  private def fold(order: Seq[DataFrame]): DataFrame =
+    order.tail.foldLeft(SketchRollup.partialState(order.head, keys, cols))(
+      (st, b) => SketchRollup.mergeState(
+        st, SketchRollup.partialState(b, keys, cols), keys))
+
+  /** (key → (n_rows, distinct_est, sig)) — the deterministic fields. */
+  private def detFields(state: DataFrame): Map[String, (Long, Long, Seq[String])] =
+    SketchRollup.finalizeState(state, keys).collect().map { r =>
+      r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getSeq[String](r.fieldIndex("sig")).toSeq)
+    }.toMap
+
+  test("folded counts, HLL estimates and signatures equal a from-scratch build") {
+    assert(batches.forall(_.count() > 0))
+    val folded = detFields(fold(batches))
+    val scratch = detFields(SketchRollup.partialState(docs, keys, cols))
+    assert(folded == scratch)
+    // and the HLL estimate tracks the exact distinct count within the
+    // 2^12-register sketch's error (~1.6% RSE; allow 5%)
+    val exact = docs.groupBy(keys.map(col): _*)
+      .agg(countDistinct(col("doc_id")).as("d"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    for ((k, (_, est, _)) <- folded) {
+      val e = exact(k).toDouble
+      assert(math.abs(est - e) / e <= 0.05,
+        s"$k: hll=$est exact=$e")
+    }
+  }
+
+  test("merged KLL quantiles stay inside the rank-error envelope") {
+    val fin = SketchRollup.finalizeState(fold(batches), keys,
+      probs = Seq(0.5)).collect()
+      .map(r => r.getString(0) -> r.getDouble(r.fieldIndex("q_0"))).toMap
+    // exact rank of the estimated median must be within ±5% of 0.5
+    // (k=200 guarantees ~1.65% at 99% confidence; 5% is generous)
+    for ((k, est) <- fin) {
+      val vals = docs.filter(col("lang") === k)
+        .select(col("n_chars").cast("double")).collect()
+        .map(_.getDouble(0)).sorted
+      val rank = vals.count(_ <= est).toDouble / vals.length
+      assert(math.abs(rank - 0.5) <= 0.05, s"$k: q50=$est rank=$rank")
+    }
+  }
+
+  test("fold order never changes the deterministic fields") {
+    assert(detFields(fold(batches)) == detFields(fold(batches.reverse)))
+  }
+
+  test("persisted advance round-trip matches, state stays group-sized") {
+    val statePath = java.nio.file.Files.createTempDirectory("graft_sketch")
+      .resolve("state").toString
+    var groups = 0L
+    for (b <- batches)
+      groups = SketchRollup.advance(spark, statePath, b, keys, cols)
+    val state = spark.read.parquet(statePath)
+    assert(groups == docs.select(keys.map(col): _*).distinct().count())
+    assert(state.count() == groups)
+    assert(detFields(state) ==
+      detFields(SketchRollup.partialState(docs, keys, cols)))
+  }
+
+  test("signatureJaccard: identical corpus → 1.0; disjoint text differs") {
+    val full = SketchRollup.partialState(docs, keys, cols)
+    val self = SketchRollup.signatureJaccard(full, full, keys).collect()
+    assert(self.nonEmpty)
+    assert(self.forall(_.getDouble(1) == 1.0))
+    // a state over a text-perturbed corpus must show sub-1 similarity
+    // somewhere (16 hashes: a coarse drift signal, not a verifier)
+    val perturbed = SketchRollup.partialState(
+      docs.withColumn("text", reverse(col("text"))), keys, cols)
+    val drift = SketchRollup.signatureJaccard(full, perturbed, keys)
+      .collect().map(_.getDouble(1))
+    assert(drift.exists(_ < 1.0))
+  }
+}
