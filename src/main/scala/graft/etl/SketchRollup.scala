@@ -122,7 +122,11 @@ object SketchRollup {
   /** Persisted form: fold `delta` into the state parquet at
     * `statePath` (bootstrapping on first call), swap-publish, return
     * the group count — the same crash-safe lifecycle as
-    * [[IncrementalAgg.advance]]. */
+    * [[IncrementalAgg.advance]]. NOT idempotent: re-folding the same
+    * delta double-counts `cnt` and re-inserts into KLL (HLL registers
+    * and MinHash minima alone WOULD absorb a replay, but the exact
+    * count would lie). Drive replay-prone feeds through
+    * [[advanceBatch]] instead. */
   def advance(spark: SparkSession, statePath: String, delta: DataFrame,
       keys: Seq[String], cols: Columns): Long = {
     val fs = FileSystem.get(new URI(statePath),
@@ -131,12 +135,46 @@ object SketchRollup {
     val tmp = new Path(statePath + "__advancing")
     Swap.recover(fs, dir, tmp)
     val deltaState = partialState(delta, keys, cols)
+    advancePublish(spark, fs, dir, tmp, deltaState, keys, marker = None)
+  }
+
+  /** Idempotent form for at-least-once feeds (foreachBatch replays a
+    * micro-batch after a sink crash): an `_applied_<runTag>_<id>`
+    * marker rides INSIDE the swapped state directory — underscore
+    * files are invisible to the parquet reader, and the atomic rename
+    * publishes state and marker together, so "folded" and "marked"
+    * can never diverge. A replayed (runTag, batchId) is a no-op. */
+  def advanceBatch(spark: SparkSession, statePath: String,
+      delta: DataFrame, keys: Seq[String], cols: Columns,
+      batchId: Long, runTag: String = "run"): Long = {
+    val fs = FileSystem.get(new URI(statePath),
+      spark.sparkContext.hadoopConfiguration)
+    val dir = new Path(statePath)
+    val tmp = new Path(statePath + "__advancing")
+    Swap.recover(fs, dir, tmp)
+    val marker = s"_applied_${runTag}_$batchId"
+    if (fs.exists(new Path(dir, marker)))
+      return spark.read.parquet(statePath).count()
+    val deltaState = partialState(delta, keys, cols)
+    advancePublish(spark, fs, dir, tmp, deltaState, keys, Some(marker))
+  }
+
+  /** Shared publish tail: merge → write tmp (carrying forward any
+    * existing applied-markers, plus `marker`) → atomic swap. */
+  private def advancePublish(spark: SparkSession, fs: FileSystem,
+      dir: Path, tmp: Path, deltaState: DataFrame, keys: Seq[String],
+      marker: Option[String]): Long = {
+    val exists = fs.exists(dir)
     val next =
-      if (fs.exists(dir))
-        mergeState(spark.read.parquet(statePath), deltaState, keys)
+      if (exists) mergeState(spark.read.parquet(dir.toString), deltaState, keys)
       else deltaState
     fs.delete(tmp, true)
     next.write.mode("overwrite").parquet(tmp.toString)
+    if (exists)
+      fs.listStatus(dir).iterator
+        .filter(_.getPath.getName.startsWith("_applied_"))
+        .foreach(m => fs.create(new Path(tmp, m.getPath.getName), true).close())
+    marker.foreach(m => fs.create(new Path(tmp, m), true).close())
     val groups = spark.read.parquet(tmp.toString).count()
     Swap.publish(fs, dir, tmp)
     groups

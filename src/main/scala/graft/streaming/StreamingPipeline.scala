@@ -378,6 +378,35 @@ object StreamingPipeline {
       }
       .option("checkpointLocation", checkpointDir)
 
+  /** Streaming sketch-state maintenance — the streaming twin of
+    * `graft.etl.SketchRollup`: each micro-batch of raw rows is folded
+    * into the persisted per-group sketch state (HLL distinct, KLL
+    * quantiles, MinHash signature) at `statePath`, so corpus
+    * statistics stay fresh without any full recompute — and without
+    * engine-managed aggregation state, since the sketch table IS the
+    * state (the query itself is a stateless pass-through).
+    *
+    * Recovery contract: foreachBatch is AT-LEAST-ONCE and sketch
+    * counts are NOT replay-tolerant (cnt would double), so this sink
+    * routes through `SketchRollup.advanceBatch` — the applied-batch
+    * marker is published atomically with the folded state, making a
+    * replayed micro-batch a no-op. The run tag (derived from the
+    * checkpoint, as in `upsertSink`) keeps a fresh stream's restarted
+    * batch ids from colliding with a previous run's markers. */
+  def sketchRollupSink(rows: DataFrame, keys: Seq[String],
+      cols: graft.etl.SketchRollup.Columns, statePath: String,
+      checkpointDir: String) = {
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(checkpointDir.getBytes("UTF-8")).take(4).map(b => f"$b%02x").mkString
+    rows.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.etl.SketchRollup.advanceBatch(batch.sparkSession, statePath,
+          batch, keys, cols, batchId, tag): Unit
+      }
+      .option("checkpointLocation", checkpointDir)
+  }
+
   /** Leading numeric id of a `snapshot_<id>[_<tag>]` name. */
   private def snapId(name: String): Option[Long] = {
     val digits = name.stripPrefix("snapshot_").takeWhile(_.isDigit)

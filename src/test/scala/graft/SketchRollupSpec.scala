@@ -88,6 +88,49 @@ class SketchRollupSpec extends AnyFunSuite {
       detFields(SketchRollup.partialState(docs, keys, cols)))
   }
 
+  test("advanceBatch is idempotent: a replayed (runTag, batchId) is a no-op") {
+    val statePath = java.nio.file.Files.createTempDirectory("graft_sketch_b")
+      .resolve("state").toString
+    for ((b, i) <- batches.zipWithIndex)
+      SketchRollup.advanceBatch(spark, statePath, b, keys, cols, i.toLong)
+    val before = detFields(spark.read.parquet(statePath))
+    // replay the middle batch — the at-least-once hazard
+    SketchRollup.advanceBatch(spark, statePath, batches(1), keys, cols, 1L)
+    val after = detFields(spark.read.parquet(statePath))
+    assert(after == before)
+    assert(before == detFields(SketchRollup.partialState(docs, keys, cols)))
+    // a DIFFERENT run tag is not a replay: same batch id folds again
+    SketchRollup.advanceBatch(spark, statePath, batches(1), keys, cols, 1L,
+      runTag = "run2")
+    val doubled = detFields(spark.read.parquet(statePath))
+    assert(doubled("en")._1 == before("en")._1 + batches(1)
+      .filter(col("lang") === "en").count())
+  }
+
+  test("sketchRollupSink folds micro-batches into the same state as one batch build") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft_sketch_s")
+    val statePath = base.resolve("state").toString
+    val ckpt = base.resolve("ckpt").toString
+    val mem = MemoryStream[(String, Long, Long, String)]
+    val q = graft.streaming.StreamingPipeline.sketchRollupSink(
+      mem.toDF().toDF("lang", "doc_id", "n_chars", "text"),
+      keys, cols, statePath, ckpt).start()
+    try {
+      val rows = docs.collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      val (first, rest) = rows.splitAt(rows.length / 2)
+      mem.addData(first.toSeq)
+      q.processAllAvailable()
+      mem.addData(rest.toSeq)
+      q.processAllAvailable()
+      assert(detFields(spark.read.parquet(statePath)) ==
+        detFields(SketchRollup.partialState(docs, keys, cols)))
+    } finally q.stop()
+  }
+
   test("signatureJaccard: identical corpus → 1.0; disjoint text differs") {
     val full = SketchRollup.partialState(docs, keys, cols)
     val self = SketchRollup.signatureJaccard(full, full, keys).collect()
