@@ -59,9 +59,13 @@ case class TopKAgg(
   private def offer(buf: java.util.TreeSet[(Double, Long)], e: (Double, Long)): Unit = {
     if (buf.size < k) { buf.add(e); () }
     else if (worstFirst.compare(e, buf.first()) > 0) {
-      // better than the current worst: evict it. (compare > 0 means e
-      // sorts LATER in worst-first order, i.e. e is the better row.)
-      buf.pollFirst(); buf.add(e); ()
+      // better than the current worst: insert FIRST, and only evict if
+      // the insert actually grew the set. (compare > 0 means e sorts
+      // LATER in worst-first order, i.e. e is the better row.) The
+      // reverse order — evict, then add — shrinks the buffer forever
+      // when e is a duplicate of a resident element, losing a
+      // legitimate k-th entry (KernelLawSpec caught exactly that).
+      if (buf.add(e)) { buf.pollFirst(); () }
     }
   }
 

@@ -1,0 +1,163 @@
+package graft
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.BoundReference
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{DoubleType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{FreqItemsAgg, MinHashAgg, TopKAgg}
+
+/** Merge-law properties of the typed aggregate kernels, driven at the
+  * raw buffer level (update/merge/eval/serialize) over generated
+  * inputs and RANDOM MERGE TREES — the algebra the 100 TB story rests
+  * on: Spark may split a group across any number of partitions, merge
+  * partials in any association, and ship buffers through serde at any
+  * point, so the kernels must be invariant to all three.
+  *
+  *  - TopKAgg / MinHashAgg: eval after any split/merge-tree/serde
+  *    equals the sequential fold EXACTLY (true monoids).
+  *  - FreqItemsAgg: Misra-Gries merged state is NOT canonical (the
+  *    merge tree may change which counters survive), so the law is
+  *    the published envelope: est ≤ true, undercount ≤ n/(capacity+1),
+  *    and every item above the threshold is present — under every
+  *    random split and tree.
+  *
+  * Fixed seeds keep runs reproducible (SURVEY §5.2 item 3).
+  */
+class KernelLawSpec extends AnyFunSuite {
+
+  private def sample[A](g: Gen[A], seed: Long): A =
+    g.pureApply(Gen.Parameters.default, Seed(seed))
+
+  /** Split `xs` into `n` contiguous chunks (some possibly empty). */
+  private def split[A](xs: List[A], cuts: List[Int]): List[List[A]] = {
+    val bounds = (0 :: cuts.map(c => math.abs(c) % (xs.length + 1)).sorted)
+      .:+(xs.length)
+    bounds.zip(bounds.tail).map { case (a, b) => xs.slice(a, b) }
+  }
+
+  /** Fold buffers pairwise in a seeded random order (a random merge
+    * tree), optionally bouncing each operand through serde first. */
+  private def mergeTree[B](
+      agg: org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate[B],
+      bufs: List[B], seed: Long, serde: Boolean): B = {
+    val rnd = new scala.util.Random(seed)
+    var pool = rnd.shuffle(bufs)
+    while (pool.length > 1) {
+      val a :: b :: rest = pool: @unchecked
+      val bb = if (serde) agg.deserialize(agg.serialize(b)) else b
+      pool = rnd.shuffle(agg.merge(a, bb) :: rest)
+    }
+    pool.head
+  }
+
+  // ---- TopKAgg ----------------------------------------------------
+
+  private val topk = TopKAgg(
+    BoundReference(0, DoubleType, nullable = true),
+    BoundReference(1, LongType, nullable = true), k = 5)
+
+  private def topkEval(rows: List[(Double, Long)], chunks: List[Int],
+      seed: Long): Seq[(Long, Double)] = {
+    val bufs = split(rows, chunks).map { part =>
+      part.foldLeft(topk.createAggregationBuffer()) { (b, r) =>
+        topk.update(b, InternalRow(r._1, r._2))
+      }
+    }
+    val arr = topk.eval(mergeTree(topk, bufs, seed, serde = true))
+      .asInstanceOf[GenericArrayData]
+    (0 until arr.numElements()).map { i =>
+      val s = arr.getStruct(i, 2); (s.getLong(0), s.getDouble(1))
+    }
+  }
+
+  test("TopKAgg: any split + random merge tree + serde equals the sorted reference") {
+    val gen = for {
+      rows <- Gen.listOf(Gen.zip(
+        Gen.chooseNum(-100.0, 100.0), Gen.chooseNum(0L, 30L)))
+      cuts <- Gen.listOfN(4, Gen.chooseNum(0, 1000))
+    } yield (rows, cuts)
+    for (seed <- 1L to 50L) {
+      val (rows, cuts) = sample(gen, seed)
+      // the kernel's contract: rank by (score DESC, id ASC), exact
+      // duplicates collapse (same logical row)
+      val ref = rows.distinct
+        .sortBy { case (s, i) => (-s, i) }.take(5)
+        .map { case (s, i) => (i, s) }
+      assert(topkEval(rows, cuts, seed) == ref, s"seed=$seed")
+    }
+  }
+
+  // ---- MinHashAgg -------------------------------------------------
+
+  private val mh = MinHashAgg(
+    BoundReference(0, StringType, nullable = true), numHashes = 8)
+
+  private def mhBufs(parts: List[List[String]]): List[Array[Array[Byte]]] =
+    parts.map { part =>
+      part.foldLeft(mh.createAggregationBuffer()) { (b, s) =>
+        mh.update(b, InternalRow(UTF8String.fromString(s)))
+      }
+    }
+
+  private def mhShow(a: Any): Seq[String] = {
+    val arr = a.asInstanceOf[GenericArrayData]
+    (0 until arr.numElements()).map(i => String.valueOf(arr.get(i, StringType)))
+  }
+
+  test("MinHashAgg: any split + random merge tree + serde equals the sequential fold") {
+    val gen = for {
+      vals <- Gen.nonEmptyListOf(Gen.identifier.map(_.take(12)))
+      cuts <- Gen.listOfN(3, Gen.chooseNum(0, 1000))
+    } yield (vals, cuts)
+    for (seed <- 1L to 50L) {
+      val (vals, cuts) = sample(gen, seed)
+      val seq = mhShow(mh.eval(mhBufs(List(vals)).head))
+      val forest = mhShow(mh.eval(
+        mergeTree(mh, mhBufs(split(vals, cuts)), seed, serde = true)))
+      assert(forest == seq, s"seed=$seed")
+    }
+  }
+
+  // ---- FreqItemsAgg -----------------------------------------------
+
+  test("FreqItemsAgg: envelope holds under every random split and merge tree") {
+    val cap = 8
+    val fi = FreqItemsAgg(
+      BoundReference(0, StringType, nullable = true), capacity = cap)
+    // skewed vocabulary larger than capacity so eviction really runs
+    val gen = for {
+      vals <- Gen.nonEmptyListOf(Gen.frequency(
+        5 -> Gen.const("hot1"), 3 -> Gen.const("hot2"),
+        2 -> Gen.oneOf((1 to 40).map(i => s"cold$i"))))
+      cuts <- Gen.listOfN(3, Gen.chooseNum(0, 1000))
+    } yield (vals, cuts)
+    for (seed <- 1L to 50L) {
+      val (vals, cuts) = sample(gen, seed)
+      val bufs = split(vals, cuts).map { part =>
+        part.foldLeft(fi.createAggregationBuffer()) { (b, s) =>
+          fi.update(b, InternalRow(UTF8String.fromString(s)))
+        }
+      }
+      val merged = mergeTree(fi, bufs, seed, serde = true)
+      val arr = fi.eval(merged).asInstanceOf[GenericArrayData]
+      val est = (0 until arr.numElements()).map { i =>
+        val s = arr.getStruct(i, 2)
+        s.getUTF8String(0).toString -> s.getLong(1)
+      }.toMap
+      val truth = vals.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val slack = vals.length.toLong / (cap + 1)
+      for ((item, e) <- est) {
+        val t = truth(item)
+        assert(e <= t && e >= t - slack, s"seed=$seed $item est=$e true=$t")
+      }
+      // no false negatives above the threshold
+      for ((item, t) <- truth if t > slack)
+        assert(est.contains(item), s"seed=$seed missing $item (true=$t)")
+    }
+  }
+}
