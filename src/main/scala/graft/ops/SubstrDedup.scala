@@ -1,0 +1,113 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.RollingHash
+
+/** Repeated-SUBSTRING deduplication — the span-level member of the
+  * dedup family (exact / MinHash-LSH / SimHash / embedding cover
+  * whole-document duplication; this catches the boilerplate CASE:
+  * headers, footers, license blocks, navigation chrome repeated
+  * verbatim across otherwise-distinct documents, which whole-doc
+  * similarity scores dilute rather than detect).
+  *
+  * Method (the Spark-shaped version of exact-substring training-data
+  * dedup): hash every `w`-token window of every document
+  * (token-symbol Rabin-Karp: each token collapses to its char-level
+  * rolling hash via the codegen `graft_rolling_hash` kernel, then the
+  * window folds those symbols — so window hashes never materialize
+  * the window text), keep window hashes seen in ≥ `minDocs` DISTINCT
+  * documents, and merge each document's surviving positions into
+  * maximal spans with a gap-islands pass.
+  *
+  * Scale shape: the window-hash explode is linear in corpus tokens
+  * (the same budget as shingling for MinHash); the repeated-hash
+  * filter is one hash-partial+final aggregate keyed by the 64-bit
+  * window hash — never by text; the islands pass is one window over
+  * (doc, pos). Nothing quadratic, no text shuffled after the explode.
+  * Hash equality is a CANDIDATE signal (1e9+7 modulus → rare false
+  * positives): treat spans as scrub targets or verify survivors by
+  * exact span comparison where byte-certainty matters.
+  */
+object SubstrDedup {
+
+  /** Token-symbol base/modulus for the window fold (distinct from the
+    * char-level constants inside `graft_rolling_hash` so a one-token
+    * window hash ≠ the raw token hash). */
+  private val B = 1000003L
+  private val P = 1000000007L
+
+  /** ARRAY<LONG> of one Rabin-Karp hash per `w`-token window of
+    * `text`; empty when the document has fewer than `w` tokens. */
+  def windowHashArray(text: Column, w: Int): Column = {
+    require(w >= 1, s"window must be >= 1 token, got $w")
+    val th = transform(split(text, " "), t => RollingHash.rollingHash(t))
+    when(size(th) >= w,
+      transform(sequence(lit(0), size(th) - w),
+        i => aggregate(slice(th, i + 1, lit(w)), lit(0L),
+          (h, x) => (h * B + x) % P)))
+      .otherwise(array().cast("array<bigint>"))
+  }
+
+  /** (id, pos, whash) for every `w`-token window in every document —
+    * the linear explode all downstream stages run on. */
+  def windowHashes(docs: DataFrame, textCol: Column, idCol: Column,
+      w: Int): DataFrame =
+    docs.select(idCol.as("id"),
+        posexplode(windowHashArray(textCol, w)).as(Seq("pos", "whash")))
+
+  /** Maximal repeated spans per document: every run of window
+    * positions whose hash occurs in at least `minDocs` distinct
+    * documents, merged while consecutive windows overlap or touch
+    * (gap ≤ w). Output: (id, start_tok inclusive, end_tok exclusive,
+    * n_windows), token positions 0-based. */
+  def repeatedSpans(docs: DataFrame, textCol: Column, idCol: Column,
+      w: Int, minDocs: Int = 2): DataFrame = {
+    val wh = windowHashes(docs, textCol, idCol, w)
+    // distinct (whash, id) before the count so a within-doc repeat
+    // doesn't fake cross-document spread; both steps are hash
+    // aggregates on the 64-bit hash, partial+final
+    val spread = wh.select(col("whash"), col("id")).distinct()
+      .groupBy(col("whash")).agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+      .select(col("whash"))
+    val rep = wh.join(spread, "whash").select(col("id"), col("pos"))
+    // gap-islands over (id, pos): a new island starts where the
+    // previous repeated window can no longer overlap/touch this one
+    val byDoc = Window.partitionBy(col("id")).orderBy(col("pos"))
+    rep.withColumn("brk",
+        when(col("pos") - lag(col("pos"), 1).over(byDoc) > w, 1)
+          .otherwise(0))
+      .withColumn("island", sum(col("brk")).over(
+        byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("id"), col("island"))
+      .agg(min(col("pos")).cast("long").as("start_tok"),
+        (max(col("pos")) + w).cast("long").as("end_tok"),
+        count(lit(1)).as("n_windows"))
+      .drop("island")
+  }
+
+  /** Rewrite each document with its repeated spans' tokens removed
+    * (the boilerplate scrub). Documents with no repeated span pass
+    * through unchanged; a document that is ENTIRELY repeated becomes
+    * the empty string. Output: original columns + `text_clean`. */
+  def stripRepeatedSpans(docs: DataFrame, textCol: Column, idCol: Column,
+      w: Int, minDocs: Int = 2): DataFrame = {
+    val spans = repeatedSpans(docs, textCol, idCol, w, minDocs)
+      .groupBy(col("id"))
+      .agg(collect_list(struct(col("start_tok"), col("end_tok")))
+        .as("spans"))
+    docs.join(spans, idCol === spans("id"), "left")
+      .withColumn("text_clean",
+        when(col("spans").isNull, textCol).otherwise(
+          concat_ws(" ", filter(
+            transform(split(textCol, " "),
+              (t, i) => when(exists(col("spans"),
+                s => i >= s("start_tok") && i < s("end_tok")), lit(null))
+                .otherwise(t)),
+            t => t.isNotNull))))
+      .drop("id", "spans")
+  }
+}

@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.SubstrDedup
+
+/** graft.ops.SubstrDedup — repeated w-token spans across documents
+  * must be found exactly (synthetic boilerplate with known token
+  * ranges), merged maximally, and stripped without touching unique
+  * text; real-corpus run sanity-checks the scale path. */
+class SubstrDedupSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private val boiler =
+    "this content is provided as is without warranty of any kind either express or implied"
+  private val boilerLen = boiler.split(" ").length // 15 tokens
+
+  /** Unique filler: deterministic pseudo-words, no token shared with
+    * the boilerplate and no repeated window across docs. */
+  private def filler(doc: Int, n: Int): String =
+    (0 until n).map(i => s"u${doc}x$i").mkString(" ")
+
+  private val docsDf = Seq(
+    (1L, s"${filler(1, 6)} $boiler ${filler(1, 4).replace("x", "y")}"),
+    (2L, s"$boiler ${filler(2, 9)}"),
+    (3L, filler(3, 25)),
+    (4L, s"${filler(4, 3)} $boiler")
+  ).toDF("doc_id", "text")
+
+  private val w = 8
+
+  test("repeatedSpans finds exactly the boilerplate token ranges") {
+    val spans = SubstrDedup.repeatedSpans(
+      docsDf, col("text"), col("doc_id"), w)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // expected [start, end) token ranges of the boilerplate per doc
+    assert(spans == Set(
+      (1L, 6L, 6L + boilerLen),
+      (2L, 0L, 0L + boilerLen),
+      (4L, 3L, 3L + boilerLen)))
+  }
+
+  test("overlapping repeated windows merge into ONE maximal span") {
+    val spans = SubstrDedup.repeatedSpans(
+      docsDf, col("text"), col("doc_id"), w)
+    // 15-token boilerplate with w=8 → 8 overlapping repeated windows,
+    // one island each — never 8 fragments
+    assert(spans.count() == 3)
+    assert(spans.filter(col("n_windows") =!= (boilerLen - w + 1)).count() == 0)
+  }
+
+  test("stripRepeatedSpans removes the boilerplate and nothing else") {
+    val out = SubstrDedup.stripRepeatedSpans(
+      docsDf, col("text"), col("doc_id"), w)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(out(1L) ==
+      s"${filler(1, 6)} ${filler(1, 4).replace("x", "y")}")
+    assert(out(2L) == filler(2, 9))
+    assert(out(3L) == filler(3, 25)) // untouched: no repeated span
+    assert(out(4L) == filler(4, 3))
+    // no token of the boilerplate survives anywhere
+    assert(out.values.forall(t => !t.contains("warranty")))
+  }
+
+  test("document shorter than the window yields no windows and passes through") {
+    val tiny = Seq((9L, "just three tokens")).toDF("doc_id", "text")
+    assert(SubstrDedup.windowHashes(tiny, col("text"), col("doc_id"), w)
+      .count() == 0)
+    val out = SubstrDedup.stripRepeatedSpans(
+      tiny, col("text"), col("doc_id"), w).head()
+    assert(out.getString(2) == "just three tokens")
+  }
+
+  test("within-doc repetition alone is not cross-document spread") {
+    // one doc repeats its own sentence; no other doc shares it
+    val selfRep = Seq(
+      (1L, s"$boiler $boiler"),
+      (2L, filler(2, 30))
+    ).toDF("doc_id", "text")
+    // minDocs=2 distinct docs — the self-repeat must NOT qualify
+    assert(SubstrDedup.repeatedSpans(
+      selfRep, col("text"), col("doc_id"), w, minDocs = 2).count() == 0)
+  }
+
+  test("real corpus: spans are valid ranges and strip shortens only flagged docs") {
+    val docs = queries.t(spark, sfTiny, "documents")
+      .select("doc_id", "text")
+    val spans = SubstrDedup.repeatedSpans(docs, col("text"), col("doc_id"), w)
+    val bad = spans.filter(col("start_tok") < 0 ||
+      col("end_tok") <= col("start_tok")).count()
+    assert(bad == 0)
+    val flagged = spans.select("id").distinct().count()
+    val out = SubstrDedup.stripRepeatedSpans(
+      docs, col("text"), col("doc_id"), w)
+    val shortened = out.filter(length(col("text_clean")) < length(col("text")))
+      .count()
+    assert(shortened == flagged)
+    assert(out.count() == docs.count())
+  }
+}
