@@ -18,6 +18,9 @@ import org.apache.spark.sql.functions._
   *                         TrainPrep.decontaminateFromShingles over
   *                         the SAME shingle frame stage 4 built — the
   *                         eval sweep costs no extra corpus scan)
+  *   6. boilerplate scrub (optional, `Config.scrubBoilerplate`:
+  *                         SubstrDedup.stripRepeatedSpans over the
+  *                         survivors — last on purpose, see Config)
   *
   * Near-dup elimination uses the standard greedy rule: a document is
   * dropped when it is the HIGHER id of any verified pair. This keeps
@@ -57,7 +60,18 @@ object CorpusClean {
       /** distinct shared shingles with the eval corpus at which a
         * surviving doc is dropped as contaminated (stage 5; only used
         * when `clean` receives an eval corpus). */
-      decontamMinOverlap: Long = 5L)
+      decontamMinOverlap: Long = 5L,
+      /** true → final stage: strip cross-document repeated w-token
+        * spans (SubstrDedup boilerplate scrub) from the SURVIVORS.
+        * Deliberately last: before whole-document dedup, near-identical
+        * documents would mutually shred each other's shared content
+        * instead of one canonical copy surviving; after it, whatever
+        * still repeats across the (now distinct) survivors is genuine
+        * chrome. Requires `textCol` to be a plain column (the scrub
+        * rewrites it in place). */
+      scrubBoilerplate: Boolean = false,
+      boilerplateWindow: Int = 8,
+      boilerplateMinDocs: Int = 2)
 
   /** Result: cleaned docs (original schema) + per-stage counts
     * (stage, docs_in, docs_out). `stageStats` is a thunk: the counting
@@ -133,7 +147,28 @@ object CorpusClean {
           idCol === col("__drop_id"), "left_anti")
     }
 
-    Cleaned(finalKept,
+    // final stage (optional): boilerplate scrub over the survivors —
+    // rewrites the text column in place, schema unchanged. The
+    // survivor frame feeds the span detection twice (spread count +
+    // island join), so callers enabling this on expensive upstream
+    // chains should persist `finalKept` themselves if they also
+    // consume the stats.
+    val scrubbed =
+      if (!cfg.scrubBoilerplate) finalKept
+      else {
+        // resolve the text column's OUTPUT name against the survivor
+        // frame — works for plain and frame-bound columns alike; a
+        // derived expression would produce a name that is not a real
+        // column of the frame, which the require below rejects
+        val name = finalKept.select(textCol).columns.head
+        require(finalKept.columns.contains(name),
+          s"scrubBoilerplate requires a plain text column, got $name")
+        SubstrDedup.stripRepeatedSpans(finalKept, textCol, idCol,
+            cfg.boilerplateWindow, cfg.boilerplateMinDocs)
+          .withColumn(name, col("text_clean")).drop("text_clean")
+      }
+
+    Cleaned(scrubbed,
       () => stageCounts(docs, textCol, cfg, exactKept, nearKept,
         if (evalCorpus.isDefined) Some(finalKept) else None),
       () => { bands.unpersist(); sh.unpersist(); exactKept.unpersist() })

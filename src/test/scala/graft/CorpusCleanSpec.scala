@@ -98,4 +98,32 @@ class CorpusCleanSpec extends AnyFunSuite {
       assert(kept == Set(2L), kept.toString)
     } finally out.release()
   }
+
+  test("scrubBoilerplate strips survivor-shared chrome without breaking dedup") {
+    val chrome = (0 until 10).map(i => s"nav$i").mkString(" ")
+    // bodies start with a seed-unique token so the repeated span ends
+    // exactly at the chrome (goodText starts with the shared "the",
+    // which would legitimately extend the span by one token)
+    def body(seed: Int) = s"b$seed ${goodText(seed)}"
+    val withChrome = Seq(
+      (1L, s"$chrome ${body(1)}"),   // keeper, shares chrome with 2
+      (2L, s"$chrome ${body(2)}"),   // keeper, distinct body
+      (3L, s"$chrome ${body(1)}")    // exact dup of 1 → dropped FIRST
+    ).toDF("doc_id", "text")
+    val out = CorpusClean.clean(withChrome, col("text"), col("doc_id"),
+      CorpusClean.Config(scrubBoilerplate = true, boilerplateWindow = 8))
+    try {
+      val kept = out.docs.collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      // dedup kept one copy of the dup pair BEFORE the scrub ran —
+      // the scrub never shreds a near/exact dup pair's shared content
+      assert(kept.keySet == Set(1L, 2L))
+      // the chrome shared by the two DISTINCT survivors is gone,
+      // their bodies intact
+      assert(kept(1L) == body(1), kept(1L))
+      assert(kept(2L) == body(2), kept(2L))
+      // schema unchanged
+      assert(out.docs.columns.toSeq == Seq("doc_id", "text"))
+    } finally out.release()
+  }
 }
