@@ -15,7 +15,7 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * Readers can still race the gap on object stores — the documented
   * limit of table-format-free publishing (see `Layout.compact`).
   */
-private[etl] object Swap {
+private[graft] object Swap {
 
   /** Promote an interrupted publish: live dir missing + complete tmp
     * present → rename tmp into place. Returns true if it recovered. */

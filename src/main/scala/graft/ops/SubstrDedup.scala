@@ -30,6 +30,12 @@ import graft.functions.RollingHash
   * Hash equality is a CANDIDATE signal (1e9+7 modulus → rare false
   * positives): treat spans as scrub targets or verify survivors by
   * exact span comparison where byte-certainty matters.
+  *
+  * Incremental form: `advanceSpread` maintains the per-hash document
+  * spread as a persisted registry over append-only batches, and
+  * `stripAgainstRegistry` scrubs a fresh batch against ALL history
+  * without rescanning it — the shape that holds when "the corpus" is
+  * 100 TB and today's crawl is 0.1% of it.
   */
 object SubstrDedup {
 
@@ -58,6 +64,45 @@ object SubstrDedup {
     docs.select(idCol.as("id"),
         posexplode(windowHashArray(textCol, w)).as(Seq("pos", "whash")))
 
+  /** Gap-islands over repeated window positions (id, pos): merge runs
+    * while consecutive windows overlap or touch (gap ≤ w). Output:
+    * (id, start_tok inclusive, end_tok exclusive, n_windows). */
+  private def islandSpans(rep: DataFrame, w: Int): DataFrame = {
+    val byDoc = Window.partitionBy(col("id")).orderBy(col("pos"))
+    rep.withColumn("brk",
+        when(col("pos") - lag(col("pos"), 1).over(byDoc) > w, 1)
+          .otherwise(0))
+      .withColumn("island", sum(col("brk")).over(
+        byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("id"), col("island"))
+      .agg(min(col("pos")).cast("long").as("start_tok"),
+        (max(col("pos")) + w).cast("long").as("end_tok"),
+        count(lit(1)).as("n_windows"))
+      .drop("island")
+  }
+
+  /** Rewrite each document of `docs` with the tokens inside
+    * `spans` (id, start_tok, end_tok) removed. Documents with no span
+    * pass through unchanged; a document that is ENTIRELY repeated
+    * becomes the empty string. Output: original columns +
+    * `text_clean`. */
+  private def scrubSpans(docs: DataFrame, textCol: Column, idCol: Column,
+      spans: DataFrame): DataFrame = {
+    val perDoc = spans.groupBy(col("id"))
+      .agg(collect_list(struct(col("start_tok"), col("end_tok")))
+        .as("spans"))
+    docs.join(perDoc, idCol === perDoc("id"), "left")
+      .withColumn("text_clean",
+        when(col("spans").isNull, textCol).otherwise(
+          concat_ws(" ", filter(
+            transform(split(textCol, " "),
+              (t, i) => when(exists(col("spans"),
+                s => i >= s("start_tok") && i < s("end_tok")), lit(null))
+                .otherwise(t)),
+            t => t.isNotNull))))
+      .drop("id", "spans")
+  }
+
   /** Maximal repeated spans per document: every run of window
     * positions whose hash occurs in at least `minDocs` distinct
     * documents, merged while consecutive windows overlap or touch
@@ -73,41 +118,68 @@ object SubstrDedup {
       .groupBy(col("whash")).agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") >= minDocs)
       .select(col("whash"))
-    val rep = wh.join(spread, "whash").select(col("id"), col("pos"))
-    // gap-islands over (id, pos): a new island starts where the
-    // previous repeated window can no longer overlap/touch this one
-    val byDoc = Window.partitionBy(col("id")).orderBy(col("pos"))
-    rep.withColumn("brk",
-        when(col("pos") - lag(col("pos"), 1).over(byDoc) > w, 1)
-          .otherwise(0))
-      .withColumn("island", sum(col("brk")).over(
-        byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .groupBy(col("id"), col("island"))
-      .agg(min(col("pos")).cast("long").as("start_tok"),
-        (max(col("pos")) + w).cast("long").as("end_tok"),
-        count(lit(1)).as("n_windows"))
-      .drop("island")
+    islandSpans(wh.join(spread, "whash").select(col("id"), col("pos")), w)
   }
 
   /** Rewrite each document with its repeated spans' tokens removed
-    * (the boilerplate scrub). Documents with no repeated span pass
-    * through unchanged; a document that is ENTIRELY repeated becomes
-    * the empty string. Output: original columns + `text_clean`. */
+    * (the boilerplate scrub). Same output contract as [[scrubSpans]]:
+    * original columns + `text_clean`. */
   def stripRepeatedSpans(docs: DataFrame, textCol: Column, idCol: Column,
-      w: Int, minDocs: Int = 2): DataFrame = {
-    val spans = repeatedSpans(docs, textCol, idCol, w, minDocs)
-      .groupBy(col("id"))
-      .agg(collect_list(struct(col("start_tok"), col("end_tok")))
-        .as("spans"))
-    docs.join(spans, idCol === spans("id"), "left")
-      .withColumn("text_clean",
-        when(col("spans").isNull, textCol).otherwise(
-          concat_ws(" ", filter(
-            transform(split(textCol, " "),
-              (t, i) => when(exists(col("spans"),
-                s => i >= s("start_tok") && i < s("end_tok")), lit(null))
-                .otherwise(t)),
-            t => t.isNotNull))))
-      .drop("id", "spans")
+      w: Int, minDocs: Int = 2): DataFrame =
+    scrubSpans(docs, textCol, idCol,
+      repeatedSpans(docs, textCol, idCol, w, minDocs))
+
+  /** Per-batch spread state: one row per distinct window hash with
+    * the count of DISTINCT documents (within this batch) containing
+    * it — the foldable unit of the incremental boilerplate registry. */
+  def spreadState(delta: DataFrame, textCol: Column, idCol: Column,
+      w: Int): DataFrame =
+    windowHashes(delta, textCol, idCol, w)
+      .select(col("whash"), col("id")).distinct()
+      .groupBy(col("whash")).agg(count(lit(1)).as("n_docs"))
+
+  /** Fold a new batch's spread into the persisted registry at
+    * `statePath` (swap-published, crash-safe via `etl.Swap`) and
+    * return the registry row count. APPEND-ONLY CONTRACT: batches
+    * must not share document ids — cross-batch distinctness of docs
+    * is what lets per-hash doc counts ADD across folds (the same
+    * assumption IncrementalAgg's count makes). Registry size is
+    * O(distinct window hashes); at corpus scale prune it periodically
+    * to hashes with n_docs ≥ minDocs − 1 if only scrubbing matters. */
+  def advanceSpread(spark: org.apache.spark.sql.SparkSession,
+      statePath: String, delta: DataFrame, textCol: Column,
+      idCol: Column, w: Int): Long = {
+    import org.apache.hadoop.fs.Path
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(statePath), spark.sparkContext.hadoopConfiguration)
+    val dir = new Path(statePath)
+    val tmp = new Path(statePath + "__advancing")
+    graft.etl.Swap.recover(fs, dir, tmp)
+    val deltaState = spreadState(delta, textCol, idCol, w)
+    val next =
+      if (fs.exists(dir))
+        spark.read.parquet(statePath).unionByName(deltaState)
+          .groupBy(col("whash")).agg(sum(col("n_docs")).as("n_docs"))
+      else deltaState
+    fs.delete(tmp, true)
+    next.write.mode("overwrite").parquet(tmp.toString)
+    val rows = spark.read.parquet(tmp.toString).count()
+    graft.etl.Swap.publish(fs, dir, tmp)
+    rows
+  }
+
+  /** Scrub `docs` against an EXTERNAL spread registry (e.g. the
+    * persisted table `advanceSpread` maintains): windows whose hash
+    * reaches `minDocs` documents registry-wide are treated as
+    * boilerplate, so a fresh batch is cleaned against ALL history
+    * without rescanning it. Same output contract as
+    * [[stripRepeatedSpans]]. */
+  def stripAgainstRegistry(docs: DataFrame, textCol: Column,
+      idCol: Column, w: Int, registry: DataFrame,
+      minDocs: Int = 2): DataFrame = {
+    val hot = registry.filter(col("n_docs") >= minDocs).select(col("whash"))
+    val wh = windowHashes(docs, textCol, idCol, w)
+    scrubSpans(docs, textCol, idCol,
+      islandSpans(wh.join(hot, "whash").select(col("id"), col("pos")), w))
   }
 }

@@ -84,6 +84,30 @@ class SubstrDedupSpec extends AnyFunSuite {
       selfRep, col("text"), col("doc_id"), w, minDocs = 2).count() == 0)
   }
 
+  test("incremental registry equals the one-shot spread; new batch scrubbed against history") {
+    val statePath = java.nio.file.Files.createTempDirectory("graft_substr")
+      .resolve("registry").toString
+    // fold the corpus in two append-only halves
+    val (b1, b2) = (docsDf.filter(col("doc_id") <= 2),
+      docsDf.filter(col("doc_id") > 2))
+    SubstrDedup.advanceSpread(spark, statePath, b1, col("text"), col("doc_id"), w)
+    SubstrDedup.advanceSpread(spark, statePath, b2, col("text"), col("doc_id"), w)
+    val folded = spark.read.parquet(statePath)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val oneShot = SubstrDedup.spreadState(
+        docsDf, col("text"), col("doc_id"), w)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(folded == oneShot)
+    // a brand-new document carrying the historical boilerplate is
+    // scrubbed against the registry WITHOUT rescanning old batches —
+    // even though nothing repeats within the new batch itself
+    val fresh = Seq((100L, s"${filler(100, 5)} $boiler")).toDF("doc_id", "text")
+    val out = SubstrDedup.stripAgainstRegistry(
+      fresh, col("text"), col("doc_id"), w,
+      spark.read.parquet(statePath)).head()
+    assert(out.getString(2) == filler(100, 5))
+  }
+
   test("real corpus: spans are valid ranges and strip shortens only flagged docs") {
     val docs = queries.t(spark, sfTiny, "documents")
       .select("doc_id", "text")
