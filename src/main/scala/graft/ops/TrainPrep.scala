@@ -210,6 +210,31 @@ object TrainPrep {
       .drop("__copies")
   }
 
+  /** Temperature-scaled mixture weights from stratum sizes — the
+    * standard multi-domain/multilingual sampling rule p_i ∝ n_i^α:
+    * α = 1 keeps natural proportions, α = 0 equalizes strata, values
+    * between damp the head domains and boost the tail. Returns the
+    * per-stratum epoch weights that make stratum i contribute
+    * `budgetRows · n_i^α / Σ n_j^α` expected rows when fed to
+    * [[mixCorpus]] (weights are expected-copy factors and may exceed
+    * 1 for upsampled tail strata).
+    *
+    * Cost: ONE count aggregate over the corpus; the per-stratum math
+    * is driver-side on |strata| rows — the collected "model", same
+    * lifecycle as the IVF centroids. */
+  def temperatureWeights(df: DataFrame, stratumCol: Column,
+      alpha: Double, budgetRows: Long): Map[String, Double] = {
+    require(alpha >= 0.0 && alpha <= 1.0, s"alpha must be in [0,1], got $alpha")
+    require(budgetRows > 0, s"budgetRows must be positive, got $budgetRows")
+    val sizes = df.groupBy(stratumCol.as("__s"))
+      .agg(count(lit(1)).as("__n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val mass = sizes.values.map(n => math.pow(n.toDouble, alpha)).sum
+    sizes.map { case (s, n) =>
+      s -> budgetRows * math.pow(n.toDouble, alpha) / mass / n.toDouble
+    }
+  }
+
   /** Decontamination: training documents sharing ≥ `minOverlap`
     * DISTINCT word n-grams with the eval corpus — the standard
     * benchmark-leakage sweep run before training. Returns

@@ -166,6 +166,39 @@ class TrainPrepSpec extends AnyFunSuite {
     assert(again == rows.map(r => (r._1, r._3)).sorted.toSeq)
   }
 
+  test("temperatureWeights: α=1 natural, α=0 equalized, α=0.5 damps the head") {
+    val base = docs.select(col("doc_id"), col("text"), col("lang"))
+    val sizes = base.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = sizes.values.sum
+    val budget = 1000L
+    // α=1: expected contribution proportional to size → every weight
+    // is the same budget/total factor
+    val w1 = TrainPrep.temperatureWeights(base, col("lang"), 1.0, budget)
+    assert(w1.keySet == sizes.keySet)
+    for ((_, w) <- w1)
+      assert(math.abs(w - budget.toDouble / total) < 1e-9)
+    // α=0: expected contribution equal per stratum → weight_i ∝ 1/n_i
+    val w0 = TrainPrep.temperatureWeights(base, col("lang"), 0.0, budget)
+    val perStratum = budget.toDouble / sizes.size
+    for ((s, w) <- w0)
+      assert(math.abs(w * sizes(s) - perStratum) < 1e-6, s"$s: $w")
+    // α=0.5: head damped, tail boosted — the smallest stratum's
+    // expected share strictly grows vs natural, the largest shrinks
+    val w5 = TrainPrep.temperatureWeights(base, col("lang"), 0.5, budget)
+    val (smallest, largest) = (sizes.minBy(_._2)._1, sizes.maxBy(_._2)._1)
+    assert(w5(smallest) * sizes(smallest) > w1(smallest) * sizes(smallest))
+    assert(w5(largest) * sizes(largest) < w1(largest) * sizes(largest))
+    // every α keeps the total budget: Σ w_i·n_i == budget
+    for (w <- Seq(w1, w0, w5))
+      assert(math.abs(w.map { case (s, x) => x * sizes(s) }.sum - budget) < 1e-6)
+    // and the weights feed mixCorpus directly: realized row count
+    // tracks the budget within fractional-hash quantization
+    val mixed = TrainPrep.mixCorpus(base, col("lang"), col("text"), w5)
+    val got = mixed.count().toDouble
+    assert(math.abs(got - budget) / budget < 0.15, s"got $got for budget $budget")
+  }
+
   test("splitLabel accepts a numeric key and matches its string render") {
     // Spark only casts STRING→BINARY, so the key goes through a string
     // cast first; a numeric durable id must analyze AND agree with the
