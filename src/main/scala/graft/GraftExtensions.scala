@@ -37,6 +37,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // its AggregateExpression, so SQL `graft_top_k(score, id, 3)` and
     // `graft_freq_items(tok, 64)` work in GROUP BY queries directly.
     ext.injectFunction((
+      FunctionIdentifier("graft_token_window_hash"),
+      new ExpressionInfo(classOf[graft.functions.TokenWindowHash].getName,
+        "graft_token_window_hash"),
+      (children: Seq[Expression]) =>
+        graft.functions.TokenWindowHash.build(children)))
+    ext.injectFunction((
       FunctionIdentifier("graft_top_k"),
       new ExpressionInfo(classOf[TopKAgg].getName, "graft_top_k"),
       (children: Seq[Expression]) => {

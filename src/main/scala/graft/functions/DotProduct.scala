@@ -143,6 +143,11 @@ object GraftFunctions {
         org.apache.spark.sql.catalyst.FunctionIdentifier("graft_dot"))) {
       registry.createOrReplaceTempFunction("graft_dot", build, "built-in")
     }
+    if (!registry.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("graft_token_window_hash"))) {
+      registry.createOrReplaceTempFunction("graft_token_window_hash",
+        TokenWindowHash.build, "built-in")
+    }
   }
 
   /** Column-level dot product (no registration needed). Inputs must be

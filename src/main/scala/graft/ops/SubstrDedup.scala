@@ -4,7 +4,6 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.RollingHash
 
 /** Repeated-SUBSTRING deduplication — the span-level member of the
   * dedup family (exact / MinHash-LSH / SimHash / embedding cover
@@ -39,23 +38,16 @@ import graft.functions.RollingHash
   */
 object SubstrDedup {
 
-  /** Token-symbol base/modulus for the window fold (distinct from the
-    * char-level constants inside `graft_rolling_hash` so a one-token
-    * window hash ≠ the raw token hash). */
-  private val B = 1000003L
-  private val P = 1000000007L
-
   /** ARRAY<LONG> of one Rabin-Karp hash per `w`-token window of
-    * `text`; empty when the document has fewer than `w` tokens. */
-  def windowHashArray(text: Column, w: Int): Column = {
-    require(w >= 1, s"window must be >= 1 token, got $w")
-    val th = transform(split(text, " "), t => RollingHash.rollingHash(t))
-    when(size(th) >= w,
-      transform(sequence(lit(0), size(th) - w),
-        i => aggregate(slice(th, i + 1, lit(w)), lit(0L),
-          (h, x) => (h * B + x) % P)))
-      .otherwise(array().cast("array<bigint>"))
-  }
+    * `text`; empty when the document has fewer than `w` tokens.
+    * Delegates to the one-pass codegen kernel
+    * (`graft.functions.TokenWindowHash`) — the equivalent HOF chain
+    * (`transform(sequence, i -> aggregate(slice(...)))`) is
+    * CodegenFallback and O(n·w); the kernel is O(n) with the classic
+    * rolling leading-term removal, bit-identical semantics
+    * (TokenWindowHashSpec). */
+  def windowHashArray(text: Column, w: Int): Column =
+    graft.functions.TokenWindowHash.tokenWindowHash(text, w)
 
   /** (id, pos, whash) for every `w`-token window in every document —
     * the linear explode all downstream stages run on. */

@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{RollingHash, TokenWindowHash}
+
+/** graft.functions.TokenWindowHash — the one-pass rolling kernel must
+  * be BIT-IDENTICAL to the declarative HOF chain it replaces
+  * (transform/sequence/aggregate/slice over per-token rolling hashes),
+  * including the split edge cases (multi-space → empty tokens, empty
+  * string, non-BMP code points) and the short-document guard. */
+class TokenWindowHashSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  /** The replaced HOF formulation, kept as the executable reference. */
+  private def hofRef(text: Column, w: Int): Column = {
+    val B = 1000003L; val P = 1000000007L
+    val th = transform(split(text, " "), t => RollingHash.rollingHash(t))
+    when(size(th) >= w,
+      transform(sequence(lit(0), size(th) - w),
+        i => aggregate(slice(th, i + 1, lit(w)), lit(0L),
+          (h, x) => (h * B + x) % P)))
+      .otherwise(array().cast("array<bigint>"))
+  }
+
+  private def sample[A](g: Gen[A], seed: Long): A =
+    g.pureApply(Gen.Parameters.default, Seed(seed))
+
+  private val tokenGen: Gen[String] = Gen.oneOf(
+    Gen.identifier.map(_.take(8)),
+    Gen.const(""),                         // multi-space artifact
+    Gen.const("😀ok"),           // non-BMP (emoji) head
+    Gen.numStr.map(_.take(4)))
+
+  test("kernel equals the HOF reference on generated inputs, w ∈ {1,2,8}") {
+    val gen = Gen.listOf(tokenGen).map(_.mkString(" "))
+    val texts = (1L to 60L).map(sample(gen, _)) :+ "" :+ "one" :+
+      "a  b   c" :+ ("x " * 100).trim
+    val df = texts.toDF("text")
+    for (w <- Seq(1, 2, 8)) {
+      val rows = df.select(
+          TokenWindowHash.tokenWindowHash(col("text"), w).as("kernel"),
+          hofRef(col("text"), w).as("ref"))
+        .collect()
+      rows.zip(texts).foreach { case (r, t) =>
+        assert(r.getSeq[Long](0) == r.getSeq[Long](1),
+          s"w=$w text='${t.take(60)}'")
+      }
+    }
+  }
+
+  test("null input yields null; fewer tokens than w yields empty") {
+    val df = Seq[(java.lang.Long, String)]((1L, null), (2L, "a b"))
+      .toDF("id", "text")
+    val got = df.select(col("id"),
+        TokenWindowHash.tokenWindowHash(col("text"), 8).as("h"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(got(1L).isEmpty)
+    assert(got(2L).contains(Seq.empty))
+  }
+
+  test("registered for SQL as graft_token_window_hash") {
+    // the shared test session may not carry extensions; register the
+    // imperative way and exercise the SQL path
+    graft.functions.GraftFunctions.register(spark)
+    Seq("p q r s t u v w x y").toDF("text").createOrReplaceTempView("twh_t")
+    val viaSql = spark.sql(
+      "SELECT graft_token_window_hash(text, 8) AS h FROM twh_t")
+      .head().getSeq[Long](0)
+    val viaCol = Seq("p q r s t u v w x y").toDF("text")
+      .select(TokenWindowHash.tokenWindowHash(col("text"), 8))
+      .head().getSeq[Long](0)
+    assert(viaSql == viaCol && viaSql.length == 3)
+  }
+}
