@@ -53,6 +53,29 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("substr-dedup spans: codegen'd window kernel, hash-keyed joins, two exchanges") {
+    import org.apache.spark.sql.functions.col
+    val docs = queries.t(spark, sfTiny, "documents").select("doc_id", "text")
+    val df = graft.ops.SubstrDedup.repeatedSpans(
+      docs, col("text"), col("doc_id"), 8)
+    df.collect() // finalize AQE
+    val p = plan(df)
+    // the window-hash kernel runs as a native expression, not the
+    // interpreted HOF chain it replaced
+    assert(p.contains("graft_token_window_hash"), p.take(2000))
+    assert(!p.contains("CodegenFallback"), p.take(2000))
+    // spread filter joins on the 64-bit hash — hash join, never SMJ,
+    // and never a broadcast of the corpus-sized window table on the
+    // build side of the spread self-restriction
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+    // exchanges: spread agg keyed by whash, islands window keyed by
+    // id, plus the hash-join distribution — nothing beyond key-driven
+    // shuffles (no round-robin repartition, no range exchange before
+    // the final agg)
+    assert(!p.contains("RoundRobinPartitioning"), p.take(3000))
+    assert(!p.contains("rangepartitioning"), p.take(3000))
+  }
+
   test("jaccard verify: no sort-merge join, no full-corpus broadcast") {
     val df = q("q_dedup_ngram_jaccard")
     df.collect() // finalize AQE
