@@ -152,11 +152,11 @@ object SketchRollup {
     val dir = new Path(statePath)
     val tmp = new Path(statePath + "__advancing")
     Swap.recover(fs, dir, tmp)
-    val marker = s"_applied_${runTag}_$batchId"
-    if (fs.exists(new Path(dir, marker)))
+    if (Swap.markerExists(fs, dir, runTag, batchId))
       return spark.read.parquet(statePath).count()
     val deltaState = partialState(delta, keys, cols)
-    advancePublish(spark, fs, dir, tmp, deltaState, keys, Some(marker))
+    advancePublish(spark, fs, dir, tmp, deltaState, keys,
+      Some(Swap.markerName(runTag, batchId)))
   }
 
   /** Shared publish tail: merge → write tmp (carrying forward any
@@ -164,17 +164,13 @@ object SketchRollup {
   private def advancePublish(spark: SparkSession, fs: FileSystem,
       dir: Path, tmp: Path, deltaState: DataFrame, keys: Seq[String],
       marker: Option[String]): Long = {
-    val exists = fs.exists(dir)
     val next =
-      if (exists) mergeState(spark.read.parquet(dir.toString), deltaState, keys)
+      if (fs.exists(dir))
+        mergeState(spark.read.parquet(dir.toString), deltaState, keys)
       else deltaState
     fs.delete(tmp, true)
     next.write.mode("overwrite").parquet(tmp.toString)
-    if (exists)
-      fs.listStatus(dir).iterator
-        .filter(_.getPath.getName.startsWith("_applied_"))
-        .foreach(m => fs.create(new Path(tmp, m.getPath.getName), true).close())
-    marker.foreach(m => fs.create(new Path(tmp, m), true).close())
+    Swap.carryMarkers(fs, dir, tmp, marker)
     val groups = spark.read.parquet(tmp.toString).count()
     Swap.publish(fs, dir, tmp)
     groups

@@ -31,4 +31,30 @@ private[graft] object Swap {
     fs.delete(live, true)
     require(fs.rename(tmp, live), s"swap publish failed for $live")
   }
+
+  // -- applied-batch markers: replay protection for NON-idempotent
+  // -- folds driven by at-least-once feeds. A marker rides INSIDE the
+  // -- swapped state dir (underscore files are invisible to parquet
+  // -- readers), so the atomic rename publishes fold + marker together
+  // -- and "folded" vs "marked" can never diverge.
+
+  /** Marker file name for one (runTag, batchId). */
+  def markerName(runTag: String, batchId: Long): String =
+    s"_applied_${runTag}_$batchId"
+
+  /** Has this (runTag, batchId) already been folded into `live`? */
+  def markerExists(fs: FileSystem, live: Path, runTag: String,
+      batchId: Long): Boolean =
+    fs.exists(new Path(live, markerName(runTag, batchId)))
+
+  /** Carry every existing marker from `live` into `tmp` and add the
+    * new one — call after writing `tmp`, before [[publish]]. */
+  def carryMarkers(fs: FileSystem, live: Path, tmp: Path,
+      newMarker: Option[String]): Unit = {
+    if (fs.exists(live))
+      fs.listStatus(live).iterator
+        .filter(_.getPath.getName.startsWith("_applied_"))
+        .foreach(m => fs.create(new Path(tmp, m.getPath.getName), true).close())
+    newMarker.foreach(m => fs.create(new Path(tmp, m), true).close())
+  }
 }

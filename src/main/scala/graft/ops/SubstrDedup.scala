@@ -140,13 +140,35 @@ object SubstrDedup {
     * to hashes with n_docs ≥ minDocs − 1 if only scrubbing matters. */
   def advanceSpread(spark: org.apache.spark.sql.SparkSession,
       statePath: String, delta: DataFrame, textCol: Column,
-      idCol: Column, w: Int): Long = {
+      idCol: Column, w: Int): Long =
+    advanceSpreadImpl(spark, statePath, delta, textCol, idCol, w, None)
+
+  /** Idempotent form for at-least-once feeds (the same applied-batch
+    * marker contract as `SketchRollup.advanceBatch`: the marker is
+    * published atomically inside the state swap, so a replayed
+    * (runTag, batchId) is a no-op — necessary because spread counts
+    * ADD and would double on replay). */
+  def advanceSpreadBatch(spark: org.apache.spark.sql.SparkSession,
+      statePath: String, delta: DataFrame, textCol: Column,
+      idCol: Column, w: Int, batchId: Long,
+      runTag: String = "run"): Long =
+    advanceSpreadImpl(spark, statePath, delta, textCol, idCol, w,
+      Some((runTag, batchId)))
+
+  private def advanceSpreadImpl(spark: org.apache.spark.sql.SparkSession,
+      statePath: String, delta: DataFrame, textCol: Column,
+      idCol: Column, w: Int, batch: Option[(String, Long)]): Long = {
     import org.apache.hadoop.fs.Path
+    import graft.etl.Swap
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(statePath), spark.sparkContext.hadoopConfiguration)
     val dir = new Path(statePath)
     val tmp = new Path(statePath + "__advancing")
-    graft.etl.Swap.recover(fs, dir, tmp)
+    Swap.recover(fs, dir, tmp)
+    batch.foreach { case (tag, id) =>
+      if (Swap.markerExists(fs, dir, tag, id))
+        return spark.read.parquet(statePath).count()
+    }
     val deltaState = spreadState(delta, textCol, idCol, w)
     val next =
       if (fs.exists(dir))
@@ -155,8 +177,10 @@ object SubstrDedup {
       else deltaState
     fs.delete(tmp, true)
     next.write.mode("overwrite").parquet(tmp.toString)
+    Swap.carryMarkers(fs, dir, tmp,
+      batch.map { case (tag, id) => Swap.markerName(tag, id) })
     val rows = spark.read.parquet(tmp.toString).count()
-    graft.etl.Swap.publish(fs, dir, tmp)
+    Swap.publish(fs, dir, tmp)
     rows
   }
 

@@ -407,6 +407,29 @@ object StreamingPipeline {
       .option("checkpointLocation", checkpointDir)
   }
 
+  /** Streaming boilerplate-registry maintenance — the streaming twin
+    * of `graft.ops.SubstrDedup.advanceSpread`: each micro-batch of
+    * documents folds its window-hash spread into the persisted
+    * registry, so `stripAgainstRegistry` always scrubs against
+    * everything ever streamed. Same idempotence contract as
+    * `sketchRollupSink` (spread counts add, so replays must be
+    * no-ops — applied-batch marker inside the state swap); same
+    * append-only document-id contract as the batch form. */
+  def boilerplateRegistrySink(docs: DataFrame, textCol: String,
+      idCol: String, w: Int, statePath: String, checkpointDir: String) = {
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(checkpointDir.getBytes("UTF-8")).take(4).map(b => f"$b%02x").mkString
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // names, not Columns: each micro-batch is a fresh frame, so a
+        // caller's frame-bound Column could never resolve against it
+        graft.ops.SubstrDedup.advanceSpreadBatch(batch.sparkSession,
+          statePath, batch, col(textCol), col(idCol), w, batchId, tag): Unit
+      }
+      .option("checkpointLocation", checkpointDir)
+  }
+
   /** Leading numeric id of a `snapshot_<id>[_<tag>]` name. */
   private def snapId(name: String): Option[Long] = {
     val digits = name.stripPrefix("snapshot_").takeWhile(_.isDigit)

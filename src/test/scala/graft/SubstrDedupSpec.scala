@@ -108,6 +108,45 @@ class SubstrDedupSpec extends AnyFunSuite {
     assert(out.getString(2) == filler(100, 5))
   }
 
+  test("advanceSpreadBatch replay is a no-op; streaming sink folds like one batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft_substr_s")
+    val statePath = base.resolve("registry").toString
+    val ckpt = base.resolve("ckpt").toString
+    // batch-guarded folds: replaying batch 0 must not double counts
+    SubstrDedup.advanceSpreadBatch(spark, statePath,
+      docsDf.filter(col("doc_id") <= 2), col("text"), col("doc_id"), w, 0L)
+    SubstrDedup.advanceSpreadBatch(spark, statePath,
+      docsDf.filter(col("doc_id") > 2), col("text"), col("doc_id"), w, 1L)
+    val before = spark.read.parquet(statePath)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    SubstrDedup.advanceSpreadBatch(spark, statePath,
+      docsDf.filter(col("doc_id") <= 2), col("text"), col("doc_id"), w, 0L)
+    val after = spark.read.parquet(statePath)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(after == before)
+    assert(before == SubstrDedup.spreadState(
+        docsDf, col("text"), col("doc_id"), w)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
+    // the streaming twin converges to the same registry
+    val statePath2 = base.resolve("registry2").toString
+    val mem = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamingPipeline.boilerplateRegistrySink(
+      mem.toDF().toDF("doc_id", "text"), "text", "doc_id", w,
+      statePath2, ckpt).start()
+    try {
+      val rows = docsDf.collect().map(r => (r.getLong(0), r.getString(1)))
+      mem.addData(rows.take(2).toSeq)
+      q.processAllAvailable()
+      mem.addData(rows.drop(2).toSeq)
+      q.processAllAvailable()
+      val streamed = spark.read.parquet(statePath2)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(streamed == before)
+    } finally q.stop()
+  }
+
   test("real corpus: spans are valid ranges and strip shortens only flagged docs") {
     val docs = queries.t(spark, sfTiny, "documents")
       .select("doc_id", "text")
