@@ -258,6 +258,52 @@ object TrainPrep {
       Dedup.shingles(eval, textCol, idCol, shingleLen).select(col("s")),
       minOverlap)
 
+  /** Per-eval-TASK contamination report — the audit a training run
+    * publishes alongside the decontamination sweep: for each task in
+    * the eval suite, how many training documents overlap it (≥
+    * `minOverlap` distinct shared shingles), how badly, and how many
+    * eval shingles are touched at all. `taskCol` labels the eval rows
+    * (benchmark name / split); the train side never shuffles wider
+    * than in [[decontaminate]] — the (shingle → task) map rides the
+    * same broadcast as the eval shingle set, and the per-(doc, task)
+    * overlap is one partial+final aggregate.
+    *
+    * Output: (task, n_docs_flagged, max_overlap, avg_overlap,
+    * n_eval_shingles, n_eval_shingles_hit) — `hit` counts eval
+    * shingles seen in ANY training doc (a leak-surface measure even
+    * where no single doc crosses `minOverlap`). */
+  def contaminationReport(train: DataFrame, eval: DataFrame,
+      textCol: Column, idCol: Column, taskCol: Column,
+      shingleLen: Int = 3, minOverlap: Long = 5L): DataFrame = {
+    val tsh = Dedup.shingles(train, textCol, idCol, shingleLen)
+      .select(col("id"), col("s")).distinct()
+    // (task, s) distinct per task — a shingle may belong to many tasks
+    val esh = eval.select(taskCol.as("task"),
+        explode(Dedup.shingleArray(textCol, shingleLen)).as("s"))
+      .distinct()
+    val joined = tsh.join(broadcast(esh), "s")
+    val perDocTask = joined.groupBy(col("task"), col("id"))
+      .agg(count(lit(1)).as("n_overlap"))
+    val flagged = perDocTask.filter(col("n_overlap") >= minOverlap)
+      .groupBy(col("task")).agg(
+        count(lit(1)).as("n_docs_flagged"),
+        max(col("n_overlap")).as("max_overlap"),
+        avg(col("n_overlap")).as("avg_overlap"))
+    val surface = esh.join(tsh.select(col("s")).distinct(), Seq("s"),
+        "left_semi")
+      .groupBy(col("task")).agg(count(lit(1)).as("n_eval_shingles_hit"))
+    val totals = esh.groupBy(col("task"))
+      .agg(count(lit(1)).as("n_eval_shingles"))
+    totals
+      .join(flagged, Seq("task"), "left")
+      .join(surface, Seq("task"), "left")
+      .na.fill(0L, Seq("n_docs_flagged", "max_overlap", "n_eval_shingles_hit"))
+      .na.fill(0.0, Seq("avg_overlap"))
+      .select(col("task"), col("n_docs_flagged"), col("max_overlap"),
+        col("avg_overlap"), col("n_eval_shingles"),
+        col("n_eval_shingles_hit"))
+  }
+
   /** [[decontaminate]] over pre-computed shingle rows: `trainShingles`
     * is (id, s) for the training side, `evalShingles` any frame with an
     * `s` column for the eval side. Use this form when a shared shingle

@@ -199,6 +199,38 @@ class TrainPrepSpec extends AnyFunSuite {
     assert(math.abs(got - budget) / budget < 0.15, s"got $got for budget $budget")
   }
 
+  test("contaminationReport: per-task flags, zero-filled clean tasks, surface counts") {
+    import spark.implicits._
+    val train = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "one two three four five six seven eight"),
+      (3L, "totally unrelated training words here nine ten")
+    ).toDF("doc_id", "text")
+    val eval = Seq(
+      // taskA leaks doc 1 wholesale (6 shared 3-gram shingles)
+      ("taskA", "alpha beta gamma delta epsilon zeta eta theta"),
+      // taskB shares a sub-threshold sliver with doc 2 (1 shingle)
+      ("taskB", "one two three unrelated eval tail words"),
+      // taskC shares nothing
+      ("taskC", "completely disjoint benchmark content")
+    ).toDF("task", "text")
+    val rep = TrainPrep.contaminationReport(train, eval,
+        col("text"), col("doc_id"), col("task"), shingleLen = 3,
+        minOverlap = 3L)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(rep.keySet == Set("taskA", "taskB", "taskC"))
+    val a = rep("taskA")
+    assert(a.getLong(1) == 1L)                  // one doc flagged
+    assert(a.getLong(2) == 6L)                  // all 6 shingles shared
+    assert(a.getLong(4) == 6L && a.getLong(5) == 6L) // whole surface hit
+    val b = rep("taskB")
+    assert(b.getLong(1) == 0L)                  // below threshold
+    assert(b.getLong(5) == 1L, b.toString)      // but surface shows the sliver
+    val c = rep("taskC")
+    assert(c.getLong(1) == 0L && c.getLong(5) == 0L)
+    assert(c.getLong(4) > 0L)                   // totals still reported
+  }
+
   test("splitLabel accepts a numeric key and matches its string render") {
     // Spark only casts STRING→BINARY, so the key goes through a string
     // cast first; a numeric durable id must analyze AND agree with the
