@@ -56,6 +56,36 @@ object ScaleProbe {
       }
       println(f"$q%-22s ${t(0)}%8.2f ${t(1)}%8.2f ${t(2)}%8.2f  ${t(1)/t(0)}%5.2f  ${t(2)/t(0)}%5.2f")
     }
+
+    // op-level probes (not declared queries): the round-7 additions
+    val opProbes: Seq[(String, (SparkSession, String) => Long)] = Seq(
+      "op_substr_spans" -> { (s, d) =>
+        val docs = s.read.parquet(s"$d/documents.parquet")
+          .select("doc_id", "text")
+        graft.ops.SubstrDedup.repeatedSpans(
+          docs, col("text"), col("doc_id"), 8).count()
+      },
+      "op_sketch_fold" -> { (s, d) =>
+        val docs = s.read.parquet(s"$d/documents.parquet")
+          .select("lang", "doc_id", "n_chars", "text")
+        val cols = graft.etl.SketchRollup.Columns("doc_id", "n_chars", "text")
+        graft.etl.SketchRollup.mergeState(
+          graft.etl.SketchRollup.partialState(
+            docs.filter(col("doc_id") % 2 === 0), Seq("lang"), cols),
+          graft.etl.SketchRollup.partialState(
+            docs.filter(col("doc_id") % 2 === 1), Seq("lang"), cols),
+          Seq("lang")).count()
+      })
+    for ((name, fn) <- opProbes) {
+      val t = Seq(Base, s"$Work/x2", s"$Work/x4").map { d =>
+        (1 to 3).map { _ =>
+          val t0 = System.nanoTime()
+          fn(spark, d)
+          (System.nanoTime() - t0) / 1e9
+        }.min
+      }
+      println(f"$name%-22s ${t(0)}%8.2f ${t(1)}%8.2f ${t(2)}%8.2f  ${t(1)/t(0)}%5.2f  ${t(2)/t(0)}%5.2f")
+    }
     spark.stop()
   }
 
