@@ -5,8 +5,6 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 import graft.functions.{DotProduct, FreqItemsAgg, RollingHash, TopKAgg}
-import org.apache.spark.sql.catalyst.expressions.Literal
-import org.apache.spark.sql.types.IntegerType
 
 /** Session-extension entry point: registers graft's native Catalyst
   * expressions on every session built with it, so SQL users get them
@@ -45,33 +43,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("graft_top_k"),
       new ExpressionInfo(classOf[TopKAgg].getName, "graft_top_k"),
-      (children: Seq[Expression]) => {
-        require(children.length == 3,
-          s"graft_top_k requires (score, id, k), got ${children.length} arguments")
-        TopKAgg(children(0), children(1), foldableInt(children(2), "k"))
-      }))
+      (children: Seq[Expression]) => TopKAgg.build(children)))
     ext.injectFunction((
       FunctionIdentifier("graft_freq_items"),
       new ExpressionInfo(classOf[FreqItemsAgg].getName, "graft_freq_items"),
-      (children: Seq[Expression]) => {
-        require(children.length == 2,
-          s"graft_freq_items requires (value, capacity), got ${children.length} arguments")
-        FreqItemsAgg(children(0), foldableInt(children(1), "capacity"))
-      }))
+      (children: Seq[Expression]) => FreqItemsAgg.build(children)))
     // Fuse the declarative aggregate(zip_with(·,·,*),0.0,+) idiom into
     // the codegen kernel on every query (see graft.plans.FuseDotProduct).
     ext.injectOptimizerRule(_ => graft.plans.FuseDotProduct)
   }
 
-  private def foldableInt(e: Expression, name: String): Int = e match {
-    case Literal(v: Int, IntegerType) => v
-    case other if other.foldable =>
-      other.eval() match {
-        case i: Int => i
-        case l: Long => l.toInt
-        case v => throw new IllegalArgumentException(
-          s"$name must be an integer literal, got $v")
-      }
-    case _ => throw new IllegalArgumentException(s"$name must be a literal")
-  }
 }

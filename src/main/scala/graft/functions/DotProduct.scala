@@ -148,6 +148,23 @@ object GraftFunctions {
       registry.createOrReplaceTempFunction("graft_token_window_hash",
         TokenWindowHash.build, "built-in")
     }
+    // parity with GraftExtensions: the full native-function surface is
+    // available imperatively too (scalar kernels as-is; aggregates
+    // wrapped by the analyzer exactly as in the extensions path)
+    def ifAbsent(name: String)(
+        builder: Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+          org.apache.spark.sql.catalyst.expressions.Expression): Unit =
+      if (!registry.functionExists(
+          org.apache.spark.sql.catalyst.FunctionIdentifier(name))) {
+        registry.createOrReplaceTempFunction(name, builder, "built-in")
+      }
+    ifAbsent("graft_rolling_hash") { children =>
+      require(children.length == 1,
+        s"graft_rolling_hash requires exactly 1 argument, got ${children.length}")
+      RollingHash(children.head)
+    }
+    ifAbsent("graft_top_k")(TopKAgg.build)
+    ifAbsent("graft_freq_items")(FreqItemsAgg.build)
   }
 
   /** Column-level dot product (no registration needed). Inputs must be

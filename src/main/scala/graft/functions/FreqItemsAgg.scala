@@ -170,4 +170,12 @@ object FreqItemsAgg {
   def freqItems(value: Column, capacity: Int = 64): Column =
     ColumnBridge.column(
       FreqItemsAgg(ColumnBridge.expression(value), capacity).toAggregateExpression())
+
+  /** SQL builder: `graft_freq_items(value, capacity)` with a literal
+    * capacity. */
+  private[graft] def build(children: Seq[Expression]): Expression = {
+    require(children.length == 2,
+      s"graft_freq_items requires (value, capacity), got ${children.length} arguments")
+    FreqItemsAgg(children(0), TopKAgg.foldableInt(children(1), "capacity"))
+  }
 }

@@ -127,6 +127,26 @@ object TopKAgg {
   import org.apache.spark.sql.Column
   import org.apache.spark.sql.graft.ColumnBridge
 
+  /** Literal-int argument of a SQL builder (shared by the graft
+    * aggregate builders). */
+  private[graft] def foldableInt(e: Expression, name: String): Int = e match {
+    case other if other.foldable =>
+      other.eval() match {
+        case i: Int => i
+        case l: Long => l.toInt
+        case v => throw new IllegalArgumentException(
+          s"$name must be an integer literal, got $v")
+      }
+    case _ => throw new IllegalArgumentException(s"$name must be a literal")
+  }
+
+  /** SQL builder: `graft_top_k(score, id, k)` with a literal k. */
+  private[graft] def build(children: Seq[Expression]): Expression = {
+    require(children.length == 3,
+      s"graft_top_k requires (score, id, k), got ${children.length} arguments")
+    TopKAgg(children(0), children(1), foldableInt(children(2), "k"))
+  }
+
   /** TreeSet order, worst-first: (score ASC, id DESC), so `first()` is
     * the eviction candidate and insertion/eviction are O(log k). */
   object WorstFirst extends java.util.Comparator[(Double, Long)] with Serializable {

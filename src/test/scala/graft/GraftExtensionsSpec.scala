@@ -66,4 +66,23 @@ class GraftExtensionsSpec extends AnyFunSuite {
       .head().getSeq[org.apache.spark.sql.Row](0)
     assert(fi2.map(r => (r.getString(0), r.getLong(1))) == Seq(("7", 2L), ("9", 1L)))
   }
+
+  test("imperative register exposes the full native surface in SQL") {
+    val s = TestSpark.spark.newSession()
+    graft.functions.GraftFunctions.register(s)
+    // one probe per function — same names the extensions path serves
+    assert(s.sql("SELECT graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d))")
+      .head().getDouble(0) == 11.0)
+    assert(s.sql("SELECT graft_rolling_hash('ab')").head().getLong(0) ==
+      ('a'.toInt * 31 + 'b'.toInt).toLong)
+    assert(s.sql("SELECT graft_token_window_hash('a b c', 2)")
+      .head().getSeq[Long](0).length == 2)
+    assert(s.sql(
+      "SELECT graft_top_k(score, id, 1) FROM VALUES (1.0d, 1L), (2.0d, 2L) AS t(score, id)")
+      .head().getSeq[org.apache.spark.sql.Row](0).head.getLong(0) == 2L)
+    assert(s.sql(
+      "SELECT graft_freq_items(x, 4) FROM VALUES ('a'), ('a'), ('b') AS t(x)")
+      .head().getSeq[org.apache.spark.sql.Row](0)
+      .map(r => (r.getString(0), r.getLong(1))) == Seq(("a", 2L), ("b", 1L)))
+  }
 }
