@@ -260,6 +260,34 @@ object Similarity {
     centroids
   }
 
+  /** Persist a trained IVF model (the collected centroid state — the
+    * train-once/serve-many lifecycle across SESSIONS, extending the
+    * in-session memo): one parquet row per centroid, swap-published
+    * so a retrain never exposes a half-written model to concurrent
+    * probes. */
+  def saveIvfModel(spark: org.apache.spark.sql.SparkSession, path: String,
+      centroids: Seq[(Int, Seq[Double])]): Unit = {
+    import org.apache.hadoop.fs.Path
+    import graft.etl.Swap
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    val (dir, tmp) = (new Path(path), new Path(path + "__advancing"))
+    Swap.recover(fs, dir, tmp)
+    fs.delete(tmp, true)
+    import spark.implicits._
+    centroids.map { case (cid, c) => (cid, c) }.toDF("cid", "c")
+      .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    Swap.publish(fs, dir, tmp)
+  }
+
+  /** Load a model written by [[saveIvfModel]], in the shape every
+    * probe/assign entry point takes. */
+  def loadIvfModel(spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[(Int, Seq[Double])] =
+    spark.read.parquet(path).collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toIndexedSeq))
+      .sortBy(_._1).toIndexedSeq
+
   /** The `nprobe` nearest centroid ids for a vector column, as an
     * array expression: per-centroid (dist, cid) structs, sorted (struct
     * order = dist then cid, matching [[assignExpr]]'s tie-break),

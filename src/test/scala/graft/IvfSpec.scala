@@ -18,6 +18,19 @@ class IvfSpec extends AnyFunSuite {
     assert(a.size == 8 && a.forall(_._2.size == 64))
   }
 
+  test("model save/load round-trips exactly (cross-session serve path)") {
+    val trained = ops.Similarity.ivfCentroids(
+      corpus, col("vec_id"), col("embedding"), k = 8, iters = 2)
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf")
+      .resolve("model").toString
+    ops.Similarity.saveIvfModel(spark, path, trained)
+    val loaded = ops.Similarity.loadIvfModel(spark, path)
+    assert(loaded == trained)
+    // a retrain swap-publishes over the live model
+    ops.Similarity.saveIvfModel(spark, path, trained.take(4))
+    assert(ops.Similarity.loadIvfModel(spark, path) == trained.take(4))
+  }
+
   test("probing every cluster equals brute force exactly") {
     val brute = ops.Similarity.bruteForceTopK(
         corpus.filter(col("vec_id") =!= 0), col("vec_id"), col("embedding"),
