@@ -123,6 +123,48 @@ object CorpusStats {
       .filter(col("rk") <= k)
   }
 
+  /** Per-document token totals from the shared (id, tok, c) counts —
+    * the BM25 length-normalization side. */
+  def docLengths(counts: DataFrame): DataFrame =
+    counts.groupBy(col("id")).agg(sum(col("c")).as("len"))
+
+  /** BM25 retrieval over the shared (id, tok, c) counts: rank
+    * documents for a bag-of-words query. Okapi BM25 with the robust
+    * idf `ln(1 + (N − df + 0.5)/(df + 0.5))`; k1/b are the standard
+    * defaults.
+    *
+    * Scale shape: the query-term filter is a literal IN pushed to the
+    * counts scan, so the per-term postings (the only rows that ever
+    * shuffle) are |query terms| × df rows — never the corpus; df for
+    * the query terms is one aggregate over those postings; the
+    * doc-length side joins on the doc id (precompute and persist
+    * [[docLengths]] for the rank-often lifecycle); the final top-k is
+    * order+limit → TakeOrderedAndProject, never a total sort.
+    * `nDocs`/`avgLen` are caller-passed corpus constants (one cheap
+    * prior aggregate), keeping the operator a pure plan transform.
+    * Ties break by doc id ascending for a deterministic ranking. */
+  def bm25Search(counts: DataFrame, docLens: DataFrame, nDocs: Long,
+      avgLen: Double, queryTerms: Seq[String], k: Int = 10,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25Search requires at least one query term")
+    require(avgLen > 0.0, s"avgLen must be positive, got $avgLen")
+    val postings = counts.filter(col("tok").isin(queryTerms.distinct: _*))
+    val dfPerTerm = postings.groupBy(col("tok"))
+      .agg(count(lit(1)).as("df"))
+      .withColumn("idf", log(lit(1.0) +
+        (lit(nDocs.toDouble) - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+    val scored = postings
+      .join(dfPerTerm, "tok")
+      .join(docLens, "id")
+      .withColumn("__contrib", col("idf") *
+        (col("c") * lit(k1 + 1.0)) /
+        (col("c") + lit(k1) * (lit(1.0 - b) + lit(b) * col("len") / lit(avgLen))))
+      .groupBy(col("id"))
+      .agg(sum(col("__contrib")).as("score"),
+        count(lit(1)).as("n_terms_matched"))
+    scored.orderBy(col("score").desc, col("id")).limit(k)
+  }
+
   /** Row-local duplicate-token stats: token count, distinct count,
     * duplicate fraction (1 - distinct/total — the Gopher-style
     * repetition signal). Pure expressions; no shuffle. */

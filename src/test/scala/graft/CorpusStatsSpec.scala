@@ -129,4 +129,42 @@ class CorpusStatsSpec extends AnyFunSuite {
     val plan = bg.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
   }
+
+  test("bm25Search matches an independent reference and ranks deterministically") {
+    val counts = CorpusStats.docTokenCounts(toks)
+    val lens = CorpusStats.docLengths(counts)
+    val n = 4L
+    val avgLen = (4 + 4 + 4 + 2) / 4.0
+    val (k1, b) = (1.2, 0.75)
+    // independent scalar reference over the collected fixture
+    val byDoc = Map(
+      1L -> Map("a" -> 3L, "b" -> 1L), 2L -> Map("a" -> 1L, "b" -> 2L, "c" -> 1L),
+      3L -> Map("c" -> 4L), 4L -> Map("a" -> 1L, "d" -> 1L))
+    val lenOf = Map(1L -> 4L, 2L -> 4L, 3L -> 4L, 4L -> 2L)
+    def refScore(q: Seq[String], id: Long): Double = q.map { t =>
+      val df = byDoc.values.count(_.contains(t))
+      val c = byDoc(id).getOrElse(t, 0L).toDouble
+      if (c == 0 || df == 0) 0.0
+      else math.log(1.0 + (n - df + 0.5) / (df + 0.5)) *
+        c * (k1 + 1) / (c + k1 * (1 - b + b * lenOf(id) / avgLen))
+    }.sum
+    val q = Seq("a", "c")
+    val got = CorpusStats.bm25Search(counts, lens, n, avgLen, q, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    // only docs matching ≥1 query term appear, ranked score desc
+    val expected = byDoc.keys.toSeq
+      .map(id => (id, refScore(q, id)))
+      .filter { case (id, _) => q.exists(byDoc(id).contains) }
+      .sortBy { case (id, s) => (-s, id) }
+    assert(got.map(_._1).toSeq == expected.map(_._1))
+    got.zip(expected).foreach { case ((_, s, _), (_, e)) =>
+      assert(math.abs(s - e) < 1e-9, s"$s vs $e")
+    }
+    // n_terms_matched counts distinct query terms present in the doc
+    assert(got.find(_._1 == 2L).get._3 == 2L) // doc 2 has a and c
+    // the final rank is top-k, not a total sort
+    val plan = CorpusStats.bm25Search(counts, lens, n, avgLen, q, k = 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(1500))
+  }
 }
