@@ -43,18 +43,24 @@ object ScaleProbe {
       "q_dedup_minhash_lsh",    // sketch + band join
       "q_dedup_embed_lsh")      // LSH bucket pair join
 
-    println(f"${"query"}%-22s ${"x1"}%8s ${"x2"}%8s ${"x4"}%8s  x2/x1  x4/x1")
+    println(f"${"query"}%-22s ${"x1"}%8s ${"x2"}%8s ${"x4"}%8s  x2/x1  x4/x1   shMB x1/x2/x4")
     for (q <- queries) {
-      val t = Seq(Base, s"$Work/x2", s"$Work/x4").map { d =>
+      val res = Seq(Base, s"$Work/x2", s"$Work/x4").map { d =>
         graft.queries.ExtendedQueries.releaseCaches(spark, d)
         val runs = (1 to 3).map { _ =>
           val t0 = System.nanoTime()
           graft.SparkEntry.queries(q)(spark, d).count()
           (System.nanoTime() - t0) / 1e9
         }
-        runs.min
+        // untimed metrics pass: DataFrame.count() executes a DERIVED
+        // aggregate plan, so shuffle metrics must be read from an
+        // execution of the query's OWN plan (toRdd)
+        val mdf = graft.SparkEntry.queries(q)(spark, d)
+        mdf.queryExecution.toRdd.count()
+        (runs.min, shuffleBytes(mdf))
       }
-      println(f"$q%-22s ${t(0)}%8.2f ${t(1)}%8.2f ${t(2)}%8.2f  ${t(1)/t(0)}%5.2f  ${t(2)/t(0)}%5.2f")
+      val t = res.map(_._1); val s = res.map(_._2 / 1e6)
+      println(f"$q%-22s ${t(0)}%8.2f ${t(1)}%8.2f ${t(2)}%8.2f  ${t(1)/t(0)}%5.2f  ${t(2)/t(0)}%5.2f   ${s(0)}%.1f/${s(1)}%.1f/${s(2)}%.1f")
     }
 
     // op-level probes (not declared queries): the round-7 additions
@@ -87,6 +93,24 @@ object ScaleProbe {
       println(f"$name%-22s ${t(0)}%8.2f ${t(1)}%8.2f ${t(2)}%8.2f  ${t(1)/t(0)}%5.2f  ${t(2)/t(0)}%5.2f")
     }
     spark.stop()
+  }
+
+  /** Total shuffle bytes written by an executed frame's final plan —
+    * the direct evidence for "exchanges carry aggregates, not rows":
+    * flat shuffle volume under ×4 data growth means the map side
+    * combined before the wire. Walks the AQE-final plan (query stages
+    * wrap the materialized exchanges). */
+  private def shuffleBytes(df: DataFrame): Long = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def walk(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => p +: walk(a.executedPlan)
+      case q: QueryStageExec => p +: walk(q.plan)
+      case other => other +: other.children.flatMap(walk)
+    }
+    walk(df.queryExecution.executedPlan)
+      .flatMap(_.metrics.get("shuffleBytesWritten").map(_.value))
+      .sum
   }
 
   private def build(spark: SparkSession, n: Int): Unit = {
