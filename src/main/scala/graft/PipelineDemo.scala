@@ -113,14 +113,27 @@ object PipelineDemo {
     println(s"[demo] media decoded = ${decoded.count()}; " +
       s"frames sampled = ${Multimodal.sampleFrames(decoded, 5000).count()}")
 
-    // --- training-set prep: clean → decontaminate → split → pack ---
+    // --- training-set prep: clean (+ boilerplate scrub) →
+    // --- decontaminate (+ per-task audit) → mix → split → pack ---
     val evalDocs = docs.filter(col("doc_id") % 97 === 0)
+    val trainRaw = docs.filter(col("doc_id") % 97 =!= 0)
     val cleaned = graft.ops.CorpusClean.clean(
-      docs.filter(col("doc_id") % 97 =!= 0), col("text"), col("doc_id"),
-      graft.ops.CorpusClean.Config(), evalCorpus = Some(evalDocs))
+      trainRaw, col("text"), col("doc_id"),
+      graft.ops.CorpusClean.Config(scrubBoilerplate = true),
+      evalCorpus = Some(evalDocs))
     println("[demo] corpus-clean stage stats (incl. decontamination):")
     cleaned.stageStats().show()
-    val labeled = cleaned.docs.withColumn("split",
+    println("[demo] per-task contamination audit:")
+    graft.ops.TrainPrep.contaminationReport(trainRaw, evalDocs,
+      col("text"), col("doc_id"),
+      concat(lit("task"), (col("doc_id") % 3).cast("string"))).show()
+    val mixWeights = graft.ops.TrainPrep.temperatureWeights(
+      cleaned.docs, col("lang"), alpha = 0.5,
+      budgetRows = cleaned.docs.count())
+    val mixed = graft.ops.TrainPrep.mixCorpus(
+      cleaned.docs, col("lang"), col("text"), mixWeights)
+    println(s"[demo] temperature-mixed corpus (α=0.5): ${mixed.count()} rows")
+    val labeled = mixed.withColumn("split",
       graft.ops.TrainPrep.splitLabel(col("text")))
     val packed = graft.ops.TrainPrep.packBins(
       labeled.filter(col("split") === "train")
@@ -130,6 +143,19 @@ object PipelineDemo {
     println(s"[demo] train docs packed into " +
       s"${packed.select(col("shard"), col("bin")).distinct().count()} bins")
     cleaned.release()
+
+    // --- incremental corpus statistics (sketch rollup) ---
+    val sketchPath = Files.createTempDirectory("demo_sketch")
+      .resolve("state").toString
+    val scCols = graft.etl.SketchRollup.Columns("doc_id", "n_chars", "text")
+    for (i <- 0 until 3)
+      graft.etl.SketchRollup.advance(spark, sketchPath,
+        docs.filter(col("doc_id") % 3 === i)
+          .select("lang", "doc_id", "n_chars", "text"),
+        Seq("lang"), scCols)
+    println("[demo] incrementally folded corpus sketch state:")
+    graft.etl.SketchRollup.finalizeState(
+      spark.read.parquet(sketchPath), Seq("lang")).drop("sig").show()
 
     // --- approximate distinct (HLL++) vs exact ---
     val li = queries.t(spark, sf, "lineitem")
