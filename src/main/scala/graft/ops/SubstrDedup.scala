@@ -184,6 +184,38 @@ object SubstrDedup {
     rows
   }
 
+  /** Prune the persisted registry to hashes that can still influence
+    * a scrub at `minDocs`: a hash at `minDocs − 1` can cross the
+    * threshold on a future fold, anything below cannot be closer than
+    * that, so `n_docs ≥ minDocs − 1` keeps every hash with forward
+    * relevance. Run periodically once the registry's long tail (the
+    * hashes seen exactly once) dominates its size — the tail is
+    * O(distinct windows), the kept head is O(boilerplate). Returns
+    * the surviving row count. NOTE: pruning forfeits tail counts — a
+    * hash pruned at 1 doc restarts from 0 if seen again, so prune
+    * only when `minDocs − 1` occurrences since the last prune is an
+    * acceptable miss (the standard sketch-tail trade, stated not
+    * hidden). */
+  def pruneRegistry(spark: org.apache.spark.sql.SparkSession,
+      statePath: String, minDocs: Int = 2): Long = {
+    import org.apache.hadoop.fs.Path
+    import graft.etl.Swap
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(statePath), spark.sparkContext.hadoopConfiguration)
+    val dir = new Path(statePath)
+    val tmp = new Path(statePath + "__advancing")
+    Swap.recover(fs, dir, tmp)
+    val kept = spark.read.parquet(statePath)
+      .filter(col("n_docs") >= minDocs - 1)
+    fs.delete(tmp, true)
+    kept.write.mode("overwrite").parquet(tmp.toString)
+    Swap.carryMarkers(fs, dir, tmp, None)
+    val rows = spark.read.parquet(tmp.toString).count()
+    Swap.publish(fs, dir, tmp)
+    rows
+  }
+
   /** Scrub `docs` against an EXTERNAL spread registry (e.g. the
     * persisted table `advanceSpread` maintains): windows whose hash
     * reaches `minDocs` documents registry-wide are treated as

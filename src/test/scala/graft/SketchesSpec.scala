@@ -77,4 +77,22 @@ class SketchesSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("partial_approx_count_distinct"), plan.take(2000))
   }
+
+  test("KLL sketch state round-trips through persistence; quantiles in-envelope") {
+    val li = queries.t(spark, TestSpark.sfTiny, "lineitem")
+    val sk = Sketches.kllSketchBy(li, Seq(col("l_returnflag")),
+      col("l_extendedprice"))
+    // the state survives a parquet round-trip (the persist/serve split)
+    val dir = java.nio.file.Files.createTempDirectory("graft_kll").toString
+    sk.write.mode("overwrite").parquet(dir)
+    val est = Sketches.kllQuantiles(spark.read.parquet(dir), Seq(0.5))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    for ((flag, q50) <- est) {
+      val vals = li.filter(col("l_returnflag") === flag)
+        .select(col("l_extendedprice").cast("double"))
+        .collect().map(_.getDouble(0)).sorted
+      val rank = vals.count(_ <= q50).toDouble / vals.length
+      assert(math.abs(rank - 0.5) <= 0.05, s"$flag: q50=$q50 rank=$rank")
+    }
+  }
 }

@@ -147,6 +147,28 @@ class SubstrDedupSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("pruneRegistry keeps forward-relevant hashes, drops the dead tail") {
+    val statePath = java.nio.file.Files.createTempDirectory("graft_substr_p")
+      .resolve("registry").toString
+    SubstrDedup.advanceSpread(spark, statePath, docsDf,
+      col("text"), col("doc_id"), w)
+    val before = spark.read.parquet(statePath)
+    val nBoiler = before.filter(col("n_docs") >= 2).count()
+    val nTail = before.filter(col("n_docs") < 1).count()
+    assert(nBoiler > 0 && nTail == 0)
+    val kept = SubstrDedup.pruneRegistry(spark, statePath, minDocs = 3)
+    val after = spark.read.parquet(statePath)
+    // minDocs=3 keeps n_docs >= 2 (can still cross on a future fold)
+    assert(kept == after.count())
+    assert(after.filter(col("n_docs") < 2).count() == 0)
+    assert(after.count() == nBoiler)
+    // a fresh doc with the boilerplate still gets scrubbed at minDocs=3
+    val fresh = Seq((200L, s"$boiler ${filler(200, 6)}")).toDF("doc_id", "text")
+    val out = SubstrDedup.stripAgainstRegistry(fresh, col("text"),
+      col("doc_id"), w, after, minDocs = 3).head()
+    assert(out.getString(2) == filler(200, 6))
+  }
+
   test("real corpus: spans are valid ranges and strip shortens only flagged docs") {
     val docs = queries.t(spark, sfTiny, "documents")
       .select("doc_id", "text")
