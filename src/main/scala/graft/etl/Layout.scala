@@ -208,6 +208,52 @@ object Layout {
       .bitwiseOR(shiftleft(spread(bucket(b, bounds._3, bounds._4)), 1))
   }
 
+  /** N-column Morton key: each column linearly bucketed into `bits`
+    * bits by its (lo, hi) range, bits interleaved round-robin — bit j
+    * of column i lands at position j·n + i, so every column
+    * contributes equally at every scale of the curve. The 2-column
+    * [[zvalue]] keeps its mask-spread fast path; this general form
+    * builds the interleave as `bits` shift-or terms per column — all
+    * codegen'd integer expressions, no UDF. n·bits must fit a signed
+    * long (≤ 63). More columns on the same 63-bit budget means fewer
+    * bits each (n=3 → ≤21 bits/col): per-column pruning granularity
+    * falls as n grows — the standard Z-order dilution, which is why
+    * clustering beyond 3-4 columns stops paying. */
+  def zvalueN(cols: Seq[Column], bounds: Seq[(Double, Double)],
+      bits: Int = 20): Column = {
+    require(cols.nonEmpty && cols.length == bounds.length,
+      s"${cols.length} columns vs ${bounds.length} bounds")
+    val n = cols.length
+    require(bits >= 1 && n * bits <= 63,
+      s"n*bits = ${n * bits} exceeds the 63-bit key budget")
+    val scaleMax = (1L << bits) - 1
+    def bucket(c: Column, lo: Double, hi: Double): Column =
+      if (hi == lo) lit(0L)
+      else least(lit(scaleMax), greatest(lit(0L),
+        ((c.cast("double") - lit(lo)) / lit(hi - lo) * lit(scaleMax.toDouble))
+          .cast("long")))
+    cols.zip(bounds).zipWithIndex.map { case ((c, (lo, hi)), i) =>
+      val b = bucket(c, lo, hi)
+      (0 until bits).map { j =>
+        // bit j of this column → key position j*n + i
+        shiftleft(shiftrightunsigned(b, j).bitwiseAND(lit(1L)), j * n + i)
+      }.reduce(_.bitwiseOR(_))
+    }.reduce(_.bitwiseOR(_))
+  }
+
+  /** [[zorderWrite]] over N columns: bounds from one min/max
+    * aggregate, then the range exchange on the N-ary Morton key. */
+  def zorderWriteN(df: DataFrame, path: String, columns: Seq[String],
+      bits: Int = 20, options: Map[String, String] = Map.empty): Unit = {
+    val aggs = columns.flatMap(c =>
+      Seq(min(col(c)).cast("double"), max(col(c)).cast("double")))
+    val r = df.agg(aggs.head, aggs.tail: _*).head
+    val bounds = columns.indices.map(i =>
+      (r.getDouble(2 * i), r.getDouble(2 * i + 1)))
+    df.sort(zvalueN(columns.map(col), bounds, bits))
+      .write.mode("overwrite").options(options).parquet(path)
+  }
+
   /** Write `df` clustered by the Z-order of (`colA`, `colB`): one
     * range exchange on the z-key (the same exchange a plain sorted
     * write pays), then parquet whose row-group min/max stats are

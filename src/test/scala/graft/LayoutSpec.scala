@@ -136,6 +136,76 @@ class LayoutSpec extends AnyFunSuite {
     assert(zoCountU == ev.filter(predU).count())
   }
 
+  test("zvalueN: n=2 equals the mask-spread zvalue; n=3 matches a scalar reference") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 300).map(_ =>
+      (rnd.nextDouble() * 1000, rnd.nextDouble() * 1000, rnd.nextDouble() * 1000))
+    val df = rows.toDF("a", "b", "c")
+    val bounds2 = (0.0, 1000.0, 0.0, 1000.0)
+    val both = df.select(
+        etl.Layout.zvalue(col("a"), col("b"), bounds2).as("z2"),
+        etl.Layout.zvalueN(Seq(col("a"), col("b")),
+          Seq((0.0, 1000.0), (0.0, 1000.0))).as("zn"))
+      .collect()
+    both.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+    // scalar 3-way reference: bit j of column i at position j*3+i
+    val bits = 20
+    def bucketRef(v: Double): Long = math.min((1L << bits) - 1,
+      math.max(0L, (v / 1000.0 * ((1L << bits) - 1)).toLong))
+    def zRef(vs: Seq[Double]): Long =
+      (for (i <- vs.indices; j <- 0 until bits) yield
+        (((bucketRef(vs(i)) >>> j) & 1L) << (j * 3 + i))).sum
+    val z3 = df.select(etl.Layout.zvalueN(
+        Seq(col("a"), col("b"), col("c")),
+        Seq.fill(3)((0.0, 1000.0)), bits).as("z"))
+      .collect().map(_.getLong(0))
+    z3.zip(rows).foreach { case (z, (a, b, c)) =>
+      assert(z == zRef(Seq(a, b, c)), s"($a,$b,$c)")
+    }
+    // budget guard
+    intercept[IllegalArgumentException] {
+      etl.Layout.zvalueN(Seq(col("a"), col("b"), col("c")),
+        Seq.fill(3)((0.0, 1.0)), bits = 22)
+    }
+  }
+
+  test("zorderWriteN: 3-column layout prunes row groups on every dimension") {
+    val zo = java.nio.file.Files.createTempDirectory("graft_zo3").toString
+    val ev = queries.t(spark, "/root/testdata/sf0.01", "events")
+      .select("event_id", "user_id", "value")
+    val opts = Map("parquet.block.size" -> (16 * 1024).toString,
+      "parquet.page.size" -> (4 * 1024).toString)
+    etl.Layout.zorderWriteN(ev.coalesce(1), zo,
+      Seq("event_id", "user_id", "value"), options = opts)
+    def scanned(pred: org.apache.spark.sql.Column): (Long, Long) = {
+      val df = spark.read.parquet(zo).filter(pred)
+      val n = df.collect().length.toLong
+      val plan = df.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case p => p
+      }
+      val scans = plan.collectWithSubqueries {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }
+      (scans.map(_.metrics("numOutputRows").value).sum, n)
+    }
+    val total = ev.count()
+    // value is dense near 0 (every curve chunk holds low values), so
+    // the value probe targets the sparse high tail — the selectivity
+    // where stats pruning can actually act on a skewed column
+    for (pred <- Seq(
+        col("event_id").between(1000, 1400),
+        col("user_id").between(10, 25),
+        col("value").between(250, 490))) {
+      val (surfaced, exact) = scanned(pred)
+      assert(exact == ev.filter(pred).count())
+      assert(surfaced < total,
+        s"no pruning for $pred: $surfaced of $total rows surfaced")
+    }
+  }
+
   test("writeBloom rejects columns absent from the schema (case-sensitive)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_bloom").toString
     val ev = queries.t(spark, sfTiny, "events").select("event_id", "user_id")
