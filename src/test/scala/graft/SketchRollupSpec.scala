@@ -131,6 +131,34 @@ class SketchRollupSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("bucketed state table: the merge's state side joins without an Exchange") {
+    // the scaladoc's 100 TB claim, pinned as a plan gate: with the
+    // state persisted bucketed on the merge keys, only the (small)
+    // delta side shuffles
+    val state = SketchRollup.partialState(docs, keys, cols)
+    graft.etl.Layout.writeBucketed(state, "sketch_state_b", "lang", 4)
+    try {
+      val deltaState = SketchRollup.partialState(
+        docs.filter(col("doc_id") % 7 === 0), keys, cols)
+      val merged = SketchRollup.mergeState(
+        spark.table("sketch_state_b"), deltaState, keys)
+      merged.collect()
+      // AQE toString prints Final AND Initial plans — count only the
+      // final section
+      val plan = merged.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      // ONE hash exchange total: the delta side's aggregation (whose
+      // lang-partitioned output the join then reuses). A second one
+      // would mean the bucketed state scan was re-shuffled.
+      val exchanges =
+        "Exchange hashpartitioning".r.findAllIn(plan).length
+      assert(exchanges == 1,
+        s"expected 1 hash exchange (delta agg only), got $exchanges:\n${plan.take(3000)}")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS sketch_state_b")
+    }
+  }
+
   test("signatureJaccard: identical corpus → 1.0; disjoint text differs") {
     val full = SketchRollup.partialState(docs, keys, cols)
     val self = SketchRollup.signatureJaccard(full, full, keys).collect()
