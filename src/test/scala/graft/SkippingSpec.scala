@@ -101,14 +101,18 @@ class SkippingSpec extends AnyFunSuite {
     li.filter(col("l_quantity") > 10).repartition(3)
       .write.mode("overwrite").parquet(d)
     Skipping.writeManifest(spark, d, Seq("l_quantity"))
-    // append one file, delete one original
-    li.filter(col("l_quantity") <= 10).coalesce(1)
-      .write.mode("append").parquet(d)
     val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(d),
       spark.sparkContext.hadoopConfiguration)
-    val victim = fs.listStatus(new org.apache.hadoop.fs.Path(d))
-      .filter(s => s.getPath.getName.startsWith("part-")).head.getPath
-    fs.delete(victim, false)
+    // snapshot the ORIGINAL files before appending: part names are
+    // UUIDs, so a listing taken after the append orders randomly and
+    // picking its head sometimes deleted the appended file itself —
+    // (statted, dropped) = (0, 0) and an intermittent red suite
+    val originals = fs.listStatus(new org.apache.hadoop.fs.Path(d))
+      .filter(_.getPath.getName.startsWith("part-")).map(_.getPath)
+    // append one file, delete one ORIGINAL
+    li.filter(col("l_quantity") <= 10).coalesce(1)
+      .write.mode("append").parquet(d)
+    fs.delete(originals.head, false)
     val (statted, dropped) = Skipping.refreshManifest(spark, d, Seq("l_quantity"))
     assert(statted == 1 && dropped == 1, s"($statted, $dropped)")
     def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
