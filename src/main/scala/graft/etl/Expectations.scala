@@ -43,6 +43,24 @@ object Expectations {
   /** Arbitrary row predicate (good rows satisfy `cond`). */
   def satisfies(name: String, cond: Column): Rule = Rule(name, Some(cond))
 
+  /** Distribution expectation: the `prob`-quantile of `column` must
+    * lie in [lo, hi] — the drift gate row rules can't express (every
+    * row can be individually in range while the distribution walks
+    * off). Costed like the row rules: the KLL sketch rides the SAME
+    * single aggregate (mergeable state, map-side combined), and the
+    * quantile readout is a scalar expression over the one-row result
+    * — no second scan, no extra exchange. Estimate error follows the
+    * sketch (k=200 ≈ 1.65% rank error): bounds should carry margin,
+    * this is a drift gate, not an exact assertion. */
+  final case class QuantileRule(name: String, column: String,
+      prob: Double, lo: Double, hi: Double)
+
+  def quantileBetween(c: String, prob: Double, lo: Double,
+      hi: Double): QuantileRule = {
+    require(prob > 0.0 && prob < 1.0, s"prob must be in (0,1), got $prob")
+    QuantileRule(s"quantile($c,$prob)", c, prob, lo, hi)
+  }
+
   final case class Violation(rule: String, violations: Long) {
     def passed: Boolean = violations == 0L
   }
@@ -53,7 +71,8 @@ object Expectations {
     * (childCol, dimFrame, dimCol). */
   def check(df: DataFrame, rules: Seq[Rule],
       uniqueKey: Seq[String] = Nil,
-      foreignKeys: Map[String, (String, DataFrame, String)] = Map.empty)
+      foreignKeys: Map[String, (String, DataFrame, String)] = Map.empty,
+      distributions: Seq[QuantileRule] = Nil)
       : Seq[Violation] = {
     val rowRules = rules.filter(_.rowPredicate.isDefined)
     // a predicate evaluating to NULL (three-valued logic on null
@@ -64,11 +83,26 @@ object Expectations {
       (if (uniqueKey.nonEmpty)
         Seq((count(lit(1)) - count_distinct(struct(uniqueKey.map(col): _*)))
           .as(s"unique(${uniqueKey.mkString(",")})"))
-      else Nil)
+      else Nil) ++
+      // the sketch joins the same single aggregate; the quantile
+      // readout happens in the select over its one-row result
+      distributions.map(d =>
+        kll_sketch_agg_double(col(d.column).cast("double"), 200)
+          .as(s"__kll_${d.name}"))
     val base: Seq[Violation] =
       if (aggCols.isEmpty) Nil
       else {
-        val row = df.agg(aggCols.head, aggCols.tail: _*).head()
+        val countNames = rowRules.map(_.name) ++
+          (if (uniqueKey.nonEmpty)
+            Seq(s"unique(${uniqueKey.mkString(",")})") else Nil)
+        val agged = df.agg(aggCols.head, aggCols.tail: _*)
+        val row = agged.select(
+          countNames.map(n => col(s"`${n.replace("`", "``")}`")) ++
+          distributions.map { d =>
+            val q = kll_sketch_get_quantile_double(
+              col(s"`__kll_${d.name.replace("`", "``")}`"), lit(d.prob))
+            when(q >= d.lo && q <= d.hi, 0L).otherwise(1L).as(d.name)
+          }: _*).head()
         row.schema.fieldNames.zipWithIndex.map { case (n, i) =>
           Violation(n, if (row.isNullAt(i)) 0L else row.getLong(i))
         }.toSeq

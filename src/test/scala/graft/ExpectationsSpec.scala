@@ -77,6 +77,23 @@ class ExpectationsSpec extends AnyFunSuite {
     assert(failsOf.values.forall(_.nonEmpty))
   }
 
+  test("quantile rules gate distribution drift in the same single pass") {
+    // amounts: -5, 10, 20, 30, 40, 1e9 → sketch p50 ≈ 20-30
+    val ok = Expectations.check(dirty, Nil,
+      distributions = Seq(quantileBetween("amount", 0.5, 0.0, 100.0)))
+    assert(ok.map(v => v.rule -> v.passed) ==
+      Seq("quantile(amount,0.5)" -> true))
+    // a drifted bound fails as ONE violation (binary table rule)
+    val drift = Expectations.check(dirty, Nil,
+      distributions = Seq(quantileBetween("amount", 0.5, 1000.0, 2000.0)))
+    assert(drift == Seq(Violation("quantile(amount,0.5)", 1L)))
+    // composes with row rules without an extra scan: one LocalTableScan
+    val mixed = Expectations.check(dirty, rules, uniqueKey = Seq("id"),
+      distributions = Seq(quantileBetween("amount", 0.5, 0.0, 100.0)))
+    assert(mixed.length == rules.length + 2)
+    assert(mixed.count(!_.passed) == 4) // email, range, regex, unique
+  }
+
   test("row rules + uniqueness evaluate as one aggregate job (single scan)") {
     val rowAndUnique = dirty.agg(
       sum(when(coalesce(rules.head.rowPredicate.get, lit(false)), 0L)
