@@ -169,6 +169,47 @@ class SubstrDedupSpec extends AnyFunSuite {
     assert(out.getString(2) == filler(200, 6))
   }
 
+  test("property: planted boilerplate at random offsets is found exactly") {
+    import spark.implicits._
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(seed)
+      val nDocs = 12
+      // which docs carry the plant (always ≥2 so it qualifies)
+      val carriers = rnd.shuffle((0 until nDocs).toList)
+        .take(2 + rnd.nextInt(nDocs - 2)).toSet
+      val plantLen = w + rnd.nextInt(8) // ≥ w tokens so it's detectable
+      val plant = (0 until plantLen).map(i => s"boil${seed}x$i").mkString(" ")
+      val rows = (0 until nDocs).map { d =>
+        val pre = rnd.nextInt(6)   // unique filler before/after
+        val post = rnd.nextInt(6)
+        val preT = (0 until pre).map(i => s"u${seed}d${d}p$i").mkString(" ")
+        val postT = (0 until post).map(i => s"u${seed}d${d}q$i").mkString(" ")
+        val text =
+          if (carriers(d)) Seq(preT, plant, postT).filter(_.nonEmpty).mkString(" ")
+          else ((0 until plantLen + pre + post)
+            .map(i => s"u${seed}d${d}z$i")).mkString(" ")
+        (d.toLong, text, pre.toLong)
+      }
+      val df = rows.map(r => (r._1, r._2)).toDF("doc_id", "text")
+      val spans = SubstrDedup.repeatedSpans(df, col("text"), col("doc_id"), w)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(spans.keySet == carriers.map(_.toLong), s"seed=$seed")
+      for ((d, _, pre) <- rows if carriers(d.toInt)) {
+        // the planted range is exactly [pre, pre + plantLen)
+        assert(spans(d) == (pre, pre + plantLen),
+          s"seed=$seed doc=$d got ${spans(d)} want ($pre, ${pre + plantLen})")
+      }
+      // and the scrub removes exactly the plant
+      val out = SubstrDedup.stripRepeatedSpans(df, col("text"), col("doc_id"), w)
+        .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+      for ((d, text, _) <- rows)
+        assert(out(d) ==
+          (if (carriers(d.toInt))
+            text.split(" ").filterNot(_.startsWith("boil")).mkString(" ")
+          else text), s"seed=$seed doc=$d")
+    }
+  }
+
   test("real corpus: spans are valid ranges and strip shortens only flagged docs") {
     val docs = queries.t(spark, sfTiny, "documents")
       .select("doc_id", "text")
