@@ -65,14 +65,37 @@ object StarSchemaBuilder {
   }
 
   /** Scan all landed CSVs for a prefix, filename recorded as a column
-    * (DuckDB `filename=true`, fetch_stocks.py:153). */
+    * (DuckDB `filename=true`, fetch_stocks.py:153). Reads exactly the
+    * objects the watermark counts — the `prefix_YYYY-MM-DD.csv` name
+    * discipline — so an out-of-band object with an invalid name is
+    * excluded from the scan the same way `lastSavedDate` skips it.
+    * Within a well-named object, header drift FAILS the load: the
+    * CSV reader's default (`enforceSchema=true`) maps the user schema
+    * positionally and ignores the header, which would silently
+    * misassign every value of a column-reordered object;
+    * `enforceSchema=false` validates header names instead (the
+    * landing contract: better a red load than corrupt facts). */
   def readLanding(spark: SparkSession, landingDir: String, prefix: String,
-      schema: StructType): DataFrame =
-    spark.read
+      schema: StructType): DataFrame = {
+    val dir = new Path(landingDir)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val re = s"^${java.util.regex.Pattern.quote(prefix)}_\\d{4}-\\d{2}-\\d{2}\\.csv$$".r
+    val objects =
+      if (fs.exists(dir))
+        fs.listStatus(dir).toSeq.map(_.getPath)
+          .filter(p => re.findFirstIn(p.getName).isDefined)
+          .map(_.toString)
+      else Nil
+    val reader = spark.read
       .option("header", "true")
+      .option("enforceSchema", "false")
       .schema(schema)
-      .csv(s"$landingDir/${prefix}_*.csv")
+    // no landed objects: preserve the glob's read so callers see the
+    // same empty/err behavior as before the name filter existed
+    (if (objects.isEmpty) reader.csv(s"$landingDir/${prefix}_*.csv")
+     else reader.csv(objects: _*))
       .withColumn("filename", input_file_name())
+  }
 
   /** DimDate: union-distinct of stock and econ dates + derived
     * columns (fetch_stocks.py:165-184). */

@@ -67,6 +67,26 @@ class LandingSinkSpec extends AnyFunSuite {
       StarSchemaBuilder.stocksSchema).count() == 4)
   }
 
+  test("readLanding fails fast on header drift instead of misassigning columns") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_land_drift").toString
+    // a landed object whose column ORDER drifted (Ticker before Date):
+    // positional schema application would silently put tickers in the
+    // Date column — the landing contract demands a red load instead
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "stocks_2024-03-01.csv"),
+      "Ticker,Date,Open,High,Low,Close,AdjClose,Volume\n" +
+        "^GSPC,2024-03-01,1,2,0.5,1.5,1.5,100\n")
+    val e = intercept[Exception] {
+      StarSchemaBuilder.readLanding(spark, dir, "stocks",
+        StarSchemaBuilder.stocksSchema).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(m =>
+      m.contains("CSV header does not conform") || m.contains("header")),
+      e.toString)
+  }
+
   test("fetchStocksIncrement: watermark gate + fetch window + landed increment") {
     val dir = java.nio.file.Files.createTempDirectory("graft_land_incr").toString
     var fetchedWindow: Option[(LocalDate, LocalDate)] = None
