@@ -1,0 +1,76 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+/** JSONL corpus interchange — the de-facto wire format of large text
+  * corpora (one JSON document per line, typically gzip/zstd shards).
+  * Spark's json reader covers the mechanics; what this wrapper pins
+  * down is the CONTRACT a 100 TB ingest needs and the defaults hide:
+  *
+  *  - EXPLICIT schema, never inference: schema inference is a full
+  *    extra pass over the data, and a schema drifting silently with
+  *    the input is the same corruption class the CSV landing path
+  *    guards against.
+  *  - Malformed lines are QUARANTINED, not dropped: PERMISSIVE mode
+  *    with a corrupt-record column splits the read into (clean,
+  *    quarantine) like `Expectations.split` — Spark's default
+  *    otherwise nulls the fields and the bad line vanishes into the
+  *    corpus as an empty document.
+  *  - Compression is transparent on read (codec by file extension);
+  *    writes default to gzip shards (interchange-safe everywhere).
+  *
+  * Scale shape: a line-delimited read is splittable per file (and
+  * within a file for uncompressed/bzip2), parses in the scan stage,
+  * and carries no shuffle; `readJsonl` is exactly one pass. */
+object CorpusIO {
+
+  private val Corrupt = "__corrupt"
+
+  /** Read JSONL shards under `path` with the given schema. Returns
+    * (clean rows, quarantined raw lines): a malformed line appears in
+    * the second frame as its raw text + source file, never as a
+    * silently-nulled row in the first.
+    *
+    * Implementation: `text` source + `from_json`, NOT the json
+    * source — the json reader forbids plans that reference only its
+    * corrupt-record column (SPARK-21610 suggests caching the whole
+    * parse as the workaround, which is exactly what a 100 TB ingest
+    * can't do). The text route parses in the same scan stage with no
+    * such restriction, and both returned frames are independent
+    * one-pass plans. Blank lines are skipped (matching the json
+    * reader), not quarantined. */
+  def readJsonl(spark: SparkSession, path: String, schema: StructType)
+      : (DataFrame, DataFrame) = {
+    require(!schema.fieldNames.contains(Corrupt),
+      s"schema must not contain the reserved column $Corrupt")
+    val withCorrupt = StructType(
+      schema.fields :+ StructField(Corrupt, StringType))
+    val raw = spark.read.text(path)
+      .filter(trim(col("value")) =!= "")
+      .select(col("value"), input_file_name().as("__file"),
+        from_json(col("value"), withCorrupt, Map(
+          "mode" -> "PERMISSIVE",
+          "columnNameOfCorruptRecord" -> Corrupt)).as("__j"))
+    val clean = raw.filter(col(s"__j.$Corrupt").isNull)
+      .select(schema.fieldNames.map(n => col(s"__j.`$n`").as(n)): _*)
+    val quarantine = raw.filter(col(s"__j.$Corrupt").isNotNull)
+      .select(col("value").as("raw_line"), col("__file").as("file"))
+    (clean, quarantine)
+  }
+
+  /** Write a corpus as compressed JSONL shards — the interchange
+    * export (`TrainPrep.exportShards` covers the key-clustered
+    * parquet form; this is the cross-tool one). `shards` bounds the
+    * file count; gzip by default (universally readable), pass "none"
+    * for splittable uncompressed output. */
+  def writeJsonl(df: DataFrame, path: String, shards: Int,
+      codec: String = "gzip"): Unit = {
+    require(shards > 0, s"shards must be positive, got $shards")
+    df.repartition(shards)
+      .write.mode("overwrite")
+      .option("compression", codec)
+      .json(path)
+  }
+}

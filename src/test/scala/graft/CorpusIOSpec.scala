@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.CorpusIO
+
+/** graft.sources.CorpusIO — JSONL ingest must quarantine malformed
+  * lines (not null them into the corpus), tolerate missing/extra
+  * fields per the JSON contract, and round-trip through the
+  * compressed shard writer. */
+class CorpusIOSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType)))
+
+  test("malformed lines are quarantined with their source file, clean rows parse") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_jsonl").toString
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "shard0.jsonl"),
+      """{"doc_id": 1, "text": "hello world", "lang": "en"}
+        |not json at all
+        |{"doc_id": 2, "text": "bonjour", "lang": "fr", "extra": 9}
+        |{"doc_id": 3, "text": "missing lang"}
+        |{"broken": [unclosed
+        |""".stripMargin)
+    val (clean, quarantine) = CorpusIO.readJsonl(spark, dir, schema)
+    val rows = clean.collect().map(r =>
+      (r.getLong(0), r.getString(1), Option(r.getString(2)))).toSet
+    // extra fields ignored, missing fields null — standard JSON contract
+    assert(rows == Set(
+      (1L, "hello world", Some("en")),
+      (2L, "bonjour", Some("fr")),
+      (3L, "missing lang", None)))
+    val bad = quarantine.collect().map(r => (r.getString(0), r.getString(1)))
+    assert(bad.length == 2)
+    assert(bad.exists(_._1.contains("not json at all")))
+    assert(bad.exists(_._1.contains("unclosed")))
+    assert(bad.forall(_._2.contains("shard0.jsonl")))
+  }
+
+  test("write/read round-trip through gzip shards preserves the corpus") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_jsonl_rt")
+      .resolve("out").toString
+    val docs = queries.t(spark, sfTiny, "documents")
+      .select("doc_id", "text", "lang")
+    CorpusIO.writeJsonl(docs, dir, shards = 3)
+    // gzip shards, bounded count
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".json.gz"))
+    assert(files.length == 3, files.map(_.getName).mkString(", "))
+    val (back, quarantine) = CorpusIO.readJsonl(spark, dir, schema)
+    assert(quarantine.count() == 0)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    assert(canon(back) == canon(docs))
+  }
+
+  test("reserved corrupt column name in the schema is rejected") {
+    intercept[IllegalArgumentException] {
+      CorpusIO.readJsonl(spark, "/tmp/nope", StructType(Seq(
+        StructField("__corrupt", StringType))))
+    }
+  }
+}
