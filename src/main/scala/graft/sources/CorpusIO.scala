@@ -53,12 +53,45 @@ object CorpusIO {
         from_json(col("value"), withCorrupt, Map(
           "mode" -> "PERMISSIVE",
           "columnNameOfCorruptRecord" -> Corrupt)).as("__j"))
-    val clean = raw.filter(col(s"__j.$Corrupt").isNull)
-      .select(schema.fieldNames.map(n => col(s"__j.`$n`").as(n)): _*)
-    val quarantine = raw.filter(col(s"__j.$Corrupt").isNotNull)
-      .select(col("value").as("raw_line"), col("__file").as("file"))
-    (clean, quarantine)
+    (cleanRows(raw, schema), quarantinedLines(raw))
   }
+
+  /** Streaming twin of [[readJsonl]]: a file-source text stream over
+    * arriving JSONL shards, parsed with the same quarantine contract.
+    * Returns ONE stream carrying both verdicts (a streaming source
+    * can't fork into two queries without reading the input twice);
+    * split it with [[cleanRows]] / [[quarantinedLines]] — inside a
+    * `foreachBatch` both sides come from the single micro-batch read.
+    * Compose with the maintenance sinks: cleanRows →
+    * `sketchRollupSink` / `boilerplateRegistrySink` /
+    * `CorpusClean`-in-foreachBatch; quarantinedLines → a dead-letter
+    * sink. */
+  def readJsonlStream(spark: SparkSession, path: String,
+      schema: StructType, maxFilesPerTrigger: Int = 16): DataFrame = {
+    require(!schema.fieldNames.contains(Corrupt),
+      s"schema must not contain the reserved column $Corrupt")
+    val withCorrupt = StructType(
+      schema.fields :+ StructField(Corrupt, StringType))
+    spark.readStream
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .text(path)
+      .filter(trim(col("value")) =!= "")
+      .select(col("value"), input_file_name().as("__file"),
+        from_json(col("value"), withCorrupt, Map(
+          "mode" -> "PERMISSIVE",
+          "columnNameOfCorruptRecord" -> Corrupt)).as("__j"))
+  }
+
+  /** The clean side of a [[readJsonlStream]] (or any frame with its
+    * shape): schema columns only. */
+  def cleanRows(parsed: DataFrame, schema: StructType): DataFrame =
+    parsed.filter(col(s"__j.$Corrupt").isNull)
+      .select(schema.fieldNames.map(n => col(s"__j.`$n`").as(n)): _*)
+
+  /** The quarantine side: (raw_line, file). */
+  def quarantinedLines(parsed: DataFrame): DataFrame =
+    parsed.filter(col(s"__j.$Corrupt").isNotNull)
+      .select(col("value").as("raw_line"), col("__file").as("file"))
 
   /** Write a corpus as compressed JSONL shards — the interchange
     * export (`TrainPrep.exportShards` covers the key-clustered

@@ -61,6 +61,35 @@ class CorpusIOSpec extends AnyFunSuite {
     assert(canon(back) == canon(docs))
   }
 
+  test("streaming intake splits arriving shards into clean and quarantine") {
+    val base = java.nio.file.Files.createTempDirectory("graft_jsonl_s")
+    val inDir = base.resolve("in"); java.nio.file.Files.createDirectory(inDir)
+    val ckpt = base.resolve("ckpt").toString
+    val parsed = CorpusIO.readJsonlStream(spark, inDir.toString, schema)
+    var cleanTotal = 0L; var badTotal = 0L
+    val q = parsed.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        cleanTotal += CorpusIO.cleanRows(batch, schema).count()
+        badTotal += CorpusIO.quarantinedLines(batch).count()
+      }
+      .option("checkpointLocation", ckpt)
+      .start()
+    try {
+      java.nio.file.Files.writeString(inDir.resolve("a.jsonl"),
+        """{"doc_id": 1, "text": "one", "lang": "en"}
+          |garbage line
+          |""".stripMargin)
+      q.processAllAvailable()
+      java.nio.file.Files.writeString(inDir.resolve("b.jsonl"),
+        """{"doc_id": 2, "text": "two", "lang": "fr"}
+          |{"doc_id": 3, "text": "three", "lang": "de"}
+          |""".stripMargin)
+      q.processAllAvailable()
+      assert(cleanTotal == 3 && badTotal == 1, s"($cleanTotal, $badTotal)")
+    } finally q.stop()
+  }
+
   test("reserved corrupt column name in the schema is rejected") {
     intercept[IllegalArgumentException] {
       CorpusIO.readJsonl(spark, "/tmp/nope", StructType(Seq(
