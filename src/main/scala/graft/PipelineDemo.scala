@@ -113,6 +113,21 @@ object PipelineDemo {
     println(s"[demo] media decoded = ${decoded.count()}; " +
       s"frames sampled = ${Multimodal.sampleFrames(decoded, 5000).count()}")
 
+    // --- corpus interchange: JSONL in with quarantine ---
+    val jsonlDir = Files.createTempDirectory("demo_jsonl").resolve("in").toString
+    graft.sources.CorpusIO.writeJsonl(
+      docs.select("doc_id", "text", "lang"), jsonlDir, shards = 2)
+    val (ingested, deadLetter) = graft.sources.CorpusIO.readJsonl(
+      spark, jsonlDir, org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("lang",
+          org.apache.spark.sql.types.StringType))))
+    println(s"[demo] jsonl intake: ${ingested.count()} clean, " +
+      s"${deadLetter.count()} quarantined")
+
     // --- training-set prep: clean (+ boilerplate scrub) →
     // --- decontaminate (+ per-task audit) → mix → split → pack ---
     val evalDocs = docs.filter(col("doc_id") % 97 === 0)
