@@ -99,9 +99,16 @@ object Expectations {
         val row = agged.select(
           countNames.map(n => col(s"`${n.replace("`", "``")}`")) ++
           distributions.map { d =>
-            val q = kll_sketch_get_quantile_double(
-              col(s"`__kll_${d.name.replace("`", "``")}`"), lit(d.prob))
-            when(q >= d.lo && q <= d.hi, 0L).otherwise(1L).as(d.name)
+            val sk = col(s"`__kll_${d.name.replace("`", "``")}`")
+            val q = kll_sketch_get_quantile_double(sk, lit(d.prob))
+            // an EMPTY sketch (zero-row frame / all-null column) has no
+            // quantiles — reading one throws, so gate on the item count
+            // first. Empty input = vacuously satisfied, matching row
+            // rules which count 0 violations there: a legitimately
+            // empty partition must not fail one rule kind and pass the
+            // other
+            when(sk.isNull || kll_sketch_get_n_double(sk) === 0, 0L)
+              .when(q >= d.lo && q <= d.hi, 0L).otherwise(1L).as(d.name)
           }: _*).head()
         row.schema.fieldNames.zipWithIndex.map { case (n, i) =>
           Violation(n, if (row.isNullAt(i)) 0L else row.getLong(i))

@@ -42,19 +42,61 @@ private[graft] object Swap {
   def markerName(runTag: String, batchId: Long): String =
     s"_applied_${runTag}_$batchId"
 
-  /** Has this (runTag, batchId) already been folded into `live`? */
+  /** Split a marker file name back into (runTag, batchId). The tag may
+    * itself contain underscores, so the batch id is everything after
+    * the LAST one. */
+  private def parseMarker(name: String): Option[(String, Long)] = {
+    val body = name.stripPrefix("_applied_")
+    val cut = body.lastIndexOf('_')
+    if (cut <= 0) None
+    else body.drop(cut + 1).toLongOption.map(id => (body.take(cut), id))
+  }
+
+  /** Highest batchId marked applied for `runTag` in `live`, if any. */
+  private def maxApplied(fs: FileSystem, live: Path,
+      runTag: String): Option[Long] =
+    if (!fs.exists(live)) None
+    else fs.listStatus(live).iterator
+      .filter(_.getPath.getName.startsWith("_applied_"))
+      .flatMap(m => parseMarker(m.getPath.getName))
+      .collect { case (tag, id) if tag == runTag => id }
+      .maxOption
+
+  /** Has this (runTag, batchId) already been folded into `live`?
+    * Applied-ness is MONOTONE per runTag: batch ids from a checkpointed
+    * feed only move forward, so batchId ≤ the highest marked id means
+    * applied — which is what lets [[carryMarkers]] retain a single
+    * marker per tag instead of one per batch forever. */
   def markerExists(fs: FileSystem, live: Path, runTag: String,
       batchId: Long): Boolean =
-    fs.exists(new Path(live, markerName(runTag, batchId)))
+    maxApplied(fs, live, runTag).exists(batchId <= _)
 
-  /** Carry every existing marker from `live` into `tmp` and add the
-    * new one — call after writing `tmp`, before [[publish]]. */
+  /** Carry markers from `live` into `tmp` and add the new one — call
+    * after writing `tmp`, before [[publish]]. Only the HIGHEST batchId
+    * per runTag is carried: [[markerExists]] is monotone, and a
+    * checkpointed feed only ever replays its last uncommitted batch,
+    * so lower markers are dead weight — without pruning a long-running
+    * sink accumulates one empty file per micro-batch and every fold
+    * pays an O(#batches) list+create. */
   def carryMarkers(fs: FileSystem, live: Path, tmp: Path,
       newMarker: Option[String]): Unit = {
-    if (fs.exists(live))
-      fs.listStatus(live).iterator
+    val carried: Map[String, Long] =
+      if (!fs.exists(live)) Map.empty
+      else fs.listStatus(live).iterator
         .filter(_.getPath.getName.startsWith("_applied_"))
-        .foreach(m => fs.create(new Path(tmp, m.getPath.getName), true).close())
-    newMarker.foreach(m => fs.create(new Path(tmp, m), true).close())
+        .flatMap(m => parseMarker(m.getPath.getName))
+        .toSeq.groupMapReduce(_._1)(_._2)(math.max)
+    val withNew = newMarker.flatMap(parseMarker) match {
+      case Some((tag, id)) =>
+        carried.updated(tag, math.max(id, carried.getOrElse(tag, id)))
+      case None => carried
+    }
+    // a non-parseable explicit marker (no numeric suffix) still rides
+    // through verbatim so bespoke callers keep working
+    newMarker.filter(parseMarker(_).isEmpty)
+      .foreach(m => fs.create(new Path(tmp, m), true).close())
+    withNew.foreach { case (tag, id) =>
+      fs.create(new Path(tmp, markerName(tag, id)), true).close()
+    }
   }
 }

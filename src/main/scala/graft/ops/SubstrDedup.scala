@@ -80,19 +80,23 @@ object SubstrDedup {
     * `text_clean`. */
   private def scrubSpans(docs: DataFrame, textCol: Column, idCol: Column,
       spans: DataFrame): DataFrame = {
+    // span-side key/payload under reserved names so a caller frame
+    // that itself has columns named "id" or "spans" neither makes the
+    // join condition ambiguous nor loses its column to the drop below
     val perDoc = spans.groupBy(col("id"))
       .agg(collect_list(struct(col("start_tok"), col("end_tok")))
-        .as("spans"))
-    docs.join(perDoc, idCol === perDoc("id"), "left")
+        .as("__sd_spans"))
+      .withColumnRenamed("id", "__sd_id")
+    docs.join(perDoc, idCol === perDoc("__sd_id"), "left")
       .withColumn("text_clean",
-        when(col("spans").isNull, textCol).otherwise(
+        when(col("__sd_spans").isNull, textCol).otherwise(
           concat_ws(" ", filter(
             transform(split(textCol, " "),
-              (t, i) => when(exists(col("spans"),
+              (t, i) => when(exists(col("__sd_spans"),
                 s => i >= s("start_tok") && i < s("end_tok")), lit(null))
                 .otherwise(t)),
             t => t.isNotNull))))
-      .drop("id", "spans")
+      .drop("__sd_id", "__sd_spans")
   }
 
   /** Maximal repeated spans per document: every run of window

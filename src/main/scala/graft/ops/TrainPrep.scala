@@ -226,9 +226,18 @@ object TrainPrep {
       alpha: Double, budgetRows: Long): Map[String, Double] = {
     require(alpha >= 0.0 && alpha <= 1.0, s"alpha must be in [0,1], got $alpha")
     require(budgetRows > 0, s"budgetRows must be positive, got $budgetRows")
-    val sizes = df.groupBy(stratumCol.as("__s"))
+    // cast to string so non-string stratum columns (int domain ids,
+    // dates) don't throw at collect; null strata are rejected rather
+    // than silently becoming a map key no mixCorpus lookup matches
+    val sizes = df.groupBy(stratumCol.cast("string").as("__s"))
       .agg(count(lit(1)).as("__n"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      .collect().map { r =>
+        require(!r.isNullAt(0),
+          "temperatureWeights: stratum column contains null — filter or " +
+            "fill strata before weighting (a null key would never match " +
+            "a mixCorpus lookup)")
+        r.getString(0) -> r.getLong(1)
+      }.toMap
     val mass = sizes.values.map(n => math.pow(n.toDouble, alpha)).sum
     sizes.map { case (s, n) =>
       s -> budgetRows * math.pow(n.toDouble, alpha) / mass / n.toDouble

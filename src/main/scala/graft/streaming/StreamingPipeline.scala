@@ -342,14 +342,41 @@ object StreamingPipeline {
     * cover both. Superseded snapshots are retired (keeping one grace
     * copy for in-flight readers). Swap the directory flip for a
     * transactional table format where one is available. */
+  /** Replay-protection run tag for a foreachBatch sink. Derived from
+    * the streaming query id persisted in `<checkpointDir>/metadata` —
+    * stable across restarts of the same checkpoint, but FRESH when an
+    * operator wipes the checkpoint and reuses the directory (batch ids
+    * restart at 0 then; a path-derived tag would match the old run's
+    * markers and silently skip the first batches — data loss). Read at
+    * batch time because the metadata file only exists once the query
+    * has started; the fallback path-hash covers bespoke callers that
+    * invoke the batch appliers outside a streaming query. */
+  private[graft] def runTag(spark: SparkSession,
+      checkpointDir: String): String = {
+    val meta = new Path(checkpointDir, "metadata")
+    val fs = meta.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fromQueryId =
+      if (!fs.exists(meta)) None
+      else {
+        val in = fs.open(meta)
+        val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+        "\"id\"\\s*:\\s*\"([0-9a-fA-F-]+)\"".r
+          .findFirstMatchIn(body).map(_.group(1).replace("-", "").take(8))
+      }
+    fromQueryId.getOrElse(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(checkpointDir.getBytes("UTF-8")).take(4)
+        .map(b => f"$b%02x").mkString)
+  }
+
   def upsertSink(agg: DataFrame, keyCols: Seq[String], outDir: String,
       checkpointDir: String) = {
-    val tag = java.security.MessageDigest.getInstance("MD5")
-      .digest(checkpointDir.getBytes("UTF-8")).take(4).map(b => f"$b%02x").mkString
     agg.writeStream
       .outputMode(OutputMode.Update)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        applyUpsertBatch(batch, batchId, keyCols, outDir, tag)
+        applyUpsertBatch(batch, batchId, keyCols, outDir,
+          runTag(batch.sparkSession, checkpointDir))
       }
       .option("checkpointLocation", checkpointDir)
   }
@@ -390,19 +417,19 @@ object StreamingPipeline {
     * counts are NOT replay-tolerant (cnt would double), so this sink
     * routes through `SketchRollup.advanceBatch` — the applied-batch
     * marker is published atomically with the folded state, making a
-    * replayed micro-batch a no-op. The run tag (derived from the
-    * checkpoint, as in `upsertSink`) keeps a fresh stream's restarted
-    * batch ids from colliding with a previous run's markers. */
+    * replayed micro-batch a no-op. The run tag (the query id via
+    * [[runTag]], as in `upsertSink`) keeps a fresh stream's restarted
+    * batch ids — new checkpoint OR wiped-and-reused checkpoint — from
+    * colliding with a previous run's markers. */
   def sketchRollupSink(rows: DataFrame, keys: Seq[String],
       cols: graft.etl.SketchRollup.Columns, statePath: String,
       checkpointDir: String) = {
-    val tag = java.security.MessageDigest.getInstance("MD5")
-      .digest(checkpointDir.getBytes("UTF-8")).take(4).map(b => f"$b%02x").mkString
     rows.writeStream
       .outputMode(OutputMode.Append)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         graft.etl.SketchRollup.advanceBatch(batch.sparkSession, statePath,
-          batch, keys, cols, batchId, tag): Unit
+          batch, keys, cols, batchId,
+          runTag(batch.sparkSession, checkpointDir)): Unit
       }
       .option("checkpointLocation", checkpointDir)
   }
@@ -417,15 +444,14 @@ object StreamingPipeline {
     * append-only document-id contract as the batch form. */
   def boilerplateRegistrySink(docs: DataFrame, textCol: String,
       idCol: String, w: Int, statePath: String, checkpointDir: String) = {
-    val tag = java.security.MessageDigest.getInstance("MD5")
-      .digest(checkpointDir.getBytes("UTF-8")).take(4).map(b => f"$b%02x").mkString
     docs.writeStream
       .outputMode(OutputMode.Append)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         // names, not Columns: each micro-batch is a fresh frame, so a
         // caller's frame-bound Column could never resolve against it
         graft.ops.SubstrDedup.advanceSpreadBatch(batch.sparkSession,
-          statePath, batch, col(textCol), col(idCol), w, batchId, tag): Unit
+          statePath, batch, col(textCol), col(idCol), w, batchId,
+          runTag(batch.sparkSession, checkpointDir)): Unit
       }
       .option("checkpointLocation", checkpointDir)
   }

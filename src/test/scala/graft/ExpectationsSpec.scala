@@ -94,6 +94,21 @@ class ExpectationsSpec extends AnyFunSuite {
     assert(mixed.count(!_.passed) == 4) // email, range, regex, unique
   }
 
+  test("empty input: quantile rules pass vacuously, matching row rules") {
+    // an empty frame (or all-null column) makes the sketch readout
+    // null; both rule kinds must agree that zero rows = zero
+    // violations, or a legitimately empty partition fails one gate and
+    // passes the other (round-7 ADVICE)
+    val empty = dirty.filter(lit(false))
+    val out = Expectations.check(empty, rules, uniqueKey = Seq("id"),
+      distributions = Seq(quantileBetween("amount", 0.5, 0.0, 100.0)))
+    assert(out.nonEmpty && out.forall(_.passed), out.toString)
+    val allNull = dirty.withColumn("amount", lit(null).cast("double"))
+    val nn = Expectations.check(allNull, Nil,
+      distributions = Seq(quantileBetween("amount", 0.5, 0.0, 100.0)))
+    assert(nn.forall(_.passed), nn.toString)
+  }
+
   test("row rules + uniqueness evaluate as one aggregate job (single scan)") {
     val rowAndUnique = dirty.agg(
       sum(when(coalesce(rules.head.rowPredicate.get, lit(false)), 0L)

@@ -419,6 +419,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(snap() == Map("k1" -> 9L, "k2" -> 2L, "k3" -> 3L))
   }
 
+  test("run tag tracks the streaming query id, not the checkpoint path") {
+    // a wiped-and-reused checkpoint restarts batch ids at 0 under a NEW
+    // query id; a path-derived tag would match the old run's markers
+    // and silently skip those batches (round-7 ADVICE)
+    val ckpt = Files.createTempDirectory("graft_runtag").toString
+    val meta = new java.io.File(ckpt, "metadata")
+    def writeMeta(id: String): Unit = {
+      val w = new java.io.PrintWriter(meta, "UTF-8")
+      try w.write(s"""{"id":"$id"}""") finally w.close()
+    }
+    writeMeta("0a1b2c3d-1111-2222-3333-444455556666")
+    val tag1 = StreamingPipeline.runTag(spark, ckpt)
+    assert(tag1 == "0a1b2c3d")
+    // same path, fresh query id after a checkpoint wipe → fresh tag
+    writeMeta("ffee0011-9999-8888-7777-666655554444")
+    assert(StreamingPipeline.runTag(spark, ckpt) == "ffee0011")
+    // no metadata yet (batch appliers called outside a stream): stable
+    // path-hash fallback
+    assert(meta.delete())
+    val fb = StreamingPipeline.runTag(spark, ckpt)
+    assert(fb == StreamingPipeline.runTag(spark, ckpt) && fb.length == 8)
+    assert(fb != tag1)
+  }
+
   test("stateful sessionize agrees with the batch lag+cumsum sessionizer") {
     import spark.implicits._
     val events = spark.read.parquet(fixtureDir)

@@ -210,6 +210,40 @@ class SubstrDedupSpec extends AnyFunSuite {
     }
   }
 
+  test("strip preserves a caller column literally named id") {
+    // the span frame's own key rides under a reserved name, so a docs
+    // frame with an "id" column neither makes the join ambiguous nor
+    // loses its column to the internal drop (round-7 ADVICE)
+    val withId = docsDf.withColumnRenamed("doc_id", "id")
+    val out = SubstrDedup.stripRepeatedSpans(withId, col("text"), col("id"), w)
+    assert(out.columns.toSeq == Seq("id", "text", "text_clean"))
+    val byId = out.collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(byId(3L) == filler(3, 25))          // untouched doc intact
+    assert(byId(2L) == filler(2, 9))           // boilerplate stripped
+  }
+
+  test("applied-batch markers stay bounded: one per runTag, replay still guarded") {
+    val statePath = java.nio.file.Files.createTempDirectory("graft_substr_m")
+      .resolve("registry").toString
+    for (b <- 0 to 3)
+      SubstrDedup.advanceSpreadBatch(spark, statePath,
+        docsDf.filter(col("doc_id") === b + 1), col("text"), col("doc_id"),
+        w, b.toLong)
+    val markers = new java.io.File(statePath).listFiles()
+      .map(_.getName).filter(_.startsWith("_applied_"))
+    assert(markers.toSeq == Seq("_applied_run_3"),
+      s"expected one pruned marker, got ${markers.toSeq}")
+    // monotone guard: a replay of an OLDER batch (its marker pruned) is
+    // still a no-op — batch ids from a checkpointed feed only move forward
+    val before = spark.read.parquet(statePath)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    SubstrDedup.advanceSpreadBatch(spark, statePath,
+      docsDf.filter(col("doc_id") === 1), col("text"), col("doc_id"), w, 0L)
+    val after = spark.read.parquet(statePath)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(after == before)
+  }
+
   test("real corpus: spans are valid ranges and strip shortens only flagged docs") {
     val docs = queries.t(spark, sfTiny, "documents")
       .select("doc_id", "text")

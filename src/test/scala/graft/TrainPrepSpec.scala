@@ -199,6 +199,22 @@ class TrainPrepSpec extends AnyFunSuite {
     assert(math.abs(got - budget) / budget < 0.15, s"got $got for budget $budget")
   }
 
+  test("temperatureWeights: non-string strata cast cleanly, null strata rejected") {
+    import spark.implicits._
+    // int domain ids must not ClassCastException at collect (round-7 ADVICE)
+    val intStrata = Seq((1L, 7), (2L, 7), (3L, 9)).toDF("doc_id", "domain")
+    val w = TrainPrep.temperatureWeights(intStrata, col("domain"), 1.0, 300L)
+    assert(w.keySet == Set("7", "9"))
+    assert(math.abs(w("7") * 2 + w("9") - 300.0) < 1e-9)
+    // a null stratum would become a map key no mixCorpus lookup matches
+    val withNull = Seq((1L, Some("en")), (2L, None))
+      .toDF("doc_id", "lang")
+    val e = intercept[IllegalArgumentException] {
+      TrainPrep.temperatureWeights(withNull, col("lang"), 1.0, 100L)
+    }
+    assert(e.getMessage.contains("null"))
+  }
+
   test("contaminationReport: per-task flags, zero-filled clean tasks, surface counts") {
     import spark.implicits._
     val train = Seq(
