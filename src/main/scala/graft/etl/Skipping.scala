@@ -111,10 +111,14 @@ object Skipping {
     val live = liveParts(spark, dataPath)
     val liveKeys = live.map(p => key(p.toString)).toSet
     val old = spark.read.parquet(manPath)
-    val oldKeys = old.select("file").collect().map(r => key(r.getString(0))).toSet
+    val oldFiles = old.select("file").collect().map(_.getString(0))
+    val oldKeys = oldFiles.map(key).toSet
     val missing = live.filterNot(p => oldKeys(key(p.toString)))
-    val keptOld = old.filter(
-      udf((f: String) => liveKeys(key(f))).apply(col("file")))
+    // survivor set resolved driver-side (the file list is already
+    // collected for oldKeys), so the prune predicate is a plain isin —
+    // codegen-visible, no UDF in the plan
+    val keptFiles = oldFiles.filter(f => liveKeys(key(f)))
+    val keptOld = old.filter(col("file").isin(keptFiles.toSeq: _*))
     val next =
       if (missing.isEmpty) keptOld
       else {

@@ -188,10 +188,27 @@ object TrainPrep {
     * is exactly the mixture weight, and replication happens inside the
     * scan's codegen stage, never through a join. */
   def mixCorpus(df: DataFrame, stratumCol: Column, keyCol: Column,
+      epochs: Map[String, Double]): DataFrame =
+    mixCorpusFp(df, stratumCol, keyFingerprint(keyCol), epochs)
+
+  /** The 4-hex-digit hash fingerprint [[mixCorpus]] and
+    * [[stratifiedSample]] threshold against — public so a caller can
+    * PRECOMPUTE it, project the wide key column away, and replicate
+    * only narrow rows: `mixCorpus` amplifies every column by the
+    * mixture weight, so exploding (id, stratum, fingerprint) instead
+    * of (…, full document text) keeps the generate stage's bytes at
+    * ~tens per copy regardless of document size. */
+  def keyFingerprint(keyCol: Column): Column =
+    md5(hashableKey(keyCol)).substr(1, 4)
+
+  /** [[mixCorpus]] with the fractional-copy fingerprint already
+    * computed (must be [[keyFingerprint]] of a stable key for the
+    * determinism contract to hold). */
+  def mixCorpusFp(df: DataFrame, stratumCol: Column, fpCol: Column,
       epochs: Map[String, Double]): DataFrame = {
     require(epochs.values.forall(e => e >= 0.0 && e <= 1000.0),
       "epoch weights must be in [0, 1000]")
-    val fp = md5(hashableKey(keyCol)).substr(1, 4)
+    val fp = fpCol
     val copies = epochs.foldLeft(lit(0L)) { case (acc, (stratum, e)) =>
       val whole = math.floor(e).toLong
       val frac = math.round((e - whole) * 65536.0).min(65536L)

@@ -95,8 +95,12 @@ object TrainPrepQueries {
     // counts per (lang, epoch copy). The fractional extra copy is a
     // pure function of the text hash, so the oracle reproduces it.
     "q_mix_epochs" -> { (s, d) =>
-      graft.ops.TrainPrep.mixCorpus(
-          ExtendedQueries.docProfile(s, d), col("lang"), col("text"),
+      // fingerprint first, project text away: the explode amplifies
+      // three narrow columns (~40 bytes/copy), never document text
+      val narrow = ExtendedQueries.docProfile(s, d)
+        .select(col("doc_id"), col("lang"),
+          graft.ops.TrainPrep.keyFingerprint(col("text")).as("__fp"))
+      graft.ops.TrainPrep.mixCorpusFp(narrow, col("lang"), col("__fp"),
           Map("en" -> 1.5, "fr" -> 2.25, "es" -> 0.5, "de" -> 3.0))
         .groupBy(col("lang"), col("epoch"))
         .agg(count(lit(1)).as("n_rows"), min(col("doc_id")).as("first_doc"))

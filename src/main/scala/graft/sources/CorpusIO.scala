@@ -28,6 +28,22 @@ object CorpusIO {
 
   private val Corrupt = "__corrupt"
 
+  /** Register [[ZstdJniCodec]] with the session's Hadoop conf so
+    * `.zst` shards resolve by extension — Hadoop's own zstd codec
+    * needs native libhadoop support most images lack; ours rides the
+    * zstd-jni Spark already ships. `io.compression.codecs` is ADDITIVE
+    * to the service-loaded defaults (gzip et al. keep resolving), and
+    * the mixed-codec spec pins that. Idempotent; called by every
+    * CorpusIO read/write so users never have to. */
+  private[graft] def ensureZstd(spark: SparkSession): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val cls = classOf[ZstdJniCodec].getName
+    val cur = conf.get("io.compression.codecs", "")
+    if (!cur.split(",").map(_.trim).contains(cls))
+      conf.set("io.compression.codecs",
+        if (cur.isEmpty) cls else s"$cur,$cls")
+  }
+
   /** Read JSONL shards under `path` with the given schema. Returns
     * (clean rows, quarantined raw lines): a malformed line appears in
     * the second frame as its raw text + source file, never as a
@@ -45,6 +61,7 @@ object CorpusIO {
       : (DataFrame, DataFrame) = {
     require(!schema.fieldNames.contains(Corrupt),
       s"schema must not contain the reserved column $Corrupt")
+    ensureZstd(spark)
     val withCorrupt = StructType(
       schema.fields :+ StructField(Corrupt, StringType))
     val raw = spark.read.text(path)
@@ -70,6 +87,7 @@ object CorpusIO {
       schema: StructType, maxFilesPerTrigger: Int = 16): DataFrame = {
     require(!schema.fieldNames.contains(Corrupt),
       s"schema must not contain the reserved column $Corrupt")
+    ensureZstd(spark)
     val withCorrupt = StructType(
       schema.fields :+ StructField(Corrupt, StringType))
     spark.readStream
@@ -96,14 +114,25 @@ object CorpusIO {
   /** Write a corpus as compressed JSONL shards — the interchange
     * export (`TrainPrep.exportShards` covers the key-clustered
     * parquet form; this is the cross-tool one). `shards` bounds the
-    * file count; gzip by default (universally readable), pass "none"
-    * for splittable uncompressed output. */
+    * file count; zstd by default (the de-facto corpus interchange
+    * codec — better ratio AND faster decode than gzip, written
+    * natively by Spark 4); pass "gzip" where legacy tooling can't
+    * read zstd, or "none" for splittable uncompressed output. Reads
+    * pick the codec per FILE from its extension, so a directory can
+    * mix codecs across shards (e.g. a crawl re-exported
+    * incrementally) and [[readJsonl]] consumes it in one pass. */
   def writeJsonl(df: DataFrame, path: String, shards: Int,
-      codec: String = "gzip"): Unit = {
+      codec: String = "zstd"): Unit = {
     require(shards > 0, s"shards must be positive, got $shards")
+    ensureZstd(df.sparkSession)
+    // Spark's text-source codec shortnames have no zstd entry; the
+    // option also accepts a codec CLASS, which is how ours rides in
+    val codecName =
+      if (codec.equalsIgnoreCase("zstd")) classOf[ZstdJniCodec].getName
+      else codec
     df.repartition(shards)
       .write.mode("overwrite")
-      .option("compression", codec)
+      .option("compression", codecName)
       .json(path)
   }
 }

@@ -44,17 +44,48 @@ class CorpusIOSpec extends AnyFunSuite {
     assert(bad.forall(_._2.contains("shard0.jsonl")))
   }
 
-  test("write/read round-trip through gzip shards preserves the corpus") {
+  test("write/read round-trip through zstd shards preserves the corpus") {
     val dir = java.nio.file.Files.createTempDirectory("graft_jsonl_rt")
       .resolve("out").toString
     val docs = queries.t(spark, sfTiny, "documents")
       .select("doc_id", "text", "lang")
     CorpusIO.writeJsonl(docs, dir, shards = 3)
-    // gzip shards, bounded count
+    // zstd shards (the default codec), bounded count
     val files = new java.io.File(dir).listFiles()
-      .filter(_.getName.endsWith(".json.gz"))
+      .filter(_.getName.endsWith(".json.zst"))
     assert(files.length == 3, files.map(_.getName).mkString(", "))
     val (back, quarantine) = CorpusIO.readJsonl(spark, dir, schema)
+    assert(quarantine.count() == 0)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    assert(canon(back) == canon(docs))
+  }
+
+  test("a directory mixing zstd, gzip, and plain shards reads in one pass") {
+    // codec is resolved per FILE from its extension, so a corpus
+    // re-exported incrementally under different codecs stays one
+    // readable directory
+    val base = java.nio.file.Files.createTempDirectory("graft_jsonl_mix")
+    val mixed = base.resolve("mixed"); java.nio.file.Files.createDirectory(mixed)
+    val docs = queries.t(spark, sfTiny, "documents")
+      .select("doc_id", "text", "lang")
+    val parts = Seq(
+      ("zstd", docs.filter(col("doc_id") % 3 === 0)),
+      ("gzip", docs.filter(col("doc_id") % 3 === 1)),
+      ("none", docs.filter(col("doc_id") % 3 === 2)))
+    for (((codec, part), i) <- parts.zipWithIndex) {
+      val sub = base.resolve(s"part$i").toString
+      CorpusIO.writeJsonl(part, sub, shards = 1, codec = codec)
+      new java.io.File(sub).listFiles()
+        .filter(f => f.getName.startsWith("part-"))
+        .foreach(f => java.nio.file.Files.copy(f.toPath,
+          mixed.resolve(f.getName)))
+    }
+    val names = mixed.toFile.listFiles().map(_.getName)
+    assert(names.exists(_.endsWith(".json.zst")) &&
+      names.exists(_.endsWith(".json.gz")) &&
+      names.exists(_.endsWith(".json")), names.mkString(", "))
+    val (back, quarantine) = CorpusIO.readJsonl(spark, mixed.toString, schema)
     assert(quarantine.count() == 0)
     def canon(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(_.toString).sorted.toSeq
