@@ -29,6 +29,20 @@ import org.apache.spark.sql.types.BinaryType
   * below its exchange: rows that cannot join are dropped before they
   * are hashed, serialized, or shuffled. False positives only (never
   * drops a matching row); the join itself stays exact.
+  *
+  * Build-once / probe-many (the reason this exists vs the optimizer's
+  * per-query injection — BloomPruneSpec plan-gates that the probing
+  * queries re-aggregate NOTHING):
+  * {{{
+  * val bf = BloomPrune.buildFilter(activeParts, col("p_partkey"))  // one agg job
+  * BloomPrune.saveFilter(spark, "/models/active_parts.bloom", bf)  // optional: cross-session
+  * // ... any number of queries, each probing the same literal sketch:
+  * val detail = lineitem.filter(BloomPrune.mightContain(bf, col("l_partkey")))
+  *   .join(activeParts, col("l_partkey") === col("p_partkey"))
+  * val rollup = lineitem.filter(BloomPrune.mightContain(bf, col("l_partkey")))
+  *   .join(activeParts, col("l_partkey") === col("p_partkey"))
+  *   .groupBy(col("p_partkey")).agg(sum(col("l_quantity")))
+  * }}}
   */
 object BloomPrune {
 
@@ -47,6 +61,32 @@ object BloomPrune {
       Literal(expectedItems), Literal(numBits)).toAggregateExpression()
     df.select(ColumnBridge.column(agg)).head.getAs[Array[Byte]](0)
   }
+
+  /** Persist a built filter (the cross-SESSION half of build-once/
+    * probe-many — same lifecycle as `Similarity.saveIvfModel`): one
+    * binary row, swap-published so a rebuild never exposes a
+    * half-written sketch to a concurrent reader. */
+  def saveFilter(spark: org.apache.spark.sql.SparkSession, path: String,
+      filter: Array[Byte]): Unit = {
+    import org.apache.hadoop.fs.Path
+    import graft.etl.Swap
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    val (dir, tmp) = (new Path(path), new Path(path + "__advancing"))
+    Swap.recover(fs, dir, tmp)
+    fs.delete(tmp, true)
+    import spark.implicits._
+    Seq(Tuple1(filter)).toDF("bf")
+      .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    Swap.publish(fs, dir, tmp)
+  }
+
+  /** Load a filter written by [[saveFilter]]. The bytes are the whole
+    * model — callers hold them driver-side and probe via
+    * [[mightContain]], exactly as with a freshly built filter. */
+  def loadFilter(spark: org.apache.spark.sql.SparkSession,
+      path: String): Array[Byte] =
+    spark.read.parquet(path).head.getAs[Array[Byte]](0)
 
   /** Membership-test Column for a previously built filter: true when
     * `key` MIGHT be in the sketch (false ⇒ definitely absent). */

@@ -300,13 +300,35 @@ object TrainPrep {
     * where no single doc crosses `minOverlap`). */
   def contaminationReport(train: DataFrame, eval: DataFrame,
       textCol: Column, idCol: Column, taskCol: Column,
-      shingleLen: Int = 3, minOverlap: Long = 5L): DataFrame = {
-    val tsh = Dedup.shingles(train, textCol, idCol, shingleLen)
-      .select(col("id"), col("s")).distinct()
-    // (task, s) distinct per task — a shingle may belong to many tasks
-    val esh = eval.select(taskCol.as("task"),
-        explode(Dedup.shingleArray(textCol, shingleLen)).as("s"))
-      .distinct()
+      shingleLen: Int = 3, minOverlap: Long = 5L): DataFrame =
+    contaminationReportFromShingles(
+      Dedup.shingles(train, textCol, idCol, shingleLen)
+        .select(col("id"), col("s")).distinct(),
+      // (task, s) distinct per task — a shingle may belong to many tasks
+      eval.select(taskCol.as("task"),
+          explode(Dedup.shingleArray(textCol, shingleLen)).as("s"))
+        .distinct(),
+      minOverlap)
+
+  /** The report core over pre-built shingle frames: `trainShingles` is
+    * distinct (id, s), `evalShingles` distinct (task, s). This is the
+    * REPEATED-audit entry point: pair it with the persisted eval
+    * registry ([[advanceEvalRegistry]]) so the nightly contamination
+    * audit reads O(|eval shingles|) registry rows instead of
+    * re-shingling every eval corpus per run — the same
+    * registry-lifecycle contract as `SubstrDedup.stripAgainstRegistry`.
+    * {{{
+    * TrainPrep.advanceEvalRegistry(spark, regPath, mmlu, col("text"), lit("mmlu"))
+    * TrainPrep.advanceEvalRegistry(spark, regPath, gsm8k, col("text"), lit("gsm8k"))
+    * // every audit afterwards — eval text never re-read:
+    * val report = TrainPrep.contaminationReportFromShingles(
+    *   Dedup.shingles(train, col("text"), col("doc_id")).select("id", "s").distinct(),
+    *   spark.read.parquet(regPath), minOverlap = 5L)
+    * }}} */
+  def contaminationReportFromShingles(trainShingles: DataFrame,
+      evalShingles: DataFrame, minOverlap: Long = 5L): DataFrame = {
+    val tsh = trainShingles
+    val esh = evalShingles.select(col("task"), col("s"))
     val joined = tsh.join(broadcast(esh), "s")
     val perDocTask = joined.groupBy(col("task"), col("id"))
       .agg(count(lit(1)).as("n_overlap"))
@@ -328,6 +350,45 @@ object TrainPrep {
       .select(col("task"), col("n_docs_flagged"), col("max_overlap"),
         col("avg_overlap"), col("n_eval_shingles"),
         col("n_eval_shingles_hit"))
+  }
+
+  /** Fold an eval corpus (or a new benchmark's delta) into the
+    * persisted eval-shingle registry at `statePath`: distinct
+    * (task, s) rows, swap-published (crash-safe via `etl.Swap`, same
+    * lifecycle as `SubstrDedup.advanceSpread`). Returns the registry
+    * row count.
+    *
+    * Unlike the spread registry this fold is IDEMPOTENT by
+    * construction — the state is a distinct SET, so re-feeding a task
+    * (an at-least-once feed, a re-released benchmark) cannot double
+    * anything and no batch markers are needed. Registry size is
+    * O(distinct eval shingles) — benchmark-sized, the broadcast side
+    * of every audit. Repeated audits against it read the registry
+    * parquet only; eval corpora are never re-shingled
+    * (TrainPrepSpec gates the audit plan's scan set). */
+  def advanceEvalRegistry(spark: org.apache.spark.sql.SparkSession,
+      statePath: String, evalDelta: DataFrame, textCol: Column,
+      taskCol: Column, shingleLen: Int = 3): Long = {
+    import org.apache.hadoop.fs.Path
+    import graft.etl.Swap
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(statePath), spark.sparkContext.hadoopConfiguration)
+    val dir = new Path(statePath)
+    val tmp = new Path(statePath + "__advancing")
+    Swap.recover(fs, dir, tmp)
+    val deltaSh = evalDelta.select(taskCol.as("task"),
+        explode(Dedup.shingleArray(textCol, shingleLen)).as("s"))
+      .distinct()
+    val next =
+      if (fs.exists(dir))
+        spark.read.parquet(statePath).unionByName(deltaSh).distinct()
+      else deltaSh
+    fs.delete(tmp, true)
+    next.write.mode("overwrite").parquet(tmp.toString)
+    Swap.carryMarkers(fs, dir, tmp, None)
+    val rows = spark.read.parquet(tmp.toString).count()
+    Swap.publish(fs, dir, tmp)
+    rows
   }
 
   /** [[decontaminate]] over pre-computed shingle rows: `trainShingles`

@@ -105,6 +105,69 @@ class ServeSpec extends AnyFunSuite {
     serve.release()
   }
 
+  test("reader interleaving: pointer flips mid-query-stream never tear a read") {
+    import graft.streaming.StreamingPipeline
+    import java.util.concurrent.ConcurrentLinkedQueue
+    import java.util.concurrent.atomic.AtomicInteger
+    val snapDir = Files.createTempDirectory("graft_serve_race").toString
+    val static = new StarServe(spark, starDir)
+    val key = static.indexKeyFor("^GSPC").get
+    static.release()
+    def batch(close: Double) = {
+      import spark.implicits._
+      Seq((key, java.sql.Date.valueOf("2024-03-01"), close, 2.5))
+        .toDF("IndexKey", "DateKey", "Close", "GDPGrowthRate")
+    }
+    val published = Seq(100.0, 101.5, 103.0)
+    StreamingPipeline.applyUpsertBatch(
+      batch(published(0)), 0L, Seq("IndexKey", "DateKey"), snapDir, "race")
+    val serve = StarServe.fromStreamingSnapshots(spark, starDir, snapDir)
+
+    // reader thread: a continuous query stream against the serve layer.
+    // Each read must observe exactly one PUBLISHED state — one row,
+    // value ∈ published. A torn read would surface as zero rows (swap
+    // window exposed), two rows (mixed snapshots), an off-list value,
+    // or an exception (cache dropped to a deleted snapshot — the sink's
+    // grace-copy retention is what prevents that for one-behind reads).
+    val seen = new ConcurrentLinkedQueue[Double]()
+    val errors = new ConcurrentLinkedQueue[Throwable]()
+    val reads = new AtomicInteger(0)
+    @volatile var writerDone = false
+    val reader = new Thread(() => {
+      while (!writerDone || reads.get() < 60) {
+        try {
+          val rows = serve.chartSeries("^GSPC", "2024-03-01", "2024-03-31").collect()
+          if (rows.length != 1)
+            errors.add(new AssertionError(s"torn read: ${rows.length} rows"))
+          else seen.add(rows.head.getDouble(1))
+        } catch { case t: Throwable => errors.add(t) }
+        reads.incrementAndGet()
+        ()
+      }
+    })
+    reader.start()
+    // writer: flip the pointer twice, each mid-stream (only after the
+    // reader has demonstrably issued queries since the last flip)
+    for ((v, i) <- published.drop(1).zipWithIndex) {
+      val floor = (i + 1) * 20
+      while (reads.get() < floor) Thread.sleep(10)
+      StreamingPipeline.applyUpsertBatch(
+        batch(v), (i + 1).toLong, Seq("IndexKey", "DateKey"), snapDir, "race")
+      assert(serve.refresh(), s"flip ${i + 1} must be observed")
+    }
+    writerDone = true
+    reader.join(60000)
+    assert(!reader.isAlive, "reader wedged")
+    assert(errors.isEmpty, s"reader failures: ${errors.peek()}")
+    val distinct = seen.toArray(Array.empty[java.lang.Double]).map(_.doubleValue).toSet
+    assert(distinct.subsetOf(published.toSet),
+      s"read a value never published: $distinct")
+    // after the last flip the stream converges on the newest snapshot
+    assert(serve.chartSeries("^GSPC", "2024-03-01", "2024-03-31")
+      .head.getDouble(1) == published.last)
+    serve.release()
+  }
+
   test("chartSvg renders the slice end-to-end with the dim-resolved title") {
     val serve = new StarServe(spark, starDir)
     val svg = serve.chartSvg("^GSPC", "2024-01-10", "2024-01-19")

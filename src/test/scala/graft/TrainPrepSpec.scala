@@ -247,6 +247,51 @@ class TrainPrepSpec extends AnyFunSuite {
     assert(c.getLong(4) > 0L)                   // totals still reported
   }
 
+  test("eval registry: repeated audits read the registry only, never eval text") {
+    import spark.implicits._
+    import graft.ops.Dedup
+    val regPath = java.nio.file.Files.createTempDirectory("evalreg")
+      .resolve("registry").toString
+    val train = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "one two three four five six seven eight"),
+      (3L, "totally unrelated training words here nine ten")
+    ).toDF("doc_id", "text")
+    val evalA = Seq(("taskA", "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("task", "text")
+    val evalB = Seq(("taskB", "one two three unrelated eval tail words"))
+      .toDF("task", "text")
+    // two benchmarks folded in independently (the suite grows over time)
+    TrainPrep.advanceEvalRegistry(spark, regPath, evalA, col("text"), col("task"))
+    val n = TrainPrep.advanceEvalRegistry(spark, regPath, evalB, col("text"), col("task"))
+    // idempotent: a re-fed benchmark changes nothing (distinct-set state)
+    assert(TrainPrep.advanceEvalRegistry(spark, regPath, evalB,
+      col("text"), col("task")) == n)
+
+    val tsh = Dedup.shingles(train, col("text"), col("doc_id"), 3)
+      .select(col("id"), col("s")).distinct()
+    val audit = TrainPrep.contaminationReportFromShingles(
+      tsh, spark.read.parquet(regPath), minOverlap = 3L)
+    // the audit's scan set: the registry parquet and nothing else
+    // file-backed — eval corpora are never re-shingled
+    val scans = audit.queryExecution.optimizedPlan.collectLeaves()
+      .collect { case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        r.relation match {
+          case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            h.location.rootPaths.map(_.toString)
+          case _ => Seq.empty
+        }
+      }.flatten
+    assert(scans.nonEmpty && scans.forall(_.contains("registry")),
+      s"audit must scan only the registry: $scans")
+    // and the registry audit agrees with the direct (rescan) report
+    val direct = TrainPrep.contaminationReport(train, evalA.unionByName(evalB),
+        col("text"), col("doc_id"), col("task"), shingleLen = 3, minOverlap = 3L)
+      .collect().map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+    val viaReg = audit.collect().map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+    assert(viaReg == direct, s"registry audit diverged:\n$viaReg\nvs\n$direct")
+  }
+
   test("splitLabel accepts a numeric key and matches its string render") {
     // Spark only casts STRING→BINARY, so the key goes through a string
     // cast first; a numeric durable id must analyze AND agree with the

@@ -31,6 +31,8 @@ object ScaleProbe {
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1000000).selectExpr("sum(id)").collect()
 
+    if (args.contains("risk")) { riskMain(spark); spark.stop(); return }
+
     for (n <- Seq(2, 4)) build(spark, n)
 
     val queries = Seq(
@@ -93,6 +95,151 @@ object ScaleProbe {
       println(f"$name%-22s ${t(0)}%8.2f ${t(1)}%8.2f ${t(2)}%8.2f  ${t(1)/t(0)}%5.2f  ${t(2)/t(0)}%5.2f")
     }
     spark.stop()
+  }
+
+  // ---------------------------------------------------------------
+  // Risk mode (`run ScaleProbe risk`): ×16/×32 curves for exactly the
+  // ops whose 100 TB story depends on a structural claim that could
+  // break silently as volume grows — bucketed dedup (bucket sizes must
+  // stay flat while bucket COUNT grows), the substring-span kernel
+  // (linear in tokens), and the IVF probe (cost = nprobe/k share of
+  // the corpus). Each op reports min-of-3 warm time, shuffle bytes of
+  // its final plan, and the occupancy stats (max bucket, Σ|bucket|
+  // choose 2 pair space, bucket count) that ARE the scale claim.
+  // Copy construction is the same structure-preserving scheme as the
+  // main probe; only documents/embeddings/events are built at ×16/×32.
+  // ---------------------------------------------------------------
+  private def riskMain(spark: SparkSession): Unit = {
+    import graft.ops.{Dedup, Similarity, SubstrDedup}
+    for (n <- Seq(4, 16, 32)) buildSubset(spark, n)
+    val dirs: Seq[(Int, String)] =
+      Seq(1 -> Base) ++ Seq(4, 16, 32).map(n => n -> s"$Work/rx$n")
+
+    def docs(d: String) = spark.read.parquet(s"$d/documents.parquet")
+      .select("doc_id", "text")
+    def emb(d: String) = spark.read.parquet(s"$d/embeddings.parquet")
+      .select(col("vec_id").as("id"),
+        col("embedding").cast("array<double>").as("v"))
+
+    def occupancy(counts: DataFrame): String = {
+      val r = counts.agg(max(col("c")).as("mx"),
+        sum(expr("c*(c-1) div 2")).as("pairs"), count(lit(1)).as("nb")).head
+      s"maxBucket=${r.getLong(0)} pairSpace=${r.getLong(1)} buckets=${r.getLong(2)}"
+    }
+
+    // each probe: name -> (timed frame builder, untimed stat builder)
+    val probes: Seq[(String, String => DataFrame, String => String)] = Seq(
+      ("risk_minhash_cand",
+        (d: String) => Dedup.minHashLshCandidates(
+          docs(d), col("text"), col("doc_id"), cacheBands = false),
+        (d: String) => occupancy(
+          Dedup.lshBands(Dedup.minHashSignaturesFast(
+              Dedup.shingles(docs(d), col("text"), col("doc_id"), 3), 8), 8, 2)
+            .groupBy(col("band"), col("h")).agg(count(lit(1)).as("c")))),
+      ("risk_simhash_pairs",
+        (d: String) => Dedup.simHashNearDupPairs(
+          Dedup.simHashSignatures(docs(d), col("text"), col("doc_id"))),
+        (d: String) => occupancy(
+          Dedup.simHashSignatures(docs(d), col("text"), col("doc_id"))
+            .select(explode(array((0 until 4).map(b =>
+              struct(lit(b).as("band"),
+                substring(col("simhash"), 1 + b * 8, 8).as("bh"))): _*)).as("x"))
+            .groupBy(col("x.band"), col("x.bh")).agg(count(lit(1)).as("c")))),
+      ("risk_embed_lsh",
+        (d: String) => {
+          graft.functions.GraftFunctions.register(spark)
+          graft.SparkEntry.queries("q_dedup_embed_lsh")(spark, d)
+        },
+        (d: String) => occupancy(
+          emb(d).select(Similarity.lshBucketQuantized(col("v")).as("b"))
+            .groupBy(col("b")).agg(count(lit(1)).as("c")))),
+      ("risk_substr_spans",
+        (d: String) => SubstrDedup.repeatedSpans(
+          docs(d), col("text"), col("doc_id"), 8),
+        (d: String) => ""),
+      ("risk_sessionize",
+        (d: String) => graft.SparkEntry.queries("q_sessionize")(spark, d),
+        (d: String) => ""))
+
+    println(f"${"probe"}%-20s ${"x1"}%8s ${"x4"}%8s ${"x16"}%8s ${"x32"}%8s  x32/x1   shMB x1/x4/x16/x32")
+    for ((name, mk, statFn) <- probes) {
+      val res = dirs.map { case (_, d) =>
+        graft.queries.ExtendedQueries.releaseCaches(spark, d)
+        val runs = (1 to 3).map { _ =>
+          val t0 = System.nanoTime()
+          mk(d).count()
+          (System.nanoTime() - t0) / 1e9
+        }
+        val mdf = mk(d)
+        mdf.queryExecution.toRdd.count()
+        (runs.min, shuffleBytes(mdf), statFn(d))
+      }
+      val t = res.map(_._1); val s = res.map(_._2 / 1e6)
+      println(f"$name%-20s ${t(0)}%8.2f ${t(1)}%8.2f ${t(2)}%8.2f ${t(3)}%8.2f  ${t(3)/t(0)}%6.2f   ${s(0)}%.1f/${s(1)}%.1f/${s(2)}%.1f/${s(3)}%.1f")
+      for (((n, _), (_, _, st)) <- dirs.zip(res) if st.nonEmpty)
+        println(f"  x$n%-4s $st")
+    }
+
+    // IVF probe: the model is retrained per scale (fixed k=16 — lists
+    // grow linearly with the corpus, so probe time SHOULD scale ~n at
+    // fixed k; at 100 TB you grow k with the corpus to keep lists
+    // flat, which this fixed-k curve makes visible rather than hides).
+    // The 64-query batch is FIXED from the base table at every scale.
+    val queries64 = spark.read.parquet(s"$Base/embeddings.parquet")
+      .orderBy(col("vec_id")).limit(64)
+      .select(col("vec_id"), col("embedding")).cache()
+    queries64.count()
+    println(f"${"risk_ivf_probe"}%-20s (fixed 64-query batch, k=16, nprobe=4)")
+    val ivfRes = dirs.map { case (n, d) =>
+      val base = emb(d)
+      val centroids = Similarity.ivfCentroids(base, col("id"), col("v"), 16, 2)
+      val assigned = Similarity.assignClusters(base, centroids).cache()
+      assigned.count()
+      val maxList = assigned.groupBy(col("cid")).agg(count(lit(1)).as("c"))
+        .agg(max(col("c"))).head.getLong(0)
+      val runs = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        Similarity.ivfProbeCandidates(queries64, col("vec_id"),
+          col("embedding"), centroids, assigned, 4).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val cand = Similarity.ivfProbeCandidates(queries64, col("vec_id"),
+        col("embedding"), centroids, assigned, 4).count()
+      assigned.unpersist()
+      (n, runs.min, maxList, cand)
+    }
+    val it1 = ivfRes.head._2
+    for ((n, t, mx, cand) <- ivfRes)
+      println(f"  x$n%-4s ${t}%8.2f s  t/t1=${t / it1}%5.2f  maxList=$mx candidates=$cand")
+  }
+
+  /** ×n copies of just the corpus-side tables (documents, embeddings,
+    * events) — the risk ops touch nothing else, and the fact tables
+    * are already covered to ×4 by the main probe. Same
+    * structure-preserving construction as [[build]]. */
+  private def buildSubset(spark: SparkSession, n: Int): Unit = {
+    val out = s"$Work/rx$n"
+    if (new java.io.File(s"$out/_OK").exists()) return
+    def copies(df: DataFrame, f: (DataFrame, Int) => DataFrame): DataFrame =
+      (0 until n).map(k => f(df, k)).reduce(_ unionByName _)
+    def read(t: String) = spark.read.parquet(s"$Base/$t.parquet")
+    copies(read("documents"), (df, k) => df
+        .withColumn("doc_id", col("doc_id") + lit(k * 10000000L))
+        .withColumn("text", concat(col("text"), lit(s" copytok$k"))))
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    copies(read("embeddings"), (df, k) => df
+        .withColumn("vec_id", col("vec_id") + lit(k * 10000000L))
+        .withColumn("embedding",
+          when(lit(k) === 0, col("embedding")).otherwise(
+            concat(array((element_at(col("embedding"), 1) + lit(k.toFloat * 7f))),
+              slice(col("embedding"), 2, 63)))))
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    copies(read("events"), (df, k) => df
+        .withColumn("event_id", col("event_id") + lit(k * 100000000L))
+        .withColumn("user_id", col("user_id") + lit(k * 1000000L)))
+      .write.mode("overwrite").parquet(s"$out/events.parquet")
+    new java.io.File(s"$out/_OK").createNewFile()
+    ()
   }
 
   /** Total shuffle bytes written by an executed frame's final plan —
