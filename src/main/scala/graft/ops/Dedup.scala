@@ -260,22 +260,43 @@ object Dedup {
     * shuffle blowup) and aggregating per (id, bitpos). Bit j's ±1 sign
     * comes from nibble j/4 of the 8-hex-char token hash; identical
     * arithmetic to the DuckDB oracle's unnest formulation. */
-  def simHashSignatures(docs: DataFrame, textCol: Column, idCol: Column): DataFrame = {
+  def simHashSignatures(docs: DataFrame, textCol: Column, idCol: Column): DataFrame =
+    simHashSignaturesWide(docs, textCol, idCol, 32)
+
+  /** SimHash signature at an arbitrary width (≤ 128 bits — the md5
+    * nibble budget). 32 bits is the declared-query width (oracle
+    * parity); **64 is the corpus-scale width**: band blocking carves
+    * the signature into `nBands` substrings, and a band over b bits
+    * has only 2^b possible VALUES — so at 32 bits / 4 bands every
+    * bucket key comes from a 256-value space and bucket sizes grow as
+    * n/256·⟨band skew⟩ with corpus size, driving the Σ|bucket|² pair
+    * space quadratic once n ≫ 2^8 (ScaleProbe risk mode measures
+    * exactly this saturation). At 64 bits the band space is 2^16 per
+    * band and random collisions stay negligible to ~10⁷ docs per
+    * partition of the banding key-space; beyond that, widen again
+    * (96/128) — the pigeonhole exactness argument is width-agnostic.
+    * Same one-aggregate plan shape at every width: the bit-sums are
+    * `nBits` aggregate columns, never an explode. */
+  def simHashSignaturesWide(docs: DataFrame, textCol: Column, idCol: Column,
+      nBits: Int = 64): DataFrame = {
+    require(nBits % 4 == 0 && nBits >= 8 && nBits <= 128,
+      s"nBits must be a multiple of 4 in [8,128], got $nBits")
+    val nHex = nBits / 4
     val tokc = docs.select(idCol.as("id"), explode(split(textCol, " ")).as("tok"))
       .filter(length(col("tok")) > 0)
       .groupBy(col("id"), col("tok")).agg(count(lit(1)).as("cnt"))
-      .withColumn("h", substring(md5(col("tok").cast("binary")), 1, 8))
+      .withColumn("h", substring(md5(col("tok").cast("binary")), 1, nHex))
     // hex nibbles as ints, once per token row
-    val withNibs = (0 until 8).foldLeft(tokc) { (df, k) =>
+    val withNibs = (0 until nHex).foldLeft(tokc) { (df, k) =>
       df.withColumn(s"n$k",
         expr(s"instr('0123456789abcdef', substring(h, ${k + 1}, 1)) - 1"))
     }
-    val bitSums = (0 until 32).map { j =>
+    val bitSums = (0 until nBits).map { j =>
       val nib = col(s"n${j / 4}")
       val p = 1 << (j % 4)
       sum(col("cnt") * ((nib.divide(p).cast("int") % 2) * 2 - 1)).as(s"b$j")
     }
-    val sig = concat((0 until 32).map(j =>
+    val sig = concat((0 until nBits).map(j =>
       when(col(s"b$j") > 0, "1").otherwise("0")): _*)
     withNibs.groupBy(col("id")).agg(bitSums.head, bitSums.tail: _*)
       .select(col("id"), sig.as("simhash"))
@@ -451,6 +472,47 @@ object Dedup {
         expr("bit_count(a.sig ^ b.sig)").cast("long").as("ham"))
       // filter BELOW the distinct: only qualifying pairs (a small
       // fraction of band collisions) reach the dedup exchange
+      .filter(col("ham") <= maxHamming)
+      .distinct()
+  }
+
+  /** [[simHashNearDupPairs]] for wide signatures
+    * ([[simHashSignaturesWide]], default 64-bit): identical pigeonhole
+    * contract (exact recall for `maxHamming < nBands`), but the band
+    * key space is 2^(nBits/nBands) — the property that keeps bucket
+    * sizes flat as the corpus grows (see the width discussion on
+    * [[simHashSignaturesWide]]). The Hamming distance is computed
+    * chunk-wise: the bit-string parses into ≤32-bit BIGINT chunks
+    * (64-bit conv would overflow to null on a set sign bit) and the
+    * distance is the sum of per-chunk `bit_count(xor)` — still one
+    * codegen'd instruction pair per chunk per candidate. */
+  def simHashNearDupPairsWide(sigs: DataFrame, maxHamming: Int = 3,
+      nBands: Int = 4, nBits: Int = 64): DataFrame = {
+    require(nBits % nBands == 0, s"nBands must divide $nBits, got $nBands")
+    require(maxHamming < nBands,
+      s"band blocking is exact only for maxHamming < nBands ($maxHamming >= $nBands)")
+    val w = nBits / nBands
+    val nChunks = (nBits + 31) / 32
+    val chunkCols = (0 until nChunks).map { c =>
+      val len = math.min(32, nBits - c * 32)
+      conv(substring(col("simhash"), c * 32 + 1, len), 2, 10)
+        .cast("long").as(s"c$c")
+    }
+    val withSig = sigs.select(col("id") +: col("simhash") +: chunkCols: _*)
+    val bands = withSig.select(
+      col("id") +: (0 until nChunks).map(c => col(s"c$c")) :+
+        explode(array((0 until nBands).map(b =>
+          struct(lit(b).as("band"),
+            substring(col("simhash"), 1 + b * w, w).as("bh"))): _*)).as("bx"): _*)
+      .withColumn("band", col("bx.band")).withColumn("bh", col("bx.bh"))
+      .drop("bx")
+    val ham = (0 until nChunks).map(c =>
+      expr(s"bit_count(a.c$c ^ b.c$c)")).reduce(_ + _)
+    bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"),
+        ham.cast("long").as("ham"))
       .filter(col("ham") <= maxHamming)
       .distinct()
   }

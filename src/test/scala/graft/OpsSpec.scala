@@ -118,6 +118,45 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("wide simhash: 64-bit blocked pairs equal all-pairs Hamming (exact recall)") {
+    val corpus = graft.queries.t(spark, TestSpark.sfTiny, "documents").limit(120)
+    val sigs = Dedup.simHashSignaturesWide(corpus, col("text"), col("doc_id"))
+    val collected = sigs.collect().map(r => r.getLong(0) -> r.getString(1))
+    assert(collected.forall(_._2.length == 64))
+    // the 32-bit signature is the exact prefix of the 64-bit one
+    // (same nibble arithmetic, wider hash slice)
+    val sig32 = Dedup.simHashSignatures(corpus, col("text"), col("doc_id"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(collected.forall { case (id, s) => s.take(32) == sig32(id) })
+    val blocked = Dedup.simHashNearDupPairsWide(sigs, maxHamming = 3, nBands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    def ham(a: String, b: String): Long = a.zip(b).count { case (x, y) => x != y }.toLong
+    val brute = (for {
+      (i1, s1) <- collected; (i2, s2) <- collected
+      if i1 < i2 && ham(s1, s2) <= 3
+    } yield (i1, i2, ham(s1, s2))).toSet
+    assert(blocked == brute)
+    // band VALUE space: 16-bit bands cannot saturate at corpus scale
+    // the way 8-bit bands do — spot-check the occupancy bound here
+    // (ScaleProbe risk mode carries the measured ×32 curves)
+    val occ = Dedup.simHashSignaturesWide(
+        graft.queries.t(spark, TestSpark.sfTiny, "documents"),
+        col("text"), col("doc_id"))
+      .select(explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"), substring(col("simhash"), 1 + b * 16, 16).as("bh"))): _*)).as("x"))
+      .groupBy(col("x.band"), col("x.bh")).count()
+      .agg(max(col("count"))).head.getLong(0)
+    val occ32 = Dedup.simHashSignatures(
+        graft.queries.t(spark, TestSpark.sfTiny, "documents"),
+        col("text"), col("doc_id"))
+      .select(explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"), substring(col("simhash"), 1 + b * 8, 8).as("bh"))): _*)).as("x"))
+      .groupBy(col("x.band"), col("x.bh")).count()
+      .agg(max(col("count"))).head.getLong(0)
+    assert(occ <= occ32,
+      s"wider bands must not concentrate harder: 64-bit max=$occ vs 32-bit max=$occ32")
+  }
+
   test("cosine: self-similarity = 1.0; brute-force top-k ordered") {
     val emb = graft.queries.t(spark, TestSpark.sfTiny, "embeddings")
     val self = emb.limit(1)
