@@ -516,4 +516,57 @@ object Dedup {
       .filter(col("ham") <= maxHamming)
       .distinct()
   }
+
+  /** Row-local SimHash signature — [[simHashSignaturesWide]] as ONE
+    * stateless projection (an HOF fold per bit over the token array),
+    * so it runs unchanged on a STREAM: arriving documents emit their
+    * signature with zero state, the same argument as the row-local
+    * MinHash columns behind [[lshBandKeys]]. Byte-identical to the
+    * aggregate form (spec-gated); documents with no non-empty token
+    * are dropped, matching the aggregate's groupBy. The aggregate
+    * form remains the BATCH path — hash-aggregate, map-side
+    * combinable, codegen'd — while the HOF folds here are
+    * CodegenFallback: per-row cost is nBits·|tokens| interpreted
+    * steps, the price of statelessness, paid only on stream rows. */
+  def simHashRowLocal(docs: DataFrame, textCol: Column, idCol: Column,
+      nBits: Int = 32): DataFrame = {
+    require(nBits % 4 == 0 && nBits >= 8 && nBits <= 128,
+      s"nBits must be a multiple of 4 in [8,128], got $nBits")
+    val nHex = nBits / 4
+    // materialize the per-token hex prefixes ONCE as a real column:
+    // the per-bit folds below reference it by attribute, so md5 runs
+    // once per token, not nBits× (same trick as lshBandKeys' __sh)
+    val withHex = docs.select(idCol.as("id"),
+        transform(filter(split(textCol, " "), t => length(t) > 0),
+          t => substring(md5(t.cast("binary")), 1, nHex)).as("__hx"))
+      .filter(size(col("__hx")) > 0)
+    val bitSums = (0 until nBits).map { j =>
+      val p = 1 << (j % 4)
+      aggregate(col("__hx"), lit(0L), (acc, h) => {
+        // conv(hexchar,16,10) ≡ the aggregate form's instr()-1 nibble
+        val nib = conv(substring(h, j / 4 + 1, 1), 16, 10).cast("int")
+        acc + ((nib.divide(p).cast("int") % 2) * 2 - 1).cast("long")
+      })
+    }
+    withHex.select(col("id"),
+      concat((0 until nBits).map(j =>
+        when(bitSums(j) > 0, "1").otherwise("0")): _*).as("simhash"))
+  }
+
+  /** Row-local SimHash band keys (id, band, bh) straight from text —
+    * the stream-side counterpart of the banding inside
+    * [[simHashNearDupPairsWide]]: arriving docs emit their `nBands`
+    * bucket keys statelessly; join them against an indexed band table
+    * for incremental Hamming near-dup candidates
+    * (`StreamingPipeline.simHashCandidatesStream`). */
+  def simHashBandKeys(docs: DataFrame, textCol: Column, idCol: Column,
+      nBits: Int = 32, nBands: Int = 4): DataFrame = {
+    require(nBits % nBands == 0, s"nBands must divide $nBits, got $nBands")
+    val w = nBits / nBands
+    simHashRowLocal(docs, textCol, idCol, nBits)
+      .select(col("id"), explode(array((0 until nBands).map(b =>
+        struct(lit(b).as("band"),
+          substring(col("simhash"), 1 + b * w, w).as("bh"))): _*)).as("bx"))
+      .select(col("id"), col("bx.band").as("band"), col("bx.bh").as("bh"))
+  }
 }

@@ -115,6 +115,29 @@ object StreamingPipeline {
       .select(col("id").as("new_id"), col("candidate_id"))
   }
 
+  /** Incremental SimHash near-dup candidates — the Hamming-blocking
+    * twin of [[nearDupCandidatesStream]]: each arriving doc computes
+    * its signature ROW-LOCALLY (`Dedup.simHashRowLocal` — the batch
+    * signature is a per-doc aggregation, which on a stream is
+    * unbounded state) and its band keys join stream–static against an
+    * indexed band table (`Dedup.simHashBandKeys` over the corpus, or
+    * the persisted signature index). Same contracts as the MinHash
+    * twin: no watermark, no state, pairs not deduplicated across
+    * bands — the downstream exact `bit_count(xor)` verify is
+    * idempotent per pair. */
+  def simHashCandidatesStream(docs: DataFrame, textCol: Column,
+      idCol: Column, indexBands: DataFrame,
+      nBits: Int = 32, nBands: Int = 4): DataFrame = {
+    val newKeys = graft.ops.Dedup
+      .simHashBandKeys(docs, textCol, idCol, nBits, nBands)
+    val idx = indexBands.select(col("band").as("__iband"),
+      col("bh").as("__ibh"), col("id").as("candidate_id"))
+    newKeys.join(idx,
+        col("band") === col("__iband") && col("bh") === col("__ibh") &&
+          col("id") =!= col("candidate_id"))
+      .select(col("id").as("new_id"), col("candidate_id"))
+  }
+
   /** Streaming IVF probe — the online ANN serving twin of
     * `graft.ops.Similarity.ivfTopKBatch`: a stream of query vectors
     * scored against a STATIC trained index (the centroid model inlined

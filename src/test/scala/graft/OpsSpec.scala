@@ -157,6 +157,27 @@ class OpsSpec extends AnyFunSuite {
       s"wider bands must not concentrate harder: 64-bit max=$occ vs 32-bit max=$occ32")
   }
 
+  test("row-local simhash is byte-identical to the aggregate signature (32 and 64)") {
+    val corpus = graft.queries.t(spark, TestSpark.sfTiny, "documents").limit(100)
+    for (bits <- Seq(32, 64)) {
+      val agg = Dedup.simHashSignaturesWide(corpus, col("text"), col("doc_id"), bits)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      val row = Dedup.simHashRowLocal(corpus, col("text"), col("doc_id"), bits)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(row == agg, s"row-local diverged from aggregate at $bits bits")
+    }
+    // band keys from the row-local path equal the banding the pair
+    // join derives from the aggregate signatures
+    val fromRowLocal = Dedup.simHashBandKeys(corpus, col("text"), col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    val fromAgg = Dedup.simHashSignatures(corpus, col("text"), col("doc_id"))
+      .select(col("id"), explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"), substring(col("simhash"), 1 + b * 8, 8).as("bh"))): _*)).as("x"))
+      .select(col("id"), col("x.band"), col("x.bh"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(fromRowLocal == fromAgg)
+  }
+
   test("cosine: self-similarity = 1.0; brute-force top-k ordered") {
     val emb = graft.queries.t(spark, TestSpark.sfTiny, "embeddings")
     val self = emb.limit(1)

@@ -270,6 +270,35 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming simhash candidates: arriving docs match banded history statelessly") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "completely different words about spark query engines here"))
+      .toDF("doc_id", "text")
+    // static band index from the row-local path (== the aggregate
+    // banding, OpsSpec-gated)
+    val index = graft.ops.Dedup.simHashBandKeys(corpus, col("text"), col("doc_id"))
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamingPipeline.simHashCandidatesStream(
+        mem.toDF.toDF("doc_id", "text"), col("text"), col("doc_id"), index)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("simham_out").start()
+    try {
+      // 10 = exact dup of 1 (identical signature — every band hits);
+      // 11 = unrelated (no band shared with either corpus doc)
+      mem.addData((10L, "the quick brown fox jumps over the lazy dog"),
+        (11L, "zebra xylophone quartz jigsaw vortex plasma nebula crumpet"))
+      q.processAllAvailable()
+      val got = spark.table("simham_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got.contains((10L, 1L)), s"dup must surface via shared bands: $got")
+      assert(!got.exists(_._1 == 11L), s"unrelated doc must not pair: $got")
+    } finally q.stop()
+  }
+
   test("ivfProbeStream: streamed queries score identically to the batch probe") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
