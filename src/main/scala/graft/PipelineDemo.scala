@@ -88,6 +88,16 @@ object PipelineDemo {
     val svg = serve.chartSvg("^DJI", "2024-01-10", "2024-01-14")
     println(s"[demo] chartSvg bytes = ${svg.length}, " +
       s"series = ${"<polyline".r.findAllIn(svg).length}")
+    // the dashboard's HTTP boundary: same slice over the wire
+    val http = graft.serve.StarServeHttp.serve(serve)
+    val body = {
+      val c = java.net.http.HttpClient.newHttpClient()
+      c.send(java.net.http.HttpRequest.newBuilder(java.net.URI.create(
+          s"${http.url}/series?index=%5EDJI&start=2024-01-10&end=2024-01-14"))
+        .GET().build(), java.net.http.HttpResponse.BodyHandlers.ofString()).body()
+    }
+    println(s"[demo] GET /series over ${http.url} -> ${body.take(80)}…")
+    http.stop(0)
     serve.release()
 
     // --- near-dup detection on the documents corpus ---

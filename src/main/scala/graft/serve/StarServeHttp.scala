@@ -1,0 +1,162 @@
+package graft.serve
+
+import java.net.InetSocketAddress
+import java.net.URLDecoder
+import java.nio.charset.StandardCharsets
+import java.util.concurrent.Executors
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+
+/** HTTP facade over [[StarServe]] — the reference dashboard's
+  * interaction surface (`streamlit/app.py`) exposed as plain HTTP, so
+  * a user of the reference can point a browser (or curl) at the engine
+  * the way they point one at Streamlit. JDK `com.sun.net.httpserver`
+  * only — no web framework, zero added dependencies.
+  *
+  * Endpoint map (reference evidence in parens):
+  *
+  *  - `GET /indexes` — the sidebar's index list (`app.py:97-99`),
+  *    JSON array of dim_stock_index rows.
+  *  - `GET /bounds` — the date-range picker's min/max
+  *    (`app.py:101-103`), computed as an aggregate, not a scan.
+  *  - `GET /series?index=C&start=D&end=D` — the chart's two series
+  *    (`app.py:118-127`) as JSON rows, filter-below-sort plan.
+  *  - `GET /chart?index=C&start=D&end=D` — the rendered dual-axis
+  *    figure (`app.py:114-130`) as `image/svg+xml`; an empty slice
+  *    returns the warning banner (`app.py:131`), still as SVG.
+  *  - `GET /latest?index=C&k=N` — latest-k table widget, planned as
+  *    TakeOrderedAndProject (never a full sort).
+  *  - `POST /refresh` — snapshot-mode pointer poll
+  *    ([[StarServe.refresh]]); the Streamlit analogue is a page rerun.
+  *  - `GET /health` — liveness.
+  *
+  * Serving-tier boundary: every response body is a KB-sized slice the
+  * reference also materializes per page view; the distributed plan
+  * work (filter pushdown, broadcast dim join, top-k) happened in
+  * [[StarServe]] before the collect. Requests run on a small thread
+  * pool; concurrent queries against a mid-refresh snapshot swap are
+  * exercised by the ServeHttpSpec race probe.
+  */
+class StarServeHttp(serve: StarServe, bindPort: Int = 0, threads: Int = 4) {
+
+  private val server =
+    HttpServer.create(new InetSocketAddress("127.0.0.1", bindPort), 0)
+  private val pool = Executors.newFixedThreadPool(threads)
+  server.setExecutor(pool)
+
+  /** Ephemeral-port friendly: the port actually bound. */
+  def port: Int = server.getAddress.getPort
+
+  def url: String = s"http://127.0.0.1:$port"
+
+  // ---- helpers ---------------------------------------------------------
+
+  private def params(ex: HttpExchange): Map[String, String] = {
+    val q = Option(ex.getRequestURI.getRawQuery).getOrElse("")
+    q.split("&").iterator.filter(_.nonEmpty).flatMap { kv =>
+      kv.split("=", 2) match {
+        case Array(k, v) =>
+          Some(URLDecoder.decode(k, "UTF-8") -> URLDecoder.decode(v, "UTF-8"))
+        case Array(k) => Some(URLDecoder.decode(k, "UTF-8") -> "")
+        case _ => None
+      }
+    }.toMap
+  }
+
+  private def respond(ex: HttpExchange, status: Int, contentType: String,
+      body: String): Unit = {
+    val bytes = body.getBytes(StandardCharsets.UTF_8)
+    ex.getResponseHeaders.set("Content-Type", contentType)
+    ex.sendResponseHeaders(status, bytes.length.toLong)
+    val os = ex.getResponseBody
+    try os.write(bytes) finally os.close()
+  }
+
+  private def jsonArray(df: org.apache.spark.sql.DataFrame): String =
+    df.toJSON.collect().mkString("[", ",", "]")
+
+  private def jsonErr(msg: String): String =
+    s"""{"error":"${msg.replace("\\", "\\\\").replace("\"", "\\\"")}"}"""
+
+  /** Wrap a handler with param validation + error mapping: a missing
+    * required param is the client's fault (400), anything thrown by
+    * the serve path is ours (500 with the message, never a hung
+    * connection). */
+  private def handle(path: String, required: Seq[String] = Nil)(
+      f: Map[String, String] => (Int, String, String)): Unit = {
+    server.createContext(path, (ex: HttpExchange) => {
+      try {
+        val p = params(ex)
+        val missing = required.filterNot(p.contains)
+        if (ex.getRequestURI.getPath != path)
+          respond(ex, 404, "application/json", jsonErr("not found"))
+        else if (missing.nonEmpty)
+          respond(ex, 400, "application/json",
+            jsonErr(s"missing parameter(s): ${missing.mkString(", ")}"))
+        else {
+          val (status, ct, body) = f(p)
+          respond(ex, status, ct, body)
+        }
+      } catch {
+        case e: Throwable =>
+          respond(ex, 500, "application/json",
+            jsonErr(Option(e.getMessage).getOrElse(e.getClass.getName)))
+      }
+    })
+  }
+
+  // ---- endpoints -------------------------------------------------------
+
+  handle("/health") { _ => (200, "application/json", """{"status":"ok"}""") }
+
+  handle("/indexes") { _ =>
+    (200, "application/json", jsonArray(serve.dimStockIndex))
+  }
+
+  handle("/bounds") { _ =>
+    val (lo, hi) = serve.factDateBounds()
+    (200, "application/json", s"""{"start":"$lo","end":"$hi"}""")
+  }
+
+  handle("/series", required = Seq("index", "start", "end")) { p =>
+    (200, "application/json",
+      jsonArray(serve.chartSeries(p("index"), p("start"), p("end"))))
+  }
+
+  handle("/chart", required = Seq("index", "start", "end")) { p =>
+    (200, "image/svg+xml",
+      serve.chartSvg(p("index"), p("start"), p("end")))
+  }
+
+  handle("/latest", required = Seq("index")) { p =>
+    val k = p.getOrElse("k", "10").toInt
+    require(k > 0 && k <= 10000, s"k out of range: $k")
+    (200, "application/json", jsonArray(serve.latest(p("index"), k)))
+  }
+
+  handle("/refresh") { _ =>
+    val swapped = serve.refresh()
+    (200, "application/json", s"""{"swapped":$swapped}""")
+  }
+
+  // Root catch-all: anything not matched above is 404 (createContext
+  // matches by longest prefix, so "/" catches the rest).
+  server.createContext("/", (ex: HttpExchange) => {
+    respond(ex, 404, "application/json", jsonErr("not found"))
+  })
+
+  def start(): StarServeHttp = { server.start(); this }
+
+  /** Stop accepting, drain in-flight exchanges (≤`graceSeconds`), shut
+    * the pool down. Idempotent. */
+  def stop(graceSeconds: Int = 1): Unit = {
+    server.stop(graceSeconds)
+    pool.shutdown()
+  }
+}
+
+object StarServeHttp {
+  /** Bind + start in one call; port 0 picks an ephemeral port. */
+  def serve(s: StarServe, port: Int = 0): StarServeHttp =
+    new StarServeHttp(s, port).start()
+}

@@ -1,0 +1,129 @@
+package graft
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.file.{Files, Paths}
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.etl.StarSchemaBuilder
+import graft.serve.{StarServe, StarServeHttp}
+
+/** HTTP facade over the serve layer — the reference dashboard's
+  * endpoints (`streamlit/app.py`) over plain HTTP. Exercised with the
+  * JDK HttpClient against an ephemeral port: endpoint contracts,
+  * error mapping, parity with the in-process serve path, and a
+  * concurrent-client probe. */
+class ServeHttpSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private lazy val starDir: String = {
+    val landing = Files.createTempDirectory("graft_http_landing").toString
+    val dates = Iterator.iterate(java.time.LocalDate.parse("2024-01-01"))(_.plusDays(1))
+      .takeWhile(!_.isAfter(java.time.LocalDate.parse("2024-02-29"))).toSeq
+    val rows = for {
+      t <- Seq("^GSPC", "^DJI")
+      (d, i) <- dates.zipWithIndex
+    } yield {
+      val base = if (t == "^GSPC") 4700.0 else 37000.0
+      f"$d,$t,${base + i - 5}%.2f,${base + i + 5}%.2f,${base + i - 10}%.2f,${base + i}%.2f,${base + i}%.2f,${1000000 + i}"
+    }
+    Files.write(Paths.get(landing, "stocks_2024-02-29.csv"),
+      ("Date,Ticker,Open,High,Low,Close,AdjClose,Volume" +: rows).mkString("\n").getBytes)
+    Files.write(Paths.get(landing, "world_bank_2024-02-29.csv"),
+      "date,GDPGrowthRate,InflationRate\n2024-01-01,2.5,3.1".getBytes)
+    val out = Files.createTempDirectory("graft_http_star").toString
+    StarSchemaBuilder.build(spark, landing, out)
+    out
+  }
+
+  private val client = HttpClient.newHttpClient()
+
+  private def get(url: String): HttpResponse[String] =
+    client.send(HttpRequest.newBuilder(URI.create(url)).GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+
+  private def withServer(f: (StarServeHttp, StarServe) => Unit): Unit = {
+    val serve = new StarServe(spark, starDir)
+    val http = StarServeHttp.serve(serve)
+    try f(http, serve)
+    finally { http.stop(0); serve.release() }
+  }
+
+  test("endpoint contracts: health, indexes, bounds, latest") {
+    withServer { (http, _) =>
+      assert(get(s"${http.url}/health").body().contains("\"ok\""))
+
+      val idx = get(s"${http.url}/indexes")
+      assert(idx.statusCode() == 200)
+      assert(idx.headers().firstValue("Content-Type").get()
+        .startsWith("application/json"))
+      assert(idx.body().contains("^GSPC") && idx.body().contains("^DJI"))
+      assert(idx.body().startsWith("[") && idx.body().endsWith("]"))
+
+      val b = get(s"${http.url}/bounds")
+      assert(b.body() ==
+        """{"start":"2024-01-01","end":"2024-02-29"}""")
+
+      val latest = get(s"${http.url}/latest?index=%5EGSPC&k=5")
+      assert(latest.statusCode() == 200)
+      // 5 JSON objects, newest date first
+      assert(latest.body().split("\\},\\{").length == 5)
+      assert(latest.body().contains("2024-02-29"))
+    }
+  }
+
+  test("series + chart match the in-process serve path byte-for-byte") {
+    withServer { (http, serve) =>
+      val s = get(s"${http.url}/series?index=%5EGSPC&start=2024-01-10&end=2024-01-19")
+      assert(s.statusCode() == 200)
+      val expected = serve.chartSeries("^GSPC", "2024-01-10", "2024-01-19")
+        .toJSON.collect().mkString("[", ",", "]")
+      assert(s.body() == expected)
+
+      val c = get(s"${http.url}/chart?index=%5EGSPC&start=2024-01-10&end=2024-01-19")
+      assert(c.statusCode() == 200)
+      assert(c.headers().firstValue("Content-Type").get() == "image/svg+xml")
+      assert(c.body() == serve.chartSvg("^GSPC", "2024-01-10", "2024-01-19"))
+
+      // empty slice still renders (the app.py:131 warning banner), 200
+      val empty = get(s"${http.url}/chart?index=%5EGSPC&start=2030-01-01&end=2030-01-02")
+      assert(empty.statusCode() == 200 && empty.body().contains("<svg"))
+    }
+  }
+
+  test("error mapping: 400 on missing params, 404 on unknown path, 500 surfaced") {
+    withServer { (http, _) =>
+      val missing = get(s"${http.url}/series?index=%5EGSPC")
+      assert(missing.statusCode() == 400)
+      assert(missing.body().contains("start") && missing.body().contains("end"))
+
+      assert(get(s"${http.url}/nope").statusCode() == 404)
+      assert(get(s"${http.url}/seriesX").statusCode() == 404,
+        "prefix match must not leak /series handler to /seriesX")
+
+      // bad k triggers the serve-path require -> 500 with the message
+      val bad = get(s"${http.url}/latest?index=%5EGSPC&k=0")
+      assert(bad.statusCode() == 500 && bad.body().contains("k out of range"))
+
+      // static mode refresh is a no-op
+      assert(get(s"${http.url}/refresh").body() == """{"swapped":false}""")
+    }
+  }
+
+  test("concurrent clients: parallel requests all succeed with consistent bodies") {
+    withServer { (http, serve) =>
+      val expected = serve.chartSeries("^GSPC", "2024-01-10", "2024-01-19")
+        .toJSON.collect().mkString("[", ",", "]")
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val hits = Future.sequence((1 to 12).map { _ =>
+        Future(get(s"${http.url}/series?index=%5EGSPC&start=2024-01-10&end=2024-01-19"))
+      })
+      val rs = Await.result(hits, 120.seconds)
+      assert(rs.forall(_.statusCode() == 200))
+      assert(rs.forall(_.body() == expected),
+        "every concurrent response must carry the identical slice")
+    }
+  }
+}
