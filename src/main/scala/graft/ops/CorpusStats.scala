@@ -145,7 +145,41 @@ object CorpusStats {
     * Ties break by doc id ascending for a deterministic ranking. */
   def bm25Search(counts: DataFrame, docLens: DataFrame, nDocs: Long,
       avgLen: Double, queryTerms: Seq[String], k: Int = 10,
-      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+      k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    bm25Contrib(counts, docLens, nDocs, avgLen, queryTerms, k1, b)
+      .groupBy(col("id"))
+      .agg(sum(col("__contrib")).as("score"),
+        count(lit(1)).as("n_terms_matched"))
+      .orderBy(col("score").desc, col("id")).limit(k)
+
+  /** [[bm25Search]] with the per-doc reduction carried as exact
+    * fixed-point micro-units: each (doc, term) contribution — a pure
+    * row-local chain of IEEE double ops, bit-identical on any engine
+    * given the same inputs and association order — is rounded to
+    * `round(contrib · 1e6)` BIGINT and the per-doc score is the exact
+    * integer sum (§7.3 discipline: cross-partition float sums are
+    * order-dependent; integer sums are not). Output: (id, score_fp,
+    * n_terms_matched), ranked by `score_fp` desc with id tiebreak —
+    * the hash-gated declared form (`q_bm25`); [[bm25Search]] keeps the
+    * exact-double score for serving-tier use. Same plan shape:
+    * IN-pushed postings, term-df aggregate, doc-length join, top-k via
+    * TakeOrderedAndProject. */
+  def bm25SearchFp(counts: DataFrame, docLens: DataFrame, nDocs: Long,
+      avgLen: Double, queryTerms: Seq[String], k: Int = 10,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    bm25Contrib(counts, docLens, nDocs, avgLen, queryTerms, k1, b)
+      .withColumn("__fp", round(col("__contrib") * lit(1e6)).cast("long"))
+      .groupBy(col("id"))
+      .agg(sum(col("__fp")).as("score_fp"),
+        count(lit(1)).as("n_terms_matched"))
+      .orderBy(col("score_fp").desc, col("id")).limit(k)
+
+  /** Shared BM25 scoring plan: per-(doc, matched-term) `__contrib`.
+    * The double expression's association order is part of the oracle
+    * contract — `q_bm25`'s SQL mirrors it operation for operation. */
+  private def bm25Contrib(counts: DataFrame, docLens: DataFrame,
+      nDocs: Long, avgLen: Double, queryTerms: Seq[String],
+      k1: Double, b: Double): DataFrame = {
     require(queryTerms.nonEmpty, "bm25Search requires at least one query term")
     require(avgLen > 0.0, s"avgLen must be positive, got $avgLen")
     val postings = counts.filter(col("tok").isin(queryTerms.distinct: _*))
@@ -153,16 +187,12 @@ object CorpusStats {
       .agg(count(lit(1)).as("df"))
       .withColumn("idf", log(lit(1.0) +
         (lit(nDocs.toDouble) - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
-    val scored = postings
+    postings
       .join(dfPerTerm, "tok")
       .join(docLens, "id")
       .withColumn("__contrib", col("idf") *
         (col("c") * lit(k1 + 1.0)) /
         (col("c") + lit(k1) * (lit(1.0 - b) + lit(b) * col("len") / lit(avgLen))))
-      .groupBy(col("id"))
-      .agg(sum(col("__contrib")).as("score"),
-        count(lit(1)).as("n_terms_matched"))
-    scored.orderBy(col("score").desc, col("id")).limit(k)
   }
 
   /** Row-local duplicate-token stats: token count, distinct count,

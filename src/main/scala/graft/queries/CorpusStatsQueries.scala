@@ -117,6 +117,35 @@ object CorpusStatsQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Okapi BM25 retrieval as a DECLARED query: rank documents for a
+    // fixed bag-of-words query over the shared (id, tok, c) counts.
+    // The per-(doc, term) contribution is a pure row-local IEEE double
+    // chain (association order mirrored operation-for-operation in the
+    // oracle SQL), carried as round(contrib·1e6) BIGINT so the per-doc
+    // sum is an exact integer under any partitioning (§7.3). Scale
+    // shape: the term IN-filter is pushed to the counts scan — only
+    // |terms|·df postings rows ever move; doc lengths and corpus
+    // constants come from the memoized counts (build-once/rank-many,
+    // the same lifecycle as the IVF and bloom models); final top-k is
+    // TakeOrderedAndProject.
+    "q_bm25" -> { (s, d) =>
+      val counts = docTokenCounts(s, d)
+      val lens = ExtendedQueries.memoCache("doclens", s, d) {
+        CorpusStats.docLengths(counts)
+      }
+      val nDocs = ExtendedQueries.memoCount("ndocs", s, d) {
+        t(s, d, "documents").count()
+      }
+      val nToks = ExtendedQueries.memoCount("ntoks", s, d) {
+        counts.agg(sum(col("c"))).head.getLong(0)
+      }
+      CorpusStats.bm25SearchFp(counts, lens, nDocs,
+          avgLen = nToks.toDouble / nDocs.toDouble,
+          queryTerms = Seq("spark", "join", "window", "scan"), k = 15)
+        .select(col("id").as("doc_id"), col("score_fp"),
+          col("n_terms_matched"))
+    },
+
     // Per-doc score under the corpus's own MLE bigram LM (fluency /
     // quality signal). The model tables derive from the same
     // (doc, bigram) counts being scored; all ln terms are fixed-point
@@ -183,6 +212,36 @@ object CorpusStatsQueries {
         |SELECT tok, CAST(sum(c) AS BIGINT) AS tf, CAST(count(*) AS BIGINT) AS df
         |FROM pd GROUP BY tok
         |ORDER BY tf DESC, tok LIMIT 40""".stripMargin,
+
+    // Mirrors bm25SearchFp's double chain operation-for-operation:
+    // every float literal is CAST to DOUBLE (bare DuckDB numeric
+    // literals are DECIMAL — different arithmetic), association
+    // matches the Column expression exactly, and the only
+    // cross-partition reduction is the exact BIGINT fixed-point sum.
+    "q_bm25" ->
+      """WITH tok AS (SELECT doc_id AS id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |cnt AS (SELECT id, tok, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1, 2),
+        |lens AS (SELECT id, CAST(sum(c) AS BIGINT) AS len FROM cnt GROUP BY 1),
+        |consts AS (SELECT CAST((SELECT count(*) FROM documents) AS BIGINT) AS n,
+        |                  CAST((SELECT sum(c) FROM cnt) AS DOUBLE) /
+        |                  CAST((SELECT count(*) FROM documents) AS DOUBLE) AS avg_len),
+        |post AS (SELECT * FROM cnt WHERE tok IN ('spark', 'join', 'window', 'scan')),
+        |dfs AS (SELECT tok, ln(CAST(1.0 AS DOUBLE) +
+        |          ((CAST((SELECT n FROM consts) AS DOUBLE) - CAST(count(*) AS BIGINT)) + CAST(0.5 AS DOUBLE)) /
+        |          (CAST(count(*) AS BIGINT) + CAST(0.5 AS DOUBLE))) AS idf
+        |        FROM post GROUP BY tok),
+        |sc AS (SELECT post.id AS id,
+        |         CAST(round(((dfs.idf * (post.c * CAST(2.2 AS DOUBLE))) /
+        |           (post.c + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) +
+        |             (CAST(0.75 AS DOUBLE) * lens.len) / consts.avg_len))) *
+        |           CAST(1000000 AS DOUBLE)) AS BIGINT) AS fp
+        |       FROM post JOIN dfs ON post.tok = dfs.tok
+        |                 JOIN lens ON post.id = lens.id
+        |                 CROSS JOIN consts)
+        |SELECT id AS doc_id, CAST(sum(fp) AS BIGINT) AS score_fp,
+        |       CAST(count(*) AS BIGINT) AS n_terms_matched
+        |FROM sc GROUP BY id
+        |ORDER BY score_fp DESC, doc_id LIMIT 15""".stripMargin,
 
     "q_tfidf_top" ->
       """WITH tok AS (SELECT doc_id AS id, unnest(string_split(text, ' ')) AS tok FROM documents),

@@ -359,7 +359,7 @@ object ExtendedQueries {
     Seq("restricted", "bands", "shingles", "embednorm", "toktf", "docprof",
         "eventprof", "candpairs", "shsplit", "shtrain", "sheval", "mhsig",
         "simsig", "bgcounts", "bgmodel", "jacpairs", "tfidfscore",
-        "ivfassign", "dupcc").foreach { key =>
+        "ivfassign", "dupcc", "doclens").foreach { key =>
       Option(memoStore.remove((s, d, key))).foreach { df =>
         df.unpersist()
         // the dupcc frame reads from a localCheckpoint — its blocks

@@ -167,4 +167,28 @@ class CorpusStatsSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), plan.take(1500))
   }
+
+  test("bm25SearchFp: fixed-point scores are the rounded double scores, same ranking") {
+    val counts = CorpusStats.docTokenCounts(toks)
+    val lens = CorpusStats.docLengths(counts)
+    val (n, avgLen) = (4L, (4 + 4 + 4 + 2) / 4.0)
+    val q = Seq("a", "c")
+    val dbl = CorpusStats.bm25Search(counts, lens, n, avgLen, q, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    val fp = CorpusStats.bm25SearchFp(counts, lens, n, avgLen, q, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // same docs in the same order, same match counts
+    assert(fp.map(_._1).toSeq == dbl.map(_._1).toSeq)
+    assert(fp.map(_._3).toSeq == dbl.map(_._3).toSeq)
+    // each fp score within one micro-unit per contributing term of the
+    // double score (per-row rounding then exact integer sum)
+    fp.zip(dbl).foreach { case ((_, sfp, nt), (_, sd, _)) =>
+      assert(math.abs(sfp - sd * 1e6) <= nt.toDouble,
+        s"fp=$sfp double=${sd * 1e6} terms=$nt")
+    }
+    // fixed-point plan is still top-k
+    val plan = CorpusStats.bm25SearchFp(counts, lens, n, avgLen, q, k = 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(1500))
+  }
 }
