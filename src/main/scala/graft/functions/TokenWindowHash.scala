@@ -57,9 +57,45 @@ case class TokenWindowHash(child: Expression, w: Int)
     copy(child = newChild)
 }
 
+/** [[TokenWindowHash]]'s dual-modulus twin: each window keys as
+  * `h1·P2 + h2` where h1 is the standard (B, P) Rabin-Karp fold and
+  * h2 an independent (B2, P2) fold over independently-hashed token
+  * symbols — one combined BIGINT per window, computed in the same
+  * single scan. A cross-text collision now needs BOTH 30-bit folds to
+  * collide (~2⁻⁶⁰ per pair instead of ~2⁻³⁰), which takes the
+  * birthday bound from "expect collisions at 10⁵ windows" to
+  * "negligible below 10⁸" — the difference between a candidate signal
+  * and a key the declared span query can hash-gate on. Product fits a
+  * long: h1 < P ≈ 2³⁰, P2 < 2³⁰ ⇒ key < 2⁶⁰. */
+case class TokenWindowDualHash(child: Expression, w: Int)
+  extends UnaryExpression {
+
+  require(w >= 1, s"window must be >= 1 token, got $w")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_token_window_dual_hash"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires STRING, got ${child.dataType.catalogString}")
+
+  protected override def nullSafeEval(input: Any): Any =
+    TokenWindowHash.computeDual(input.asInstanceOf[UTF8String], w)
+
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, in =>
+      s"${ev.value} = graft.functions.TokenWindowHash.computeDual($in, $w);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TokenWindowHash {
   private val B = 1000003L
   private val P = 1000000007L
+  private val B2 = 1000033L
+  private val P2 = 999999937L
 
   /** Shared by interpreted eval and codegen (the generated code is one
     * static call — no lambda interpretation, no per-window slices). */
@@ -107,9 +143,72 @@ object TokenWindowHash {
   import org.apache.spark.sql.Column
   import org.apache.spark.sql.graft.ColumnBridge
 
+  /** Dual-modulus combined window keys (`h1·P2 + h2`, see
+    * [[TokenWindowDualHash]]) — same single scan, independent (33, P2)
+    * token symbols and (B2, P2) window fold for the second component.
+    * The first component is exactly [[compute]]'s value (spec-pinned:
+    * `dual(i) / P2 == single(i)`). */
+  def computeDual(s: UTF8String, w: Int): ArrayData = {
+    val str = s.toString
+    val n = str.length
+    var nTokens = 1
+    var i = 0
+    while (i < n) { if (str.charAt(i) == ' ') nTokens += 1; i += 1 }
+    val th1 = new Array[Long](nTokens)
+    val th2 = new Array[Long](nTokens)
+    var t = 0
+    var h1 = 0L
+    var h2 = 0L
+    i = 0
+    while (i < n) {
+      val c = str.charAt(i)
+      if (c == ' ') { th1(t) = h1; th2(t) = h2; t += 1; h1 = 0L; h2 = 0L; i += 1 }
+      else {
+        val cp = str.codePointAt(i)
+        h1 = (h1 * 31L + cp) % P
+        h2 = (h2 * 33L + cp) % P2
+        i += Character.charCount(cp)
+      }
+    }
+    th1(t) = h1
+    th2(t) = h2
+    if (nTokens < w) return ArrayData.toArrayData(Array.emptyLongArray)
+    val out = new Array[Long](nTokens - w + 1)
+    var bw1 = 1L // B^(w-1) mod P
+    var bw2 = 1L // B2^(w-1) mod P2
+    var k = 1
+    while (k < w) { bw1 = bw1 * B % P; bw2 = bw2 * B2 % P2; k += 1 }
+    var hw1 = 0L
+    var hw2 = 0L
+    i = 0
+    while (i < w) {
+      hw1 = (hw1 * B + th1(i)) % P
+      hw2 = (hw2 * B2 + th2(i)) % P2
+      i += 1
+    }
+    out(0) = hw1 * P2 + hw2
+    i = 1
+    while (i <= nTokens - w) {
+      hw1 = ((hw1 - th1(i - 1) * bw1 % P + P) % P * B + th1(i + w - 1)) % P
+      hw2 = ((hw2 - th2(i - 1) * bw2 % P2 + P2) % P2 * B2 + th2(i + w - 1)) % P2
+      out(i) = hw1 * P2 + hw2
+      i += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+
+  /** The second-component modulus — public so callers can recover the
+    * single-hash component (`key / DualModulus`) when comparing
+    * against [[compute]]. */
+  val DualModulus: Long = P2
+
   /** Column API: ARRAY<BIGINT> of w-token window hashes. */
   def tokenWindowHash(s: Column, w: Int): Column =
     ColumnBridge.column(TokenWindowHash(ColumnBridge.expression(s), w))
+
+  /** Column API: ARRAY<BIGINT> of dual-modulus combined window keys. */
+  def tokenWindowDualHash(s: Column, w: Int): Column =
+    ColumnBridge.column(TokenWindowDualHash(ColumnBridge.expression(s), w))
 
   /** SQL builder: `graft_token_window_hash(text, w)` with a literal
     * window size. */

@@ -26,9 +26,11 @@ import org.apache.spark.sql.functions._
   * filter is one hash-partial+final aggregate keyed by the 64-bit
   * window hash — never by text; the islands pass is one window over
   * (doc, pos). Nothing quadratic, no text shuffled after the explode.
-  * Hash equality is a CANDIDATE signal (1e9+7 modulus → rare false
-  * positives): treat spans as scrub targets or verify survivors by
-  * exact span comparison where byte-certainty matters.
+  * Hash equality is a CANDIDATE signal — but with the dual-modulus
+  * window key (~2⁻⁶⁰ per-pair collision odds, see [[windowHashes]])
+  * false positives are negligible below ~10⁸ distinct windows; verify
+  * survivors by exact span comparison where byte-certainty matters
+  * beyond that.
   *
   * Incremental form: `advanceSpread` maintains the per-hash document
   * spread as a persisted registry over append-only batches, and
@@ -50,11 +52,19 @@ object SubstrDedup {
     graft.functions.TokenWindowHash.tokenWindowHash(text, w)
 
   /** (id, pos, whash) for every `w`-token window in every document —
-    * the linear explode all downstream stages run on. */
+    * the linear explode all downstream stages run on. `whash` is the
+    * DUAL-modulus combined key (`TokenWindowDualHash`: two independent
+    * 30-bit Rabin-Karp folds packed as `h1·P2 + h2`, same one-pass
+    * kernel): a cross-text false positive needs both folds to collide
+    * (~2⁻⁶⁰ per pair), so span detection hash-gates cleanly at the
+    * declared scales — the single-modulus form measurably
+    * false-positives past ~10⁵ distinct windows (birthday bound),
+    * observed as 3 spurious spans at sf0.1. */
   def windowHashes(docs: DataFrame, textCol: Column, idCol: Column,
       w: Int): DataFrame =
     docs.select(idCol.as("id"),
-        posexplode(windowHashArray(textCol, w)).as(Seq("pos", "whash")))
+        posexplode(graft.functions.TokenWindowHash
+          .tokenWindowDualHash(textCol, w)).as(Seq("pos", "whash")))
 
   /** Gap-islands over repeated window positions (id, pos): merge runs
     * while consecutive windows overlap or touch (gap ≤ w). Output:

@@ -392,6 +392,27 @@ object ExtendedQueries {
       lshCandidatePairs(s, d).orderBy(col("doc1"), col("doc2"))
     },
 
+    // Repeated-substring boilerplate spans as a DECLARED query: every
+    // maximal run of 8-token windows whose window hash occurs in ≥3
+    // distinct documents (the exact-substring dedup family member —
+    // SubstrDedup scaladoc). The Spark side keys everything on the
+    // O(n) codegen dual-modulus Rabin-Karp window key
+    // (graft_token_window_dual_hash — a single 1e9+7 fold measurably
+    // collided at sf0.1's ~6·10⁵ windows; the dual key's ~2⁻⁶⁰
+    // per-pair odds make collisions negligible below ~10⁸ windows);
+    // the oracle groups by the WINDOW TEXT itself — hash-gated
+    // equality at all three SFs is the empirical no-collision
+    // certificate. Scale: explode linear in tokens,
+    // spread filter is a hash-keyed partial+final agg, islands one
+    // window over (doc, pos) — text never shuffles past the explode.
+    "q_boilerplate_spans" -> { (s, d) =>
+      graft.ops.SubstrDedup.repeatedSpans(
+          docProfile(s, d), col("text"), col("doc_id"), w = 8, minDocs = 3)
+        .select(col("id").as("doc_id"), col("start_tok"), col("end_tok"),
+          col("n_windows"))
+        .orderBy(col("doc_id"), col("start_tok"))
+    },
+
     // SimHash-32: per-token md5-derived 32-bit hash; weighted bit
     // majority over the document; signature emitted as a 32-char
     // '0'/'1' string (integer arithmetic throughout).
@@ -785,6 +806,39 @@ object ExtendedQueries {
   )
 
   val sql: Map[String, String] = Map(
+    // Groups by window TEXT where Spark groups by the Rabin-Karp
+    // window hash — equal outputs absent a hash collision among this
+    // corpus's windows (see the query comment).
+    "q_boilerplate_spans" ->
+      """WITH d AS (SELECT doc_id AS id, string_split(text, ' ') AS toks FROM documents),
+        |win AS (
+        |  SELECT id, CAST(i - 1 AS BIGINT) AS pos,
+        |         array_to_string(toks[i:i+7], ' ') AS wtext
+        |  FROM d, LATERAL (SELECT unnest(generate_series(1, len(toks) - 7)) AS i)
+        |),
+        |spread AS (
+        |  SELECT wtext FROM (SELECT DISTINCT wtext, id FROM win)
+        |  GROUP BY wtext HAVING count(*) >= 3
+        |),
+        |rep AS (SELECT id, pos FROM win JOIN spread USING (wtext)),
+        |brk AS (
+        |  SELECT id, pos,
+        |    CASE WHEN pos - lag(pos) OVER (PARTITION BY id ORDER BY pos) > 8
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM rep
+        |),
+        |isl AS (
+        |  SELECT id, pos,
+        |    sum(brk) OVER (PARTITION BY id ORDER BY pos
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM brk
+        |)
+        |SELECT id AS doc_id, CAST(min(pos) AS BIGINT) AS start_tok,
+        |       CAST(max(pos) + 8 AS BIGINT) AS end_tok,
+        |       CAST(count(*) AS BIGINT) AS n_windows
+        |FROM isl GROUP BY id, island
+        |ORDER BY doc_id, start_tok""".stripMargin,
+
     "q_dedup_minhash_lsh" ->
       s"""WITH sh AS (
          |  $shinglesSql

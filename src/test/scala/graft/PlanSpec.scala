@@ -60,9 +60,10 @@ class PlanSpec extends AnyFunSuite {
       docs, col("text"), col("doc_id"), 8)
     df.collect() // finalize AQE
     val p = plan(df)
-    // the window-hash kernel runs as a native expression, not the
+    // the window-hash kernel runs as a native expression (the
+    // dual-modulus form since the sf0.1 collision finding), not the
     // interpreted HOF chain it replaced
-    assert(p.contains("graft_token_window_hash"), p.take(2000))
+    assert(p.contains("graft_token_window_dual_hash"), p.take(2000))
     assert(!p.contains("CodegenFallback"), p.take(2000))
     // spread filter joins on the 64-bit hash — hash join, never SMJ,
     // and never a broadcast of the corpus-sized window table on the

@@ -54,6 +54,43 @@ class TokenWindowHashSpec extends AnyFunSuite {
     }
   }
 
+  test("dual key: first component is exactly the single hash; HOF twin matches the second") {
+    val B2 = 1000033L; val P2 = 999999937L
+    // HOF reference for the second fold: (33, P2) token symbols,
+    // (B2, P2) window polynomial
+    def hofRef2(text: Column, w: Int): Column = {
+      val th = transform(split(text, " "),
+        t => aggregate(
+          transform(split(t, ""), c => ascii(c).cast("long")), lit(0L),
+          (h, x) => (h * 33L + x) % P2))
+      when(size(th) >= w,
+        transform(sequence(lit(0), size(th) - w),
+          i => aggregate(slice(th, i + 1, lit(w)), lit(0L),
+            (h, x) => (h * B2 + x) % P2)))
+        .otherwise(array().cast("array<bigint>"))
+    }
+    // ASCII-only corpus so the HOF char fold (ascii()) is usable as
+    // the reference; the non-ASCII paths share the scan with the
+    // single-hash kernel already pinned above
+    val texts = Seq("a b c d e f g h i", "x y x y x y", "one", "",
+      "a  b   c", ("tok " * 40).trim)
+    val df = texts.toDF("text")
+    for (w <- Seq(1, 3, 8)) {
+      val rows = df.select(
+          TokenWindowHash.tokenWindowDualHash(col("text"), w).as("dual"),
+          TokenWindowHash.tokenWindowHash(col("text"), w).as("single"),
+          hofRef2(col("text"), w).as("ref2"))
+        .collect()
+      rows.zip(texts).foreach { case (r, t) =>
+        val dual = r.getSeq[Long](0)
+        assert(dual.map(_ / TokenWindowHash.DualModulus) == r.getSeq[Long](1),
+          s"w=$w text='$t' first component")
+        assert(dual.map(_ % TokenWindowHash.DualModulus) == r.getSeq[Long](2),
+          s"w=$w text='$t' second component")
+      }
+    }
+  }
+
   test("null input yields null; fewer tokens than w yields empty") {
     val df = Seq[(java.lang.Long, String)]((1L, null), (2L, "a b"))
       .toDF("id", "text")
