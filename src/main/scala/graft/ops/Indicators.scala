@@ -49,7 +49,7 @@ object Indicators {
       price: Column, period: Int = 14): DataFrame = {
     // same reserved-name discipline as TrainPrep.packBins: withColumn
     // silently OVERWRITES same-named inputs, so fail loudly instead
-    val reserved = Seq("rn", "rsi", "__d", "__sg", "__sl")
+    val reserved = Seq("rn", "rsi", "__p", "__d", "__sg", "__sl")
     val clash = df.columns.toSet.intersect(reserved.toSet)
     require(clash.isEmpty,
       s"input already has column(s) $clash reserved by rsi()")
@@ -59,15 +59,21 @@ object Indicators {
     // scale shift (scale 4 covers any DECIMAL(p,≤4) price; the cast is
     // exact), so the lag + diff run native-long in WindowExec instead
     // of per-row BigDecimal — identical values, (a-b)·10⁴ ≡ a·10⁴-b·10⁴
-    // exactly for scale-≤4 decimals
+    // exactly for scale-≤4 decimals. Materialized as __p BEFORE the
+    // window: writing the expression inline in `p - lag(p).over(w)`
+    // CSEs the window ARGUMENT but re-evaluates the full decimal chain
+    // in the post-window projection for the subtraction's left side
+    // (observed in the physical plan) — a named column evaluates it
+    // once per row.
     val p = (price.cast("decimal(22,4)") * lit(10000)).cast("long")
     // TWO Window nodes, not four: same-spec window expressions emitted
     // in one select() share one WindowExec pass (a withColumn chain
     // would interpose Projects and split every function into its own
     // node — 4 passes over the full series, observed 2× slower)
-    df.select(col("*"),
+    df.withColumn("__p", p)
+      .select(col("*"),
         row_number().over(w).cast("long").as("rn"),
-        (p - lag(p, 1).over(w)).as("__d"))
+        (col("__p") - lag(col("__p"), 1).over(w)).as("__d"))
       .select(col("*"),
         sum(greatest(col("__d"), lit(0L))).over(frame).as("__sg"),
         sum(greatest(-col("__d"), lit(0L))).over(frame).as("__sl"))
@@ -75,7 +81,7 @@ object Indicators {
         when(col("rn") >= period + 1 && (col("__sg") + col("__sl")) > 0,
           round(lit(100.0) * col("__sg").cast("double") /
             (col("__sg") + col("__sl")).cast("double"), 4)))
-      .drop("__d", "__sg", "__sl")
+      .drop("__p", "__d", "__sg", "__sl")
   }
 
   /** Maximum drawdown per series key: the most negative
