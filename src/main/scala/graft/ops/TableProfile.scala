@@ -27,6 +27,36 @@ object TableProfile {
     def nullRate: Double = if (rows == 0) 0.0 else nulls.toDouble / rows
   }
 
+  /** DataFrame form for the declared/oracle path (`q_profile`): per
+    * column — row count, null count, EXACT distinct count, min/max as
+    * strings — as a long (col_name, n_rows, n_null, n_distinct,
+    * min_s, max_s) report. ONE aggregate job over ONE scan: the
+    * multi-distinct expands rows internally (Expand ×|columns| — the
+    * documented cost of exactness; [[profile]] keeps the HLL sketch
+    * for the 100 TB discovery path where estimates suffice), but
+    * never re-reads the table per column or per metric — the
+    * single-scan shape is plan-gated. Restrict `columns` to integer /
+    * string columns when oracle-comparing: float→string formatting is
+    * engine-specific. */
+  def profileFrame(df: DataFrame, columns: Seq[String]): DataFrame = {
+    require(columns.nonEmpty, "profileFrame requires explicit columns")
+    val aggs: Seq[Column] = count(lit(1)).as("__rows") +: columns.flatMap { name =>
+      val c = col(name)
+      Seq(
+        sum(when(c.isNull, 1L).otherwise(0L)).as(s"__n_$name"),
+        count_distinct(c).as(s"__d_$name"),
+        min(c).cast("string").as(s"__lo_$name"),
+        max(c).cast("string").as(s"__hi_$name"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val entries = columns.map { name =>
+      struct(lit(name).as("col_name"), col("__rows").as("n_rows"),
+        col(s"__n_$name").as("n_null"), col(s"__d_$name").as("n_distinct"),
+        col(s"__lo_$name").as("min_s"), col(s"__hi_$name").as("max_s"))
+    }
+    one.select(explode(array(entries: _*)).as("p")).select(col("p.*"))
+  }
+
   /** Profile the given columns (default: all non-complex columns).
     * `topKCapacity` bounds the heavy-hitter sketch for string
     * columns; numeric/date/timestamp columns report min/max instead. */

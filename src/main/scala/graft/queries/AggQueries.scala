@@ -43,6 +43,20 @@ object AggQueries {
         .agg(min(col("o_orderdate")).as("min_d"), max(col("o_orderdate")).as("max_d"))
     },
 
+    // One-pass table profile (TableProfile.profileFrame): per column —
+    // rows, nulls, EXACT distinct, min/max — from ONE aggregate over
+    // ONE scan (multi-distinct Expands internally; single-scan shape
+    // plan-gated), exploded to the long report. The oracle pays one
+    // sub-select per column over the same scan — the shape the
+    // profiler exists to avoid at 100 TB. Integer/string columns only
+    // (float→string formatting is engine-specific).
+    "q_profile" -> { (s, d) =>
+      graft.ops.TableProfile.profileFrame(t(s, d, "lineitem"),
+          Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+            "l_returnflag", "l_linestatus"))
+        .orderBy(col("col_name"))
+    },
+
     // Fixed-width 10-bucket histogram of order totals — the data-
     // profiling pass. The (min, max) bounds come from one 1-row
     // aggregate broadcast under the bucketing scan (no driver action,
@@ -280,6 +294,42 @@ object AggQueries {
 
     "q_agg_minmax" ->
       """SELECT min(o_orderdate) AS min_d, max(o_orderdate) AS max_d FROM orders""",
+
+    "q_profile" ->
+      """WITH s AS (SELECT
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+        |  CAST(count(DISTINCT l_orderkey) AS BIGINT) AS d0,
+        |  CAST(min(l_orderkey) AS VARCHAR) AS lo0, CAST(max(l_orderkey) AS VARCHAR) AS hi0,
+        |  CAST(sum(CASE WHEN l_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS d1,
+        |  CAST(min(l_partkey) AS VARCHAR) AS lo1, CAST(max(l_partkey) AS VARCHAR) AS hi1,
+        |  CAST(sum(CASE WHEN l_suppkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+        |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS d2,
+        |  CAST(min(l_suppkey) AS VARCHAR) AS lo2, CAST(max(l_suppkey) AS VARCHAR) AS hi2,
+        |  CAST(sum(CASE WHEN l_linenumber IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+        |  CAST(count(DISTINCT l_linenumber) AS BIGINT) AS d3,
+        |  CAST(min(l_linenumber) AS VARCHAR) AS lo3, CAST(max(l_linenumber) AS VARCHAR) AS hi3,
+        |  CAST(sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n4,
+        |  CAST(count(DISTINCT l_returnflag) AS BIGINT) AS d4,
+        |  CAST(min(l_returnflag) AS VARCHAR) AS lo4, CAST(max(l_returnflag) AS VARCHAR) AS hi4,
+        |  CAST(sum(CASE WHEN l_linestatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n5,
+        |  CAST(count(DISTINCT l_linestatus) AS BIGINT) AS d5,
+        |  CAST(min(l_linestatus) AS VARCHAR) AS lo5, CAST(max(l_linestatus) AS VARCHAR) AS hi5
+        |  FROM lineitem)
+        |SELECT * FROM (
+        |  SELECT 'l_orderkey' AS col_name, n_rows, n0 AS n_null, d0 AS n_distinct, lo0 AS min_s, hi0 AS max_s FROM s
+        |  UNION ALL
+        |  SELECT 'l_partkey', n_rows, n1, d1, lo1, hi1 FROM s
+        |  UNION ALL
+        |  SELECT 'l_suppkey', n_rows, n2, d2, lo2, hi2 FROM s
+        |  UNION ALL
+        |  SELECT 'l_linenumber', n_rows, n3, d3, lo3, hi3 FROM s
+        |  UNION ALL
+        |  SELECT 'l_returnflag', n_rows, n4, d4, lo4, hi4 FROM s
+        |  UNION ALL
+        |  SELECT 'l_linestatus', n_rows, n5, d5, lo5, hi5 FROM s)
+        |ORDER BY col_name""".stripMargin,
 
     "q_hist" ->
       """WITH m AS (

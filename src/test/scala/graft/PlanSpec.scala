@@ -77,6 +77,19 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("rangepartitioning"), p.take(3000))
   }
 
+  test("profile: every column's stats come from ONE scan (Expand, no per-column re-reads)") {
+    val df = q("q_profile")
+    df.collect() // finalize AQE
+    // count scans in the FINAL plan only — AdaptiveSparkPlan's
+    // toString appends the initial plan, which would double-count
+    val p = plan(df).split("== Initial Plan ==").head
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"expected 1 lineitem scan, saw $scans:\n${p.take(2000)}")
+    // exact multi-distinct expands rows internally instead of
+    // re-scanning — the documented cost of exactness
+    assert(p.contains("Expand"), p.take(2000))
+  }
+
   test("jaccard verify: no sort-merge join, no full-corpus broadcast") {
     val df = q("q_dedup_ngram_jaccard")
     df.collect() // finalize AQE
