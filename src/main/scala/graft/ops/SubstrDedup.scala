@@ -40,16 +40,19 @@ import org.apache.spark.sql.functions._
   */
 object SubstrDedup {
 
-  /** ARRAY<LONG> of one Rabin-Karp hash per `w`-token window of
-    * `text`; empty when the document has fewer than `w` tokens.
-    * Delegates to the one-pass codegen kernel
-    * (`graft.functions.TokenWindowHash`) — the equivalent HOF chain
+  /** ARRAY<LONG> of one dual-modulus window KEY per `w`-token window
+    * of `text` (`h1·P2 + h2` — see `TokenWindowDualHash`); empty when
+    * the document has fewer than `w` tokens. Delegates to the
+    * one-pass codegen kernel — the equivalent HOF chain
     * (`transform(sequence, i -> aggregate(slice(...)))`) is
     * CodegenFallback and O(n·w); the kernel is O(n) with the classic
-    * rolling leading-term removal, bit-identical semantics
-    * (TokenWindowHashSpec). */
+    * rolling leading-term removal (TokenWindowHashSpec). Emits the
+    * SAME key space every downstream SubstrDedup stage (spread
+    * registry, span detection) joins on — callers composing their own
+    * stages must use this, not the single-modulus
+    * `tokenWindowHash` (whose 2^30 range is key-incompatible). */
   def windowHashArray(text: Column, w: Int): Column =
-    graft.functions.TokenWindowHash.tokenWindowHash(text, w)
+    graft.functions.TokenWindowHash.tokenWindowDualHash(text, w)
 
   /** (id, pos, whash) for every `w`-token window in every document —
     * the linear explode all downstream stages run on. `whash` is the
@@ -63,8 +66,7 @@ object SubstrDedup {
   def windowHashes(docs: DataFrame, textCol: Column, idCol: Column,
       w: Int): DataFrame =
     docs.select(idCol.as("id"),
-        posexplode(graft.functions.TokenWindowHash
-          .tokenWindowDualHash(textCol, w)).as(Seq("pos", "whash")))
+        posexplode(windowHashArray(textCol, w)).as(Seq("pos", "whash")))
 
   /** Gap-islands over repeated window positions (id, pos): merge runs
     * while consecutive windows overlap or touch (gap ≤ w). Output:
@@ -151,7 +153,14 @@ object SubstrDedup {
     * is what lets per-hash doc counts ADD across folds (the same
     * assumption IncrementalAgg's count makes). Registry size is
     * O(distinct window hashes); at corpus scale prune it periodically
-    * to hashes with n_docs ≥ minDocs − 1 if only scrubbing matters. */
+    * to hashes with n_docs ≥ minDocs − 1 if only scrubbing matters.
+    *
+    * KEY-SPACE VERSIONING: registry rows key on the dual-modulus
+    * window key ([[windowHashes]]). A registry persisted by the
+    * earlier single-modulus build (whash < 2^30) will never match new
+    * keys — folds would silently restart counts and scrubs would miss
+    * all history. Rebuild such registries from the source batches;
+    * a quick check is `max(whash) < 1e9+7` ⇒ old key space. */
   def advanceSpread(spark: org.apache.spark.sql.SparkSession,
       statePath: String, delta: DataFrame, textCol: Column,
       idCol: Column, w: Int): Long =

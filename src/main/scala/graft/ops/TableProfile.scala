@@ -40,19 +40,23 @@ object TableProfile {
     * engine-specific. */
   def profileFrame(df: DataFrame, columns: Seq[String]): DataFrame = {
     require(columns.nonEmpty, "profileFrame requires explicit columns")
-    val aggs: Seq[Column] = count(lit(1)).as("__rows") +: columns.flatMap { name =>
-      val c = col(name)
-      Seq(
-        sum(when(c.isNull, 1L).otherwise(0L)).as(s"__n_$name"),
-        count_distinct(c).as(s"__d_$name"),
-        min(c).cast("string").as(s"__lo_$name"),
-        max(c).cast("string").as(s"__hi_$name"))
-    }
+    // input refs via df(name) (exact-name resolution) and internal
+    // names by INDEX: composing "__n_" + name and re-parsing with
+    // col() would treat a dotted column name as struct-field access
+    val aggs: Seq[Column] = count(lit(1)).as("__rows") +:
+      columns.zipWithIndex.flatMap { case (name, i) =>
+        val c = df(name)
+        Seq(
+          sum(when(c.isNull, 1L).otherwise(0L)).as(s"__n_$i"),
+          count_distinct(c).as(s"__d_$i"),
+          min(c).cast("string").as(s"__lo_$i"),
+          max(c).cast("string").as(s"__hi_$i"))
+      }
     val one = df.agg(aggs.head, aggs.tail: _*)
-    val entries = columns.map { name =>
+    val entries = columns.zipWithIndex.map { case (name, i) =>
       struct(lit(name).as("col_name"), col("__rows").as("n_rows"),
-        col(s"__n_$name").as("n_null"), col(s"__d_$name").as("n_distinct"),
-        col(s"__lo_$name").as("min_s"), col(s"__hi_$name").as("max_s"))
+        col(s"__n_$i").as("n_null"), col(s"__d_$i").as("n_distinct"),
+        col(s"__lo_$i").as("min_s"), col(s"__hi_$i").as("max_s"))
     }
     one.select(explode(array(entries: _*)).as("p")).select(col("p.*"))
   }

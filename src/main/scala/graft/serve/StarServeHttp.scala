@@ -41,7 +41,14 @@ class StarServeHttp(serve: StarServe, bindPort: Int = 0, threads: Int = 4) {
 
   private val server =
     HttpServer.create(new InetSocketAddress("127.0.0.1", bindPort), 0)
-  private val pool = Executors.newFixedThreadPool(threads)
+  // daemon threads: an embedder that returns from main() without
+  // calling stop() must not be kept alive by the serve pool
+  private val pool = Executors.newFixedThreadPool(threads,
+    (r: Runnable) => {
+      val t = new Thread(r, "star-serve-http")
+      t.setDaemon(true)
+      t
+    })
   server.setExecutor(pool)
 
   /** Ephemeral-port friendly: the port actually bound. */
@@ -76,13 +83,18 @@ class StarServeHttp(serve: StarServe, bindPort: Int = 0, threads: Int = 4) {
     df.toJSON.collect().mkString("[", ",", "]")
 
   private def jsonErr(msg: String): String =
-    s"""{"error":"${msg.replace("\\", "\\\\").replace("\"", "\\\"")}"}"""
+    s"""{"error":"${StarServeHttp.jsonEsc(msg)}"}"""
+
+  /** Thrown by handlers for malformed CLIENT input → 400 (anything
+    * else thrown by the serve path stays a 500). */
+  private final class BadRequest(msg: String) extends RuntimeException(msg)
 
   /** Wrap a handler with param validation + error mapping: a missing
     * required param is the client's fault (400), anything thrown by
     * the serve path is ours (500 with the message, never a hung
     * connection). */
-  private def handle(path: String, required: Seq[String] = Nil)(
+  private def handle(path: String, required: Seq[String] = Nil,
+      method: String = "GET")(
       f: Map[String, String] => (Int, String, String)): Unit = {
     server.createContext(path, (ex: HttpExchange) => {
       try {
@@ -90,6 +102,9 @@ class StarServeHttp(serve: StarServe, bindPort: Int = 0, threads: Int = 4) {
         val missing = required.filterNot(p.contains)
         if (ex.getRequestURI.getPath != path)
           respond(ex, 404, "application/json", jsonErr("not found"))
+        else if (ex.getRequestMethod != method)
+          respond(ex, 405, "application/json",
+            jsonErr(s"method ${ex.getRequestMethod} not allowed; use $method"))
         else if (missing.nonEmpty)
           respond(ex, 400, "application/json",
             jsonErr(s"missing parameter(s): ${missing.mkString(", ")}"))
@@ -98,6 +113,8 @@ class StarServeHttp(serve: StarServe, bindPort: Int = 0, threads: Int = 4) {
           respond(ex, status, ct, body)
         }
       } catch {
+        case e: BadRequest =>
+          respond(ex, 400, "application/json", jsonErr(e.getMessage))
         case e: Throwable =>
           respond(ex, 500, "application/json",
             jsonErr(Option(e.getMessage).getOrElse(e.getClass.getName)))
@@ -129,12 +146,15 @@ class StarServeHttp(serve: StarServe, bindPort: Int = 0, threads: Int = 4) {
   }
 
   handle("/latest", required = Seq("index")) { p =>
-    val k = p.getOrElse("k", "10").toInt
-    require(k > 0 && k <= 10000, s"k out of range: $k")
+    val raw = p.getOrElse("k", "10")
+    val k = raw.toIntOption.getOrElse(throw new BadRequest(s"k not an integer: $raw"))
+    if (k <= 0 || k > 10000) throw new BadRequest(s"k out of range: $k")
     (200, "application/json", jsonArray(serve.latest(p("index"), k)))
   }
 
-  handle("/refresh") { _ =>
+  // POST-only: the snapshot swap mutates server state — a GET (link
+  // prefetcher, monitoring crawl) must not trigger it
+  handle("/refresh", method = "POST") { _ =>
     val swapped = serve.refresh()
     (200, "application/json", s"""{"swapped":$swapped}""")
   }
@@ -159,4 +179,21 @@ object StarServeHttp {
   /** Bind + start in one call; port 0 picks an ephemeral port. */
   def serve(s: StarServe, port: Int = 0): StarServeHttp =
     new StarServeHttp(s, port).start()
+
+  /** JSON string escape incl. control characters — Spark exception
+    * messages routinely span lines; a raw newline inside the string
+    * literal would make the error body unparseable. */
+  private[graft] def jsonEsc(msg: String): String = {
+    val sb = new StringBuilder
+    msg.foreach {
+      case '\\' => sb.append("\\\\")
+      case '"' => sb.append("\\\"")
+      case '\n' => sb.append("\\n")
+      case '\r' => sb.append("\\r")
+      case '\t' => sb.append("\\t")
+      case c if c < ' ' => sb.append(f"\\u${c.toInt}%04x")
+      case c => sb.append(c)
+    }
+    sb.toString
+  }
 }

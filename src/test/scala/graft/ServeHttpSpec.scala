@@ -101,12 +101,24 @@ class ServeHttpSpec extends AnyFunSuite {
       assert(get(s"${http.url}/seriesX").statusCode() == 404,
         "prefix match must not leak /series handler to /seriesX")
 
-      // bad k triggers the serve-path require -> 500 with the message
+      // malformed client input is 400, not a server fault
       val bad = get(s"${http.url}/latest?index=%5EGSPC&k=0")
-      assert(bad.statusCode() == 500 && bad.body().contains("k out of range"))
+      assert(bad.statusCode() == 400 && bad.body().contains("k out of range"))
+      val nan = get(s"${http.url}/latest?index=%5EGSPC&k=abc")
+      assert(nan.statusCode() == 400 && nan.body().contains("not an integer"))
 
-      // static mode refresh is a no-op
-      assert(get(s"${http.url}/refresh").body() == """{"swapped":false}""")
+      // error bodies stay VALID JSON even when the message spans
+      // lines or quotes identifiers (Spark exception messages do both)
+      assert(graft.serve.StarServeHttp.jsonEsc("a\"b\nc\td\u0001\\e") ==
+        "a\\\"b\\nc\\td\\u0001\\\\e")
+
+      // /refresh mutates (snapshot swap) -> POST-only; GET is 405
+      assert(get(s"${http.url}/refresh").statusCode() == 405)
+      val post = client.send(
+        HttpRequest.newBuilder(URI.create(s"${http.url}/refresh"))
+          .POST(HttpRequest.BodyPublishers.noBody()).build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(post.body() == """{"swapped":false}""") // static mode no-op
     }
   }
 
