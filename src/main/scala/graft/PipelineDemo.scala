@@ -90,14 +90,13 @@ object PipelineDemo {
       s"series = ${"<polyline".r.findAllIn(svg).length}")
     // the dashboard's HTTP boundary: same slice over the wire
     val http = graft.serve.StarServeHttp.serve(serve)
-    val body = {
+    try {
       val c = java.net.http.HttpClient.newHttpClient()
-      c.send(java.net.http.HttpRequest.newBuilder(java.net.URI.create(
+      val body = c.send(java.net.http.HttpRequest.newBuilder(java.net.URI.create(
           s"${http.url}/series?index=%5EDJI&start=2024-01-10&end=2024-01-14"))
         .GET().build(), java.net.http.HttpResponse.BodyHandlers.ofString()).body()
-    }
-    println(s"[demo] GET /series over ${http.url} -> ${body.take(80)}…")
-    http.stop(0)
+      println(s"[demo] GET /series over ${http.url} -> ${body.take(80)}…")
+    } finally http.stop(0)
     serve.release()
 
     // --- near-dup detection on the documents corpus ---
