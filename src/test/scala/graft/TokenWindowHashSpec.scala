@@ -72,8 +72,14 @@ class TokenWindowHashSpec extends AnyFunSuite {
     // ASCII-only corpus so the HOF char fold (ascii()) is usable as
     // the reference; the non-ASCII paths share the scan with the
     // single-hash kernel already pinned above
-    val texts = Seq("a b c d e f g h i", "x y x y x y", "one", "",
-      "a  b   c", ("tok " * 40).trim)
+    val asciiTokenGen: Gen[String] = Gen.oneOf(
+      Gen.identifier.map(_.take(8)),
+      Gen.const(""), // multi-space artifact
+      Gen.numStr.map(_.take(4)))
+    val gen = Gen.listOf(asciiTokenGen).map(_.mkString(" "))
+    val texts = (1L to 40L).map(sample(gen, _)) ++
+      Seq("a b c d e f g h i", "x y x y x y", "one", "",
+        "a  b   c", ("tok " * 40).trim)
     val df = texts.toDF("text")
     for (w <- Seq(1, 3, 8)) {
       val rows = df.select(
