@@ -122,6 +122,39 @@ class ServeHttpSpec extends AnyFunSuite {
     }
   }
 
+  test("snapshot mode over HTTP: POST /refresh swaps to the latest upsert") {
+    import graft.streaming.StreamingPipeline
+    val snapDir = Files.createTempDirectory("graft_http_snap").toString
+    val static = new StarServe(spark, starDir)
+    val key = static.indexKeyFor("^GSPC").get
+    static.release()
+    def batch(close: Double, batchId: Long) = {
+      import spark.implicits._
+      StreamingPipeline.applyUpsertBatch(
+        Seq((key, java.sql.Date.valueOf("2024-03-01"), close, 2.5))
+          .toDF("IndexKey", "DateKey", "Close", "GDPGrowthRate"),
+        batchId, Seq("IndexKey", "DateKey"), snapDir, "http")
+    }
+    batch(100.0, 0L)
+    val serve = StarServe.fromStreamingSnapshots(spark, starDir, snapDir)
+    val http = StarServeHttp.serve(serve)
+    try {
+      def series() =
+        get(s"${http.url}/series?index=%5EGSPC&start=2024-03-01&end=2024-03-31").body()
+      def refresh() = client.send(
+        HttpRequest.newBuilder(URI.create(s"${http.url}/refresh"))
+          .POST(HttpRequest.BodyPublishers.noBody()).build(),
+        HttpResponse.BodyHandlers.ofString()).body()
+      assert(series().contains("100.0"))
+      batch(101.5, 1L)
+      // the cached snapshot serves until a refresh observes the flip
+      assert(series().contains("100.0"))
+      assert(refresh() == """{"swapped":true}""")
+      assert(series().contains("101.5"))
+      assert(refresh() == """{"swapped":false}""")
+    } finally { http.stop(0); serve.release() }
+  }
+
   test("concurrent clients: parallel requests all succeed with consistent bodies") {
     withServer { (http, serve) =>
       val expected = serve.chartSeries("^GSPC", "2024-01-10", "2024-01-19")
