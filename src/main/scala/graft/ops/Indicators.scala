@@ -49,12 +49,13 @@ object Indicators {
       price: Column, period: Int = 14): DataFrame = {
     // same reserved-name discipline as TrainPrep.packBins: withColumn
     // silently OVERWRITES same-named inputs, so fail loudly instead
-    val reserved = Seq("rn", "rsi", "__p", "__d", "__sg", "__sl")
+    val reserved = Seq("rn", "rsi", "__p", "__d", "__cg", "__cl",
+      "__sg", "__sl")
     val clash = df.columns.toSet.intersect(reserved.toSet)
     require(clash.isEmpty,
       s"input already has column(s) $clash reserved by rsi()")
     val w = Window.partitionBy(key).orderBy(orderCols: _*)
-    val frame = w.rowsBetween(-(period - 1), 0)
+    val running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // exact integer units BEFORE the window: DECIMAL → long via a pure
     // scale shift (scale 4 covers any DECIMAL(p,≤4) price; the cast is
     // exact), so the lag + diff run native-long in WindowExec instead
@@ -66,22 +67,37 @@ object Indicators {
     // (observed in the physical plan) — a named column evaluates it
     // once per row.
     val p = (price.cast("decimal(22,4)") * lit(10000)).cast("long")
-    // TWO Window nodes, not four: same-spec window expressions emitted
-    // in one select() share one WindowExec pass (a withColumn chain
-    // would interpose Projects and split every function into its own
-    // node — 4 passes over the full series, observed 2× slower)
+    // The trailing `period`-row sums are CUMULATIVE sums minus their
+    // `period`-lag, NOT sliding frames: Spark has no aggregate
+    // retraction, so a ROWS (-13, 0) frame re-aggregates the whole
+    // buffer on every row — O(period) per row; the running frame and
+    // the offset lookup are O(1) per row. (At period=14 / sf0.1 the
+    // end-to-end win is small — the query is scan- and final-sort-
+    // dominated — but the frame cost no longer grows with the
+    // period.) Exact: the sums
+    // are integers, so cum(rn) − cum(rn−period) is the frame sum with
+    // no cancellation error — the reformulation would be UNSAFE for
+    // floats. Three same-spec Window nodes share one sort/exchange;
+    // same-spec expressions are emitted per select() so each node
+    // carries all its functions in one pass (a withColumn chain would
+    // split them into one pass each).
     df.withColumn("__p", p)
       .select(col("*"),
         row_number().over(w).cast("long").as("rn"),
         (col("__p") - lag(col("__p"), 1).over(w)).as("__d"))
       .select(col("*"),
-        sum(greatest(col("__d"), lit(0L))).over(frame).as("__sg"),
-        sum(greatest(-col("__d"), lit(0L))).over(frame).as("__sl"))
+        sum(greatest(col("__d"), lit(0L))).over(running).as("__cg"),
+        sum(greatest(-col("__d"), lit(0L))).over(running).as("__cl"))
+      .select(col("*"),
+        (col("__cg") - coalesce(lag(col("__cg"), period).over(w), lit(0L)))
+          .as("__sg"),
+        (col("__cl") - coalesce(lag(col("__cl"), period).over(w), lit(0L)))
+          .as("__sl"))
       .withColumn("rsi",
         when(col("rn") >= period + 1 && (col("__sg") + col("__sl")) > 0,
           round(lit(100.0) * col("__sg").cast("double") /
             (col("__sg") + col("__sl")).cast("double"), 4)))
-      .drop("__p", "__d", "__sg", "__sl")
+      .drop("__p", "__d", "__cg", "__cl", "__sg", "__sl")
   }
 
   /** Maximum drawdown per series key: the most negative
