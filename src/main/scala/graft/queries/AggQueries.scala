@@ -160,6 +160,26 @@ object AggQueries {
           |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
     },
 
+    // Sketch quantiles as a property query (the q_approx_distinct
+    // pattern): approx_percentile's VALUE is engine-specific, its
+    // rank-error bound (≈1/accuracy = 0.01 here) is the contract —
+    // pin the estimate inside the exact [p44, p56] element band
+    // (6× margin) and hash the exact median alongside. The sketch is
+    // the per-group quantile scale path (`Sketches.approxQuantilesBy`)
+    // when exact percentiles' full-sort-per-group won't fly.
+    "q_quantile_sketch_band" -> { (s, d) =>
+      t(s, d, "orders").createOrReplaceTempView("graft_orders_qb_v")
+      s.sql(
+        """SELECT o_orderpriority,
+          |       percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice) AS p50,
+          |       approx_percentile(o_totalprice, 0.5, 100)
+          |         BETWEEN percentile_disc(0.44) WITHIN GROUP (ORDER BY o_totalprice)
+          |             AND percentile_disc(0.56) WITHIN GROUP (ORDER BY o_totalprice)
+          |         AS within_band
+          |FROM graft_orders_qb_v
+          |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+    },
+
     // max_by/min_by (⟺ DuckDB arg_max/arg_min): which-row aggregates.
     // The ordering key is a UNIQUE scalar (price-cents · 10¹¹ + order
     // key — exact in BIGINT) because both engines' arg extremes are
@@ -418,6 +438,12 @@ object AggQueries {
         |       quantile_disc(o_totalprice, 0.25) AS p25,
         |       quantile_disc(o_totalprice, 0.5)  AS p50,
         |       quantile_disc(o_totalprice, 0.75) AS p75
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_quantile_sketch_band" ->
+      """SELECT o_orderpriority,
+        |       quantile_disc(o_totalprice, 0.5) AS p50,
+        |       true AS within_band
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "q_arg_extrema" ->

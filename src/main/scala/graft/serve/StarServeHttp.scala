@@ -159,10 +159,15 @@ class StarServeHttp(serve: StarServe, bindPort: Int = 0, threads: Int = 4) {
     (200, "application/json", s"""{"swapped":$swapped}""")
   }
 
-  // Root catch-all: anything not matched above is 404 (createContext
-  // matches by longest prefix, so "/" catches the rest).
+  // Root: a minimal self-contained dashboard page over the endpoints
+  // above — the browser-facing analogue of the reference's Streamlit
+  // page (index selector `app.py:97-99`, date range `:101-103`, chart
+  // `:114-131`), no framework, no assets. Anything else under "/" is
+  // 404 (createContext matches by longest prefix).
   server.createContext("/", (ex: HttpExchange) => {
-    respond(ex, 404, "application/json", jsonErr("not found"))
+    if (ex.getRequestURI.getPath == "/")
+      respond(ex, 200, "text/html; charset=utf-8", StarServeHttp.IndexHtml)
+    else respond(ex, 404, "application/json", jsonErr("not found"))
   })
 
   def start(): StarServeHttp = { server.start(); this }
@@ -179,6 +184,53 @@ object StarServeHttp {
   /** Bind + start in one call; port 0 picks an ephemeral port. */
   def serve(s: StarServe, port: Int = 0): StarServeHttp =
     new StarServeHttp(s, port).start()
+
+  /** The "/" dashboard page: index selector + date range + inline-SVG
+    * chart, driven entirely by the JSON/SVG endpoints. Kept
+    * dependency-free and inline so the serving tier ships no asset
+    * pipeline. */
+  private[graft] val IndexHtml: String =
+    """<!doctype html>
+      |<html><head><meta charset="utf-8"><title>graft star dashboard</title>
+      |<style>
+      |body{font-family:sans-serif;margin:2rem;max-width:760px}
+      |label{margin-right:1rem}#err{color:#d62728;white-space:pre-wrap}
+      |</style></head>
+      |<body>
+      |<h1>Stock index dashboard</h1>
+      |<div>
+      | <label>Index <select id="idx"></select></label>
+      | <label>From <input id="from" type="date"></label>
+      | <label>To <input id="to" type="date"></label>
+      | <button id="go">Draw</button>
+      |</div>
+      |<div id="err"></div>
+      |<div id="chart"></div>
+      |<script>
+      |async function j(u){const r=await fetch(u);
+      | if(!r.ok)throw new Error((await r.json()).error||r.status);return r.json()}
+      |const el=id=>document.getElementById(id);
+      |async function draw(){el('err').textContent='';
+      | try{
+      |  const q='index='+encodeURIComponent(el('idx').value)+
+      |    '&start='+el('from').value+'&end='+el('to').value;
+      |  const r=await fetch('/chart?'+q);
+      |  if(!r.ok)throw new Error((await r.json()).error||r.status);
+      |  el('chart').innerHTML=await r.text();
+      | }catch(e){el('err').textContent=String(e)}}
+      |async function init(){
+      | try{
+      |  const idx=await j('/indexes');
+      |  for(const row of idx){const o=document.createElement('option');
+      |   o.value=row.IndexCode;o.textContent=row.IndexName||row.IndexCode;
+      |   el('idx').appendChild(o)}
+      |  const b=await j('/bounds');
+      |  el('from').value=b.start;el('to').value=b.end;
+      |  await draw();
+      | }catch(e){el('err').textContent=String(e)}}
+      |el('go').addEventListener('click',draw);init();
+      |</script></body></html>
+      |""".stripMargin
 
   /** JSON string escape incl. control characters — Spark exception
     * messages routinely span lines; a raw newline inside the string

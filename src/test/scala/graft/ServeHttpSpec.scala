@@ -53,6 +53,16 @@ class ServeHttpSpec extends AnyFunSuite {
     withServer { (http, _) =>
       assert(get(s"${http.url}/health").body().contains("\"ok\""))
 
+      // "/" serves the self-contained dashboard page wired to the
+      // JSON/SVG endpoints; only the exact root path matches
+      val page = get(s"${http.url}/")
+      assert(page.statusCode() == 200)
+      assert(page.headers().firstValue("Content-Type").get()
+        .startsWith("text/html"))
+      Seq("<select", "/indexes", "/bounds", "/chart").foreach(tok =>
+        assert(page.body().contains(tok), s"page missing $tok"))
+      assert(get(s"${http.url}/favicon.ico").statusCode() == 404)
+
       val idx = get(s"${http.url}/indexes")
       assert(idx.statusCode() == 200)
       assert(idx.headers().firstValue("Content-Type").get()
