@@ -117,6 +117,28 @@ object CorpusStatsQueries {
         .orderBy(col("doc_id"))
     },
 
+    // BPE-style merge-candidate counting: the top adjacent CHARACTER
+    // pairs across the corpus, weighted by word frequency — the first
+    // merge step of byte-pair-encoding vocab induction. The standard
+    // scale trick is structural here: pairs explode over the VOCAB
+    // (distinct words + counts, one hash agg away from the corpus),
+    // never over raw text — pair-count cost follows |vocab|·|word
+    // length|, not corpus tokens. Exact integer counts; ties break on
+    // the pair string.
+    "q_bpe_pairs" -> { (s, d) =>
+      val vocab = CorpusStats.tokens(
+          ExtendedQueries.docProfile(s, d), col("text"), col("doc_id"))
+        .filter(length(col("tok")) >= 2)
+        .groupBy(col("tok")).agg(count(lit(1)).as("wc"))
+      vocab
+        .select(col("wc"), explode(
+          transform(sequence(lit(1), length(col("tok")) - 1),
+            i => col("tok").substr(i, lit(2)))).as("pair"))
+        .groupBy(col("pair")).agg(sum(col("wc")).as("n"))
+        .orderBy(col("n").desc, col("pair"))
+        .limit(20)
+    },
+
     // Okapi BM25 retrieval as a DECLARED query: rank documents for a
     // fixed bag-of-words query over the shared (id, tok, c) counts.
     // The per-(doc, term) contribution is a pure row-local IEEE double
@@ -212,6 +234,16 @@ object CorpusStatsQueries {
         |SELECT tok, CAST(sum(c) AS BIGINT) AS tf, CAST(count(*) AS BIGINT) AS df
         |FROM pd GROUP BY tok
         |ORDER BY tf DESC, tok LIMIT 40""".stripMargin,
+
+    "q_bpe_pairs" ->
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+        |vocab AS (SELECT tok, CAST(count(*) AS BIGINT) AS wc
+        |          FROM tok WHERE len(tok) >= 2 GROUP BY tok),
+        |pairs AS (SELECT substring(tok, i, 2) AS pair, wc
+        |          FROM vocab, LATERAL (SELECT unnest(generate_series(1, len(tok) - 1)) AS i))
+        |SELECT pair, CAST(sum(wc) AS BIGINT) AS n
+        |FROM pairs GROUP BY pair
+        |ORDER BY n DESC, pair LIMIT 20""".stripMargin,
 
     // Mirrors bm25SearchFp's double chain operation-for-operation:
     // every float literal is CAST to DOUBLE (bare DuckDB numeric
