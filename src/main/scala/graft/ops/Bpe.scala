@@ -1,0 +1,119 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding vocabulary induction — the tokenizer-training
+  * member of the corpus-statistics family (`q_bpe_pairs` declares the
+  * single pair-count step; this op runs the full merge loop).
+  *
+  * Scale shape (the standard trick, structural here): everything
+  * operates on the VOCABULARY — distinct words with frequencies, one
+  * hash aggregate away from the corpus — never on raw text. Each
+  * merge round is one pair-count aggregate over |vocab| rows plus a
+  * row-local fold applying the merge; the collected state per round
+  * is ONE (pair, count) row (the model lifecycle, like IVF centroids).
+  * At 100 TB the corpus→vocab aggregate is the only corpus-sized job;
+  * the loop's cost is |vocab| × rounds, independent of corpus size.
+  *
+  * Determinism: the winning pair each round is the max count with
+  * lexicographic (a, b) tiebreak, and merge application is the
+  * classic greedy left-to-right fold — both partition-independent, so
+  * the learned merge table is reproducible on any cluster layout.
+  */
+object Bpe {
+
+  /** Adjacent symbol pairs of an ARRAY<STRING> column, as structs
+    * (a, b); empty for arrays under two symbols. Row-local. */
+  def symbolPairs(syms: Column): Column =
+    when(size(syms) >= 2,
+      transform(sequence(lit(1), size(syms) - 1),
+        i => struct(element_at(syms, i).as("a"),
+          element_at(syms, i + lit(1)).as("b"))))
+      .otherwise(array().cast("array<struct<a:string,b:string>>"))
+
+  /** One greedy left-to-right application of merge (a, b) over a
+    * symbol array: every adjacent (a, b) becomes the fused symbol
+    * a+b, non-overlapping, scanning left to right (the reference BPE
+    * behavior — "aaa" under (a,a) yields [aa, a]). Row-local HOF
+    * fold; O(|syms|) per row. */
+  def applyMerge(syms: Column, a: String, b: String): Column = {
+    val fused = a + b
+    aggregate(syms, array().cast("array<string>"), (acc, x) => {
+      val last = element_at(acc, size(acc))
+      when(size(acc) >= 1 && last === lit(a) && x === lit(b),
+        concat(slice(acc, lit(1), size(acc) - 1), array(lit(fused))))
+        .otherwise(concat(acc, array(x)))
+    })
+  }
+
+  /** Corpus → vocabulary: distinct words (≥2 chars contribute pairs,
+    * but 1-char words are kept — they still matter for coverage
+    * stats) with occurrence counts. The ONLY corpus-sized aggregate
+    * in the whole induction. */
+  def vocabulary(docs: DataFrame, textCol: Column): DataFrame =
+    docs.select(explode(split(textCol, " ")).as("tok"))
+      .filter(length(col("tok")) >= 1)
+      .groupBy(col("tok")).agg(count(lit(1)).as("wc"))
+
+  /** Learn `nMerges` BPE merges from a (tok, wc) vocabulary. Returns
+    * the ordered merge table — the MODEL (apply with [[encode]]).
+    * Stops early when no pair occurs at least `minCount` times.
+    *
+    * Each round: one pair-count aggregate (weighted by wc) over the
+    * current symbolized vocab, ONE collected row (the argmax pair),
+    * one row-local fold applying it. The vocab frame is cached per
+    * round and the previous round's cache dropped. */
+  def learn(vocab: DataFrame, nMerges: Int, minCount: Long = 2L):
+      Seq[(String, String)] = {
+    require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var cur = vocab.select(col("wc"), split(col("tok"), "").as("syms")).cache()
+    try {
+      var continue = true
+      while (continue && merges.length < nMerges) {
+        val top = cur
+          .select(col("wc"), explode(symbolPairs(col("syms"))).as("p"))
+          .groupBy(col("p")).agg(sum(col("wc")).as("n"))
+          .filter(col("n") >= minCount)
+          .orderBy(col("n").desc, col("p.a"), col("p.b"))
+          .limit(1)
+          .collect()
+        if (top.isEmpty) continue = false
+        else {
+          val p = top.head.getStruct(0)
+          val (a, b) = (p.getString(0), p.getString(1))
+          merges += ((a, b))
+          val next = cur
+            .withColumn("syms", applyMerge(col("syms"), a, b))
+            .cache()
+          next.count() // materialize before dropping the parent cache
+          cur.unpersist()
+          cur = next
+        }
+      }
+      merges.toSeq
+    } finally cur.unpersist()
+  }
+
+  /** Tokenize `textCol` with a learned merge table: per word, start
+    * from characters and apply the merges in learned order; output is
+    * the flattened ARRAY<STRING> of subword tokens. Row-local; cost
+    * O(words × merges × word length) — fine for the induction/eval
+    * loop this op serves (a production encoder would compile the
+    * table into a trie/priority-merge kernel; the MODEL is identical,
+    * which is the part that must be distributed-exact). */
+  def encode(textCol: Column, merges: Seq[(String, String)]): Column =
+    flatten(transform(
+      // empty words (leading/trailing/double spaces, empty text)
+      // contribute no symbols — split of "" would yield one "" token
+      filter(split(textCol, " "), w => length(w) >= 1), w => {
+        val chars = split(w, "")
+        merges.foldLeft(chars) { case (c, (a, b)) => applyMerge(c, a, b) }
+      }))
+
+  /** Convenience: induce a tokenizer straight from a corpus. */
+  def learnFromCorpus(spark: SparkSession, docs: DataFrame,
+      textCol: Column, nMerges: Int): Seq[(String, String)] =
+    learn(vocabulary(docs, textCol), nMerges)
+}
