@@ -107,6 +107,14 @@ object PipelineDemo {
       candidates = Some(cand.toDF("id1", "id2")))
     println(s"[demo] verified near-dups (jac>=0.8) = ${verified.filter(col("jac") >= 0.8).count()}")
 
+    // --- tokenizer induction over the corpus vocabulary ---
+    val merges = graft.ops.Bpe.learnFromCorpus(spark, docs, col("text"), nMerges = 6)
+    println(s"[demo] bpe merges = ${merges.map { case (a, b) => s"$a+$b" }.mkString(", ")}")
+    val sampleToks = docs.limit(1)
+      .select(graft.ops.Bpe.encode(col("text"), merges).as("t"))
+      .head.getSeq[String](0)
+    println(s"[demo] bpe-encoded doc 0 head = ${sampleToks.take(12).mkString("|")}")
+
     // --- similarity search ---
     val emb = queries.t(spark, sf, "embeddings")
     val q = emb.filter(col("vec_id") === 0)

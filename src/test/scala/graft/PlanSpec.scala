@@ -315,15 +315,19 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
-  test("rsi: two fused window passes over one hash exchange, pruned scan") {
-    // The 2-pass shape is the measured optimum (r4: the cumsum rewrite
-    // was NOT faster; a withColumn chain splits to 4 passes, 2×
-    // slower). Remaining cost is WindowExec's floor on the ordered
-    // series — gate the shape so a regression can't silently multiply
-    // passes or un-prune the scan.
+  test("rsi: three fused window passes over one hash exchange, pruned scan") {
+    // Shape history: r4 measured the cumsum rewrite as not-faster and
+    // pinned 2 passes; r8 adopted it anyway once re-measured ~equal at
+    // period=14 (0.86 -> 0.84 s) because sliding frames re-aggregate
+    // O(period) per row — the cum-minus-lag form is O(1)/row, so the
+    // cost no longer grows with the period. Three same-spec Window
+    // nodes (rn+diff, running sums, period-lags) share ONE sort and
+    // ONE exchange; a withColumn chain would split every function
+    // into its own pass. Gate the shape so a regression can't
+    // silently multiply passes or un-prune the scan.
     val p = plan(q("q_rsi"))
-    assert("\\bWindow\\b".r.findAllIn(p).length == 2,
-      s"expected exactly the 2 fused window passes:\n$p")
+    assert("\\bWindow\\b".r.findAllIn(p).length == 3,
+      s"expected exactly the 3 fused window passes:\n$p")
     val hashExchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
     assert(hashExchanges == 1, s"expected one partkey exchange:\n$p")
     val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
