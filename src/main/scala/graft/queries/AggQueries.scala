@@ -94,25 +94,16 @@ object AggQueries {
         .orderBy(asc_nulls_first("r_name"), asc_nulls_first("n_name"))
     },
 
-    // TWO-LEVEL cube: aggregate to the finest (flag, status) groups
-    // first — one ordinary partial+final pass — then cube the
-    // |groups|-sized result. A direct cube() Expands the FACT ×4
-    // (one copy per grouping set) before the partial aggregate; for
-    // additive aggregates the rollup of sums is exact (counts sum,
-    // DECIMAL sums re-sum losslessly), and the output multiset is
-    // identical — the outer cube keys its own grouping sets, so
-    // null-marker rows fall out exactly as from the single-level
-    // form. At 100 TB this is the difference between expanding the
-    // fact 4× and expanding 6 rows.
+    // Two-level cube (helper scaladoc has the additive-aggregate
+    // correctness argument): the Expand multiplies 6 pre-aggregated
+    // rows instead of the fact ×4.
     "q_cube" -> { (s, d) =>
-      t(s, d, "lineitem")
-        .groupBy(col("l_returnflag"), col("l_linestatus"))
-        .agg(count(lit(1)).as("__n"),
-          sum(col("l_quantity").cast(dec)).as("__q"))
-        .cube(col("l_returnflag"), col("l_linestatus"))
-        .agg(
-          sum(col("__n")).as("n"),
-          sum(col("__q")).cast("double").as("sum_qty"))
+      twoLevelCube(t(s, d, "lineitem"),
+          Seq(col("l_returnflag"), col("l_linestatus")))(
+          inner = Seq(count(lit(1)).as("__n"),
+            sum(col("l_quantity").cast(dec)).as("__q")),
+          outer = Seq(sum(col("__n")).as("n"),
+            sum(col("__q")).cast("double").as("sum_qty")))
         .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
     },
 

@@ -126,10 +126,11 @@ object CorpusStatsQueries {
     // length|, not corpus tokens. Exact integer counts; ties break on
     // the pair string.
     "q_bpe_pairs" -> { (s, d) =>
-      val vocab = CorpusStats.tokens(
-          ExtendedQueries.docProfile(s, d), col("text"), col("doc_id"))
+      // the op's own corpus→vocab aggregate (q_bpe_pairs declares
+      // Bpe's pair-count step — one builder, no drift)
+      val vocab = graft.ops.Bpe.vocabulary(
+          ExtendedQueries.docProfile(s, d), col("text"))
         .filter(length(col("tok")) >= 2)
-        .groupBy(col("tok")).agg(count(lit(1)).as("wc"))
       vocab
         .select(col("wc"), explode(
           transform(sequence(lit(1), length(col("tok")) - 1),

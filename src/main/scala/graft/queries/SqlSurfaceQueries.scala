@@ -268,17 +268,15 @@ object SqlSurfaceQueries {
         // key computed BELOW the cube: grouping(col) must reference a
         // grouping column verbatim, so an expression key needs a name
         .select(col("l_returnflag"), expr("nullif(l_tax, 0.0)").as("tax_key"))
-        // two-level cube (see q_cube): pre-aggregate to the finest
-        // groups so the ×4 Expand multiplies |groups|, not the fact.
-        // grouping() markers come from the OUTER cube and are
-        // identical; a real null in tax_key stays one detail group
-        // either way (the markers disambiguate it from subtotals).
-        .groupBy(col("l_returnflag"), col("tax_key"))
-        .agg(count(lit(1)).as("__n"))
-        .cube(col("l_returnflag"), col("tax_key"))
-        .agg(sum(col("__n")).as("n"),
-          grouping(col("l_returnflag")).cast("long").as("g_flag"),
-          grouping(col("tax_key")).cast("long").as("g_tax"))
+        // two-level cube (helper scaladoc): the ×4 Expand multiplies
+        // |groups|, not the fact; grouping() markers come from the
+        // OUTER cube and are identical.
+        .transform(df => twoLevelCube(df,
+          Seq(col("l_returnflag"), col("tax_key")))(
+          inner = Seq(count(lit(1)).as("__n")),
+          outer = Seq(sum(col("__n")).as("n"),
+            grouping(col("l_returnflag")).cast("long").as("g_flag"),
+            grouping(col("tax_key")).cast("long").as("g_tax"))))
         .orderBy(col("g_flag"), col("g_tax"),
           asc_nulls_first("l_returnflag"), asc_nulls_first("tax_key"))
     },

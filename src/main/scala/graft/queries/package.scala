@@ -84,4 +84,25 @@ package object queries {
   // conf check once per session, not once per table load
   private val sessionsConfigured =
     java.util.concurrent.ConcurrentHashMap.newKeySet[SparkSession]()
+
+  /** TWO-LEVEL cube: aggregate to the finest `keys` groups with
+    * `inner` (one ordinary partial+final pass), then cube the
+    * |groups|-sized result with `outer`. A direct `cube()` Expands
+    * the INPUT once per grouping set before the partial aggregate;
+    * here the Expand multiplies a handful of pre-aggregated rows.
+    *
+    * CORRECTNESS PRECONDITION (the reason this is one helper, not two
+    * inline copies): `outer` must re-aggregate `inner`'s outputs
+    * ADDITIVELY — counts become sums, sums re-sum (exact for integer
+    * and DECIMAL sums; NOT for float sums, medians, distinct counts).
+    * The output multiset is then identical to the single-level cube:
+    * the outer cube keys its own grouping sets, so null-marker rows
+    * and `grouping()` ids fall out exactly as from the direct form,
+    * and a real null in a key stays one detail group. */
+  private[queries] def twoLevelCube(df: DataFrame,
+      keys: Seq[org.apache.spark.sql.Column])(
+      inner: Seq[org.apache.spark.sql.Column],
+      outer: Seq[org.apache.spark.sql.Column]): DataFrame =
+    df.groupBy(keys: _*).agg(inner.head, inner.tail: _*)
+      .cube(keys: _*).agg(outer.head, outer.tail: _*)
 }

@@ -59,12 +59,19 @@ class StarServeHttp(serve: StarServe, bindPort: Int = 0, threads: Int = 4) {
   // ---- helpers ---------------------------------------------------------
 
   private def params(ex: HttpExchange): Map[String, String] = {
+    // undecodable percent-escapes are the CLIENT's fault → 400, not a
+    // server error (URLDecoder throws IllegalArgumentException)
+    def dec(s: String): String =
+      try URLDecoder.decode(s, "UTF-8")
+      catch {
+        case e: IllegalArgumentException =>
+          throw new BadRequest(s"bad percent-encoding: ${e.getMessage}")
+      }
     val q = Option(ex.getRequestURI.getRawQuery).getOrElse("")
     q.split("&").iterator.filter(_.nonEmpty).flatMap { kv =>
       kv.split("=", 2) match {
-        case Array(k, v) =>
-          Some(URLDecoder.decode(k, "UTF-8") -> URLDecoder.decode(v, "UTF-8"))
-        case Array(k) => Some(URLDecoder.decode(k, "UTF-8") -> "")
+        case Array(k, v) => Some(dec(k) -> dec(v))
+        case Array(k) => Some(dec(k) -> "")
         case _ => None
       }
     }.toMap
@@ -74,9 +81,15 @@ class StarServeHttp(serve: StarServe, bindPort: Int = 0, threads: Int = 4) {
       body: String): Unit = {
     val bytes = body.getBytes(StandardCharsets.UTF_8)
     ex.getResponseHeaders.set("Content-Type", contentType)
-    ex.sendResponseHeaders(status, bytes.length.toLong)
-    val os = ex.getResponseBody
-    try os.write(bytes) finally os.close()
+    // HEAD gets the same status + headers, no body (RFC 9110 §9.3.2)
+    if (ex.getRequestMethod == "HEAD") {
+      ex.sendResponseHeaders(status, -1L)
+      ex.getResponseBody.close()
+    } else {
+      ex.sendResponseHeaders(status, bytes.length.toLong)
+      val os = ex.getResponseBody
+      try os.write(bytes) finally os.close()
+    }
   }
 
   private def jsonArray(df: org.apache.spark.sql.DataFrame): String =
@@ -100,12 +113,19 @@ class StarServeHttp(serve: StarServe, bindPort: Int = 0, threads: Int = 4) {
       try {
         val p = params(ex)
         val missing = required.filterNot(p.contains)
+        // HEAD is answered wherever GET is (respond() omits the body)
+        val effective =
+          if (method == "GET" && ex.getRequestMethod == "HEAD") "HEAD"
+          else method
         if (ex.getRequestURI.getPath != path)
           respond(ex, 404, "application/json", jsonErr("not found"))
-        else if (ex.getRequestMethod != method)
+        else if (ex.getRequestMethod != effective) {
+          // RFC 9110 §15.5.6: 405 MUST carry Allow
+          ex.getResponseHeaders.set("Allow",
+            if (method == "GET") "GET, HEAD" else method)
           respond(ex, 405, "application/json",
             jsonErr(s"method ${ex.getRequestMethod} not allowed; use $method"))
-        else if (missing.nonEmpty)
+        } else if (missing.nonEmpty)
           respond(ex, 400, "application/json",
             jsonErr(s"missing parameter(s): ${missing.mkString(", ")}"))
         else {
@@ -170,7 +190,18 @@ class StarServeHttp(serve: StarServe, bindPort: Int = 0, threads: Int = 4) {
     else respond(ex, 404, "application/json", jsonErr("not found"))
   })
 
-  def start(): StarServeHttp = { server.start(); this }
+  def start(): StarServeHttp = {
+    // the JDK HttpServer spawns its HTTP-Dispatcher from the thread
+    // calling start(), inheriting daemon status — start from a daemon
+    // thread so an embedder that returns from main() without stop()
+    // doesn't hang the JVM (with a non-daemon dispatcher it does;
+    // observed empirically)
+    val starter = new Thread(() => server.start(), "star-serve-http-start")
+    starter.setDaemon(true)
+    starter.start()
+    starter.join()
+    this
+  }
 
   /** Stop accepting, drain in-flight exchanges (≤`graceSeconds`), shut
     * the pool down. Idempotent. */

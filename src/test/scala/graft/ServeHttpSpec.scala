@@ -122,8 +122,33 @@ class ServeHttpSpec extends AnyFunSuite {
       assert(graft.serve.StarServeHttp.jsonEsc("a\"b\nc\td\u0001\\e") ==
         "a\\\"b\\nc\\td\\u0001\\\\e")
 
+      // undecodable percent-escapes are the client's fault -> 400
+      // (the JDK HttpClient refuses to even send such a URI, so the
+      // probe goes over a raw socket)
+      val raw = {
+        val sock = new java.net.Socket("127.0.0.1", http.port)
+        try {
+          sock.getOutputStream.write(
+            ("GET /latest?index=%zz HTTP/1.1\r\nHost: 127.0.0.1\r\n" +
+              "Connection: close\r\n\r\n").getBytes)
+          sock.getOutputStream.flush()
+          new String(sock.getInputStream.readAllBytes())
+        } finally sock.close()
+      }
+      assert(raw.startsWith("HTTP/1.1 400"), raw.take(200))
+
+      // HEAD is answered wherever GET is: status + headers, no body
+      val head = client.send(
+        HttpRequest.newBuilder(URI.create(s"${http.url}/health"))
+          .method("HEAD", HttpRequest.BodyPublishers.noBody()).build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(head.statusCode() == 200 && head.body().isEmpty)
+
       // /refresh mutates (snapshot swap) -> POST-only; GET is 405
-      assert(get(s"${http.url}/refresh").statusCode() == 405)
+      // with the RFC-required Allow header
+      val notAllowed = get(s"${http.url}/refresh")
+      assert(notAllowed.statusCode() == 405)
+      assert(notAllowed.headers().firstValue("Allow").get() == "POST")
       val post = client.send(
         HttpRequest.newBuilder(URI.create(s"${http.url}/refresh"))
           .POST(HttpRequest.BodyPublishers.noBody()).build(),
