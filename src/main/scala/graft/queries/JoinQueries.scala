@@ -71,6 +71,25 @@ object JoinQueries {
         .orderBy(col("c_custkey"))
     },
 
+    // Full outer: reconcile two independently-aggregated activity
+    // views whose key domains only partially overlap (event users vs
+    // a custkey subset) — unmatched rows survive on BOTH sides. Both
+    // inputs are pre-aggregated, so the outer join's exchanges carry
+    // |groups|, never raw rows (the same discipline as the set ops);
+    // full outer cannot broadcast, so this is the one declared join
+    // that MUST shuffle both sides — by design.
+    "q_join_full_outer" -> { (s, d) =>
+      val a = t(s, d, "events")
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n_events"))
+      val b = t(s, d, "orders")
+        .filter(col("o_custkey") % 3 === 0)
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"))
+      a.join(b, a("user_id") === b("o_custkey"), "full_outer")
+        .select(coalesce(col("user_id"), col("o_custkey")).as("id"),
+          col("n_events"), col("n_orders"))
+        .orderBy(col("id"))
+    },
+
     // Anti join: customers with no high-value order (NOT EXISTS).
     "q_join_anti" -> { (s, d) =>
       val c = t(s, d, "customer")
@@ -165,6 +184,15 @@ object JoinQueries {
   )
 
   val sql: Map[String, String] = Map(
+    "q_join_full_outer" ->
+      """WITH a AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+        |           FROM events GROUP BY user_id),
+        |b AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders
+        |      FROM orders WHERE o_custkey % 3 = 0 GROUP BY o_custkey)
+        |SELECT coalesce(user_id, o_custkey) AS id, n_events, n_orders
+        |FROM a FULL OUTER JOIN b ON user_id = o_custkey
+        |ORDER BY id""".stripMargin,
+
     "q_join_inner_equi" ->
       """SELECT o.o_orderkey, c.c_custkey, c.c_name, c.c_mktsegment, o.o_totalprice
         |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
