@@ -102,6 +102,22 @@ object WindowQueries {
         .orderBy(col("o_orderkey"))
     },
 
+    // rank vs dense_rank under TIES (order years within a priority —
+    // every year is a tie class): both are deterministic on a
+    // duplicated ordering key because tie members share the value, so
+    // the distinct (priority, year, rk, drk) projection is exact.
+    "q_window_dense_rank" -> { (s, d) =>
+      val w = Window.partitionBy(col("o_orderpriority")).orderBy(col("yr"))
+      t(s, d, "orders")
+        .select(col("o_orderpriority"),
+          year(col("o_orderdate")).cast("long").as("yr"))
+        .select(col("o_orderpriority"), col("yr"),
+          rank().over(w).cast("long").as("rk"),
+          dense_rank().over(w).cast("long").as("drk"))
+        .distinct()
+        .orderBy(col("o_orderpriority"), col("yr"))
+    },
+
     // 30-minute-gap sessionization: lag-gap flag → running sum =
     // session index, then per-session aggregates. Integer microsecond
     // arithmetic on both engines — no float anywhere.
@@ -123,6 +139,16 @@ object WindowQueries {
   )
 
   val sql: Map[String, String] = Map(
+    "q_window_dense_rank" ->
+      """SELECT DISTINCT o_orderpriority,
+        |       CAST(year(o_orderdate) AS BIGINT) AS yr,
+        |       CAST(rank() OVER (PARTITION BY o_orderpriority
+        |                         ORDER BY year(o_orderdate)) AS BIGINT) AS rk,
+        |       CAST(dense_rank() OVER (PARTITION BY o_orderpriority
+        |                               ORDER BY year(o_orderdate)) AS BIGINT) AS drk
+        |FROM orders
+        |ORDER BY o_orderpriority, yr""".stripMargin,
+
     "q_window_lag_return" ->
       """SELECT l_partkey, l_orderkey, l_linenumber,
         |       l_extendedprice / lag(l_extendedprice) OVER
