@@ -62,13 +62,22 @@ object Bpe {
     *
     * Each round: one pair-count aggregate (weighted by wc) over the
     * current symbolized vocab, ONE collected row (the argmax pair),
-    * one row-local fold applying it. The vocab frame is cached per
-    * round and the previous round's cache dropped. */
+    * one row-local fold applying it; lineage is checkpoint-truncated
+    * per round (see the loop comment). */
   def learn(vocab: DataFrame, nMerges: Int, minCount: Long = 2L):
       Seq[(String, String)] = {
     require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
-    var cur = vocab.select(col("wc"), split(col("tok"), "").as("syms")).cache()
+    // Like the connected-components loop (Dedup.duplicateGroups), each
+    // round LOCALCHECKPOINTS the symbolized vocab: a cache() keeps the
+    // full upstream lineage in the plan, and nested per-round caches
+    // re-print that lineage inside every explain/AQE plan update —
+    // observed to OOM the driver on plan STRINGS alone when the vocab
+    // came out of a deep cleaning chain. The checkpoint truncates
+    // lineage to the |vocab|-sized RDD; each round's blocks are freed
+    // once the next round materializes.
+    var cur = vocab.select(col("wc"), split(col("tok"), "").as("syms"))
+      .localCheckpoint() // eager
     try {
       var continue = true
       while (continue && merges.length < nMerges) {
@@ -86,14 +95,13 @@ object Bpe {
           merges += ((a, b))
           val next = cur
             .withColumn("syms", applyMerge(col("syms"), a, b))
-            .cache()
-          next.count() // materialize before dropping the parent cache
-          cur.unpersist()
+            .localCheckpoint() // eager: materialized before prev is freed
+          Dedup.freeCheckpointBlocks(cur)
           cur = next
         }
       }
       merges.toSeq
-    } finally cur.unpersist()
+    } finally Dedup.freeCheckpointBlocks(cur)
   }
 
   /** Tokenize `textCol` with a learned merge table: per word, start

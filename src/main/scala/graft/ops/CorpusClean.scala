@@ -149,10 +149,15 @@ object CorpusClean {
 
     // final stage (optional): boilerplate scrub over the survivors —
     // rewrites the text column in place, schema unchanged. The
-    // survivor frame feeds the span detection twice (spread count +
-    // island join), so callers enabling this on expensive upstream
-    // chains should persist `finalKept` themselves if they also
-    // consume the stats.
+    // survivor frame feeds span detection twice (spread count +
+    // island join) and scrubSpans twice more (docs + span side), so
+    // the pipeline PERSISTS it before scrubbing: without the pin the
+    // full upstream chain (near-dedup candidate join × jaccard ×
+    // decontamination) is duplicated 4× in every downstream physical
+    // plan — observed to blow planning (AQE's explainString alone
+    // OOM'd) once an eval corpus made the chain deep enough.
+    val scrubBase =
+      if (cfg.scrubBoilerplate) finalKept.cache() else finalKept
     val scrubbed =
       if (!cfg.scrubBoilerplate) finalKept
       else {
@@ -160,18 +165,21 @@ object CorpusClean {
         // frame — works for plain and frame-bound columns alike; a
         // derived expression would produce a name that is not a real
         // column of the frame, which the require below rejects
-        val name = finalKept.select(textCol).columns.head
-        require(finalKept.columns.contains(name),
+        val name = scrubBase.select(textCol).columns.head
+        require(scrubBase.columns.contains(name),
           s"scrubBoilerplate requires a plain text column, got $name")
-        SubstrDedup.stripRepeatedSpans(finalKept, textCol, idCol,
+        SubstrDedup.stripRepeatedSpans(scrubBase, textCol, idCol,
             cfg.boilerplateWindow, cfg.boilerplateMinDocs)
           .withColumn(name, col("text_clean")).drop("text_clean")
       }
 
     Cleaned(scrubbed,
       () => stageCounts(docs, textCol, cfg, exactKept, nearKept,
-        if (evalCorpus.isDefined) Some(finalKept) else None),
-      () => { bands.unpersist(); sh.unpersist(); exactKept.unpersist() })
+        if (evalCorpus.isDefined) Some(scrubBase) else None),
+      () => {
+        bands.unpersist(); sh.unpersist(); exactKept.unpersist()
+        if (cfg.scrubBoilerplate) scrubBase.unpersist()
+      })
   }
 
   /** A plain attribute Column re-expressed as an unresolved name, so
