@@ -76,11 +76,11 @@ object CorpusClean {
   /** Result: cleaned docs (original schema) + per-stage counts
     * (stage, docs_in, docs_out). `stageStats` is a thunk: the counting
     * jobs run only when invoked — callers that only want the cleaned
-    * corpus never pay for them. `release()` drops the three frames the
-    * pipeline persists internally (exact-dedup survivors, their
-    * shingles, and the LSH band table, each consumed by multiple
-    * downstream branches); call it when done with BOTH the cleaned
-    * corpus and the stats. */
+    * corpus never pay for them. `release()` drops every frame the
+    * pipeline persists internally: exact-dedup survivors, their
+    * shingles, the LSH band table, and (with `scrubBoilerplate`) the
+    * pre-scrub survivor frame; call it when done with BOTH the
+    * cleaned corpus and the stats. */
   case class Cleaned(docs: DataFrame, stageStats: () => DataFrame,
       release: () => Unit)
 
@@ -156,18 +156,23 @@ object CorpusClean {
     // decontamination) is duplicated 4× in every downstream physical
     // plan — observed to blow planning (AQE's explainString alone
     // OOM'd) once an eval corpus made the chain deep enough.
+    // validate BEFORE registering the cache: a require failure throws
+    // out of clean() with no reachable release(), so nothing may be
+    // newly pinned on that path
+    if (cfg.scrubBoilerplate) {
+      val name = finalKept.select(textCol).columns.head
+      require(finalKept.columns.contains(name),
+        s"scrubBoilerplate requires a plain text column, got $name")
+    }
     val scrubBase =
       if (cfg.scrubBoilerplate) finalKept.cache() else finalKept
     val scrubbed =
       if (!cfg.scrubBoilerplate) finalKept
       else {
         // resolve the text column's OUTPUT name against the survivor
-        // frame — works for plain and frame-bound columns alike; a
-        // derived expression would produce a name that is not a real
-        // column of the frame, which the require below rejects
+        // frame — works for plain and frame-bound columns alike (a
+        // derived expression was rejected by the require above)
         val name = scrubBase.select(textCol).columns.head
-        require(scrubBase.columns.contains(name),
-          s"scrubBoilerplate requires a plain text column, got $name")
         SubstrDedup.stripRepeatedSpans(scrubBase, textCol, idCol,
             cfg.boilerplateWindow, cfg.boilerplateMinDocs)
           .withColumn(name, col("text_clean")).drop("text_clean")

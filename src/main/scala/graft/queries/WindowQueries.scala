@@ -11,6 +11,11 @@ import org.apache.spark.sql.types.DecimalType
   *
   * Every window ORDER BY includes a unique tiebreaker (SURVEY §7.3 rule
   * 7) — ties would make lag/rank nondeterministic on both engines.
+  * Deliberate exception: q_window_dense_rank orders by a TIED key —
+  * rank/dense_rank assign tie members the same value (deterministic
+  * without a tiebreaker), and the distinct projection is the point of
+  * that query; don't "fix" it with a tiebreaker, which would change
+  * rank semantics and collapse the rank-vs-dense_rank contrast.
   */
 object WindowQueries {
 

@@ -48,12 +48,11 @@ class TrainPipelineSpec extends AnyFunSuite {
       val nKept = kept.count()
       assert(nKept == stages.last.getAs[Long]("docs_out"))
       assert(nKept > 0 && nKept < total, s"kept $nKept of $total")
-      // eval twins are gone from the survivors (renamed eval side:
-      // both frames descend from `docs`, so frame-bound columns would
-      // trip the ambiguous-self-join check)
-      val evalTexts = eval.select(col("text").as("__eval_text"))
-      assert(kept.join(evalTexts, col("text") === col("__eval_text"))
-        .count() == 0, "decontamination must drop exact eval twins")
+      // eval twins are gone from the survivors — assert on doc_id,
+      // not text: the scrub stage rewrites text afterwards, so a text
+      // join could false-pass on a scrub-modified escaped twin
+      assert(kept.filter(col("doc_id") % 10 === 0).count() == 0,
+        "decontamination must drop exact eval twins")
 
       // tokenizer induced on the CLEANED corpus (scrub rewrote `text`
       // in place — schema unchanged); every survivor tokenizes to >0
@@ -64,13 +63,17 @@ class TrainPipelineSpec extends AnyFunSuite {
         size(Bpe.encode(col("text"), merges)).cast("long").as("n_tok"))
       assert(toks.filter(col("n_tok") <= 0).count() == 0)
 
-      // deterministic content split: total, disjoint by construction
+      // deterministic content split: rows AND tokens total across
+      // splits (disjoint by construction)
+      val totalToks = toks.agg(sum(col("n_tok"))).head.getLong(0)
       val labeled = toks.withColumn("split",
         TrainPrep.splitLabel(col("doc_id"), valCut = "1", testCut = "3"))
       val bySplit = labeled.groupBy(col("split")).agg(
           sum(col("n_tok")).as("t"), count(lit(1)).as("n"))
-        .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
-      assert(bySplit.values.sum == nKept, s"split lost rows: $bySplit")
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(bySplit.values.map(_._2).sum == nKept, s"split lost rows: $bySplit")
+      assert(bySplit.values.map(_._1).sum == totalToks,
+        s"split lost tokens: $bySplit vs $totalToks")
 
       // pack the train split into 4 shards at a 64-token budget;
       // verify bin assignment against a scalar reference fold
