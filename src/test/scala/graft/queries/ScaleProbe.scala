@@ -111,9 +111,18 @@ object ScaleProbe {
   // ---------------------------------------------------------------
   private def riskMain(spark: SparkSession): Unit = {
     import graft.ops.{Dedup, Similarity, SubstrDedup}
-    for (n <- Seq(4, 16, 32)) buildSubset(spark, n)
+    // SPARK_GRAFT_RISK_SCALES=4,16,32 (default) overrides the copy
+    // multipliers; SPARK_GRAFT_RISK_ONLY=substr,minhash filters the
+    // probes by substring — a x64 one-off need not rerun everything
+    val scales: Seq[Int] = sys.env.get("SPARK_GRAFT_RISK_SCALES")
+      .map(_.split(",").map(_.trim.toInt).toSeq).getOrElse(Seq(4, 16, 32))
+    val only: Option[Seq[String]] = sys.env.get("SPARK_GRAFT_RISK_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    def wanted(name: String): Boolean =
+      only.forall(_.exists(name.contains))
+    for (n <- scales) buildSubset(spark, n)
     val dirs: Seq[(Int, String)] =
-      Seq(1 -> Base) ++ Seq(4, 16, 32).map(n => n -> s"$Work/rx$n")
+      Seq(1 -> Base) ++ scales.map(n => n -> s"$Work/rx$n")
 
     def docs(d: String) = spark.read.parquet(s"$d/documents.parquet")
       .select("doc_id", "text")
@@ -196,8 +205,9 @@ object ScaleProbe {
         (d: String) => graft.SparkEntry.queries("q_sessionize")(spark, d),
         (d: String) => "", 3))
 
-    println(f"${"probe"}%-20s ${"x1"}%8s ${"x4"}%8s ${"x16"}%8s ${"x32"}%8s  x32/x1   shMB x1/x4/x16/x32")
-    for ((name, mk, statFn, nRuns) <- probes) {
+    val hdr = dirs.map { case (n, _) => f"x$n%7s " }.mkString
+    println(f"${"probe"}%-20s $hdr xMAX/x1   shMB per scale")
+    for ((name, mk, statFn, nRuns) <- probes if wanted(name)) {
       val res = dirs.map { case (_, d) =>
         graft.queries.ExtendedQueries.releaseCaches(spark, d)
         if (nRuns == 1) {
@@ -219,7 +229,8 @@ object ScaleProbe {
         }
       }
       val t = res.map(_._1); val s = res.map(_._2 / 1e6)
-      println(f"$name%-20s ${t(0)}%8.2f ${t(1)}%8.2f ${t(2)}%8.2f ${t(3)}%8.2f  ${t(3)/t(0)}%6.2f   ${s(0)}%.1f/${s(1)}%.1f/${s(2)}%.1f/${s(3)}%.1f")
+      val ts = t.map(v => f"$v%7.2f ").mkString
+      println(f"$name%-20s $ts  ${t.last / t.head}%6.2f   ${s.map(v => f"$v%.1f").mkString("/")}")
       for (((n, _), (_, _, st)) <- dirs.zip(res) if st.nonEmpty)
         println(f"  x$n%-4s $st")
     }
@@ -229,6 +240,7 @@ object ScaleProbe {
     // fixed k; at 100 TB you grow k with the corpus to keep lists
     // flat, which this fixed-k curve makes visible rather than hides).
     // The 64-query batch is FIXED from the base table at every scale.
+    if (!wanted("risk_ivf_probe")) return
     val queries64 = spark.read.parquet(s"$Base/embeddings.parquet")
       .orderBy(col("vec_id")).limit(64)
       .select(col("vec_id"), col("embedding")).cache()
