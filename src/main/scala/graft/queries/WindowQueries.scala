@@ -11,11 +11,12 @@ import org.apache.spark.sql.types.DecimalType
   *
   * Every window ORDER BY includes a unique tiebreaker (SURVEY §7.3 rule
   * 7) — ties would make lag/rank nondeterministic on both engines.
-  * Deliberate exception: q_window_dense_rank orders by a TIED key —
-  * rank/dense_rank assign tie members the same value (deterministic
-  * without a tiebreaker), and the distinct projection is the point of
-  * that query; don't "fix" it with a tiebreaker, which would change
-  * rank semantics and collapse the rank-vs-dense_rank contrast.
+  * q_window_dense_rank DEMONSTRATES tied-key rank semantics while
+  * still honoring the rule: it pre-aggregates to (priority, year)
+  * groups — unique within the window partition — and derives rank as
+  * 1 + cumulative prior-class counts; its ORACLE is the raw-row
+  * rank()/dense_rank() over the tied key (tie members share the
+  * value, so that side is deterministic too).
   */
 object WindowQueries {
 
@@ -108,18 +109,24 @@ object WindowQueries {
     },
 
     // rank vs dense_rank under TIES (order years within a priority —
-    // every year is a tie class): both are deterministic on a
-    // duplicated ordering key because tie members share the value, so
-    // the distinct (priority, year, rk, drk) projection is exact.
+    // every year is a tie class). Computed BELOW the window: rank of
+    // a tie class over raw rows is 1 + the count of rows in PRIOR
+    // classes, and dense_rank is the class's ordinal — both exact
+    // over the (priority, year, n) aggregate, so the window runs over
+    // |distinct pairs| (~35 rows), never the fact (the oracle spells
+    // the same semantics as raw-row rank()/dense_rank() + DISTINCT).
     "q_window_dense_rank" -> { (s, d) =>
       val w = Window.partitionBy(col("o_orderpriority")).orderBy(col("yr"))
       t(s, d, "orders")
         .select(col("o_orderpriority"),
           year(col("o_orderdate")).cast("long").as("yr"))
+        .groupBy(col("o_orderpriority"), col("yr"))
+        .agg(count(lit(1)).as("__n"))
         .select(col("o_orderpriority"), col("yr"),
-          rank().over(w).cast("long").as("rk"),
-          dense_rank().over(w).cast("long").as("drk"))
-        .distinct()
+          (coalesce(sum(col("__n")).over(
+            w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)) + 1L)
+            .as("rk"),
+          row_number().over(w).cast("long").as("drk"))
         .orderBy(col("o_orderpriority"), col("yr"))
     },
 
