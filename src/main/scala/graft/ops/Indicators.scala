@@ -44,9 +44,21 @@ object Indicators {
     * pair (both sums < 2^53 ⇒ their doubles are exact).
     *
     * `orderCols` must form a total order within a key (unique
-    * tiebreakers included) or ranks are non-deterministic. */
+    * tiebreakers included) or ranks are non-deterministic.
+    *
+    * `completeOnly = true` keeps only the rows where the indicator is
+    * defined (a full `period`-diff window exists and the window moved)
+    * and makes `rsi` non-nullable. Beyond convenience it is the fast
+    * path: the generic nullable form makes a downstream
+    * `rsi.isNotNull` filter inline the WHOLE CASE — including the
+    * BigDecimal-allocating round() — and evaluate it once per INPUT
+    * row in the pushed-down Filter and again in the output projection
+    * (observed in the physical plan, ~2× the rounding cost). With
+    * `completeOnly` the filter is two native-long comparisons and
+    * round() runs exactly once, over survivors only. */
   def rsi(df: DataFrame, key: Column, orderCols: Seq[Column],
-      price: Column, period: Int = 14): DataFrame = {
+      price: Column, period: Int = 14,
+      completeOnly: Boolean = false): DataFrame = {
     // same reserved-name discipline as TrainPrep.packBins: withColumn
     // silently OVERWRITES same-named inputs, so fail loudly instead
     val reserved = Seq("rn", "rsi", "__p", "__d", "__cg", "__cl",
@@ -55,49 +67,65 @@ object Indicators {
     require(clash.isEmpty,
       s"input already has column(s) $clash reserved by rsi()")
     val w = Window.partitionBy(key).orderBy(orderCols: _*)
-    val running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    // exact integer units BEFORE the window: DECIMAL → long via a pure
-    // scale shift (scale 4 covers any DECIMAL(p,≤4) price; the cast is
-    // exact), so the lag + diff run native-long in WindowExec instead
-    // of per-row BigDecimal — identical values, (a-b)·10⁴ ≡ a·10⁴-b·10⁴
-    // exactly for scale-≤4 decimals. Materialized as __p BEFORE the
-    // window: writing the expression inline in `p - lag(p).over(w)`
-    // CSEs the window ARGUMENT but re-evaluates the full decimal chain
-    // in the post-window projection for the subtraction's left side
-    // (observed in the physical plan) — a named column evaluates it
-    // once per row.
-    val p = (price.cast("decimal(22,4)") * lit(10000)).cast("long")
-    // The trailing `period`-row sums are CUMULATIVE sums minus their
-    // `period`-lag, NOT sliding frames: Spark has no aggregate
-    // retraction, so a ROWS (-13, 0) frame re-aggregates the whole
-    // buffer on every row — O(period) per row; the running frame and
-    // the offset lookup are O(1) per row. (At period=14 / sf0.1 the
-    // end-to-end win is small — the query is scan- and final-sort-
-    // dominated — but the frame cost no longer grows with the
-    // period.) Exact: the sums
-    // are integers, so cum(rn) − cum(rn−period) is the frame sum with
-    // no cancellation error — the reformulation would be UNSAFE for
-    // floats. Three same-spec Window nodes share one sort/exchange;
-    // same-spec expressions are emitted per select() so each node
-    // carries all its functions in one pass (a withColumn chain would
-    // split them into one pass each).
-    df.withColumn("__p", p)
+    // Exact integer sub-units BEFORE the window, via pure DOUBLE
+    // arithmetic: floor(double(price)·10⁴ + 0.5). For any price of
+    // decimal scale ≤ 4 with |price|·10⁴ < 2⁵¹ (i.e. any realistic
+    // money column) this recovers price·10⁴ EXACTLY — double(price) is
+    // the correctly-rounded double (relative error 2⁻⁵³), so after
+    // ×10⁴ the absolute error is ≪ 0.5 and floor(x+0.5) lands on the
+    // true integer for either sign. The arithmetically-equivalent
+    // decimal chain `cast(decimal(22,4)) * 10000 → long` costs ~0.3 s
+    // per 600 k rows (precision 22 > 18 forces BigDecimal-backed
+    // Decimals, one allocation per row); the double path is three
+    // codegen'd native ops. Materialized as __p BEFORE the window:
+    // writing the expression inline in `p - lag(p).over(w)` CSEs the
+    // window ARGUMENT but re-evaluates the chain in the post-window
+    // projection for the subtraction's left side (observed in the
+    // physical plan) — a named column evaluates it once per row.
+    val p = floor(price.cast("double") * lit(10000.0) + lit(0.5)).cast("long")
+    // The trailing `period`-row gain/loss sums: period-adaptive frame
+    // strategy. Spark has no aggregate retraction, so a sliding ROWS
+    // (-(period-1), 0) frame re-aggregates its buffer on every row —
+    // O(period)/row — while the cumulative-minus-period-lag form is
+    // O(1)/row but costs a THIRD window pass (the lag of a window
+    // result needs its own node). Measured at sf0.1: each extra
+    // WindowExec pass costs more than 2×period long-adds, so small
+    // periods (≤ 32: ≤ 64 adds/row) take the 2-pass sliding form and
+    // large periods the 3-pass O(1) form — the frame cost never grows
+    // past ~64 adds/row either way. Exact under both: the sums are
+    // integers (cum(rn) − cum(rn−period) has no cancellation error —
+    // the reformulation would be UNSAFE for floats). Same-spec Window
+    // nodes share ONE sort/exchange; same-spec expressions are emitted
+    // per select() so each node carries all its functions in one pass
+    // (a withColumn chain would split them into one pass each).
+    val p1 = df.withColumn("__p", p)
       .select(col("*"),
         row_number().over(w).cast("long").as("rn"),
         (col("__p") - lag(col("__p"), 1).over(w)).as("__d"))
-      .select(col("*"),
-        sum(greatest(col("__d"), lit(0L))).over(running).as("__cg"),
-        sum(greatest(-col("__d"), lit(0L))).over(running).as("__cl"))
-      .select(col("*"),
-        (col("__cg") - coalesce(lag(col("__cg"), period).over(w), lit(0L)))
-          .as("__sg"),
-        (col("__cl") - coalesce(lag(col("__cl"), period).over(w), lit(0L)))
-          .as("__sl"))
-      .withColumn("rsi",
-        when(col("rn") >= period + 1 && (col("__sg") + col("__sl")) > 0,
-          round(lit(100.0) * col("__sg").cast("double") /
-            (col("__sg") + col("__sl")).cast("double"), 4)))
-      .drop("__p", "__d", "__cg", "__cl", "__sg", "__sl")
+    val withSums =
+      if (period <= 32) {
+        val sliding = w.rowsBetween(-(period - 1), 0)
+        p1.select(col("*"),
+          sum(greatest(col("__d"), lit(0L))).over(sliding).as("__sg"),
+          sum(greatest(-col("__d"), lit(0L))).over(sliding).as("__sl"))
+      } else {
+        val running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        p1.select(col("*"),
+            sum(greatest(col("__d"), lit(0L))).over(running).as("__cg"),
+            sum(greatest(-col("__d"), lit(0L))).over(running).as("__cl"))
+          .select(col("*"),
+            (col("__cg") - coalesce(lag(col("__cg"), period).over(w), lit(0L)))
+              .as("__sg"),
+            (col("__cl") - coalesce(lag(col("__cl"), period).over(w), lit(0L)))
+              .as("__sl"))
+      }
+    val defined = col("rn") >= period + 1 && (col("__sg") + col("__sl")) > 0
+    val ratio = round(lit(100.0) * col("__sg").cast("double") /
+      (col("__sg") + col("__sl")).cast("double"), 4)
+    val out =
+      if (completeOnly) withSums.filter(defined).withColumn("rsi", ratio)
+      else withSums.withColumn("rsi", when(defined, ratio))
+    out.drop("__p", "__d", "__cg", "__cl", "__sg", "__sl")
   }
 
   /** Maximum drawdown per series key: the most negative
@@ -120,8 +148,10 @@ object Indicators {
       "input already has column __dd reserved by maxDrawdown()")
     val w = Window.partitionBy(key).orderBy(orderCols: _*)
       .rowsBetween(Window.unboundedPreceding, 0)
-    // scale 4 covers any DECIMAL(p,≤4) price; the cast chain is exact
-    val p = (price.cast("decimal(22,4)") * lit(10000)).cast("long")
+    // same exact double-path sub-unit encoding as [[rsi]] (scale ≤ 4,
+    // |price|·10⁴ < 2⁵¹): three codegen'd native ops instead of a
+    // BigDecimal-backed decimal chain — identical integers
+    val p = floor(price.cast("double") * lit(10000.0) + lit(0.5)).cast("long")
     val dd = p.cast("double") / max(p).over(w).cast("double") - lit(1.0)
     df.withColumn("__dd", dd)
       .groupBy(key.as("key"))

@@ -10,23 +10,36 @@ import org.apache.spark.sql.functions._
   *
   * Series definition shared by both queries (and their oracles):
   * lineitem rows per `l_partkey`, ordered by the unique total order
-  * (l_shipdate, l_orderkey, l_linenumber), price =
-  * `l_extendedprice` cast to exact DECIMAL(18,2). All windowed sums /
-  * maxima stay DECIMAL (partition-order independent); one double
-  * division per indicator at the end (IEEE-identical cross-engine).
+  * (l_shipdate, l_orderkey, l_linenumber). Prices enter the windowed
+  * arithmetic as exact INTEGER sub-units `floor(price·10⁴ + 0.5)` —
+  * three IEEE-identical double ops mirrored VERBATIM in the oracle
+  * SQL, exact for any price of decimal scale ≤ 4 below 2⁵¹ (the money
+  * precondition Indicators documents; l_extendedprice is 2-dp). All
+  * windowed sums / maxima run native-long (partition-order
+  * independent); one double division per indicator at the end
+  * (IEEE-identical cross-engine). r9 note: the earlier
+  * DECIMAL(18,2)-cast formulation computed the same integers but paid
+  * a BigDecimal allocation per row on the Spark side (~0.13 s of the
+  * query at sf0.1) — the floor form is the same contract without the
+  * allocation, and the oracle now spells the identical expression
+  * instead of a decimal chain that merely evaluates equal.
   * Both plans are a single hash exchange on l_partkey.
   */
 object IndicatorQueries {
 
   val queries: Map[String, QFn] = Map(
-    // Cutler's RSI-14 per part series: non-null once 14 diffs exist.
+    // Cutler's RSI-14 per part series: rows where 14 diffs exist.
+    // completeOnly = the defined-rows filter runs as two native-long
+    // comparisons BEFORE the round projection (a rsi.isNotNull filter
+    // would inline the whole CASE incl. round() per input row — see
+    // Indicators.rsi scaladoc).
     "q_rsi" -> { (s, d) =>
       graft.ops.Indicators.rsi(
           t(s, d, "lineitem"),
           col("l_partkey"),
           Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber")),
-          col("l_extendedprice").cast("decimal(18,2)"), period = 14)
-        .filter(col("rsi").isNotNull)
+          col("l_extendedprice"), period = 14,
+          completeOnly = true)
         .select(col("l_partkey"), col("l_orderkey"), col("l_linenumber"),
           col("rn"), col("rsi"))
         .orderBy(col("l_partkey"), col("rn"))
@@ -39,7 +52,7 @@ object IndicatorQueries {
           t(s, d, "lineitem"),
           col("l_partkey"),
           Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber")),
-          col("l_extendedprice").cast("decimal(18,2)"))
+          col("l_extendedprice"))
         .select(col("key").as("l_partkey"), col("n_obs"), col("max_drawdown"))
         .orderBy(col("l_partkey"))
     },
@@ -48,15 +61,17 @@ object IndicatorQueries {
   val sql: Map[String, String] = Map(
     "q_rsi" ->
       """WITH px AS (
+        |  -- exact integer sub-unit prices, the VERBATIM expression of
+        |  -- the Spark plan: floor(x*1e4 + 0.5) is three IEEE double
+        |  -- ops, identical on any engine, and exact for scale-<=4
+        |  -- money below 2^51
         |  SELECT l_partkey, l_orderkey, l_linenumber, l_shipdate,
-        |         CAST(l_extendedprice AS DECIMAL(18,2)) AS price
+        |         CAST(floor(l_extendedprice * 10000 + 0.5) AS BIGINT) AS p
         |  FROM lineitem
         |), diffs AS (
-        |  -- exact integer sub-cent units, mirroring the Spark plan:
-        |  -- the decimal diff is integer-valued after the scale shift
         |  SELECT *,
         |    CAST(row_number() OVER w AS BIGINT) AS rn,
-        |    CAST((price - lag(price, 1) OVER w) * 10000 AS BIGINT) AS diff
+        |    p - lag(p, 1) OVER w AS diff
         |  FROM px
         |  WINDOW w AS (PARTITION BY l_partkey
         |               ORDER BY l_shipdate, l_orderkey, l_linenumber)
@@ -78,11 +93,12 @@ object IndicatorQueries {
 
     "q_drawdown" ->
       """WITH px AS (
-        |  -- exact integer sub-unit prices, mirroring the Spark plan:
+        |  -- exact integer sub-unit prices, the VERBATIM expression of
+        |  -- the Spark plan (floor(x*1e4+0.5): three IEEE double ops);
         |  -- both division operands are integers < 2^53, so their
         |  -- doubles are exact and the quotient is engine-independent
         |  SELECT l_partkey, l_orderkey, l_linenumber, l_shipdate,
-        |         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 10000 AS BIGINT) AS price
+        |         CAST(floor(l_extendedprice * 10000 + 0.5) AS BIGINT) AS price
         |  FROM lineitem
         |), dd AS (
         |  SELECT l_partkey,

@@ -57,14 +57,30 @@ object WindowQueries {
         .orderBy(col("user_id"), col("event_id"))
     },
 
-    // Rank per group, keep top-3 (canonical dashboard top-k).
+    // Rank per group, keep top-3 (canonical dashboard top-k) —
+    // computed BELOW the window, like q_window_dense_rank: the naive
+    // `rank() OVER (PARTITION BY o_orderpriority …)` has 5 distinct
+    // partition values, so every orders row shuffles into 5 window
+    // tasks and at 100× each task sorts 20% of the fact — the textbook
+    // low-cardinality-window killer. Instead TopKAgg (a mergeable
+    // k-heap TypedImperativeAggregate) keeps the per-group top-3 with
+    // map-side combine — the exchange carries |groups|·k entries, not
+    // |rows| — and the array POSITION is the rank: the window ORDER BY
+    // includes the unique o_orderkey tiebreaker, so rank() has no
+    // peers and is exactly row_number(). o_totalprice is a DOUBLE in
+    // the star schema, so the heap's double score carries it verbatim
+    // (no decimal re-encoding needed). Oracle unchanged: raw-row
+    // rank() + filter — the same 15 rows.
     "q_window_rank_topk" -> { (s, d) =>
-      val w = Window.partitionBy(col("o_orderpriority"))
-        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
       t(s, d, "orders")
-        .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"),
-          rank().over(w).cast("long").as("rnk"))
-        .filter(col("rnk") <= 3)
+        .groupBy(col("o_orderpriority"))
+        .agg(graft.functions.TopKAgg.topK(
+          col("o_totalprice"), col("o_orderkey"), 3).as("__tk"))
+        .select(col("o_orderpriority"), posexplode(col("__tk")).as(Seq("__pos", "__e")))
+        .select(col("o_orderpriority"),
+          col("__e.id").as("o_orderkey"),
+          col("__e.score").as("o_totalprice"),
+          (col("__pos") + 1).cast("long").as("rnk"))
         .orderBy(col("o_orderpriority"), col("rnk"), col("o_orderkey"))
     },
 

@@ -315,24 +315,49 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
-  test("rsi: three fused window passes over one hash exchange, pruned scan") {
-    // Shape history: r4 measured the cumsum rewrite as not-faster and
-    // pinned 2 passes; r8 adopted it anyway once re-measured ~equal at
-    // period=14 (0.86 -> 0.84 s) because sliding frames re-aggregate
-    // O(period) per row — the cum-minus-lag form is O(1)/row, so the
-    // cost no longer grows with the period. Three same-spec Window
-    // nodes (rn+diff, running sums, period-lags) share ONE sort and
-    // ONE exchange; a withColumn chain would split every function
-    // into its own pass. Gate the shape so a regression can't
-    // silently multiply passes or un-prune the scan.
+  test("rank topk: no window over the fact — TopKAgg with map-side combine") {
+    // q_window_rank_topk's window form partitioned by the 5-value
+    // o_orderpriority — every fact row into 5 window tasks, 20% of the
+    // fact sorted per task at 100×. The re-plan keeps the per-group
+    // top-3 in a mergeable k-heap aggregate; the only Window-free gate
+    // in the file, so a regression back to the window shape fails here.
+    val p = plan(q("q_window_rank_topk"))
+    assert(!"\\bWindow\\b".r.findAllIn(p).hasNext,
+      s"rank-topk must not run a window over the orders scan:\n$p")
+    assert(p.contains("graft_top_k"), p)
+    // partial+final aggregate pair: the exchange carries |groups|*k
+    // heap states, never raw orders rows
+    assert("ObjectHashAggregate".r.findAllIn(p).length >= 2, p)
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("o_custkey") && !readSchema.contains("o_orderdate"),
+      readSchema)
+  }
+
+  test("rsi: two fused window passes over one hash exchange, pruned scan, cheap filter") {
+    // Shape history: r4/r8 flip-flopped between the 2-pass sliding
+    // frame and the 3-pass cum-minus-lag form with ~equal totals; r9
+    // bisected the cost (window passes dominate, frame adds don't at
+    // period=14) and made the strategy period-adaptive: ≤ 32 → 2-pass
+    // sliding (this gate), > 32 → 3-pass O(1)/row. Two same-spec
+    // Window nodes (rn+diff, sliding sums) share ONE sort and ONE
+    // exchange; a withColumn chain would split every function into
+    // its own pass. Gate the shape so a regression can't silently
+    // multiply passes or un-prune the scan.
     val p = plan(q("q_rsi"))
-    assert("\\bWindow\\b".r.findAllIn(p).length == 3,
-      s"expected exactly the 3 fused window passes:\n$p")
+    assert("\\bWindow\\b".r.findAllIn(p).length == 2,
+      s"expected exactly the 2 fused window passes:\n$p")
     val hashExchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
     assert(hashExchanges == 1, s"expected one partkey exchange:\n$p")
     val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
     assert(readSchema.contains("l_partkey") && !readSchema.contains("l_comment") &&
       !readSchema.contains("l_quantity"), readSchema)
+    // completeOnly fast path: the defined-rows Filter must NOT contain
+    // the round()/division CASE (two native-long comparisons only) —
+    // the nullable form's pushed-down isnotnull(CASE …) once cost ~2×
+    // the rounding work per input row
+    val filterLines = p.linesIterator.filter(_.contains("Filter")).mkString("\n")
+    assert(!filterLines.contains("round("),
+      s"defined-rows filter must not re-evaluate round():\n$filterLines")
   }
 
   test("funnel: k window passes share one user-hash exchange, no extra sorts") {
