@@ -41,7 +41,18 @@ import org.apache.spark.sql.functions._
   */
 object CorpusClean {
 
-  /** Tuning knobs with the library's defaults. */
+  /** Tuning knobs with the library's defaults.
+    *
+    * Band-space note (SCALE.md "Fixed-width blocking saturates"): the
+    * near-dup stage banding here is MinHash — each band key is the
+    * md5 OF the band's hash minima (`Dedup.lshBands`), a 2¹²⁸ value
+    * space — so unlike fixed-width SimHash bands or sign-LSH buckets
+    * it cannot exhaust as the corpus grows (the r8 sweep measured its
+    * max bucket FLAT from ×1 to ×64). The width-sensitive operators
+    * (`Dedup.simHashSignatures*`, `Similarity.lshBucket*`) are not on
+    * this pipeline; since r9 their library defaults are the wide
+    * variants, sized by `Dedup.autoSimHashWidth` /
+    * `Similarity.autoBits` when the corpus size is known. */
   case class Config(
       lang: String = "en",
       stopwords: Seq[String] = Seq("a", "the"),

@@ -251,17 +251,43 @@ object Dedup {
       case _ => ()
     }
 
-  /** SimHash-32 signature per document as a 32-char '0'/'1' string:
-    * per-token md5-derived 32-bit hashes, weighted bit majority.
+  /** SimHash signature per document at the LIBRARY DEFAULT width —
+    * 64 bits (a 64-char '0'/'1' string): per-token md5-derived
+    * hashes, weighted bit majority. 64-bit is the default since the
+    * r8 scaling sweep measured 32-bit signatures' 8-bit bands
+    * SATURATING at ×16 corpus growth (band value space exhausts; pair
+    * space then grows quadratically — SCALE.md "Fixed-width blocking
+    * saturates"). Pass an explicit width through
+    * [[simHashSignaturesWide]] to pin a narrower/wider signature —
+    * sized by [[autoSimHashWidth]] when the corpus size is known.
     *
-    * The 32 weighted bit-sums are 32 aggregate COLUMNS over the
+    * The weighted bit-sums are `nBits` aggregate COLUMNS over the
     * (id, token, count) table — one hash aggregate, map-side
-    * combinable — rather than exploding every token row 32× (a 32×
-    * shuffle blowup) and aggregating per (id, bitpos). Bit j's ±1 sign
-    * comes from nibble j/4 of the 8-hex-char token hash; identical
+    * combinable — rather than exploding every token row nBits× (an
+    * nBits× shuffle blowup) and aggregating per (id, bitpos). Bit j's
+    * ±1 sign comes from nibble j/4 of the hex token hash; identical
     * arithmetic to the DuckDB oracle's unnest formulation. */
   def simHashSignatures(docs: DataFrame, textCol: Column, idCol: Column): DataFrame =
-    simHashSignaturesWide(docs, textCol, idCol, 32)
+    simHashSignaturesWide(docs, textCol, idCol, 64)
+
+  /** Band-space sizing rule (SCALE.md "Fixed-width blocking
+    * saturates"): each of the `nBands` band keys must draw from a
+    * value space ≫ corpus size, i.e. nBits/nBands ≥ log₂(nDocs) +
+    * margin — otherwise buckets stop splitting once the corpus passes
+    * 2^(band width) and pair generation goes quadratic. Returns the
+    * smallest multiple-of-4 width satisfying the rule, clamped to
+    * [[simHashSignaturesWide]]'s [8, 128] domain (128 = the md5
+    * nibble budget: beyond ~2³⁰-doc corpora at 4 bands, add bands or
+    * shard the corpus instead). */
+  def autoSimHashWidth(nDocs: Long, nBands: Int = 4, margin: Int = 4): Int = {
+    require(nDocs > 0 && nBands > 0)
+    val perBand = math.ceil(log2(nDocs.toDouble)).toInt + margin
+    val raw = perBand * nBands
+    val mult4 = ((raw + 3) / 4) * 4
+    math.min(128, math.max(8, mult4))
+  }
+
+  private def log2(x: Double): Double = math.log(x) / math.log(2.0)
 
   /** SimHash signature at an arbitrary width (≤ 128 bits — the md5
     * nibble budget). 32 bits is the declared-query width (oracle
@@ -431,50 +457,33 @@ object Dedup {
     * blocking — the LINEAR pair-generation path for signature-level
     * dedup (the MinHash/LSH dual for SimHash sketches).
     *
-    * Input: (id, simhash) rows as produced by [[simHashSignatures]]
-    * (32-char '0'/'1' string). The 32 bits are cut into `nBands`
-    * equal substrings; a pair is examined only when at least one band
-    * matches exactly, i.e. the self-join is an EQUI-join on
-    * (band, substring) — it shuffles band keys, never pair space. By
-    * pigeonhole, any pair with Hamming distance < `nBands` shares an
-    * identical band, so for maxHamming ≤ nBands-1 the blocked result
-    * EQUALS the all-pairs result — exact, not approximate, recall.
+    * Input: (id, simhash) rows as produced by [[simHashSignatures]] /
+    * [[simHashSignaturesWide]] (an `nBits`-char '0'/'1' string —
+    * `nBits` must match the signature width, library default 64). The
+    * bits are cut into `nBands` equal substrings; a pair is examined
+    * only when at least one band matches exactly, i.e. the self-join
+    * is an EQUI-join on (band, substring) — it shuffles band keys,
+    * never pair space. By pigeonhole, any pair with Hamming distance
+    * < `nBands` shares an identical band, so for maxHamming ≤
+    * nBands-1 the blocked result EQUALS the all-pairs result — exact,
+    * not approximate, recall.
     *
     * The distance itself is integer arithmetic: the bit-string parses
-    * to a BIGINT (base-2 `conv`) and the distance is
-    * `bit_count(sig1 XOR sig2)` — one codegen'd instruction pair per
-    * candidate, engine-portable (DuckDB: `bit_count(xor(a::BIT,
-    * b::BIT))`).
+    * to BIGINT chunks (base-2 `conv`) and the distance is
+    * `bit_count(sig1 XOR sig2)` summed per chunk — one codegen'd
+    * instruction pair per chunk per candidate, engine-portable
+    * (DuckDB: `bit_count(xor(a::BIT, b::BIT))`).
     *
-    * 100 TB shape: cost is Σ|band bucket|² over 4·n band rows, same
-    * contract as MinHash-LSH banding; no all-pairs product exists in
-    * the plan. Skewed buckets (a common signature) are the salting
-    * candidate — at that point the bucket IS an exact-dup cluster and
-    * exact dedup should run first. */
+    * 100 TB shape: cost is Σ|band bucket|² over nBands·n band rows,
+    * same contract as MinHash-LSH banding; no all-pairs product
+    * exists in the plan. Skewed buckets (a common signature) are the
+    * salting candidate — at that point the bucket IS an exact-dup
+    * cluster and exact dedup should run first. Band-width sizing:
+    * 2^(nBits/nBands) must stay ≫ corpus size or buckets saturate
+    * (measured — SCALE.md); [[autoSimHashWidth]] encodes the rule. */
   def simHashNearDupPairs(sigs: DataFrame, maxHamming: Int = 3,
-      nBands: Int = 4): DataFrame = {
-    require(32 % nBands == 0, s"nBands must divide 32, got $nBands")
-    require(maxHamming < nBands,
-      s"band blocking is exact only for maxHamming < nBands ($maxHamming >= $nBands)")
-    val w = 32 / nBands
-    val withSig = sigs.select(col("id"), col("simhash"),
-      conv(col("simhash"), 2, 10).cast("long").as("sig"))
-    val bands = withSig.select(col("id"), col("sig"),
-      explode(array((0 until nBands).map(b =>
-        struct(lit(b).as("band"),
-          substring(col("simhash"), 1 + b * w, w).as("bh"))): _*)).as("b"))
-      .select(col("id"), col("sig"),
-        col("b.band").as("band"), col("b.bh").as("bh"))
-    bands.as("a").join(bands.as("b"),
-        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("id1"), col("b.id").as("id2"),
-        expr("bit_count(a.sig ^ b.sig)").cast("long").as("ham"))
-      // filter BELOW the distinct: only qualifying pairs (a small
-      // fraction of band collisions) reach the dedup exchange
-      .filter(col("ham") <= maxHamming)
-      .distinct()
-  }
+      nBands: Int = 4, nBits: Int = 64): DataFrame =
+    simHashNearDupPairsWide(sigs, maxHamming, nBands, nBits)
 
   /** [[simHashNearDupPairs]] for wide signatures
     * ([[simHashSignaturesWide]], default 64-bit): identical pigeonhole
@@ -529,7 +538,7 @@ object Dedup {
     * CodegenFallback: per-row cost is nBits·|tokens| interpreted
     * steps, the price of statelessness, paid only on stream rows. */
   def simHashRowLocal(docs: DataFrame, textCol: Column, idCol: Column,
-      nBits: Int = 32): DataFrame = {
+      nBits: Int = 64): DataFrame = {
     require(nBits % 4 == 0 && nBits >= 8 && nBits <= 128,
       s"nBits must be a multiple of 4 in [8,128], got $nBits")
     val nHex = nBits / 4
@@ -560,7 +569,7 @@ object Dedup {
     * for incremental Hamming near-dup candidates
     * (`StreamingPipeline.simHashCandidatesStream`). */
   def simHashBandKeys(docs: DataFrame, textCol: Column, idCol: Column,
-      nBits: Int = 32, nBands: Int = 4): DataFrame = {
+      nBits: Int = 64, nBands: Int = 4): DataFrame = {
     require(nBits % nBands == 0, s"nBands must divide $nBits, got $nBands")
     val w = nBits / nBands
     simHashRowLocal(docs, textCol, idCol, nBits)

@@ -15,7 +15,9 @@ import graft.functions.GraftFunctions
   *    vector maps to a `nBits`-bit bucket; candidates share a bucket.
   *    At 100 TB this turns the quadratic pair space into
   *    per-bucket joins; probing neighbors' buckets trades recall for
-  *    cost.
+  *    cost. Library default nBits = 16 (r9; the old 8-bit default
+  *    measurably saturated at ×32 corpus growth) — size it with
+  *    [[autoBits]] when the corpus size is known.
   *
   * All kernels run through `graft.functions.DotProduct` — a codegen'd
   * tight loop (Spark's array higher-order functions are
@@ -23,8 +25,8 @@ import graft.functions.GraftFunctions
   * wide pair joins).
   *
   * Hyperplanes are derived deterministically from md5 of
-  * (seed, bit, dim) ON THE DRIVER — 512 doubles for 8 bits × 64 dims —
-  * and enter the plan as array literals. Every executor sees identical
+  * (seed, bit, dim) ON THE DRIVER — nBits × dims doubles (1024 at the
+  * 16-bit default × 64 dims) — and enter the plan as array literals. Every executor sees identical
   * planes with zero per-row hash work (the earlier formulation
   * recomputed an interpreted md5 per element × bit × row).
   */
@@ -65,10 +67,26 @@ object Similarity {
   def planes(seed: Int, nBits: Int, dims: Int): Seq[Seq[Double]] =
     (0 until nBits).map(b => plane(seed, b, dims))
 
+  /** Bucket-space sizing rule for sign-LSH (SCALE.md "Fixed-width
+    * blocking saturates"): the 2^nBits bucket space must stay ≫ the
+    * corpus or buckets stop splitting and pair generation goes
+    * quadratic — the r8 sweep measured the old 8-bit default
+    * saturating at ×32 corpus growth (max bucket 579 vs 17 at
+    * 16-bit). nBits ≈ log₂(nVectors) + margin, clamped to [8, 30]
+    * (beyond 2²⁶ vectors at the default margin, prefer the IVF index:
+    * ever-finer sign buckets cost recall). The library default of 16
+    * is this rule evaluated at the ~10⁵-vector test corpora; pass
+    * `autoBits(corpus.count())` when the size is known. */
+  def autoBits(nVectors: Long, margin: Int = 4): Int = {
+    require(nVectors > 0)
+    val raw = math.ceil(math.log(nVectors.toDouble) / math.log(2.0)).toInt + margin
+    math.min(30, math.max(8, raw))
+  }
+
   /** Sign-LSH bucket id (a `nBits`-char '0'/'1' string) per vector.
     * `dims` must match the embedding dimensionality. */
   def lshBuckets(corpus: DataFrame, idCol: Column, vecCol: Column,
-      nBits: Int = 8, seed: Int = 42, dims: Int = 64): DataFrame = {
+      nBits: Int = 16, seed: Int = 42, dims: Int = 64): DataFrame = {
     val v = vecCol.cast("array<double>")
     val bitCols = (0 until nBits).map { b =>
       val planeLit = array(plane(seed, b, dims).map(lit): _*)
@@ -88,7 +106,7 @@ object Similarity {
     * recall/cost behavior is the same sign-LSH. Magnitudes: |plane| <
     * 2^23, |quantized| ≤ ~2^20·|x|, 64 terms — comfortably inside
     * BIGINT. */
-  def lshBucketQuantized(vecCol: Column, nBits: Int = 8, seed: Int = 42,
+  def lshBucketQuantized(vecCol: Column, nBits: Int = 16, seed: Int = 42,
       dims: Int = 64): Column = {
     val bits = (0 until nBits).map { b =>
       val pLit = array(plane(seed, b, dims).map(x => lit(x.toLong)): _*)
@@ -105,7 +123,7 @@ object Similarity {
     * Recall improves with fewer bits / multiple probe tables. */
   def lshTopK(corpus: DataFrame, idCol: Column, vecCol: Column,
       query: DataFrame, queryVec: Column, k: Int,
-      nBits: Int = 8, seed: Int = 42, dims: Int = 64): DataFrame = {
+      nBits: Int = 16, seed: Int = 42, dims: Int = 64): DataFrame = {
     val cb = lshBuckets(corpus, idCol, vecCol, nBits, seed, dims)
     val qb = broadcast(
       lshBuckets(query, lit(0L), queryVec, nBits, seed, dims)

@@ -177,7 +177,11 @@ object ExtendedQueries {
     * materialized signature table the banded pair join runs against. */
   private[queries] def simSignatures(s: org.apache.spark.sql.SparkSession, d: String) =
     memoCache("simsig", s, d) {
-      graft.ops.Dedup.simHashSignatures(docProfile(s, d), col("text"), col("doc_id"))
+      // 32-bit pinned EXPLICITLY: the DuckDB oracle pins this exact
+      // signature output. The library default (simHashSignatures) is
+      // 64-bit since r9 — the width the r8 sweep showed non-saturating.
+      graft.ops.Dedup.simHashSignaturesWide(
+        docProfile(s, d), col("text"), col("doc_id"), 32)
     }
 
   /** LSH band table (doc_id, band, h) over the shared shingle cache:
@@ -430,7 +434,7 @@ object ExtendedQueries {
     // oracle can verify against the same band-join formulation.
     "q_dedup_simhash_ham" -> { (s, d) =>
       graft.ops.Dedup.simHashNearDupPairs(simSignatures(s, d),
-          maxHamming = 3, nBands = 4)
+          maxHamming = 3, nBands = 4, nBits = 32)
         .select(col("id1").as("doc1"), col("id2").as("doc2"), col("ham"))
         .orderBy(col("doc1"), col("doc2"))
     },
@@ -572,8 +576,10 @@ object ExtendedQueries {
     // recall/correctness baseline.
     "q_dedup_embed_lsh" -> { (s, d) =>
       graft.functions.GraftFunctions.register(s)
+      // 8-bit pinned EXPLICITLY (oracle parity); the library default
+      // is 16-bit since r9 (8-bit buckets saturate at x32 — SCALE.md)
       val e = embedNorms(s, d).withColumn("bucket",
-        graft.ops.Similarity.lshBucketQuantized(col("v")))
+        graft.ops.Similarity.lshBucketQuantized(col("v"), nBits = 8))
       val a = e.select(col("bucket"), col("vec_id").as("id1"),
         col("v").as("v1"), col("nrm").as("n1"))
       val b = e.select(col("bucket"), col("vec_id").as("id2"),

@@ -127,7 +127,7 @@ object StreamingPipeline {
     * idempotent per pair. */
   def simHashCandidatesStream(docs: DataFrame, textCol: Column,
       idCol: Column, indexBands: DataFrame,
-      nBits: Int = 32, nBands: Int = 4): DataFrame = {
+      nBits: Int = 64, nBands: Int = 4): DataFrame = {
     val newKeys = graft.ops.Dedup
       .simHashBandKeys(docs, textCol, idCol, nBits, nBands)
     val idx = indexBands.select(col("band").as("__iband"),

@@ -34,6 +34,25 @@ class CorpusCleanSpec extends AnyFunSuite {
     } finally out.release()
   }
 
+  test("near-dup banding key space cannot saturate (md5 band keys, wide defaults)") {
+    // clean()'s near-dup stage bands MinHash minima through md5 — a
+    // 2^128 key space, so corpus growth splits buckets instead of
+    // exhausting a fixed band vocabulary (the r8 SimHash-32/LSH-8
+    // saturation class). Assert the key shape that carries the
+    // property, plus the r9 wide library defaults on the
+    // width-sensitive operators clean() does NOT use.
+    val sh = graft.ops.Dedup.shingles(fixture, col("text"), col("doc_id"))
+    val bands = graft.ops.Dedup.lshBands(
+      graft.ops.Dedup.minHashSignaturesFast(sh, 8), 8, 2)
+    assert(bands.select("h").collect().forall(
+      r => r.getString(0).length == 32 &&
+        r.getString(0).forall(c => c.isDigit || ('a' to 'f').contains(c))))
+    // wide defaults (width-sensitive ops): 64-bit SimHash, 16-bit LSH
+    val sig = graft.ops.Dedup.simHashSignatures(fixture, col("text"), col("doc_id"))
+      .select("simhash").head.getString(0)
+    assert(sig.length == 64)
+  }
+
   test("connected components: transitive chains collapse to the min id") {
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (6L, 5L)).toDF("id1", "id2")
     val comp = graft.ops.Dedup.connectedComponents(pairs)

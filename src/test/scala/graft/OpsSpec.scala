@@ -88,11 +88,11 @@ class OpsSpec extends AnyFunSuite {
     assert(jac((1L, 2L)) == 1.0)
   }
 
-  test("simhash: exact dups share signatures; signature is 32 bits") {
+  test("simhash: exact dups share signatures; library default is 64 bits") {
     val sig = Dedup.simHashSignatures(docs, col("text"), col("doc_id"))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(sig(1L) == sig(2L))
-    assert(sig.values.forall(s => s.length == 32 && s.forall(c => c == '0' || c == '1')))
+    assert(sig.values.forall(s => s.length == 64 && s.forall(c => c == '0' || c == '1')))
     // near-dup within small Hamming distance, unrelated doc far
     def ham(a: String, b: String) = a.zip(b).count { case (x, y) => x != y }
     assert(ham(sig(1L), sig(3L)) < ham(sig(1L), sig(4L)))
@@ -125,7 +125,7 @@ class OpsSpec extends AnyFunSuite {
     assert(collected.forall(_._2.length == 64))
     // the 32-bit signature is the exact prefix of the 64-bit one
     // (same nibble arithmetic, wider hash slice)
-    val sig32 = Dedup.simHashSignatures(corpus, col("text"), col("doc_id"))
+    val sig32 = Dedup.simHashSignaturesWide(corpus, col("text"), col("doc_id"), 32)
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(collected.forall { case (id, s) => s.take(32) == sig32(id) })
     val blocked = Dedup.simHashNearDupPairsWide(sigs, maxHamming = 3, nBands = 4)
@@ -146,9 +146,9 @@ class OpsSpec extends AnyFunSuite {
         struct(lit(b).as("band"), substring(col("simhash"), 1 + b * 16, 16).as("bh"))): _*)).as("x"))
       .groupBy(col("x.band"), col("x.bh")).count()
       .agg(max(col("count"))).head.getLong(0)
-    val occ32 = Dedup.simHashSignatures(
+    val occ32 = Dedup.simHashSignaturesWide(
         graft.queries.t(spark, TestSpark.sfTiny, "documents"),
-        col("text"), col("doc_id"))
+        col("text"), col("doc_id"), 32)
       .select(explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"), substring(col("simhash"), 1 + b * 8, 8).as("bh"))): _*)).as("x"))
       .groupBy(col("x.band"), col("x.bh")).count()
@@ -172,7 +172,7 @@ class OpsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
     val fromAgg = Dedup.simHashSignatures(corpus, col("text"), col("doc_id"))
       .select(col("id"), explode(array((0 until 4).map(b =>
-        struct(lit(b).as("band"), substring(col("simhash"), 1 + b * 8, 8).as("bh"))): _*)).as("x"))
+        struct(lit(b).as("band"), substring(col("simhash"), 1 + b * 16, 16).as("bh"))): _*)).as("x"))
       .select(col("id"), col("x.band"), col("x.bh"))
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
     assert(fromRowLocal == fromAgg)
@@ -209,12 +209,35 @@ class OpsSpec extends AnyFunSuite {
     assert(approx.forall(r => exact(r.getLong(0)) == r.getDouble(1)))
   }
 
+  test("auto-width rules size the band/bucket space past the corpus (r8 saturation fix)") {
+    // sign-LSH: nBits ~ log2(n) + margin, clamped [8, 30]
+    assert(Similarity.autoBits(100L) == 11)            // ceil(log2 100)=7 + 4
+    assert(Similarity.autoBits(1L) == 8)               // floor clamp
+    assert(Similarity.autoBits(1L << 40) == 30)        // cap clamp
+    // the 16-bit library default is the rule at the test-corpus scale
+    assert(Similarity.autoBits(4000L) == 16)
+    // monotone non-decreasing in corpus size
+    val sizes = Seq(10L, 1000L, 100000L, 10000000L).map(Similarity.autoBits(_))
+    assert(sizes == sizes.sorted)
+    // SimHash: per-band width obeys the same rule; result is a
+    // multiple of 4 in [8, 128]
+    assert(Dedup.autoSimHashWidth(100L) == 44)         // (7+4)*4
+    assert(Dedup.autoSimHashWidth(1L << 60, nBands = 4) == 128) // cap
+    assert(Dedup.autoSimHashWidth(1L, nBands = 1) == 8) // floor
+    assert(Dedup.autoSimHashWidth(4000L) % 4 == 0)
+    // pair-space sanity at the width the rule picks: the per-band
+    // value space must exceed the corpus (the anti-saturation property)
+    val n = 100000L
+    val w = Dedup.autoSimHashWidth(n) / 4
+    assert(math.pow(2, w.toDouble) > n)
+  }
+
   test("quantized LSH buckets: well-formed, deterministic, scale-invariant, near-identical vectors collide") {
     val emb = graft.queries.t(spark, TestSpark.sfTiny, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
     val b = emb.withColumn("bucket", Similarity.lshBucketQuantized(col("v")))
     val rows = b.collect().map(r => r.getLong(0) -> r.getString(2)).toMap
-    assert(rows.values.forall(s => s.length == 8 && s.forall(c => c == '0' || c == '1')))
+    assert(rows.values.forall(s => s.length == 16 && s.forall(c => c == '0' || c == '1')))
     // sign-LSH is direction-only: a positively scaled copy of a vector
     // lands in the same bucket (quantization changes magnitude by the
     // scale factor, signs of the plane dots do not move)

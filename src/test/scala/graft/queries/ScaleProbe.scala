@@ -155,10 +155,13 @@ object ScaleProbe {
               Dedup.shingles(docs(d), col("text"), col("doc_id"), 3), 8), 8, 2)
             .groupBy(col("band"), col("h")).agg(count(lit(1)).as("c"))), 3),
       ("risk_simhash_pairs",
+        // the 32-bit NARROW variant on purpose: this probe charts the
+        // saturation curve the r9 default flip (64-bit) protects against
         (d: String) => Dedup.simHashNearDupPairs(
-          Dedup.simHashSignatures(docs(d), col("text"), col("doc_id"))),
+          Dedup.simHashSignaturesWide(docs(d), col("text"), col("doc_id"), 32),
+          nBits = 32),
         (d: String) => simBandOcc(
-          Dedup.simHashSignatures(docs(d), col("text"), col("doc_id")), 8), 1),
+          Dedup.simHashSignaturesWide(docs(d), col("text"), col("doc_id"), 32), 8), 1),
       ("risk_simhash64_pairs",
         (d: String) => Dedup.simHashNearDupPairsWide(
           Dedup.simHashSignaturesWide(docs(d), col("text"), col("doc_id"))),
@@ -170,7 +173,9 @@ object ScaleProbe {
           graft.SparkEntry.queries("q_dedup_embed_lsh")(spark, d)
         },
         (d: String) => occupancy(
-          emb(d).select(Similarity.lshBucketQuantized(col("v")).as("b"))
+          // 8-bit pinned: this occupancy tracks the DECLARED query's
+          // oracle-parity width (the library default is 16 since r9)
+          emb(d).select(Similarity.lshBucketQuantized(col("v"), nBits = 8).as("b"))
             .groupBy(col("b")).agg(count(lit(1)).as("c"))), 1),
       // same pair query, 16-bit buckets: the width that does NOT
       // saturate — 2^16 bucket space vs 2^8. The declared query's
