@@ -155,12 +155,19 @@ object SubstrDedup {
     * O(distinct window hashes); at corpus scale prune it periodically
     * to hashes with n_docs ≥ minDocs − 1 if only scrubbing matters.
     *
-    * KEY-SPACE VERSIONING: registry rows key on the dual-modulus
-    * window key ([[windowHashes]]). A registry persisted by the
-    * earlier single-modulus build (whash < 2^30) will never match new
-    * keys — folds would silently restart counts and scrubs would miss
-    * all history. Rebuild such registries from the source batches;
-    * a quick check is `max(whash) < 1e9+7` ⇒ old key space. */
+    * KEY-SPACE VERSIONING (ENFORCED): registry rows key on the
+    * dual-modulus window key ([[windowHashes]]). A registry persisted
+    * by the earlier single-modulus build (whash < 2^30) would never
+    * match new keys — folds would silently restart counts and scrubs
+    * would miss all history — so every publish stamps a
+    * `_GRAFT_KEYSPACE_DUAL_V2` marker file beside the parquet, and
+    * loading an existing registry FAILS FAST
+    * (`IllegalStateException`) when the stamp is absent and the data
+    * probe (`max(whash) < 2^30` ⇒ single-modulus by construction)
+    * confirms a legacy key space. Rebuild such registries from the
+    * source batches. An unstamped registry whose keys probe as dual
+    * (e.g. written by this build before a crash mid-migration) is
+    * accepted and stamped on its next publish. */
   def advanceSpread(spark: org.apache.spark.sql.SparkSession,
       statePath: String, delta: DataFrame, textCol: Column,
       idCol: Column, w: Int): Long =
@@ -178,6 +185,30 @@ object SubstrDedup {
     advanceSpreadImpl(spark, statePath, delta, textCol, idCol, w,
       Some((runTag, batchId)))
 
+  /** Registry key-space stamp (see the KEY-SPACE VERSIONING note on
+    * [[advanceSpread]]). Underscore-prefixed: parquet readers treat
+    * it as metadata and skip it. */
+  private[graft] val KeyspaceMarker = "_GRAFT_KEYSPACE_DUAL_V2"
+
+  /** Fail fast when an existing registry carries the legacy
+    * single-modulus key space: no version stamp AND every key < 2^30
+    * (the single-modulus range; a dual key `h1·P2 + h2` sits below
+    * 2^30 only when h1 = 0 — for a whole registry that is ~2^(-30·n)).
+    * An empty registry passes (nothing to mismatch). */
+  private def assertDualKeySpace(spark: org.apache.spark.sql.SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, dir: org.apache.hadoop.fs.Path,
+      statePath: String): Unit = {
+    if (fs.exists(new org.apache.hadoop.fs.Path(dir, KeyspaceMarker))) return
+    val mx = spark.read.parquet(statePath).agg(max(col("whash"))).head
+    if (!mx.isNullAt(0) && mx.getLong(0) < (1L << 30))
+      throw new IllegalStateException(
+        s"spread registry at $statePath uses the legacy single-modulus " +
+          s"key space (max(whash) = ${mx.getLong(0)} < 2^30, no " +
+          s"$KeyspaceMarker stamp): folding dual-modulus deltas into it " +
+          "would silently restart counts and miss all scrub history. " +
+          "Rebuild the registry from its source batches.")
+  }
+
   private def advanceSpreadImpl(spark: org.apache.spark.sql.SparkSession,
       statePath: String, delta: DataFrame, textCol: Column,
       idCol: Column, w: Int, batch: Option[(String, Long)]): Long = {
@@ -194,14 +225,16 @@ object SubstrDedup {
     }
     val deltaState = spreadState(delta, textCol, idCol, w)
     val next =
-      if (fs.exists(dir))
+      if (fs.exists(dir)) {
+        assertDualKeySpace(spark, fs, dir, statePath)
         spark.read.parquet(statePath).unionByName(deltaState)
           .groupBy(col("whash")).agg(sum(col("n_docs")).as("n_docs"))
-      else deltaState
+      } else deltaState
     fs.delete(tmp, true)
     next.write.mode("overwrite").parquet(tmp.toString)
     Swap.carryMarkers(fs, dir, tmp,
       batch.map { case (tag, id) => Swap.markerName(tag, id) })
+    fs.create(new Path(tmp, KeyspaceMarker), true).close()
     val rows = spark.read.parquet(tmp.toString).count()
     Swap.publish(fs, dir, tmp)
     rows
@@ -229,11 +262,13 @@ object SubstrDedup {
     val dir = new Path(statePath)
     val tmp = new Path(statePath + "__advancing")
     Swap.recover(fs, dir, tmp)
+    assertDualKeySpace(spark, fs, dir, statePath)
     val kept = spark.read.parquet(statePath)
       .filter(col("n_docs") >= minDocs - 1)
     fs.delete(tmp, true)
     kept.write.mode("overwrite").parquet(tmp.toString)
     Swap.carryMarkers(fs, dir, tmp, None)
+    fs.create(new Path(tmp, KeyspaceMarker), true).close()
     val rows = spark.read.parquet(tmp.toString).count()
     Swap.publish(fs, dir, tmp)
     rows

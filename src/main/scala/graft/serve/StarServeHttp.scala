@@ -20,7 +20,11 @@ import com.sun.net.httpserver.{HttpExchange, HttpServer}
   *  - `GET /bounds` — the date-range picker's min/max
   *    (`app.py:101-103`), computed as an aggregate, not a scan.
   *  - `GET /series?index=C&start=D&end=D` — the chart's two series
-  *    (`app.py:118-127`) as JSON rows, filter-below-sort plan.
+  *    (`app.py:118-127`) as JSON rows, filter-below-sort plan. Capped
+  *    at `maxSliceRows` (413 beyond): the dashboard slice is KB-sized
+  *    by intent, and a start/end spanning the whole fact must not
+  *    collect the fact into one response. `/chart` enforces the same
+  *    cap before rendering.
   *  - `GET /chart?index=C&start=D&end=D` — the rendered dual-axis
   *    figure (`app.py:114-130`) as `image/svg+xml`; an empty slice
   *    returns the warning banner (`app.py:131`), still as SVG.
@@ -37,7 +41,8 @@ import com.sun.net.httpserver.{HttpExchange, HttpServer}
   * pool; concurrent queries against a mid-refresh snapshot swap are
   * exercised by the ServeHttpSpec race probe.
   */
-class StarServeHttp(serve: StarServe, bindPort: Int = 0, threads: Int = 4) {
+class StarServeHttp(serve: StarServe, bindPort: Int = 0, threads: Int = 4,
+    maxSliceRows: Int = 10000) {
 
   private val server =
     HttpServer.create(new InetSocketAddress("127.0.0.1", bindPort), 0)
@@ -95,12 +100,31 @@ class StarServeHttp(serve: StarServe, bindPort: Int = 0, threads: Int = 4) {
   private def jsonArray(df: org.apache.spark.sql.DataFrame): String =
     df.toJSON.collect().mkString("[", ",", "]")
 
+  /** [[jsonArray]] with the serving-tier size contract enforced: the
+    * dashboard slice is KB-sized BY INTENT, so a request whose
+    * predicate spans more than `maxSliceRows` rows (a hostile or
+    * fat-fingered start/end covering the whole fact) is refused with
+    * 413 instead of collecting the fact into one HTTP response. The
+    * probe is `limit(max+1)` — the scan stops at the cap, it never
+    * materializes the oversized slice. */
+  private def jsonArrayCapped(df: org.apache.spark.sql.DataFrame): String = {
+    val rows = df.limit(maxSliceRows + 1).toJSON.collect()
+    if (rows.length > maxSliceRows)
+      throw new TooLarge(
+        s"slice exceeds $maxSliceRows rows; narrow the date range")
+    rows.mkString("[", ",", "]")
+  }
+
   private def jsonErr(msg: String): String =
     s"""{"error":"${StarServeHttp.jsonEsc(msg)}"}"""
 
   /** Thrown by handlers for malformed CLIENT input → 400 (anything
     * else thrown by the serve path stays a 500). */
   private final class BadRequest(msg: String) extends RuntimeException(msg)
+
+  /** Thrown when a requested slice exceeds the serving-tier row cap →
+    * 413 Content Too Large (RFC 9110 §15.5.14). */
+  private final class TooLarge(msg: String) extends RuntimeException(msg)
 
   /** Wrap a handler with param validation + error mapping: a missing
     * required param is the client's fault (400), anything thrown by
@@ -111,30 +135,37 @@ class StarServeHttp(serve: StarServe, bindPort: Int = 0, threads: Int = 4) {
       f: Map[String, String] => (Int, String, String)): Unit = {
     server.createContext(path, (ex: HttpExchange) => {
       try {
-        val p = params(ex)
-        val missing = required.filterNot(p.contains)
-        // HEAD is answered wherever GET is (respond() omits the body)
-        val effective =
-          if (method == "GET" && ex.getRequestMethod == "HEAD") "HEAD"
-          else method
+        // exact-path check FIRST: createContext matches by prefix, and
+        // an unknown path is 404 regardless of its query string — a
+        // bad percent-escape on /seriesX must not turn into a 400
         if (ex.getRequestURI.getPath != path)
           respond(ex, 404, "application/json", jsonErr("not found"))
-        else if (ex.getRequestMethod != effective) {
-          // RFC 9110 §15.5.6: 405 MUST carry Allow
-          ex.getResponseHeaders.set("Allow",
-            if (method == "GET") "GET, HEAD" else method)
-          respond(ex, 405, "application/json",
-            jsonErr(s"method ${ex.getRequestMethod} not allowed; use $method"))
-        } else if (missing.nonEmpty)
-          respond(ex, 400, "application/json",
-            jsonErr(s"missing parameter(s): ${missing.mkString(", ")}"))
         else {
-          val (status, ct, body) = f(p)
-          respond(ex, status, ct, body)
+          val p = params(ex)
+          val missing = required.filterNot(p.contains)
+          // HEAD is answered wherever GET is (respond() omits the body)
+          val effective =
+            if (method == "GET" && ex.getRequestMethod == "HEAD") "HEAD"
+            else method
+          if (ex.getRequestMethod != effective) {
+            // RFC 9110 §15.5.6: 405 MUST carry Allow
+            ex.getResponseHeaders.set("Allow",
+              if (method == "GET") "GET, HEAD" else method)
+            respond(ex, 405, "application/json",
+              jsonErr(s"method ${ex.getRequestMethod} not allowed; use $method"))
+          } else if (missing.nonEmpty)
+            respond(ex, 400, "application/json",
+              jsonErr(s"missing parameter(s): ${missing.mkString(", ")}"))
+          else {
+            val (status, ct, body) = f(p)
+            respond(ex, status, ct, body)
+          }
         }
       } catch {
         case e: BadRequest =>
           respond(ex, 400, "application/json", jsonErr(e.getMessage))
+        case e: TooLarge =>
+          respond(ex, 413, "application/json", jsonErr(e.getMessage))
         case e: Throwable =>
           respond(ex, 500, "application/json",
             jsonErr(Option(e.getMessage).getOrElse(e.getClass.getName)))
@@ -157,10 +188,18 @@ class StarServeHttp(serve: StarServe, bindPort: Int = 0, threads: Int = 4) {
 
   handle("/series", required = Seq("index", "start", "end")) { p =>
     (200, "application/json",
-      jsonArray(serve.chartSeries(p("index"), p("start"), p("end"))))
+      jsonArrayCapped(serve.chartSeries(p("index"), p("start"), p("end"))))
   }
 
   handle("/chart", required = Seq("index", "start", "end")) { p =>
+    // same slice cap as /series — the SVG renderer collects the
+    // identical rows; the probe is a limit-bounded count, so the
+    // oversized slice is never materialized before refusal
+    val n = serve.chartSeries(p("index"), p("start"), p("end"))
+      .limit(maxSliceRows + 1).count()
+    if (n > maxSliceRows)
+      throw new TooLarge(
+        s"slice exceeds $maxSliceRows rows; narrow the date range")
     (200, "image/svg+xml",
       serve.chartSvg(p("index"), p("start"), p("end")))
   }

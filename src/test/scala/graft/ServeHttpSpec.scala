@@ -137,6 +137,17 @@ class ServeHttpSpec extends AnyFunSuite {
       }
       assert(raw.startsWith("HTTP/1.1 400"), raw.take(200))
 
+      // (that 400 is the JDK server's own URI guard — it rejects
+      // undecodable escapes before ANY handler runs, known path or
+      // not, so params()'s decode guard is defense-in-depth for other
+      // transports). The handler-level ordering contract is: unknown
+      // prefix-matched path → 404 BEFORE params are parsed or
+      // validated — a query that would 400 on /latest must not 400 on
+      // /latestX
+      val unknownWithBadParam = get(s"${http.url}/latestX?index=%5EGSPC&k=0")
+      assert(unknownWithBadParam.statusCode() == 404,
+        s"${unknownWithBadParam.statusCode()} ${unknownWithBadParam.body()}")
+
       // HEAD is answered wherever GET is: status + headers, no body
       val head = client.send(
         HttpRequest.newBuilder(URI.create(s"${http.url}/health"))
@@ -187,6 +198,70 @@ class ServeHttpSpec extends AnyFunSuite {
       assert(refresh() == """{"swapped":true}""")
       assert(series().contains("101.5"))
       assert(refresh() == """{"swapped":false}""")
+    } finally { http.stop(0); serve.release() }
+  }
+
+  test("slice cap: a range spanning more rows than maxSliceRows is 413, never collected") {
+    val serve = new StarServe(spark, starDir)
+    // tiny cap so the fixture's 60-day range trips it
+    val http = new StarServeHttp(serve, bindPort = 0, maxSliceRows = 5).start()
+    try {
+      val wide = get(s"${http.url}/series?index=%5EGSPC&start=2024-01-01&end=2024-02-29")
+      assert(wide.statusCode() == 413, wide.body())
+      assert(wide.body().contains("narrow the date range"))
+      val wideChart = get(s"${http.url}/chart?index=%5EGSPC&start=2024-01-01&end=2024-02-29")
+      assert(wideChart.statusCode() == 413, wideChart.body())
+      // a slice within the cap still serves normally
+      val narrow = get(s"${http.url}/series?index=%5EGSPC&start=2024-01-10&end=2024-01-12")
+      assert(narrow.statusCode() == 200, narrow.body())
+      assert(narrow.body().startsWith("[") && narrow.body().endsWith("]"))
+    } finally { http.stop(0); serve.release() }
+  }
+
+  test("refresh race: reads concurrent with a snapshot swap see exactly one of the two snapshots") {
+    import graft.streaming.StreamingPipeline
+    val snapDir = Files.createTempDirectory("graft_http_race").toString
+    val static = new StarServe(spark, starDir)
+    val key = static.indexKeyFor("^GSPC").get
+    static.release()
+    def batch(close: Double, batchId: Long) = {
+      import spark.implicits._
+      StreamingPipeline.applyUpsertBatch(
+        Seq((key, java.sql.Date.valueOf("2024-03-01"), close, 2.5))
+          .toDF("IndexKey", "DateKey", "Close", "GDPGrowthRate"),
+        batchId, Seq("IndexKey", "DateKey"), snapDir, "race")
+    }
+    batch(100.0, 0L)
+    val serve = StarServe.fromStreamingSnapshots(spark, starDir, snapDir)
+    val http = StarServeHttp.serve(serve)
+    try {
+      def seriesUrl =
+        s"${http.url}/series?index=%5EGSPC&start=2024-03-01&end=2024-03-31"
+      assert(get(seriesUrl).body().contains("100.0"))
+      batch(101.5, 1L)
+      // fire the swap CONCURRENTLY with a stream of reads: every read
+      // must return 200 with one of the two valid snapshots — never a
+      // torn body, an error, or a third value
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val refreshF = Future(client.send(
+        HttpRequest.newBuilder(URI.create(s"${http.url}/refresh"))
+          .POST(HttpRequest.BodyPublishers.noBody()).build(),
+        HttpResponse.BodyHandlers.ofString()))
+      val readsF = Future.sequence((1 to 16).map(_ => Future(get(seriesUrl))))
+      val reads = Await.result(readsF, 120.seconds)
+      val refresh = Await.result(refreshF, 120.seconds)
+      assert(refresh.statusCode() == 200 &&
+        refresh.body() == """{"swapped":true}""", refresh.body())
+      assert(reads.forall(_.statusCode() == 200),
+        reads.map(_.statusCode()).mkString(","))
+      val bad = reads.filterNot(r =>
+        (r.body().contains("100.0") && !r.body().contains("101.5")) ||
+          (r.body().contains("101.5") && !r.body().contains("100.0")))
+      assert(bad.isEmpty, s"torn/mixed snapshot bodies: ${bad.map(_.body()).take(2)}")
+      // after the swap completes, only the new snapshot serves
+      assert(get(seriesUrl).body().contains("101.5"))
     } finally { http.stop(0); serve.release() }
   }
 

@@ -147,6 +147,37 @@ class SubstrDedupSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("legacy single-modulus registry is rejected fast; publishes stamp the key space") {
+    val base = java.nio.file.Files.createTempDirectory("sdks")
+    // forge a legacy registry: plausible rows, every whash < 2^30,
+    // and no keyspace stamp — what the pre-dual build persisted
+    val legacyPath = base.resolve("legacy").toString
+    Seq((123456789L, 3L), (42L, 2L)).toDF("whash", "n_docs")
+      .write.parquet(legacyPath)
+    val ex = intercept[IllegalStateException] {
+      SubstrDedup.advanceSpread(spark, legacyPath, docsDf,
+        col("text"), col("doc_id"), w)
+    }
+    assert(ex.getMessage.contains("single-modulus"), ex.getMessage)
+    // ...and pruning it is equally refused (same silent-restart hazard)
+    intercept[IllegalStateException] {
+      SubstrDedup.pruneRegistry(spark, legacyPath)
+    }
+    // a fresh registry gets the stamp at first publish, keeps it
+    // across advance + prune, and keeps folding normally
+    val freshPath = base.resolve("fresh").toString
+    SubstrDedup.advanceSpread(spark, freshPath, docsDf,
+      col("text"), col("doc_id"), w)
+    def stamped = java.nio.file.Files.exists(
+      java.nio.file.Paths.get(freshPath, SubstrDedup.KeyspaceMarker))
+    assert(stamped, "first publish must stamp the key space")
+    SubstrDedup.advanceSpread(spark, freshPath, docsDf.limit(1),
+      col("text"), col("doc_id"), w)
+    assert(stamped, "stamp must survive a fold")
+    SubstrDedup.pruneRegistry(spark, freshPath)
+    assert(stamped, "stamp must survive a prune")
+  }
+
   test("pruneRegistry keeps forward-relevant hashes, drops the dead tail") {
     val statePath = java.nio.file.Files.createTempDirectory("graft_substr_p")
       .resolve("registry").toString
