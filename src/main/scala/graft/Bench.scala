@@ -93,6 +93,23 @@ object Bench {
       }
     def toJson(m: Map[String, Double]): String =
       m.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    // Floor calibration: a constant two-stage query (tiny scan →
+    // partial agg → one exchange → final agg) whose cost is pure Spark
+    // job machinery — DAG scheduling, task launch, shuffle file churn —
+    // with no data or plan work worth naming. Emitted as "floor_sec"
+    // so a reader can normalize totals across hosts/runs: r6 (49.7 s)
+    // and r8 (32.3 s vs 15.5 s idle) both showed ~2× host-contention
+    // inflation when bench follows correctness immediately, and this
+    // number moves with the contention while the engine's per-query
+    // work does not. Expected ~0.04-0.08 s/query on an idle host;
+    // multiply by ~2-4 stages/query × 115 queries to see how much of
+    // a total is floor.
+    val floorSec = (1 to 3).map { _ =>
+      val t0 = System.nanoTime()
+      spark.range(1000).groupBy((org.apache.spark.sql.functions.col("id") % 32).as("k"))
+        .count().count()
+      (System.nanoTime() - t0) / 1e9
+    }.min
     val results = timedPass(runs, coldEachQuery = false)
     // failures (-1 sentinel) are excluded from the total and counted
     // separately — a failed query must not SUBTRACT from the metric.
@@ -110,7 +127,7 @@ object Bench {
         val coldTotal = cold.values.filter(_ >= 0).sum
         s""","cold_total":$coldTotal,"cold_queries":${toJson(cold)}"""
       } else ""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"n_queries":${results.size},"runs_per_query":$runs,"agg":"min","warm_cache":true$coldFields,"queries":${toJson(results)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"n_queries":${results.size},"runs_per_query":$runs,"agg":"min","warm_cache":true,"floor_sec":$floorSec$coldFields,"queries":${toJson(results)},"sf":"$sfDir"}""")
     // The full line above grew past the driver's tail-capture window in
     // round 3 and the LEADING total field was the part cut off. Re-emit
     // the headline number as a short final line so any last-N-bytes

@@ -78,7 +78,8 @@ object IncrementalAgg {
   }
 
   /** Persisted form: fold `delta` into the state parquet at
-    * `statePath` (bootstrapping it on first call) and swap-publish the
+    * `statePath` (bootstrapping it on first call; lifecycle contract:
+    * REGISTRIES.md) and swap-publish the
     * new state. Returns the group count after the fold. */
   def advance(spark: SparkSession, statePath: String, delta: DataFrame,
       keys: Seq[String], valueCol: String): Long = {

@@ -120,7 +120,8 @@ object SketchRollup {
   }
 
   /** Persisted form: fold `delta` into the state parquet at
-    * `statePath` (bootstrapping on first call), swap-publish, return
+    * `statePath` (bootstrapping on first call; lifecycle contract:
+    * REGISTRIES.md), swap-publish, return
     * the group count — the same crash-safe lifecycle as
     * [[IncrementalAgg.advance]]. NOT idempotent: re-folding the same
     * delta double-counts `cnt` and re-inserts into KLL (HLL registers

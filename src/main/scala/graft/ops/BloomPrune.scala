@@ -63,7 +63,8 @@ object BloomPrune {
   }
 
   /** Persist a built filter (the cross-SESSION half of build-once/
-    * probe-many — same lifecycle as `Similarity.saveIvfModel`): one
+    * probe-many — same lifecycle as `Similarity.saveIvfModel`;
+    * cross-store contract: REGISTRIES.md): one
     * binary row, swap-published so a rebuild never exposes a
     * half-written sketch to a concurrent reader. */
   def saveFilter(spark: org.apache.spark.sql.SparkSession, path: String,

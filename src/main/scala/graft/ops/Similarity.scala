@@ -280,7 +280,8 @@ object Similarity {
 
   /** Persist a trained IVF model (the collected centroid state — the
     * train-once/serve-many lifecycle across SESSIONS, extending the
-    * in-session memo): one parquet row per centroid, swap-published
+    * in-session memo; cross-store lifecycle contract:
+    * REGISTRIES.md): one parquet row per centroid, swap-published
     * so a retrain never exposes a half-written model to concurrent
     * probes. */
   def saveIvfModel(spark: org.apache.spark.sql.SparkSession, path: String,

@@ -148,7 +148,8 @@ object SubstrDedup {
 
   /** Fold a new batch's spread into the persisted registry at
     * `statePath` (swap-published, crash-safe via `etl.Swap`) and
-    * return the registry row count. APPEND-ONLY CONTRACT: batches
+    * return the registry row count. Lifecycle contract across all
+    * persisted stores: REGISTRIES.md. APPEND-ONLY CONTRACT: batches
     * must not share document ids — cross-batch distinctness of docs
     * is what lets per-hash doc counts ADD across folds (the same
     * assumption IncrementalAgg's count makes). Registry size is

@@ -355,8 +355,8 @@ object TrainPrep {
   /** Fold an eval corpus (or a new benchmark's delta) into the
     * persisted eval-shingle registry at `statePath`: distinct
     * (task, s) rows, swap-published (crash-safe via `etl.Swap`, same
-    * lifecycle as `SubstrDedup.advanceSpread`). Returns the registry
-    * row count.
+    * lifecycle as `SubstrDedup.advanceSpread`; cross-store contract:
+    * REGISTRIES.md). Returns the registry row count.
     *
     * Unlike the spread registry this fold is IDEMPOTENT by
     * construction — the state is a distinct SET, so re-feeding a task

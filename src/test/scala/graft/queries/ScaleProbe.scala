@@ -208,7 +208,27 @@ object ScaleProbe {
         (d: String) => "", 3),
       ("risk_sessionize",
         (d: String) => graft.SparkEntry.queries("q_sessionize")(spark, d),
-        (d: String) => "", 3))
+        (d: String) => "", 3),
+      // Indicator + as-of family (r9): per-key windows over the fact.
+      // The scale claim is the same one sessionize carries — copies
+      // add KEYS (series) with constant per-key cardinality, so the
+      // window exchange grows linearly in shuffle bytes while the
+      // per-key sort/buffer stays flat. maxBucket in the occupancy
+      // line IS the per-key series length: flat across scales = no
+      // single window task ever grows with the corpus.
+      ("risk_rsi",
+        (d: String) => graft.SparkEntry.queries("q_rsi")(spark, d),
+        (d: String) => occupancy(
+          spark.read.parquet(s"$d/lineitem.parquet")
+            .groupBy(col("l_partkey")).agg(count(lit(1)).as("c"))), 3),
+      ("risk_drawdown",
+        (d: String) => graft.SparkEntry.queries("q_drawdown")(spark, d),
+        (d: String) => "", 3),
+      ("risk_asof_join",
+        (d: String) => graft.SparkEntry.queries("q_asof_join")(spark, d),
+        (d: String) => occupancy(
+          spark.read.parquet(s"$d/events.parquet")
+            .groupBy(col("user_id")).agg(count(lit(1)).as("c"))), 3))
 
     val hdr = dirs.map { case (n, _) => f"x$n%7s " }.mkString
     println(f"${"probe"}%-20s $hdr xMAX/x1   shMB per scale")
@@ -274,9 +294,10 @@ object ScaleProbe {
       println(f"  x$n%-4s ${t}%8.2f s  t/t1=${t / it1}%5.2f  maxList=$mx candidates=$cand")
   }
 
-  /** ×n copies of just the corpus-side tables (documents, embeddings,
-    * events) — the risk ops touch nothing else, and the fact tables
-    * are already covered to ×4 by the main probe.
+  /** ×n copies of just the tables the risk ops touch (documents,
+    * embeddings, events, and — since the r9 indicator probes —
+    * lineitem); the remaining fact tables are already covered to ×4
+    * by the main probe.
     *
     * Documents are made textually DISJOINT per copy (every token gets
     * a per-copy prefix), not merely suffixed as in [[build]]: a
@@ -289,7 +310,7 @@ object ScaleProbe {
     * ALGORITHM's (e.g. 8-bit simhash band-value saturation). */
   private def buildSubset(spark: SparkSession, n: Int): Unit = {
     val out = s"$Work/rx$n"
-    if (new java.io.File(s"$out/_OK3").exists()) return
+    if (new java.io.File(s"$out/_OK4").exists()) return
     def copies(df: DataFrame, f: (DataFrame, Int) => DataFrame): DataFrame =
       (0 until n).map(k => f(df, k)).reduce(_ unionByName _)
     def read(t: String) = spark.read.parquet(s"$Base/$t.parquet")
@@ -320,7 +341,14 @@ object ScaleProbe {
         .withColumn("event_id", col("event_id") + lit(k * 100000000L))
         .withColumn("user_id", col("user_id") + lit(k * 1000000L)))
       .write.mode("overwrite").parquet(s"$out/events.parquet")
-    new java.io.File(s"$out/_OK3").createNewFile()
+    // per-copy key offsets: copies add SERIES (l_partkey) with the
+    // base per-key cardinality — the indicator probes' flat-per-key
+    // claim needs key count, not series length, to scale
+    copies(read("lineitem"), (df, k) => df
+        .withColumn("l_orderkey", col("l_orderkey") + lit(k * 10000000L))
+        .withColumn("l_partkey", col("l_partkey") + lit(k * 1000000L)))
+      .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+    new java.io.File(s"$out/_OK4").createNewFile()
     ()
   }
 
