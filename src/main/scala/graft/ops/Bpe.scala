@@ -124,4 +124,32 @@ object Bpe {
   def learnFromCorpus(spark: SparkSession, docs: DataFrame,
       textCol: Column, nMerges: Int): Seq[(String, String)] =
     learn(vocabulary(docs, textCol), nMerges)
+
+  /** Per-document BPE token counts, paying the merge fold once per
+    * DISTINCT word instead of once per occurrence. [[encode]]'s HOF
+    * chain is CodegenFallback — O(nMerges·|word|²) interpreted steps
+    * with per-element array copies — so applying it to every token
+    * occurrence of a corpus re-pays that cost |occurrences| times
+    * (measured ~2.8 ms/doc at 16 merges in the r9 ×16 capstone). Here
+    * the fold runs over the VOCABULARY frame (|distinct words| rows),
+    * and the corpus side is an equi-join of the exploded words against
+    * that (word → n_syms) dictionary plus one per-doc sum — linear,
+    * no interpreted fold touches a corpus row. The join is left to the
+    * planner: AQE broadcasts the dictionary while it is small (always,
+    * at test scale) and falls back to a shuffle join for a
+    * web-corpus-sized vocabulary that must not be broadcast.
+    *
+    * Output: (id, n_tok); documents whose text contains no non-empty
+    * word (empty string) get no row — filter or coalesce upstream if
+    * zero-token docs must appear. Exactly equal to
+    * `size(encode(text, merges))` per doc (BpeSpec parity gate). */
+  def tokenCounts(docs: DataFrame, textCol: Column, idCol: Column,
+      merges: Seq[(String, String)]): DataFrame = {
+    val dict = vocabulary(docs, textCol)
+      .select(col("tok"), size(encode(col("tok"), merges)).cast("long").as("__n_syms"))
+    docs.select(idCol.as("id"),
+        explode(filter(split(textCol, " "), w => length(w) >= 1)).as("tok"))
+      .join(dict, "tok")
+      .groupBy(col("id")).agg(sum(col("__n_syms")).as("n_tok"))
+  }
 }

@@ -101,6 +101,18 @@ class BpeSpec extends AnyFunSuite {
     assert(chars == Seq("a", "b", "c"))
   }
 
+  test("tokenCounts: dictionary-join counts equal per-occurrence encode lengths") {
+    val merges = Bpe.learnFromCorpus(spark, corpus, col("text"), nMerges = 6)
+    val docs = graft.queries.t(spark, TestSpark.sfTiny, "documents").limit(200)
+    val direct = docs.select(col("doc_id"),
+        size(Bpe.encode(col("text"), merges)).cast("long").as("n_tok"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaDict = Bpe.tokenCounts(docs, col("text"), col("doc_id"), merges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaDict == direct,
+      "per-distinct-word dictionary path diverged from per-occurrence encode")
+  }
+
   test("greedy left-to-right: 'aaa' under (a,a) is [aa, a]") {
     val out = Seq("aaa").toDF("text")
       .select(Bpe.encode(col("text"), Seq(("a", "a"))).as("t"))

@@ -32,6 +32,7 @@ object ScaleProbe {
     spark.range(1000000).selectExpr("sum(id)").collect()
 
     if (args.contains("risk")) { riskMain(spark); spark.stop(); return }
+    if (args.contains("capstone")) { capstoneMain(spark); spark.stop(); return }
 
     for (n <- Seq(2, 4)) build(spark, n)
 
@@ -292,6 +293,111 @@ object ScaleProbe {
     val it1 = ivfRes.head._2
     for ((n, t, mx, cand) <- ivfRes)
       println(f"  x$n%-4s ${t}%8.2f s  t/t1=${t / it1}%5.2f  maxList=$mx candidates=$cand")
+  }
+
+  /** Sums shuffle WRITE bytes across every completed stage — the
+    * whole-pipeline counterpart of [[shuffleBytes]] (which reads one
+    * frame's final plan and so misses the jobs a multi-job stage —
+    * cache builds, the BPE merge loop, a parquet write — runs).
+    * Listener events are asynchronous; [[capstoneMain]] sleeps briefly
+    * around snapshots, good enough for a dev probe's attribution. */
+  private class ShuffleTally extends org.apache.spark.scheduler.SparkListener {
+    val bytes = new java.util.concurrent.atomic.AtomicLong(0L)
+    override def onStageCompleted(
+        sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+      bytes.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+      ()
+    }
+  }
+
+  // ---------------------------------------------------------------
+  // Capstone mode (`run ScaleProbe capstone`): the COMPOSED
+  // training-data path — clean(+decontaminate+scrub) → BPE learn →
+  // encode → split → pack — at ×16 documents, per-stage wall and
+  // shuffle bytes. The per-op curves exist (risk mode); composition
+  // is where the round-8 lineage hazards hid, so the composition gets
+  // its own scale measurement. Stage boundaries are parquet
+  // write+read — the production shape, and what keeps any stage's
+  // lineage from re-planning the whole upstream chain.
+  // ---------------------------------------------------------------
+  private def capstoneMain(spark: SparkSession): Unit = {
+    import graft.ops.{Bpe, CorpusClean, TrainPrep}
+    val tally = new ShuffleTally
+    spark.sparkContext.addSparkListener(tally)
+    val out = s"$Work/capstone"
+    def stage[T](name: String)(f: => (Long, T)): T = {
+      Thread.sleep(400); val b0 = tally.bytes.get
+      val t0 = System.nanoTime()
+      val (rows, r) = f
+      val t = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(400); val sh = (tally.bytes.get - b0) / 1e6
+      println(f"[capstone] $name%-12s ${t}%8.2f s  rows=$rows%-9d shuffleMB=$sh%.1f")
+      r
+    }
+    // Capstone corpus: ×16 documents with a one-token per-copy SUFFIX
+    // (the main build's scheme), NOT the risk corpus's per-token
+    // prefix — the prefix mangles every stopword ("the" → "c1the"), so
+    // 15/16 of that corpus fails langId at stage 1 by construction and
+    // the composition would measure a degenerate filter, which the
+    // first capstone run demonstrated (80000 → 2 survivors). With
+    // suffix copies, copies stay real language AND form 16-member
+    // near-dup families — the near-dedup stage does its production
+    // job: collapse each family to one canonical doc.
+    val cdir = s"$Work/cx16/documents.parquet"
+    if (!new java.io.File(s"$Work/cx16/_OK").exists()) {
+      val base = spark.read.parquet(s"$Base/documents.parquet")
+        .select("doc_id", "text")
+      (0 until 16).map(k => base
+          .withColumn("doc_id", col("doc_id") + lit(k * 10000000L))
+          .withColumn("text", concat(col("text"), lit(s" copytok$k"))))
+        .reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(cdir)
+      new java.io.File(s"$Work/cx16/_OK").createNewFile()
+    }
+    val docs = spark.read.parquet(cdir)
+    println(s"[capstone] corpus rows = ${docs.count()} (x16 documents, near-dup families)")
+    // No eval corpus here: the synthetic documents draw from a ~40
+    // token vocabulary, so ANY 10% eval sample saturates the 3-gram
+    // shingle space and decontamination degenerates to "drop
+    // everything" — a property of the fixture, not the operator (the
+    // decontamination stage's plan and correctness are covered by
+    // q_decontaminate and TrainPipelineSpec at declared scale).
+    val kept = stage("clean") {
+      val cleaned = CorpusClean.clean(docs, col("text"), col("doc_id"),
+        CorpusClean.Config(minTokens = 5, scrubBoilerplate = true))
+      cleaned.docs.write.mode("overwrite").parquet(s"$out/clean.parquet")
+      cleaned.release()
+      val k = spark.read.parquet(s"$out/clean.parquet")
+      (k.count(), k)
+    }
+    val merges = stage("bpe_learn") {
+      val m = Bpe.learnFromCorpus(spark, kept, col("text"), nMerges = 16)
+      (m.size.toLong, m)
+    }
+    // per-distinct-word dictionary path (Bpe.tokenCounts) — the first
+    // capstone run measured per-occurrence encode at 10.6 s for 3752
+    // docs (the interpreted HOF fold re-paid per token instance); the
+    // dictionary join is the composition hazard fix this probe exists
+    // to find (parity-gated in BpeSpec)
+    val toks = stage("bpe_count") {
+      Bpe.tokenCounts(kept, col("text"), col("doc_id"), merges)
+        .withColumnRenamed("id", "doc_id")
+        .write.mode("overwrite").parquet(s"$out/toks.parquet")
+      val t = spark.read.parquet(s"$out/toks.parquet")
+      (t.count(), t)
+    }
+    val labeled = toks.withColumn("split",
+      TrainPrep.splitLabel(col("doc_id"), valCut = "1", testCut = "3"))
+    val train = stage("split") {
+      val counts = labeled.groupBy(col("split")).count().collect()
+      (counts.map(_.getLong(1)).sum, labeled.filter(col("split") === "train"))
+    }
+    stage("pack") {
+      val packed = TrainPrep.packBins(train,
+        shardCol = pmod(col("doc_id"), lit(32)), orderCol = col("doc_id"),
+        tokCol = col("n_tok"), budget = 2048L)
+      (packed.count(), ())
+    }
   }
 
   /** ×n copies of just the tables the risk ops touch (documents,
