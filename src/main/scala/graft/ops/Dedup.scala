@@ -137,6 +137,109 @@ object Dedup {
       .select(col("id"), col("bh.band").as("band"), col("bh.h").as("h"))
   }
 
+  // ---------------------------------------------------------------
+  // Incremental WHOLE-DOCUMENT near-dedup: a persisted LSH band
+  // registry — the document-level sibling of the SubstrDedup spread
+  // registry (REGISTRIES.md), answering "is today's crawl a near-dup
+  // of anything in 100 TB of history?" without rescanning history.
+  // State is the (id, band, h) band-key table: O(bands) rows per
+  // historical doc, keys only — text never persists here and never
+  // enters the candidate join. A fresh batch emits its band keys
+  // row-locally ([[lshBandKeys]] — the same stateless projection the
+  // streaming twin uses) and equi-joins the registry: candidate cost
+  // is Σ|bucket| over MATCHED buckets, never |batch|·|history|. The
+  // registry yields CANDIDATE ids; exact Jaccard verification then
+  // point-fetches just those historical docs (LSH-bounded — tiny) —
+  // the honest two-phase shape at scale.
+  // ---------------------------------------------------------------
+
+  /** Params stamp for a band registry (same enforcement pattern as
+    * the spread registry's key-space marker): band keys are only
+    * comparable under identical (numHashes, bands, shingleLen), so
+    * every publish stamps them and every load asserts them. */
+  private[graft] def bandRegistryMarker(numHashes: Int, bands: Int,
+      shingleLen: Int): String =
+    s"_GRAFT_LSH_PARAMS_${numHashes}_${bands}_$shingleLen"
+
+  private def assertBandParams(fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path, statePath: String,
+      numHashes: Int, bands: Int, shingleLen: Int): Unit = {
+    val want = bandRegistryMarker(numHashes, bands, shingleLen)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(dir, want)))
+      throw new IllegalStateException(
+        s"band registry at $statePath has no $want stamp: it was " +
+          "written under different (numHashes, bands, shingleLen) " +
+          "parameters (or by a foreign tool) and its keys would never " +
+          "match this configuration — near-dups against history would " +
+          "silently vanish. Rebuild the registry from its source " +
+          "batches under the current parameters.")
+  }
+
+  /** Fold a new batch's band keys into the persisted registry at
+    * `statePath` and return the registry row count. Set-fold
+    * semantics (the distinct union of (id, band, h) rows) — replaying
+    * a batch is a NO-OP by construction, so at-least-once feeds need
+    * no batch markers (same idempotency class as
+    * `TrainPrep.advanceEvalRegistry`; REGISTRIES.md). Batches must
+    * carry globally-unique doc ids (the registry cannot distinguish a
+    * re-used id from a replay). Swap-published, params-stamped. */
+  def advanceBandRegistry(spark: org.apache.spark.sql.SparkSession,
+      statePath: String, delta: DataFrame, textCol: Column, idCol: Column,
+      numHashes: Int = 8, bands: Int = 2, shingleLen: Int = 3): Long = {
+    import org.apache.hadoop.fs.Path
+    import graft.etl.Swap
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(statePath), spark.sparkContext.hadoopConfiguration)
+    val dir = new Path(statePath)
+    val tmp = new Path(statePath + "__advancing")
+    Swap.recover(fs, dir, tmp)
+    val deltaBands =
+      lshBandKeys(delta, textCol, idCol, numHashes, bands, shingleLen)
+    val next =
+      if (fs.exists(dir)) {
+        assertBandParams(fs, dir, statePath, numHashes, bands, shingleLen)
+        spark.read.parquet(statePath).unionByName(deltaBands).distinct()
+      } else deltaBands.distinct()
+    fs.delete(tmp, true)
+    next.write.mode("overwrite").parquet(tmp.toString)
+    Swap.carryMarkers(fs, dir, tmp, None)
+    fs.create(new Path(tmp,
+      bandRegistryMarker(numHashes, bands, shingleLen)), true).close()
+    val rows = spark.read.parquet(tmp.toString).count()
+    Swap.publish(fs, dir, tmp)
+    rows
+  }
+
+  /** Open a band registry written by [[advanceBandRegistry]],
+    * asserting its params stamp matches — the only safe read path
+    * (a silent params mismatch = zero candidates, not an error). */
+  def loadBandRegistry(spark: org.apache.spark.sql.SparkSession,
+      statePath: String, numHashes: Int = 8, bands: Int = 2,
+      shingleLen: Int = 3): DataFrame = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(statePath), spark.sparkContext.hadoopConfiguration)
+    assertBandParams(fs, new org.apache.hadoop.fs.Path(statePath),
+      statePath, numHashes, bands, shingleLen)
+    spark.read.parquet(statePath)
+  }
+
+  /** Near-dup CANDIDATE pairs (new_id, hist_id) of a fresh batch
+    * against a band registry: the batch's row-local band keys
+    * equi-join the registry on (band, h). Query BEFORE folding the
+    * batch in (or rely on the id inequality — self-matches are
+    * excluded either way). Candidates are LSH candidates, same
+    * contract as [[minHashLshCandidates]]: verify survivors with
+    * exact Jaccard over the (point-fetched) historical texts. */
+  def candidatesAgainstRegistry(newDocs: DataFrame, textCol: Column,
+      idCol: Column, registry: DataFrame,
+      numHashes: Int = 8, bands: Int = 2, shingleLen: Int = 3): DataFrame =
+    lshBandKeys(newDocs, textCol, idCol, numHashes, bands, shingleLen).as("n")
+      .join(registry.as("o"),
+        col("n.band") === col("o.band") && col("n.h") === col("o.h") &&
+          col("n.id") =!= col("o.id"))
+      .select(col("n.id").as("new_id"), col("o.id").as("hist_id"))
+      .distinct()
+
   /** LSH banding over a MinHash signature frame: (id, band, h). */
   def lshBands(mh: DataFrame, numHashes: Int, bands: Int): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
