@@ -479,6 +479,31 @@ object StreamingPipeline {
       .option("checkpointLocation", checkpointDir)
   }
 
+  /** Streaming band-registry maintenance — the streaming twin of
+    * `graft.ops.Dedup.advanceBandRegistry` (REGISTRIES.md): each
+    * micro-batch of documents folds its row-local LSH band keys into
+    * the persisted registry, so `candidatesAgainstRegistry` always
+    * answers against everything ever streamed. The fold is a distinct
+    * SET union — idempotent by construction — so unlike the spread /
+    * sketch sinks NO applied-batch marker is needed: a replayed
+    * micro-batch (restart from checkpoint, wiped checkpoint, anything)
+    * re-unions the same keys and changes nothing. Same globally-unique
+    * document-id contract as the batch form. */
+  def bandRegistrySink(docs: DataFrame, textCol: String, idCol: String,
+      statePath: String, checkpointDir: String,
+      numHashes: Int = 8, bands: Int = 2, shingleLen: Int = 3) = {
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // names, not Columns: each micro-batch is a fresh frame, so a
+        // caller's frame-bound Column could never resolve against it
+        graft.ops.Dedup.advanceBandRegistry(batch.sparkSession,
+          statePath, batch, col(textCol), col(idCol),
+          numHashes, bands, shingleLen): Unit
+      }
+      .option("checkpointLocation", checkpointDir)
+  }
+
   /** Leading numeric id of a `snapshot_<id>[_<tag>]` name. */
   private def snapId(name: String): Option[Long] = {
     val digits = name.stripPrefix("snapshot_").takeWhile(_.isDigit)
