@@ -229,7 +229,17 @@ object ScaleProbe {
         (d: String) => graft.SparkEntry.queries("q_asof_join")(spark, d),
         (d: String) => occupancy(
           spark.read.parquet(s"$d/events.parquet")
-            .groupBy(col("user_id")).agg(count(lit(1)).as("c"))), 3))
+            .groupBy(col("user_id")).agg(count(lit(1)).as("c"))), 3),
+      // top-k per group where the GROUP count stays 5 while the fact
+      // grows x64 — the shape the r9 TopKAgg re-plan exists for: the
+      // exchange must carry |groups|·k heap states at every scale
+      // (watch shuffle MB stay ~flat), where the old rank-window form
+      // shuffled every fact row into 5 window tasks
+      ("risk_rank_topk",
+        (d: String) => graft.SparkEntry.queries("q_window_rank_topk")(spark, d),
+        (d: String) => occupancy(
+          spark.read.parquet(s"$d/orders.parquet")
+            .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("c"))), 3))
 
     val hdr = dirs.map { case (n, _) => f"x$n%7s " }.mkString
     println(f"${"probe"}%-20s $hdr xMAX/x1   shMB per scale")
@@ -416,7 +426,7 @@ object ScaleProbe {
     * ALGORITHM's (e.g. 8-bit simhash band-value saturation). */
   private def buildSubset(spark: SparkSession, n: Int): Unit = {
     val out = s"$Work/rx$n"
-    if (new java.io.File(s"$out/_OK4").exists()) return
+    if (new java.io.File(s"$out/_OK5").exists()) return
     def copies(df: DataFrame, f: (DataFrame, Int) => DataFrame): DataFrame =
       (0 until n).map(k => f(df, k)).reduce(_ unionByName _)
     def read(t: String) = spark.read.parquet(s"$Base/$t.parquet")
@@ -454,7 +464,13 @@ object ScaleProbe {
         .withColumn("l_orderkey", col("l_orderkey") + lit(k * 10000000L))
         .withColumn("l_partkey", col("l_partkey") + lit(k * 1000000L)))
       .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
-    new java.io.File(s"$out/_OK4").createNewFile()
+    // orders keeps its 5-value o_orderpriority across copies ON
+    // PURPOSE: the rank-topk probe's question is exactly "what happens
+    // when the fact grows but the group count does not"
+    copies(read("orders"), (df, k) => df
+        .withColumn("o_orderkey", col("o_orderkey") + lit(k * 10000000L)))
+      .write.mode("overwrite").parquet(s"$out/orders.parquet")
+    new java.io.File(s"$out/_OK5").createNewFile()
     ()
   }
 
