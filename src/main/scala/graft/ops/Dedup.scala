@@ -212,14 +212,20 @@ object Dedup {
 
   /** Open a band registry written by [[advanceBandRegistry]],
     * asserting its params stamp matches — the only safe read path
-    * (a silent params mismatch = zero candidates, not an error). */
+    * (a silent params mismatch = zero candidates, not an error).
+    * Calls `Swap.recover` first, like every other entry point
+    * (REGISTRIES.md): a crash in a publish's delete→rename gap leaves
+    * the complete stamped fold under the tmp name, and without the
+    * recover this load would mistake it for a params mismatch. */
   def loadBandRegistry(spark: org.apache.spark.sql.SparkSession,
       statePath: String, numHashes: Int = 8, bands: Int = 2,
       shingleLen: Int = 3): DataFrame = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(statePath), spark.sparkContext.hadoopConfiguration)
-    assertBandParams(fs, new org.apache.hadoop.fs.Path(statePath),
-      statePath, numHashes, bands, shingleLen)
+    val dir = new org.apache.hadoop.fs.Path(statePath)
+    graft.etl.Swap.recover(fs, dir,
+      new org.apache.hadoop.fs.Path(statePath + "__advancing"))
+    assertBandParams(fs, dir, statePath, numHashes, bands, shingleLen)
     spark.read.parquet(statePath)
   }
 
@@ -378,19 +384,33 @@ object Dedup {
     * value space ≫ corpus size, i.e. nBits/nBands ≥ log₂(nDocs) +
     * margin — otherwise buckets stop splitting once the corpus passes
     * 2^(band width) and pair generation goes quadratic. Returns the
-    * smallest multiple-of-4 width satisfying the rule, clamped to
-    * [[simHashSignaturesWide]]'s [8, 128] domain (128 = the md5
-    * nibble budget: beyond ~2³⁰-doc corpora at 4 bands, add bands or
-    * shard the corpus instead). */
+    * smallest width satisfying the rule that is BOTH a multiple of 4
+    * (the hex-nibble signature constraint) AND divisible by `nBands`
+    * (the banding constraint) — i.e. a multiple of lcm(4, nBands) —
+    * so the result always feeds [[simHashSignaturesWide]] /
+    * [[simHashNearDupPairsWide]] without tripping their requires.
+    * Clamped to ≤ 128 (the md5 nibble budget: beyond ~2³⁰-doc corpora
+    * at 4 bands, add bands or shard the corpus instead); nBands whose
+    * lcm with 4 exceeds 128 are rejected. */
   def autoSimHashWidth(nDocs: Long, nBands: Int = 4, margin: Int = 4): Int = {
     require(nDocs > 0 && nBands > 0)
+    val step = lcm(4, nBands)
+    require(step <= 128,
+      s"nBands=$nBands needs nBits in steps of $step > 128 (md5 nibble budget)")
     val perBand = math.ceil(log2(nDocs.toDouble)).toInt + margin
     val raw = perBand * nBands
-    val mult4 = ((raw + 3) / 4) * 4
-    math.min(128, math.max(8, mult4))
+    val rounded = ((raw + step - 1) / step) * step
+    val floorW = ((8 + step - 1) / step) * step   // smallest valid width ≥ 8
+    val capW = (128 / step) * step                // largest valid width ≤ 128
+    math.min(capW, math.max(floorW, rounded))
   }
 
   private def log2(x: Double): Double = math.log(x) / math.log(2.0)
+
+  private def lcm(a: Int, b: Int): Int = {
+    @annotation.tailrec def gcd(x: Int, y: Int): Int = if (y == 0) x else gcd(y, x % y)
+    a / gcd(a, b) * b
+  }
 
   /** SimHash signature at an arbitrary width (≤ 128 bits — the md5
     * nibble budget). 32 bits is the declared-query width (oracle
@@ -670,7 +690,15 @@ object Dedup {
     * [[simHashNearDupPairsWide]]: arriving docs emit their `nBands`
     * bucket keys statelessly; join them against an indexed band table
     * for incremental Hamming near-dup candidates
-    * (`StreamingPipeline.simHashCandidatesStream`). */
+    * (`StreamingPipeline.simHashCandidatesStream`).
+    *
+    * WIDTH MIGRATION (r9): the default nBits moved 32 → 64. Band keys
+    * of different widths NEVER match — probing a persisted band table
+    * built under the old default with new-default keys yields zero
+    * candidates silently. Pass the table's width explicitly when
+    * reading pre-r9 state, or rebuild it at 64 (the persisted-registry
+    * path, [[advanceBandRegistry]], stamps its params and fails fast
+    * instead — use it for any state that outlives a session). */
   def simHashBandKeys(docs: DataFrame, textCol: Column, idCol: Column,
       nBits: Int = 64, nBands: Int = 4): DataFrame = {
     require(nBits % nBands == 0, s"nBands must divide $nBits, got $nBands")

@@ -105,7 +105,13 @@ object Similarity {
     * reproducible outside Spark (e.g. a cross-engine dedup contract);
     * recall/cost behavior is the same sign-LSH. Magnitudes: |plane| <
     * 2^23, |quantized| ≤ ~2^20·|x|, 64 terms — comfortably inside
-    * BIGINT. */
+    * BIGINT.
+    *
+    * WIDTH MIGRATION (r9): the default nBits moved 8 → 16. Buckets of
+    * different widths never match — joining a persisted 8-bit bucket
+    * column against new-default 16-bit buckets silently yields zero
+    * candidates. Pass nBits = 8 explicitly when probing pre-r9 state,
+    * or re-bucket it. */
   def lshBucketQuantized(vecCol: Column, nBits: Int = 16, seed: Int = 42,
       dims: Int = 64): Column = {
     val bits = (0 until nBits).map { b =>

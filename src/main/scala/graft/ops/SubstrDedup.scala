@@ -275,12 +275,35 @@ object SubstrDedup {
     rows
   }
 
+  /** Open the persisted spread registry for READING, with the same
+    * protections every writing entry point has (REGISTRIES.md):
+    * `Swap.recover` first (a crash in a publish's delete→rename gap
+    * leaves the complete fold under the tmp name), then the key-space
+    * guard — a legacy single-modulus registry is REJECTED here
+    * instead of silently scrubbing nothing (its keys would never
+    * match [[windowHashes]] output, so every batch would pass through
+    * unscrubbed with no error). Pass the result to
+    * [[stripAgainstRegistry]]. */
+  def loadRegistry(spark: org.apache.spark.sql.SparkSession,
+      statePath: String): DataFrame = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(statePath), spark.sparkContext.hadoopConfiguration)
+    val dir = new org.apache.hadoop.fs.Path(statePath)
+    graft.etl.Swap.recover(fs, dir,
+      new org.apache.hadoop.fs.Path(statePath + "__advancing"))
+    assertDualKeySpace(spark, fs, dir, statePath)
+    spark.read.parquet(statePath)
+  }
+
   /** Scrub `docs` against an EXTERNAL spread registry (e.g. the
     * persisted table `advanceSpread` maintains): windows whose hash
     * reaches `minDocs` documents registry-wide are treated as
     * boilerplate, so a fresh batch is cleaned against ALL history
     * without rescanning it. Same output contract as
-    * [[stripRepeatedSpans]]. */
+    * [[stripRepeatedSpans]]. Open a PERSISTED registry via
+    * [[loadRegistry]], not a bare `spark.read.parquet` — the load
+    * enforces crash recovery and the key-space guard a raw read
+    * skips. */
   def stripAgainstRegistry(docs: DataFrame, textCol: Column,
       idCol: Column, w: Int, registry: DataFrame,
       minDocs: Int = 2): DataFrame = {

@@ -304,12 +304,17 @@ object SqlSurfaceQueries {
     // idiom shuffles and sorts every row of every group; this plan's
     // exchange carries one O(k) heap per group from each map task —
     // the shape that survives a 100× scale-up. The oracle IS the
-    // rank window, asserting exact equivalence.
+    // rank window, asserting exact equivalence. Since r9 this is the
+    // SQL-SURFACE twin of q_window_rank_topk (which took over the
+    // Column-API TopKAgg form when its rank window was re-planned):
+    // the same physical aggregate reached through the registered
+    // `graft_top_k` builder — the declared coverage for TopKAgg.build
+    // and its analysis-time input coercion.
     "q_topk_agg" -> { (s, d) =>
+      graft.functions.GraftFunctions.register(s)
       t(s, d, "orders")
         .groupBy(col("o_orderpriority"))
-        .agg(graft.functions.TopKAgg.topK(
-          col("o_totalprice"), col("o_orderkey"), 3).as("top"))
+        .agg(expr("graft_top_k(o_totalprice, o_orderkey, 3)").as("top"))
         .select(col("o_orderpriority"), posexplode(col("top")))
         .select(col("o_orderpriority"), (col("pos") + 1).cast("long").as("rk"),
           col("col.id").as("o_orderkey"), col("col.score").as("o_totalprice"))

@@ -70,7 +70,11 @@ object WindowQueries {
     // peers and is exactly row_number(). o_totalprice is a DOUBLE in
     // the star schema, so the heap's double score carries it verbatim
     // (no decimal re-encoding needed). Oracle unchanged: raw-row
-    // rank() + filter — the same 15 rows.
+    // rank() + filter — the same 15 rows. API-surface pairing:
+    // q_topk_agg (SqlSurfaceQueries) reaches the SAME aggregate
+    // through the registered `graft_top_k` SQL builder — Column API
+    // here, SQL surface there, one physical shape, two declared entry
+    // points.
     "q_window_rank_topk" -> { (s, d) =>
       t(s, d, "orders")
         .groupBy(col("o_orderpriority"))

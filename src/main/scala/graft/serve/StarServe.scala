@@ -113,12 +113,26 @@ class StarServe(spark: SparkSession, starDir: String,
     * collected and drawn as deterministic SVG. The collect is the
     * serving-tier materialization the reference's `st.pyplot` does on
     * the same KB-sized slice; an empty slice renders the reference's
-    * warning banner (app.py:131). */
-  def chartSvg(indexCode: String, start: String, end: String): String = {
+    * warning banner (app.py:131).
+    *
+    * `maxRows` enforces the serving-tier size contract in the SAME
+    * single execution that renders: the collect is limit-bounded at
+    * maxRows+1, and an over-cap slice throws [[StarServe.SliceTooLarge]]
+    * BEFORE materializing it (the HTTP facade maps this to 413). A
+    * probe-then-render pair would both run the query twice and race a
+    * concurrent snapshot refresh between check and use. */
+  def chartSvg(indexCode: String, start: String, end: String,
+      maxRows: Int = Int.MaxValue): String = {
     val name = dimStockIndex.filter(col("IndexCode") === indexCode)
       .select(col("IndexName")).collect().headOption
       .map(_.getString(0)).getOrElse(indexCode)
-    val rows = chartSeries(indexCode, start, end).collect().toSeq.map { r =>
+    val collected =
+      if (maxRows == Int.MaxValue) chartSeries(indexCode, start, end).collect()
+      else chartSeries(indexCode, start, end).limit(maxRows + 1).collect()
+    if (collected.length > maxRows)
+      throw new StarServe.SliceTooLarge(
+        s"slice exceeds $maxRows rows; narrow the date range")
+    val rows = collected.toSeq.map { r =>
       (r.getDate(0).toLocalDate.toEpochDay,
         if (r.isNullAt(1)) None else Some(r.getDouble(1)),
         if (r.isNullAt(2)) None else Some(r.getDouble(2)))
@@ -151,4 +165,9 @@ object StarServe {
   def fromStreamingSnapshots(spark: SparkSession, starDir: String,
       snapshotDir: String): StarServe =
     new StarServe(spark, starDir, Some(snapshotDir))
+
+  /** A requested slice exceeds the serving-tier row cap — thrown
+    * before the oversized slice is materialized; the HTTP facade maps
+    * it to 413 Content Too Large. */
+  final class SliceTooLarge(msg: String) extends RuntimeException(msg)
 }

@@ -166,6 +166,8 @@ class StarServeHttp(serve: StarServe, bindPort: Int = 0, threads: Int = 4,
           respond(ex, 400, "application/json", jsonErr(e.getMessage))
         case e: TooLarge =>
           respond(ex, 413, "application/json", jsonErr(e.getMessage))
+        case e: StarServe.SliceTooLarge =>
+          respond(ex, 413, "application/json", jsonErr(e.getMessage))
         case e: Throwable =>
           respond(ex, 500, "application/json",
             jsonErr(Option(e.getMessage).getOrElse(e.getClass.getName)))
@@ -192,16 +194,12 @@ class StarServeHttp(serve: StarServe, bindPort: Int = 0, threads: Int = 4,
   }
 
   handle("/chart", required = Seq("index", "start", "end")) { p =>
-    // same slice cap as /series — the SVG renderer collects the
-    // identical rows; the probe is a limit-bounded count, so the
-    // oversized slice is never materialized before refusal
-    val n = serve.chartSeries(p("index"), p("start"), p("end"))
-      .limit(maxSliceRows + 1).count()
-    if (n > maxSliceRows)
-      throw new TooLarge(
-        s"slice exceeds $maxSliceRows rows; narrow the date range")
+    // same slice cap as /series, enforced INSIDE chartSvg's single
+    // limit-bounded execution — a separate probe query would double
+    // the endpoint's plan work and race a concurrent snapshot refresh
+    // between check and render
     (200, "image/svg+xml",
-      serve.chartSvg(p("index"), p("start"), p("end")))
+      serve.chartSvg(p("index"), p("start"), p("end"), maxSliceRows))
   }
 
   handle("/latest", required = Seq("index")) { p =>

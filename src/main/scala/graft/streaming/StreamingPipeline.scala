@@ -128,6 +128,9 @@ object StreamingPipeline {
   def simHashCandidatesStream(docs: DataFrame, textCol: Column,
       idCol: Column, indexBands: DataFrame,
       nBits: Int = 64, nBands: Int = 4): DataFrame = {
+    // WIDTH MIGRATION (r9): default 32 -> 64. An index persisted under
+    // the old default must be probed with nBits = 32 explicitly or
+    // rebuilt — mismatched widths join to zero candidates silently.
     val newKeys = graft.ops.Dedup
       .simHashBandKeys(docs, textCol, idCol, nBits, nBands)
     val idx = indexBands.select(col("band").as("__iband"),

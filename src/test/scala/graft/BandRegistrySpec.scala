@@ -122,4 +122,20 @@ class BandRegistrySpec extends AnyFunSuite {
     // matching params keep working
     assert(Dedup.loadBandRegistry(spark, path).count() > 0)
   }
+
+  test("load recovers an interrupted publish instead of misreading it as a params mismatch") {
+    val base = java.nio.file.Files.createTempDirectory("bandreg3")
+    val path = base.resolve("reg").toString
+    Dedup.advanceBandRegistry(spark, path, batch1, col("text"), col("doc_id"))
+    val expected = Dedup.loadBandRegistry(spark, path).count()
+    // simulate a crash in the publish delete->rename gap: the live dir
+    // is gone, the complete stamped fold sits under the tmp name
+    val live = java.nio.file.Paths.get(path)
+    val tmp = java.nio.file.Paths.get(path + "__advancing")
+    java.nio.file.Files.move(live, tmp)
+    // the guarded load must PROMOTE the tmp (Swap.recover), not throw
+    // the params-mismatch error at an empty live dir
+    assert(Dedup.loadBandRegistry(spark, path).count() == expected)
+    assert(java.nio.file.Files.exists(live) && !java.nio.file.Files.exists(tmp))
+  }
 }

@@ -225,6 +225,18 @@ class OpsSpec extends AnyFunSuite {
     assert(Dedup.autoSimHashWidth(1L << 60, nBands = 4) == 128) // cap
     assert(Dedup.autoSimHashWidth(1L, nBands = 1) == 8) // floor
     assert(Dedup.autoSimHashWidth(4000L) % 4 == 0)
+    // the returned width must feed the banding functions directly:
+    // divisible by BOTH 4 (hex signature) and nBands — including
+    // non-power-of-two band counts, where naive round-to-4 breaks
+    for (nb <- Seq(1, 2, 3, 4, 5, 8); n <- Seq(100L, 100000L, 1L << 40)) {
+      val wd = Dedup.autoSimHashWidth(n, nBands = nb)
+      assert(wd % nb == 0 && wd % 4 == 0 && wd >= 8 && wd <= 128,
+        s"autoSimHashWidth($n, $nb) = $wd violates its own contract")
+    }
+    // a band count whose lcm with 4 exceeds the md5 budget is rejected
+    intercept[IllegalArgumentException] {
+      Dedup.autoSimHashWidth(100L, nBands = 33)
+    }
     // pair-space sanity at the width the rule picks: the per-band
     // value space must exceed the corpus (the anti-saturation property)
     val n = 100000L

@@ -163,6 +163,12 @@ class SubstrDedupSpec extends AnyFunSuite {
     intercept[IllegalStateException] {
       SubstrDedup.pruneRegistry(spark, legacyPath)
     }
+    // ...and so is the READ path: loadRegistry must reject a legacy
+    // registry instead of letting stripAgainstRegistry silently scrub
+    // nothing against never-matching keys
+    intercept[IllegalStateException] {
+      SubstrDedup.loadRegistry(spark, legacyPath)
+    }
     // a fresh registry gets the stamp at first publish, keeps it
     // across advance + prune, and keeps folding normally
     val freshPath = base.resolve("fresh").toString
@@ -176,6 +182,9 @@ class SubstrDedupSpec extends AnyFunSuite {
     assert(stamped, "stamp must survive a fold")
     SubstrDedup.pruneRegistry(spark, freshPath)
     assert(stamped, "stamp must survive a prune")
+    // guarded read path returns the same rows as a raw read
+    assert(SubstrDedup.loadRegistry(spark, freshPath).count() ==
+      spark.read.parquet(freshPath).count())
   }
 
   test("pruneRegistry keeps forward-relevant hashes, drops the dead tail") {
