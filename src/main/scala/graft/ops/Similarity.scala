@@ -35,14 +35,25 @@ object Similarity {
   /** Cosine of two array<double> columns (codegen'd kernel). */
   def cosine(a: Column, b: Column): Column = GraftFunctions.cosine(a, b)
 
-  /** Exact top-k by cosine for one query vector (broadcast). */
+  /** Exact top-k by cosine for one query vector (broadcast).
+    *
+    * `query` must hold exactly ONE row (asserted, like [[ivfTopK]]) —
+    * a multi-row query frame would silently pool every query's pairs
+    * into one unlabeled ranking; use [[ivfTopKBatch]] for batches.
+    * Cosine against a zero-norm vector is UNDEFINED (0/0 = NaN, and
+    * NaN sorts ABOVE every real cosine in Spark, so without the guard
+    * zero vectors would win rank 1): zero-norm corpus rows are
+    * excluded, and a zero-norm query yields an empty result. */
   def bruteForceTopK(corpus: DataFrame, idCol: Column, vecCol: Column,
       query: DataFrame, queryVec: Column, k: Int): DataFrame = {
+    val nq = query.limit(2).count()
+    require(nq == 1, s"bruteForceTopK expects exactly 1 query row, got $nq")
     val c = corpus.select(idCol.as("id"), vecCol.cast("array<double>").as("v"))
       .withColumn("nrm", sqrt(GraftFunctions.dot(col("v"), col("v"))))
     val q = broadcast(query.select(queryVec.cast("array<double>").as("qv"))
       .withColumn("qn", sqrt(GraftFunctions.dot(col("qv"), col("qv")))))
     c.crossJoin(q)
+      .filter(col("nrm") > 0 && col("qn") > 0)
       .select(col("id"),
         round(GraftFunctions.dot(col("v"), col("qv")) / (col("nrm") * col("qn")), 4).as("cos"))
       .orderBy(col("cos").desc, col("id"))
@@ -84,13 +95,20 @@ object Similarity {
   }
 
   /** Sign-LSH bucket id (a `nBits`-char '0'/'1' string) per vector.
-    * `dims` must match the embedding dimensionality. */
+    * `dims` must match the embedding dimensionality — and that is
+    * ENFORCED per row: the dot kernel returns null on a length
+    * mismatch (or a null vector), and a naive `otherwise("0")` would
+    * turn every bit into '0', silently collapsing the whole corpus
+    * into one bucket and the bucket join into a full cross product.
+    * Mismatches raise instead. */
   def lshBuckets(corpus: DataFrame, idCol: Column, vecCol: Column,
       nBits: Int = 16, seed: Int = 42, dims: Int = 64): DataFrame = {
     val v = vecCol.cast("array<double>")
     val bitCols = (0 until nBits).map { b =>
       val planeLit = array(plane(seed, b, dims).map(lit): _*)
-      when(GraftFunctions.dot(v, planeLit) >= 0, "1").otherwise("0")
+      val d = GraftFunctions.dot(v, planeLit)
+      when(d >= 0, "1").when(d < 0, "0").otherwise(raise_error(
+        lit(s"lshBuckets: null plane dot — vector is null or its length != dims ($dims)")))
     }
     corpus.select(idCol.as("id"), v.as("v"), concat(bitCols: _*).as("bucket"))
   }
@@ -120,22 +138,31 @@ object Similarity {
         zip_with(vecCol.cast("array<double>"), pLit,
           (x, y) => round(x * lit(1000000.0d)).cast("long") * y),
         lit(0L), (acc, t) => acc + t)
-      when(dotInt >= 0, "1").otherwise("0")
+      // zip_with null-pads on length mismatch -> null sum; same
+      // all-bits-'0' mega-bucket hazard as lshBuckets — raise instead
+      when(dotInt >= 0, "1").when(dotInt < 0, "0").otherwise(raise_error(
+        lit(s"lshBucketQuantized: null quantized dot — vector is null or its length != dims ($dims)")))
     }
     concat(bits: _*)
   }
 
   /** Approximate top-k: exact cosine within the query's LSH bucket.
-    * Recall improves with fewer bits / multiple probe tables. */
+    * Recall improves with fewer bits / multiple probe tables.
+    * `query` must hold exactly ONE row (asserted, like [[ivfTopK]] /
+    * [[bruteForceTopK]]); zero-norm pairs (undefined cosine — NaN
+    * would otherwise sort ABOVE every real score) are excluded. */
   def lshTopK(corpus: DataFrame, idCol: Column, vecCol: Column,
       query: DataFrame, queryVec: Column, k: Int,
       nBits: Int = 16, seed: Int = 42, dims: Int = 64): DataFrame = {
+    val nq = query.limit(2).count()
+    require(nq == 1, s"lshTopK expects exactly 1 query row, got $nq")
     val cb = lshBuckets(corpus, idCol, vecCol, nBits, seed, dims)
     val qb = broadcast(
       lshBuckets(query, lit(0L), queryVec, nBits, seed, dims)
         .select(col("v").as("qv"), col("bucket").as("qbucket")))
     cb.join(qb, col("bucket") === col("qbucket"))
       .select(col("id"), round(cosine(col("v"), col("qv")), 4).as("cos"))
+      .filter(!isnan(col("cos")))
       .orderBy(col("cos").desc, col("id"))
       .limit(k)
   }
@@ -202,7 +229,8 @@ object Similarity {
       struct((lit(1.0) - dot / (sqrt(GraftFunctions.dot(v, v)) * lit(cn))).as("dist"),
         lit(cid).as("cid"))
     }
-    least(cands: _*).getField("cid")
+    // least() demands >= 2 args: a 1-centroid model assigns trivially
+    (if (cands.size == 1) cands.head else least(cands: _*)).getField("cid")
   }
 
   /** The centroid model as a broadcast-able k-row frame

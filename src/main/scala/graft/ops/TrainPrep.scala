@@ -42,9 +42,23 @@ object TrainPrep {
     * partitioning. Split on a STABLE key (content hash or durable id),
     * never a position-derived one. */
   def splitLabel(key: Column, valCut: String = "0d", testCut: String = "29"): Column = {
+    // the cuts compare lexicographically against lowercase-hex md5 —
+    // an uppercase or non-hex cut would silently skew the split
+    // fractions ("0D" < every digit-leading hash ≈ an empty val split)
+    val hexPrefix = "^[0-9a-f]{1,32}$".r
+    require(hexPrefix.findFirstIn(valCut).isDefined &&
+        hexPrefix.findFirstIn(testCut).isDefined,
+      s"cuts must be lowercase-hex md5 prefixes, got '$valCut' / '$testCut'")
     require(valCut < testCut, s"valCut '$valCut' must sort below testCut '$testCut'")
     val fp = md5(hashableKey(key))
-    when(fp < lit(valCut), "val")
+    // a null key would fall through every when() into 'train' —
+    // silent, and exactly the leak the hash split exists to prevent
+    // (the same doc later backfilled with a real key can land in
+    // val/test). Fail loudly instead.
+    when(fp.isNull, raise_error(lit(
+        "splitLabel: null split key — filter or fill keys first " +
+        "(a null would silently land in 'train')")))
+      .when(fp < lit(valCut), "val")
       .when(fp < lit(testCut), "test")
       .otherwise("train")
   }
@@ -55,6 +69,13 @@ object TrainPrep {
     * FIRST token lands in (bins may overflow past the budget at the
     * boundary document; packing that splits documents is a tokenizer
     * concern, not an assignment concern).
+    *
+    * `orderCol` must be UNIQUE within each shard (the same §7.3
+    * total-order rule every window in the library follows): the
+    * running token sum is a ROWS-frame over `orderBy(orderCol)`, and
+    * tied rows near a budget boundary would swap cumulative sums —
+    * and bins — across retries/partitionings, breaking the
+    * determinism contract below. Use the durable doc id.
     *
     * Returns the input plus (shard, bin) columns.
     *
@@ -86,7 +107,11 @@ object TrainPrep {
       .drop("__cum", "__tok")
   }
 
-  /** Write the corpus as exactly `numShards` parquet shard files with
+  /** Write the corpus as UP TO `numShards` parquet shard files
+    * (hash-partitioning writes no file for an empty partition — a
+    * corpus with fewer distinct keys than shards, or a skewed hash,
+    * yields fewer files; loaders must enumerate the directory, never
+    * index shards 0..numShards-1 by name) with
     * the two locality properties a training loader wants: every row of
     * one `keyCol` value lands in ONE shard (key locality — a loader
     * can hold per-key state without cross-file merges), and rows
@@ -150,7 +175,18 @@ object TrainPrep {
     * array) — no shuffle, no state; output size is input tokens ×
     * chunkSize/stride, the unavoidable overlap amplification, and the
     * explode streams through whole-stage codegen without
-    * materializing per-document chunk lists. */
+    * materializing per-document chunk lists.
+    *
+    * Tail semantics with `overlap > 0`: chunk starts advance by the
+    * stride until the LAST token is covered, so a document ending
+    * inside the previous chunk's overlap region emits one or more
+    * short tail chunks fully CONTAINED in the previous chunk (e.g.
+    * 25 tokens at chunkSize=32/overlap=8 → starts 0 and 24; the
+    * 1-token chunk at 24 is a sub-span of the chunk at 0). This is
+    * the common fixed-stride contract (and what the declared oracle
+    * pins); consumers that must not index duplicate spans should
+    * drop chunks whose end does not extend past the previous
+    * chunk's. */
   def chunkTokens(df: DataFrame, textCol: Column, idCol: Column,
       chunkSize: Int, overlap: Int = 0): DataFrame = {
     require(chunkSize > 0, "chunkSize must be positive")
@@ -240,9 +276,11 @@ object TrainPrep {
     * is driver-side on |strata| rows — the collected "model", same
     * lifecycle as the IVF centroids. */
   def temperatureWeights(df: DataFrame, stratumCol: Column,
-      alpha: Double, budgetRows: Long): Map[String, Double] = {
+      alpha: Double, budgetRows: Long,
+      maxWeight: Double = 1000.0): Map[String, Double] = {
     require(alpha >= 0.0 && alpha <= 1.0, s"alpha must be in [0,1], got $alpha")
     require(budgetRows > 0, s"budgetRows must be positive, got $budgetRows")
+    require(maxWeight > 0, s"maxWeight must be positive, got $maxWeight")
     // cast to string so non-string stratum columns (int domain ids,
     // dates) don't throw at collect; null strata are rejected rather
     // than silently becoming a map key no mixCorpus lookup matches
@@ -256,8 +294,15 @@ object TrainPrep {
         r.getString(0) -> r.getLong(1)
       }.toMap
     val mass = sizes.values.map(n => math.pow(n.toDouble, alpha)).sum
+    // clamp to the downstream mixer's replication bound: a tiny tail
+    // stratum under a large budget can demand a per-row copy factor
+    // beyond mixCorpus's [0, 1000] domain, which would throw at plan
+    // build. A clamped stratum receives maxWeight·n rows instead of
+    // its temperature share — raise maxWeight deliberately if your
+    // mixer allows more replication.
     sizes.map { case (s, n) =>
-      s -> budgetRows * math.pow(n.toDouble, alpha) / mass / n.toDouble
+      s -> math.min(maxWeight,
+        budgetRows * math.pow(n.toDouble, alpha) / mass / n.toDouble)
     }
   }
 
@@ -337,9 +382,12 @@ object TrainPrep {
         count(lit(1)).as("n_docs_flagged"),
         max(col("n_overlap")).as("max_overlap"),
         avg(col("n_overlap")).as("avg_overlap"))
-    val surface = esh.join(tsh.select(col("s")).distinct(), Seq("s"),
-        "left_semi")
-      .groupBy(col("task")).agg(count(lit(1)).as("n_eval_shingles_hit"))
+    // derived from the broadcast join already computed above — the
+    // earlier semi-join formulation put the corpus-sized distinct
+    // train-shingle set on a second shuffle pass for a number that is
+    // exactly countDistinct(s) per task over `joined`
+    val surface = joined.groupBy(col("task"))
+      .agg(countDistinct(col("s")).as("n_eval_shingles_hit"))
     val totals = esh.groupBy(col("task"))
       .agg(count(lit(1)).as("n_eval_shingles"))
     totals

@@ -244,6 +244,45 @@ class OpsSpec extends AnyFunSuite {
     assert(math.pow(2, w.toDouble) > n)
   }
 
+  test("similarity guards: zero vectors never rank, dims mismatch raises, 1-row query enforced") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, Seq.fill(64)(1.0)),
+      (2L, Seq.fill(64)(0.0)),          // zero-norm: cosine undefined
+      (3L, Seq.tabulate(64)(i => if (i < 32) 1.0 else -1.0))
+    ).toDF("vec_id", "embedding")
+    val q = Seq((0L, Seq.fill(64)(1.0))).toDF("vec_id", "embedding")
+    // without the guard, NaN (0/0) sorts ABOVE every real cosine and
+    // the zero vector would take rank 1
+    val top = Similarity.bruteForceTopK(corpus, col("vec_id"), col("embedding"),
+      q, col("embedding"), 3).collect()
+    assert(top.map(_.getLong(0)).toSeq == Seq(1L, 3L),
+      s"zero-norm row must be excluded, got ${top.mkString(",")}")
+    assert(top.forall(r => !r.getDouble(1).isNaN))
+    // zero-norm QUERY: defined result is empty, not k arbitrary NaNs
+    val zq = Seq((0L, Seq.fill(64)(0.0))).toDF("vec_id", "embedding")
+    assert(Similarity.bruteForceTopK(corpus, col("vec_id"), col("embedding"),
+      zq, col("embedding"), 3).count() == 0)
+    // multi-row query frames pooled into one unlabeled ranking: refuse
+    intercept[IllegalArgumentException] {
+      Similarity.bruteForceTopK(corpus, col("vec_id"), col("embedding"),
+        corpus, col("embedding"), 3)
+    }
+    // dims mismatch: every bit would silently read '0' (null dot) and
+    // the whole corpus would collapse into one bucket — must raise
+    val short = Seq((1L, Seq.fill(16)(1.0))).toDF("vec_id", "embedding")
+    val ex = intercept[Exception] {   // SparkRuntimeException (raise_error)
+      short.select(Similarity.lshBucketQuantized(col("embedding")).as("b")).collect()
+    }
+    assert(ex.getMessage.contains("length != dims") ||
+      Option(ex.getCause).exists(_.getMessage.contains("length != dims")), ex.getMessage)
+    val ex2 = intercept[Exception] {
+      Similarity.lshBuckets(short, col("vec_id"), col("embedding")).collect()
+    }
+    assert(ex2.getMessage.contains("length != dims") ||
+      Option(ex2.getCause).exists(_.getMessage.contains("length != dims")), ex2.getMessage)
+  }
+
   test("quantized LSH buckets: well-formed, deterministic, scale-invariant, near-identical vectors collide") {
     val emb = graft.queries.t(spark, TestSpark.sfTiny, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))

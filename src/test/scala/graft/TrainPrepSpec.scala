@@ -35,6 +35,45 @@ class TrainPrepSpec extends AnyFunSuite {
     }
   }
 
+  test("splitLabel: malformed cuts rejected, null keys raise instead of landing in train") {
+    import spark.implicits._
+    // uppercase hex compares below every lowercase hash — would
+    // silently empty the val split; non-hex is equally malformed
+    intercept[IllegalArgumentException] {
+      TrainPrep.splitLabel(col("text"), valCut = "0D", testCut = "29")
+    }
+    intercept[IllegalArgumentException] {
+      TrainPrep.splitLabel(col("text"), valCut = "0d", testCut = "zz")
+    }
+    // a null key must FAIL, not silently join 'train' (the same doc
+    // backfilled with a real key later could land in val/test — the
+    // exact leakage the hash split exists to prevent)
+    val withNull = Seq(Some("doc a"), None).toDF("text")
+    val ex = intercept[Exception] {
+      withNull.select(TrainPrep.splitLabel(col("text")).as("s")).collect()
+    }
+    assert(ex.getMessage.contains("null split key") ||
+      Option(ex.getCause).exists(_.getMessage.contains("null split key")),
+      ex.getMessage)
+  }
+
+  test("temperatureWeights clamps to the mixer's replication bound") {
+    import spark.implicits._
+    // one huge head + a 2-row tail under a large budget: unclamped,
+    // the tail's copy factor would exceed mixCorpus's 1000 limit and
+    // throw at plan build in the composed pipeline
+    val df = (Seq.fill(10000)("head") ++ Seq("tail", "tail")).toDF("s")
+    val w = TrainPrep.temperatureWeights(df, col("s"), alpha = 0.1,
+      budgetRows = 100000000L)
+    assert(w("tail") == 1000.0, s"tail weight must clamp: ${w("tail")}")
+    assert(w.values.forall(_ <= 1000.0))
+    // the clamp is a parameter, not a constant
+    val w2 = TrainPrep.temperatureWeights(df, col("s"), alpha = 0.1,
+      budgetRows = 100000000L, maxWeight = 5000.0)
+    assert(w2("tail") == 5000.0 || w2("tail") < 5000.0)
+    assert(w2("tail") > w("tail"))
+  }
+
   test("packBins: bins fill in order and overflow only at a boundary doc") {
     val toks = docs.select(col("doc_id"), (col("doc_id") % 4).as("sh"),
       size(split(col("text"), " ")).cast("long").as("n_tok"))
