@@ -55,11 +55,24 @@ object ChangeApply {
       attrs: Seq[String], opCol: String = "op",
       tsCol: String = "ts"): DataFrame = {
     require(attrs.nonEmpty, "attrs must name at least one payload column")
+    // null key/ts guards, per row at execution: a null-key change
+    // inserts an all-null junk row (it joins nothing, changeWins is
+    // false, and the coalesced key is null) that every later merge
+    // re-emits forever; a null-ts INSERT freezes its key (no later
+    // change's `ts > null` ever evaluates true). Malformed input —
+    // fail loudly rather than corrupt the snapshot.
+    val changesG = changes
+      .withColumn(key, when(col(key).isNull, raise_error(lit(
+          s"ChangeApply.merge: null '$key' in changes — a keyless " +
+            "change can only produce a junk snapshot row"))).otherwise(col(key)))
+      .withColumn(tsCol, when(col(tsCol).isNull, raise_error(lit(
+          s"ChangeApply.merge: null '$tsCol' in changes — version " +
+            "ordering cannot compare a null timestamp"))).otherwise(col(tsCol)))
     // batch-internal total order: ts, then op/attrs as deterministic
     // tiebreak for pathological equal-ts changes to one key
     val ordered = Window.partitionBy(col(key))
       .orderBy((col(tsCol) +: col(opCol) +: attrs.map(col)).map(_.desc): _*)
-    val latest = changes
+    val latest = changesG
       .withColumn("__rn", row_number().over(ordered))
       .filter(col("__rn") === 1).drop("__rn")
 

@@ -103,18 +103,29 @@ object Layout {
     (parts.length, after)
   }
 
-  /** Compact every leaf partition directory of a `partitionBy` layout
+  /** Compact every LEAF partition directory of a `partitionBy` layout
     * independently — bounded rewrite units, and untouched partitions
     * keep their files (incremental compaction: in practice only the
-    * partitions the last loads touched fall under the target). */
+    * partitions the last loads touched fall under the target).
+    * Descends through nested `k=v` levels, so multi-column
+    * partitionBy layouts (a=.../b=.../part-*) compact their true
+    * leaves — compacting only the FIRST level would find zero part
+    * files there and silently no-op. Map keys are root-relative leaf
+    * paths ("a=1/b=2"). */
   def compactPartitioned(spark: SparkSession, root: String,
       targetFileBytes: Long = 128L * 1024 * 1024): Map[String, (Int, Int)] = {
     val fs = FileSystem.get(new URI(root), spark.sparkContext.hadoopConfiguration)
-    fs.listStatus(new Path(root))
-      .filter(s => s.isDirectory && s.getPath.getName.contains("="))
-      .map { s =>
-        s.getPath.getName -> compact(spark, s.getPath.toString, targetFileBytes)
-      }.toMap
+    val rootPath = new Path(root)
+    def leaves(p: Path): Seq[Path] = {
+      val subs = fs.listStatus(p)
+        .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+      if (subs.isEmpty) Seq(p) else subs.toSeq.flatMap(s => leaves(s.getPath))
+    }
+    val rootUri = rootPath.toUri.getPath.stripSuffix("/")
+    leaves(rootPath).filter(_ != rootPath).map { p =>
+      val rel = p.toUri.getPath.stripPrefix(rootUri).stripPrefix("/")
+      rel -> compact(spark, p.toString, targetFileBytes)
+    }.toMap
   }
 
   /** Parquet writer options enabling a split-block bloom filter on
@@ -192,9 +203,17 @@ object Layout {
     val scaleMax = (1L << bits) - 1
     def bucket(c: Column, lo: Double, hi: Double): Column =
       if (hi == lo) lit(0L)
-      else least(lit(scaleMax), greatest(lit(0L),
-        ((c.cast("double") - lit(lo)) / lit(hi - lo) * lit(scaleMax.toDouble))
-          .cast("long")))
+      else {
+        // clamp in DOUBLE space and neutralize NaN BEFORE the long
+        // cast: under ANSI (the Spark 4 default) casting NaN or an
+        // out-of-range double throws and fails the whole write — and
+        // clamping AFTER the cast can never see those values. NaN
+        // data (or NaN bounds from a max() over NaN-bearing data)
+        // buckets to 0 deterministically.
+        val scaled = (c.cast("double") - lit(lo)) / lit(hi - lo) * lit(scaleMax.toDouble)
+        least(lit(scaleMax.toDouble),
+          greatest(lit(0.0), nanvl(scaled, lit(0.0)))).cast("long")
+      }
     // spread the low 31 bits of x so bit i lands at position 2i
     def spread(x: Column): Column = {
       var v = x.bitwiseAND(lit(0x7FFFFFFFL))
@@ -229,9 +248,17 @@ object Layout {
     val scaleMax = (1L << bits) - 1
     def bucket(c: Column, lo: Double, hi: Double): Column =
       if (hi == lo) lit(0L)
-      else least(lit(scaleMax), greatest(lit(0L),
-        ((c.cast("double") - lit(lo)) / lit(hi - lo) * lit(scaleMax.toDouble))
-          .cast("long")))
+      else {
+        // clamp in DOUBLE space and neutralize NaN BEFORE the long
+        // cast: under ANSI (the Spark 4 default) casting NaN or an
+        // out-of-range double throws and fails the whole write — and
+        // clamping AFTER the cast can never see those values. NaN
+        // data (or NaN bounds from a max() over NaN-bearing data)
+        // buckets to 0 deterministically.
+        val scaled = (c.cast("double") - lit(lo)) / lit(hi - lo) * lit(scaleMax.toDouble)
+        least(lit(scaleMax.toDouble),
+          greatest(lit(0.0), nanvl(scaled, lit(0.0)))).cast("long")
+      }
     cols.zip(bounds).zipWithIndex.map { case ((c, (lo, hi)), i) =>
       val b = bucket(c, lo, hi)
       (0 until bits).map { j =>

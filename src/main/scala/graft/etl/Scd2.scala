@@ -44,13 +44,27 @@ object Scd2 {
     require(attrs.nonEmpty, "attrs must name at least one tracked column")
     val history = current.filter(col("valid_to").isNotNull)
     val open = current.filter(col("valid_to").isNull)
+    // null key/ts guards, enforced per row AT EXECUTION: a null key
+    // never matches the full-outer join (an all-null phantom open
+    // row), and a null ts makes the stale predicate three-valued —
+    // the update row then fails ALL three output filters and the
+    // key's open row VANISHES silently. Both are malformed input for
+    // a temporal merge; fail loudly. (withColumn replaces the column,
+    // so the guard cannot be pruned — it feeds the join/ordering.)
+    val updatesG = updates
+      .withColumn(key, when(col(key).isNull, raise_error(lit(
+          s"Scd2.merge: null '$key' in updates — a keyless update can " +
+            "only produce a phantom dimension row"))).otherwise(col(key)))
+      .withColumn(tsCol, when(col(tsCol).isNull, raise_error(lit(
+          s"Scd2.merge: null '$tsCol' in updates — a temporal merge " +
+            "cannot order a null timestamp"))).otherwise(col(tsCol)))
 
     // collapse each key's batch to its LAST update in total order —
     // intermediate same-batch states are not representable as SCD2
     // rows anyway (their valid_from would equal their valid_to)
     val ordered = Window.partitionBy(col(key))
       .orderBy((col(tsCol) +: attrs.map(col)).map(_.desc): _*)
-    val latest = updates
+    val latest = updatesG
       .withColumn("__rn", row_number().over(ordered))
       .filter(col("__rn") === 1).drop("__rn")
 

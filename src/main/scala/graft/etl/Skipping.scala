@@ -67,20 +67,42 @@ object Skipping {
   def manifestPath(dataPath: String): String =
     dataPath.stripSuffix("/") + "_skipidx"
 
+  /** Order-preserving double encoding of an indexable column:
+    * numerics cast directly; DATE becomes epoch DAYS and TIMESTAMP
+    * epoch MICROS (ANSI — the Spark 4 default — rejects direct
+    * date/timestamp→numeric casts, so the old blanket double cast
+    * threw on exactly the most natural skipping column). ColRange
+    * bounds for such columns are therefore epoch days/micros. */
+  private def statCol(df: DataFrame, c: String): Column = {
+    import org.apache.spark.sql.types.{DateType, TimestampNTZType, TimestampType}
+    df.schema(c).dataType match {
+      case DateType => unix_date(col(c)).cast("double")
+      case TimestampType => unix_micros(col(c)).cast("double")
+      case TimestampNTZType => unix_micros(col(c).cast("timestamp")).cast("double")
+      case _ => col(c).cast("double")
+    }
+  }
+
+  /** The one per-file stats aggregation both the full build and the
+    * incremental refresh run — a single definition so the manifest
+    * schema cannot drift between the two paths. */
+  private def fileStats(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = cols.flatMap(c => Seq(
+      min(statCol(df, c)).as(s"min_$c"),
+      max(statCol(df, c)).as(s"max_$c")))
+    df.select(input_file_name().as("file") +: cols.map(col): _*)
+      .groupBy("file")
+      .agg(count(lit(1)).as("rows"), aggs: _*)
+  }
+
   /** Per-file stats for `cols` in ONE distributed agg job:
-    * `file, rows, min_<c>, max_<c>...`. Stats are cast to double so
-    * the manifest schema is column-type-agnostic (order-preserving for
-    * the numeric/date types worth range-indexing). */
+    * `file, rows, min_<c>, max_<c>...`. Stats are encoded as doubles
+    * so the manifest schema is column-type-agnostic — see [[statCol]]
+    * for the date/timestamp encoding. */
   def buildManifest(spark: SparkSession, dataPath: String,
       cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "index at least one column")
-    val aggs = cols.flatMap(c => Seq(
-      min(col(c).cast("double")).as(s"min_$c"),
-      max(col(c).cast("double")).as(s"max_$c")))
-    spark.read.parquet(dataPath)
-      .select(input_file_name().as("file") +: cols.map(col): _*)
-      .groupBy("file")
-      .agg(count(lit(1)).as("rows"), aggs: _*)
+    fileStats(spark.read.parquet(dataPath), cols)
   }
 
   /** Build and persist the manifest beside the data; returns its path.
@@ -103,6 +125,11 @@ object Skipping {
     val manPath = manifestPath(dataPath)
     val fs = FileSystem.get(new URI(dataPath),
       spark.sparkContext.hadoopConfiguration)
+    // promote an interrupted publish BEFORE the existence probe — a
+    // crash in the delete->rename gap otherwise reads as "no manifest"
+    // and triggers the full rebuild this incremental path exists to
+    // avoid (at the documented scale, a full corpus re-scan)
+    Swap.recover(fs, new Path(manPath), new Path(manPath + "__refreshing"))
     if (!fs.exists(new Path(manPath))) {
       val n = liveParts(spark, dataPath).size
       writeManifest(spark, dataPath, cols)
@@ -121,17 +148,9 @@ object Skipping {
     val keptOld = old.filter(col("file").isin(keptFiles.toSeq: _*))
     val next =
       if (missing.isEmpty) keptOld
-      else {
-        val aggs = cols.flatMap(c => Seq(
-          min(col(c).cast("double")).as(s"min_$c"),
-          max(col(c).cast("double")).as(s"max_$c")))
-        val fresh = spark.read.option("basePath", dataPath)
-          .parquet(missing.map(_.toString): _*)
-          .select(input_file_name().as("file") +: cols.map(col): _*)
-          .groupBy("file")
-          .agg(count(lit(1)).as("rows"), aggs: _*)
-        keptOld.unionByName(fresh)
-      }
+      else keptOld.unionByName(fileStats(
+        spark.read.option("basePath", dataPath)
+          .parquet(missing.map(_.toString): _*), cols))
     val tmp = new Path(manPath + "__refreshing")
     fs.delete(tmp, true)
     next.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
@@ -170,6 +189,14 @@ object Skipping {
     require(preds.nonEmpty, "prunedScan needs at least one range")
     val live = liveParts(spark, dataPath)
     val liveByKey = live.map(p => key(p.toString) -> p).toMap
+    // same crash-window recovery as refreshManifest: a complete
+    // orphaned tmp must serve reads, not FileNotFound
+    locally {
+      val mfs = FileSystem.get(new URI(dataPath),
+        spark.sparkContext.hadoopConfiguration)
+      Swap.recover(mfs, new Path(manifestPath(dataPath)),
+        new Path(manifestPath(dataPath) + "__refreshing"))
+    }
     val man = spark.read.parquet(manifestPath(dataPath))
     val covered = man.select("file").collect().map(r => key(r.getString(0))).toSet
     val surviving = man.filter(preds.map(_.overlaps).reduce(_ && _))
@@ -177,7 +204,6 @@ object Skipping {
     val uncovered = live.filterNot(p => covered(key(p.toString)))
     val chosen = liveByKey.collect { case (k, p) if surviving(k) => p }.toSeq ++ uncovered
 
-    val exact = preds.map(_.exact).reduce(_ && _)
     val df =
       if (chosen.isEmpty)
         // schema from the full layout, zero rows — no file task runs
@@ -186,6 +212,23 @@ object Skipping {
       // files out of a partitionBy layout
       else spark.read.option("basePath", dataPath)
         .parquet(chosen.map(_.toString): _*)
+    // exact re-filter through the SAME type-aware encoding as the
+    // manifest stats (ColRange.exact's blanket double cast would
+    // throw under ANSI on date/timestamp columns)
+    val exact = preds.map(r => exactFor(df, r)).reduce(_ && _)
     (df.filter(exact), SkipStats(live.size, chosen.size, uncovered.size))
+  }
+
+  /** [[ColRange.exact]] with the column routed through [[statCol]]'s
+    * order-preserving encoding, so date/timestamp predicates compare
+    * in the same epoch-days/micros domain the manifest stats use. */
+  private def exactFor(df: DataFrame, r: ColRange): Column = {
+    val c = statCol(df, r.col)
+    (r.lo, r.hi) match {
+      case (Some(l), Some(h)) => c >= l && c <= h
+      case (Some(l), None)    => c >= l
+      case (None, Some(h))    => c <= h
+      case (None, None)       => lit(true)
+    }
   }
 }

@@ -348,16 +348,29 @@ object CorpusStats {
     * inputs are persisted partitioned on `bg` (the cache discipline
     * the declared query uses), the join is exchange-free and the only
     * shuffle is the per-doc partial-aggregate merge (|docs|·partials,
-    * not |bigram occurrences|). */
-  def bigramLmScoreWithModel(docBg: DataFrame, model: DataFrame): DataFrame =
+    * not |bigram occurrences|).
+    *
+    * Out-of-vocabulary bigrams — the POINT of train-once/score-often
+    * is scoring docs the model never saw — take a LEFT join and score
+    * at the hard floor `ln P = −oovNats` (default 20 ≈ P = 2·10⁻⁹).
+    * An inner join here would silently DROP unseen bigrams: each
+    * would contribute ln P = 0 (maximal fluency), inflating exactly
+    * the out-of-distribution docs a perplexity filter exists to
+    * catch, and a fully-unseen doc would vanish from the output. */
+  def bigramLmScoreWithModel(docBg: DataFrame, model: DataFrame,
+      oovNats: Double = 20.0): DataFrame = {
+    require(oovNats > 0, s"oovNats must be positive, got $oovNats")
+    val oovFp = -math.round(oovNats * 1e6)
     docBg
-      .join(model, "bg")
+      .join(model, Seq("bg"), "left")
+      .withColumn("__w_fp", coalesce(col("w_fp"), lit(oovFp)))
       .groupBy(col("id"))
       .agg(sum(col("c")).as("n_bg"),
-        sum(col("c") * col("w_fp")).as("score_fp"))
+        sum(col("c") * col("__w_fp")).as("score_fp"))
       .select(col("id"), col("n_bg"), col("score_fp"),
         round(col("score_fp").cast("double") /
           (col("n_bg").cast("double") * lit(1e6)), 4).as("avg_nats"))
+  }
 
   def bigramLmScore(df: DataFrame, text: Column, id: Column): DataFrame =
     bigramLmFromCounts(docBigramCounts(df, text, id))

@@ -80,6 +80,28 @@ class ChangeApplySpec extends AnyFunSuite {
     assert(live(z).get("d").contains("zombie"))
   }
 
+  test("null key or ts in changes raises instead of corrupting the snapshot") {
+    val base = ChangeApply.merge(snap0, changes(("a", "a1", "I", 1)), key, attrs)
+    // null key: unguarded, an all-null junk row entered the snapshot
+    // and was rewritten into every later version forever
+    val nullKey = Seq((null.asInstanceOf[String], "x", "I", 2L))
+      .toDF("k", "v", "op", "ts")
+    val ex = intercept[Exception] {
+      ChangeApply.merge(base, nullKey, key, attrs).collect()
+    }
+    assert(ex.getMessage.contains("null 'k'") ||
+      Option(ex.getCause).exists(_.getMessage.contains("null 'k'")), ex.getMessage)
+    // null ts on a fresh insert: unguarded, the key froze forever
+    // (no later change's ts > null ever evaluates true)
+    val nullTs = Seq(("b", "b1", "I", null.asInstanceOf[java.lang.Long]))
+      .toDF("k", "v", "op", "ts")
+    val ex2 = intercept[Exception] {
+      ChangeApply.merge(base, nullTs, key, attrs).collect()
+    }
+    assert(ex2.getMessage.contains("null 'ts'") ||
+      Option(ex2.getCause).exists(_.getMessage.contains("null 'ts'")), ex2.getMessage)
+  }
+
   test("persisted advance bootstraps, folds order-events, and reports live count") {
     val path = java.nio.file.Files.createTempDirectory("graft_cdc")
       .resolve("snap").toString

@@ -116,6 +116,28 @@ class CorpusStatsSpec extends AnyFunSuite {
     assert(out(1L)._3 == expAvg)
   }
 
+  test("model scoring: unseen bigrams hit the OOV floor, never vanish or score as fluent") {
+    // model trained on the base corpus; score a NEW doc with one seen
+    // bigram ("a b") and one unseen ("z z") — the train-once/score-
+    // often shape the model API exists for
+    val model = CorpusStats.bigramLmModel(
+      CorpusStats.docBigramCounts(corpus, col("text"), col("doc_id")))
+    val fresh = Seq((10L, "a b"), (11L, "z z z")).toDF("doc_id", "text")
+    val out = CorpusStats.bigramLmScoreWithModel(
+        CorpusStats.docBigramCounts(fresh, col("text"), col("doc_id")), model)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(3)))).toMap
+    // the fully-unseen doc must APPEAR, with every slot counted and
+    // the floor score (an inner join dropped it entirely — or scored
+    // partial-OOV docs as maximally fluent)
+    assert(out.contains(11L), s"fully-OOV doc vanished: $out")
+    assert(out(11L)._1 == 2L)                      // both "z z" slots counted
+    assert(out(11L)._2 == -20.0)                   // the documented floor
+    // the seen doc scores from the model as before
+    def fp(x: Long): Long = math.round(math.log(x.toDouble) * 1e6)
+    assert(out(10L)._1 == 1L)
+    assert(math.abs(out(10L)._2 - (fp(2) - fp(5)) / 1e6) < 1e-3)
+  }
+
   test("plan: frequency/entropy aggregates are partial+final (map-side combine)") {
     for (df <- Seq(CorpusStats.tokenFrequencies(toks),
         CorpusStats.tokenEntropy(toks))) {

@@ -82,6 +82,35 @@ class LayoutSpec extends AnyFunSuite {
     assert(spark.read.parquet(dir).count() == total)
   }
 
+  test("compactPartitioned reaches the leaves of a MULTI-column partitionBy layout") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact_multi").toString
+    val ev = queries.t(spark, sfTiny, "events").limit(2000)
+      .withColumn("d", to_date(col("ts")))
+      .withColumn("g", (col("user_id") % 2).cast("int"))
+    ev.repartition(4).write.partitionBy("g", "d").mode("overwrite").parquet(dir)
+    val total = ev.count()
+    // the first-level-only listing found zero part files under g=…
+    // and silently compacted nothing
+    val report = etl.Layout.compactPartitioned(spark, dir, 1L << 30)
+    assert(report.nonEmpty, "multi-level layout must report its leaves")
+    assert(report.keys.forall(k => k.contains("g=") && k.contains("d=")),
+      s"keys must be root-relative LEAF paths: ${report.keys.take(3)}")
+    assert(report.values.forall { case (b, a) => a <= b && a == 1 }, report.toString)
+    assert(spark.read.parquet(dir).count() == total)
+  }
+
+  test("zorderWrite survives NaN data under ANSI (clamp before the cast)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_z_nan").toString
+    val df = Seq((1L, 1.0, 2.0), (2L, Double.NaN, 3.0), (3L, 5.0, Double.NaN))
+      .toDF("id", "x", "y")
+    // NaN propagates into the max() bounds AND appears per row; the
+    // clamp-after-cast formulation threw SparkArithmeticException and
+    // failed the whole write
+    etl.Layout.zorderWrite(df, dir, "x", "y")
+    assert(spark.read.parquet(dir).count() == 3)
+  }
+
   test("z-order layout prunes row groups on BOTH range columns") {
     val lin = java.nio.file.Files.createTempDirectory("graft_lin").toString
     val zo = java.nio.file.Files.createTempDirectory("graft_zo").toString

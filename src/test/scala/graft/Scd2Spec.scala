@@ -87,6 +87,31 @@ class Scd2Spec extends AnyFunSuite {
     assert(v2.filter(col("valid_to") <= col("valid_from")).isEmpty)
   }
 
+  test("null key or ts in updates raises instead of losing the open row") {
+    val base = Scd2.merge(empty,
+      Seq((1L, "berlin", ts("2024-01-01 00:00:00"))).toDF("k", "city", "ts"),
+      "k", "ts", Seq("city"))
+    // null ts + changed attr: unguarded, the three-valued stale
+    // predicate failed every output filter and key 1's open row
+    // silently VANISHED from the merged dimension
+    val nullTs = Seq((1L, "madrid", null.asInstanceOf[java.sql.Timestamp]))
+      .toDF("k", "city", "ts")
+    val ex = intercept[Exception] {
+      Scd2.merge(base, nullTs, "k", "ts", Seq("city")).collect()
+    }
+    assert(ex.getMessage.contains("null 'ts'") ||
+      Option(ex.getCause).exists(_.getMessage.contains("null 'ts'")), ex.getMessage)
+    // null key: unguarded, a phantom all-null "open row" appeared
+    val nullKey = Seq((null.asInstanceOf[java.lang.Long], "oslo",
+        ts("2024-03-01 00:00:00")))
+      .toDF("k", "city", "ts")
+    val ex2 = intercept[Exception] {
+      Scd2.merge(base, nullKey, "k", "ts", Seq("city")).collect()
+    }
+    assert(ex2.getMessage.contains("null 'k'") ||
+      Option(ex2.getCause).exists(_.getMessage.contains("null 'k'")), ex2.getMessage)
+  }
+
   test("history rows pass through untouched and cost no join") {
     val u1 = Seq((1L, "berlin", ts("2024-01-01 00:00:00"))).toDF("k", "city", "ts")
     val v1 = Scd2.merge(empty, u1, "k", "ts", Seq("city"))

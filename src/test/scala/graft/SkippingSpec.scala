@@ -94,6 +94,49 @@ class SkippingSpec extends AnyFunSuite {
       expected.select("d").distinct().count())
   }
 
+  test("date/timestamp columns index as epoch days/micros (ANSI rejects blanket double casts)") {
+    val d = java.nio.file.Files.createTempDirectory("graft_skip_date").toString
+    val ev = queries.t(spark, sfTiny, "events")
+      .select(to_date(col("ts")).as("d"), col("ts"), col("event_id"))
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try ev.repartitionByRange(8, col("d")).write.mode("overwrite").parquet(d)
+    finally {
+      spark.conf.set("spark.sql.shuffle.partitions", "4")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    }
+    // the old blanket cast("double") threw AnalysisException here
+    Skipping.writeManifest(spark, d, Seq("d", "ts"))
+    // bounds are epoch DAYS for the date column: prune to one week
+    val lo = ev.agg(min(col("d"))).head.getDate(0).toLocalDate
+    val r = ColRange("d", Some(lo.toEpochDay.toDouble), Some(lo.toEpochDay + 6.0))
+    val (df, stats) = Skipping.prunedScan(spark, d, Seq(r))
+    val expected = ev.filter(col("d") <= java.sql.Date.valueOf(lo.plusDays(6)))
+      .count()
+    assert(df.count() == expected, s"pruned scan lost rows: $stats")
+    assert(stats.readFiles < stats.liveFiles,
+      s"a one-week range over a range-partitioned year must skip files: $stats")
+  }
+
+  test("manifest reads recover an interrupted publish (no FileNotFound, no full rebuild)") {
+    val manPath = Skipping.manifestPath(dir)
+    val live = java.nio.file.Paths.get(new java.net.URI("file:" + manPath).getPath)
+    val tmp = java.nio.file.Paths.get(live.toString + "__refreshing")
+    // simulate the crash window: live manifest gone, complete tmp left
+    java.nio.file.Files.move(live, tmp)
+    val (df, stats) = Skipping.prunedScan(spark, dir,
+      Seq(ColRange("l_quantity", Some(0.0), Some(1e9))))
+    assert(df.count() == spark.read.parquet(dir).count(), stats.toString)
+    assert(java.nio.file.Files.exists(live) && !java.nio.file.Files.exists(tmp),
+      "prunedScan must promote the orphaned tmp manifest")
+    // refreshManifest after the same crash must be incremental (0
+    // statted — nothing new), not a full rebuild
+    java.nio.file.Files.move(live, tmp)
+    val (statted, dropped) = Skipping.refreshManifest(spark, dir,
+      Seq("l_quantity", "l_extendedprice"))
+    assert(statted == 0 && dropped == 0, s"($statted, $dropped)")
+  }
+
   test("refreshManifest stats only new files, drops dead entries, equals a full rebuild") {
     val d = java.nio.file.Files.createTempDirectory("graft_skip_refresh").toString
     val li = queries.t(spark, sfTiny, "lineitem")
