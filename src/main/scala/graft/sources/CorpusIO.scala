@@ -101,14 +101,19 @@ object CorpusIO {
   }
 
   /** The clean side of a [[readJsonlStream]] (or any frame with its
-    * shape): schema columns only. */
+    * shape): schema columns only. A line holding the VALID JSON
+    * literal `null` parses to a null STRUCT (not a corrupt record) —
+    * without the isNotNull guard it would pass the corrupt filter and
+    * materialize as an all-null "clean" row, the silent-empty-document
+    * corruption this module's quarantine contract exists to prevent. */
   def cleanRows(parsed: DataFrame, schema: StructType): DataFrame =
-    parsed.filter(col(s"__j.$Corrupt").isNull)
+    parsed.filter(col("__j").isNotNull && col(s"__j.$Corrupt").isNull)
       .select(schema.fieldNames.map(n => col(s"__j.`$n`").as(n)): _*)
 
-  /** The quarantine side: (raw_line, file). */
+  /** The quarantine side: (raw_line, file) — corrupt records AND
+    * null-struct lines (the JSON literal `null`; see [[cleanRows]]). */
   def quarantinedLines(parsed: DataFrame): DataFrame =
-    parsed.filter(col(s"__j.$Corrupt").isNotNull)
+    parsed.filter(col("__j").isNull || col(s"__j.$Corrupt").isNotNull)
       .select(col("value").as("raw_line"), col("__file").as("file"))
 
   /** Write a corpus as compressed JSONL shards — the interchange

@@ -74,13 +74,19 @@ object ObjectStore {
   /** Configure from environment, the reference's convention
     * (fetch_stocks.py:131-141 reads endpoint + keys from env vars).
     * Returns false (and leaves the session untouched) when the
-    * variables are absent — local `file://` testdata needs nothing. */
+    * variables are absent — local `file://` testdata needs nothing —
+    * and PROPAGATES [[configureS3]]'s committer-readiness when they
+    * are present: true means "configured AND zero-rename commits
+    * active". The env-driven path is exactly the real-object-store
+    * deployment, so swallowing a false here would hide the non-atomic
+    * O(data) rename-commit fallback configureS3's doc calls a
+    * deployment error. */
   def configureS3FromEnv(spark: SparkSession,
       endpointVar: String = "S3_ENDPOINT",
       accessVar: String = "S3_ACCESS_KEY",
       secretVar: String = "S3_SECRET_KEY"): Boolean = {
     (sys.env.get(endpointVar), sys.env.get(accessVar), sys.env.get(secretVar)) match {
-      case (Some(e), Some(a), Some(s)) => configureS3(spark, e, a, s); true
+      case (Some(e), Some(a), Some(s)) => configureS3(spark, e, a, s)
       case _ => false
     }
   }

@@ -68,10 +68,17 @@ object ZstdJniCodec {
     override def write(b: Array[Byte], off: Int, len: Int): Unit =
       zos.write(b, off, len)
     override def flush(): Unit = zos.flush()
-    // the frame footer is written by close; flush keeps data moving
-    // for callers that finish() before close (Hadoop's writer does
-    // close immediately after)
-    override def finish(): Unit = zos.flush()
+    // Hadoop's CompressionOutputStream contract: finish() completes
+    // the compressed output WITHOUT closing the underlying stream. A
+    // flush alone leaves the zstd frame footer unwritten — a reader
+    // consuming the file between finish() and close() (SequenceFile-
+    // style writers hold streams open) would see truncated input.
+    // closeFrameOnFlush ends the frame incl. footer; a later write
+    // starts a new frame, which the continuous-mode reader accepts.
+    override def finish(): Unit = {
+      zos.setCloseFrameOnFlush(true)
+      try zos.flush() finally zos.setCloseFrameOnFlush(false)
+    }
     override def resetState(): Unit = ()
     override def close(): Unit = zos.close() // closes `out` too
   }

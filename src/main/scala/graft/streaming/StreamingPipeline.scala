@@ -104,13 +104,23 @@ object StreamingPipeline {
     * pair. */
   def nearDupCandidatesStream(docs: DataFrame, textCol: Column,
       idCol: Column, indexBands: DataFrame,
-      numHashes: Int = 8, bands: Int = 2, shingleLen: Int = 3): DataFrame = {
-    val newKeys = graft.ops.Dedup
-      .lshBandKeys(docs, textCol, idCol, numHashes, bands, shingleLen)
+      numHashes: Int = 8, bands: Int = 2, shingleLen: Int = 3): DataFrame =
+    candidateJoin(graft.ops.Dedup
+      .lshBandKeys(docs, textCol, idCol, numHashes, bands, shingleLen),
+      indexBands, "h")
+
+  /** The shared stream–static candidate plumbing of the MinHash and
+    * SimHash twins: index side renamed to reserved (__i-prefixed)
+    * names so caller columns cannot collide, equi-join on
+    * (band, key), self-pairs excluded. One definition — the r8
+    * reserved-join-keys fix had to touch both copies; now there is
+    * one. */
+  private def candidateJoin(newKeys: DataFrame, indexBands: DataFrame,
+      keyCol: String): DataFrame = {
     val idx = indexBands.select(col("band").as("__iband"),
-      col("h").as("__ih"), col("id").as("candidate_id"))
+      col(keyCol).as("__ik"), col("id").as("candidate_id"))
     newKeys.join(idx,
-        col("band") === col("__iband") && col("h") === col("__ih") &&
+        col("band") === col("__iband") && col(keyCol) === col("__ik") &&
           col("id") =!= col("candidate_id"))
       .select(col("id").as("new_id"), col("candidate_id"))
   }
@@ -131,14 +141,9 @@ object StreamingPipeline {
     // WIDTH MIGRATION (r9): default 32 -> 64. An index persisted under
     // the old default must be probed with nBits = 32 explicitly or
     // rebuilt — mismatched widths join to zero candidates silently.
-    val newKeys = graft.ops.Dedup
-      .simHashBandKeys(docs, textCol, idCol, nBits, nBands)
-    val idx = indexBands.select(col("band").as("__iband"),
-      col("bh").as("__ibh"), col("id").as("candidate_id"))
-    newKeys.join(idx,
-        col("band") === col("__iband") && col("bh") === col("__ibh") &&
-          col("id") =!= col("candidate_id"))
-      .select(col("id").as("new_id"), col("candidate_id"))
+    candidateJoin(graft.ops.Dedup
+      .simHashBandKeys(docs, textCol, idCol, nBits, nBands),
+      indexBands, "bh")
   }
 
   /** Streaming IVF probe — the online ANN serving twin of
@@ -185,6 +190,11 @@ object StreamingPipeline {
       .collect().toSet
     val bc = spark.sparkContext.broadcast(evalSet)
     docs.filter { d =>
+      // null text: KEEP, matching the batch twin (Dedup.shingles
+      // null-propagates — a null doc emits no shingles, so it can
+      // never be contaminated); an unguarded split would NPE and kill
+      // the whole continuous query on one malformed record
+      if (d.text == null) true else {
       // limit -1: keep trailing empty tokens, matching Spark's split()
       // in Dedup.shingles — without it a trailing space makes the two
       // operators disagree on boundary shingles and doc eligibility
@@ -201,6 +211,7 @@ object StreamingPipeline {
           i += 1
         }
         overlap < minOverlap
+      }
       }
     }
   }
@@ -379,6 +390,13 @@ object StreamingPipeline {
     * invoke the batch appliers outside a streaming query. */
   private[graft] def runTag(spark: SparkSession,
       checkpointDir: String): String = {
+    // DELIBERATELY un-memoized: the read looks cacheable (one metadata
+    // GET per trigger), but the cache key would be the checkpoint
+    // PATH, and a wiped-and-reused checkpoint carries a NEW query id
+    // under the SAME path — a cached tag would resurrect the stale id
+    // and re-enable the exact marker-skip hazard this tag exists to
+    // close (StreamingSpec "run tag tracks the streaming query id").
+    // One small GET per trigger is the price of that correctness.
     val meta = new Path(checkpointDir, "metadata")
     val fs = meta.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val fromQueryId =
@@ -507,6 +525,17 @@ object StreamingPipeline {
       .option("checkpointLocation", checkpointDir)
   }
 
+  /** The `_LATEST` pointer's target, opened DIRECTLY — an exists()
+    * pre-check would race the writer's delete→rename flip (TOCTOU)
+    * and turn the gap into a crash instead of None. The one
+    * definition behind every pointer read (apply/poll/serve). */
+  private def readPointer(fs: org.apache.hadoop.fs.FileSystem,
+      out: Path): Option[String] =
+    try {
+      val in = fs.open(new Path(out, "_LATEST"))
+      Some(try new String(in.readAllBytes(), "UTF-8").trim finally in.close())
+    } catch { case _: java.io.FileNotFoundException => None }
+
   /** Leading numeric id of a `snapshot_<id>[_<tag>]` name. */
   private def snapId(name: String): Option[Long] = {
     val digits = name.stripPrefix("snapshot_").takeWhile(_.isDigit)
@@ -524,11 +553,7 @@ object StreamingPipeline {
     val fs = out.getFileSystem(conf)
     val ptrPath = new Path(out, "_LATEST")
     val target = s"snapshot_${batchId}_$runTag"
-    val currentPtr =
-      if (fs.exists(ptrPath)) {
-        val in = fs.open(ptrPath)
-        Some(try new String(in.readAllBytes(), "UTF-8").trim finally in.close())
-      } else None
+    val currentPtr = readPointer(fs, out)
     def isComplete(name: String): Boolean =
       fs.exists(new Path(out, s"$name/_SUCCESS"))
     // merge base: the pointer's target, or — writer recovery after a
@@ -589,14 +614,7 @@ object StreamingPipeline {
   def latestSnapshotName(spark: SparkSession, outDir: String): Option[String] = {
     val out = new Path(outDir)
     val fs = out.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val p = new Path(out, "_LATEST")
-    // open directly and treat not-found as None: an exists() pre-check
-    // would race the writer's delete→rename flip (TOCTOU) and turn the
-    // gap into a crash instead of the documented None
-    try {
-      val in = fs.open(p)
-      Some(try new String(in.readAllBytes(), "UTF-8").trim finally in.close())
-    } catch { case _: java.io.FileNotFoundException => None }
+    readPointer(fs, out)
   }
 
   /** Read the snapshot the `_LATEST` pointer names. Retries a missing
@@ -606,14 +624,13 @@ object StreamingPipeline {
   def readLatestSnapshot(spark: SparkSession, outDir: String): DataFrame = {
     val out = new Path(outDir)
     val fs = out.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def readPtr(attempt: Int): String =
-      try {
-        val in = fs.open(new Path(out, "_LATEST"))
-        try new String(in.readAllBytes(), "UTF-8").trim finally in.close()
-      } catch {
-        case e: java.io.FileNotFoundException if attempt < 5 =>
-          Thread.sleep(100L << attempt); readPtr(attempt + 1)
-      }
+    def readPtr(attempt: Int): String = readPointer(fs, out) match {
+      case Some(t) => t
+      case None if attempt < 5 =>
+        Thread.sleep(100L << attempt); readPtr(attempt + 1)
+      case None => throw new java.io.FileNotFoundException(
+        s"$outDir/_LATEST still absent after retries")
+    }
     spark.read.parquet(s"$outDir/${readPtr(0)}")
   }
 }

@@ -44,6 +44,22 @@ class CorpusIOSpec extends AnyFunSuite {
     assert(bad.forall(_._2.contains("shard0.jsonl")))
   }
 
+  test("the JSON literal null is quarantined, never an all-null clean row") {
+    // `null` is VALID JSON, so from_json yields a null STRUCT instead
+    // of a corrupt record — unguarded, it passed the corrupt filter
+    // and materialized as a silent all-null "clean" document
+    val dir = java.nio.file.Files.createTempDirectory("graft_jsonl_null").toString
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "shard0.jsonl"),
+      """{"doc_id": 1, "text": "real", "lang": "en"}
+        |null
+        |""".stripMargin)
+    val (clean, quarantine) = CorpusIO.readJsonl(spark, dir, schema)
+    assert(clean.count() == 1 && clean.head.getLong(0) == 1L)
+    val bad = quarantine.collect().map(_.getString(0))
+    assert(bad.toSeq == Seq("null"), bad.mkString("|"))
+  }
+
   test("write/read round-trip through zstd shards preserves the corpus") {
     val dir = java.nio.file.Files.createTempDirectory("graft_jsonl_rt")
       .resolve("out").toString

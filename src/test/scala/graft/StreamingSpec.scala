@@ -171,7 +171,8 @@ class StreamingSpec extends AnyFunSuite {
       StreamingPipeline.TrainDoc(1L, "alpha beta gamma delta epsilon zeta"), // 4 shared
       StreamingPipeline.TrainDoc(2L, "one two three four five six"),         // clean
       StreamingPipeline.TrainDoc(3L, "alpha beta gamma unrelated tail"),     // 1 shared
-      StreamingPipeline.TrainDoc(4L, "xy"))                                  // < shingleLen tokens
+      StreamingPipeline.TrainDoc(4L, "xy"),                                  // < shingleLen tokens
+      StreamingPipeline.TrainDoc(5L, null))                                  // null text: keep (batch parity), never NPE
     val mem = MemoryStream[StreamingPipeline.TrainDoc]
     val q = StreamingPipeline.decontaminateStream(
         mem.toDS(), evalShingles, shingleLen = 3, minOverlap = 4)
@@ -183,7 +184,7 @@ class StreamingSpec extends AnyFunSuite {
       mem.addData(docs.drop(2)) // second batch: no cross-batch state
       q.processAllAvailable()
       val kept = spark.table("decon_out").collect().map(_.getLong(0)).toSet
-      assert(kept == Set(2L, 3L, 4L), s"doc 1 is contaminated (4 overlaps): $kept")
+      assert(kept == Set(2L, 3L, 4L, 5L), s"doc 1 is contaminated (4 overlaps): $kept")
       // agreement with the batch operator on the same data
       val batchFlagged = graft.ops.TrainPrep.decontaminate(
           docs.map(d => (d.doc_id, d.text)).toDF("doc_id", "text"),
