@@ -99,4 +99,28 @@ private[graft] object Swap {
       fs.create(new Path(tmp, markerName(tag, id)), true).close()
     }
   }
+  /** The fold-publish tail every persisted-registry advance runs —
+    * wipe tmp, write the next fold, carry applied-batch markers
+    * (+ the optional new one), create format/params `stamps`, count,
+    * atomic publish. The crash-ordering here is the invariant
+    * (markers and stamps must land in tmp BEFORE the rename so state
+    * and bookkeeping commit together); holding it in ONE place keeps
+    * the four registry writers (spread, band, eval-shingle, prune)
+    * from diverging. Callers run [[recover]] + any replay
+    * early-return BEFORE building `next`. Returns the published row
+    * count (a metadata-footer scan of the new registry — the one
+    * cost of the returned count). */
+  private[graft] def publishFold(
+      spark: org.apache.spark.sql.SparkSession, fs: FileSystem,
+      live: Path, tmp: Path, next: org.apache.spark.sql.DataFrame,
+      newMarker: Option[String], stamps: Seq[String]): Long = {
+    fs.delete(tmp, true)
+    next.write.mode("overwrite").parquet(tmp.toString)
+    carryMarkers(fs, live, tmp, newMarker)
+    stamps.foreach(m => fs.create(new Path(tmp, m), true).close())
+    val rows = spark.read.parquet(tmp.toString).count()
+    publish(fs, live, tmp)
+    rows
+  }
+
 }

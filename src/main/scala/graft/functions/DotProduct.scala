@@ -52,12 +52,16 @@ case class DotProduct(left: Expression, right: Expression)
         s"(${left.dataType.catalogString}, ${right.dataType.catalogString})")
   }
 
-  private def elementsNullable: Boolean = Seq(left, right).exists {
-    _.dataType match {
-      case ArrayType(_, containsNull) => containsNull
-      case _ => false
+  // lazy val, not def: nullSafeEval consults this per ROW on the
+  // interpreted path, and a def would re-allocate the Seq and
+  // re-match both dataTypes for every row of a zero-allocation kernel
+  @transient private lazy val elementsNullable: Boolean =
+    Seq(left, right).exists {
+      _.dataType match {
+        case ArrayType(_, containsNull) => containsNull
+        case _ => false
+      }
     }
-  }
 
   // nullable even for non-null inputs: mismatched lengths yield null.
   override def nullable: Boolean = true

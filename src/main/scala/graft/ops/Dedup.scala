@@ -25,19 +25,26 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   /** Exact duplicate groups keyed by md5 of `key`. Returns one row per
-    * group with size > 1: (fp, n_dups, keep_id = min of `idCol`). */
+    * group with size > 1: (fp, n_dups, keep_id = min of `idCol`).
+    * Null keys form no group: a null has no comparable content, so
+    * null-keyed docs are never each other's duplicates (md5(null)
+    * would otherwise collapse them all into one fp=null group). */
   def exactDupGroups(docs: DataFrame, key: Column, idCol: Column): DataFrame =
     docs.select(md5(key.cast("binary")).as("fp"), idCol.as("id"))
+      .filter(col("fp").isNotNull)
       .groupBy(col("fp"))
       .agg(count(lit(1)).as("n_dups"), min(col("id")).as("keep_id"))
       .filter(col("n_dups") > 1)
 
-  /** Keep-first exact dedup: drops all but the min-id row per key. */
+  /** Keep-first exact dedup: drops all but the min-id row per key.
+    * Null-keyed rows ALL pass through: with md5(null) grouping them,
+    * 99 of 100 unparsed/null docs would be silently deleted as
+    * "duplicates" of content that does not exist. */
   def dedupExact(docs: DataFrame, key: Column, idCol: Column): DataFrame = {
     val ranked = docs.withColumn("__fp", md5(key.cast("binary")))
       .withColumn("__rn", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("__fp")).orderBy(idCol)))
-    ranked.filter(col("__rn") === 1).drop("__fp", "__rn")
+    ranked.filter(col("__fp").isNull || col("__rn") === 1).drop("__fp", "__rn")
   }
 
   /** Word n-gram shingles: (id, shingle) with one row per shingle
@@ -130,7 +137,7 @@ object Dedup {
     val ms = (0 until numHashes).map(j => minOverShingleArray(col("__sh"), j))
     val bandStructs = (0 until bands).map { b =>
       struct(lit(b.toLong).as("band"),
-        md5(concat_ws("", (b * r until (b + 1) * r).map(ms): _*).cast("binary")).as("h"))
+        minHashBandHash((b * r until (b + 1) * r).map(ms)).as("h"))
     }
     shingled
       .select(col("id"), explode(array(bandStructs: _*)).as("bh"))
@@ -164,6 +171,10 @@ object Dedup {
   private def assertBandParams(fs: org.apache.hadoop.fs.FileSystem,
       dir: org.apache.hadoop.fs.Path, statePath: String,
       numHashes: Int, bands: Int, shingleLen: Int): Unit = {
+    if (!fs.exists(dir))
+      throw new java.io.FileNotFoundException(
+        s"band registry at $statePath does not exist — fold a first " +
+          "batch with advanceBandRegistry before loading")
     val want = bandRegistryMarker(numHashes, bands, shingleLen)
     if (!fs.exists(new org.apache.hadoop.fs.Path(dir, want)))
       throw new IllegalStateException(
@@ -200,14 +211,8 @@ object Dedup {
         assertBandParams(fs, dir, statePath, numHashes, bands, shingleLen)
         spark.read.parquet(statePath).unionByName(deltaBands).distinct()
       } else deltaBands.distinct()
-    fs.delete(tmp, true)
-    next.write.mode("overwrite").parquet(tmp.toString)
-    Swap.carryMarkers(fs, dir, tmp, None)
-    fs.create(new Path(tmp,
-      bandRegistryMarker(numHashes, bands, shingleLen)), true).close()
-    val rows = spark.read.parquet(tmp.toString).count()
-    Swap.publish(fs, dir, tmp)
-    rows
+    Swap.publishFold(spark, fs, dir, tmp, next, None,
+      Seq(bandRegistryMarker(numHashes, bands, shingleLen)))
   }
 
   /** Open a band registry written by [[advanceBandRegistry]],
@@ -246,6 +251,12 @@ object Dedup {
       .select(col("n.id").as("new_id"), col("o.id").as("hist_id"))
       .distinct()
 
+  /** The MinHash band-key hash — ONE definition shared by the
+    * signature-frame banding and the row-local stream keys, so the
+    * key spaces joined across batch/stream/registry cannot drift. */
+  private def minHashBandHash(cols: Seq[Column]): Column =
+    md5(concat_ws("", cols: _*).cast("binary"))
+
   /** LSH banding over a MinHash signature frame: (id, band, h). */
   def lshBands(mh: DataFrame, numHashes: Int, bands: Int): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
@@ -253,7 +264,7 @@ object Dedup {
     (0 until bands).map { b =>
       val cols = (b * r until (b + 1) * r).map(j => col(s"m$j"))
       mh.select(col("id"), lit(b.toLong).as("band"),
-        md5(concat_ws("", cols: _*).cast("binary")).as("h"))
+        minHashBandHash(cols).as("h"))
     }.reduce(_ union _)
   }
 
@@ -505,9 +516,15 @@ object Dedup {
     }
   }
 
-  /** Exact Jaccard for exactly the given (id1, id2) pairs over a
+  /** Exact Jaccard for the given (id1, id2) pairs over a
     * DISTINCT (id, s) shingle table already restricted to candidate
-    * documents. Callers that consume the restricted table repeatedly
+    * documents. OUTPUT CONTRACT: pairs whose docs share ZERO shingles
+    * (incl. docs too short to shingle at all) emit NO row — the
+    * intersection join has nothing to group. Callers that need
+    * explicit jac=0 rows (verified-vs-rejected accounting) should
+    * left-join this output back to their candidate list and coalesce
+    * to 0; the declared-query oracles mirror the omit-empty
+    * behavior, so it is pinned, not accidental. Callers that consume the restricted table repeatedly
     * (it feeds sizes + both intersection sides) should persist it —
     * it is candidate-bounded, so tiny by construction.
     *
@@ -625,17 +642,26 @@ object Dedup {
       s"band blocking is exact only for maxHamming < nBands ($maxHamming >= $nBands)")
     val w = nBits / nBands
     val nChunks = (nBits + 31) / 32
+    // WIDTH GUARD, per row at execution: a signature narrower than
+    // nBits (the r9 32→64 default-migration scenario) would make the
+    // tail bands all-'' — the whole corpus in ONE bucket, a quadratic
+    // self-join — while the tail chunks conv('') to null, nulling ham
+    // and silently dropping every true pair AFTER paying that shuffle.
+    val sig = when(length(col("simhash")) === nBits, col("simhash"))
+      .otherwise(raise_error(concat(
+        lit(s"simHashNearDupPairs: signature width != nBits ($nBits); got "),
+        length(col("simhash")),
+        lit(" — pass the width the signatures were built at"))))
     val chunkCols = (0 until nChunks).map { c =>
       val len = math.min(32, nBits - c * 32)
       conv(substring(col("simhash"), c * 32 + 1, len), 2, 10)
         .cast("long").as(s"c$c")
     }
-    val withSig = sigs.select(col("id") +: col("simhash") +: chunkCols: _*)
+    val withSig = sigs.withColumn("simhash", sig)
+      .select(col("id") +: col("simhash") +: chunkCols: _*)
     val bands = withSig.select(
       col("id") +: (0 until nChunks).map(c => col(s"c$c")) :+
-        explode(array((0 until nBands).map(b =>
-          struct(lit(b).as("band"),
-            substring(col("simhash"), 1 + b * w, w).as("bh"))): _*)).as("bx"): _*)
+        explode(simHashBandArray(nBits, nBands)).as("bx"): _*)
       .withColumn("band", col("bx.band")).withColumn("bh", col("bx.bh"))
       .drop("bx")
     val ham = (0 until nChunks).map(c =>
@@ -647,6 +673,18 @@ object Dedup {
         ham.cast("long").as("ham"))
       .filter(col("ham") <= maxHamming)
       .distinct()
+  }
+
+  /** The (band, bh) struct array every SimHash banding consumer
+    * explodes from a `simhash` column — ONE definition shared by the
+    * batch pair join and the stream/registry band keys, so the key
+    * spaces they equi-join across cannot drift (a drifted separator
+    * or slice = zero candidates, silently). */
+  private def simHashBandArray(nBits: Int, nBands: Int): Column = {
+    val w = nBits / nBands
+    array((0 until nBands).map(b =>
+      struct(lit(b).as("band"),
+        substring(col("simhash"), 1 + b * w, w).as("bh"))): _*)
   }
 
   /** Row-local SimHash signature — [[simHashSignaturesWide]] as ONE
@@ -702,11 +740,8 @@ object Dedup {
   def simHashBandKeys(docs: DataFrame, textCol: Column, idCol: Column,
       nBits: Int = 64, nBands: Int = 4): DataFrame = {
     require(nBits % nBands == 0, s"nBands must divide $nBits, got $nBands")
-    val w = nBits / nBands
     simHashRowLocal(docs, textCol, idCol, nBits)
-      .select(col("id"), explode(array((0 until nBands).map(b =>
-        struct(lit(b).as("band"),
-          substring(col("simhash"), 1 + b * w, w).as("bh"))): _*)).as("bx"))
+      .select(col("id"), explode(simHashBandArray(nBits, nBands)).as("bx"))
       .select(col("id"), col("bx.band").as("band"), col("bx.bh").as("bh"))
   }
 }

@@ -117,8 +117,18 @@ object SubstrDedup {
     * (gap ≤ w). Output: (id, start_tok inclusive, end_tok exclusive,
     * n_windows), token positions 0-based. */
   def repeatedSpans(docs: DataFrame, textCol: Column, idCol: Column,
-      w: Int, minDocs: Int = 2): DataFrame = {
-    val wh = windowHashes(docs, textCol, idCol, w)
+      w: Int, minDocs: Int = 2): DataFrame =
+    repeatedSpansFromHashes(windowHashes(docs, textCol, idCol, w), w, minDocs)
+
+  /** [[repeatedSpans]] over a pre-built (id, pos, whash) frame. The
+    * window table feeds TWO consumers (the spread aggregate and the
+    * position join), so an unpersisted frame pays the corpus-wide
+    * explode + rolling-hash kernel twice — at scale, pass a PERSISTED
+    * [[windowHashes]] frame here (the same caller-pins discipline
+    * CorpusClean applies to its shared shingle frame) and unpersist
+    * after the spans materialize. */
+  def repeatedSpansFromHashes(wh: DataFrame, w: Int,
+      minDocs: Int = 2): DataFrame = {
     // distinct (whash, id) before the count so a within-doc repeat
     // doesn't fake cross-document spread; both steps are hash
     // aggregates on the 64-bit hash, partial+final
@@ -231,14 +241,9 @@ object SubstrDedup {
         spark.read.parquet(statePath).unionByName(deltaState)
           .groupBy(col("whash")).agg(sum(col("n_docs")).as("n_docs"))
       } else deltaState
-    fs.delete(tmp, true)
-    next.write.mode("overwrite").parquet(tmp.toString)
-    Swap.carryMarkers(fs, dir, tmp,
-      batch.map { case (tag, id) => Swap.markerName(tag, id) })
-    fs.create(new Path(tmp, KeyspaceMarker), true).close()
-    val rows = spark.read.parquet(tmp.toString).count()
-    Swap.publish(fs, dir, tmp)
-    rows
+    Swap.publishFold(spark, fs, dir, tmp, next,
+      batch.map { case (tag, id) => Swap.markerName(tag, id) },
+      Seq(KeyspaceMarker))
   }
 
   /** Prune the persisted registry to hashes that can still influence
@@ -266,13 +271,7 @@ object SubstrDedup {
     assertDualKeySpace(spark, fs, dir, statePath)
     val kept = spark.read.parquet(statePath)
       .filter(col("n_docs") >= minDocs - 1)
-    fs.delete(tmp, true)
-    kept.write.mode("overwrite").parquet(tmp.toString)
-    Swap.carryMarkers(fs, dir, tmp, None)
-    fs.create(new Path(tmp, KeyspaceMarker), true).close()
-    val rows = spark.read.parquet(tmp.toString).count()
-    Swap.publish(fs, dir, tmp)
-    rows
+    Swap.publishFold(spark, fs, dir, tmp, kept, None, Seq(KeyspaceMarker))
   }
 
   /** Open the persisted spread registry for READING, with the same

@@ -431,12 +431,7 @@ object TrainPrep {
       if (fs.exists(dir))
         spark.read.parquet(statePath).unionByName(deltaSh).distinct()
       else deltaSh
-    fs.delete(tmp, true)
-    next.write.mode("overwrite").parquet(tmp.toString)
-    Swap.carryMarkers(fs, dir, tmp, None)
-    val rows = spark.read.parquet(tmp.toString).count()
-    Swap.publish(fs, dir, tmp)
-    rows
+    Swap.publishFold(spark, fs, dir, tmp, next, None, Nil)
   }
 
   /** [[decontaminate]] over pre-computed shingle rows: `trainShingles`
