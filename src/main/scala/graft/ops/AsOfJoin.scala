@@ -86,9 +86,13 @@ object AsOfJoin {
         col(leftTs).as("__ts"), lit(1).as("__tag"), lit(null).as("__tb"),
         leftStruct.as("__l"), lit(null).cast(rSchema).as("__r")): _*)
     val r = right.select(
-      keys.map(col) ++ Seq(
-        col(rightTs).as("__ts"), lit(0).as("__tag"), tb.as("__tb"),
-        lit(null).cast(lSchema).as("__l"), rightStruct.as("__r")): _*)
+        keys.map(col) ++ Seq(
+          col(rightTs).as("__ts"), lit(0).as("__tag"), tb.as("__tb"),
+          lit(null).cast(lSchema).as("__l"), rightStruct.as("__r")): _*)
+      // a right row with a null timestamp has no temporal position:
+      // under the scan order it would sort at the nulls-first boundary
+      // and become a spurious fallback match for every early left row
+      .filter(col("__ts").isNotNull)
 
     // Scan order: ascending time for backward (latest at-or-before),
     // descending for forward (earliest at-or-after). Either way, right
@@ -112,8 +116,13 @@ object AsOfJoin {
       case None => matchedRaw
     }
 
+    // a LEFT row with a null timestamp is emitted (left-preserving)
+    // but can match nothing — without the override it sorts at a scan
+    // boundary and silently picks up the min/max-ts right row
+    val matchedSafe =
+      when(col("__ts").isNull, lit(null).cast(rSchema)).otherwise(matched)
     l.unionByName(r)
-      .select(col("__tag"), col("__l"), matched.as("__m"))
+      .select(col("__tag"), col("__l"), matchedSafe.as("__m"))
       .filter(col("__tag") === 1)
       .select(
         left.columns.map(c => col(s"__l.$c").as(c)).toIndexedSeq ++

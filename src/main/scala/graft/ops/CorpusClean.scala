@@ -171,6 +171,21 @@ object CorpusClean {
     // out of clean() with no reachable release(), so nothing may be
     // newly pinned on that path
     if (cfg.scrubBoilerplate) {
+      // the guard must inspect the EXPRESSION, not the output name: a
+      // derived column aliased back to its source name
+      // (lower(col("text")).as("text")) passes a name check and the
+      // scrub then silently overwrites the original column with a
+      // scrub of the TRANSFORMED text
+      import org.apache.spark.sql.graft.ColumnBridge
+      val isPlain = ColumnBridge.expression(textCol) match {
+        case _: org.apache.spark.sql.catalyst.expressions.AttributeReference => true
+        case _: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute => true
+        case _ => false // incl. Alias: lower(col("text")).as("text")
+      }
+      require(isPlain,
+        s"scrubBoilerplate requires a PLAIN text column (the scrub " +
+          s"rewrites it in place); got expression $textCol — materialize " +
+          "the derived text as a real column first")
       val name = finalKept.select(textCol).columns.head
       require(finalKept.columns.contains(name),
         s"scrubBoilerplate requires a plain text column, got $name")
@@ -226,10 +241,12 @@ object CorpusClean {
     val langOk = TextAnalysis.langId(
       textCol, cfg.stopwords, cfg.lang, cfg.langThreshold) === cfg.lang
     val qualOk = langOk && TextAnalysis.qualityOk(textCol, cfg.minTokens, cfg.minTtr)
+    // coalesce: sum() over ZERO rows is null, and getLong on a null
+    // field NPEs — an empty corpus must report zeros, not crash
     val row = raw.agg(
       count(lit(1)).as("total"),
-      sum(langOk.cast("long")).as("n_lang"),
-      sum(qualOk.cast("long")).as("n_qual")).head
+      coalesce(sum(langOk.cast("long")), lit(0L)).as("n_lang"),
+      coalesce(sum(qualOk.cast("long")), lit(0L)).as("n_qual")).head
     val (total, nLang, nQual) = (row.getLong(0), row.getLong(1), row.getLong(2))
     val nExact = exact.count()
     val nNear = near.count()

@@ -56,8 +56,12 @@ object Skew {
     * undercounts by at most rows/capacity, so pick
     * `capacity ≥ 2/threshold` (default pairing 200 ↔ 1%) and every key
     * at/above threshold surfaces; marginal keys may come along —
-    * harmless, salting a warm key costs nothing. Returns the raw
-    * key values (whatever type the column carries). */
+    * harmless, salting a warm key costs nothing. Returns the keys'
+    * STRING renderings (the sketch coerces its input to string):
+    * `partialSaltedJoin`'s isin() compares them back against the
+    * typed column via Spark's implicit cast, but a caller comparing
+    * typed values directly (hot.contains(42L)) matches nothing —
+    * parse the strings first. */
   def hotKeys(df: DataFrame, key: Column, threshold: Double = 0.01,
       capacity: Int = 200): Seq[Any] = {
     require(capacity >= 2 / threshold,

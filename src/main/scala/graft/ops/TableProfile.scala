@@ -78,7 +78,9 @@ object TableProfile {
       f.dataType == StringType
 
     val aggs: Seq[Column] = count(lit(1)).as("__rows") +: fields.flatMap { f =>
-      val c = col(f.name)
+      // df(name), not col(name): col() re-parses a dotted column name
+      // as struct-field access (the hazard profileFrame documents)
+      val c = df(f.name)
       Seq(
         sum(when(c.isNull, 1L).otherwise(0L)).as(s"__nulls_${f.name}"),
         approx_count_distinct(c).as(s"__dist_${f.name}"),

@@ -10,8 +10,21 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  /** Tokens of a whitespace-separated text column. */
+  /** Tokens of a SINGLE-SPACE-separated text column. CONTRACT: the
+    * split is the literal ' ' — runs of spaces yield empty-string
+    * tokens and tabs/newlines do not split — because every declared
+    * query's DuckDB oracle mirrors this exact split and the synthetic
+    * corpora are single-space normalized. Real-world text should pass
+    * through [[normalizeWhitespace]] upstream ONCE (cheaper than
+    * regex-splitting in every operator, and it keeps all downstream
+    * token counts consistent with each other). */
   def tokens(text: Column): Column = split(text, " ")
+
+  /** Collapse all whitespace runs to single spaces and trim — the
+    * one-time normalization that makes raw text satisfy [[tokens]]'
+    * single-space contract. */
+  def normalizeWhitespace(text: Column): Column =
+    trim(regexp_replace(text, "\\s+", " "))
 
   /** Whitespace token count. */
   def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
@@ -62,7 +75,12 @@ object TextAnalysis {
 
   /** URL pattern — explicit character class instead of `\S` (whose
     * definition differs between Java regex and RE2). */
-  val UrlRe = "https?://[A-Za-z0-9./_%?=&#:-]+"
+  // '@' IS in the class: without it a userinfo URL
+  // (https://user@host/x) matched only through "https://user", and
+  // the email pass then consumed "URL@host" — mangling the
+  // placeholder the scrub order exists to protect. The oracle SQL
+  // carries this exact pattern verbatim (ExtendedQueries q_scrub_pii).
+  val UrlRe = "https?://[A-Za-z0-9./_%?=&#:@-]+"
 
   /** Number of non-overlapping matches of `re` in `text`. */
   def countMatches(text: Column, re: String): Column =

@@ -1251,11 +1251,11 @@ object ExtendedQueries {
         |)
         |SELECT doc_id,
         |  CAST(len(regexp_extract_all(raw,
-        |    'https?://[A-Za-z0-9./_%?=&#:-]+')) AS BIGINT) AS n_urls,
+        |    'https?://[A-Za-z0-9./_%?=&#:@-]+')) AS BIGINT) AS n_urls,
         |  CAST(len(regexp_extract_all(raw,
         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
         |  md5(regexp_replace(
-        |        regexp_replace(raw, 'https?://[A-Za-z0-9./_%?=&#:-]+', '<URL>', 'g'),
+        |        regexp_replace(raw, 'https?://[A-Za-z0-9./_%?=&#:@-]+', '<URL>', 'g'),
         |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'))
         |    AS scrub_md5
         |FROM aug ORDER BY doc_id""".stripMargin,
