@@ -177,12 +177,7 @@ object CorpusClean {
       // scrub then silently overwrites the original column with a
       // scrub of the TRANSFORMED text
       import org.apache.spark.sql.graft.ColumnBridge
-      val isPlain = ColumnBridge.expression(textCol) match {
-        case _: org.apache.spark.sql.catalyst.expressions.AttributeReference => true
-        case _: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute => true
-        case _ => false // incl. Alias: lower(col("text")).as("text")
-      }
-      require(isPlain,
+      require(ColumnBridge.isPlainAttribute(textCol),
         s"scrubBoilerplate requires a PLAIN text column (the scrub " +
           s"rewrites it in place); got expression $textCol — materialize " +
           "the derived text as a real column first")

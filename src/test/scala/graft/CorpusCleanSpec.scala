@@ -145,4 +145,28 @@ class CorpusCleanSpec extends AnyFunSuite {
       assert(out.docs.columns.toSeq == Seq("doc_id", "text"))
     } finally out.release()
   }
+
+  test("scrubBoilerplate accepts plain and frame-bound text columns") {
+    // the r9 snapshot regression: the guard matched the catalyst
+    // expression layer, where Spark 4 wraps plain col("text") in a
+    // lazy ColumnNodeExpression — so EVERY caller was rejected. Both
+    // plain-attribute spellings must pass the guard (node-level match).
+    for (textCol <- Seq(col("text"), fixture("text"))) {
+      val out = CorpusClean.clean(fixture, textCol, col("doc_id"),
+        CorpusClean.Config(scrubBoilerplate = true, boilerplateWindow = 8))
+      try assert(out.docs.count() == 2L)
+      finally out.release()
+    }
+  }
+
+  test("scrubBoilerplate rejects a derived column aliased to its source name") {
+    // lower(col("text")).as("text") passes a NAME check but would make
+    // the scrub silently overwrite the original column with a scrub of
+    // the TRANSFORMED text — the guard must reject it with the hint
+    val ex = intercept[IllegalArgumentException] {
+      CorpusClean.clean(fixture, lower(col("text")).as("text"), col("doc_id"),
+        CorpusClean.Config(scrubBoilerplate = true))
+    }
+    assert(ex.getMessage.contains("PLAIN text column"), ex.getMessage)
+  }
 }
