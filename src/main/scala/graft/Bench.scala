@@ -111,6 +111,60 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }.min
     val results = timedPass(runs, coldEachQuery = false)
+    // Per-query PLANNED-STAGE counts, measured (not plan-guessed): one
+    // extra run per query under a job group, stages summed from the
+    // public status tracker (includes stages skipped via shuffle
+    // reuse — "what the query schedules", which is what the floor
+    // multiplies). Purpose: floor-normalize the per-query report.
+    // floor_sec measures a TWO-stage probe, so floor_per_stage_sec =
+    // floor_sec/2 is the scheduling cost of one materialized stage —
+    // an UPPER bound per AQE stage (tiny AQE sub-stages run cheaper
+    // than the probe's full shuffle). Reading rule (BASELINE.md):
+    // wall ≤ stages × floor_per_stage_sec ⇒ the query is
+    // scheduling-floor-dominated, and its ratio against a 0.03 s
+    // DuckDB twin (q_intersect, q_except, …) carries no engine
+    // signal.
+    val stageCounts: Map[String, Int] = SparkEntry.queries
+      .filter { case (name, _) => only.isEmpty || only(name) }
+      .map { case (name, fn) =>
+        val group = s"graft-bench-$name"
+        spark.sparkContext.setJobGroup(group, name)
+        val n = try {
+          try fn(spark, sfDir).count() catch { case _: Throwable => () }
+          val tr = spark.sparkContext.statusTracker
+          // distinct: AQE materializes each exchange as its own job,
+          // and jobs re-list upstream stages they share — summing per
+          // job would double-count the common prefix
+          tr.getJobIdsForGroup(group).flatMap(id =>
+            tr.getJobInfo(id).toSeq.flatMap(_.stageIds.map(_.toInt)))
+            .distinct.length
+        } finally spark.sparkContext.clearJobGroup()
+        name -> n
+      }
+    def toJsonInt(m: Map[String, Int]): String =
+      m.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    // Regression pins (BASELINE.md §bench): per-query budgets in IDLE
+    // seconds at sf0.1, floor-normalized — a contended host (floor_sec
+    // above the documented 0.138 s idle reading) scales the budget up
+    // proportionally so contention cannot fake a regression. A breach
+    // does not abort the bench (a failed bench run hides every other
+    // number); it is REPORTED in the JSON line the driver files, so
+    // the regression is on the record the round it happens.
+    // q_rsi 0.85: the r9 bisection (SCALE.md "q_rsi cost attribution")
+    // pinned its floor at the ~0.3 s width-independent 600 k-row hash
+    // exchange + two window passes + the mandatory result sort, and
+    // measured both restructurings WORSE (fused range partition
+    // 0.88 s, collect_list kernel 0.59 s) — 0.77 s idle is the
+    // accepted cost, 0.85 the drift alarm.
+    val idleFloorSec = 0.138
+    val pins = Map("q_rsi" -> 0.85)
+    val pinFailures =
+      if (!sfDir.endsWith("sf0.1")) Seq.empty
+      else pins.toSeq.flatMap { case (qn, budget) =>
+        results.get(qn).filter(t => t >= 0 &&
+          t > budget * math.max(1.0, floorSec / idleFloorSec))
+          .map(t => "\"" + qn + "\"")
+      }
     // failures (-1 sentinel) are excluded from the total and counted
     // separately — a failed query must not SUBTRACT from the metric.
     val failed = results.values.count(_ < 0)
@@ -127,7 +181,7 @@ object Bench {
         val coldTotal = cold.values.filter(_ >= 0).sum
         s""","cold_total":$coldTotal,"cold_queries":${toJson(cold)}"""
       } else ""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"n_queries":${results.size},"runs_per_query":$runs,"agg":"min","warm_cache":true,"floor_sec":$floorSec$coldFields,"queries":${toJson(results)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"n_queries":${results.size},"runs_per_query":$runs,"agg":"min","warm_cache":true,"floor_sec":$floorSec,"floor_per_stage_sec":${floorSec / 2},"pin_failures":[${pinFailures.mkString(",")}]$coldFields,"queries":${toJson(results)},"stages":${toJsonInt(stageCounts)},"sf":"$sfDir"}""")
     // The full line above grew past the driver's tail-capture window in
     // round 3 and the LEADING total field was the part cut off. Re-emit
     // the headline number as a short final line so any last-N-bytes

@@ -115,7 +115,11 @@ object Layout {
   def compactPartitioned(spark: SparkSession, root: String,
       targetFileBytes: Long = 128L * 1024 * 1024): Map[String, (Int, Int)] = {
     val fs = FileSystem.get(new URI(root), spark.sparkContext.hadoopConfiguration)
-    val rootPath = new Path(root)
+    // qualify FIRST: listStatus returns fully-qualified absolute
+    // paths, so a relative `root` would never prefix-match them and
+    // the map keys would silently come back absolute instead of
+    // root-relative ("a=1/b=2")
+    val rootPath = fs.makeQualified(new Path(root))
     def leaves(p: Path): Seq[Path] = {
       val subs = fs.listStatus(p)
         .filter(s => s.isDirectory && s.getPath.getName.contains("="))

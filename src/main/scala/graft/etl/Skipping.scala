@@ -78,7 +78,20 @@ object Skipping {
     df.schema(c).dataType match {
       case DateType => unix_date(col(c)).cast("double")
       case TimestampType => unix_micros(col(c)).cast("double")
-      case TimestampNTZType => unix_micros(col(c).cast("timestamp")).cast("double")
+      case TimestampNTZType =>
+        // ZONE-FREE encoding: NTZ is a wall clock with no zone, and a
+        // cast to TIMESTAMP interprets it in the SESSION zone — a
+        // manifest built under one session timezone and probed under
+        // another would compare in different epoch domains and could
+        // silently skip files that match. Date and time-of-day
+        // extraction on NTZ are both zone-free, so encode the wall
+        // clock as-if-UTC micros: day * 86400e6 + time-of-day micros
+        // (order-preserving for pre-epoch values too — time-of-day is
+        // always in [0, 86400e6)). Exact in double to ~year 2255,
+        // the same 2^53-micros bound as the TIMESTAMP path.
+        unix_date(col(c).cast("date")).cast("double") * lit(86400000000.0) +
+          (hour(col(c)) * 3600 + minute(col(c)) * 60).cast("double") * lit(1000000.0) +
+          date_part(lit("SECOND"), col(c)).cast("double") * lit(1000000.0)
       case _ => col(c).cast("double")
     }
   }

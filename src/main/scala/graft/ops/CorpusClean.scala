@@ -127,12 +127,20 @@ object CorpusClean {
     // drop list (broadcast: bounded by |verified pairs| — LSH-bounded
     // by construction): greedy one-hop, or full connected components
     // when configured (see Config.useConnectedComponents)
+    // persisted: drop-list-sized (bounded by |verified pairs|), but
+    // its LINEAGE is the candidate self-join + Jaccard verify — the
+    // single most expensive sub-plan in clean(). nearKept is consumed
+    // up to three times (the eval semi-join, the final anti-join /
+    // scrub base, and the stage accounting), and without this pin
+    // each consumer re-ran the whole verify: measured at the ×16
+    // capstone as 3× the clean stage's shuffle (875 → 2587 MB) once
+    // the eval path landed.
     val dropIds =
-      if (cfg.useConnectedComponents)
+      (if (cfg.useConnectedComponents)
         Dedup.connectedComponents(verified.select(col("id1"), col("id2")))
           .filter(col("id") =!= col("comp"))
           .select(col("id").as("__drop_id"))
-      else verified.select(col("id2").as("__drop_id")).distinct()
+      else verified.select(col("id2").as("__drop_id")).distinct()).cache()
     val nearKept = exactKept.join(broadcast(dropIds),
       idCol === col("__drop_id"), "left_anti")
 
@@ -204,6 +212,7 @@ object CorpusClean {
         if (evalCorpus.isDefined) Some(scrubBase) else None),
       () => {
         bands.unpersist(); sh.unpersist(); exactKept.unpersist()
+        dropIds.unpersist()
         if (cfg.scrubBoilerplate) scrubBase.unpersist()
       })
   }

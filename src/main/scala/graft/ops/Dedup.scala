@@ -744,4 +744,39 @@ object Dedup {
       .select(col("id"), explode(simHashBandArray(nBits, nBands)).as("bx"))
       .select(col("id"), col("bx.band").as("band"), col("bx.bh").as("bh"))
   }
+
+  /** Probe-side width guard for a PERSISTED SimHash band table: wraps
+    * `bh` so any row whose band width differs from nBits/nBands raises
+    * at execution instead of joining to zero candidates silently (the
+    * r9 32→64 default-migration hazard — band keys of different widths
+    * NEVER equi-match, so a stale index makes every probe come back
+    * empty with no error). The check is one codegen'd length compare
+    * per index row; streaming-safe (stateless projection). Also
+    * asserts the band INDEX domain: an index built under a different
+    * nBands carries band ordinals outside [0, nBands), which would
+    * otherwise drop a fraction of true candidates silently. Every
+    * in-library probe of a caller-supplied band table routes through
+    * here ([[graft.streaming.StreamingPipeline.simHashCandidatesStream]]);
+    * registries that outlive a session should prefer
+    * [[advanceBandRegistry]], which stamps its params and fails fast
+    * at LOAD time. */
+  def checkedBandIndex(indexBands: DataFrame, nBits: Int, nBands: Int): DataFrame = {
+    require(nBits % nBands == 0, s"nBands must divide $nBits, got $nBands")
+    val w = nBits / nBands
+    indexBands
+      .withColumn("bh",
+        when(length(col("bh")) === w, col("bh")).otherwise(raise_error(concat(
+          lit(s"simhash band index width mismatch: expected $w-char bands " +
+            s"(nBits=$nBits / nBands=$nBands); got "),
+          length(col("bh")),
+          lit(" — the index was persisted under different params; pass the " +
+            "width it was built at, or rebuild it at the current default")))))
+      .withColumn("band",
+        when(col("band") >= 0 && col("band") < nBands, col("band"))
+          .otherwise(raise_error(concat(
+            lit(s"simhash band index nBands mismatch: band ordinal "),
+            col("band"),
+            lit(s" outside [0, $nBands) — the index was persisted under a " +
+              "different nBands")))))
+  }
 }

@@ -46,18 +46,40 @@ object Similarity {
     * excluded, and a zero-norm query yields an empty result. */
   def bruteForceTopK(corpus: DataFrame, idCol: Column, vecCol: Column,
       query: DataFrame, queryVec: Column, k: Int): DataFrame = {
-    val nq = query.limit(2).count()
-    require(nq == 1, s"bruteForceTopK expects exactly 1 query row, got $nq")
     val c = corpus.select(idCol.as("id"), vecCol.cast("array<double>").as("v"))
       .withColumn("nrm", sqrt(GraftFunctions.dot(col("v"), col("v"))))
-    val q = broadcast(query.select(queryVec.cast("array<double>").as("qv"))
-      .withColumn("qn", sqrt(GraftFunctions.dot(col("qv"), col("qv")))))
+    val q = broadcast(
+      oneRow(query.select(queryVec.cast("array<double>").as("qv")),
+          "bruteForceTopK")
+        .withColumn("qn", sqrt(GraftFunctions.dot(col("qv"), col("qv")))))
     c.crossJoin(q)
       .filter(col("nrm") > 0 && col("qn") > 0)
       .select(col("id"),
         round(GraftFunctions.dot(col("v"), col("qv")) / (col("nrm") * col("qn")), 4).as("cos"))
       .orderBy(col("cos").desc, col("id"))
       .limit(k)
+  }
+
+  /** The single-query frame reduced to its one row with the arity
+    * asserted INSIDE the plan: `collect_list` over the (tiny by
+    * contract) frame yields exactly one row whose list size gates a
+    * `raise_error` — a zero- or multi-row query frame fails at
+    * execution with the same message the old eager `require` gave,
+    * but WITHOUT the extra Spark job per call (an eager
+    * `limit(2).count()` also re-executed the query frame's lineage
+    * and broke streaming/deferred composition of these functions).
+    * The aggregate runs inside the broadcast build the caller was
+    * paying for anyway. */
+  private def oneRow(query: DataFrame, fn: String): DataFrame = {
+    val packed = query
+      .select(struct(query.columns.map(col).toSeq: _*).as("__q"))
+      .agg(collect_list(col("__q")).as("__qs"))
+    packed.select(
+        when(size(col("__qs")) === 1, element_at(col("__qs"), 1))
+          .otherwise(raise_error(concat(
+            lit(s"$fn expects exactly 1 query row, got "),
+            size(col("__qs"))))).as("__q"))
+      .select(col("__q.*"))
   }
 
   /** Deterministic hyperplane for (seed, bit): `dims` doubles derived
@@ -129,22 +151,52 @@ object Similarity {
     * different widths never match — joining a persisted 8-bit bucket
     * column against new-default 16-bit buckets silently yields zero
     * candidates. Pass nBits = 8 explicitly when probing pre-r9 state,
-    * or re-bucket it. */
+    * or re-bucket it; route the PERSISTED side of any bucket join
+    * through [[checkedBucket]] so a stale width raises instead of
+    * returning empty. */
   def lshBucketQuantized(vecCol: Column, nBits: Int = 16, seed: Int = 42,
       dims: Int = 64): Column = {
+    val v = vecCol.cast("array<double>")
+    // The mega-bucket hazard (null folds silently mapping every bit to
+    // '0' and collapsing the corpus into one bucket) is guarded by ONE
+    // SENTINEL BIT, not per bit: a fold is null exactly when the
+    // vector is null, the wrong length (zip_with null-pads), or
+    // carries null elements — and since every bit's fold consumes
+    // every element, null-ness is row-uniform across bits, so bit 0's
+    // three-branch guard protects them all. Guarding every bit (the
+    // r9 shape) re-evaluates each O(dims) fold for every negative dot,
+    // because lambda-bearing subtrees are excluded from subexpression
+    // elimination (SPARK-35886) — measured +30% on q_dedup_embed_lsh;
+    // the sentinel's extra eval is 1/(2·nBits) of the fold work.
     val bits = (0 until nBits).map { b =>
       val pLit = array(plane(seed, b, dims).map(x => lit(x.toLong)): _*)
       val dotInt = aggregate(
-        zip_with(vecCol.cast("array<double>"), pLit,
+        zip_with(v, pLit,
           (x, y) => round(x * lit(1000000.0d)).cast("long") * y),
         lit(0L), (acc, t) => acc + t)
-      // zip_with null-pads on length mismatch -> null sum; same
-      // all-bits-'0' mega-bucket hazard as lshBuckets — raise instead
-      when(dotInt >= 0, "1").when(dotInt < 0, "0").otherwise(raise_error(
-        lit(s"lshBucketQuantized: null quantized dot — vector is null or its length != dims ($dims)")))
+      if (b == 0)
+        when(dotInt >= 0, "1").when(dotInt < 0, "0").otherwise(raise_error(
+          lit(s"lshBucketQuantized: null quantized dot — vector is " +
+            s"null, has null elements, or its length != dims ($dims)")))
+      else when(dotInt >= 0, "1").otherwise("0")
     }
     concat(bits: _*)
   }
+
+  /** Probe-side width guard for a PERSISTED sign-LSH bucket column:
+    * raises at execution on any row whose bucket width differs from
+    * `nBits`, instead of the silent zero-candidate join a stale width
+    * produces (the r9 8→16 default-migration hazard — bucket strings
+    * of different widths never equi-match). Wrap the persisted side of
+    * a bucket equi-join: `persisted.withColumn("bucket",
+    * Similarity.checkedBucket(col("bucket"), nBits))`. One codegen'd
+    * length compare per row; streaming-safe. */
+  def checkedBucket(bucketCol: Column, nBits: Int): Column =
+    when(length(bucketCol) === nBits, bucketCol).otherwise(raise_error(concat(
+      lit(s"lsh bucket width mismatch: expected $nBits bits, got "),
+      length(bucketCol),
+      lit(" — the bucket column was persisted under a different nBits; " +
+        "pass the width it was built at, or re-bucket it"))))
 
   /** Approximate top-k: exact cosine within the query's LSH bucket.
     * Recall improves with fewer bits / multiple probe tables.
@@ -154,12 +206,10 @@ object Similarity {
   def lshTopK(corpus: DataFrame, idCol: Column, vecCol: Column,
       query: DataFrame, queryVec: Column, k: Int,
       nBits: Int = 16, seed: Int = 42, dims: Int = 64): DataFrame = {
-    val nq = query.limit(2).count()
-    require(nq == 1, s"lshTopK expects exactly 1 query row, got $nq")
     val cb = lshBuckets(corpus, idCol, vecCol, nBits, seed, dims)
-    val qb = broadcast(
+    val qb = broadcast(oneRow(
       lshBuckets(query, lit(0L), queryVec, nBits, seed, dims)
-        .select(col("v").as("qv"), col("bucket").as("qbucket")))
+        .select(col("v").as("qv"), col("bucket").as("qbucket")), "lshTopK"))
     cb.join(qb, col("bucket") === col("qbucket"))
       .select(col("id"), round(cosine(col("v"), col("qv")), 4).as("cos"))
       .filter(!isnan(col("cos")))

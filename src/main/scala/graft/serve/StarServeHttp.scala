@@ -108,6 +108,11 @@ class StarServeHttp(serve: StarServe, bindPort: Int = 0, threads: Int = 4,
     * probe is `limit(max+1)` — the scan stops at the cap, it never
     * materializes the oversized slice. */
   private def jsonArrayCapped(df: org.apache.spark.sql.DataFrame): String = {
+    // Int.MaxValue is the documented cap-off sentinel (chartSvg treats
+    // it that way) — without this branch, max+1 overflows to a
+    // NEGATIVE limit and every /series request 500s
+    if (maxSliceRows == Int.MaxValue)
+      return df.toJSON.collect().mkString("[", ",", "]")
     val rows = df.limit(maxSliceRows + 1).toJSON.collect()
     if (rows.length > maxSliceRows)
       throw new TooLarge(

@@ -137,13 +137,16 @@ object StreamingPipeline {
     * idempotent per pair. */
   def simHashCandidatesStream(docs: DataFrame, textCol: Column,
       idCol: Column, indexBands: DataFrame,
-      nBits: Int = 64, nBands: Int = 4): DataFrame = {
-    // WIDTH MIGRATION (r9): default 32 -> 64. An index persisted under
-    // the old default must be probed with nBits = 32 explicitly or
-    // rebuilt — mismatched widths join to zero candidates silently.
+      nBits: Int, nBands: Int): DataFrame = {
+    // No nBits/nBands defaults on this STATE-PROBING api: the index
+    // side is persisted state, and a default that drifts (the r9
+    // 32 -> 64 migration) would make every probe join to zero
+    // candidates silently. The caller states the width the index was
+    // built at, and checkedBandIndex raises on any row that
+    // contradicts it.
     candidateJoin(graft.ops.Dedup
       .simHashBandKeys(docs, textCol, idCol, nBits, nBands),
-      indexBands, "bh")
+      graft.ops.Dedup.checkedBandIndex(indexBands, nBits, nBands), "bh")
   }
 
   /** Streaming IVF probe — the online ANN serving twin of

@@ -99,6 +99,23 @@ class LayoutSpec extends AnyFunSuite {
     assert(spark.read.parquet(dir).count() == total)
   }
 
+  test("compactPartitioned keys stay root-relative for a RELATIVE root path") {
+    // listStatus returns fully-qualified absolute paths; an unqualified
+    // root never prefix-matched them and the keys silently came back
+    // absolute instead of "d=…"
+    val dir = "target/graft_compact_rel_" + System.nanoTime()
+    try {
+      val ev = queries.t(spark, sfTiny, "events").limit(500)
+        .withColumn("d", to_date(col("ts")))
+      ev.repartition(2).write.partitionBy("d").mode("overwrite").parquet(dir)
+      val report = etl.Layout.compactPartitioned(spark, dir, 1L << 30)
+      assert(report.nonEmpty)
+      assert(report.keys.forall(k => k.startsWith("d=") && !k.startsWith("/")),
+        s"keys must be root-relative even for a relative root: ${report.keys.take(3)}")
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(dir))
+  }
+
   test("zorderWrite survives NaN data under ANSI (clamp before the cast)") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_z_nan").toString

@@ -263,11 +263,23 @@ class OpsSpec extends AnyFunSuite {
     val zq = Seq((0L, Seq.fill(64)(0.0))).toDF("vec_id", "embedding")
     assert(Similarity.bruteForceTopK(corpus, col("vec_id"), col("embedding"),
       zq, col("embedding"), 3).count() == 0)
-    // multi-row query frames pooled into one unlabeled ranking: refuse
-    intercept[IllegalArgumentException] {
+    // multi-row query frames pooled into one unlabeled ranking: refuse.
+    // The arity check lives INSIDE the plan (raise_error over a
+    // collect_list size) so building the frame is lazy — no extra
+    // Spark job per call — and the refusal fires on execution
+    val multiEx = intercept[Exception] {
       Similarity.bruteForceTopK(corpus, col("vec_id"), col("embedding"),
-        corpus, col("embedding"), 3)
+        corpus, col("embedding"), 3).collect()
     }
+    assert(exMsg(multiEx).contains("expects exactly 1 query row"),
+      multiEx.getMessage)
+    // zero-row query frames fail the same way (not silently empty)
+    val emptyEx = intercept[Exception] {
+      Similarity.lshTopK(corpus, col("vec_id"), col("embedding"),
+        corpus.filter(lit(false)), col("embedding"), 3).collect()
+    }
+    assert(exMsg(emptyEx).contains("expects exactly 1 query row"),
+      emptyEx.getMessage)
     // dims mismatch: every bit would silently read '0' (null dot) and
     // the whole corpus would collapse into one bucket — must raise
     val short = Seq((1L, Seq.fill(16)(1.0))).toDF("vec_id", "embedding")
@@ -373,4 +385,51 @@ class OpsSpec extends AnyFunSuite {
       .orderBy(col("doc_id")).collect().map(_.getString(0))
     assert(twice.toSeq == out.map(_.getAs[String]("s")).toSeq)
   }
+
+  test("persisted-probe width guards raise on stale widths instead of empty joins") {
+    import spark.implicits._
+    val docs = Seq((1L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    // an index persisted under the pre-r9 32-bit default, probed at 64:
+    // band keys are 8 chars, not 16 — without the guard the equi-join
+    // silently returns zero candidates
+    val staleIdx = Dedup.simHashBandKeys(docs, col("text"), col("doc_id"),
+      nBits = 32, nBands = 4)
+    val ex = intercept[Exception] {
+      Dedup.checkedBandIndex(staleIdx, nBits = 64, nBands = 4).collect()
+    }
+    assert(exMsg(ex).contains("band index width mismatch"), ex.getMessage)
+    // an index built under a different nBands: ordinals out of range
+    val staleBands = Dedup.simHashBandKeys(docs, col("text"), col("doc_id"),
+      nBits = 64, nBands = 8)
+    val ex2 = intercept[Exception] {
+      Dedup.checkedBandIndex(staleBands, nBits = 64, nBands = 4).collect()
+    }
+    // 16-band index at nBits=64 has 8-char bands (width ok at nBands=8?
+    // 64/8=8 vs expected 64/4=16 — width fires first); force an
+    // ordinal-only mismatch via a hand-built row
+    assert(exMsg(ex2).contains("mismatch"), ex2.getMessage)
+    val ordIdx = Seq((1L, 7, "0" * 16)).toDF("id", "band", "bh")
+    val ex3 = intercept[Exception] {
+      Dedup.checkedBandIndex(ordIdx, nBits = 64, nBands = 4).collect()
+    }
+    assert(exMsg(ex3).contains("nBands mismatch"), ex3.getMessage)
+    // matching params pass through byte-identical
+    val okIdx = Dedup.simHashBandKeys(docs, col("text"), col("doc_id"),
+      nBits = 64, nBands = 4)
+    assert(Dedup.checkedBandIndex(okIdx, 64, 4).collect().toSet ==
+      okIdx.collect().toSet)
+    // quantized-LSH bucket guard: stale 8-bit buckets probed at 16
+    val b8 = Seq("01010101").toDF("bucket")
+    val ex4 = intercept[Exception] {
+      b8.select(Similarity.checkedBucket(col("bucket"), 16)).collect()
+    }
+    assert(exMsg(ex4).contains("bucket width mismatch"), ex4.getMessage)
+    assert(b8.select(Similarity.checkedBucket(col("bucket"), 8))
+      .head.getString(0) == "01010101")
+  }
+
+  private def exMsg(ex: Throwable): String =
+    (Option(ex.getMessage) ++ Option(ex.getCause).flatMap(c =>
+      Option(c.getMessage))).mkString(" | ")
 }

@@ -218,6 +218,20 @@ class ServeHttpSpec extends AnyFunSuite {
     } finally { http.stop(0); serve.release() }
   }
 
+  test("slice cap off (Int.MaxValue sentinel) serves instead of overflowing the limit") {
+    // limit(Int.MaxValue + 1) overflows to a NEGATIVE limit — before
+    // the sentinel guard every /series request under a cap-off config
+    // threw 500; chartSvg already guarded it, the HTTP path must too
+    val serve = new StarServe(spark, starDir)
+    val http = new StarServeHttp(serve, bindPort = 0,
+      maxSliceRows = Int.MaxValue).start()
+    try {
+      val r = get(s"${http.url}/series?index=%5EGSPC&start=2024-01-01&end=2024-02-29")
+      assert(r.statusCode() == 200, r.body())
+      assert(r.body().startsWith("[") && r.body().endsWith("]"))
+    } finally { http.stop(0); serve.release() }
+  }
+
   test("refresh race: reads concurrent with a snapshot swap see exactly one of the two snapshots") {
     import graft.streaming.StreamingPipeline
     val snapDir = Files.createTempDirectory("graft_http_race").toString

@@ -185,4 +185,53 @@ class SkippingSpec extends AnyFunSuite {
     assert(df.count() ==
       spark.read.parquet(d).filter(preds.head.exact).count() && df.count() > 0)
   }
+
+  test("TimestampNTZ stats are session-timezone-free (build and probe zones may differ)") {
+    // NTZ is a wall clock; encoding it via cast("timestamp") would put
+    // a manifest built under one session zone and a probe run under
+    // another in DIFFERENT epoch domains — min/max drift by the zone
+    // offset and files that match can be silently skipped. The
+    // encoding must be a pure function of the wall-clock value.
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft_skip_ntz").toString
+    val rows = (0 until 64).map { i =>
+      (i.toLong, java.time.LocalDateTime.of(2024, 1, 1 + i % 28, i % 24, 30,
+        15, 123456000))
+    }
+    val df = rows.toDF("id", "ts")
+    assert(df.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampNTZType)
+    val origTz = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "UTC")
+      df.repartitionByRange(4, col("ts")).write.mode("overwrite").parquet(d)
+      Skipping.writeManifest(spark, d, Seq("ts"))
+      val utcStats = spark.read.parquet(Skipping.manifestPath(d))
+        .orderBy("file").collect().map(r =>
+          (r.getAs[Double]("min_ts"), r.getAs[Double]("max_ts"))).toSeq
+      // rebuild the SAME stats under a +14h session zone: must be
+      // byte-identical, not shifted by the offset
+      spark.conf.set("spark.sql.session.timeZone", "Pacific/Kiritimati")
+      val shifted = Skipping.buildManifest(spark, d, Seq("ts"))
+        .orderBy("file").collect().map(r =>
+          (r.getAs[Double]("min_ts"), r.getAs[Double]("max_ts"))).toSeq
+      assert(shifted == utcStats, "NTZ stats moved with the session zone")
+      // and a probe under the foreign zone against the UTC-built
+      // manifest prunes without losing rows
+      val lo = java.time.LocalDateTime.of(2024, 1, 1, 0, 0).toEpochSecond(
+        java.time.ZoneOffset.UTC) * 1e6
+      val hi = java.time.LocalDateTime.of(2024, 1, 7, 23, 59).toEpochSecond(
+        java.time.ZoneOffset.UTC) * 1e6
+      val preds = Seq(ColRange("ts", Some(lo), Some(hi)))
+      val (pruned, stats) = Skipping.prunedScan(spark, d, preds)
+      val expected = rows.count { case (_, t) =>
+        val m = t.toEpochSecond(java.time.ZoneOffset.UTC) * 1e6 +
+          t.getNano / 1000.0
+        m >= lo && m <= hi
+      }
+      assert(pruned.count() == expected && expected > 0, stats.toString)
+      assert(stats.readFiles < stats.liveFiles,
+        s"a one-week range over a range-partitioned month must skip: $stats")
+    } finally spark.conf.set("spark.sql.session.timeZone", origTz)
+  }
 }

@@ -284,7 +284,8 @@ class StreamingSpec extends AnyFunSuite {
     val index = graft.ops.Dedup.simHashBandKeys(corpus, col("text"), col("doc_id"))
     val mem = MemoryStream[(Long, String)]
     val q = StreamingPipeline.simHashCandidatesStream(
-        mem.toDF.toDF("doc_id", "text"), col("text"), col("doc_id"), index)
+        mem.toDF.toDF("doc_id", "text"), col("text"), col("doc_id"), index,
+        nBits = 64, nBands = 4)
       .writeStream.outputMode("append")
       .format("memory").queryName("simham_out").start()
     try {

@@ -366,16 +366,41 @@ object ScaleProbe {
     }
     val docs = spark.read.parquet(cdir)
     println(s"[capstone] corpus rows = ${docs.count()} (x16 documents, near-dup families)")
-    // No eval corpus here: the synthetic documents draw from a ~40
-    // token vocabulary, so ANY 10% eval sample saturates the 3-gram
-    // shingle space and decontamination degenerates to "drop
-    // everything" — a property of the fixture, not the operator (the
-    // decontamination stage's plan and correctness are covered by
-    // q_decontaminate and TrainPipelineSpec at declared scale).
+    // Eval corpus (r10, non-degenerate by MEASUREMENT): the corpus
+    // draws from a ~31-token vocabulary (~27 k distinct trigrams,
+    // ~52 per doc), so a random eval SAMPLE saturates the shingle
+    // space — 50 sampled docs already push 2478/5000 base docs over
+    // the 5-shingle threshold and decontamination degenerates to
+    // "drop everything" (the r9 finding). A benchmark-SHAPED eval
+    // fixture instead: 10 LEAKED docs (verbatim copies of base-corpus
+    // docs — covering ~2% of the trigram space, measured 60/5000 base
+    // docs over threshold) plus 190 filler docs over a DISJOINT
+    // "bench<i>" vocabulary contributing zero overlapping shingles.
+    // Decontamination then does its production job: drop the leaked
+    // docs' copy-families plus a ~1% shingle-collision halo, not the
+    // corpus.
+    val evalC = {
+      val base = spark.read.parquet(s"$Base/documents.parquet")
+        .select("doc_id", "text")
+      val leaked = base.orderBy(md5(col("doc_id").cast("string"))).limit(10)
+        .select((col("doc_id") + lit(900000000L)).as("doc_id"), col("text"))
+      val filler = spark.range(190).select(
+        (col("id") + lit(910000000L)).as("doc_id"),
+        concat_ws(" ", (0 until 60).map(j =>
+          concat(lit("bench"),
+            pmod(col("id") * lit(61) + lit(j * 7), lit(5000)))): _*).as("text"))
+      leaked.unionByName(filler)
+    }
     val kept = stage("clean") {
       val cleaned = CorpusClean.clean(docs, col("text"), col("doc_id"),
-        CorpusClean.Config(minTokens = 5, scrubBoilerplate = true))
+        CorpusClean.Config(minTokens = 5, scrubBoilerplate = true),
+        evalCorpus = Some(evalC))
       cleaned.docs.write.mode("overwrite").parquet(s"$out/clean.parquet")
+      // per-stage survivor accounting incl. the decontaminate row —
+      // the capstone's evidence that the eval fixture is
+      // non-degenerate (in ≈ out × (1 - a few %), not out ≈ 0)
+      cleaned.stageStats().collect().foreach(r =>
+        println(f"[capstone]   stage ${r.getString(0)}%-12s in=${r.getLong(1)}%-8d out=${r.getLong(2)}%-8d"))
       cleaned.release()
       val k = spark.read.parquet(s"$out/clean.parquet")
       (k.count(), k)
