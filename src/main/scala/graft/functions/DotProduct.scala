@@ -167,6 +167,11 @@ object GraftFunctions {
         s"graft_rolling_hash requires exactly 1 argument, got ${children.length}")
       RollingHash(children.head)
     }
+    ifAbsent("graft_quantized_dot") { children =>
+      require(children.length == 2,
+        s"graft_quantized_dot requires exactly 2 arguments, got ${children.length}")
+      QuantizedDot(children.head, children(1))
+    }
     ifAbsent("graft_top_k")(TopKAgg.build)
     ifAbsent("graft_freq_items")(FreqItemsAgg.build)
   }
@@ -181,4 +186,10 @@ object GraftFunctions {
     * summation as the zip_with+aggregate HOF formulation. */
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  /** Micro-unit-quantized integer dot (BIGINT) via the codegen kernel
+    * — see [[QuantizedDot]] for the exact-rounding contract. */
+  def quantizedDot(v: Column, plane: Column): Column =
+    ColumnBridge.column(QuantizedDot(
+      ColumnBridge.expression(v), ColumnBridge.expression(plane)))
 }

@@ -157,23 +157,26 @@ object Similarity {
   def lshBucketQuantized(vecCol: Column, nBits: Int = 16, seed: Int = 42,
       dims: Int = 64): Column = {
     val v = vecCol.cast("array<double>")
+    // Each bit's quantized fold runs in the codegen'd QuantizedDot
+    // kernel, not the aggregate(zip_with(...)) HOF chain: the HOF form
+    // is CodegenFallback — per-row interpreted lambda dispatch per
+    // element, measured ~0.18 s per 2 000 rows × 8 bits at sf0.1, and
+    // the bucket is computed on BOTH sides of the self-join (the bulk
+    // of q_dedup_embed_lsh's wall). Identical integer arithmetic;
+    // DuckDB-round parity documented on the kernel, burnin-gated.
+    //
     // The mega-bucket hazard (null folds silently mapping every bit to
     // '0' and collapsing the corpus into one bucket) is guarded by ONE
-    // SENTINEL BIT, not per bit: a fold is null exactly when the
-    // vector is null, the wrong length (zip_with null-pads), or
-    // carries null elements — and since every bit's fold consumes
-    // every element, null-ness is row-uniform across bits, so bit 0's
-    // three-branch guard protects them all. Guarding every bit (the
-    // r9 shape) re-evaluates each O(dims) fold for every negative dot,
-    // because lambda-bearing subtrees are excluded from subexpression
-    // elimination (SPARK-35886) — measured +30% on q_dedup_embed_lsh;
-    // the sentinel's extra eval is 1/(2·nBits) of the fold work.
+    // SENTINEL BIT, not per bit: the kernel yields null exactly when
+    // the vector is null, the wrong length, or carries null/non-finite
+    // elements — row-uniform across bits, so bit 0's three-branch
+    // guard protects them all (and being lambda-free, its double
+    // reference is subexpression-eliminated in codegen — the r9
+    // per-bit HOF guard re-paid the whole fold per negative dot,
+    // measured +30%).
     val bits = (0 until nBits).map { b =>
-      val pLit = array(plane(seed, b, dims).map(x => lit(x.toLong)): _*)
-      val dotInt = aggregate(
-        zip_with(v, pLit,
-          (x, y) => round(x * lit(1000000.0d)).cast("long") * y),
-        lit(0L), (acc, t) => acc + t)
+      val pLit = array(plane(seed, b, dims).map(lit): _*)
+      val dotInt = GraftFunctions.quantizedDot(v, pLit)
       if (b == 0)
         when(dotInt >= 0, "1").when(dotInt < 0, "0").otherwise(raise_error(
           lit(s"lshBucketQuantized: null quantized dot — vector is " +

@@ -386,6 +386,54 @@ class OpsSpec extends AnyFunSuite {
     assert(twice.toSeq == out.map(_.getAs[String]("s")).toSeq)
   }
 
+  test("QuantizedDot kernel equals the aggregate(zip_with) HOF fold exactly") {
+    import spark.implicits._
+    // random vectors spanning signs, magnitudes and near-tie values;
+    // plane-like integer coefficients. The kernel's contract is EXACT
+    // integer arithmetic parity with the interpreted HOF chain it
+    // replaced (and with the DuckDB oracle via the 3-SF burnin).
+    val rnd = new scala.util.Random(42)
+    val planeVals = Seq.tabulate(64)(i =>
+      (if (i % 2 == 0) 1 else -1) * (rnd.nextInt(1 << 23)).toDouble)
+    val rows = (0 until 200).map { i =>
+      (i.toLong, Seq.tabulate(64) { _ =>
+        rnd.nextInt(7) match {
+          case 0 => rnd.nextDouble() * 2 - 1
+          case 1 => (rnd.nextInt(2000001) - 1000000) / 1000000.0 // exact micro-units
+          case 2 => (rnd.nextInt(4001) - 2000 + 0.5) / 1000000.0 // near .5 ties
+          case 3 => rnd.nextGaussian() * 100
+          case _ => rnd.nextDouble()
+        }
+      })
+    }
+    val df = rows.toDF("id", "v")
+    val pl = array(planeVals.map(lit): _*)
+    val hof = aggregate(
+      zip_with(col("v"), array(planeVals.map(x => lit(x.toLong)): _*),
+        (x, y) => round(x * lit(1000000.0d)).cast("long") * y),
+      lit(0L), (acc, t) => acc + t)
+    val cmp = df.select(col("id"),
+        graft.functions.GraftFunctions.quantizedDot(col("v"), pl).as("k"),
+        hof.as("h"))
+      .filter(col("k") =!= col("h") || col("k").isNull =!= col("h").isNull)
+      .collect()
+    assert(cmp.isEmpty, s"kernel/HOF divergence: ${cmp.take(3).mkString(",")}")
+    // null-out contract: null array, length mismatch, null element,
+    // non-finite element
+    val edge = Seq(
+      (1L, null.asInstanceOf[Seq[java.lang.Double]]),
+      (2L, Seq.fill(16)(java.lang.Double.valueOf(1.0))),
+      (3L, Seq.tabulate(64)(i => if (i == 7) null
+        else java.lang.Double.valueOf(1.0))),
+      (4L, Seq.tabulate(64)(i => java.lang.Double.valueOf(
+        if (i == 3) Double.NaN else 1.0)))
+    ).toDF("id", "v").select(col("id"), col("v").cast("array<double>").as("v"))
+    val nulls = edge.select(col("id"),
+        graft.functions.GraftFunctions.quantizedDot(col("v"), pl).as("k"))
+      .collect().map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    assert(nulls == Map(1L -> true, 2L -> true, 3L -> true, 4L -> true), nulls)
+  }
+
   test("persisted-probe width guards raise on stale widths instead of empty joins") {
     import spark.implicits._
     val docs = Seq((1L, "the quick brown fox jumps over the lazy dog"))
