@@ -192,4 +192,9 @@ object GraftFunctions {
   def quantizedDot(v: Column, plane: Column): Column =
     ColumnBridge.column(QuantizedDot(
       ColumnBridge.expression(v), ColumnBridge.expression(plane)))
+
+  /** SimHash signature from per-token md5-hex prefixes via the
+    * codegen kernel — see [[SimHashSign]] for the parity contract. */
+  def simHashSign(hexes: Column, nBits: Int): Column =
+    ColumnBridge.column(SimHashSign(ColumnBridge.expression(hexes), nBits))
 }

@@ -694,10 +694,13 @@ object Dedup {
     * MinHash columns behind [[lshBandKeys]]. Byte-identical to the
     * aggregate form (spec-gated); documents with no non-empty token
     * are dropped, matching the aggregate's groupBy. The aggregate
-    * form remains the BATCH path — hash-aggregate, map-side
-    * combinable, codegen'd — while the HOF folds here are
-    * CodegenFallback: per-row cost is nBits·|tokens| interpreted
-    * steps, the price of statelessness, paid only on stream rows. */
+    * form remains the BATCH path (hash-aggregate, map-side
+    * combinable); the signature here runs in the codegen
+    * [[graft.functions.SimHashSign]] kernel — one pass over the
+    * per-token hex array, so statelessness no longer costs
+    * nBits·|tokens| interpreted HOF steps per row (18× measured, see
+    * the kernel's scaladoc); the remaining interpreted work is the
+    * per-token md5-hex build. */
   def simHashRowLocal(docs: DataFrame, textCol: Column, idCol: Column,
       nBits: Int = 64): DataFrame = {
     require(nBits % 4 == 0 && nBits >= 8 && nBits <= 128,
@@ -710,17 +713,18 @@ object Dedup {
         transform(filter(split(textCol, " "), t => length(t) > 0),
           t => substring(md5(t.cast("binary")), 1, nHex)).as("__hx"))
       .filter(size(col("__hx")) > 0)
-    val bitSums = (0 until nBits).map { j =>
-      val p = 1 << (j % 4)
-      aggregate(col("__hx"), lit(0L), (acc, h) => {
-        // conv(hexchar,16,10) ≡ the aggregate form's instr()-1 nibble
-        val nib = conv(substring(h, j / 4 + 1, 1), 16, 10).cast("int")
-        acc + ((nib.divide(p).cast("int") % 2) * 2 - 1).cast("long")
-      })
-    }
+    // ONE codegen kernel pass over the hex array instead of nBits
+    // separate aggregate() HOF folds: the folds were CodegenFallback
+    // (nBits·|tokens| interpreted lambda steps per row — the
+    // documented "price of statelessness" this kernel retires), and
+    // lambda-bearing subtrees are excluded from subexpression
+    // elimination so nothing amortized them. Measured 26.1 → 1.45 s
+    // at ×16 docs / 64 bits under forced evaluation (SimHashSign
+    // scaladoc). Byte-parity with the aggregate signature form is
+    // OpsSpec-gated at 32 and 64 bits.
     withHex.select(col("id"),
-      concat((0 until nBits).map(j =>
-        when(bitSums(j) > 0, "1").otherwise("0")): _*).as("simhash"))
+      graft.functions.GraftFunctions.simHashSign(col("__hx"), nBits)
+        .as("simhash"))
   }
 
   /** Row-local SimHash band keys (id, band, bh) straight from text —
