@@ -120,23 +120,31 @@ object SubstrDedup {
       w: Int, minDocs: Int = 2): DataFrame =
     repeatedSpansFromHashes(windowHashes(docs, textCol, idCol, w), w, minDocs)
 
-  /** [[repeatedSpans]] over a pre-built (id, pos, whash) frame. The
-    * window table feeds TWO consumers (the spread aggregate and the
-    * position join), so an unpersisted frame pays the corpus-wide
-    * explode + rolling-hash kernel twice — at scale, pass a PERSISTED
-    * [[windowHashes]] frame here (the same caller-pins discipline
-    * CorpusClean applies to its shared shingle frame) and unpersist
-    * after the spans materialize. */
+  /** [[repeatedSpans]] over a pre-built (id, pos, whash) frame.
+    *
+    * The window table is consumed ONCE: the cross-document spread is
+    * a distinct-doc count computed IN the same whash-keyed pass as
+    * the survivor selection (dense_rank over id, then max over the
+    * partition — exactly count(DISTINCT id), which window functions
+    * cannot spell directly), so the corpus-wide explode + rolling-
+    * hash kernel runs once and there is NO self-join. The r10 shape
+    * replaced spread-aggregate + whash equi-join, which consumed `wh`
+    * twice — an unpersisted frame paid the explode+kernel per
+    * consumer (the same lineage class the ×16 capstone caught on
+    * clean()'s drop list). One hash exchange on whash either way; the
+    * window adds a sort where the old join added a second full-table
+    * shuffle. A within-doc repeat still counts its doc once
+    * (dense_rank is per DISTINCT id). */
   def repeatedSpansFromHashes(wh: DataFrame, w: Int,
       minDocs: Int = 2): DataFrame = {
-    // distinct (whash, id) before the count so a within-doc repeat
-    // doesn't fake cross-document spread; both steps are hash
-    // aggregates on the 64-bit hash, partial+final
-    val spread = wh.select(col("whash"), col("id")).distinct()
-      .groupBy(col("whash")).agg(count(lit(1)).as("n_docs"))
-      .filter(col("n_docs") >= minDocs)
-      .select(col("whash"))
-    islandSpans(wh.join(spread, "whash").select(col("id"), col("pos")), w)
+    val byHash = Window.partitionBy(col("whash")).orderBy(col("id"))
+    val wholeHash = Window.partitionBy(col("whash"))
+    val surviving = wh
+      .withColumn("__dr", dense_rank().over(byHash))
+      .withColumn("__nd", max(col("__dr")).over(wholeHash))
+      .filter(col("__nd") >= minDocs)
+      .select(col("id"), col("pos"))
+    islandSpans(surviving, w)
   }
 
   /** Rewrite each document with its repeated spans' tokens removed
