@@ -132,7 +132,14 @@ object Similarity {
       when(d >= 0, "1").when(d < 0, "0").otherwise(raise_error(
         lit(s"lshBuckets: null plane dot — vector is null or its length != dims ($dims)")))
     }
-    corpus.select(idCol.as("id"), v.as("v"), concat(bitCols: _*).as("bucket"))
+    // coalesce-to-constant marks the bucket NON-NULLABLE (the raise
+    // fires before any null could propagate, so the "" default is
+    // unreachable) — without it, joining on the bucket pushes an
+    // isnotnull(<whole bucket expression>) filter below the
+    // projection and the entire nBits-dot computation runs TWICE per
+    // row per side (see lshBucketQuantized, where this was measured)
+    corpus.select(idCol.as("id"), v.as("v"),
+      coalesce(concat(bitCols: _*), lit("")).as("bucket"))
   }
 
   /** Sign-LSH bucket id as an EXACT-INTEGER expression: vector
@@ -183,7 +190,18 @@ object Similarity {
             s"null, has null elements, or its length != dims ($dims)")))
       else when(dotInt >= 0, "1").otherwise("0")
     }
-    concat(bits: _*)
+    // coalesce-to-constant marks the bucket NON-NULLABLE: the sentinel
+    // raises before a null could propagate, so the "" default is
+    // unreachable — but WITHOUT it the column is formally nullable and
+    // joining on it pushes an isnotnull(<whole bucket expression>)
+    // filter below the projection: the entire nBits-kernel computation
+    // runs a SECOND time per row per side, inlined into one
+    // un-splittable generated predicate method that at 16 bits blows
+    // the JIT's huge-method limit and drops to bytecode
+    // interpretation (measured: the ×16 bucket self-join went 2.3 →
+    // 12.6 s from that filter alone; folding the IsNotNull restores
+    // single evaluation).
+    coalesce(concat(bits: _*), lit(""))
   }
 
   /** Probe-side width guard for a PERSISTED sign-LSH bucket column:
