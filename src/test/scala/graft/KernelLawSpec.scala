@@ -160,4 +160,65 @@ class KernelLawSpec extends AnyFunSuite {
         assert(est.contains(item), s"seed=$seed missing $item (true=$t)")
     }
   }
+
+  // -------------------------------------------------------------
+  // Scalar kernels: the INTERPRETED eval path (nullSafeEval — what a
+  // CodegenFallback context or a driver-side fold would run) must
+  // equal the codegen path the DataFrame queries exercise. Driven at
+  // the raw InternalRow level over generated vectors.
+  // -------------------------------------------------------------
+
+  test("QuantizedDot: interpreted eval equals the codegen DataFrame result") {
+    import org.apache.spark.sql.functions.{array, col, lit}
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val planeVals = Seq.tabulate(64)(i =>
+      (if (i % 3 == 0) -1 else 1) * rnd.nextInt(1 << 23).toDouble)
+    val vecs = (0 until 60).map(_ => Seq.tabulate(64)(_ =>
+      rnd.nextInt(5) match {
+        case 0 => (rnd.nextInt(4001) - 2000 + 0.5) / 1000000.0
+        case 1 => rnd.nextGaussian() * 50
+        case _ => rnd.nextDouble() * 2 - 1
+      }))
+    val expr = graft.functions.QuantizedDot(
+      BoundReference(0,
+        org.apache.spark.sql.types.ArrayType(DoubleType, containsNull = false),
+        nullable = true),
+      BoundReference(1,
+        org.apache.spark.sql.types.ArrayType(DoubleType, containsNull = false),
+        nullable = true))
+    val planeData = new GenericArrayData(planeVals.toArray)
+    val interpreted = vecs.map(v =>
+      expr.eval(InternalRow(new GenericArrayData(v.toArray), planeData)))
+    val codegen = vecs.zipWithIndex.map(_.swap).toDF("i", "v")
+      .orderBy("i")
+      .select(graft.functions.GraftFunctions.quantizedDot(
+        col("v"), array(planeVals.map(lit): _*)).as("d"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(interpreted == codegen)
+  }
+
+  test("SimHashSign: interpreted eval equals the codegen DataFrame result") {
+    import org.apache.spark.sql.functions.col
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val hexDigits = "0123456789abcdef"
+    val rows = (0 until 60).map(_ =>
+      (1 to 1 + rnd.nextInt(40)).map(_ =>
+        Seq.fill(16)(hexDigits(rnd.nextInt(16))).mkString))
+    val expr = graft.functions.SimHashSign(
+      BoundReference(0,
+        org.apache.spark.sql.types.ArrayType(StringType, containsNull = false),
+        nullable = true),
+      nBits = 64)
+    val interpreted = rows.map(hx => expr.eval(InternalRow(
+      new GenericArrayData(hx.map(UTF8String.fromString).toArray))).toString)
+    val codegen = rows.zipWithIndex.map(_.swap).toDF("i", "hx")
+      .orderBy("i")
+      .select(graft.functions.GraftFunctions.simHashSign(col("hx"), 64).as("s"))
+      .collect().map(_.getString(0)).toSeq
+    assert(interpreted == codegen)
+  }
 }

@@ -386,4 +386,25 @@ class PlanSpec extends AnyFunSuite {
     val hashExchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
     assert(hashExchanges <= 2, s"expected the n_name aggregation exchanges only:\n$p")
   }
+
+  test("embed-lsh bucket join: the bucket key is computed once per side (non-nullable)") {
+    // The r10 hazard this gates: a computed NULLABLE join key makes
+    // the optimizer push isnotnull(<whole key expression>) below the
+    // projection, so the full nBits-kernel bucket computation ran a
+    // SECOND time per row per side — inlined into one un-splittable
+    // generated predicate that blew the JIT huge-method limit at 16
+    // bits (×16 self-join 2.3 → 12.6 s). The coalesce-to-constant
+    // wrapper types the bucket non-nullable and the inferred filter
+    // folds away; this test fails if the filter ever comes back.
+    val df = q("q_dedup_embed_lsh")
+    df.collect()
+    val p = plan(df)
+    assert(p.contains("graft_quantized_dot"), p)
+    val badFilter = p.linesIterator.find(l =>
+      l.contains("Filter") && l.contains("isnotnull") &&
+        (l.contains("graft_quantized_dot") || l.contains("concat(CASE")))
+    assert(badFilter.isEmpty,
+      "bucket expression re-evaluated in a pushed null filter:\n" +
+        badFilter.getOrElse(""))
+  }
 }
