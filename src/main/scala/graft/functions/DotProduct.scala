@@ -197,4 +197,15 @@ object GraftFunctions {
     * codegen kernel — see [[SimHashSign]] for the parity contract. */
   def simHashSign(hexes: Column, nBits: Int): Column =
     ColumnBridge.column(SimHashSign(ColumnBridge.expression(hexes), nBits))
+
+  /** All MinHash minima over a shingle array in one kernel pass — see
+    * [[MinHashMinima]] for the parity contract. */
+  def minHashMinima(shingles: Column, numHashes: Int): Column =
+    ColumnBridge.column(MinHashMinima(
+      ColumnBridge.expression(shingles), numHashes))
+
+  /** Word n-gram shingles over a token array in one kernel pass — see
+    * [[ShingleWindows]] for the parity contract. */
+  def shingleWindows(tokens: Column, n: Int): Column =
+    ColumnBridge.column(ShingleWindows(ColumnBridge.expression(tokens), n))
 }

@@ -48,14 +48,19 @@ object Dedup {
   }
 
   /** Word n-gram shingles: (id, shingle) with one row per shingle
-    * occurrence. Documents with fewer than `n` tokens produce none. */
+    * occurrence. Documents with fewer than `n` tokens produce none.
+    * The window construction is the codegen ShingleWindows kernel —
+    * the HOF transform referenced the `split` subtree n times inside
+    * its lambda (no CSE for lambda subtrees), re-running the regex
+    * split of the document 3× per shingle; measured 26.7 s of pure
+    * shingle construction at ×16 docs before the kernel. This is the
+    * input stage of every MinHash/Jaccard/decontamination consumer. */
   def shingles(docs: DataFrame, textCol: Column, idCol: Column, n: Int = 3): DataFrame =
-    docs.select(idCol.as("id"), split(textCol, " ").as("w"))
-      .filter(size(col("w")) >= n)
-      .select(col("id"), explode(expr(
-        s"""transform(sequence(1, size(w)-${n - 1}),
-           |  i -> concat_ws(' ', ${(0 until n).map(k => s"element_at(w, i+$k)").mkString(", ")}))""".stripMargin))
-        .as("s"))
+    docs.select(idCol.as("id"),
+        graft.functions.GraftFunctions.shingleWindows(
+          split(textCol, " "), n).as("__shw"))
+      .filter(col("__shw").isNotNull)
+      .select(col("id"), explode(col("__shw")).as("s"))
 
   /** MinHash signature: `numHashes` columns m0..m{k-1}, each the
     * lexicographic minimum of seeded md5 over the document's shingles.
@@ -101,15 +106,15 @@ object Dedup {
     // [[minOverShingleArray]] over it — what [[lshBandKeys]] does.
   }
 
-  /** The document's shingle array as one Column; null when the doc has
-    * fewer than `n` tokens (sequence() would otherwise run DESCENDING
-    * from 1 and read element_at(w, 0)). */
-  def shingleArray(textCol: Column, n: Int = 3): Column = {
-    val w = split(textCol, " ")
-    when(size(w) >= n,
-      transform(sequence(lit(1), size(w) - (n - 1)),
-        i => concat_ws(" ", (0 until n).map(k => element_at(w, i + lit(k))): _*)))
-  }
+  /** The document's shingle array as one Column; null when the doc
+    * has fewer than `n` tokens. Runs in the codegen ShingleWindows
+    * kernel: the old HOF form referenced the `split` subtree n times
+    * INSIDE its lambda — no CSE for lambda subtrees (SPARK-35886), so
+    * the regex split re-ran 3× per shingle (measured 26.7 s of pure
+    * shingle construction at ×16 docs). The kernel evaluates the
+    * token array once and emits all windows in one pass. */
+  def shingleArray(textCol: Column, n: Int = 3): Column =
+    graft.functions.GraftFunctions.shingleWindows(split(textCol, " "), n)
 
   /** min(md5("{j}|" + s)) over a shingle-array column — one MinHash
     * permutation, row-local. */
@@ -127,14 +132,22 @@ object Dedup {
       numHashes: Int = 8, bands: Int = 2, shingleLen: Int = 3): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    // materialize the shingle array ONCE as a real column: the m_j
-    // minima below reference it by attribute, so the tokenize+shingle
-    // work runs once per row, not numHashes× (CollapseProject does not
-    // re-inline a multi-referenced non-cheap expression)
+    // ALL numHashes minima in one kernel pass over the shingle array
+    // (graft.functions.MinHashMinima): the per-permutation
+    // array_min(transform(md5)) HOF columns re-walked the shingle
+    // array through interpreted lambda dispatch numHashes× per row
+    // with an intermediate md5-string array each — the same
+    // CodegenFallback tax SimHashSign retired on the SimHash twin.
+    // Materialized as a real column so the per-band getItems below
+    // read it by attribute (single evaluation); a null shingle array
+    // (doc shorter than shingleLen) nulls the minima and is filtered,
+    // matching the old shingle-array filter.
     val shingled = docs
-      .select(idCol.as("id"), shingleArray(textCol, shingleLen).as("__sh"))
-      .filter(col("__sh").isNotNull)
-    val ms = (0 until numHashes).map(j => minOverShingleArray(col("__sh"), j))
+      .select(idCol.as("id"),
+        graft.functions.GraftFunctions.minHashMinima(
+          shingleArray(textCol, shingleLen), numHashes).as("__mh"))
+      .filter(col("__mh").isNotNull)
+    val ms = (0 until numHashes).map(j => col("__mh").getItem(j))
     val bandStructs = (0 until bands).map { b =>
       struct(lit(b.toLong).as("band"),
         minHashBandHash((b * r until (b + 1) * r).map(ms)).as("h"))
