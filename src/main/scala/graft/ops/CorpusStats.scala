@@ -210,13 +210,16 @@ object CorpusStats {
     * texts under two tokens — guarded: `sequence(1, 0)` would count
     * DOWN in Spark, and `element_at(w, 0)` is an ANSI error).
     * Row-local. */
-  def bigrams(text: Column): Column = {
-    val w = split(text, " ")
-    when(size(w) >= 2,
-      transform(sequence(lit(1), size(w) - lit(1)),
-        i => concat_ws(" ", element_at(w, i), element_at(w, i + lit(1)))))
-      .otherwise(array().cast("array<string>"))
-  }
+  def bigrams(text: Column): Column =
+    // the ShingleWindows kernel at n=2: the old HOF transform
+    // referenced the split(text) subtree per element_at INSIDE its
+    // lambda (no CSE for lambda subtrees), re-splitting the document
+    // twice per bigram — the same hazard Dedup.shingleArray carried.
+    // coalesce keeps the under-2-token contract (empty array, not
+    // null) and types the column non-nullable.
+    coalesce(
+      graft.functions.GraftFunctions.shingleWindows(split(text, " "), 2),
+      array().cast("array<string>"))
 
   /** Most frequent bigram per document and the fraction of bigram
     * slots it covers (the Gopher top-2-gram repetition rule). Ties
