@@ -56,11 +56,15 @@ object Dedup {
     * shingle construction at ×16 docs before the kernel. This is the
     * input stage of every MinHash/Jaccard/decontamination consumer. */
   def shingles(docs: DataFrame, textCol: Column, idCol: Column, n: Int = 3): DataFrame =
+    // no explicit short-doc filter: explode of a NULL array emits zero
+    // rows, which IS the contract — and an isNotNull filter on the
+    // kernel column would inline the whole split+kernel chain into a
+    // pushed Filter and evaluate it twice per row (the r10 plan-audit
+    // finding; the same double-eval class as the nullable-join-key
+    // hazard)
     docs.select(idCol.as("id"),
-        graft.functions.GraftFunctions.shingleWindows(
-          split(textCol, " "), n).as("__shw"))
-      .filter(col("__shw").isNotNull)
-      .select(col("id"), explode(col("__shw")).as("s"))
+      explode(graft.functions.GraftFunctions.shingleWindows(
+        split(textCol, " "), n)).as("s"))
 
   /** MinHash signature: `numHashes` columns m0..m{k-1}, each the
     * lexicographic minimum of seeded md5 over the document's shingles.
@@ -142,11 +146,15 @@ object Dedup {
     // read it by attribute (single evaluation); a null shingle array
     // (doc shorter than shingleLen) nulls the minima and is filtered,
     // matching the old shingle-array filter.
+    // NOTE: no isNotNull filter on __mh here — it would inline the
+    // whole split+shingle+minima chain into a pushed Filter and
+    // evaluate it twice per row (r10 plan-audit finding). Short docs
+    // (null minima) are dropped AFTER the explode on the cheap `h`
+    // attribute instead.
     val shingled = docs
       .select(idCol.as("id"),
         graft.functions.GraftFunctions.minHashMinima(
           shingleArray(textCol, shingleLen), numHashes).as("__mh"))
-      .filter(col("__mh").isNotNull)
     val ms = (0 until numHashes).map(j => col("__mh").getItem(j))
     val bandStructs = (0 until bands).map { b =>
       struct(lit(b.toLong).as("band"),
@@ -155,6 +163,11 @@ object Dedup {
     shingled
       .select(col("id"), explode(array(bandStructs: _*)).as("bh"))
       .select(col("id"), col("bh.band").as("band"), col("bh.h").as("h"))
+      // short docs surface here as null band hashes (null minima null
+      // the concat inside minHashBandHash) — filtered on the CHEAP
+      // generated attribute, where the predicate cannot be pushed
+      // below the Generate and re-evaluate the kernel chain
+      .filter(col("h").isNotNull)
   }
 
   // ---------------------------------------------------------------
@@ -266,9 +279,15 @@ object Dedup {
 
   /** The MinHash band-key hash — ONE definition shared by the
     * signature-frame banding and the row-local stream keys, so the
-    * key spaces joined across batch/stream/registry cannot drift. */
+    * key spaces joined across batch/stream/registry cannot drift.
+    * `concat`, NOT `concat_ws`: identical bytes for non-null minima
+    * (so every persisted key is unchanged), but a NULL minimum (a doc
+    * too short to shingle on the row-local path) nulls the whole key
+    * instead of being silently skipped — concat_ws would hash the
+    * partial concatenation and every short doc would share one bogus
+    * md5("")-style bucket. */
   private def minHashBandHash(cols: Seq[Column]): Column =
-    md5(concat_ws("", cols: _*).cast("binary"))
+    md5(concat(cols: _*).cast("binary"))
 
   /** LSH banding over a MinHash signature frame: (id, band, h). */
   def lshBands(mh: DataFrame, numHashes: Int, bands: Int): DataFrame = {
