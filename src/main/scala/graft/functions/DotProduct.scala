@@ -173,6 +173,7 @@ object GraftFunctions {
       QuantizedDot(children.head, children(1))
     }
     ifAbsent("graft_top_k")(TopKAgg.build)
+    ifAbsent("graft_top_k_pairs")(TopKPairAgg.build)
     ifAbsent("graft_freq_items")(FreqItemsAgg.build)
   }
 

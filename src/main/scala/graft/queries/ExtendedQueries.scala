@@ -552,16 +552,26 @@ object ExtendedQueries {
       // pair rows and then pay a full exchange OF THE PAIRS to feed
       // the window: the shuffled quantity would grow quadratically
       // while this plan's exchanges stay linear in the corpus.
+      // Top-3 per label via TopKPairAgg, not a rank window (the r10
+      // re-plan, same move as q_window_rank_topk's): the window had
+      // to SORT every generated pair of every label — Σ|group|² rows
+      // through a WindowExec — to keep 3 of them; the mergeable
+      // k-heap aggregate keeps O(k) state per label, combines
+      // map-side, and (the join output being already partitioned on
+      // lbl) adds no exchange. Heap order (score DESC, id1, id2) is
+      // exactly the window's rank order, so position = rk and the
+      // oracle (the rank window itself, in SQL) is unchanged.
       a.join(b.hint("shuffle_hash"),
           col("lbl") === col("lbl2") && col("id1") < col("id2"))
         .select(col("lbl"), col("id1"), col("id2"),
           round(expr("graft_dot(v1, v2)") / (col("n1") * col("n2")), 4).as("cos"))
-        .withColumn("rk", row_number().over(
-          org.apache.spark.sql.expressions.Window.partitionBy(col("lbl"))
-            .orderBy(col("cos").desc, col("id1"), col("id2"))).cast("long"))
-        .filter(col("rk") <= 3)
-        .select(col("lbl").cast("long").as("label"), col("id1"), col("id2"),
-          col("cos"), col("rk"))
+        .groupBy(col("lbl"))
+        .agg(graft.functions.TopKPairAgg.topKPairs(
+          col("cos"), col("id1"), col("id2"), 3).as("tk"))
+        .select(col("lbl").cast("long").as("label"), posexplode(col("tk")))
+        .select(col("label"), col("col.id1").as("id1"),
+          col("col.id2").as("id2"), col("col.score").as("cos"),
+          (col("pos") + 1).cast("long").as("rk"))
         .orderBy(col("label"), col("rk"))
     },
 

@@ -92,6 +92,44 @@ class KernelLawSpec extends AnyFunSuite {
     }
   }
 
+  // ---- TopKPairAgg ------------------------------------------------
+
+  private val topkp = graft.functions.TopKPairAgg(
+    BoundReference(0, DoubleType, nullable = true),
+    BoundReference(1, LongType, nullable = true),
+    BoundReference(2, LongType, nullable = true), k = 5)
+
+  private def topkpEval(rows: List[(Double, Long, Long)], chunks: List[Int],
+      seed: Long): Seq[(Long, Long, Double)] = {
+    val bufs = split(rows, chunks).map { part =>
+      part.foldLeft(topkp.createAggregationBuffer()) { (b, r) =>
+        topkp.update(b, InternalRow(r._1, r._2, r._3))
+      }
+    }
+    val arr = topkp.eval(mergeTree(topkp, bufs, seed, serde = true))
+      .asInstanceOf[GenericArrayData]
+    (0 until arr.numElements()).map { i =>
+      val s = arr.getStruct(i, 3); (s.getLong(0), s.getLong(1), s.getDouble(2))
+    }
+  }
+
+  test("TopKPairAgg: any split + random merge tree + serde equals the sorted reference") {
+    val gen = for {
+      rows <- Gen.listOf(Gen.zip(
+        Gen.chooseNum(-100.0, 100.0), Gen.chooseNum(0L, 12L), Gen.chooseNum(0L, 12L)))
+      cuts <- Gen.listOfN(4, Gen.chooseNum(0, 1000))
+    } yield (rows, cuts)
+    for (seed <- 1L to 50L) {
+      val (rows, cuts) = sample(gen, seed)
+      // rank by (score DESC, id1 ASC, id2 ASC); exact duplicates
+      // collapse (same logical pair row)
+      val ref = rows.distinct
+        .sortBy { case (s, a, b) => (-s, a, b) }.take(5)
+        .map { case (s, a, b) => (a, b, s) }
+      assert(topkpEval(rows, cuts, seed) == ref, s"seed=$seed")
+    }
+  }
+
   // ---- MinHashAgg -------------------------------------------------
 
   private val mh = MinHashAgg(

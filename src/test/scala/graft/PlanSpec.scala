@@ -179,12 +179,17 @@ class PlanSpec extends AnyFunSuite {
     assert(aggs >= 2, s"expected partial+final aggregate pair:\n$p")
   }
 
-  test("per-label embed top-k: pair join is keyed, never cartesian") {
+  test("per-label embed top-k: pair join is keyed, never cartesian; no pair-space sort") {
     val p = plan(q("q_embed_label_topk"))
     assert(!p.contains("CartesianProduct"), p)
     // the label equi-key must be a join key (bounded pair space), and
     // the codegen dot kernel must survive on the pair path
     assert(p.contains("graft_dot") || p.contains("dot("), p)
+    // r10 re-plan: the per-label top-3 is TopKPairAgg (O(k) heaps,
+    // map-side combine), not a rank window that sorts Σ|group|² pair
+    // rows — WindowExec must not reappear over the pair space
+    assert(p.contains("graft_top_k_pairs"), p)
+    assert(!p.contains("Window"), s"rank window regrew over the pair space:\n$p")
   }
 
   test("outlier gate: the 5-row percentile cut broadcasts back over the scan") {
