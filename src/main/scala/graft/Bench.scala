@@ -130,14 +130,24 @@ object Bench {
         val group = s"graft-bench-$name"
         spark.sparkContext.setJobGroup(group, name)
         val n = try {
-          try fn(spark, sfDir).count() catch { case _: Throwable => () }
-          val tr = spark.sparkContext.statusTracker
-          // distinct: AQE materializes each exchange as its own job,
-          // and jobs re-list upstream stages they share — summing per
-          // job would double-count the common prefix
-          tr.getJobIdsForGroup(group).flatMap(id =>
-            tr.getJobInfo(id).toSeq.flatMap(_.stageIds.map(_.toInt)))
-            .distinct.length
+          // NonFatal only: a fatal error (OOM, interrupt) must
+          // propagate, not be read as a completed counting run. A
+          // query whose counting run failed reports the sentinel -1
+          // so a partial job/stage count is never mistaken for the
+          // planned-stage truth in the floor-normalization rule.
+          val ok =
+            try { fn(spark, sfDir).count(); true }
+            catch { case scala.util.control.NonFatal(_) => false }
+          if (!ok) -1
+          else {
+            val tr = spark.sparkContext.statusTracker
+            // distinct: AQE materializes each exchange as its own job,
+            // and jobs re-list upstream stages they share — summing per
+            // job would double-count the common prefix
+            tr.getJobIdsForGroup(group).flatMap(id =>
+              tr.getJobInfo(id).toSeq.flatMap(_.stageIds.map(_.toInt)))
+              .distinct.length
+          }
         } finally spark.sparkContext.clearJobGroup()
         name -> n
       }

@@ -67,6 +67,26 @@ object Skipping {
   def manifestPath(dataPath: String): String =
     dataPath.stripSuffix("/") + "_skipidx"
 
+  /** Stat-encoding version stamp (same zero-byte-marker pattern as
+    * `Dedup.bandRegistryMarker`): manifests persist [[statCol]]'s
+    * double encoding, so a manifest built under a DIFFERENT encoding
+    * (v1 encoded TimestampNTZ as session-zone epoch micros; v2 is the
+    * zone-free as-if-UTC wall clock) would be probed in a different
+    * epoch domain — min/max shifted by the zone offset — and could
+    * silently skip files containing matching rows, violating the "can
+    * cost speed, never rows" contract. Every writer stamps the
+    * manifest dir; both readers treat a missing stamp as "no usable
+    * manifest": [[refreshManifest]] forces a full rebuild and
+    * [[prunedScan]] reads every live file (prune disabled, exact
+    * predicate still applied — costs speed, never rows). */
+  private[graft] val encodingStamp = "_GRAFT_SKIPIDX_ENC_V2"
+
+  private def hasStamp(fs: FileSystem, dir: Path): Boolean =
+    fs.exists(new Path(dir, encodingStamp))
+
+  private def stamp(fs: FileSystem, dir: Path): Unit =
+    fs.create(new Path(dir, encodingStamp), true).close()
+
   /** Order-preserving double encoding of an indexable column:
     * numerics cast directly; DATE becomes epoch DAYS and TIMESTAMP
     * epoch MICROS (ANSI — the Spark 4 default — rejects direct
@@ -125,6 +145,9 @@ object Skipping {
     val out = manifestPath(dataPath)
     buildManifest(spark, dataPath, cols)
       .coalesce(1).write.mode("overwrite").parquet(out)
+    val fs = FileSystem.get(new URI(out),
+      spark.sparkContext.hadoopConfiguration)
+    stamp(fs, new Path(out))
     out
   }
 
@@ -143,7 +166,10 @@ object Skipping {
     // and triggers the full rebuild this incremental path exists to
     // avoid (at the documented scale, a full corpus re-scan)
     Swap.recover(fs, new Path(manPath), new Path(manPath + "__refreshing"))
-    if (!fs.exists(new Path(manPath))) {
+    // a manifest without the current encoding stamp was built under a
+    // different stat encoding — its min/max are not comparable, so the
+    // incremental path must not union against it: full rebuild
+    if (!fs.exists(new Path(manPath)) || !hasStamp(fs, new Path(manPath))) {
       val n = liveParts(spark, dataPath).size
       writeManifest(spark, dataPath, cols)
       return (n, 0)
@@ -167,6 +193,9 @@ object Skipping {
     val tmp = new Path(manPath + "__refreshing")
     fs.delete(tmp, true)
     next.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    // stamp rides in tmp so the atomic rename publishes data + version
+    // together (same crash-ordering as Swap.publishFold)
+    stamp(fs, tmp)
     Swap.publish(fs, new Path(manPath), tmp)
     (missing.size, (oldKeys -- liveKeys).size)
   }
@@ -204,16 +233,23 @@ object Skipping {
     val liveByKey = live.map(p => key(p.toString) -> p).toMap
     // same crash-window recovery as refreshManifest: a complete
     // orphaned tmp must serve reads, not FileNotFound
-    locally {
-      val mfs = FileSystem.get(new URI(dataPath),
-        spark.sparkContext.hadoopConfiguration)
-      Swap.recover(mfs, new Path(manifestPath(dataPath)),
-        new Path(manifestPath(dataPath) + "__refreshing"))
-    }
-    val man = spark.read.parquet(manifestPath(dataPath))
-    val covered = man.select("file").collect().map(r => key(r.getString(0))).toSet
-    val surviving = man.filter(preds.map(_.overlaps).reduce(_ && _))
-      .select("file").collect().map(r => key(r.getString(0))).toSet
+    val mfs = FileSystem.get(new URI(dataPath),
+      spark.sparkContext.hadoopConfiguration)
+    Swap.recover(mfs, new Path(manifestPath(dataPath)),
+      new Path(manifestPath(dataPath) + "__refreshing"))
+    // no current-version encoding stamp ⇒ the manifest's stats live in
+    // a different (or unknown) double domain — pruning against them
+    // could drop matching rows. Disable pruning: every live file is
+    // "uncovered" and read, the exact predicate still applies.
+    val usable = hasStamp(mfs, new Path(manifestPath(dataPath)))
+    val (covered, surviving) =
+      if (!usable) (Set.empty[String], Set.empty[String])
+      else {
+        val man = spark.read.parquet(manifestPath(dataPath))
+        (man.select("file").collect().map(r => key(r.getString(0))).toSet,
+          man.filter(preds.map(_.overlaps).reduce(_ && _))
+            .select("file").collect().map(r => key(r.getString(0))).toSet)
+      }
     val uncovered = live.filterNot(p => covered(key(p.toString)))
     val chosen = liveByKey.collect { case (k, p) if surviving(k) => p }.toSeq ++ uncovered
 

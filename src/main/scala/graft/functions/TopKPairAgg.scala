@@ -20,6 +20,18 @@ import org.apache.spark.sql.types._
   * Returns ARRAY<STRUCT<id1 BIGINT, id2 BIGINT, score DOUBLE>> sorted
   * by (score DESC, id1 ASC, id2 ASC) — position in the array is the
   * rank.
+  *
+  * Null contract: an input row whose score OR either id is null is
+  * SKIPPED — it never enters the heap. This is a deliberate semantic
+  * NARROWING vs the rank window it replaces: `row_number() OVER
+  * (ORDER BY score DESC)` puts nulls LAST (Spark default), so a group
+  * with fewer than k non-null-score pairs plus null-score pairs would
+  * emit the null rows at the tail ranks, where this aggregate emits
+  * fewer than k rows. Callers replacing a rank window must either
+  * guarantee non-null inputs (q_embed_label_topk's cosine is non-null
+  * by construction: both operands pass a `norm > 0` filter and the
+  * dot kernel is null-safe over non-null arrays) or accept the
+  * shorter result. Same contract as [[TopKAgg]].
   */
 case class TopKPairAgg(
     score: Expression,

@@ -69,9 +69,14 @@ object Similarity {
     * `limit(2).count()` also re-executed the query frame's lineage
     * and broke streaming/deferred composition of these functions).
     * The aggregate runs inside the broadcast build the caller was
-    * paying for anyway. */
+    * paying for anyway. The collect runs over `query.limit(2)`:
+    * size 2 already distinguishes multi-row from one-row, and the
+    * limit bounds the collected state to two rows — a misuse call
+    * that passes a LARGE frame (the exact case this guard exists
+    * for) raises the clean arity error instead of packing the whole
+    * frame into one task's collect_list and risking OOM. */
   private def oneRow(query: DataFrame, fn: String): DataFrame = {
-    val packed = query
+    val packed = query.limit(2)
       .select(struct(query.columns.map(col).toSeq: _*).as("__q"))
       .agg(collect_list(col("__q")).as("__qs"))
     packed.select(

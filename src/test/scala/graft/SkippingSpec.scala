@@ -186,6 +186,38 @@ class SkippingSpec extends AnyFunSuite {
       spark.read.parquet(d).filter(preds.head.exact).count() && df.count() > 0)
   }
 
+  test("a manifest without the encoding stamp is never pruned against (pre-v2 manifests)") {
+    // simulate a manifest persisted by pre-stamp code (whose NTZ stats
+    // were session-zone epoch micros): delete the version stamp. The
+    // stats MIGHT be in a different double domain, so prunedScan must
+    // not prune against them (read everything — speed, never rows) and
+    // refreshManifest must force a FULL rebuild, not union against
+    // incomparable stats.
+    val d = java.nio.file.Files.createTempDirectory("graft_skip_enc").toString
+    val li = queries.t(spark, sfTiny, "lineitem")
+      .select("l_orderkey", "l_quantity")
+    li.repartition(4).write.mode("overwrite").parquet(d)
+    Skipping.writeManifest(spark, d, Seq("l_quantity"))
+    val manPath = Skipping.manifestPath(d)
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(d),
+      spark.sparkContext.hadoopConfiguration)
+    val stampFile = new org.apache.hadoop.fs.Path(manPath, Skipping.encodingStamp)
+    assert(fs.exists(stampFile), "writeManifest must stamp the encoding version")
+    fs.delete(stampFile, false)
+    val preds = Seq(ColRange("l_quantity", Some(1.0), Some(5.0)))
+    val (df, stats) = Skipping.prunedScan(spark, d, preds)
+    assert(stats.readFiles == stats.liveFiles && stats.uncovered == stats.liveFiles,
+      s"unstamped manifest must disable pruning: $stats")
+    assert(df.count() ==
+      spark.read.parquet(d).filter(preds.head.exact).count() && df.count() > 0)
+    // refresh = full rebuild (every live file re-statted), stamp restored
+    val (statted, dropped) = Skipping.refreshManifest(spark, d, Seq("l_quantity"))
+    assert(statted == stats.liveFiles && dropped == 0, s"($statted, $dropped)")
+    assert(fs.exists(stampFile), "rebuild must restore the stamp")
+    val (_, after) = Skipping.prunedScan(spark, d, preds)
+    assert(after.uncovered == 0)
+  }
+
   test("TimestampNTZ stats are session-timezone-free (build and probe zones may differ)") {
     // NTZ is a wall clock; encoding it via cast("timestamp") would put
     // a manifest built under one session zone and a probe run under
