@@ -47,7 +47,8 @@ object SparkEntry {
       WindowQueries.queries ++ ScalarQueries.queries ++ NorthStarQueries.queries ++
       ExtendedQueries.queries ++ TrainPrepQueries.queries ++
       CorpusStatsQueries.queries ++ IndicatorQueries.queries ++
-      BehaviorQueries.queries ++ SqlSurfaceQueries.queries
+      BehaviorQueries.queries ++ SqlSurfaceQueries.queries ++
+      EtlQueries.queries
 
   /** For each key in `queries`, equivalent DuckDB SQL on the same tables. */
   val oracleSql: Map[String, String] =
@@ -55,7 +56,8 @@ object SparkEntry {
       WindowQueries.sql ++ ScalarQueries.sql ++ NorthStarQueries.sql ++
       ExtendedQueries.sql ++ TrainPrepQueries.sql ++
       CorpusStatsQueries.sql ++ IndicatorQueries.sql ++
-      BehaviorQueries.sql ++ SqlSurfaceQueries.sql
+      BehaviorQueries.sql ++ SqlSurfaceQueries.sql ++
+      EtlQueries.sql
 
   require(queries.keySet == oracleSql.keySet,
     s"queries/oracleSql key mismatch: ${(queries.keySet diff oracleSql.keySet) ++ (oracleSql.keySet diff queries.keySet)}")

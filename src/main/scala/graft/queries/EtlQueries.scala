@@ -1,0 +1,182 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.etl.{ChangeApply, IncrementalAgg, Scd2}
+
+/** Declared lifecycle-maintenance queries (SURVEY §2.11 extension):
+  * the `graft.etl` merge semantics under the driver's DuckDB oracle.
+  * Until round 11 these three subsystems — CDC apply
+  * (`ChangeApply`), SCD2 merge + as-of read (`Scd2`), incremental
+  * rollup (`IncrementalAgg`) — were verified only by self-written
+  * specs; each is deterministic (stored-version latest-wins;
+  * versioned `[valid_from, valid_to)` ranges; exact decimal moment
+  * sums), so each is oracle-translatable.
+  *
+  * The reference's lifecycle shape these generalize: the daily
+  * landing→star rebuild recreates tables wholesale each run
+  * (`fetch_stocks.py:186-241`); at warehouse scale the same feeds
+  * fold INCREMENTALLY — tombstoned upserts, history-keeping
+  * dimensions, mergeable rollup state.
+  *
+  * Oracle-equivalence notes (why the SQL twin is exact):
+  *  - CDC latest-ts-wins over batches with unique (key, ts) equals a
+  *    single `row_number() OVER (ORDER BY ts DESC) = 1` sweep of the
+  *    unioned feed — ChangeApply's documented slicing invariance.
+  *  - The two-batch SCD2 chain equals per-(key, batch-period) last
+  *    updates linked by `lead(ts)`: every candidate applies because
+  *    consecutive candidates are distinct orders (attrs differ) with
+  *    strictly increasing ts (never stale).
+  *  - The incremental rollup's decimal moment state is BIT-identical
+  *    to a from-scratch aggregate (fold-order-free monoid), so the
+  *    oracle is the plain one-shot GROUP BY.
+  */
+object EtlQueries {
+
+  val queries: Map[String, QFn] = Map(
+    // CDC apply: a synthetic I/U/D change feed (one change per order,
+    // key = customer, version ts = o_orderkey — globally unique, so
+    // latest-wins is total) folded into an empty snapshot in TWO
+    // batches (even/odd ts) through ChangeApply.merge, then read via
+    // current(). Exercises the full merge path: per-batch winner
+    // collapse, stored-version staleness guard, delete tombstones,
+    // tombstone filtering on read. Scale shape: one window over each
+    // CHANGE batch + one full-outer hash join per apply — the
+    // snapshot is never sorted.
+    "q_cdc_apply" -> { (s, d) =>
+      val o = t(s, d, "orders")
+      val ch = o.select(col("o_custkey"),
+        col("o_totalprice").as("cur_price"),
+        col("o_orderstatus").as("cur_status"),
+        when(col("o_orderkey") % 10 === 0, lit("D"))
+          .when(col("o_orderkey") % 10 < 5, lit("U"))
+          .otherwise(lit("I")).as("op"),
+        col("o_orderkey").as("ts"))
+      val empty = ch.select(col("o_custkey"), col("cur_price"),
+        col("cur_status"), col("ts").as("__ts"),
+        lit(false).as("__deleted")).limit(0)
+      val attrs = Seq("cur_price", "cur_status")
+      val s1 = ChangeApply.merge(empty, ch.filter(col("ts") % 2 === 0),
+        "o_custkey", attrs)
+      val s2 = ChangeApply.merge(s1, ch.filter(col("ts") % 2 === 1),
+        "o_custkey", attrs)
+      ChangeApply.current(s2).orderBy(col("o_custkey"))
+    },
+
+    // SCD2 merge + point-in-time read: per-customer "current order"
+    // dimension built in two batches split at 1998-01-01 (batch 1
+    // opens rows, batch 2 closes them and opens successors — history
+    // + open chains both exercised), then asOf('1999-06-30') selects
+    // each key's row valid at that instant: the OPEN row for keys
+    // whose second version started by then, the CLOSED first version
+    // for keys whose second version starts later. Scale shape: one
+    // hash shuffle per merge on the key; closed history passes
+    // through untouched.
+    "q_scd2_asof" -> { (s, d) =>
+      val o = t(s, d, "orders")
+      val tsT = o.schema("o_orderdate").dataType
+      val upd = o.select(col("o_custkey"), col("o_orderkey"),
+        col("o_totalprice"), col("o_orderdate").as("ts"))
+      val cut = lit("1998-01-01 00:00:00").cast(tsT)
+      val at = lit("1999-06-30 00:00:00").cast(tsT)
+      val attrs = Seq("o_orderkey", "o_totalprice")
+      val empty = upd.select(col("o_custkey"), col("o_orderkey"),
+        col("o_totalprice"), col("ts").as("valid_from"),
+        lit(null).cast("timestamp").as("valid_to")).limit(0)
+      val v1 = Scd2.merge(empty, upd.filter(col("ts") < cut),
+        "o_custkey", "ts", attrs)
+      val v2 = Scd2.merge(v1, upd.filter(col("ts") >= cut),
+        "o_custkey", "ts", attrs)
+      Scd2.asOf(v2, at)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          col("valid_from"))
+        .orderBy(col("o_custkey"))
+    },
+
+    // Incremental rollup: lineitem split into three deltas
+    // (l_orderkey % 3), each collapsed to mergeable moment state
+    // (partialState), folded pairwise (mergeState), finalized — the
+    // batch-side maintenance loop whose refresh costs O(|delta| +
+    // |touched groups|), never a history rescan. Exact DECIMAL sums
+    // make the folded state bit-identical to the from-scratch
+    // aggregate, which is exactly what the oracle runs. Finals cast
+    // to double (§7.3 rule 11: no DECIMAL(38,6) in declared output).
+    "q_incremental_rollup" -> { (s, d) =>
+      val li = t(s, d, "lineitem")
+      val keys = Seq("l_returnflag", "l_linestatus")
+      def batch(i: Int) = IncrementalAgg.partialState(
+        li.filter(col("l_orderkey") % 3 === i), keys, "l_quantity")
+      val st = IncrementalAgg.mergeState(
+        IncrementalAgg.mergeState(batch(0), batch(1), keys), batch(2), keys)
+      IncrementalAgg.finalizeState(st, keys)
+        .select(col("l_returnflag"), col("l_linestatus"), col("n_rows"),
+          col("sum_v").cast("double").as("sum_v"),
+          col("avg_v"),
+          col("min_v").cast("double").as("min_v"),
+          col("max_v").cast("double").as("max_v"),
+          col("var_pop_v"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }
+  )
+
+  val sql: Map[String, String] = Map(
+    "q_cdc_apply" ->
+      """WITH ch AS (
+        |  SELECT o_custkey,
+        |         o_totalprice AS cur_price,
+        |         o_orderstatus AS cur_status,
+        |         CASE WHEN o_orderkey % 10 = 0 THEN 'D'
+        |              WHEN o_orderkey % 10 < 5 THEN 'U'
+        |              ELSE 'I' END AS op,
+        |         o_orderkey AS ts
+        |  FROM orders),
+        |w AS (
+        |  SELECT ch.*, row_number() OVER (
+        |           PARTITION BY o_custkey ORDER BY ts DESC) AS rn
+        |  FROM ch)
+        |SELECT o_custkey, cur_price, cur_status
+        |FROM w WHERE rn = 1 AND op <> 'D'
+        |ORDER BY o_custkey""".stripMargin,
+
+    "q_scd2_asof" ->
+      """WITH cand AS (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         o_orderdate AS ts,
+        |         CASE WHEN o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+        |              THEN 1 ELSE 0 END AS p,
+        |         row_number() OVER (
+        |           PARTITION BY o_custkey,
+        |             (o_orderdate >= TIMESTAMP '1998-01-01 00:00:00')
+        |           ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |  FROM orders),
+        |chain AS (
+        |  SELECT o_custkey, o_orderkey, o_totalprice, ts AS valid_from,
+        |         lead(ts) OVER (PARTITION BY o_custkey ORDER BY p) AS valid_to
+        |  FROM cand WHERE rn = 1)
+        |SELECT o_custkey, o_orderkey, o_totalprice, valid_from
+        |FROM chain
+        |WHERE valid_from <= TIMESTAMP '1999-06-30 00:00:00'
+        |  AND (valid_to IS NULL OR TIMESTAMP '1999-06-30 00:00:00' < valid_to)
+        |ORDER BY o_custkey""".stripMargin,
+
+    "q_incremental_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  count(l_quantity) AS n_rows,
+        |  cast(sum(cast(l_quantity AS decimal(38,6))) AS double) AS sum_v,
+        |  cast(sum(cast(l_quantity AS decimal(38,6))) AS double)
+        |    / cast(count(l_quantity) AS double) AS avg_v,
+        |  cast(min(cast(l_quantity AS decimal(38,6))) AS double) AS min_v,
+        |  cast(max(cast(l_quantity AS decimal(38,6))) AS double) AS max_v,
+        |  greatest(
+        |    cast(sum(cast(l_quantity * l_quantity AS decimal(38,6))) AS double)
+        |      / cast(count(l_quantity) AS double)
+        |    - (cast(sum(cast(l_quantity AS decimal(38,6))) AS double)
+        |        / cast(count(l_quantity) AS double))
+        |      * (cast(sum(cast(l_quantity AS decimal(38,6))) AS double)
+        |        / cast(count(l_quantity) AS double)),
+        |    0.0) AS var_pop_v
+        |FROM lineitem
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin
+  )
+}
