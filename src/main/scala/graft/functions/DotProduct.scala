@@ -209,4 +209,11 @@ object GraftFunctions {
     * [[ShingleWindows]] for the parity contract. */
   def shingleWindows(tokens: Column, n: Int): Column =
     ColumnBridge.column(ShingleWindows(ColumnBridge.expression(tokens), n))
+
+  /** All row-local token statistics in one kernel pass — see
+    * [[TokenStats]] for the parity contract. Equal calls (same text
+    * expression, same stopword list) in one stage are CSE'd, so
+    * deriving several gates from this struct costs one text scan. */
+  def tokenStats(text: Column, stopwords: Seq[String] = Nil): Column =
+    ColumnBridge.column(TokenStats(ColumnBridge.expression(text), stopwords))
 }

@@ -99,8 +99,11 @@ object CorpusClean {
       cfg: Config = Config(), evalCorpus: Option[DataFrame] = None): Cleaned = {
     val langKept = docs.filter(
       TextAnalysis.langId(textCol, cfg.stopwords, cfg.lang, cfg.langThreshold) === cfg.lang)
+    // stopwords forwarded so both gates read the SAME TokenStats
+    // subtree: CombineFilters merges the two filters and CSE leaves
+    // one kernel pass per document for language + quality together
     val qualityKept = langKept.filter(
-      TextAnalysis.qualityOk(textCol, cfg.minTokens, cfg.minTtr))
+      TextAnalysis.qualityOk(textCol, cfg.minTokens, cfg.minTtr, cfg.stopwords))
     // persisted: the anti-join left side, the shingle scan, and both
     // count paths all read this — without the pin each consumer
     // re-runs the filter+window chain from the raw scan
@@ -244,7 +247,8 @@ object CorpusClean {
     import spark.implicits._
     val langOk = TextAnalysis.langId(
       textCol, cfg.stopwords, cfg.lang, cfg.langThreshold) === cfg.lang
-    val qualOk = langOk && TextAnalysis.qualityOk(textCol, cfg.minTokens, cfg.minTtr)
+    val qualOk = langOk &&
+      TextAnalysis.qualityOk(textCol, cfg.minTokens, cfg.minTtr, cfg.stopwords)
     // coalesce: sum() over ZERO rows is null, and getLong on a null
     // field NPEs — an empty corpus must report zeros, not crash
     val row = raw.agg(

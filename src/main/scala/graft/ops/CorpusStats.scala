@@ -199,9 +199,11 @@ object CorpusStats {
     * duplicate fraction (1 - distinct/total — the Gopher-style
     * repetition signal). Pure expressions; no shuffle. */
   def repetitionStats(text: Column): (Column, Column, Column) = {
-    val w = split(text, " ")
-    val nTok = size(w).cast("long")
-    val nDis = size(array_distinct(w)).cast("long")
+    // one TokenStats kernel pass instead of two independent splits
+    // (size + array_distinct); both fields read the same CSE'd struct
+    val st = graft.functions.GraftFunctions.tokenStats(text)
+    val nTok = st.getField("n_tokens")
+    val nDis = st.getField("n_distinct")
     val dupFrac = round(lit(1.0) - nDis.cast("double") / nTok.cast("double"), 4)
     (nTok, nDis, dupFrac)
   }

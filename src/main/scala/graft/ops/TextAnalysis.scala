@@ -26,8 +26,24 @@ object TextAnalysis {
   def normalizeWhitespace(text: Column): Column =
     trim(regexp_replace(text, "\\s+", " "))
 
+  /** All row-local token statistics in ONE codegen pass — the
+    * `graft.functions.TokenStats` kernel: `STRUCT<n_tokens,
+    * n_distinct, stopword_hits, char_len>` (BIGINT fields), with
+    * exactly the semantics of the declarative family over
+    * `split(text, " ")`. Every helper below derives from this struct;
+    * EQUAL calls (same text expression, same stopword list) inside
+    * one stage are CSE'd, so composing several gates costs one scan —
+    * where the old per-helper `split(text, " ")` re-ran the regex
+    * split 4–6× per document (the `filter` HOF in stopwordRatio is
+    * even excluded from subexpression elimination, SPARK-35886).
+    * Pass the SAME `stopwords` to every gate you compose (extra
+    * fields are free) or the subtrees won't be equal. */
+  def tokenStats(text: Column, stopwords: Seq[String] = Nil): Column =
+    graft.functions.GraftFunctions.tokenStats(text, stopwords)
+
   /** Whitespace token count. */
-  def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
+  def tokenCount(text: Column): Column =
+    tokenStats(text).getField("n_tokens")
 
   /** BPE-style token estimate: ≈ one token per 4 characters. */
   def bpeTokenEstimate(nChars: Column): Column =
@@ -35,9 +51,9 @@ object TextAnalysis {
 
   /** Stopword ratio against a given vocabulary. */
   def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
-    val w = tokens(text)
-    size(filter(w, x => x.isin(stopwords: _*))).cast("double") /
-      size(w).cast("double")
+    val st = tokenStats(text, stopwords)
+    st.getField("stopword_hits").cast("double") /
+      st.getField("n_tokens").cast("double")
   }
 
   /** n-gram-heuristic language ID: classifies as `lang` when the
@@ -49,21 +65,33 @@ object TextAnalysis {
       threshold: Double = 0.05): Column =
     when(stopwordRatio(text, stopwords) >= threshold, lang).otherwise("und")
 
-  /** Type-token ratio (lexical diversity). */
-  def typeTokenRatio(text: Column): Column = {
-    val w = tokens(text)
-    size(array_distinct(w)).cast("double") / size(w).cast("double")
+  /** Type-token ratio (lexical diversity). `stopwords` only selects
+    * which kernel subtree the ratio reads — pass the list shared with
+    * the other gates in the same stage so CSE sees one call. */
+  def typeTokenRatio(text: Column, stopwords: Seq[String] = Nil): Column = {
+    val st = tokenStats(text, stopwords)
+    st.getField("n_distinct").cast("double") /
+      st.getField("n_tokens").cast("double")
   }
 
   /** Average token length in characters. */
   def avgWordLen(text: Column): Column = {
-    val n = size(tokens(text))
-    (length(text) - (n - lit(1))).cast("double") / n.cast("double")
+    val st = tokenStats(text)
+    val n = st.getField("n_tokens")
+    (st.getField("char_len") - (n - lit(1L))).cast("double") / n.cast("double")
   }
 
-  /** Composite quality gate: length band + lexical diversity. */
-  def qualityOk(text: Column, minTokens: Int = 30, minTtr: Double = 0.3): Column =
-    tokenCount(text) >= minTokens && typeTokenRatio(text) >= minTtr
+  /** Composite quality gate: length band + lexical diversity.
+    * `stopwords` is forwarded to the kernel call only (the gate never
+    * reads stopword_hits) so a pipeline composing this with [[langId]]
+    * shares one kernel evaluation. */
+  def qualityOk(text: Column, minTokens: Int = 30, minTtr: Double = 0.3,
+      stopwords: Seq[String] = Nil): Column = {
+    val st = tokenStats(text, stopwords)
+    st.getField("n_tokens") >= minTokens &&
+      (st.getField("n_distinct").cast("double") /
+        st.getField("n_tokens").cast("double")) >= minTtr
+  }
 
   /** Full-content fingerprint. */
   def fingerprint(text: Column): Column = md5(text.cast("binary"))

@@ -681,11 +681,15 @@ object ExtendedQueries {
     // n-gram-heuristic language ID: stopword-ratio classifier
     // (integer counts; ratio is an int/int division).
     "q_text_langid" -> { (s, d) =>
+      // ONE TokenStats kernel pass per document (the HOF form
+      // re-split the text inside the stopword filter lambda — no CSE
+      // for lambda subtrees); the oracle keeps the declarative split
+      val st = graft.functions.GraftFunctions.tokenStats(
+        col("text"), Seq("a", "the"))
       docProfile(s, d)
-        .select(col("doc_id"), col("lang"), split(col("text"), " ").as("w"))
-        .withColumn("n_tok", size(col("w")).cast("long"))
-        .withColumn("n_stop",
-          expr("size(filter(w, x -> x IN ('a', 'the')))").cast("long"))
+        .select(col("doc_id"), col("lang"),
+          st.getField("n_tokens").as("n_tok"),
+          st.getField("stopword_hits").as("n_stop"))
         .withColumn("stop_ratio", col("n_stop") / col("n_tok"))
         .withColumn("pred_lang",
           when(col("stop_ratio") >= 0.05, "en").otherwise("und"))
@@ -697,11 +701,14 @@ object ExtendedQueries {
     // Quality scoring: token count, type-token ratio, average word
     // length, pass/fail flag — all from exact integer counts.
     "q_text_quality" -> { (s, d) =>
+      // token count, distinct count and char length from ONE kernel
+      // pass (was: two splits + array_distinct + length per doc)
+      val st = graft.functions.GraftFunctions.tokenStats(col("text"))
       docProfile(s, d)
-        .select(col("doc_id"), col("n_chars"), split(col("text"), " ").as("w"),
-          length(col("text")).as("len"))
-        .withColumn("n_tok", size(col("w")).cast("long"))
-        .withColumn("n_uniq", size(array_distinct(col("w"))).cast("long"))
+        .select(col("doc_id"),
+          st.getField("n_tokens").as("n_tok"),
+          st.getField("n_distinct").as("n_uniq"),
+          st.getField("char_len").as("len"))
         .withColumn("ttr", col("n_uniq") / col("n_tok"))
         .withColumn("avg_word_len",
           (col("len") - (col("n_tok") - 1)) / col("n_tok"))

@@ -259,4 +259,80 @@ class KernelLawSpec extends AnyFunSuite {
       .collect().map(_.getString(0)).toSeq
     assert(interpreted == codegen)
   }
+
+  test("TokenStats: kernel equals the declarative split family byte-for-byte") {
+    // the spec's own chunking helper is also named `split` — rename
+    // the SQL function on import
+    import org.apache.spark.sql.functions.{split => sqlSplit, _}
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val stop = Seq("a", "the")
+    // adversarial fixture: empty string (one empty token), lone and
+    // repeated spaces (empty tokens count and dedup), leading/trailing
+    // spaces, multi-byte chars (char_len != byte len), stopwords at
+    // every position, duplicate tokens, null text
+    val texts: Seq[String] = Seq(
+      "", " ", "  ", "a", "the", "a the a", " a", "the ", "a  the",
+      "über ältere straße über", "naïve café naïve café a",
+      "x y z x y z the the the a a", "one", "one two", "αβγ δε αβγ",
+      null) ++ (0 until 40).map { i =>
+      val rnd = new scala.util.Random(100 + i)
+      (0 until rnd.nextInt(30)).map(_ => rnd.nextInt(6) match {
+        case 0 => "a"
+        case 1 => "the"
+        case 2 => ""
+        case 3 => "tok" + rnd.nextInt(8)
+        case _ => "wörd" + rnd.nextInt(4)
+      }).mkString(" ")
+    }
+    val df = texts.zipWithIndex.map(_.swap).toDF("i", "text").orderBy("i")
+    val st = graft.functions.GraftFunctions.tokenStats(col("text"), stop)
+    val w = sqlSplit(col("text"), " ")
+    val rows = df.select(
+      st.getField("n_tokens").as("k_tok"),
+      st.getField("n_distinct").as("k_dis"),
+      st.getField("stopword_hits").as("k_stop"),
+      st.getField("char_len").as("k_len"),
+      size(w).cast("long").as("d_tok"),
+      size(array_distinct(w)).cast("long").as("d_dis"),
+      expr("size(filter(split(text, ' '), x -> x IN ('a', 'the')))")
+        .cast("long").as("d_stop"),
+      length(col("text")).cast("long").as("d_len")).collect()
+    rows.zip(texts).foreach { case (r, t) =>
+      if (t == null) assert((0 until 8).forall(r.isNullAt), s"null text: $r")
+      else {
+        assert(r.getLong(0) == r.getLong(4), s"n_tokens on '$t': $r")
+        assert(r.getLong(1) == r.getLong(5), s"n_distinct on '$t': $r")
+        assert(r.getLong(2) == r.getLong(6), s"stopword_hits on '$t': $r")
+        assert(r.getLong(3) == r.getLong(7), s"char_len on '$t': $r")
+      }
+    }
+  }
+
+  test("TokenStats: interpreted eval equals the codegen DataFrame result") {
+    import org.apache.spark.sql.functions.col
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val texts = (0 until 60).map(_ =>
+      (0 until rnd.nextInt(25)).map(_ => rnd.nextInt(5) match {
+        case 0 => "the"
+        case 1 => ""
+        case _ => "w" + rnd.nextInt(10)
+      }).mkString(" "))
+    val expr0 = graft.functions.TokenStats(
+      BoundReference(0, StringType, nullable = true), Seq("the"))
+    val interpreted = texts.map(t =>
+      expr0.eval(InternalRow(UTF8String.fromString(t)))
+        .asInstanceOf[InternalRow]).map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val st = graft.functions.GraftFunctions.tokenStats(col("text"), Seq("the"))
+    val codegen = texts.zipWithIndex.map(_.swap).toDF("i", "text")
+      .orderBy("i")
+      .select(st.getField("n_tokens"), st.getField("n_distinct"),
+        st.getField("stopword_hits"), st.getField("char_len"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(interpreted == codegen)
+  }
 }
