@@ -444,23 +444,32 @@ object Similarity {
     * query frame (no driver round-trip per query); the probe join is an
     * equi-join on cluster id, so each corpus partition is read once per
     * probing query-cluster, not per query×corpus pair; the per-query
-    * top-k is one window over the join output, partitioned by query id.
-    * Queries are broadcast (a query batch is small by definition — for
-    * a corpus-sized "query" set use the LSH pair path instead). */
+    * top-k folds through the mergeable [[graft.functions.TopKAgg]]
+    * k-heap (same tie-break the rank window had: cos DESC, id ASC) —
+    * per-query candidate sets grow with the corpus
+    * (|corpus|/nClusters × nprobe), so a rank window would SORT what
+    * the heap scans in O(candidates · log k) with map-side combine;
+    * the exchange carries |queries|·k heap entries, not the candidate
+    * set. Ids must be BIGINT (the heap's id slot); candidates with a
+    * NULL score are skipped, not emitted at tail ranks — same
+    * documented narrowing as [[graft.functions.TopKPairAgg]]
+    * (cosine over non-null vectors is never null here). Queries are
+    * broadcast (a query batch is small by definition — for a
+    * corpus-sized "query" set use the LSH pair path instead). */
   def ivfTopKBatch(corpus: DataFrame, idCol: Column, vecCol: Column,
       query: DataFrame, queryIdCol: Column, queryVec: Column, k: Int,
       nClusters: Int = 16, nprobe: Int = 4, iters: Int = 2): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    import graft.functions.TopKAgg
     val centroids = ivfCentroids(corpus, idCol, vecCol, nClusters, iters)
     ivfProbeJoin(
         assignClusters(
           corpus.select(idCol.as("id"), vecCol.cast("array<double>").as("v")),
           centroids),
         query, queryIdCol, queryVec, centroids, nprobe)
-      .withColumn("__rk", row_number().over(
-        Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("id"))))
-      .filter(col("__rk") <= k)
-      .drop("__rk", "__prank")
+      .groupBy(col("qid"))
+      .agg(TopKAgg.topK(col("cos"), col("id"), k).as("__tk"))
+      .select(col("qid"), explode(col("__tk")).as("__s"))
+      .select(col("qid"), col("__s.id").as("id"), col("__s.score").as("cos"))
   }
 
   /** IVF recall diagnostic (the q_ivf_recall property query): trains
@@ -572,9 +581,12 @@ object Similarity {
           .withColumn("__prank", col("__pos") + 1).drop("__pos")
       else {
         // large-k probe: rank the broadcast centroid relation per query
-        // row instead of sorting a k-literal array expression. The
-        // window partitions on qid — queries are a batch, so the sort
-        // input is nprobe-bounded per query, never corpus-sized.
+        // row instead of sorting a k-literal array expression. This
+        // window is NOT the pair-space class ivfTopKBatch retired
+        // (r11): its partition is qid × the MODEL (nClusters rows per
+        // query, a fixed constant independent of corpus size), so the
+        // sort input never grows with the corpus — the candidate-space
+        // ranking downstream is what the TopKAgg heap handles.
         import org.apache.spark.sql.expressions.Window
         val cf = broadcast(centroidFrame(query.sparkSession, centroids))
         qBase.crossJoin(cf)

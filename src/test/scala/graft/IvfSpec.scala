@@ -160,4 +160,43 @@ class IvfSpec extends AnyFunSuite {
     val ids = corpus.collect().map(_.getLong(0)).toSet
     assert(out.forall(r => ids.contains(r.getLong(1))))
   }
+
+  test("batch top-k heap equals rank-window selection on a partial probe; WindowExec gone (r11)") {
+    // r11 re-plan: ivfTopKBatch's per-query top-k moved from
+    // row_number() OVER (PARTITION BY qid) — which sorts the whole
+    // candidate set (|corpus|/nClusters × nprobe per query, grows
+    // with the corpus) — onto the TopKAgg k-heap. Same selection:
+    // compare against the window idiom computed driver-side from the
+    // same model's probe candidates (ivfCentroids is deterministic,
+    // so a second train with identical params yields the same model).
+    val queries = corpus.filter(col("vec_id") < 10)
+    def ranked(rows: Array[(Long, Long, Double)], k: Int) =
+      rows.groupBy(_._1).view.mapValues(
+        _.map(t => (t._2, t._3))
+          .sortBy { case (id, cos) => (-cos, id) }.take(k).toSeq).toMap
+    val out = ranked(ops.Similarity.ivfTopKBatch(
+        corpus, col("vec_id"), col("embedding"),
+        queries, col("vec_id"), col("embedding"), k = 5,
+        nClusters = 8, nprobe = 2, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))), 5)
+    val centroids = ops.Similarity.ivfCentroids(
+      corpus, col("vec_id"), col("embedding"), k = 8, iters = 2)
+    val assigned = ops.Similarity.assignClusters(
+      corpus.select(col("vec_id").as("id"),
+        col("embedding").cast("array<double>").as("v")), centroids)
+    val expected = ranked(ops.Similarity.ivfProbeCandidates(
+        queries, col("vec_id"), col("embedding"), centroids, assigned,
+        nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))), 5)
+    assert(out == expected)
+    // plan gate: no WindowExec anywhere in the literal-path batch
+    // search (the large-k probe variant keeps its MODEL-bounded
+    // window — nClusters rows per query, corpus-size-independent)
+    val plan = ops.Similarity.ivfTopKBatch(
+        corpus, col("vec_id"), col("embedding"),
+        queries, col("vec_id"), col("embedding"), k = 5,
+        nClusters = 8, nprobe = 2, iters = 1)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan.take(800))
+  }
 }
