@@ -29,9 +29,11 @@ import org.apache.spark.sql.types._
   * emit the null rows at the tail ranks, where this aggregate emits
   * fewer than k rows. Callers replacing a rank window must either
   * guarantee non-null inputs (q_embed_label_topk's cosine is non-null
-  * by construction: both operands pass a `norm > 0` filter and the
-  * dot kernel is null-safe over non-null arrays) or accept the
-  * shorter result. Same contract as [[TopKAgg]].
+  * by construction: the dot kernel and the norm product are evaluated
+  * over non-null vectors, so the division yields a number — a
+  * zero-norm operand gives NaN, which Double.compare ranks first,
+  * exactly where the window's NaN-greatest ordering put it) or accept
+  * the shorter result. Same contract as [[TopKAgg]].
   */
 case class TopKPairAgg(
     score: Expression,

@@ -335,13 +335,27 @@ object ScaleProbe {
     val tally = new ShuffleTally
     spark.sparkContext.addSparkListener(tally)
     val out = s"$Work/capstone"
+    // SPARK_GRAFT_CAPSTONE_SCALE: copy multiplier (default ×16; the
+    // r11 verdict's ×64 run sets 64). SPARK_GRAFT_CAPSTONE_RUNS:
+    // whole-pipeline repeats — per-stage wall reports MIN across
+    // repeats with the max−min spread as a noise band (the host shows
+    // random multi-second stalls; single-run stage walls carry
+    // ±20-30% — the r11 method note in SCALE.md). Stage boundaries
+    // are overwrite-mode parquet writes, so repeats are idempotent.
+    val nCopies = sys.env.get("SPARK_GRAFT_CAPSTONE_SCALE").map(_.toInt).getOrElse(16)
+    val nRuns = sys.env.get("SPARK_GRAFT_CAPSTONE_RUNS").map(_.toInt).getOrElse(1)
+    val acc = scala.collection.mutable.LinkedHashMap[String,
+      List[(Double, Long, Double)]]()
+    var verbose = true
     def stage[T](name: String)(f: => (Long, T)): T = {
       Thread.sleep(400); val b0 = tally.bytes.get
       val t0 = System.nanoTime()
       val (rows, r) = f
       val t = (System.nanoTime() - t0) / 1e9
       Thread.sleep(400); val sh = (tally.bytes.get - b0) / 1e6
-      println(f"[capstone] $name%-12s ${t}%8.2f s  rows=$rows%-9d shuffleMB=$sh%.1f")
+      acc(name) = (t, rows, sh) :: acc.getOrElse(name, Nil)
+      if (verbose)
+        println(f"[capstone] $name%-12s ${t}%8.2f s  rows=$rows%-9d shuffleMB=$sh%.1f")
       r
     }
     // Capstone corpus: ×16 documents with a one-token per-copy SUFFIX
@@ -353,19 +367,20 @@ object ScaleProbe {
     // suffix copies, copies stay real language AND form 16-member
     // near-dup families — the near-dedup stage does its production
     // job: collapse each family to one canonical doc.
-    val cdir = s"$Work/cx16/documents.parquet"
-    if (!new java.io.File(s"$Work/cx16/_OK").exists()) {
+    val cdir = s"$Work/cx$nCopies/documents.parquet"
+    if (!new java.io.File(s"$Work/cx$nCopies/_OK").exists()) {
       val base = spark.read.parquet(s"$Base/documents.parquet")
         .select("doc_id", "text")
-      (0 until 16).map(k => base
+      (0 until nCopies).map(k => base
           .withColumn("doc_id", col("doc_id") + lit(k * 10000000L))
           .withColumn("text", concat(col("text"), lit(s" copytok$k"))))
         .reduce(_ unionByName _)
         .write.mode("overwrite").parquet(cdir)
-      new java.io.File(s"$Work/cx16/_OK").createNewFile()
+      new java.io.File(s"$Work/cx$nCopies/_OK").createNewFile()
     }
     val docs = spark.read.parquet(cdir)
-    println(s"[capstone] corpus rows = ${docs.count()} (x16 documents, near-dup families)")
+    println(s"[capstone] corpus rows = ${docs.count()} " +
+      s"(x$nCopies documents, near-dup families; runs=$nRuns)")
     // Eval corpus (r10, non-degenerate by MEASUREMENT): the corpus
     // draws from a ~31-token vocabulary (~27 k distinct trigrams,
     // ~52 per doc), so a random eval SAMPLE saturates the shingle
@@ -391,47 +406,60 @@ object ScaleProbe {
             pmod(col("id") * lit(61) + lit(j * 7), lit(5000)))): _*).as("text"))
       leaked.unionByName(filler)
     }
-    val kept = stage("clean") {
-      val cleaned = CorpusClean.clean(docs, col("text"), col("doc_id"),
-        CorpusClean.Config(minTokens = 5, scrubBoilerplate = true),
-        evalCorpus = Some(evalC))
-      cleaned.docs.write.mode("overwrite").parquet(s"$out/clean.parquet")
-      // per-stage survivor accounting incl. the decontaminate row —
-      // the capstone's evidence that the eval fixture is
-      // non-degenerate (in ≈ out × (1 - a few %), not out ≈ 0)
-      cleaned.stageStats().collect().foreach(r =>
-        println(f"[capstone]   stage ${r.getString(0)}%-12s in=${r.getLong(1)}%-8d out=${r.getLong(2)}%-8d"))
-      cleaned.release()
-      val k = spark.read.parquet(s"$out/clean.parquet")
-      (k.count(), k)
+    def runOnce(): Unit = {
+      val kept = stage("clean") {
+        val cleaned = CorpusClean.clean(docs, col("text"), col("doc_id"),
+          CorpusClean.Config(minTokens = 5, scrubBoilerplate = true),
+          evalCorpus = Some(evalC))
+        cleaned.docs.write.mode("overwrite").parquet(s"$out/clean.parquet")
+        // per-stage survivor accounting incl. the decontaminate row —
+        // the capstone's evidence that the eval fixture is
+        // non-degenerate (in ≈ out × (1 - a few %), not out ≈ 0)
+        if (verbose) cleaned.stageStats().collect().foreach(r =>
+          println(f"[capstone]   stage ${r.getString(0)}%-12s in=${r.getLong(1)}%-8d out=${r.getLong(2)}%-8d"))
+        cleaned.release()
+        val k = spark.read.parquet(s"$out/clean.parquet")
+        (k.count(), k)
+      }
+      val merges = stage("bpe_learn") {
+        val m = Bpe.learnFromCorpus(spark, kept, col("text"), nMerges = 16)
+        (m.size.toLong, m)
+      }
+      // per-distinct-word dictionary path (Bpe.tokenCounts) — the first
+      // capstone run measured per-occurrence encode at 10.6 s for 3752
+      // docs (the interpreted HOF fold re-paid per token instance); the
+      // dictionary join is the composition hazard fix this probe exists
+      // to find (parity-gated in BpeSpec)
+      val toks = stage("bpe_count") {
+        Bpe.tokenCounts(kept, col("text"), col("doc_id"), merges)
+          .withColumnRenamed("id", "doc_id")
+          .write.mode("overwrite").parquet(s"$out/toks.parquet")
+        val t = spark.read.parquet(s"$out/toks.parquet")
+        (t.count(), t)
+      }
+      val labeled = toks.withColumn("split",
+        TrainPrep.splitLabel(col("doc_id"), valCut = "1", testCut = "3"))
+      val train = stage("split") {
+        val counts = labeled.groupBy(col("split")).count().collect()
+        (counts.map(_.getLong(1)).sum, labeled.filter(col("split") === "train"))
+      }
+      stage("pack") {
+        val packed = TrainPrep.packBins(train,
+          shardCol = pmod(col("doc_id"), lit(32)), orderCol = col("doc_id"),
+          tokCol = col("n_tok"), budget = 2048L)
+        (packed.count(), ())
+      }
+      ()
     }
-    val merges = stage("bpe_learn") {
-      val m = Bpe.learnFromCorpus(spark, kept, col("text"), nMerges = 16)
-      (m.size.toLong, m)
-    }
-    // per-distinct-word dictionary path (Bpe.tokenCounts) — the first
-    // capstone run measured per-occurrence encode at 10.6 s for 3752
-    // docs (the interpreted HOF fold re-paid per token instance); the
-    // dictionary join is the composition hazard fix this probe exists
-    // to find (parity-gated in BpeSpec)
-    val toks = stage("bpe_count") {
-      Bpe.tokenCounts(kept, col("text"), col("doc_id"), merges)
-        .withColumnRenamed("id", "doc_id")
-        .write.mode("overwrite").parquet(s"$out/toks.parquet")
-      val t = spark.read.parquet(s"$out/toks.parquet")
-      (t.count(), t)
-    }
-    val labeled = toks.withColumn("split",
-      TrainPrep.splitLabel(col("doc_id"), valCut = "1", testCut = "3"))
-    val train = stage("split") {
-      val counts = labeled.groupBy(col("split")).count().collect()
-      (counts.map(_.getLong(1)).sum, labeled.filter(col("split") === "train"))
-    }
-    stage("pack") {
-      val packed = TrainPrep.packBins(train,
-        shardCol = pmod(col("doc_id"), lit(32)), orderCol = col("doc_id"),
-        tokCol = col("n_tok"), budget = 2048L)
-      (packed.count(), ())
+    for (r <- 1 to nRuns) { verbose = r == 1; runOnce() }
+    if (nRuns > 1) {
+      println(f"[capstone] min-of-$nRuns per stage (band = max-min wall):")
+      acc.foreach { case (name, rs) =>
+        val ts = rs.map(_._1)
+        println(f"[capstone] $name%-12s min=${ts.min}%8.2f s  " +
+          f"band=${ts.max - ts.min}%.2f s  rows=${rs.head._2}%-9d " +
+          f"shuffleMB(min)=${rs.map(_._3).min}%.1f")
+      }
     }
   }
 
