@@ -65,6 +65,62 @@ object Expectations {
     def passed: Boolean = violations == 0L
   }
 
+  /** The row-rule + uniqueness aggregate columns and their result
+    * names — ONE definition shared by [[check]] and [[checkFrame]] so
+    * the two report shapes cannot drift. A predicate evaluating to
+    * NULL (three-valued logic on null inputs) is NOT a pass —
+    * coalesce to false before negating. */
+  private def rowAggCols(rowRules: Seq[Rule],
+      uniqueKey: Seq[String]): (Seq[Column], Seq[String]) = {
+    val cols =
+      rowRules.map(r => sum(when(coalesce(r.rowPredicate.get, lit(false)),
+        0L).otherwise(1L)).as(r.name)) ++
+      (if (uniqueKey.nonEmpty)
+        Seq((count(lit(1)) - count_distinct(struct(uniqueKey.map(col): _*)))
+          .as(s"unique(${uniqueKey.mkString(",")})"))
+      else Nil)
+    val names = rowRules.map(_.name) ++
+      (if (uniqueKey.nonEmpty)
+        Seq(s"unique(${uniqueKey.mkString(",")})") else Nil)
+    (cols, names)
+  }
+
+  private def quoted(n: String): Column = col(s"`${n.replace("`", "``")}`")
+
+  /** [[check]] as a DataFrame: one (rule, violations) row per rule —
+    * the distributable/report shape (write it, join it, gate on it
+    * without a driver collect). Row rules + uniqueness still fold
+    * into ONE partial+final aggregate over one scan (the long format
+    * is an explode of that single result row); each foreign key adds
+    * its one broadcast anti-join count. Distribution (quantile-sketch)
+    * rules stay on [[check]] — their readout is engine-specific
+    * sketch state, not an exact count. Declared under the DuckDB
+    * oracle as `q_expectations`. */
+  def checkFrame(df: DataFrame, rules: Seq[Rule],
+      uniqueKey: Seq[String] = Nil,
+      foreignKeys: Map[String, (String, DataFrame, String)] = Map.empty)
+      : DataFrame = {
+    val rowRules = rules.filter(_.rowPredicate.isDefined)
+    require(rowRules.nonEmpty || uniqueKey.nonEmpty || foreignKeys.nonEmpty,
+      "checkFrame needs at least one rule")
+    val (aggCols, names) = rowAggCols(rowRules, uniqueKey)
+    val parts =
+      (if (aggCols.isEmpty) Nil
+      else Seq(df.agg(aggCols.head, aggCols.tail: _*)
+        .select(explode(array(names.map(n =>
+            struct(lit(n).as("rule"),
+              quoted(n).cast("long").as("violations"))): _*)).as("__r"))
+        .select(col("__r.*")))) ++
+      foreignKeys.toSeq.sortBy(_._1).map { case (name, (childCol, dim, dimCol)) =>
+        df.filter(col(childCol).isNotNull)
+          .join(broadcast(dim.select(col(dimCol).as("__fk_ref")).distinct()),
+            col(childCol) === col("__fk_ref"), "left_anti")
+          .agg(count(lit(1)).as("violations"))
+          .select(lit(name).as("rule"), col("violations"))
+      }
+    parts.reduce(_ unionByName _)
+  }
+
   /** Evaluate row rules + optional key-uniqueness in ONE aggregate
     * job, then one anti-join count per foreign-key check.
     * `foreignKeys` maps "fk(child->dim)" style names to
@@ -75,15 +131,8 @@ object Expectations {
       distributions: Seq[QuantileRule] = Nil)
       : Seq[Violation] = {
     val rowRules = rules.filter(_.rowPredicate.isDefined)
-    // a predicate evaluating to NULL (three-valued logic on null
-    // inputs) is NOT a pass — coalesce to false before negating
-    val aggCols =
-      rowRules.map(r => sum(when(coalesce(r.rowPredicate.get, lit(false)),
-        0L).otherwise(1L)).as(r.name)) ++
-      (if (uniqueKey.nonEmpty)
-        Seq((count(lit(1)) - count_distinct(struct(uniqueKey.map(col): _*)))
-          .as(s"unique(${uniqueKey.mkString(",")})"))
-      else Nil) ++
+    val (rowCols, countNames) = rowAggCols(rowRules, uniqueKey)
+    val aggCols = rowCols ++
       // the sketch joins the same single aggregate; the quantile
       // readout happens in the select over its one-row result
       distributions.map(d =>
@@ -92,12 +141,9 @@ object Expectations {
     val base: Seq[Violation] =
       if (aggCols.isEmpty) Nil
       else {
-        val countNames = rowRules.map(_.name) ++
-          (if (uniqueKey.nonEmpty)
-            Seq(s"unique(${uniqueKey.mkString(",")})") else Nil)
         val agged = df.agg(aggCols.head, aggCols.tail: _*)
         val row = agged.select(
-          countNames.map(n => col(s"`${n.replace("`", "``")}`")) ++
+          countNames.map(quoted) ++
           distributions.map { d =>
             val sk = col(s"`__kll_${d.name.replace("`", "``")}`")
             val q = kll_sketch_get_quantile_double(sk, lit(d.prob))

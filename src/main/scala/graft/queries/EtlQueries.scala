@@ -93,6 +93,26 @@ object EtlQueries {
         .orderBy(col("o_custkey"))
     },
 
+    // Data-quality expectations as the distributable (rule,
+    // violations) report frame: three row rules + key uniqueness fold
+    // into ONE partial+final aggregate over one lineitem scan; the
+    // referential check adds one broadcast anti-join count against
+    // orders. The reference's "verify the schema" console prints
+    // (fetch_stocks.py:269-280) generalized to the Deequ/dbt-tests
+    // contract gate a production load runs per batch.
+    "q_expectations" -> { (s, d) =>
+      import graft.etl.Expectations
+      Expectations.checkFrame(
+          t(s, d, "lineitem"),
+          Seq(Expectations.inRange("l_quantity", 1.0, 30.0),
+            Expectations.matches("l_returnflag", "^[AR]$"),
+            Expectations.notNull("l_shipdate")),
+          uniqueKey = Seq("l_orderkey", "l_linenumber"),
+          foreignKeys = Map("fk(l_orderkey->orders)" ->
+            ("l_orderkey", t(s, d, "orders"), "o_orderkey")))
+        .orderBy(col("rule"))
+    },
+
     // Incremental rollup: lineitem split into three deltas
     // (l_orderkey % 3), each collapsed to mergeable moment state
     // (partialState), folded pairwise (mergeState), finalized — the
@@ -158,6 +178,31 @@ object EtlQueries {
         |WHERE valid_from <= TIMESTAMP '1999-06-30 00:00:00'
         |  AND (valid_to IS NULL OR TIMESTAMP '1999-06-30 00:00:00' < valid_to)
         |ORDER BY o_custkey""".stripMargin,
+
+    "q_expectations" ->
+      """WITH agg AS (
+        |  SELECT
+        |    sum(CASE WHEN coalesce(l_quantity IS NOT NULL
+        |          AND l_quantity >= 1.0 AND l_quantity <= 30.0, false)
+        |        THEN 0 ELSE 1 END) AS r_range,
+        |    sum(CASE WHEN coalesce(l_returnflag IS NOT NULL
+        |          AND regexp_matches(l_returnflag, '^[AR]$'), false)
+        |        THEN 0 ELSE 1 END) AS r_match,
+        |    sum(CASE WHEN l_shipdate IS NOT NULL THEN 0 ELSE 1 END) AS r_null,
+        |    count(*) - count(DISTINCT (l_orderkey, l_linenumber)) AS r_uniq
+        |  FROM lineitem),
+        |fk AS (
+        |  SELECT count(*) AS v
+        |  FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  WHERE l.l_orderkey IS NOT NULL AND o.o_orderkey IS NULL)
+        |SELECT rule, violations FROM (
+        |  SELECT 'in_range(l_quantity)' AS rule,
+        |         cast(r_range AS bigint) AS violations FROM agg
+        |  UNION ALL SELECT 'matches(l_returnflag)', cast(r_match AS bigint) FROM agg
+        |  UNION ALL SELECT 'not_null(l_shipdate)', cast(r_null AS bigint) FROM agg
+        |  UNION ALL SELECT 'unique(l_orderkey,l_linenumber)', cast(r_uniq AS bigint) FROM agg
+        |  UNION ALL SELECT 'fk(l_orderkey->orders)', cast(v AS bigint) FROM fk)
+        |ORDER BY rule""".stripMargin,
 
     "q_incremental_rollup" ->
       """SELECT l_returnflag, l_linestatus,

@@ -41,6 +41,16 @@ class ExpectationsSpec extends AnyFunSuite {
     assert(report.count(_.passed) == 0)
   }
 
+  test("checkFrame equals check row-for-row (the distributable report shape)") {
+    val asFrame = Expectations.checkFrame(dirty, rules, uniqueKey = Seq("id"),
+        foreignKeys = Map("fk(country->code)" -> (("country", dims, "code"))))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val asSeq = Expectations.check(dirty, rules, uniqueKey = Seq("id"),
+        foreignKeys = Map("fk(country->code)" -> (("country", dims, "code"))))
+      .map(v => v.rule -> v.violations).toMap
+    assert(asFrame == asSeq)
+  }
+
   test("FK check works when child and dim key columns share a name") {
     val dimsSameName = dims.withColumnRenamed("code", "country")
     val report = Expectations.check(dirty, Nil,
