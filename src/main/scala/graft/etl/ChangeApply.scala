@@ -69,7 +69,17 @@ object ChangeApply {
           s"ChangeApply.merge: null '$tsCol' in changes — version " +
             "ordering cannot compare a null timestamp"))).otherwise(col(tsCol)))
     // batch-internal total order: ts, then op/attrs as deterministic
-    // tiebreak for pathological equal-ts changes to one key
+    // tiebreak for pathological equal-ts changes to one key.
+    // Deliberately a rank window, NOT an aggregate: winner-per-key
+    // with a row payload cannot hash-aggregate in Spark — max_by over
+    // struct ordering plans as SortAggregate (struct buffers are not
+    // UnsafeRow-mutable), which sorts BOTH the partial and final
+    // stages, and a TypedImperativeAggregate's ObjectHashAggregate
+    // falls back to sort-based past
+    // spark.sql.objectHashAggregate.sortBased.fallbackThreshold (128)
+    // distinct keys per partition — CDC batches exceed that
+    // immediately. One exchange + one per-partition sort of the
+    // changes batch only is the minimal plan.
     val ordered = Window.partitionBy(col(key))
       .orderBy((col(tsCol) +: col(opCol) +: attrs.map(col)).map(_.desc): _*)
     val latest = changesG

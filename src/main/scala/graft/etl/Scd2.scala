@@ -61,7 +61,12 @@ object Scd2 {
 
     // collapse each key's batch to its LAST update in total order —
     // intermediate same-batch states are not representable as SCD2
-    // rows anyway (their valid_from would equal their valid_to)
+    // rows anyway (their valid_from would equal their valid_to).
+    // A rank window on purpose: see ChangeApply.merge — row-payload
+    // winner-per-key cannot hash-aggregate (max_by/struct plans as a
+    // double-sorting SortAggregate; ObjectHashAggregate sort-falls-
+    // back past 128 keys/partition), so one exchange + one sort of
+    // the update batch is the minimal plan.
     val ordered = Window.partitionBy(col(key))
       .orderBy((col(tsCol) +: attrs.map(col)).map(_.desc): _*)
     val latest = updatesG
