@@ -143,6 +143,39 @@ object ScaleProbe {
             substring(col("simhash"), 1 + b * w, w).as("bh"))): _*)).as("x"))
         .groupBy(col("x.band"), col("x.bh")).agg(count(lit(1)).as("c")))
 
+    // etl-merge probe inputs: a versioned snapshot/dimension built
+    // from every order, plus a change batch touching 30% of keys
+    // (10% of them deletes for the CDC side) — mirrors the declared
+    // q_cdc_apply / q_scd2_asof shapes but over a snapshot that
+    // GROWS with the copies, which the declared two-batch-from-empty
+    // form does not exercise.
+    def cdcInputs(d: String) = {
+      val o = spark.read.parquet(s"$d/orders.parquet")
+      val snap = o.select(col("o_orderkey").as("k"),
+        col("o_totalprice").as("price"), col("o_orderstatus").as("status"),
+        lit(0L).as("__ts"), lit(false).as("__deleted"))
+      val ch = o.filter(col("o_orderkey") % 10 < 3).select(
+        col("o_orderkey").as("k"),
+        (col("o_totalprice") * 2).as("price"),
+        col("o_orderstatus").as("status"),
+        when(col("o_orderkey") % 10 === 0, lit("D"))
+          .otherwise(lit("U")).as("op"),
+        lit(1L).as("ts"))
+      (snap, ch)
+    }
+    def scdInputs(d: String) = {
+      val o = spark.read.parquet(s"$d/orders.parquet")
+      val cur = o.select(col("o_orderkey").as("k"),
+        col("o_totalprice").as("price"),
+        col("o_orderdate").as("valid_from"),
+        lit(null).cast("timestamp").as("valid_to"))
+      val upd = o.filter(col("o_orderkey") % 10 < 3).select(
+        col("o_orderkey").as("k"),
+        (col("o_totalprice") * 2).as("price"),
+        (col("o_orderdate") + expr("INTERVAL 1 YEAR")).as("ts"))
+      (cur, upd)
+    }
+
     // each probe: (name, timed frame builder, untimed stat builder,
     // timed runs). runs=1 marks the KNOWN-saturating op: its single
     // multi-minute execution IS the measurement (min-of-3 would
@@ -239,7 +272,26 @@ object ScaleProbe {
         (d: String) => graft.SparkEntry.queries("q_window_rank_topk")(spark, d),
         (d: String) => occupancy(
           spark.read.parquet(s"$d/orders.parquet")
-            .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("c"))), 3))
+            .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("c"))), 3),
+      // etl lifecycle merges (r11, the newly-declared q_cdc_apply /
+      // q_scd2_asof paths): copies add KEYS (o_orderkey is offset per
+      // copy) at a fixed change mix — ~30% of keys touched, one
+      // change each — so the changes-side winner window stays flat
+      // per key (maxBucket=1 in the occupancy line) while BOTH sides
+      // of the merge's one full-outer hash join grow linearly. Time
+      // and shuffle should scale ~n; any superlinear bend means the
+      // snapshot/dimension side started sorting or the window began
+      // buffering more than a key's own changes.
+      ("risk_cdc_apply",
+        (d: String) => { val (s0, ch) = cdcInputs(d)
+          graft.etl.ChangeApply.merge(s0, ch, "k", Seq("price", "status")) },
+        (d: String) => occupancy(
+          cdcInputs(d)._2.groupBy(col("k")).agg(count(lit(1)).as("c"))), 3),
+      ("risk_scd2_merge",
+        (d: String) => { val (cur, upd) = scdInputs(d)
+          graft.etl.Scd2.merge(cur, upd, "k", "ts", Seq("price")) },
+        (d: String) => occupancy(
+          scdInputs(d)._2.groupBy(col("k")).agg(count(lit(1)).as("c"))), 3))
 
     val hdr = dirs.map { case (n, _) => f"x$n%7s " }.mkString
     println(f"${"probe"}%-20s $hdr xMAX/x1   shMB per scale")
