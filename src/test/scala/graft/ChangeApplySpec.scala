@@ -140,6 +140,56 @@ class ChangeApplySpec extends AnyFunSuite {
     assert(live(spark.read.parquet(path)) == Map("a" -> "a1", "b" -> "b1"))
   }
 
+  test("merge over a bucketed snapshot keeps the snapshot side exchange-free") {
+    // the recurring-apply claim in SCALE.md: a snapshot written with
+    // Layout.writeBucketed on the merge key joins WITHOUT its own
+    // exchange — only the (much smaller) change batch shuffles. The
+    // broadcast threshold is forced off so the tiny test changes take
+    // the same shuffled-join path a production batch would.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    spark.sql("DROP TABLE IF EXISTS graft_b_snap")
+    val loc = new java.io.File("spark-warehouse/graft_b_snap")
+    if (loc.exists()) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+      }
+      rm(loc)
+    }
+    val snap = queries.t(spark, sfTiny, "orders")
+      .select(col("o_orderkey").cast("string").as("k"),
+        col("o_orderstatus").as("v"), lit(1L).as("__ts"),
+        lit(false).as("__deleted"))
+    etl.Layout.writeBucketed(snap, "graft_b_snap", "k", 8)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val merged = ChangeApply.merge(spark.table("graft_b_snap"),
+        changes(("1", "x", "U", 2), ("7", "y", "D", 2)), key, attrs)
+      def walk(p: SparkPlan): Seq[SparkPlan] = p match {
+        case a: AdaptiveSparkPlanExec => a +: walk(a.executedPlan)
+        case q: QueryStageExec => q +: walk(q.plan)
+        case o => o +: o.children.flatMap(walk)
+      }
+      val all = walk(merged.queryExecution.executedPlan)
+      val smj = all.collectFirst { case j: SortMergeJoinExec => j }
+      assert(smj.nonEmpty, all.head.toString)
+      val Seq(l, r) = Seq(smj.get.left, smj.get.right)
+      def scansSnap(s: SparkPlan): Boolean =
+        walk(s).exists(_.toString.contains("graft_b_snap"))
+      val (snapSide, changeSide) =
+        if (scansSnap(l)) (l, r) else { assert(scansSnap(r)); (r, l) }
+      assert(!walk(snapSide).exists(_.isInstanceOf[ShuffleExchangeLike]),
+        s"bucketed snapshot side must not shuffle:\n$snapSide")
+      assert(walk(changeSide).exists(_.isInstanceOf[ShuffleExchangeLike]),
+        s"expected the change batch to shuffle to the bucket layout:\n$changeSide")
+      // and the result is still the right merge
+      assert(live(merged).get("1").contains("x") && !live(merged).contains("7"))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+      10L * 1024 * 1024)
+  }
+
   test("merge plan: window exchange on changes only, no sort on the snapshot side") {
     val big = queries.t(spark, sfTiny, "orders")
       .select(col("o_orderkey").cast("string").as("k"),
