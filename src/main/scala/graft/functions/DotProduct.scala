@@ -138,43 +138,53 @@ object GraftFunctions {
     DotProduct(exprs.head, exprs(1))
   }
 
+  /** The SQL-callable kernel surface: (function name, implementing
+    * class name for EXPLAIN/DESCRIBE info, builder). ONE catalog
+    * consumed by BOTH registration paths — the imperative
+    * [[register]] and the `graft.GraftExtensions` session-extension
+    * injection — so the two cannot drift apart (before r11 the
+    * extension path was missing graft_quantized_dot /
+    * graft_top_k_pairs, and the r10/r11 kernels were SQL-callable
+    * from neither). Scalar kernels register as-is; the aggregates'
+    * returned AggregateFunction is wrapped by the analyzer, so
+    * `graft_top_k(score, id, 3)` works in GROUP BY queries directly. */
+  private[graft] val sqlKernels: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+    ("graft_dot", classOf[DotProduct].getName,
+      (children: Seq[Expression]) => build(children)),
+    ("graft_quantized_dot", classOf[QuantizedDot].getName,
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          s"graft_quantized_dot requires exactly 2 arguments, got ${children.length}")
+        QuantizedDot(children.head, children(1))
+      }),
+    ("graft_rolling_hash", classOf[RollingHash].getName,
+      (children: Seq[Expression]) => {
+        require(children.length == 1,
+          s"graft_rolling_hash requires exactly 1 argument, got ${children.length}")
+        RollingHash(children.head)
+      }),
+    ("graft_token_window_hash", classOf[TokenWindowHash].getName,
+      TokenWindowHash.build _),
+    ("graft_simhash_sign", classOf[SimHashSign].getName, SimHashSign.build _),
+    ("graft_minhash_minima", classOf[MinHashMinima].getName,
+      MinHashMinima.build _),
+    ("graft_shingle_windows", classOf[ShingleWindows].getName,
+      ShingleWindows.build _),
+    ("graft_token_stats", classOf[TokenStats].getName, TokenStats.build _),
+    ("graft_top_k", classOf[TopKAgg].getName, TopKAgg.build _),
+    ("graft_top_k_pairs", classOf[TopKPairAgg].getName, TopKPairAgg.build _),
+    ("graft_freq_items", classOf[FreqItemsAgg].getName, FreqItemsAgg.build _))
+
   def register(spark: SparkSession): Unit = {
     // Register only if absent: createOrReplaceTempFunction logs a
     // "function replaced" WARN on every repeat call, which pollutes
     // stderr for every query that defensively re-registers.
     val registry = spark.sessionState.functionRegistry
-    if (!registry.functionExists(
-        org.apache.spark.sql.catalyst.FunctionIdentifier("graft_dot"))) {
-      registry.createOrReplaceTempFunction("graft_dot", build, "built-in")
-    }
-    if (!registry.functionExists(
-        org.apache.spark.sql.catalyst.FunctionIdentifier("graft_token_window_hash"))) {
-      registry.createOrReplaceTempFunction("graft_token_window_hash",
-        TokenWindowHash.build, "built-in")
-    }
-    // parity with GraftExtensions: the full native-function surface is
-    // available imperatively too (scalar kernels as-is; aggregates
-    // wrapped by the analyzer exactly as in the extensions path)
-    def ifAbsent(name: String)(
-        builder: Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
-          org.apache.spark.sql.catalyst.expressions.Expression): Unit =
+    for ((name, _, builder) <- sqlKernels)
       if (!registry.functionExists(
           org.apache.spark.sql.catalyst.FunctionIdentifier(name))) {
         registry.createOrReplaceTempFunction(name, builder, "built-in")
       }
-    ifAbsent("graft_rolling_hash") { children =>
-      require(children.length == 1,
-        s"graft_rolling_hash requires exactly 1 argument, got ${children.length}")
-      RollingHash(children.head)
-    }
-    ifAbsent("graft_quantized_dot") { children =>
-      require(children.length == 2,
-        s"graft_quantized_dot requires exactly 2 arguments, got ${children.length}")
-      QuantizedDot(children.head, children(1))
-    }
-    ifAbsent("graft_top_k")(TopKAgg.build)
-    ifAbsent("graft_top_k_pairs")(TopKPairAgg.build)
-    ifAbsent("graft_freq_items")(FreqItemsAgg.build)
   }
 
   /** Column-level dot product (no registration needed). Inputs must be

@@ -134,4 +134,12 @@ object MinHashMinima {
     }
     new String(c)
   }
+
+  /** SQL builder: `graft_minhash_minima(shingles, numHashes)`,
+    * literal numHashes. */
+  private[graft] def build(children: Seq[Expression]): Expression = {
+    require(children.length == 2,
+      s"graft_minhash_minima requires (shingles, numHashes), got ${children.length} arguments")
+    MinHashMinima(children.head, TopKAgg.foldableInt(children(1), "numHashes"))
+  }
 }

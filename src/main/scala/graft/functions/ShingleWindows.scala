@@ -94,4 +94,11 @@ object ShingleWindows {
     }
     new GenericArrayData(out)
   }
+
+  /** SQL builder: `graft_shingle_windows(tokens, n)`, literal n. */
+  private[graft] def build(children: Seq[Expression]): Expression = {
+    require(children.length == 2,
+      s"graft_shingle_windows requires (tokens, n), got ${children.length} arguments")
+    ShingleWindows(children.head, TopKAgg.foldableInt(children(1), "n"))
+  }
 }

@@ -138,3 +138,12 @@ case class SimHashSign(child: Expression, nBits: Int)
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+object SimHashSign {
+  /** SQL builder: `graft_simhash_sign(hexes, nBits)`, literal nBits. */
+  private[graft] def build(children: Seq[Expression]): Expression = {
+    require(children.length == 2,
+      s"graft_simhash_sign requires (hexes, nBits), got ${children.length} arguments")
+    SimHashSign(children.head, TopKAgg.foldableInt(children(1), "nBits"))
+  }
+}

@@ -112,4 +112,32 @@ object TokenStats {
     new GenericInternalRow(Array[Any](
       nTok, seen.size.toLong, nStop, s.numChars().toLong))
   }
+
+  /** SQL builder: `graft_token_stats(text[, stopwords])` with an
+    * optional literal ARRAY<STRING> stopword list (e.g.
+    * `graft_token_stats(text, array('a', 'the'))`). */
+  private[graft] def build(children: Seq[Expression]): Expression = {
+    require(children.nonEmpty && children.length <= 2,
+      s"graft_token_stats requires (text[, stopwords]), got ${children.length} arguments")
+    val stop: Seq[String] =
+      if (children.length < 2) Nil
+      else children(1) match {
+        case e if e.foldable && (e.dataType match {
+            case org.apache.spark.sql.types.ArrayType(StringType, _) => true
+            case _ => false
+          }) =>
+          e.eval() match {
+            case null => Nil
+            case a: org.apache.spark.sql.catalyst.util.ArrayData =>
+              a.toObjectArray(StringType).toSeq.map {
+                case null => throw new IllegalArgumentException(
+                  "graft_token_stats: null stopword")
+                case v => v.toString
+              }
+          }
+        case _ => throw new IllegalArgumentException(
+          "graft_token_stats: stopwords must be an ARRAY<STRING> literal")
+      }
+    TokenStats(children.head, stop)
+  }
 }

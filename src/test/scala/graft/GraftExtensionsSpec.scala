@@ -67,6 +67,57 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(fi2.map(r => (r.getString(0), r.getLong(1))) == Seq(("7", 2L), ("9", 1L)))
   }
 
+  test("both registration paths serve the complete sqlKernels catalog") {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    import org.apache.spark.sql.functions.{array, expr, lit, md5}
+    TestSpark.spark
+    val ext: SparkSession = SparkSession.builder()
+      .master("local[4]")
+      .withExtensions(new GraftExtensions)
+      .create()
+    val imp = TestSpark.spark.newSession()
+    graft.functions.GraftFunctions.register(imp)
+    // completeness: ONE catalog, both paths — a kernel added to
+    // sqlKernels is SQL-callable everywhere, a kernel added anywhere
+    // else fails here (the pre-r11 drift: the extension path lacked
+    // graft_quantized_dot/graft_top_k_pairs, and the r10/r11 kernels
+    // were SQL-callable from neither path)
+    for ((name, _, _) <- graft.functions.GraftFunctions.sqlKernels) {
+      assert(ext.sessionState.functionRegistry.functionExists(
+        FunctionIdentifier(name)), s"extension session missing $name")
+      assert(imp.sessionState.functionRegistry.functionExists(
+        FunctionIdentifier(name)), s"imperative register missing $name")
+    }
+    // value probes for the members the old extension list lacked
+    val qd = ext.range(1).select(
+      expr("graft_quantized_dot(array(0.5d), array(1.0d))").as("a"),
+      graft.functions.GraftFunctions.quantizedDot(
+        array(lit(0.5)), array(lit(1.0))).as("b")).head()
+    assert(qd.getLong(0) == qd.getLong(1) && qd.getLong(0) != 0L)
+    val pairs = ext.sql(
+      """SELECT graft_top_k_pairs(s, a, b, 1) FROM VALUES
+        |  (0.9d, 1L, 2L), (0.5d, 1L, 3L) AS t(s, a, b)""".stripMargin)
+      .head().getSeq[org.apache.spark.sql.Row](0)
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))) == Seq((1L, 2L)))
+    // r10/r11 kernels: SQL form ≡ Column API form on the same row
+    val par = ext.range(1).select(
+      expr("graft_simhash_sign(array(md5('x')), 8)").as("sSql"),
+      graft.functions.GraftFunctions.simHashSign(
+        array(md5(lit("x"))), 8).as("sCol"),
+      expr("graft_minhash_minima(array('a b', 'b c'), 4)").as("mSql"),
+      graft.functions.GraftFunctions.minHashMinima(
+        array(lit("a b"), lit("b c")), 4).as("mCol")).head()
+    assert(par.getString(0) == par.getString(1) && par.getString(0).length == 8)
+    assert(par.getSeq[Long](2) == par.getSeq[Long](3))
+    assert(ext.sql("SELECT graft_shingle_windows(array('a', 'b', 'c'), 2)")
+      .head().getSeq[String](0) == Seq("a b", "b c"))
+    val ts = ext.sql(
+      "SELECT graft_token_stats('a the b', array('the')) AS st").select(
+      "st.n_tokens", "st.n_distinct", "st.stopword_hits", "st.char_len").head()
+    assert((ts.getLong(0), ts.getLong(1), ts.getLong(2), ts.getLong(3)) ==
+      ((3L, 3L, 1L, 7L)))
+  }
+
   test("imperative register exposes the full native surface in SQL") {
     val s = TestSpark.spark.newSession()
     graft.functions.GraftFunctions.register(s)
