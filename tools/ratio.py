@@ -1,0 +1,60 @@
+#!/usr/bin/env python3
+"""Judge-style per-query ratio check (driver-side dev tool; NOT
+shipped in the library): joins a `graft.Bench` JSON line against a
+`tools/ducktime.py` JSON line and applies the floor rule the verdicts
+use — a query is *floor-dominated* when `wall <= stages *
+floor_per_stage_sec`, and only non-floor-dominated queries slower
+than GATE x DuckDB are flagged.
+
+Full-sweep walls are noisier than isolated runs (the host stalls —
+see SCALE.md "Measurement method"), so a flag here means "re-measure
+isolated" (`SPARK_GRAFT_BENCH_ONLY=q SPARK_GRAFT_BENCH_RUNS=9`), not
+"definitely slow". Exit 1 when anything is flagged.
+
+Usage: python3 tools/ratio.py <bench.json> <ducktime.json> [gate=2.0]
+"""
+import json
+import sys
+
+bench_path, duck_path = sys.argv[1], sys.argv[2]
+gate = float(sys.argv[3]) if len(sys.argv) > 3 else 2.0
+
+bench = json.loads(open(bench_path).readline())
+duck = json.loads(open(duck_path).readline())["queries"]
+stages = bench.get("stages", {})
+fps = bench.get("floor_per_stage_sec") or bench.get("floor_sec", 0.15) / 2
+
+flagged = []
+rows = []
+for q, wall in sorted(bench["queries"].items(), key=lambda kv: -kv[1]):
+    st = stages.get(q, 0)
+    dt = duck.get(q)
+    floor_line = st * fps if st and st > 0 else None
+    floor_dom = floor_line is not None and wall <= floor_line
+    ratio = wall / dt if dt else None
+    rows.append((q, wall, st, floor_line, dt, ratio, floor_dom))
+    if ratio is not None and ratio > gate and not floor_dom:
+        flagged.append((q, wall, dt, ratio, st))
+
+print(f"{'query':30} {'spark':>7} {'stages':>6} {'floorline':>9} "
+      f"{'duck':>7} {'ratio':>6}  verdict")
+for q, wall, st, fl, dt, ratio, dom in rows[:25]:
+    verdict = ("FLOOR" if dom else
+               ("FLAG" if ratio is not None and ratio > gate else "ok"))
+    print(f"{q:30} {wall:7.2f} {st:6} "
+          f"{fl if fl is not None else float('nan'):9.2f} "
+          f"{dt if dt is not None else float('nan'):7.2f} "
+          f"{ratio if ratio is not None else float('nan'):6.1f}  {verdict}")
+
+total_s = bench["value"]
+total_d = sum(duck.values())
+print(f"\ntotals: spark {total_s:.2f} s vs duckdb {total_d:.2f} s "
+      f"= {total_s / total_d:.2f}x  (floor_sec {bench.get('floor_sec')})")
+if flagged:
+    print(f"\nFLAGGED (> {gate}x, not floor-dominated) — re-measure "
+          f"isolated before believing a sweep number:")
+    for q, wall, dt, ratio, st in flagged:
+        print(f"  {q}: {wall:.2f} s vs {dt:.2f} s = {ratio:.1f}x "
+              f"({st} stages)")
+    sys.exit(1)
+print(f"\nno non-floor queries above {gate}x DuckDB")
