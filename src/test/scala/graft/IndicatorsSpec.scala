@@ -56,6 +56,41 @@ class IndicatorsSpec extends AnyFunSuite {
     assert(out == Seq(("A", 5L, -0.0769), ("B", 3L, 0.0)))
   }
 
+  test("rsi over a series-key-bucketed table plans with zero exchanges") {
+    // q_rsi's settled ~0.3 s above floor IS its one width-independent
+    // hash exchange (SCALE.md bisection) — this gate proves the
+    // library already owns the lever that deletes it at 100 TB: bucket
+    // the fact on the series key once (Layout.writeBucketed) and every
+    // recurring per-key window pass plans with NO exchange at all —
+    // the bucketed scan's HashPartitioning satisfies the window's
+    // required distribution, leaving only the local per-bucket sort.
+    spark.sql("DROP TABLE IF EXISTS graft_b_li")
+    val loc = new java.io.File("spark-warehouse/graft_b_li")
+    if (loc.exists()) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+      }
+      rm(loc)
+    }
+    val li = queries.t(spark, sfTiny, "lineitem")
+      .select(col("l_partkey"), col("l_orderkey"), col("l_linenumber"),
+        col("l_extendedprice"))
+    etl.Layout.writeBucketed(li, "graft_b_li", "l_partkey", 8)
+    val out = ops.Indicators.rsi(spark.table("graft_b_li"),
+      col("l_partkey"), Seq(col("l_orderkey"), col("l_linenumber")),
+      col("l_extendedprice"))
+    val p = out.queryExecution.executedPlan.toString
+    assert(p.contains("Window"), p)
+    assert(!p.contains("Exchange"), s"bucketed rsi must not shuffle:\n$p")
+    // and the values equal the plain-parquet path exactly
+    val plain = ops.Indicators.rsi(li, col("l_partkey"),
+      Seq(col("l_orderkey"), col("l_linenumber")), col("l_extendedprice"))
+      .select(col("l_partkey"), col("l_orderkey"), col("l_linenumber"), col("rsi"))
+    val bucketed = out
+      .select(col("l_partkey"), col("l_orderkey"), col("l_linenumber"), col("rsi"))
+    assert(bucketed.exceptAll(plain).isEmpty && plain.exceptAll(bucketed).isEmpty)
+  }
+
   test("series are isolated per key (no cross-key leakage in windows)") {
     // B's first row must not see A's prices: its rn restarts, so with
     // period=2 B's first two rows are null even though A has 5 rows.
