@@ -27,6 +27,11 @@ import org.apache.spark.sql.catalyst.expressions.{
   * lambda variable: such a subtree re-evaluates once PER ELEMENT.
   * Bare outer attributes are fine (a column read per element is the
   * lambda's job); literal-only subtrees constant-fold.
+  *
+  * Sweep 3 — global (partition-less) WindowExec: moves ALL input
+  * rows to one task, the single-task-sort scale killer. Allowlisted
+  * only where the window input is provably bounded and
+  * corpus-independent (q_ivf_recall's |query-batch|-row band sum).
   */
 object PlanAudit {
 
@@ -63,6 +68,16 @@ object PlanAudit {
   /** Sweep-2 allowlist: (query, rationale, acceptable fragment). */
   private val lambdaAllow: Seq[(String, String, Seq[String])] = Seq()
 
+  /** Sweep-3 allowlist — queries allowed a GLOBAL (partition-less)
+    * WindowExec, which moves ALL its input to one task: only
+    * acceptable when the input is provably bounded and
+    * corpus-independent. */
+  private val globalWindowAllow: Seq[(String, String)] = Seq(
+    ("q_ivf_recall",
+      "recall-band sum over the per-query AGGREGATE output — the " +
+        "window input is |query batch| rows (10 here), bounded and " +
+        "corpus-independent by construction"))
+
   def main(args: Array[String]): Unit = {
     val spark = graft.TestSpark.spark
     val d = graft.TestSpark.sfTiny
@@ -81,6 +96,16 @@ object PlanAudit {
         hits.foreach { h =>
           if (allowed.exists(h.contains)) ()
           else { newHits += 1; println(s"[audit] NEW isnotnull hit $name: $h") }
+        }
+        // -- sweep 3: global (partition-less) WindowExec — all rows
+        // into ONE task; only bounded corpus-independent inputs may
+        // be allowlisted (caught manually in r11 as a planner WARN on
+        // q_ivf_recall's 10-row band sum; now a tracked gate)
+        val globalWins = globalWindows(qe.executedPlan)
+        if (globalWins > 0 && !globalWindowAllow.exists(_._1 == name)) {
+          newHits += 1
+          println(s"[audit] NEW global-window hit $name: $globalWins " +
+            "partition-less WindowExec node(s)")
         }
         // -- sweep 2: outer non-leaf subtrees inside HOF lambdas
         val hofs = qe.optimizedPlan.collect { case node =>
@@ -107,11 +132,34 @@ object PlanAudit {
       }
     }
     println(s"[audit] done, new hits: $newHits " +
-      s"(${isnotnullAllow.size} allowlisted isnotnull patterns)")
+      s"(${isnotnullAllow.size} allowlisted isnotnull patterns, " +
+      s"${globalWindowAllow.size} allowlisted global windows)")
     spark.stop()
     if (newHits > 0)
       sys.error(s"PlanAudit: $newHits unallowlisted plan hazard(s) — " +
         "fix the plan or add an allowlist entry WITH rationale")
+  }
+
+  /** Partition-less WindowExec count — package-visible so
+    * PlanAuditSpec proves the detector fires on the hazard shape. */
+  private[queries] def globalWindows(
+      plan: org.apache.spark.sql.execution.SparkPlan): Int =
+    walkPhysical(plan).count {
+      case w: org.apache.spark.sql.execution.window.WindowExec =>
+        w.partitionSpec.isEmpty
+      case _ => false
+    }
+
+  /** Physical-plan walk through the AQE wrappers (same shape as
+    * ScaleProbe.shuffleBytes). */
+  private def walkPhysical(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    p match {
+      case a: AdaptiveSparkPlanExec => a +: walkPhysical(a.executedPlan)
+      case q: QueryStageExec => q +: walkPhysical(q.plan)
+      case other => other +: other.children.flatMap(walkPhysical)
+    }
   }
 
   /** Maximal subtrees of a lambda body that (a) depend on the row

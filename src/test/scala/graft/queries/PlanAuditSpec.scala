@@ -38,6 +38,17 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(hits.exists(_.contains("split")), s"detector missed the hazard: $hits")
   }
 
+  test("global-window detector fires on a partition-less window, quiet on partitioned") {
+    import org.apache.spark.sql.expressions.Window
+    val base = spark.range(8).select(col("id"), (col("id") % 2).as("g"))
+    val global = base.select(col("id"),
+      sum(col("id")).over(Window.partitionBy()).as("s"))
+    assert(PlanAudit.globalWindows(global.queryExecution.executedPlan) == 1)
+    val partitioned = base.select(col("id"),
+      sum(col("id")).over(Window.partitionBy(col("g"))).as("s"))
+    assert(PlanAudit.globalWindows(partitioned.queryExecution.executedPlan) == 0)
+  }
+
   test("detector stays quiet on lambda-var-only and bare-attribute bodies") {
     val df = spark.range(2)
       .select(array(col("id") * 1.0, col("id") * 2.0).as("a"),
