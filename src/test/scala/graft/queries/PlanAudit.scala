@@ -32,6 +32,12 @@ import org.apache.spark.sql.catalyst.expressions.{
   * rows to one task, the single-task-sort scale killer. Allowlisted
   * only where the window input is provably bounded and
   * corpus-independent (q_ivf_recall's |query-batch|-row band sum).
+  *
+  * Sweep 4 — shuffled cartesian products (CartesianProductExec):
+  * |L|×|R| with both sides materialized. Every deliberate cross join
+  * in the library broadcasts a model-sized side (planned as
+  * BroadcastNestedLoopJoin), so zero of these are acceptable — no
+  * allowlist.
   */
 object PlanAudit {
 
@@ -106,6 +112,17 @@ object PlanAudit {
           newHits += 1
           println(s"[audit] NEW global-window hit $name: $globalWins " +
             "partition-less WindowExec node(s)")
+        }
+        // -- sweep 4: shuffled cartesian product — |L|×|R| with both
+        // sides materialized; the library's crossJoin sites must all
+        // stay broadcast (model-sized side), so ZERO of these are
+        // acceptable in any declared plan, no allowlist
+        val cartesians = walkPhysical(qe.executedPlan).count(
+          _.isInstanceOf[org.apache.spark.sql.execution.joins.CartesianProductExec])
+        if (cartesians > 0) {
+          newHits += 1
+          println(s"[audit] NEW cartesian-product hit $name: " +
+            s"$cartesians CartesianProductExec node(s)")
         }
         // -- sweep 2: outer non-leaf subtrees inside HOF lambdas
         val hofs = qe.optimizedPlan.collect { case node =>
