@@ -164,4 +164,85 @@ class PropertySpec extends AnyFunSuite {
       assert(one.values.toSet.subsetOf(Set("train", "test", "val")))
     }
   }
+
+  test("cdc merge: any slicing applied in any order equals the one-shot apply") {
+    // the documented slicing invariance (ChangeApply scaladoc) as a
+    // randomized law: for feeds with unique (key, ts), the stored
+    // version's strict latest-wins guard makes batch boundaries AND
+    // batch application order irrelevant — late batches are dropped
+    // as stale, newer ones replace. Random feeds, random 3-way
+    // slicing, random order vs the union in one call.
+    import graft.etl.ChangeApply
+    val opsGen = Seq(ChangeApply.Insert, ChangeApply.Update, ChangeApply.Delete)
+    for (seed <- 1L to 3L) {
+      val rnd = new scala.util.Random(seed)
+      val feed = (1 to 40).map { ts =>
+        (s"k${rnd.nextInt(6)}", s"v${rnd.nextInt(100)}",
+          opsGen(rnd.nextInt(3)), ts.toLong)
+      }
+      def df(rows: Seq[(String, String, String, Long)]) =
+        rows.toDF("k", "v", "op", "ts")
+      val empty = df(feed).select(col("k"), col("v"),
+        col("ts").as("__ts"), lit(false).as("__deleted")).limit(0)
+      def snapState(s: org.apache.spark.sql.DataFrame) =
+        s.collect().map(r => r.getString(0) ->
+          ((r.getString(1), r.getLong(2), r.getBoolean(3)))).toMap
+      val oneShot = snapState(ChangeApply.merge(empty, df(feed), "k", Seq("v")))
+      val sliced = feed.map(r => (r, rnd.nextInt(3)))
+      val order = rnd.shuffle(List(0, 1, 2))
+      var snap = empty
+      for (b <- order) {
+        val rows = sliced.filter(_._2 == b).map(_._1)
+        if (rows.nonEmpty) snap = ChangeApply.merge(snap, df(rows), "k", Seq("v"))
+      }
+      assert(snapState(snap) == oneShot, s"seed=$seed order=$order")
+    }
+  }
+
+  test("scd2 chains: one open row per key, contiguous intervals, idempotent tail") {
+    // batching-independent invariants of the versioned dimension:
+    // whatever the (forward-ordered) batch boundaries, every key ends
+    // with exactly one open row, its closed intervals tile
+    // [first valid_from, open valid_from) with no gaps or overlaps,
+    // consecutive rows always differ in the tracked attribute (no-op
+    // updates never open rows), and re-merging the final batch is a
+    // no-op (idempotent re-application).
+    import graft.etl.Scd2
+    for (seed <- 1L to 3L) {
+      val rnd = new scala.util.Random(seed)
+      val updates = (1 to 45).map { ts =>
+        (s"k${rnd.nextInt(5)}", s"v${rnd.nextInt(4)}", ts.toLong)
+      }
+      def df(rows: Seq[(String, String, Long)]) =
+        rows.toDF("k", "v", "t")
+          .select(col("k"), col("v"), col("t").cast("timestamp").as("ts"))
+      val empty = df(updates).select(col("k"), col("v"),
+        col("ts").as("valid_from"),
+        lit(null).cast("timestamp").as("valid_to")).limit(0)
+      // forward-only merge: batches split at ts 15/30, applied in order
+      val batches = Seq(updates.filter(_._3 <= 15),
+        updates.filter(r => r._3 > 15 && r._3 <= 30),
+        updates.filter(_._3 > 30)).filter(_.nonEmpty)
+      val versioned = batches.foldLeft(empty) { (cur, b) =>
+        Scd2.merge(cur, df(b), "k", "ts", Seq("v"))
+      }
+      val rows = versioned.collect().map(r => (r.getString(0), r.getString(1),
+        r.getTimestamp(2), Option(r.getTimestamp(3)))).toSeq
+      for ((k, chain) <- rows.groupBy(_._1)) {
+        val sorted = chain.sortBy(_._3.getTime)
+        assert(sorted.count(_._4.isEmpty) == 1 && sorted.last._4.isEmpty,
+          s"seed=$seed key=$k: exactly one open row, at the end")
+        sorted.sliding(2).foreach {
+          case Seq(a, b) =>
+            assert(a._4.contains(b._3), s"seed=$seed key=$k: contiguous")
+            assert(a._2 != b._2, s"seed=$seed key=$k: consecutive rows differ")
+          case _ => ()
+        }
+      }
+      // idempotent tail: re-merging the last batch changes nothing
+      val again = Scd2.merge(versioned, df(batches.last), "k", "ts", Seq("v"))
+      assert(again.exceptAll(versioned).isEmpty &&
+        versioned.exceptAll(again).isEmpty, s"seed=$seed")
+    }
+  }
 }
