@@ -116,4 +116,37 @@ object Scd2 {
   def asOf(versioned: DataFrame, at: Column): DataFrame =
     versioned.filter(col("valid_from") <= at &&
       (col("valid_to").isNull || at < col("valid_to")))
+
+  /** Persisted form mirroring [[ChangeApply.advance]]: fold an update
+    * batch into the versioned dimension parquet at `path`
+    * (bootstrapping an empty chain on first call) and swap-publish.
+    * Returns the OPEN-row count after the merge (the dimension's live
+    * cardinality). Batches must arrive in forward ts order across
+    * calls (the [[merge]] contract); re-applying the most recent
+    * batch is a no-op — an update that applied now matches its open
+    * row's valid_from (stale guard) and one that was a no-op stays a
+    * no-op — which is what makes the streaming sink's at-least-once
+    * redelivery safe without an applied-batch marker. */
+  def advance(spark: org.apache.spark.sql.SparkSession, path: String,
+      updates: DataFrame, key: String, tsCol: String,
+      attrs: Seq[String]): Long = {
+    import org.apache.hadoop.fs.{FileSystem, Path}
+    val fs = FileSystem.get(new java.net.URI(path),
+      spark.sparkContext.hadoopConfiguration)
+    val dir = new Path(path)
+    val tmp = new Path(path + "__merging")
+    Swap.recover(fs, dir, tmp) // finish an interrupted publish first
+    val empty = updates
+      .select(col(key) +: attrs.map(col) :+ col(tsCol).as("valid_from") :+
+        lit(null).cast("timestamp").as("valid_to"): _*)
+      .limit(0)
+    val base = if (fs.exists(dir)) spark.read.parquet(path) else empty
+    val next = merge(base, updates, key, tsCol, attrs)
+    fs.delete(tmp, true)
+    next.write.mode("overwrite").parquet(tmp.toString)
+    val open = spark.read.parquet(tmp.toString)
+      .filter(col("valid_to").isNull).count()
+    Swap.publish(fs, dir, tmp)
+    open
+  }
 }

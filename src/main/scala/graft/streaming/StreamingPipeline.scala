@@ -452,6 +452,28 @@ object StreamingPipeline {
       }
       .option("checkpointLocation", checkpointDir)
 
+  /** Streaming SCD2 dimension maintenance — the streaming twin of
+    * `graft.etl.Scd2`: each micro-batch of updates folds into the
+    * versioned dimension at `outDir` via `Scd2.advance`, so the
+    * history-keeping dimension stays current against an update feed
+    * with no full rebuild. foreachBatch is AT-LEAST-ONCE; like
+    * [[cdcApplySink]] (and unlike the sketch/spread sinks) NO
+    * applied-batch marker is needed because re-applying the most
+    * recent batch is a no-op — an update that applied now matches its
+    * open row's valid_from (the stale guard drops it) and a no-op
+    * update stays one. Forward-only contract as the batch form:
+    * update ts must not regress across micro-batches (late updates
+    * are dropped as stale, never rewrite closed history). */
+  def scd2Sink(updates: DataFrame, key: String, tsCol: String,
+      attrs: Seq[String], outDir: String, checkpointDir: String) =
+    updates.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.etl.Scd2.advance(batch.sparkSession, outDir, batch,
+          key, tsCol, attrs): Unit
+      }
+      .option("checkpointLocation", checkpointDir)
+
   /** Streaming sketch-state maintenance — the streaming twin of
     * `graft.etl.SketchRollup`: each micro-batch of raw rows is folded
     * into the persisted per-group sketch state (HLL distinct, KLL

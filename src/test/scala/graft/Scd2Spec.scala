@@ -123,4 +123,42 @@ class Scd2Spec extends AnyFunSuite {
     val chain = v3.orderBy(col("valid_from")).collect().map(_.getString(1)).toSeq
     assert(chain == Seq("berlin", "madrid", "oslo"))
   }
+
+  test("persisted advance bootstraps, folds update batches, reports open count") {
+    val path = java.nio.file.Files.createTempDirectory("graft_scd2_adv")
+      .resolve("dim").toString
+    val u1 = Seq((1L, "berlin", ts("2024-01-01 00:00:00")),
+      (2L, "paris", ts("2024-01-01 00:00:00"))).toDF("k", "city", "ts")
+    assert(Scd2.advance(spark, path, u1, "k", "ts", Seq("city")) == 2)
+    val u2 = Seq((1L, "madrid", ts("2024-02-01 00:00:00")),
+      (3L, "oslo", ts("2024-02-01 00:00:00"))).toDF("k", "city", "ts")
+    assert(Scd2.advance(spark, path, u2, "k", "ts", Seq("city")) == 3)
+    val dim = spark.read.parquet(path)
+    assert(dim.count() == 4) // berlin closed + 3 open
+    val at = Scd2.asOf(dim, lit("2024-01-15 00:00:00").cast("timestamp"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(at == Map(1L -> "berlin", 2L -> "paris"))
+    // re-advancing the last batch is a no-op (the streaming sink's
+    // at-least-once redelivery contract)
+    assert(Scd2.advance(spark, path, u2, "k", "ts", Seq("city")) == 3)
+    assert(spark.read.parquet(path).count() == 4)
+  }
+
+  test("advance recovers a publish interrupted between delete and rename") {
+    val path = java.nio.file.Files.createTempDirectory("graft_scd2_crash")
+      .resolve("dim").toString
+    val u1 = Seq((1L, "berlin", ts("2024-01-01 00:00:00"))).toDF("k", "city", "ts")
+    Scd2.advance(spark, path, u1, "k", "ts", Seq("city"))
+    // simulate a crash inside the swap window: the live dir is gone,
+    // the fully-written next version sits under the tmp name
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path),
+      spark.sparkContext.hadoopConfiguration)
+    require(fs.rename(new org.apache.hadoop.fs.Path(path),
+      new org.apache.hadoop.fs.Path(path + "__merging")))
+    val u2 = Seq((2L, "paris", ts("2024-02-01 00:00:00"))).toDF("k", "city", "ts")
+    assert(Scd2.advance(spark, path, u2, "k", "ts", Seq("city")) == 2)
+    val open = spark.read.parquet(path).filter(col("valid_to").isNull)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(open == Map(1L -> "berlin", 2L -> "paris"))
+  }
 }

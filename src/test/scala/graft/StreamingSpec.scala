@@ -551,4 +551,42 @@ class StreamingSpec extends AnyFunSuite {
       assert(d.getBoolean(0))
     } finally q.stop()
   }
+
+  test("streaming SCD2 sink maintains the versioned dimension across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft_scd2_stream")
+    val outDir = base.resolve("dim").toString
+    val ckpt = base.resolve("ckpt").toString
+    val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val q = StreamingPipeline.scd2Sink(
+      mem.toDF().toDF("k", "city", "ts"),
+      "k", "ts", Seq("city"), outDir, ckpt).start()
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    try {
+      mem.addData((1L, "berlin", t("2024-01-01 00:00:00")),
+        (2L, "paris", t("2024-01-01 00:00:00")))
+      q.processAllAvailable()
+      // second micro-batch: key 1 moves, key 2 is a no-op update,
+      // key 3 inserts — history must close berlin at the move ts
+      mem.addData((1L, "madrid", t("2024-02-01 00:00:00")),
+        (2L, "paris", t("2024-02-01 00:00:00")),
+        (3L, "oslo", t("2024-02-01 00:00:00")))
+      q.processAllAvailable()
+      val dim = spark.read.parquet(outDir)
+      val open = dim.filter(col("valid_to").isNull)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(open == Map(1L -> "madrid", 2L -> "paris", 3L -> "oslo"))
+      val closed = dim.filter(col("valid_to").isNotNull)
+        .collect().map(r => (r.getLong(0), r.getString(1),
+          r.getTimestamp(3).toString))
+      assert(closed.toSeq == Seq((1L, "berlin", "2024-02-01 00:00:00.0")))
+      // point-in-time read straight off the streamed dimension
+      val at = graft.etl.Scd2.asOf(dim,
+          lit("2024-01-15 00:00:00").cast("timestamp"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(at == Map(1L -> "berlin", 2L -> "paris"))
+    } finally q.stop()
+  }
 }
