@@ -98,4 +98,34 @@ object IncrementalAgg {
     Swap.publish(fs, dir, tmp)
     groups
   }
+
+  /** [[advance]] for AT-LEAST-ONCE feeds (same contract as
+    * `SketchRollup.advanceBatch`): moment state is ADDITIVE, so a
+    * replayed batch would double every count — the applied-batch
+    * marker `(runTag, batchId)` is published atomically WITH the
+    * folded state (inside the same swap), making redelivery a no-op.
+    * The run tag keeps a restarted stream's batch ids (fresh or
+    * wiped-and-reused checkpoint) from colliding with a previous
+    * run's markers. */
+  def advanceBatch(spark: SparkSession, statePath: String,
+      delta: DataFrame, keys: Seq[String], valueCol: String,
+      batchId: Long, runTag: String = "run"): Long = {
+    val fs = FileSystem.get(new URI(statePath),
+      spark.sparkContext.hadoopConfiguration)
+    val dir = new Path(statePath)
+    val tmp = new Path(statePath + "__advancing")
+    Swap.recover(fs, dir, tmp)
+    if (Swap.markerExists(fs, dir, runTag, batchId))
+      return spark.read.parquet(statePath).count()
+    val deltaState = partialState(delta, keys, valueCol)
+    val next =
+      if (fs.exists(dir)) mergeState(spark.read.parquet(statePath), deltaState, keys)
+      else deltaState
+    fs.delete(tmp, true)
+    next.write.mode("overwrite").parquet(tmp.toString)
+    Swap.carryMarkers(fs, dir, tmp, Some(Swap.markerName(runTag, batchId)))
+    val groups = spark.read.parquet(tmp.toString).count()
+    Swap.publish(fs, dir, tmp)
+    groups
+  }
 }

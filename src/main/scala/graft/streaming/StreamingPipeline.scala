@@ -474,6 +474,28 @@ object StreamingPipeline {
       }
       .option("checkpointLocation", checkpointDir)
 
+  /** Streaming exact-rollup maintenance — the streaming twin of
+    * `graft.etl.IncrementalAgg`: each micro-batch folds into the
+    * persisted per-group moment state (count/sum/min/max/sum-of-
+    * squares in exact DECIMAL), so the rollup stays fresh with
+    * O(|batch| + |touched groups|) per trigger and no engine-managed
+    * aggregation state. Moment state is ADDITIVE — a replayed batch
+    * would double every count — so this sink routes through
+    * `IncrementalAgg.advanceBatch`, whose applied-batch marker
+    * `(runTag, batchId)` publishes atomically with the folded state:
+    * at-least-once redelivery is a no-op, same contract as
+    * [[sketchRollupSink]]. */
+  def incrementalAggSink(rows: DataFrame, keys: Seq[String],
+      valueCol: String, statePath: String, checkpointDir: String) =
+    rows.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.etl.IncrementalAgg.advanceBatch(batch.sparkSession, statePath,
+          batch, keys, valueCol, batchId,
+          runTag(batch.sparkSession, checkpointDir)): Unit
+      }
+      .option("checkpointLocation", checkpointDir)
+
   /** Streaming sketch-state maintenance — the streaming twin of
     * `graft.etl.SketchRollup`: each micro-batch of raw rows is folded
     * into the persisted per-group sketch state (HLL distinct, KLL

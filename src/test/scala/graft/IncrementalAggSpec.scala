@@ -65,6 +65,60 @@ class IncrementalAggSpec extends AnyFunSuite {
       canon(IncrementalAgg.finalizeState(scratch, keys)))
   }
 
+  test("advanceBatch is idempotent: a replayed (runTag, batchId) is a no-op") {
+    val statePath = java.nio.file.Files.createTempDirectory("graft_incr_b")
+      .resolve("state").toString
+    for ((b, i) <- batches.zipWithIndex)
+      IncrementalAgg.advanceBatch(spark, statePath, b, keys,
+        "o_totalprice", i.toLong)
+    def fin() = canon(IncrementalAgg.finalizeState(
+      spark.read.parquet(statePath), keys))
+    val before = fin()
+    // replay the middle batch — the at-least-once hazard: additive
+    // moments would double-count without the marker
+    IncrementalAgg.advanceBatch(spark, statePath, batches(1), keys,
+      "o_totalprice", 1L)
+    assert(fin() == before)
+    assert(before == canon(IncrementalAgg.finalizeState(
+      IncrementalAgg.partialState(orders, keys, "o_totalprice"), keys)))
+    // a DIFFERENT run tag is not a replay: same batch id folds again
+    IncrementalAgg.advanceBatch(spark, statePath, batches(1), keys,
+      "o_totalprice", 1L, runTag = "run2")
+    assert(fin() != before)
+  }
+
+  test("incrementalAggSink folds micro-batches into the one-shot state") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft_incr_s")
+    val statePath = base.resolve("state").toString
+    val ckpt = base.resolve("ckpt").toString
+    val mem = MemoryStream[(String, String, Double)]
+    val q = graft.streaming.StreamingPipeline.incrementalAggSink(
+      mem.toDF().toDF("o_orderstatus", "o_orderpriority", "o_totalprice"),
+      keys, "o_totalprice", statePath, ckpt).start()
+    try {
+      val rows = orders
+        .select(col("o_orderstatus"), col("o_orderpriority"),
+          col("o_totalprice").cast("double"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+      val (first, rest) = rows.splitAt(rows.length / 2)
+      mem.addData(first.toSeq)
+      q.processAllAvailable()
+      mem.addData(rest.toSeq)
+      q.processAllAvailable()
+      val streamed = canon(IncrementalAgg.finalizeState(
+        spark.read.parquet(statePath), keys))
+      val oneShot = canon(IncrementalAgg.finalizeState(
+        IncrementalAgg.partialState(
+          orders.withColumn("o_totalprice",
+            col("o_totalprice").cast("double")),
+          keys, "o_totalprice"), keys))
+      assert(streamed == oneShot)
+    } finally q.stop()
+  }
+
   test("finalize derives avg and population variance consistent with Spark's own aggregates") {
     val st = IncrementalAgg.partialState(orders, keys, "o_totalprice")
     val got = IncrementalAgg.finalizeState(st, keys)
