@@ -14,12 +14,14 @@ import org.apache.spark.sql.functions._
   *    partial+final aggregate over one scan, O(rows) with a
   *    single-row result; the same predicates drive [[split]] to
   *    quarantine offending rows without recomputing anything.
-  *  - TABLE rules (key uniqueness, referential integrity) need their
-  *    own shuffle by nature: uniqueness folds into the same single
-  *    agg via `count - count(distinct struct(keys))` (Expand, still
-  *    one job); each foreign-key check is a left-anti count against
-  *    its dimension — broadcast when the dim is small, which is the
-  *    star-schema case.
+  *  - TABLE rules (key uniqueness, referential integrity): uniqueness
+  *    folds into the same single agg via
+  *    `count - count(distinct struct(keys))` (Expand, still one job);
+  *    each foreign-key check rides the SAME scan as a broadcast
+  *    left-outer join against the dimension's distinct keys plus a
+  *    flag-sum in the shared aggregate (r11 — the previous per-FK
+  *    left-anti counts re-scanned the fact once per key). k rules +
+  *    m foreign keys = ONE pass over the fact, always.
   *
   * ExpectationsSpec pins the violation counts, the quarantine split,
   * and the one-Exchange plan shape of the row-rule pass.
@@ -87,15 +89,47 @@ object Expectations {
 
   private def quoted(n: String): Column = col(s"`${n.replace("`", "``")}`")
 
+  /** Fold the foreign-key checks into the SAME single scan as the row
+    * rules: each FK becomes one broadcast LEFT OUTER join against the
+    * DISTINCT dimension keys (distinct ⇒ the join preserves row
+    * multiplicity exactly, so every other aggregate is unaffected)
+    * plus a `sum(child not null ∧ ref null)` column in the shared
+    * aggregate — identical count to the left-anti form it replaces,
+    * but k FK checks now cost ZERO extra scans of the fact where the
+    * anti-join form re-scanned it once per key. Returns the joined
+    * frame, the FK aggregate columns, and their rule names. */
+  private def fkFold(df: DataFrame,
+      foreignKeys: Map[String, (String, DataFrame, String)])
+      : (DataFrame, Seq[Column], Seq[String]) = {
+    val fks = foreignKeys.toSeq.sortBy(_._1).zipWithIndex
+    fks.foreach { case ((name, (childCol, _, _)), i) =>
+      require(!df.columns.contains(s"__fk_ref_$i"),
+        s"input already has column __fk_ref_$i reserved by check ($name)")
+      require(df.columns.contains(childCol),
+        s"foreign key $name: no column '$childCol' in the checked frame")
+    }
+    val joined = fks.foldLeft(df) { case (acc, ((_, (childCol, dim, dimCol)), i)) =>
+      acc.join(broadcast(dim.select(col(dimCol).as(s"__fk_ref_$i")).distinct()),
+        col(childCol) === col(s"__fk_ref_$i"), "left_outer")
+    }
+    val cols = fks.map { case ((name, (childCol, _, _)), i) =>
+      sum(when(col(childCol).isNotNull && col(s"__fk_ref_$i").isNull,
+        1L).otherwise(0L)).as(name)
+    }
+    (joined, cols, fks.map(_._1._1))
+  }
+
   /** [[check]] as a DataFrame: one (rule, violations) row per rule —
     * the distributable/report shape (write it, join it, gate on it
-    * without a driver collect). Row rules + uniqueness still fold
-    * into ONE partial+final aggregate over one scan (the long format
-    * is an explode of that single result row); each foreign key adds
-    * its one broadcast anti-join count. Distribution (quantile-sketch)
-    * rules stay on [[check]] — their readout is engine-specific
-    * sketch state, not an exact count. Declared under the DuckDB
-    * oracle as `q_expectations`. */
+    * without a driver collect). EVERYTHING — row rules, uniqueness,
+    * and all foreign-key checks — folds into ONE partial+final
+    * aggregate over ONE scan: the FK flags ride the same pass as
+    * broadcast left-outer joins ([[fkFold]]; pre-r11 each FK
+    * re-scanned the fact for its own anti-join count), and the long
+    * format is an explode of the single result row. Distribution
+    * (quantile-sketch) rules stay on [[check]] — their readout is
+    * engine-specific sketch state, not an exact count. Declared under
+    * the DuckDB oracle as `q_expectations`. */
   def checkFrame(df: DataFrame, rules: Seq[Rule],
       uniqueKey: Seq[String] = Nil,
       foreignKeys: Map[String, (String, DataFrame, String)] = Map.empty)
@@ -103,26 +137,20 @@ object Expectations {
     val rowRules = rules.filter(_.rowPredicate.isDefined)
     require(rowRules.nonEmpty || uniqueKey.nonEmpty || foreignKeys.nonEmpty,
       "checkFrame needs at least one rule")
-    val (aggCols, names) = rowAggCols(rowRules, uniqueKey)
-    val parts =
-      (if (aggCols.isEmpty) Nil
-      else Seq(df.agg(aggCols.head, aggCols.tail: _*)
-        .select(explode(array(names.map(n =>
-            struct(lit(n).as("rule"),
-              quoted(n).cast("long").as("violations"))): _*)).as("__r"))
-        .select(col("__r.*")))) ++
-      foreignKeys.toSeq.sortBy(_._1).map { case (name, (childCol, dim, dimCol)) =>
-        df.filter(col(childCol).isNotNull)
-          .join(broadcast(dim.select(col(dimCol).as("__fk_ref")).distinct()),
-            col(childCol) === col("__fk_ref"), "left_anti")
-          .agg(count(lit(1)).as("violations"))
-          .select(lit(name).as("rule"), col("violations"))
-      }
-    parts.reduce(_ unionByName _)
+    val (rowCols, rowNames) = rowAggCols(rowRules, uniqueKey)
+    val (joined, fkCols, fkNames) = fkFold(df, foreignKeys)
+    val aggCols = rowCols ++ fkCols
+    val names = rowNames ++ fkNames
+    joined.agg(aggCols.head, aggCols.tail: _*)
+      .select(explode(array(names.map(n =>
+          struct(lit(n).as("rule"),
+            quoted(n).cast("long").as("violations"))): _*)).as("__r"))
+      .select(col("__r.*"))
   }
 
-  /** Evaluate row rules + optional key-uniqueness in ONE aggregate
-    * job, then one anti-join count per foreign-key check.
+  /** Evaluate row rules, key-uniqueness, ALL foreign-key checks and
+    * the quantile sketches in ONE aggregate job over one scan
+    * ([[fkFold]] rides the FK flags on broadcast left-outer joins).
     * `foreignKeys` maps "fk(child->dim)" style names to
     * (childCol, dimFrame, dimCol). */
   def check(df: DataFrame, rules: Seq[Rule],
@@ -131,7 +159,10 @@ object Expectations {
       distributions: Seq[QuantileRule] = Nil)
       : Seq[Violation] = {
     val rowRules = rules.filter(_.rowPredicate.isDefined)
-    val (rowCols, countNames) = rowAggCols(rowRules, uniqueKey)
+    val (rowCols0, countNames0) = rowAggCols(rowRules, uniqueKey)
+    val (joined, fkCols, fkNames) = fkFold(df, foreignKeys)
+    val rowCols = rowCols0 ++ fkCols
+    val countNames = countNames0 ++ fkNames
     val aggCols = rowCols ++
       // the sketch joins the same single aggregate; the quantile
       // readout happens in the select over its one-row result
@@ -141,7 +172,7 @@ object Expectations {
     val base: Seq[Violation] =
       if (aggCols.isEmpty) Nil
       else {
-        val agged = df.agg(aggCols.head, aggCols.tail: _*)
+        val agged = joined.agg(aggCols.head, aggCols.tail: _*)
         val row = agged.select(
           countNames.map(quoted) ++
           distributions.map { d =>
@@ -160,14 +191,7 @@ object Expectations {
           Violation(n, if (row.isNullAt(i)) 0L else row.getLong(i))
         }.toSeq
       }
-    val fks = foreignKeys.map { case (name, (childCol, dim, dimCol)) =>
-      // alias the dim side: child and dim key columns usually share a
-      // name in a star schema, which would make the raw join ambiguous
-      Violation(name, df.filter(col(childCol).isNotNull)
-        .join(broadcast(dim.select(col(dimCol).as("__fk_ref")).distinct()),
-          col(childCol) === col("__fk_ref"), "left_anti").count())
-    }
-    base ++ fks
+    base
   }
 
   /** Split on the row rules: (rows passing ALL, rows failing ANY with

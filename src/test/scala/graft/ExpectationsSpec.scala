@@ -130,4 +130,25 @@ class ExpectationsSpec extends AnyFunSuite {
     val scans = "(?i)(LocalTableScan|Scan parquet)".r.findAllIn(plan).length
     assert(scans == 1, s"expected a single scan:\n$plan")
   }
+
+  test("foreign-key checks ride the same single scan of the fact") {
+    // r11: FK flags fold into the shared aggregate via broadcast
+    // left-outer joins — the fact must appear ONCE in the plan no
+    // matter how many FKs are checked (the anti-join form re-scanned
+    // it per key), and the counts must equal the anti-join semantics
+    val frame = Expectations.checkFrame(dirty, rules,
+      uniqueKey = Seq("id"),
+      foreignKeys = Map(
+        "fk(country->code)" -> (("country", dims, "code")),
+        "fk2(country->code)" -> (("country", dims, "code"))))
+    val plan = frame.queryExecution.executedPlan.toString
+    // the fact scans once; the two dim scans are the broadcast sides
+    val factScans = plan.linesIterator
+      .count(l => "(?i)(LocalTableScan|Scan parquet)".r.findFirstIn(l).nonEmpty &&
+        l.contains("email"))
+    assert(factScans == 1, s"expected a single fact scan:\n$plan")
+    val byName = frame.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byName("fk(country->code)") == 1 && byName("fk2(country->code)") == 1)
+    assert(byName("unique(id)") == 1 && byName("not_null(email)") == 1)
+  }
 }
