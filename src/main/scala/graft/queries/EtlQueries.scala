@@ -96,8 +96,8 @@ object EtlQueries {
     // Data-quality expectations as the distributable (rule,
     // violations) report frame: three row rules + key uniqueness fold
     // into ONE partial+final aggregate over one lineitem scan; the
-    // referential check adds one broadcast anti-join count against
-    // orders. The reference's "verify the schema" console prints
+    // referential check rides the SAME scan as a broadcast
+    // left-outer flag-sum against distinct orders keys (r11). The reference's "verify the schema" console prints
     // (fetch_stocks.py:269-280) generalized to the Deequ/dbt-tests
     // contract gate a production load runs per batch.
     "q_expectations" -> { (s, d) =>
