@@ -142,9 +142,13 @@ object Expectations {
     val aggCols = rowCols ++ fkCols
     val names = rowNames ++ fkNames
     joined.agg(aggCols.head, aggCols.tail: _*)
+      // coalesce: sum() over ZERO rows is null — an empty batch must
+      // report 0 violations per rule (vacuous pass, matching check()'s
+      // driver-side null handling), not a null-violations report row
       .select(explode(array(names.map(n =>
           struct(lit(n).as("rule"),
-            quoted(n).cast("long").as("violations"))): _*)).as("__r"))
+            coalesce(quoted(n).cast("long"), lit(0L)).as("violations"))): _*))
+        .as("__r"))
       .select(col("__r.*"))
   }
 

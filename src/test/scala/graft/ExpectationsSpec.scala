@@ -131,6 +131,16 @@ class ExpectationsSpec extends AnyFunSuite {
     assert(scans == 1, s"expected a single scan:\n$plan")
   }
 
+  test("checkFrame on an empty batch reports 0 violations per rule, never null") {
+    val report = Expectations.checkFrame(dirty.limit(0), rules,
+        uniqueKey = Seq("id"),
+        foreignKeys = Map("fk(country->code)" -> (("country", dims, "code"))))
+      .collect()
+    assert(report.length == rules.size + 2)
+    assert(report.forall(r => !r.isNullAt(1) && r.getLong(1) == 0L),
+      report.mkString(", "))
+  }
+
   test("foreign-key checks ride the same single scan of the fact") {
     // r11: FK flags fold into the shared aggregate via broadcast
     // left-outer joins — the fact must appear ONCE in the plan no
