@@ -291,7 +291,36 @@ object ScaleProbe {
         (d: String) => { val (cur, upd) = scdInputs(d)
           graft.etl.Scd2.merge(cur, upd, "k", "ts", Seq("price")) },
         (d: String) => occupancy(
-          scdInputs(d)._2.groupBy(col("k")).agg(count(lit(1)).as("c"))), 3))
+          scdInputs(d)._2.groupBy(col("k")).agg(count(lit(1)).as("c"))), 3),
+      // r11 Expectations fold: 3 row rules + uniqueness + TWO foreign
+      // keys in ONE scan of the growing fact (lineitem) — the
+      // pre-fold shape re-scanned the fact once per FK, so its wall
+      // would grow ~3x this curve's slope. Dims stay BASE-sized at
+      // every scale (the star-schema broadcast contract — copies grow
+      // the fact, not the dims; offset partkeys just raise the
+      // violation count, which is semantically fine for a probe).
+      // Expect ~linear wall; the shuffle that grows with the fact is
+      // the uniqueness count_distinct KEY exchange — (l_orderkey,
+      // l_linenumber) pairs, never full rows — the one table rule
+      // that inherently shuffles (module scaladoc). The FK flags and
+      // row rules ship one partial row per partition.
+      ("risk_expectations",
+        (d: String) => {
+          import graft.etl.Expectations
+          val li = spark.read.parquet(s"$d/lineitem.parquet")
+          Expectations.checkFrame(li,
+            Seq(Expectations.inRange("l_quantity", 1.0, 30.0),
+              Expectations.matches("l_returnflag", "^[AR]$"),
+              Expectations.notNull("l_shipdate")),
+            uniqueKey = Seq("l_orderkey", "l_linenumber"),
+            foreignKeys = Map(
+              "fk_part" -> (("l_partkey",
+                spark.read.parquet(s"$Base/part.parquet"), "p_partkey")),
+              "fk_line" -> (("l_linenumber",
+                spark.read.parquet(s"$Base/lineitem.parquet")
+                  .select(col("l_linenumber")), "l_linenumber"))))
+        },
+        (d: String) => "", 3))
 
     val hdr = dirs.map { case (n, _) => f"x$n%7s " }.mkString
     println(f"${"probe"}%-20s $hdr xMAX/x1   shMB per scale")
