@@ -89,6 +89,17 @@ object Expectations {
 
   private def quoted(n: String): Column = col(s"`${n.replace("`", "``")}`")
 
+  /** Every check contributes one column to the shared aggregate named
+    * after its rule; a collision (e.g. an FK check named like a row
+    * rule) would otherwise surface as an opaque ambiguous-column
+    * AnalysisException deep in the post-agg select — fail fast with
+    * the offending name instead. */
+  private def requireDistinctNames(names: Seq[String]): Unit = {
+    val dups = names.diff(names.distinct).distinct
+    require(dups.isEmpty, "duplicate check names across row rules, " +
+      s"uniqueness and foreign keys: ${dups.mkString(", ")}")
+  }
+
   /** Fold the foreign-key checks into the SAME single scan as the row
     * rules: each FK becomes one broadcast LEFT OUTER join against the
     * DISTINCT dimension keys (distinct ⇒ the join preserves row
@@ -141,6 +152,7 @@ object Expectations {
     val (joined, fkCols, fkNames) = fkFold(df, foreignKeys)
     val aggCols = rowCols ++ fkCols
     val names = rowNames ++ fkNames
+    requireDistinctNames(names)
     joined.agg(aggCols.head, aggCols.tail: _*)
       // coalesce: sum() over ZERO rows is null — an empty batch must
       // report 0 violations per rule (vacuous pass, matching check()'s
@@ -167,6 +179,7 @@ object Expectations {
     val (joined, fkCols, fkNames) = fkFold(df, foreignKeys)
     val rowCols = rowCols0 ++ fkCols
     val countNames = countNames0 ++ fkNames
+    requireDistinctNames(countNames)
     val aggCols = rowCols ++
       // the sketch joins the same single aggregate; the quantile
       // readout happens in the select over its one-row result

@@ -83,7 +83,11 @@ object Similarity {
         when(size(col("__qs")) === 1, element_at(col("__qs"), 1))
           .otherwise(raise_error(concat(
             lit(s"$fn expects exactly 1 query row, got "),
-            size(col("__qs"))))).as("__q"))
+            // limit(2) caps what the collect can observe: any multi-row
+            // misuse frame packs exactly 2 — report it honestly instead
+            // of implying the real count was 2
+            when(size(col("__qs")) >= 2, lit("2 or more"))
+              .otherwise(size(col("__qs")).cast("string"))))).as("__q"))
       .select(col("__q.*"))
   }
 

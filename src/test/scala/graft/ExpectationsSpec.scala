@@ -141,6 +141,23 @@ class ExpectationsSpec extends AnyFunSuite {
       report.mkString(", "))
   }
 
+  test("colliding check names fail fast with the offending name") {
+    // an FK check named like a row rule (or the uniqueness alias)
+    // would otherwise surface as an opaque ambiguous-column
+    // AnalysisException in the post-agg select (r11 ADVICE) — both
+    // report shapes must refuse up front, naming the collision
+    val ex = intercept[IllegalArgumentException] {
+      Expectations.checkFrame(dirty, rules,
+        foreignKeys = Map("not_null(email)" -> (("country", dims, "code"))))
+    }
+    assert(ex.getMessage.contains("not_null(email)"), ex.getMessage)
+    val ex2 = intercept[IllegalArgumentException] {
+      Expectations.check(dirty, Nil, uniqueKey = Seq("id"),
+        foreignKeys = Map("unique(id)" -> (("country", dims, "code"))))
+    }
+    assert(ex2.getMessage.contains("unique(id)"), ex2.getMessage)
+  }
+
   test("foreign-key checks ride the same single scan of the fact") {
     // r11: FK flags fold into the shared aggregate via broadcast
     // left-outer joins — the fact must appear ONCE in the plan no

@@ -271,14 +271,18 @@ class OpsSpec extends AnyFunSuite {
       Similarity.bruteForceTopK(corpus, col("vec_id"), col("embedding"),
         corpus, col("embedding"), 3).collect()
     }
-    assert(exMsg(multiEx).contains("expects exactly 1 query row"),
+    // the guard packs limit(2), so it can only ever observe "2 or
+    // more" for a multi-row frame — the message must say so rather
+    // than imply the real count was 2 (r11 ADVICE)
+    assert(exMsg(multiEx).contains("expects exactly 1 query row, got 2 or more"),
       multiEx.getMessage)
-    // zero-row query frames fail the same way (not silently empty)
+    // zero-row query frames fail the same way (not silently empty),
+    // and zero IS exactly observable
     val emptyEx = intercept[Exception] {
       Similarity.lshTopK(corpus, col("vec_id"), col("embedding"),
         corpus.filter(lit(false)), col("embedding"), 3).collect()
     }
-    assert(exMsg(emptyEx).contains("expects exactly 1 query row"),
+    assert(exMsg(emptyEx).contains("expects exactly 1 query row, got 0"),
       emptyEx.getMessage)
     // dims mismatch: every bit would silently read '0' (null dot) and
     // the whole corpus would collapse into one bucket — must raise

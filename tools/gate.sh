@@ -30,7 +30,11 @@ echo "== [4/5] PlanAudit =="
 sbt -batch "Test/runMain graft.queries.PlanAudit"
 
 echo "== [5/5] Smoke =="
-sbt -batch "runMain graft.Smoke" | grep -q "entry rows" || {
+# Capture first, grep after: piping sbt straight into `grep -q` under
+# pipefail lets grep exit on first match, sbt then dies of SIGPIPE
+# (141) and a SUCCESSFUL Smoke run is misreported as a failure.
+smoke_out=$(sbt -batch "runMain graft.Smoke")
+echo "$smoke_out" | grep -q "entry rows" || {
   echo "smoke output missing entry rows"; exit 1; }
 
 echo "== gate green =="
