@@ -1,5 +1,27 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+
+/** Per-stage byte counters fed by task-end events. Timing on this
+  * host carries 2-4× contention noise (BASELINE.md; BENCH_r10/r11
+  * driver totals vs idle re-runs), but the BYTES a plan shuffles and
+  * scans are a function of plan + data alone — the contention-immune
+  * regression signal. Keyed by stageId (global, unique), summed over
+  * a query's own stage set so concurrent history can't bleed in. */
+private final class StageBytesListener extends SparkListener {
+  val shuffleWrite = scala.collection.concurrent.TrieMap.empty[Int, Long]
+  val input = scala.collection.concurrent.TrieMap.empty[Int, Long]
+  override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+    val m = t.taskMetrics
+    if (m != null) {
+      shuffleWrite.updateWith(t.stageId)(p =>
+        Some(p.getOrElse(0L) + m.shuffleWriteMetrics.bytesWritten))
+      input.updateWith(t.stageId)(p =>
+        Some(p.getOrElse(0L) + m.inputMetrics.bytesRead))
+    }
+  }
+}
+
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -124,7 +146,29 @@ object Bench {
     // scheduling-floor-dominated, and its ratio against a 0.03 s
     // DuckDB twin (q_intersect, q_except, …) carries no engine
     // signal.
-    val stageCounts: Map[String, Int] = SparkEntry.queries
+    // The same counting run also yields each query's deterministic
+    // byte costs: its distinct stage IDs are summed against the
+    // listener's per-stage shuffle-write / input-read tallies. Task-end
+    // events are delivered async; the sums are read after a bounded
+    // settle loop (two identical consecutive readings) so a lagging
+    // bus cannot undercount. Skipped stages (shuffle reuse) have no
+    // task events and correctly contribute 0 — the counting run builds
+    // a FRESH frame, so its own exchanges all execute.
+    val bytesListener = new StageBytesListener
+    spark.sparkContext.addSparkListener(bytesListener)
+    def settledSum(stageIds: Seq[Int],
+        m: scala.collection.concurrent.TrieMap[Int, Long]): Long = {
+      var prev = -1L
+      var cur = stageIds.map(m.getOrElse(_, 0L)).sum
+      var spins = 0
+      while (cur != prev && spins < 20) {
+        prev = cur; Thread.sleep(50)
+        cur = stageIds.map(m.getOrElse(_, 0L)).sum
+        spins += 1
+      }
+      cur
+    }
+    val stageStats: Map[String, (Int, Long, Long)] = SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .map { case (name, fn) =>
         val group = s"graft-bench-$name"
@@ -138,19 +182,29 @@ object Bench {
           val ok =
             try { fn(spark, sfDir).count(); true }
             catch { case scala.util.control.NonFatal(_) => false }
-          if (!ok) -1
+          if (!ok) (-1, -1L, -1L)
           else {
             val tr = spark.sparkContext.statusTracker
             // distinct: AQE materializes each exchange as its own job,
             // and jobs re-list upstream stages they share — summing per
             // job would double-count the common prefix
-            tr.getJobIdsForGroup(group).flatMap(id =>
+            val stageIds = tr.getJobIdsForGroup(group).flatMap(id =>
               tr.getJobInfo(id).toSeq.flatMap(_.stageIds.map(_.toInt)))
-              .distinct.length
+              .distinct.toSeq
+            (stageIds.length,
+              settledSum(stageIds, bytesListener.shuffleWrite),
+              settledSum(stageIds, bytesListener.input))
           }
         } finally spark.sparkContext.clearJobGroup()
         name -> n
       }
+    val stageCounts: Map[String, Int] = stageStats.map { case (k, v) => k -> v._1 }
+    def mb(b: Long): Double =
+      if (b < 0) -1.0 else math.round(b / 1048576.0 * 1000.0) / 1000.0
+    val shuffleMb: Map[String, Double] =
+      stageStats.map { case (k, v) => k -> mb(v._2) }
+    val inputMb: Map[String, Double] =
+      stageStats.map { case (k, v) => k -> mb(v._3) }
     def toJsonInt(m: Map[String, Int]): String =
       m.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     // Regression pins (BASELINE.md §bench): per-query budgets in IDLE
@@ -180,6 +234,20 @@ object Bench {
           t > budget * math.max(1.0, floorSec / idleFloorSec))
           .map(t => "\"" + qn + "\"")
       }
+    // Shuffle-byte pins: unlike the time pins these need NO floor
+    // normalization — bytes are a function of plan + data alone, so a
+    // breach is a plan regression by construction, never contention.
+    // Budgets (ShuffleBudgets.scala) are 1.3× an idle sf0.1 reading
+    // with a 0.5 MB absolute floor; active only under the driver's
+    // exact configuration (sf0.1, full sweep, default CPUs) because
+    // leaf split planning — and with it map-side-combine output — is
+    // parallelism-dependent.
+    val shufflePinFailures =
+      if (!sfDir.endsWith("sf0.1") || only.nonEmpty || cpus != "32") Seq.empty
+      else ShuffleBudgets.mbAtSf01.toSeq.flatMap { case (qn, budgetMb) =>
+        shuffleMb.get(qn).filter(m => m >= 0 && m > budgetMb)
+          .map(_ => "\"" + qn + "\"")
+      }
     // failures (-1 sentinel) are excluded from the total and counted
     // separately — a failed query must not SUBTRACT from the metric.
     val failed = results.values.count(_ < 0)
@@ -196,14 +264,18 @@ object Bench {
         val coldTotal = cold.values.filter(_ >= 0).sum
         s""","cold_total":$coldTotal,"cold_queries":${toJson(cold)}"""
       } else ""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"n_queries":${results.size},"runs_per_query":$runs,"agg":"min","warm_cache":true,"floor_sec":$floorSec,"floor_per_stage_sec":${floorSec / 2},"pin_failures":[${pinFailures.mkString(",")}]$coldFields,"queries":${toJson(results)},"stages":${toJsonInt(stageCounts)},"sf":"$sfDir"}""")
+    val shuffleTotalMb = math.round(
+      shuffleMb.values.filter(_ >= 0).sum * 1000.0) / 1000.0
+    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"n_queries":${results.size},"runs_per_query":$runs,"agg":"min","warm_cache":true,"floor_sec":$floorSec,"floor_per_stage_sec":${floorSec / 2},"pin_failures":[${pinFailures.mkString(",")}],"shuffle_pin_failures":[${shufflePinFailures.mkString(",")}],"shuffle_mb_total":$shuffleTotalMb$coldFields,"queries":${toJson(results)},"stages":${toJsonInt(stageCounts)},"shuffle_mb":${toJson(shuffleMb)},"input_mb":${toJson(inputMb)},"sf":"$sfDir"}""")
     // The full line above grew past the driver's tail-capture window in
     // round 3 and the LEADING total field was the part cut off. Re-emit
     // the headline number as a short final line so any last-N-bytes
-    // capture always contains a parseable total. n_queries contextualizes
-    // the total across rounds: the declared set grew 67 → 105, so raw
-    // round-over-round totals are not comparable without it.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"n_queries":${results.size}}""")
+    // capture always contains a parseable total — including BOTH pin
+    // alarms, which must survive any truncation. n_queries
+    // contextualizes the total across rounds: the declared set grew
+    // 67 → 119, so raw round-over-round totals are not comparable
+    // without it.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"n_queries":${results.size},"pin_failures":[${pinFailures.mkString(",")}],"shuffle_pin_failures":[${shufflePinFailures.mkString(",")}],"shuffle_mb_total":$shuffleTotalMb}""")
     spark.stop()
   }
 }
