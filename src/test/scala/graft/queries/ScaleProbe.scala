@@ -33,6 +33,7 @@ object ScaleProbe {
 
     if (args.contains("risk")) { riskMain(spark); spark.stop(); return }
     if (args.contains("capstone")) { capstoneMain(spark); spark.stop(); return }
+    if (args.contains("stream")) { streamMain(spark); spark.stop(); return }
 
     for (n <- Seq(2, 4)) build(spark, n)
 
@@ -398,6 +399,130 @@ object ScaleProbe {
         sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
       bytes.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
       ()
+    }
+  }
+
+  // ---------------------------------------------------------------
+  // Stream mode (`run ScaleProbe stream`): measured micro-batch
+  // throughput and state-growth curves for the streaming subsystem —
+  // the one part of the engine whose SCALE.md story was design-only
+  // until round 12. Two claims get numbers here:
+  //   1. per-batch wall tracks |batch|, not |accumulated state| —
+  //      constant-rate batches must show FLAT wall across batches
+  //      while total stream volume grows;
+  //   2. watermarks bound state — dedup/window state must PLATEAU
+  //      once event time advances past the watermark horizon, not
+  //      grow with stream lifetime.
+  // Metrics come from StreamingQueryProgress (the engine's own
+  // instrumentation): triggerExecution wall, input rows, and the
+  // state operators' numRowsTotal. MemoryStream + processAllAvailable
+  // makes each addData one synchronous micro-batch. The noop sink
+  // keeps driver memory out of the measurement.
+  // ---------------------------------------------------------------
+  private def streamMain(spark: SparkSession): Unit = {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.{StateBackend, StreamingPipeline}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    def ckpt(): String = java.nio.file.Files
+      .createTempDirectory("graft_stream_probe").toString
+
+    // Synthetic events: batch b advances event time by one hour, so a
+    // 1-hour watermark passes batch b's horizon during batch b+2 and
+    // the plateau claim is observable within 5 batches. Every
+    // event_id is unique (dedup state = all in-horizon keys); 50k
+    // users; timestamps spread across the batch's hour.
+    def eventRows(b: Int, n: Int)
+        : Seq[(Long, java.sql.Timestamp, Long, String, Double)] = {
+      val base = 1700000000000L + b.toLong * 3600000L
+      val types = Array("view", "click", "cart", "buy")
+      (0 until n).map { i =>
+        (b.toLong * n + i, new java.sql.Timestamp(base + (i % 3600) * 1000L),
+          (i % 50000).toLong, types(i % 4), (i % 997).toDouble)
+      }
+    }
+
+    def report(name: String,
+        q: org.apache.spark.sql.streaming.StreamingQuery): Unit =
+      q.recentProgress.filter(_.numInputRows > 0).foreach { p =>
+        val wall = p.durationMs.get("triggerExecution").toLong
+        val state = Option(p.stateOperators).filter(_.nonEmpty)
+          .map(_.map(_.numRowsTotal).sum).getOrElse(0L)
+        println(f"$name%-20s batch=${p.batchId}%2d rows=${p.numInputRows}%8d " +
+          f"wall=$wall%6d ms  krows/s=${p.numInputRows.toDouble / math.max(wall, 1)}%7.1f" +
+          f"  stateRows=$state%9d")
+      }
+
+    def runEventOp(name: String, outputMode: String, batches: Int, n: Int)(
+        mk: DataFrame => DataFrame): Unit = {
+      val ms = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double)]
+      val df = ms.toDF()
+        .toDF("event_id", "ts", "user_id", "event_type", "value")
+      val q = mk(df).writeStream.outputMode(outputMode)
+        .option("checkpointLocation", ckpt()).format("noop").start()
+      try {
+        (0 until batches).foreach { b =>
+          ms.addData(eventRows(b, n)); q.processAllAvailable()
+        }
+        report(name, q)
+      } finally q.stop()
+    }
+
+    println("== constant-rate batches: wall must stay flat, state must plateau ==")
+    runEventOp("dedup_hdfs", "append", 5, 200000)(
+      StreamingPipeline.dedupStream(_, Seq("event_id")))
+    locally { // same op on the RocksDB backend (the 100 TB state path)
+      val saved = StateBackend.useRocksDB(spark)
+      try runEventOp("dedup_rocksdb", "append", 5, 200000)(
+        StreamingPipeline.dedupStream(_, Seq("event_id")))
+      finally StateBackend.restore(spark, saved)
+    }
+    runEventOp("tumbling_agg", "update", 5, 200000)(
+      StreamingPipeline.tumblingHourly)
+    runEventOp("session_window", "append", 5, 200000)(
+      StreamingPipeline.sessionWindowStream(_))
+
+    println("== batch-size linearity: 4x rows in one batch ==")
+    runEventOp("dedup_hdfs_4x", "append", 1, 800000)(
+      StreamingPipeline.dedupStream(_, Seq("event_id")))
+
+    println("== typed flatMapGroupsWithState sessionizer ==")
+    locally {
+      val ms = MemoryStream[StreamingPipeline.Event]
+      val q = StreamingPipeline.sessionize(ms.toDS())
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", ckpt()).format("noop").start()
+      try {
+        (0 until 5).foreach { b =>
+          ms.addData(eventRows(b, 200000).map(e =>
+            StreamingPipeline.Event(e._1, e._2, e._3)))
+          q.processAllAvailable()
+        }
+        report("sessionize_typed", q)
+      } finally q.stop()
+    }
+
+    println("== stream-static LSH candidate join (stateless; kernel-bound) ==")
+    locally {
+      val baseDocs = spark.read.parquet(s"$Base/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val index = graft.ops.Dedup
+        .lshBandKeys(baseDocs, col("text"), col("doc_id")).cache()
+      index.count()
+      val docRows = baseDocs.as[(Long, String)].collect().toSeq
+      val ms = MemoryStream[(Long, String)]
+      val q = StreamingPipeline.nearDupCandidatesStream(
+          ms.toDF().toDF("doc_id", "text"), col("text"), col("doc_id"), index)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt()).format("noop").start()
+      try {
+        (0 until 3).foreach { b =>
+          ms.addData(docRows.map { case (id, t) => (id + b * 1000000L, t) })
+          q.processAllAvailable()
+        }
+        report("neardup_cands", q)
+      } finally { q.stop(); index.unpersist() }
     }
   }
 
