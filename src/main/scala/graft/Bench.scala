@@ -234,18 +234,32 @@ object Bench {
           t > budget * math.max(1.0, floorSec / idleFloorSec))
           .map(t => "\"" + qn + "\"")
       }
-    // Shuffle-byte pins: unlike the time pins these need NO floor
-    // normalization — bytes are a function of plan + data alone, so a
-    // breach is a plan regression by construction, never contention.
-    // Budgets (ShuffleBudgets.scala) are 1.3× an idle sf0.1 reading
-    // with a 0.5 MB absolute floor; active only under the driver's
-    // exact configuration (sf0.1, full sweep, default CPUs) because
-    // leaf split planning — and with it map-side-combine output — is
+    // Plan-cost pins: unlike the time pins these need NO floor
+    // normalization — shuffle/input bytes and planned-stage counts
+    // are functions of plan + data alone, so a breach is a plan
+    // regression by construction, never contention. Budgets
+    // (PlanBudgets.scala) are 1.3× an idle sf0.1 reading with a
+    // 0.5 MB absolute floor (bytes) / measured + 1 (stages — a small
+    // new exchange can hide under the byte floor but not from the
+    // stage count); active only under the driver's exact
+    // configuration (sf0.1, full sweep, default CPUs) because leaf
+    // split planning — and with it map-side-combine output — is
     // parallelism-dependent.
-    val shufflePinFailures =
-      if (!sfDir.endsWith("sf0.1") || only.nonEmpty || cpus != "32") Seq.empty
-      else ShuffleBudgets.mbAtSf01.toSeq.flatMap { case (qn, budgetMb) =>
-        shuffleMb.get(qn).filter(m => m >= 0 && m > budgetMb)
+    val planPinsActive =
+      sfDir.endsWith("sf0.1") && only.isEmpty && cpus == "32"
+    def bytePinFailures(measured: Map[String, Double],
+        budgets: Map[String, Double]): Seq[String] =
+      if (!planPinsActive) Seq.empty
+      else budgets.toSeq.flatMap { case (qn, budgetMb) =>
+        measured.get(qn).filter(m => m >= 0 && m > budgetMb)
+          .map(_ => "\"" + qn + "\"")
+      }
+    val shufflePinFailures = bytePinFailures(shuffleMb, PlanBudgets.shuffleMbAtSf01)
+    val inputPinFailures = bytePinFailures(inputMb, PlanBudgets.inputMbAtSf01)
+    val stagePinFailures =
+      if (!planPinsActive) Seq.empty
+      else PlanBudgets.stagesAtSf01.toSeq.flatMap { case (qn, budget) =>
+        stageCounts.get(qn).filter(n => n >= 0 && n > budget + 1)
           .map(_ => "\"" + qn + "\"")
       }
     // failures (-1 sentinel) are excluded from the total and counted
@@ -266,7 +280,8 @@ object Bench {
       } else ""
     val shuffleTotalMb = math.round(
       shuffleMb.values.filter(_ >= 0).sum * 1000.0) / 1000.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"n_queries":${results.size},"runs_per_query":$runs,"agg":"min","warm_cache":true,"floor_sec":$floorSec,"floor_per_stage_sec":${floorSec / 2},"pin_failures":[${pinFailures.mkString(",")}],"shuffle_pin_failures":[${shufflePinFailures.mkString(",")}],"shuffle_mb_total":$shuffleTotalMb$coldFields,"queries":${toJson(results)},"stages":${toJsonInt(stageCounts)},"shuffle_mb":${toJson(shuffleMb)},"input_mb":${toJson(inputMb)},"sf":"$sfDir"}""")
+    val planPinFields = s""""shuffle_pin_failures":[${shufflePinFailures.mkString(",")}],"input_pin_failures":[${inputPinFailures.mkString(",")}],"stage_pin_failures":[${stagePinFailures.mkString(",")}]"""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"n_queries":${results.size},"runs_per_query":$runs,"agg":"min","warm_cache":true,"floor_sec":$floorSec,"floor_per_stage_sec":${floorSec / 2},"pin_failures":[${pinFailures.mkString(",")}],$planPinFields,"shuffle_mb_total":$shuffleTotalMb$coldFields,"queries":${toJson(results)},"stages":${toJsonInt(stageCounts)},"shuffle_mb":${toJson(shuffleMb)},"input_mb":${toJson(inputMb)},"sf":"$sfDir"}""")
     // The full line above grew past the driver's tail-capture window in
     // round 3 and the LEADING total field was the part cut off. Re-emit
     // the headline number as a short final line so any last-N-bytes
@@ -275,7 +290,7 @@ object Bench {
     // contextualizes the total across rounds: the declared set grew
     // 67 → 119, so raw round-over-round totals are not comparable
     // without it.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"n_queries":${results.size},"pin_failures":[${pinFailures.mkString(",")}],"shuffle_pin_failures":[${shufflePinFailures.mkString(",")}],"shuffle_mb_total":$shuffleTotalMb}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"n_queries":${results.size},"pin_failures":[${pinFailures.mkString(",")}],$planPinFields,"shuffle_mb_total":$shuffleTotalMb}""")
     spark.stop()
   }
 }
