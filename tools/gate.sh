@@ -6,30 +6,53 @@
 #      caught divergences the smaller scales missed)
 #   3. the partitioning-invariance probe (different CPU counts)
 #   4. the PlanAudit 4-sweep regression gate
-#   5. the flagship Smoke
-# Exits nonzero on the first failure. ~15-20 min end to end.
+#   5. the plan-cost pins: one full-sweep Bench at sf0.1, failing on
+#      any shuffle/input/stage budget breach (PlanBudgets) — the
+#      contention-immune plan-regression check (time pins are NOT
+#      gated here: they carry host noise and are the driver's record)
+#   6. the flagship Smoke
+# Exits nonzero on the first failure. ~20-25 min end to end.
 # GATE DISCIPLINE: run this LAST — no src/main edits after it passes.
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
-echo "== [1/5] sbt test =="
+echo "== [1/6] sbt test =="
 sbt -batch test
 
-echo "== [2/5] Verify + burnin at three scale factors =="
+echo "== [2/6] Verify + burnin at three scale factors =="
 for sf in sf0.001 sf0.01 sf0.1; do
   out="/tmp/gate_${sf}"
   sbt -batch "runMain graft.Verify /root/testdata/${sf} ${out}"
   python3 tools/burnin.py "/root/testdata/${sf}" "${out}"
 done
 
-echo "== [3/5] partitioning invariance (7 vs default CPUs) =="
+echo "== [3/6] partitioning invariance (7 vs default CPUs) =="
 SPARK_GRAFT_CPUS=7 sbt -batch "runMain graft.Verify /root/testdata/sf0.001 /tmp/gate_pA"
 python3 tools/partcheck.py /tmp/gate_pA /tmp/gate_sf0.001
 
-echo "== [4/5] PlanAudit =="
+echo "== [4/6] PlanAudit =="
 sbt -batch "Test/runMain graft.queries.PlanAudit"
 
-echo "== [5/5] Smoke =="
+echo "== [5/6] plan-cost pins (shuffle/input/stage budgets at sf0.1) =="
+SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_BENCH_RUNS=1 \
+  sbt -batch "runMain graft.Bench" 2>&1 | grep -o '{"metric".*}' \
+  > /tmp/gate_bench.json
+python3 - <<'PYEOF'
+import json, sys
+lines = [json.loads(l) for l in open("/tmp/gate_bench.json")]
+d = max(lines, key=len)
+bad = {k: d[k] for k in
+       ("shuffle_pin_failures", "input_pin_failures", "stage_pin_failures")
+       if d.get(k)}
+if d.get("failed", 0):
+    print(f"bench had {d['failed']} failed queries"); sys.exit(1)
+if bad:
+    print(f"plan-cost pin breach (re-baseline PlanBudgets only for an "
+          f"INTENDED plan change): {bad}"); sys.exit(1)
+print(f"plan pins green; shuffle_mb_total={d.get('shuffle_mb_total')}")
+PYEOF
+
+echo "== [6/6] Smoke =="
 # Capture first, grep after: piping sbt straight into `grep -q` under
 # pipefail lets grep exit on first match, sbt then dies of SIGPIPE
 # (141) and a SUCCESSFUL Smoke run is misreported as a failure.

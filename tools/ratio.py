@@ -16,6 +16,21 @@ Usage: python3 tools/ratio.py <bench.json> <ducktime.json> [gate=2.0]
 import json
 import sys
 
+# Settled dispositions (the PlanAudit-allowlist pattern): queries whose
+# >gate sweep reading has been bisected, re-measured isolated, and
+# accepted by a verdict. They still PRINT as FLAG so the reading stays
+# on the record, but they do not fail the exit code — only a NEW flag
+# does. Entries carry the isolated reading + where the disposition
+# lives; re-litigate only if the regression PIN (Bench pin_failures /
+# PlanBudgets) trips.
+ACCEPTED = {
+    # r9 verdict option B, executed r10: plan is audited-minimal (one
+    # shared sort/exchange), both restructurings measured worse,
+    # isolated min-of-9 reads 0.68-0.77 s = 1.8-2.0x; pinned at 1.0 s
+    # sweep-context in Bench (SCALE.md "q_rsi cost attribution").
+    "q_rsi",
+}
+
 bench_path, duck_path = sys.argv[1], sys.argv[2]
 gate = float(sys.argv[3]) if len(sys.argv) > 3 else 2.0
 
@@ -54,7 +69,13 @@ if flagged:
     print(f"\nFLAGGED (> {gate}x, not floor-dominated) — re-measure "
           f"isolated before believing a sweep number:")
     for q, wall, dt, ratio, st in flagged:
+        note = "  [accepted disposition — not a gate failure]" \
+            if q in ACCEPTED else ""
         print(f"  {q}: {wall:.2f} s vs {dt:.2f} s = {ratio:.1f}x "
-              f"({st} stages)")
-    sys.exit(1)
+              f"({st} stages){note}")
+    new = [q for q, *_ in flagged if q not in ACCEPTED]
+    if new:
+        sys.exit(1)
+    print("all flags carry accepted dispositions; exit 0")
+    sys.exit(0)
 print(f"\nno non-floor queries above {gate}x DuckDB")
