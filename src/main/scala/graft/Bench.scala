@@ -245,8 +245,14 @@ object Bench {
     // configuration (sf0.1, full sweep, default CPUs) because leaf
     // split planning — and with it map-side-combine output — is
     // parallelism-dependent.
+    // The A/B knobs (reducer count, AQE off) legitimately change
+    // bytes and stage counts — pins are baselined under the driver's
+    // exact configuration only, so any override deactivates them
+    // rather than misfiring.
     val planPinsActive =
-      sfDir.endsWith("sf0.1") && only.isEmpty && cpus == "32"
+      sfDir.endsWith("sf0.1") && only.isEmpty && cpus == "32" &&
+        shufflePartitions == cpus &&
+        sys.env.getOrElse("SPARK_GRAFT_AQE", "true") == "true"
     def bytePinFailures(measured: Map[String, Double],
         budgets: Map[String, Double]): Seq[String] =
       if (!planPinsActive) Seq.empty

@@ -424,6 +424,43 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("dedup state PLATEAUS at the watermark horizon, not stream lifetime") {
+    // the ∞-time contract behind dedupStream's existence (a plain
+    // dropDuplicates grows state forever): with event time advancing
+    // 1 h/batch under a 1 h watermark, the store must hold ~the
+    // in-horizon batches' keys and STOP growing — measured at 200k
+    // rows/batch by ScaleProbe stream (SCALE.md §Streaming); asserted
+    // here at spec size so a state-retention regression fails the suite
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val q = StreamingPipeline.dedupStream(
+        mem.toDF.toDF("event_id", "ts", "value"), Seq("event_id"))
+      .writeStream.outputMode("append").format("noop")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_dedup_plateau").toString)
+      .start()
+    try {
+      val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+      val statePerBatch = (0 until 6).map { b =>
+        // 100 fresh keys per batch, all timestamps inside batch b's hour
+        mem.addData((0 until 100).map(i => (b * 100L + i,
+          new java.sql.Timestamp(base + b * 3600000L + i * 1000L), 1.0)))
+        q.processAllAvailable()
+        q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      }
+      // grows over the first in-horizon batches...
+      assert(statePerBatch.head == 100L, statePerBatch.toString)
+      // ...then stops: the last batches hold the same bounded key set,
+      // far below the 600 cumulative keys an unbounded store would hold
+      assert(statePerBatch.last == statePerBatch(4),
+        s"state still growing at batch 5: $statePerBatch")
+      assert(statePerBatch.last <= 300L,
+        s"state not watermark-bounded: $statePerBatch")
+    } finally q.stop()
+  }
+
   test("upsert recovers from a missing pointer and distinguishes runs") {
     import spark.implicits._
     val fs = new org.apache.hadoop.fs.Path("/").getFileSystem(
