@@ -171,6 +171,8 @@ object GraftFunctions {
     ("graft_shingle_windows", classOf[ShingleWindows].getName,
       ShingleWindows.build _),
     ("graft_token_stats", classOf[TokenStats].getName, TokenStats.build _),
+    ("graft_pq_encode", classOf[PqEncode].getName, PqEncode.build _),
+    ("graft_pq_adc", classOf[PqAdcDot].getName, PqAdcDot.build _),
     ("graft_top_k", classOf[TopKAgg].getName, TopKAgg.build _),
     ("graft_top_k_pairs", classOf[TopKPairAgg].getName, TopKPairAgg.build _),
     ("graft_freq_items", classOf[FreqItemsAgg].getName, FreqItemsAgg.build _))
@@ -226,4 +228,18 @@ object GraftFunctions {
     * deriving several gates from this struct costs one text scan. */
   def tokenStats(text: Column, stopwords: Seq[String] = Nil): Column =
     ColumnBridge.column(TokenStats(ColumnBridge.expression(text), stopwords))
+
+  /** Product-quantization codes (m codes in [0, kc)) from an
+    * ARRAY<DOUBLE> vector under a flat row-major codebook — see
+    * [[PqEncode]] for the shape and null contract. */
+  def pqEncode(v: Column, codebookFlat: IndexedSeq[Double], m: Int,
+      kc: Int): Column =
+    ColumnBridge.column(PqEncode(ColumnBridge.expression(v),
+      codebookFlat, m, kc))
+
+  /** Asymmetric-distance dot from PQ codes and a per-query flat
+    * lookup table — see [[PqAdcDot]] for the null contract. */
+  def pqAdc(codes: Column, lutFlat: IndexedSeq[Double], kc: Int): Column =
+    ColumnBridge.column(PqAdcDot(ColumnBridge.expression(codes),
+      lutFlat, kc))
 }

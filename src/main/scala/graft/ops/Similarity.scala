@@ -634,4 +634,199 @@ object Similarity {
       .orderBy(col("cos").desc, col("id"))
       .limit(k)
   }
+
+  // ---------------------------------------------------------------
+  // Product quantization — the MEMORY half of the ANN scale path
+  // (IVF bounds which rows a probe reads; PQ bounds the bytes each
+  // row costs). A 64-dim double vector is 512 B; its m=8 BINARY
+  // codes are 8 B (64×) plus a shared m×kc×dsub codebook — what makes a 100 TB
+  // embedding corpus cache-, shuffle- and memory-affordable. Ranking
+  // against a query costs m table lookups per row (the ADC kernel)
+  // instead of a dims-length dot.
+  //
+  // Cosine contract: vectors are unit-normalized BEFORE slicing (so
+  // inner product = cosine), then each subspace is k-means'd under
+  // L2 with the same determinism discipline as the IVF trainer —
+  // md5-seeded init, decimal-mean Lloyd updates, lower-cid ties — so
+  // a retrain on the same data is bit-identical under any
+  // partitioning. Zero-norm / malformed vectors normalize to null
+  // and carry null codes (the kernel's row-uniform null contract);
+  // the ADC stage filters them.
+  // ---------------------------------------------------------------
+
+  /** A trained PQ codebook: `m` subspaces of `dsub` dims, `kc`
+    * centroids each, flat row-major (`(j*kc + c)*dsub + t`). The
+    * model is driver-held state like the IVF centroids — m×kc×dsub
+    * doubles (default 8×16×8 = 1 KB), broadcast into plans as one
+    * referenced object. */
+  final case class PqModel(m: Int, kc: Int, dsub: Int,
+      codebookFlat: IndexedSeq[Double]) {
+    require(codebookFlat.length == m * kc * dsub,
+      s"PqModel: flat length ${codebookFlat.length} != m*kc*dsub = ${m * kc * dsub}")
+    def dims: Int = m * dsub
+
+    /** Per-query ADC lookup table: lut(j*kc + c) = dot(query subvector
+      * j, centroid c of subspace j). The query is unit-normalized here
+      * (same contract as the corpus side). */
+    def lut(query: Seq[Double]): IndexedSeq[Double] = {
+      require(query.length == dims,
+        s"query has ${query.length} dims, model expects $dims")
+      val n = math.sqrt(query.map(x => x * x).sum)
+      require(n > 0.0 && java.lang.Double.isFinite(n),
+        "query vector has zero or non-finite norm — cosine is undefined")
+      val q = query.map(_ / n)
+      val out = new Array[Double](m * kc)
+      var j = 0
+      while (j < m) {
+        var c = 0
+        while (c < kc) {
+          var s = 0.0
+          var t = 0
+          while (t < dsub) {
+            s += q(j * dsub + t) * codebookFlat((j * kc + c) * dsub + t)
+            t += 1
+          }
+          out(j * kc + c) = s
+          c += 1
+        }
+        j += 1
+      }
+      out.toIndexedSeq
+    }
+  }
+
+  /** (id, vn) with vn the UNIT-normalized vector; the norm is a real
+    * projected attribute before the transform lambda references it (an
+    * expensive subtree INSIDE a HOF lambda re-evaluates per element —
+    * the r10 shingle lesson). Zero-norm / non-finite rows get null vn. */
+  private def unitNorm(base: DataFrame): DataFrame =
+    base
+      .withColumn("__n", sqrt(GraftFunctions.dot(col("v"), col("v"))))
+      .withColumn("vn",
+        when(col("__n") > 0.0 && !isnan(col("__n")),
+          transform(col("v"), x => x / col("__n"))))
+      .select(col("id"), col("vn"))
+
+  /** Squared-L2 argmin assignment of a subvector frame (id, vs) to
+    * literal centroids — `least` over (dist, cid) structs, ties to the
+    * lower cid like [[assignExpr]]. The per-row `v·v` term is constant
+    * across candidates and dropped (rank-equivalent surrogate
+    * `c·c − 2·v·c`). kc ≤ [[AssignLiteralMaxK]] by require, so the
+    * literal form never hits the expression-blowup regime. */
+  private def l2AssignExpr(vs: Column,
+      centroids: Seq[(Int, Seq[Double])]): Column = {
+    val cands = centroids.map { case (cid, c) =>
+      val cLit = array(c.map(lit): _*)
+      struct((lit(c.map(x => x * x).sum) -
+        lit(2.0) * GraftFunctions.dot(vs, cLit)).as("dist"),
+        lit(cid).as("cid"))
+    }
+    (if (cands.size == 1) cands.head else least(cands: _*)).getField("cid")
+  }
+
+  /** Train a PQ codebook over `corpus`: unit-normalize, slice into `m`
+    * subspaces, k-means each under L2. Deterministic (md5-seeded init,
+    * decimal-mean updates — identical under any partitioning). The m
+    * trainings are independent small jobs; this is train-once model
+    * state, like [[ivfCentroids]]. */
+  def pqTrain(corpus: DataFrame, idCol: Column, vecCol: Column,
+      m: Int = 8, kc: Int = 16, iters: Int = 2, dims: Int = 64): PqModel = {
+    require(m > 0 && dims % m == 0, s"m=$m must divide dims=$dims")
+    require(kc > 1 && kc <= AssignLiteralMaxK,
+      s"kc=$kc out of range (2..$AssignLiteralMaxK)")
+    val dsub = dims / m
+    val normed = unitNorm(
+        corpus.select(idCol.as("id"), vecCol.cast("array<double>").as("v")))
+      .filter(col("vn").isNotNull)
+    val flat = Array.newBuilder[Double]
+    for (j <- 0 until m) {
+      val sub = normed.select(col("id"),
+        slice(col("vn"), j * dsub + 1, dsub).as("vs"))
+      var centroids: Seq[(Int, Seq[Double])] = sub
+        .withColumn("__h", md5(col("id").cast("string").cast("binary")))
+        .orderBy(col("__h"), col("id"))
+        .limit(kc)
+        .collect().zipWithIndex
+        .map { case (r, i) => (i, r.getSeq[Double](1).toIndexedSeq) }.toIndexedSeq
+      for (_ <- 0 until iters) {
+        val assigned = sub.withColumn("cid", l2AssignExpr(col("vs"), centroids))
+        val means = assigned
+          .select(col("cid"), posexplode(col("vs")).as(Seq("pos", "x")))
+          .groupBy(col("cid"), col("pos"))
+          .agg(avg(col("x").cast("decimal(38,18)")).cast("double").as("mv"))
+          .groupBy(col("cid"))
+          .agg(expr("transform(sort_array(collect_list(struct(pos, mv))), s -> s.mv)").as("c"))
+          .collect()
+          .map(r => (r.getInt(0), r.getSeq[Double](1).toIndexedSeq))
+          .sortBy(_._1).toIndexedSeq
+        val byId = means.toMap
+        // clusters that lost all members keep their previous centroid
+        centroids = centroids.map { case (cid, c) => (cid, byId.getOrElse(cid, c)) }
+      }
+      centroids.sortBy(_._1).foreach { case (_, c) => flat ++= c }
+    }
+    PqModel(m, kc, dsub, flat.result().toIndexedSeq)
+  }
+
+  /** (id, codes) for every corpus row — codes are BINARY, one byte
+    * per subspace (the persistable 64×-smaller search frame at the
+    * m=8/64-dim default). Null codes mark zero-norm / malformed vectors
+    * (kept, NOT filtered here: an `isnotnull` over the encode chain
+    * would be pushed below the projection and run the kernel twice
+    * per row — the r10 plan-audit class; the cheap ADC stage filters
+    * instead). */
+  def pqEncodeCorpus(corpus: DataFrame, idCol: Column, vecCol: Column,
+      model: PqModel): DataFrame =
+    unitNorm(corpus.select(idCol.as("id"), vecCol.cast("array<double>").as("v")))
+      .select(col("id"), GraftFunctions.pqEncode(col("vn"),
+        model.codebookFlat, model.m, model.kc).as("codes"))
+
+  /** Probe-side shape guard for a PERSISTED codes column: raises at
+    * execution when the code count differs from the probing model's
+    * `m` — the PQ twin of [[checkedBucket]] (codes trained under a
+    * different (m, kc) would otherwise rank garbage or null out
+    * silently). Out-of-range codes (kc mismatch) null in the ADC
+    * kernel itself. */
+  def checkedPqCodes(codesCol: Column, m: Int): Column =
+    when(length(codesCol) === m, codesCol).otherwise(raise_error(concat(
+      lit(s"pq codes shape mismatch: expected $m codes, got "),
+      length(codesCol),
+      lit(" — the codes were encoded under a different model; " +
+        "re-encode or probe with the model they were built with"))))
+
+  /** Approximate top-k over an ENCODED frame (id, codes): rank all
+    * rows by the ADC dot (m lookups/row), keep the best
+    * max(k, rerankDepth) via TakeOrderedAndProject, then optionally
+    * exact-rerank those few against `rerank` (id, vector) rows —
+    * broadcast-sized by construction. Output: (id, cos) when
+    * reranked, (id, adc) otherwise. The query is a driver-side vector
+    * because its lookup table is per-query model state entering the
+    * plan as one referenced object (like the IVF centroids). */
+  def pqTopK(codes: DataFrame, idCol: Column, codesCol: Column,
+      query: Seq[Double], k: Int, model: PqModel,
+      rerank: DataFrame = null, rerankIdCol: Column = null,
+      rerankVecCol: Column = null, rerankDepth: Int = 0): DataFrame = {
+    require(k > 0, s"k=$k must be positive")
+    val lutFlat = model.lut(query)
+    val scored = codes
+      .select(idCol.as("id"),
+        GraftFunctions.pqAdc(codesCol, lutFlat, model.kc).as("adc"))
+      // cheap to evaluate twice if pushed below the projection: the
+      // ADC is m array reads, unlike the encode chain
+      .filter(col("adc").isNotNull)
+    val depth = math.max(k, rerankDepth)
+    val top = scored.orderBy(col("adc").desc, col("id")).limit(depth)
+    if (rerank == null) top
+    else {
+      val n = math.sqrt(query.map(x => x * x).sum)
+      val qLit = array(query.map(x => lit(x / n)): _*)
+      broadcast(top)
+        .join(rerank.select(rerankIdCol.as("id"),
+          rerankVecCol.cast("array<double>").as("__rv")), Seq("id"))
+        .select(col("id"), round(cosine(col("__rv"), qLit), 4).as("cos"))
+        .filter(!isnan(col("cos")))
+        .orderBy(col("cos").desc, col("id"))
+        .limit(k)
+    }
+  }
 }
