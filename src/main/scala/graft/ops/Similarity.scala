@@ -794,6 +794,37 @@ object Similarity {
       lit(" — the codes were encoded under a different model; " +
         "re-encode or probe with the model they were built with"))))
 
+  /** Persist a trained PQ model — the same swap-published
+    * train-once/serve-many lifecycle as [[saveIvfModel]] (a retrain
+    * never exposes a half-written codebook to concurrent probes).
+    * One row: (m, kc, dsub, flat codebook). */
+  def savePqModel(spark: org.apache.spark.sql.SparkSession, path: String,
+      model: PqModel): Unit = {
+    import org.apache.hadoop.fs.Path
+    import graft.etl.Swap
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    val (dir, tmp) = (new Path(path), new Path(path + "__advancing"))
+    Swap.recover(fs, dir, tmp)
+    fs.delete(tmp, true)
+    import spark.implicits._
+    Seq((model.m, model.kc, model.dsub, model.codebookFlat))
+      .toDF("m", "kc", "dsub", "codebook")
+      .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    Swap.publish(fs, dir, tmp)
+  }
+
+  /** Load a model written by [[savePqModel]]. The PqModel constructor
+    * re-validates the shape, so a torn or foreign file fails loudly
+    * instead of ranking garbage. */
+  def loadPqModel(spark: org.apache.spark.sql.SparkSession,
+      path: String): PqModel = {
+    val r = spark.read.parquet(path)
+      .select(col("m"), col("kc"), col("dsub"), col("codebook")).head
+    PqModel(r.getInt(0), r.getInt(1), r.getInt(2),
+      r.getSeq[Double](3).toIndexedSeq)
+  }
+
   /** Approximate top-k over an ENCODED frame (id, codes): rank all
     * rows by the ADC dot (m lookups/row), keep the best
     * max(k, rerankDepth) via TakeOrderedAndProject, then optionally

@@ -174,6 +174,16 @@ class PqSpec extends AnyFunSuite {
     assert(rRerank >= rAdc, "reranking must not lose recall")
   }
 
+  test("model persists and loads bit-identically (swap-published)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_pq_model")
+      .toString + "/model"
+    Similarity.savePqModel(spark, dir, model)
+    assert(Similarity.loadPqModel(spark, dir) == model)
+    // re-publish over the live model (the retrain path): still loads
+    Similarity.savePqModel(spark, dir, model)
+    assert(Similarity.loadPqModel(spark, dir) == model)
+  }
+
   test("pq top-k plans as TakeOrderedAndProject, never a global sort") {
     val q = Seq.tabulate(64)(i => math.sin(i + 1.0))
     val plan = Similarity.pqTopK(codes, col("id"), col("codes"), q, 10, model)
