@@ -160,11 +160,17 @@ case class PqAdcDot(child: Expression, lutFlat: IndexedSeq[Double], kc: Int)
 
   protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val lutRef = ctx.addReferenceObj("graftPqLut", lut, "double[]")
+    // freshName per the Spark codegen convention: today each
+    // nullSafeCodeGen body lands in its own block (measured: a fixed
+    // name compiles fine under two ADC columns in one projection —
+    // PqSpec pins that), but a fresh name removes the dependence on
+    // that placement detail surviving future codegen refactors
+    val boxed = ctx.freshName("graftAdcBoxed")
     nullSafeCodeGen(ctx, ev, codes => {
       s"""
-         |Object graftAdcBoxed = graft.functions.PqAdcDot.adc($codes, $lutRef, $kc);
-         |if (graftAdcBoxed == null) { ${ev.isNull} = true; }
-         |else { ${ev.value} = ((java.lang.Double) graftAdcBoxed).doubleValue(); }
+         |Object $boxed = graft.functions.PqAdcDot.adc($codes, $lutRef, $kc);
+         |if ($boxed == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = ((java.lang.Double) $boxed).doubleValue(); }
        """.stripMargin
     })
   }

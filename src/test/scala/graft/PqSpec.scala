@@ -174,6 +174,34 @@ class PqSpec extends AnyFunSuite {
     assert(rRerank >= rAdc, "reranking must not lose recall")
   }
 
+  test("two ADC columns in one projection stay codegen'd (no name collision)") {
+    // pins the generated-code health of multi-LUT scoring: a local
+    // name collision across the two kernel bodies would fail Janino
+    // and silently drop the stage to interpreted. fallback=false
+    // turns that silent downgrade into a test failure.
+    val prior = spark.conf.getOption("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val q1 = emb.filter(col("vec_id") === 7L)
+        .select(col("embedding").cast("array<double>")).head.getSeq[Double](0)
+      val q2 = emb.filter(col("vec_id") === 9L)
+        .select(col("embedding").cast("array<double>")).head.getSeq[Double](0)
+      val both = codes.select(col("id"),
+          graft.functions.GraftFunctions.pqAdc(col("codes"), model.lut(q1),
+            model.kc).as("a1"),
+          graft.functions.GraftFunctions.pqAdc(col("codes"), model.lut(q2),
+            model.kc).as("a2"))
+        .collect()
+      assert(both.length == 500)
+      assert(both.forall(r => !r.isNullAt(1) && !r.isNullAt(2)))
+      assert(both.exists(r => r.getDouble(1) != r.getDouble(2)),
+        "two different LUTs must score differently somewhere")
+    } finally prior match {
+      case Some(v) => spark.conf.set("spark.sql.codegen.fallback", v)
+      case None => spark.conf.unset("spark.sql.codegen.fallback")
+    }
+  }
+
   test("model persists and loads bit-identically (swap-published)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_pq_model")
       .toString + "/model"
