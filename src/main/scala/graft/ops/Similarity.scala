@@ -825,6 +825,63 @@ object Similarity {
       r.getSeq[Double](3).toIndexedSeq)
   }
 
+  /** The IVF-PQ serving frame (id, cid, codes): coarse cluster id
+    * from the IVF centroids (same cosine assignment as every IVF
+    * entry point) + PQ codes from the unit-normalized vector. Persist
+    * it `partitionBy("cid")` and a probe's `cid IN (...)` filter
+    * becomes PARTITION PRUNING — at 100 TB a probe reads nprobe
+    * directories of 8-byte codes, not the corpus (IvfPqSpec asserts
+    * the pruned scan). */
+  def ivfPqIndex(corpus: DataFrame, idCol: Column, vecCol: Column,
+      centroids: Seq[(Int, Seq[Double])], model: PqModel): DataFrame = {
+    val assigned = assignClusters(
+      corpus.select(idCol.as("id"), vecCol.cast("array<double>").as("v")),
+      centroids)
+    assigned
+      .withColumn("__n", sqrt(GraftFunctions.dot(col("v"), col("v"))))
+      .withColumn("vn",
+        when(col("__n") > 0.0 && !isnan(col("__n")),
+          transform(col("v"), x => x / col("__n"))))
+      .select(col("id"), col("cid"),
+        GraftFunctions.pqEncode(col("vn"), model.codebookFlat,
+          model.m, model.kc).as("codes"))
+  }
+
+  /** The query's `nprobe` nearest coarse centroids by cosine — the
+    * driver-side twin of [[probeExpr]] (same distance, same lower-cid
+    * tie-break) for a driver-held query vector. */
+  private[graft] def probeCids(query: Seq[Double],
+      centroids: Seq[(Int, Seq[Double])], nprobe: Int): Seq[Int] = {
+    val qn = math.sqrt(query.map(x => x * x).sum)
+    require(qn > 0.0 && java.lang.Double.isFinite(qn),
+      "query vector has zero or non-finite norm — cosine is undefined")
+    centroids.map { case (cid, c) =>
+      val cn = math.sqrt(c.map(x => x * x).sum)
+      val dot = c.zip(query).map { case (a, b) => a * b }.sum
+      (1.0 - dot / (qn * cn), cid)
+    }.sorted.take(nprobe).map(_._2)
+  }
+
+  /** IVF-PQ search: coarse-probe the `nprobe` nearest inverted lists,
+    * ADC-rank ONLY those lists' codes, optionally exact-rerank the
+    * broadcast survivors — faiss's IVF-PQ shape as a Spark plan. Cost
+    * at scale: |corpus|·nprobe/k list rows READ (partition-pruned when
+    * the index is cid-partitioned) × 8-byte codes SCANNED × m lookups
+    * COMPUTED per row; the exact rerank touches `rerankDepth` vectors.
+    * Output matches [[pqTopK]]: (id, cos) when reranked, (id, adc)
+    * otherwise. */
+  def ivfPqTopK(index: DataFrame, query: Seq[Double], k: Int,
+      centroids: Seq[(Int, Seq[Double])], model: PqModel, nprobe: Int = 4,
+      rerank: DataFrame = null, rerankIdCol: Column = null,
+      rerankVecCol: Column = null, rerankDepth: Int = 0): DataFrame = {
+    require(nprobe > 0 && nprobe <= centroids.size,
+      s"nprobe=$nprobe out of range (1..${centroids.size})")
+    val probed = index.filter(
+      col("cid").isin(probeCids(query, centroids, nprobe).map(Int.box): _*))
+    pqTopK(probed, col("id"), col("codes"), query, k, model,
+      rerank, rerankIdCol, rerankVecCol, rerankDepth)
+  }
+
   /** Approximate top-k over an ENCODED frame (id, codes): rank all
     * rows by the ADC dot (m lookups/row), keep the best
     * max(k, rerankDepth) via TakeOrderedAndProject, then optionally

@@ -110,6 +110,24 @@ object PqProbe {
       }
       println(f"x$scale ($nRows rows): adc-scan=$tAdc%.3f s  " +
         f"exact-brute=$tBrute%.3f s")
+      // IVF-PQ: the probe reads nprobe of nClusters PARTITIONS of
+      // 8-byte codes — time it against the full ADC scan above
+      if (scale == 16) {
+        val centroids = Similarity.ivfCentroids(big, col("vec_id"),
+          col("embedding"))
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft_pqprobe_idx").toString
+        Similarity.ivfPqIndex(big, col("vec_id"), col("embedding"),
+            centroids, model)
+          .write.mode("overwrite").partitionBy("cid").parquet(dir)
+        val idx = spark.read.parquet(dir)
+        val tProbe = mintime {
+          Similarity.ivfPqTopK(idx, q, 10, centroids, model, nprobe = 4)
+            .collect()
+        }
+        println(f"x$scale ivf-pq probe (nprobe 4/16, cid-partitioned " +
+          f"codes on disk): $tProbe%.3f s")
+      }
       bigCodes.unpersist(); bigVecs.unpersist()
     }
     spark.stop()
