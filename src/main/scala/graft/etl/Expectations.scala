@@ -179,7 +179,13 @@ object Expectations {
     val (joined, fkCols, fkNames) = fkFold(df, foreignKeys)
     val rowCols = rowCols0 ++ fkCols
     val countNames = countNames0 ++ fkNames
-    requireDistinctNames(countNames)
+    // the distribution sketches join the same aggregate under
+    // __kll_-prefixed columns — a rule literally named "__kll_<x>"
+    // next to a distribution named "<x>" (or two same-named
+    // distributions) is the same ambiguous-column class as the
+    // row-rule/FK collision, so check them all together
+    requireDistinctNames(countNames ++
+      distributions.map(d => s"__kll_${d.name}"))
     val aggCols = rowCols ++
       // the sketch joins the same single aggregate; the quantile
       // readout happens in the select over its one-row result

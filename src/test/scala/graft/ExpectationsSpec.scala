@@ -156,6 +156,23 @@ class ExpectationsSpec extends AnyFunSuite {
         foreignKeys = Map("unique(id)" -> (("country", dims, "code"))))
     }
     assert(ex2.getMessage.contains("unique(id)"), ex2.getMessage)
+    // the sketch columns share the aggregate under __kll_ prefixes —
+    // same class: a rule named like a prefixed distribution, or two
+    // same-named distributions, must refuse up front too
+    val ex3 = intercept[IllegalArgumentException] {
+      Expectations.check(dirty,
+        Seq(satisfies("__kll_quantile(amount,0.5)", col("amount") > 0)),
+        distributions = Seq(quantileBetween("amount", 0.5, 0.0, 100.0)))
+    }
+    assert(ex3.getMessage.contains("__kll_quantile(amount,0.5)"),
+      ex3.getMessage)
+    val ex4 = intercept[IllegalArgumentException] {
+      Expectations.check(dirty, Nil, distributions = Seq(
+        quantileBetween("amount", 0.5, 0.0, 100.0),
+        quantileBetween("amount", 0.5, 1.0, 2.0)))
+    }
+    assert(ex4.getMessage.contains("__kll_quantile(amount,0.5)"),
+      ex4.getMessage)
   }
 
   test("foreign-key checks ride the same single scan of the fact") {
