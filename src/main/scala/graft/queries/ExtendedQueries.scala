@@ -42,6 +42,22 @@ object ExtendedQueries {
   private val memoStore = new java.util.concurrent.ConcurrentHashMap[
     (org.apache.spark.sql.SparkSession, String, String),
     org.apache.spark.sql.DataFrame]()
+  /** Fixed integer codebook for q_pq_encode (m=4, kc=4, dsub=16, flat
+    * row-major): value(j,c,t) = first-6-hex(md5("pq:j:c:t")) − 2²³,
+    * the [[graft.ops.Similarity.plane]] recipe. Data-independent and
+    * integer-valued, so the SAME constants embed as literals in the
+    * Spark plan and in the DuckDB oracle text, and every
+    * nearest-centroid margin is ~1e13 (8M-magnitude centroids vs O(1)
+    * coordinates) — integer codes survive any summation-order ulp. */
+  private[queries] val pqOracleCodebook: IndexedSeq[Double] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (for (j <- 0 until 4; c <- 0 until 4; t <- 0 until 16) yield {
+      val hex = md.digest(s"pq:$j:$c:$t".getBytes("UTF-8"))
+        .take(3).map(b => f"$b%02x").mkString
+      (java.lang.Long.parseLong(hex, 16) - 8388608L).toDouble
+    }).toIndexedSeq
+  }
+
   private[queries] def memoCache(key: String, s: org.apache.spark.sql.SparkSession, d: String)(
       build: => org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     // NO computeIfAbsent: the builders nest (restrictedShingles →
@@ -656,6 +672,30 @@ object ExtendedQueries {
         .orderBy(col("qid"), col("rk"))
     },
 
+    // Product-quantization encode under the oracle: the PqEncode
+    // kernel's nearest-centroid codes over a FIXED md5-derived
+    // INTEGER codebook ([[pqOracleCodebook]]) are independently
+    // recomputable in SQL — the same constants embed as literals in
+    // both engines, and with ~8M-magnitude integer centroids against
+    // O(1) vector coordinates every argmin margin is ~1e13, dwarfing
+    // any summation-order ulp, so the integer codes hash-match
+    // exactly. Raw vectors (no normalization): the kernel is
+    // metric-agnostic squared-L2, and skipping the norm keeps the
+    // declared plan free of lambda-referenced derived columns. Codes
+    // are BINARY; the declared output extracts each byte to INT
+    // (hex → conv) because the driver comparator is scalar-proven.
+    // Row-local throughout; the only exchange is the output sort.
+    "q_pq_encode" -> { (s, d) =>
+      val v = t(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val codes = graft.functions.GraftFunctions.pqEncode(
+        col("v"), pqOracleCodebook, 4, 4)
+      v.select((col("vec_id") +: (0 until 4).map(j =>
+          conv(hex(substring(codes, j + 1, 1)), 16, 10)
+            .cast("int").as(s"code$j"))): _*)
+        .orderBy(col("vec_id"))
+    },
+
     // Int8 scalar quantization of the embedding column — the ANN
     // memory-footprint step (64 doubles → 64 bytes + a scale). Codes
     // are round(v/scale) with per-vector max-abs scale: plain IEEE
@@ -1187,6 +1227,29 @@ object ExtendedQueries {
         |    k -> abs(v[k] - qv[k] * scale))), 6) AS l1_err_r
         |FROM q
         |ORDER BY vec_id""".stripMargin,
+
+    "q_pq_encode" -> {
+      val cb = pqOracleCodebook.map(_.toLong).mkString("[", ", ", "]")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |cb AS (SELECT $cb AS f),
+         |d AS (
+         |  SELECT e.vec_id, j.j, c.c,
+         |    list_sum(list_transform(range(1, 17), t ->
+         |      (v[j.j*16 + t] - f[(j.j*4 + c.c)*16 + t]) *
+         |      (v[j.j*16 + t] - f[(j.j*4 + c.c)*16 + t]))) AS d2
+         |  FROM e, cb, range(0, 4) AS j(j), range(0, 4) AS c(c)
+         |),
+         |r AS (SELECT vec_id, j, c,
+         |        row_number() OVER (PARTITION BY vec_id, j ORDER BY d2, c) AS rk
+         |      FROM d)
+         |SELECT vec_id,
+         |  CAST(max(CASE WHEN j = 0 THEN c END) AS INT) AS code0,
+         |  CAST(max(CASE WHEN j = 1 THEN c END) AS INT) AS code1,
+         |  CAST(max(CASE WHEN j = 2 THEN c END) AS INT) AS code2,
+         |  CAST(max(CASE WHEN j = 3 THEN c END) AS INT) AS code3
+         |FROM r WHERE rk = 1
+         |GROUP BY vec_id ORDER BY vec_id""".stripMargin
+    },
 
     "q_text_langid" ->
       """SELECT doc_id, lang,
