@@ -11,6 +11,16 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 private final class StageBytesListener extends SparkListener {
   val shuffleWrite = scala.collection.concurrent.TrieMap.empty[Int, Long]
   val input = scala.collection.concurrent.TrieMap.empty[Int, Long]
+  // Stage IDs whose SparkListenerStageCompleted has been delivered to
+  // THIS listener. The bus delivers events to a listener in post
+  // order, and the DAGScheduler posts every task-end of a stage before
+  // that stage's completed event — so membership here PROVES the byte
+  // sums above are final for that stage (the task-count invariant,
+  // without racing the status tracker's independently-drained queue).
+  val completed = scala.collection.concurrent.TrieMap.empty[Int, Unit]
+  override def onStageCompleted(
+      s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+    completed.put(s.stageInfo.stageId, ())
   override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
     val m = t.taskMetrics
     if (m != null) {
@@ -150,23 +160,41 @@ object Bench {
     // byte costs: its distinct stage IDs are summed against the
     // listener's per-stage shuffle-write / input-read tallies. Task-end
     // events are delivered async; the sums are read after a bounded
-    // settle loop (two identical consecutive readings) so a lagging
-    // bus cannot undercount. Skipped stages (shuffle reuse) have no
+    // settle loop (stage-completed coverage, with a long stability
+    // fallback — see settleStages) so a lagging bus cannot
+    // undercount. Skipped stages (shuffle reuse) have no
     // task events and correctly contribute 0 — the counting run builds
     // a FRESH frame, so its own exchanges all execute.
     val bytesListener = new StageBytesListener
     spark.sparkContext.addSparkListener(bytesListener)
-    def settledSum(stageIds: Seq[Int],
-        m: scala.collection.concurrent.TrieMap[Int, Long]): Long = {
-      var prev = -1L
-      var cur = stageIds.map(m.getOrElse(_, 0L)).sum
+    // Settle on the task-count invariant, not value stability alone
+    // (r12 ADVICE: two identical readings 50 ms apart can coincide
+    // with a >50 ms bus stall or GC pause and silently undercount).
+    // Primary condition: every stage in the set has its
+    // stage-completed event delivered — by bus FIFO that implies all
+    // its task-end bytes are summed (see StageBytesListener.completed)
+    // — which is also the instant fast path for the common all-stages-
+    // executed case. Stages with NO events (shuffle-reuse skips never
+    // submit) can't complete, so for those fall back to a far longer
+    // stability horizon: 4 consecutive identical readings 100 ms
+    // apart (a stall must now span 400 ms, not 50, to fake
+    // quiescence). One settle per query covers both byte maps.
+    def settleStages(stageIds: Seq[Int]): Unit = {
+      def reading(): (Long, Long) =
+        (stageIds.map(bytesListener.shuffleWrite.getOrElse(_, 0L)).sum,
+          stageIds.map(bytesListener.input.getOrElse(_, 0L)).sum)
+      var stable = 0
+      var prev = (-1L, -1L)
       var spins = 0
-      while (cur != prev && spins < 20) {
-        prev = cur; Thread.sleep(50)
-        cur = stageIds.map(m.getOrElse(_, 0L)).sum
+      while (spins < 100 &&
+          !stageIds.forall(bytesListener.completed.contains) &&
+          stable < 4) {
+        val cur = reading()
+        stable = if (cur == prev) stable + 1 else 0
+        prev = cur
+        Thread.sleep(100)
         spins += 1
       }
-      cur
     }
     val stageStats: Map[String, (Int, Long, Long)] = SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
@@ -191,9 +219,10 @@ object Bench {
             val stageIds = tr.getJobIdsForGroup(group).flatMap(id =>
               tr.getJobInfo(id).toSeq.flatMap(_.stageIds.map(_.toInt)))
               .distinct.toSeq
+            settleStages(stageIds)
             (stageIds.length,
-              settledSum(stageIds, bytesListener.shuffleWrite),
-              settledSum(stageIds, bytesListener.input))
+              stageIds.map(bytesListener.shuffleWrite.getOrElse(_, 0L)).sum,
+              stageIds.map(bytesListener.input.getOrElse(_, 0L)).sum)
           }
         } finally spark.sparkContext.clearJobGroup()
         name -> n
@@ -286,7 +315,11 @@ object Bench {
       } else ""
     val shuffleTotalMb = math.round(
       shuffleMb.values.filter(_ >= 0).sum * 1000.0) / 1000.0
-    val planPinFields = s""""shuffle_pin_failures":[${shufflePinFailures.mkString(",")}],"input_pin_failures":[${inputPinFailures.mkString(",")}],"stage_pin_failures":[${stagePinFailures.mkString(",")}]"""
+    // plan_pins_active is EMITTED (not just used): tools/gate.sh step 5
+    // asserts it true so an inherited SPARK_GRAFT_CPUS/SHUFFLE/AQE
+    // export can never make the gate pass vacuously with the budgets
+    // silently deactivated (r12 ADVICE).
+    val planPinFields = s""""plan_pins_active":$planPinsActive,"shuffle_pin_failures":[${shufflePinFailures.mkString(",")}],"input_pin_failures":[${inputPinFailures.mkString(",")}],"stage_pin_failures":[${stagePinFailures.mkString(",")}]"""
     println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"n_queries":${results.size},"runs_per_query":$runs,"agg":"min","warm_cache":true,"floor_sec":$floorSec,"floor_per_stage_sec":${floorSec / 2},"pin_failures":[${pinFailures.mkString(",")}],$planPinFields,"shuffle_mb_total":$shuffleTotalMb$coldFields,"queries":${toJson(results)},"stages":${toJsonInt(stageCounts)},"shuffle_mb":${toJson(shuffleMb)},"input_mb":${toJson(inputMb)},"sf":"$sfDir"}""")
     // The full line above grew past the driver's tail-capture window in
     // round 3 and the LEADING total field was the part cut off. Re-emit
@@ -294,9 +327,18 @@ object Bench {
     // capture always contains a parseable total — including BOTH pin
     // alarms, which must survive any truncation. n_queries
     // contextualizes the total across rounds: the declared set grew
-    // 67 → 119, so raw round-over-round totals are not comparable
-    // without it.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"n_queries":${results.size},"pin_failures":[${pinFailures.mkString(",")}],$planPinFields,"shuffle_mb_total":$shuffleTotalMb}""")
+    // 67 → 120, so raw round-over-round totals are not comparable
+    // without it. The line must be SELF-SUFFICIENT for the archive
+    // (r12 verdict: only a 2000-char tail survives, and r11/r12 lost
+    // floor_sec + the wall map): it carries floor_sec,
+    // floor_per_stage_sec and the 5 slowest (query, wall, stages)
+    // triples, so every archived round is floor-normalizable from the
+    // tail alone.
+    val slowest5 = results.toSeq.filter(_._2 >= 0).sortBy(-_._2).take(5)
+      .map { case (q, w) =>
+        s"""["$q",$w,${stageCounts.getOrElse(q, -1)}]""" }
+      .mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"n_queries":${results.size},"runs_per_query":$runs,"floor_sec":$floorSec,"floor_per_stage_sec":${floorSec / 2},"pin_failures":[${pinFailures.mkString(",")}],$planPinFields,"shuffle_mb_total":$shuffleTotalMb,"slowest":$slowest5,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

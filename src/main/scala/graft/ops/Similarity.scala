@@ -748,6 +748,13 @@ object Similarity {
         .limit(kc)
         .collect().zipWithIndex
         .map { case (r, i) => (i, r.getSeq[Double](1).toIndexedSeq) }.toIndexedSeq
+      // Name the real problem at its source: a short init sample would
+      // otherwise surface much later as PqModel's confusing
+      // "flat length != m*kc*dsub" shape require.
+      require(centroids.size == kc,
+        s"PQ init: corpus has ${centroids.size} usable vectors < kc=$kc " +
+          "(after null/zero-norm filtering) — not enough rows to seed " +
+          "the per-subspace codebook")
       for (_ <- 0 until iters) {
         val assigned = sub.withColumn("cid", l2AssignExpr(col("vs"), centroids))
         val means = assigned
@@ -856,7 +863,15 @@ object Similarity {
     require(qn > 0.0 && java.lang.Double.isFinite(qn),
       "query vector has zero or non-finite norm — cosine is undefined")
     centroids.map { case (cid, c) =>
+      // Guard the centroid side like the query side: zip would silently
+      // truncate a dims mismatch, and a zero/non-finite norm would yield
+      // a NaN distance that just sorts last — a malformed centroid set
+      // must raise, not compute a garbage probe order.
+      require(c.length == query.length,
+        s"centroid $cid has ${c.length} dims, query has ${query.length}")
       val cn = math.sqrt(c.map(x => x * x).sum)
+      require(cn > 0.0 && java.lang.Double.isFinite(cn),
+        s"centroid $cid has zero or non-finite norm — cosine is undefined")
       val dot = c.zip(query).map { case (a, b) => a * b }.sum
       (1.0 - dot / (qn * cn), cid)
     }.sorted.take(nprobe).map(_._2)

@@ -34,13 +34,22 @@ echo "== [4/6] PlanAudit =="
 sbt -batch "Test/runMain graft.queries.PlanAudit"
 
 echo "== [5/6] plan-cost pins (shuffle/input/stage budgets at sf0.1) =="
+# Pin every knob that gates Bench's planPinsActive to the driver's
+# exact configuration (and clear BENCH_ONLY), so an inherited export
+# can never deactivate the budgets and let this step pass vacuously.
+# Bench emits plan_pins_active; the assert below is the backstop.
 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_BENCH_RUNS=1 \
+  SPARK_GRAFT_CPUS=32 SPARK_GRAFT_SHUFFLE=32 SPARK_GRAFT_AQE=true \
+  SPARK_GRAFT_BENCH_ONLY= \
   sbt -batch "runMain graft.Bench" 2>&1 | grep -o '{"metric".*}' \
   > /tmp/gate_bench.json
 python3 - <<'PYEOF'
 import json, sys
 lines = [json.loads(l) for l in open("/tmp/gate_bench.json")]
 d = max(lines, key=len)
+if not d.get("plan_pins_active"):
+    print("plan pins were NOT active (config drift?) — this step "
+          "would be vacuous; refusing to pass"); sys.exit(1)
 bad = {k: d[k] for k in
        ("shuffle_pin_failures", "input_pin_failures", "stage_pin_failures")
        if d.get(k)}
