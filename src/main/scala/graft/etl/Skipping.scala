@@ -245,10 +245,16 @@ object Skipping {
     val (covered, surviving) =
       if (!usable) (Set.empty[String], Set.empty[String])
       else {
-        val man = spark.read.parquet(manifestPath(dataPath))
-        (man.select("file").collect().map(r => key(r.getString(0))).toSet,
-          man.filter(preds.map(_.overlaps).reduce(_ && _))
-            .select("file").collect().map(r => key(r.getString(0))).toSet)
+        // ONE manifest scan yields both sets: (file, survives) pairs —
+        // at the documented 800 k-file scale the manifest is read once
+        // per probe, not twice (and locally it's one fewer driver job
+        // per prunedScan call)
+        val rows = spark.read.parquet(manifestPath(dataPath))
+          .select(col("file"),
+            preds.map(_.overlaps).reduce(_ && _).as("survives"))
+          .collect()
+        (rows.map(r => key(r.getString(0))).toSet,
+          rows.filter(_.getBoolean(1)).map(r => key(r.getString(0))).toSet)
       }
     val uncovered = live.filterNot(p => covered(key(p.toString)))
     val chosen = liveByKey.collect { case (k, p) if surviving(k) => p }.toSeq ++ uncovered

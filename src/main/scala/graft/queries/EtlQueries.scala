@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.etl.{ChangeApply, IncrementalAgg, Scd2}
+import graft.etl.{ChangeApply, IncrementalAgg, Scd2, Skipping}
 
 /** Declared lifecycle-maintenance queries (SURVEY §2.11 extension):
   * the `graft.etl` merge semantics under the driver's DuckDB oracle.
@@ -33,7 +33,43 @@ import graft.etl.{ChangeApply, IncrementalAgg, Scd2}
   */
 object EtlQueries {
 
+  /** The fixed range predicate q_skipping_prune declares — literal in
+    * both engines (no data-derived bounds: the oracle SQL must not
+    * hard-code data properties, and l_orderkey ∈ [1000, 3000] is
+    * non-empty at every driver SF while pruning most shards). */
+  private[graft] val skipPreds = Seq(
+    Skipping.ColRange("l_orderkey", Some(1000.0), Some(3000.0)),
+    Skipping.ColRange("l_quantity", Some(5.0), Some(45.0)))
+
+  /** The declared query's scan, with its SkipStats exposed so
+    * SkippingSpec can assert the prune is REAL (readFiles < liveFiles
+    * at sf0.1) on the exact code path the oracle hashes. */
+  private[graft] def skippingPruneScan(s: org.apache.spark.sql.SparkSession,
+      d: String): (org.apache.spark.sql.DataFrame, Skipping.SkipStats) =
+    Skipping.prunedScan(s, ExtendedQueries.skipLayout(s, d), skipPreds)
+
   val queries: Map[String, QFn] = Map(
+    // File-level data skipping under the oracle: prune a range-sharded
+    // copy of lineitem through its min/max file manifest
+    // (etl.Skipping — the 100 TB scan-path subsystem: at 800 k files
+    // the planner drops whole files before any task launches), then
+    // aggregate the survivors. Skipping is IO-only — prunedScan
+    // re-applies the exact predicate — so the oracle is the PLAIN
+    // DuckDB filter over lineitem: any manifest bug that loses rows
+    // is a hash mismatch, the same equivalence-property pattern as
+    // q_bloom_prune_join. Generalizes the reference's filename-date
+    // watermark pruning (fetch_stocks.py:19-37) to arbitrary columns.
+    "q_skipping_prune" -> { (s, d) =>
+      skippingPruneScan(s, d)._1
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_items"),
+          // decimal sum: partition-order-independent AND oracle-exact
+          sum(col("l_quantity").cast("decimal(18,4)")).cast("double")
+            .as("sum_qty"),
+          min(col("l_orderkey")).as("min_ok"),
+          max(col("l_orderkey")).as("max_ok"))
+        .orderBy(col("l_returnflag"))
+    },
     // CDC apply: a synthetic I/U/D change feed (one change per order,
     // key = customer, version ts = o_orderkey — globally unique, so
     // latest-wins is total) folded into an empty snapshot in TWO
@@ -140,6 +176,15 @@ object EtlQueries {
   )
 
   val sql: Map[String, String] = Map(
+    "q_skipping_prune" ->
+      """SELECT l_returnflag, count(*) AS n_items,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |       min(l_orderkey) AS min_ok, max(l_orderkey) AS max_ok
+        |FROM lineitem
+        |WHERE l_orderkey BETWEEN 1000 AND 3000
+        |  AND l_quantity BETWEEN 5 AND 45
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q_cdc_apply" ->
       """WITH ch AS (
         |  SELECT o_custkey,

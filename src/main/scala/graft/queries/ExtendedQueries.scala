@@ -342,6 +342,43 @@ object ExtendedQueries {
     if (raced != null) raced else built
   }
 
+  /** Session-scoped memo for the skipping-demo LAYOUT PATH: a
+    * range-sharded copy of lineitem plus its min/max file manifest,
+    * written once per (session, dir) to a fresh temp directory and
+    * pruned-scanned by q_skipping_prune on every invocation — the
+    * build-index-once / probe-many lifecycle `etl.Skipping` exists
+    * for (same precedent as the ivfModel memo). The layout is fully
+    * deterministic: shard = l_orderkey div W (a pure row function —
+    * no range-partitioner SAMPLING, whose boundaries vary with rdd
+    * ids and would wobble the byte pins across sweeps), and the
+    * testdata's single input split writes exactly one file per shard
+    * directory. Dropped by [[releaseCaches]] so cold-mode benchmarks
+    * charge the layout + manifest build to the query (the abandoned
+    * temp dir is left for the OS tmp reaper, like every spec's). */
+  private val pathStore = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession, String), String]()
+  private[graft] def skipLayout(s: org.apache.spark.sql.SparkSession,
+      d: String): String = {
+    val k = (s, d)
+    val hit = pathStore.get(k)
+    if (hit != null) return hit
+    // build outside any CHM mapping function (runs Spark write jobs —
+    // same reentrancy discipline as memoCache); a lost race leaks one
+    // temp dir, never wrong data
+    val li = graft.queries.t(s, d, "lineitem")
+      .select("l_orderkey", "l_quantity", "l_returnflag")
+    val maxKey = li.agg(max(col("l_orderkey"))).head.getLong(0)
+    val w = math.max(1L, (maxKey + 16) / 16) // ceil((max+1)/16): 16 shards
+    val dir = java.nio.file.Files.createTempDirectory("graft_skiplayout")
+      .toString
+    graft.etl.Layout.writePartitioned(
+      li.withColumn("shard", (col("l_orderkey") / lit(w)).cast("long")),
+      dir, "shard")
+    graft.etl.Skipping.writeManifest(s, dir, Seq("l_orderkey", "l_quantity"))
+    val raced = pathStore.putIfAbsent(k, dir)
+    if (raced != null) raced else dir
+  }
+
   /** Session-scoped memo for the trained IVF coarse quantizer: an IVF
     * index is trained once and probed many times, so the declared
     * q_ivf_recall serves from this memo the way the dedup queries
@@ -403,6 +440,7 @@ object ExtendedQueries {
       val k = it3.next()
       if (k._1 == s && k._2 == d) it3.remove()
     }
+    pathStore.remove((s, d))
   }
 
   val queries: Map[String, QFn] = Map(

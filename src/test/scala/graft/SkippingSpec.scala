@@ -218,6 +218,25 @@ class SkippingSpec extends AnyFunSuite {
     assert(after.uncovered == 0)
   }
 
+  test("declared q_skipping_prune prunes files at sf0.1 on its exact code path") {
+    // the declared query's own scan (layout memo + fixed predicate):
+    // correctness is the oracle's job (pruned result ≡ plain DuckDB
+    // filter); THIS asserts the prune is real — fewer files read than
+    // live at bench scale — and that the manifest covers the layout.
+    val (df, stats) = queries.EtlQueries.skippingPruneScan(
+      spark, "/root/testdata/sf0.1")
+    assert(stats.uncovered == 0, stats.toString)
+    assert(stats.readFiles < stats.liveFiles,
+      s"the declared range must drop files: $stats")
+    assert(stats.readFiles > 0 && df.count() > 0, stats.toString)
+    // and the pruned scan agrees with the unpruned filter on the same
+    // layout (the local twin of the oracle equivalence)
+    val layout = queries.ExtendedQueries.skipLayout(spark, "/root/testdata/sf0.1")
+    val full = spark.read.parquet(layout)
+      .filter(queries.EtlQueries.skipPreds.map(_.exact).reduce(_ && _))
+    assert(df.count() == full.count())
+  }
+
   test("TimestampNTZ stats are session-timezone-free (build and probe zones may differ)") {
     // NTZ is a wall clock; encoding it via cast("timestamp") would put
     // a manifest built under one session zone and a probe run under
