@@ -58,6 +58,32 @@ object ExtendedQueries {
     }).toIndexedSeq
   }
 
+  /** Fixed integer query vector for q_pq_adc: q(t) =
+    * first-6-hex(md5("adcq:t")) mod 41 − 20 ∈ [−20, 20] — the same
+    * data-independent literal-in-both-engines recipe as
+    * [[pqOracleCodebook]]. Deliberately NOT normalized (PqModel.lut
+    * divides by the norm): with integer q against the integer
+    * codebook, every LUT entry (≤ 16·20·8.4M ≈ 2.7e9) and every ADC
+    * sum (≤ 4× that) is an exact integer in double, so the ranking
+    * hash-matches DuckDB bit-for-bit. */
+  private[queries] val adcQueryVec: IndexedSeq[Double] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until 64).map { t =>
+      val hex = md.digest(s"adcq:$t".getBytes("UTF-8"))
+        .take(3).map(b => f"$b%02x").mkString
+      ((java.lang.Long.parseLong(hex, 16) % 41) - 20).toDouble
+    }
+  }
+
+  /** The q_pq_adc lookup table over the fixed codebook: lut(j*kc+c) =
+    * dot(q subvector j, centroid c of subspace j) — all exact-integer
+    * products and sums (< 2^53), so summation order is irrelevant. */
+  private[queries] val adcOracleLut: IndexedSeq[Double] =
+    (for (j <- 0 until 4; c <- 0 until 4) yield
+      (0 until 16).map(t =>
+        adcQueryVec(j * 16 + t) * pqOracleCodebook((j * 4 + c) * 16 + t)).sum
+    ).toIndexedSeq
+
   private[queries] def memoCache(key: String, s: org.apache.spark.sql.SparkSession, d: String)(
       build: => org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     // NO computeIfAbsent: the builders nest (restrictedShingles →
@@ -734,6 +760,28 @@ object ExtendedQueries {
         .orderBy(col("vec_id"))
     },
 
+    // Asymmetric-distance (ADC) ranking under the oracle — the READ
+    // path every IVF-PQ probe serves (q_pq_encode covers only the
+    // write path): encode each corpus vector to 4 one-byte codes
+    // against the fixed integer codebook, rank by the PqAdcDot kernel
+    // (m lookups/row — the O(m)-vs-O(dims) PQ payoff) against the
+    // fixed integer query's LUT, take the exact top-20 with vec_id
+    // tie-break. Every LUT entry and ADC sum is an exact integer
+    // (< 2^53), so DuckDB recomputing codes + LUT + Σ_j lut[j*kc +
+    // code_j] from the same literals hash-matches bit-for-bit.
+    // Row-local kernel chain; the ranking is orderBy().limit() →
+    // TakeOrderedAndProject, never a full sort.
+    "q_pq_adc" -> { (s, d) =>
+      val v = t(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val codes = graft.functions.GraftFunctions.pqEncode(
+        col("v"), pqOracleCodebook, 4, 4)
+      v.select(col("vec_id"),
+          graft.functions.GraftFunctions.pqAdc(codes, adcOracleLut, 4).as("adc"))
+        .orderBy(col("adc").desc, col("vec_id"))
+        .limit(20)
+    },
+
     // Int8 scalar quantization of the embedding column — the ANN
     // memory-footprint step (64 doubles → 64 bytes + a scale). Codes
     // are round(v/scale) with per-vector max-abs scale: plain IEEE
@@ -1287,6 +1335,29 @@ object ExtendedQueries {
          |  CAST(max(CASE WHEN j = 3 THEN c END) AS INT) AS code3
          |FROM r WHERE rk = 1
          |GROUP BY vec_id ORDER BY vec_id""".stripMargin
+    },
+
+    "q_pq_adc" -> {
+      val cb = pqOracleCodebook.map(_.toLong).mkString("[", ", ", "]")
+      val qv = adcQueryVec.map(_.toLong).mkString("[", ", ", "]")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |cb AS (SELECT $cb AS f, $qv AS q),
+         |d AS (
+         |  SELECT e.vec_id, j.j, c.c,
+         |    list_sum(list_transform(range(1, 17), t ->
+         |      (v[j.j*16 + t] - f[(j.j*4 + c.c)*16 + t]) *
+         |      (v[j.j*16 + t] - f[(j.j*4 + c.c)*16 + t]))) AS d2,
+         |    list_sum(list_transform(range(1, 17), t ->
+         |      q[j.j*16 + t] * f[(j.j*4 + c.c)*16 + t])) AS dotqc
+         |  FROM e, cb, range(0, 4) AS j(j), range(0, 4) AS c(c)
+         |),
+         |r AS (SELECT vec_id, dotqc,
+         |        row_number() OVER (PARTITION BY vec_id, j ORDER BY d2, c) AS rk
+         |      FROM d)
+         |SELECT vec_id, CAST(sum(dotqc) AS DOUBLE) AS adc
+         |FROM r WHERE rk = 1
+         |GROUP BY vec_id
+         |ORDER BY adc DESC, vec_id LIMIT 20""".stripMargin
     },
 
     "q_text_langid" ->
