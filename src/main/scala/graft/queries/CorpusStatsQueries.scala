@@ -38,6 +38,14 @@ object CorpusStatsQueries {
         .repartition(s.sparkContext.defaultParallelism, col("bg"))
     }
 
+  /** Fixed merge table for q_bpe_encode — literal in both engines,
+    * applied in order, each merge one full greedy pass per word. The
+    * (t,h) → (th,e) prefix exercises cascading (learned-order
+    * dependence), the rest hit the corpus's common bigrams. */
+  private[queries] val bpeOracleMerges: Seq[(String, String)] = Seq(
+    ("t", "h"), ("th", "e"), ("e", "r"), ("a", "t"),
+    ("o", "r"), ("or", "t"), ("a", "n"), ("s", "c"))
+
   val queries: Map[String, QFn] = Map(
     // Corpus token term/document frequency — the LM counting job.
     // Two partial+final hash aggregates; the exchange carries distinct
@@ -125,6 +133,51 @@ object CorpusStatsQueries {
     // never over raw text — pair-count cost follows |vocab|·|word
     // length|, not corpus tokens. Exact integer counts; ties break on
     // the pair string.
+    // BPE ENCODE under the oracle — tokenizer APPLICATION, the LM
+    // pipeline's most-used op (q_bpe_pairs declares only the
+    // pair-count step). A FIXED 8-merge table (cascading: t+h → th+e)
+    // embeds as literals in both engines; greedy left-to-right
+    // non-overlapping merge application is deterministic string work.
+    // Scale shape = Bpe.tokenCounts': the interpreted merge fold runs
+    // once per DISTINCT word (the vocabulary — 31 rows here, one hash
+    // agg away from the corpus at any scale), and the corpus side is
+    // an equi-join of position-exploded words against that dictionary
+    // (AQE broadcasts it while small) plus one per-doc aggregate that
+    // reassembles the token sequence in position order. No fold ever
+    // touches a corpus row. Output is (n_tok, md5(joined tokens)) per
+    // doc — sequence-exact, no ARRAY finals (§7.3).
+    // DuckDB mirrors the greedy fold with the separator-prefix string
+    // encoding: repr = SEP before every char (SEP = chr(1), absent
+    // from the ASCII corpus), merge (a,b) = replace(SEP·a·SEP·b →
+    // SEP·ab). replace scans left-to-right, non-overlapping, never
+    // rescanning replaced output — exactly the fold's semantics; the
+    // inert SEP·space symbols are word boundaries no merge can cross
+    // (merge symbols never contain a space).
+    "q_bpe_encode" -> { (s, d) =>
+      val docs = ExtendedQueries.docProfile(s, d)
+      val wordsOf =
+        filter(split(col("text"), " "), w => length(w) >= lit(1))
+      val dict = docs
+        .select(explode(wordsOf).as("w")).distinct()
+        // wt is a real projected attribute BEFORE anything references
+        // it twice: the encode fold is a lambda subtree (no CSE) and
+        // CollapseProject keeps non-cheap expressions un-duplicated
+        .select(col("w"),
+          array_join(graft.ops.Bpe.encode(col("w"), bpeOracleMerges), " ")
+            .as("wt"))
+      docs.select(col("doc_id"), posexplode(wordsOf).as(Seq("pos", "w")))
+        .join(dict, "w")
+        .groupBy(col("doc_id"))
+        .agg(
+          sum(size(split(col("wt"), " ")).cast("long")).as("n_tok"),
+          // pos is unique per doc, so the struct sort is total and the
+          // reassembled sequence is partition-order-independent
+          md5(array_join(
+            transform(array_sort(collect_list(struct(col("pos"), col("wt")))),
+              x => x.getField("wt")), " ").cast("binary")).as("tok_md5"))
+        .orderBy(col("doc_id"))
+    },
+
     "q_bpe_pairs" -> { (s, d) =>
       // the op's own corpus→vocab aggregate (q_bpe_pairs declares
       // Bpe's pair-count step — one builder, no drift)
@@ -235,6 +288,27 @@ object CorpusStatsQueries {
         |SELECT tok, CAST(sum(c) AS BIGINT) AS tf, CAST(count(*) AS BIGINT) AS df
         |FROM pd GROUP BY tok
         |ORDER BY tf DESC, tok LIMIT 40""".stripMargin,
+
+    "q_bpe_encode" -> {
+      // nested replace chain in merge-table order over the
+      // separator-prefix encoding (see the query comment); merge
+      // symbols are plain lowercase letters, SQL-literal-safe
+      val rep = bpeOracleMerges.foldLeft("r") { case (acc, (a, b)) =>
+        s"replace($acc, chr(1) || '$a' || chr(1) || '$b', chr(1) || '${a + b}')"
+      }
+      s"""WITH r0 AS (SELECT doc_id,
+         |              regexp_replace(text, '(.)', chr(1) || '\\1', 'gs') AS r
+         |            FROM documents),
+         |r1 AS (SELECT doc_id, $rep AS r FROM r0),
+         |j AS (SELECT doc_id,
+         |        replace(substr(replace(r, chr(1) || ' ', ''), 2), chr(1), ' ') AS tok_str
+         |      FROM r1)
+         |SELECT doc_id,
+         |  CAST(CASE WHEN length(tok_str) = 0 THEN 0
+         |            ELSE len(string_split(tok_str, ' ')) END AS BIGINT) AS n_tok,
+         |  md5(tok_str) AS tok_md5
+         |FROM j ORDER BY doc_id""".stripMargin
+    },
 
     "q_bpe_pairs" ->
       """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
