@@ -277,9 +277,21 @@ object Bench {
     // The A/B knobs (reducer count, AQE off) legitimately change
     // bytes and stage counts — pins are baselined under the driver's
     // exact configuration only, so any override deactivates them
-    // rather than misfiring.
+    // rather than misfiring. Budgets exist for TWO scale factors
+    // (r12 ADVICE: a single-config pin missed scale-dependent plan
+    // regressions — broadcast-threshold flips, AQE coalesce changes):
+    // sf0.1 (the driver's bench SF) and sf0.01 (the driver's
+    // correctness SF, checked by gate.sh step 5's second sweep).
+    val budgetMaps: Option[(Map[String, Double], Map[String, Double], Map[String, Int])] =
+      if (sfDir.endsWith("sf0.1"))
+        Some((PlanBudgets.shuffleMbAtSf01, PlanBudgets.inputMbAtSf01,
+          PlanBudgets.stagesAtSf01))
+      else if (sfDir.endsWith("sf0.01"))
+        Some((PlanBudgets.shuffleMbAtSf001, PlanBudgets.inputMbAtSf001,
+          PlanBudgets.stagesAtSf001))
+      else None
     val planPinsActive =
-      sfDir.endsWith("sf0.1") && only.isEmpty && cpus == "32" &&
+      budgetMaps.nonEmpty && only.isEmpty && cpus == "32" &&
         shufflePartitions == cpus &&
         sys.env.getOrElse("SPARK_GRAFT_AQE", "true") == "true"
     def bytePinFailures(measured: Map[String, Double],
@@ -289,11 +301,13 @@ object Bench {
         measured.get(qn).filter(m => m >= 0 && m > budgetMb)
           .map(_ => "\"" + qn + "\"")
       }
-    val shufflePinFailures = bytePinFailures(shuffleMb, PlanBudgets.shuffleMbAtSf01)
-    val inputPinFailures = bytePinFailures(inputMb, PlanBudgets.inputMbAtSf01)
+    val shufflePinFailures =
+      bytePinFailures(shuffleMb, budgetMaps.map(_._1).getOrElse(Map.empty))
+    val inputPinFailures =
+      bytePinFailures(inputMb, budgetMaps.map(_._2).getOrElse(Map.empty))
     val stagePinFailures =
       if (!planPinsActive) Seq.empty
-      else PlanBudgets.stagesAtSf01.toSeq.flatMap { case (qn, budget) =>
+      else budgetMaps.get._3.toSeq.flatMap { case (qn, budget) =>
         stageCounts.get(qn).filter(n => n >= 0 && n > budget + 1)
           .map(_ => "\"" + qn + "\"")
       }

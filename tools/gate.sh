@@ -33,33 +33,39 @@ python3 tools/partcheck.py /tmp/gate_pA /tmp/gate_sf0.001
 echo "== [4/6] PlanAudit =="
 sbt -batch "Test/runMain graft.queries.PlanAudit"
 
-echo "== [5/6] plan-cost pins (shuffle/input/stage budgets at sf0.1) =="
+echo "== [5/6] plan-cost pins (shuffle/input/stage budgets, both pinned SFs) =="
 # Pin every knob that gates Bench's planPinsActive to the driver's
 # exact configuration (and clear BENCH_ONLY), so an inherited export
 # can never deactivate the budgets and let this step pass vacuously.
 # Bench emits plan_pins_active; the assert below is the backstop.
-SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_BENCH_RUNS=1 \
-  SPARK_GRAFT_CPUS=32 SPARK_GRAFT_SHUFFLE=32 SPARK_GRAFT_AQE=true \
-  SPARK_GRAFT_BENCH_ONLY= \
-  sbt -batch "runMain graft.Bench" 2>&1 | grep -o '{"metric".*}' \
-  > /tmp/gate_bench.json
-python3 - <<'PYEOF'
-import json, sys
-lines = [json.loads(l) for l in open("/tmp/gate_bench.json")]
+# Two sweeps: sf0.1 (the driver's bench SF) and sf0.01 (the driver's
+# correctness SF) — the second config catches parallelism/scale-
+# dependent plan regressions a single-SF pin misses.
+for pinsf in sf0.1 sf0.01; do
+  SPARK_GRAFT_SF_DIR=/root/testdata/${pinsf} SPARK_GRAFT_BENCH_RUNS=1 \
+    SPARK_GRAFT_CPUS=32 SPARK_GRAFT_SHUFFLE=32 SPARK_GRAFT_AQE=true \
+    SPARK_GRAFT_BENCH_ONLY= \
+    sbt -batch "runMain graft.Bench" 2>&1 | grep -o '{"metric".*}' \
+    > "/tmp/gate_bench_${pinsf}.json"
+  GATE_PIN_SF="$pinsf" python3 - <<'PYEOF'
+import json, os, sys
+sf = os.environ["GATE_PIN_SF"]
+lines = [json.loads(l) for l in open(f"/tmp/gate_bench_{sf}.json")]
 d = max(lines, key=len)
 if not d.get("plan_pins_active"):
-    print("plan pins were NOT active (config drift?) — this step "
-          "would be vacuous; refusing to pass"); sys.exit(1)
+    print(f"plan pins were NOT active at {sf} (config drift?) — this "
+          "step would be vacuous; refusing to pass"); sys.exit(1)
 bad = {k: d[k] for k in
        ("shuffle_pin_failures", "input_pin_failures", "stage_pin_failures")
        if d.get(k)}
 if d.get("failed", 0):
-    print(f"bench had {d['failed']} failed queries"); sys.exit(1)
+    print(f"bench had {d['failed']} failed queries at {sf}"); sys.exit(1)
 if bad:
-    print(f"plan-cost pin breach (re-baseline PlanBudgets only for an "
-          f"INTENDED plan change): {bad}"); sys.exit(1)
-print(f"plan pins green; shuffle_mb_total={d.get('shuffle_mb_total')}")
+    print(f"plan-cost pin breach at {sf} (re-baseline PlanBudgets only "
+          f"for an INTENDED plan change): {bad}"); sys.exit(1)
+print(f"plan pins green at {sf}; shuffle_mb_total={d.get('shuffle_mb_total')}")
 PYEOF
+done
 
 echo "== [6/6] Smoke =="
 # Capture first, grep after: piping sbt straight into `grep -q` under
