@@ -65,6 +65,52 @@ object TextAnalysis {
       threshold: Double = 0.05): Column =
     when(stopwordRatio(text, stopwords) >= threshold, lang).otherwise("und")
 
+  /** Multi-language stopword language ID over a corpus frame — the
+    * #languages-scalable form of [[langId]]: one token explode, one
+    * BROADCAST join against the (word → lang) dictionary, one per-doc
+    * conditional aggregate (map-side combined). A kernel-per-language
+    * re-scans each doc's text per language; this costs one pass no
+    * matter how many languages the dictionary grows.
+    *
+    * Dictionary words must be UNIQUE across languages (shared function
+    * words are non-discriminative, and a multi-language word would
+    * multiply its token row through the join and corrupt `n_tok`) —
+    * enforced. Decision is all-integer: predict the max-hits language
+    * when `best · denom ≥ n_tok` (i.e. ratio ≥ 1/denom), breaking hit
+    * ties to the lexicographically smallest language; 'und' otherwise.
+    *
+    * Output: `idCols…, n_tok, hits_<lang>… (dictionary langs, sorted),
+    * pred_lang`. Docs whose text is empty still produce a row (split
+    * of "" is [""], one token). */
+  def langIdMulti(docs: DataFrame, idCols: Seq[String], textCol: Column,
+      dict: Seq[(String, String)], denom: Int = 20): DataFrame = {
+    require(dict.nonEmpty && denom >= 1, "need a dictionary and denom >= 1")
+    require(dict.map(_._1).distinct.size == dict.size,
+      "dictionary words must be unique across languages — drop shared " +
+        "function words (they are non-discriminative and would corrupt n_tok)")
+    val langs = dict.map(_._2).distinct.sorted
+    require(langs.forall(l => !idCols.contains(s"hits_$l")),
+      s"idCols collide with a hits_<lang> output column")
+    val stop = broadcast(
+      docs.sparkSession.createDataFrame(dict).toDF("__tok", "__slang"))
+    val hitCols = langs.map(l =>
+      sum(when(col("__slang") === l, 1L).otherwise(0L)).as(s"hits_$l"))
+    val best =
+      if (langs.size == 1) col(s"hits_${langs.head}")
+      else greatest(langs.map(l => col(s"hits_$l")): _*)
+    // lexicographic-smallest tie-break: test langs in sorted order
+    val pred = langs.init.foldRight(lit(langs.last)) { (l, rest) =>
+      when(col(s"hits_$l") === best, l).otherwise(rest)
+    }
+    docs
+      .select(idCols.map(col) :+ explode(tokens(textCol)).as("__tok"): _*)
+      .join(stop, Seq("__tok"), "left")
+      .groupBy(idCols.map(col): _*)
+      .agg(count(lit(1)).as("n_tok"), hitCols: _*)
+      .withColumn("pred_lang",
+        when(best * denom >= col("n_tok"), pred).otherwise("und"))
+  }
+
   /** Type-token ratio (lexical diversity). `stopwords` only selects
     * which kernel subtree the ratio reads — pass the list shared with
     * the other gates in the same stage so CSE sees one call. */

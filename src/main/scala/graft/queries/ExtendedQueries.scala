@@ -84,6 +84,22 @@ object ExtendedQueries {
         adcQueryVec(j * 16 + t) * pqOracleCodebook((j * 4 + c) * 16 + t)).sum
     ).toIndexedSeq
 
+  /** (word, lang) stopword dictionary for q_text_langid — small
+    * public-list subsets, deliberately PAIRWISE DISJOINT across
+    * languages (shared function words like fr/es 'de'/'la'/'en' are
+    * non-discriminative and, with the left-join counting plan, a
+    * multi-language word would multiply its token row and corrupt
+    * n_tok). Literal in both engines. */
+  private[queries] val langStopwords: Seq[(String, String)] = Seq(
+    "a" -> "en", "the" -> "en", "of" -> "en", "to" -> "en",
+    "and" -> "en", "in" -> "en", "is" -> "en", "it" -> "en",
+    "le" -> "fr", "les" -> "fr", "des" -> "fr", "et" -> "fr",
+    "une" -> "fr", "est" -> "fr", "dans" -> "fr", "du" -> "fr",
+    "el" -> "es", "los" -> "es", "las" -> "es", "que" -> "es",
+    "y" -> "es", "una" -> "es", "es" -> "es", "por" -> "es",
+    "der" -> "de", "die" -> "de", "das" -> "de", "und" -> "de",
+    "den" -> "de", "von" -> "de", "ist" -> "de", "nicht" -> "de")
+
   private[queries] def memoCache(key: String, s: org.apache.spark.sql.SparkSession, d: String)(
       build: => org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     // NO computeIfAbsent: the builders nest (restrictedShingles →
@@ -804,23 +820,28 @@ object ExtendedQueries {
         .orderBy(col("vec_id"))
     },
 
-    // n-gram-heuristic language ID: stopword-ratio classifier
-    // (integer counts; ratio is an int/int division).
+    // Multi-language stopword language ID (r12 verdict #6: the old
+    // form was a two-stopword en-vs-und heuristic): score every doc
+    // against FOUR public stopword subsets (en/fr/es/de — kept
+    // pairwise DISJOINT, so the left join below matches each token at
+    // most once and n_tok stays exact), predict the argmax language
+    // when its hit ratio clears 1/20, lexicographic-smallest language
+    // on hit ties, 'und' otherwise. All-integer decision path: the
+    // threshold is best·20 ≥ n_tok (never a double division), so
+    // every output column hash-matches bit-for-bit.
+    // Scale shape: this is the #languages-scalable form — one token
+    // explode, one BROADCAST join against the (word → lang)
+    // dictionary, one per-doc conditional aggregate (map-side
+    // combined). A kernel-per-language would re-scan each doc's text
+    // per language; the dictionary join costs one pass no matter how
+    // many languages the table grows.
     "q_text_langid" -> { (s, d) =>
-      // ONE TokenStats kernel pass per document (the HOF form
-      // re-split the text inside the stopword filter lambda — no CSE
-      // for lambda subtrees); the oracle keeps the declarative split
-      val st = graft.functions.GraftFunctions.tokenStats(
-        col("text"), Seq("a", "the"))
-      docProfile(s, d)
-        .select(col("doc_id"), col("lang"),
-          st.getField("n_tokens").as("n_tok"),
-          st.getField("stopword_hits").as("n_stop"))
-        .withColumn("stop_ratio", col("n_stop") / col("n_tok"))
-        .withColumn("pred_lang",
-          when(col("stop_ratio") >= 0.05, "en").otherwise("und"))
-        .select(col("doc_id"), col("lang"), col("n_tok"), col("n_stop"),
-          col("stop_ratio"), col("pred_lang"))
+      graft.ops.TextAnalysis.langIdMulti(
+          docProfile(s, d), Seq("doc_id", "lang"), col("text"),
+          langStopwords, denom = 20)
+        .select(col("doc_id"), col("lang"), col("n_tok"),
+          col("hits_en"), col("hits_fr"), col("hits_es"), col("hits_de"),
+          col("pred_lang"))
         .orderBy(col("doc_id"))
     },
 
@@ -1360,15 +1381,28 @@ object ExtendedQueries {
          |ORDER BY adc DESC, vec_id LIMIT 20""".stripMargin
     },
 
-    "q_text_langid" ->
-      """SELECT doc_id, lang,
-        |       len(w) AS n_tok,
-        |       len(list_filter(w, x -> x IN ('a', 'the'))) AS n_stop,
-        |       len(list_filter(w, x -> x IN ('a', 'the'))) * 1.0 / len(w) AS stop_ratio,
-        |       CASE WHEN len(list_filter(w, x -> x IN ('a', 'the'))) * 1.0 / len(w) >= 0.05
-        |            THEN 'en' ELSE 'und' END AS pred_lang
-        |FROM (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents)
-        |ORDER BY doc_id""".stripMargin,
+    "q_text_langid" -> {
+      def inList(l: String) = langStopwords.filter(_._2 == l)
+        .map(w => s"'${w._1}'").mkString("(", ", ", ")")
+      s"""WITH w AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+         |           FROM documents),
+         |h AS (
+         |  SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS n_tok,
+         |    CAST(sum(CASE WHEN tok IN ${inList("en")} THEN 1 ELSE 0 END) AS BIGINT) AS hits_en,
+         |    CAST(sum(CASE WHEN tok IN ${inList("fr")} THEN 1 ELSE 0 END) AS BIGINT) AS hits_fr,
+         |    CAST(sum(CASE WHEN tok IN ${inList("es")} THEN 1 ELSE 0 END) AS BIGINT) AS hits_es,
+         |    CAST(sum(CASE WHEN tok IN ${inList("de")} THEN 1 ELSE 0 END) AS BIGINT) AS hits_de
+         |  FROM w GROUP BY 1, 2)
+         |SELECT doc_id, lang, n_tok, hits_en, hits_fr, hits_es, hits_de,
+         |  CASE WHEN greatest(hits_de, hits_en, hits_es, hits_fr) * 20 >= n_tok
+         |       THEN CASE
+         |         WHEN hits_de = greatest(hits_de, hits_en, hits_es, hits_fr) THEN 'de'
+         |         WHEN hits_en = greatest(hits_de, hits_en, hits_es, hits_fr) THEN 'en'
+         |         WHEN hits_es = greatest(hits_de, hits_en, hits_es, hits_fr) THEN 'es'
+         |         ELSE 'fr' END
+         |       ELSE 'und' END AS pred_lang
+         |FROM h ORDER BY doc_id""".stripMargin
+    },
 
     "q_quality_gates" ->
       """WITH g AS (

@@ -363,6 +363,39 @@ class OpsSpec extends AnyFunSuite {
     assert(r.getAs[String]("fp").matches("[0-9a-f]{32}"))
   }
 
+  test("langIdMulti scores every dictionary language, ties lexicographically, thresholds to und") {
+    val dict = Seq(
+      "the" -> "en", "of" -> "en",
+      "le" -> "fr", "est" -> "fr",
+      "el" -> "es", "que" -> "es",
+      "der" -> "de", "und" -> "de")
+    val d = Seq(
+      (1L, "the cat sat of the mat"),          // en, 3/6 hits
+      (2L, "le chat est sur le tapis"),        // fr, 3/6
+      (3L, "el gato que duerme bien hoy"),     // es, 2/6
+      (4L, "der hund und der mann hier"),      // de, 3/6
+      (5L, "the le chien cat walks on"),       // TIE en=fr=1 → 'en' (lex)
+      (6L, "nothing matches anything here at all x y z a b c d e f g h i j k")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.langIdMulti(d, Seq("doc_id"), col("text"), dict)
+      .orderBy(col("doc_id")).collect()
+    assert(out.map(_.getAs[String]("pred_lang")).toSeq ==
+      Seq("en", "fr", "es", "de", "en", "und"))
+    // per-language hit columns are real scores, not just the argmax
+    val r2 = out(1)
+    assert(r2.getAs[Long]("hits_fr") == 3 && r2.getAs[Long]("hits_en") == 0
+      && r2.getAs[Long]("n_tok") == 6)
+    // n_tok counts ALL tokens exactly once despite the dictionary join
+    assert(out.map(_.getAs[Long]("n_tok")).toSeq ==
+      Seq(6L, 6L, 6L, 6L, 6L, 20L))
+    // a word shared across languages would corrupt n_tok — refused
+    val shared = dict :+ ("the" -> "fr")
+    val e = intercept[IllegalArgumentException] {
+      TextAnalysis.langIdMulti(d, Seq("doc_id"), col("text"), shared)
+    }
+    assert(e.getMessage.contains("unique across languages"))
+  }
+
   test("scrubPii redacts urls-then-emails, counts matches, and is idempotent") {
     val d = Seq(
       (1L, "mail a@b.org and c.d+x@e-f.co.uk now"),
