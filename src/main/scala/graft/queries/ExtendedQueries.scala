@@ -84,6 +84,40 @@ object ExtendedQueries {
         adcQueryVec(j * 16 + t) * pqOracleCodebook((j * 4 + c) * 16 + t)).sum
     ).toIndexedSeq
 
+  /** Fixed SIGN coarse centroids for q_ivfpq_probe (4 × 64-dim, flat,
+    * every coordinate ±1 from md5("ivfs2:c:t") parity). The ±1
+    * construction makes Σg² = 64 for EVERY centroid, so the L2 argmin
+    * reduces to argmax ⟨v, g_c⟩ — a genuinely data-dependent
+    * random-signed-projection coarse quantizer (measured: ~25% per
+    * list at all three SFs) whose per-vector argmin margins are data-
+    * scale (min 4.4e-4 at sf0.1) — nine orders above any cross-engine
+    * summation-rounding divergence, so Spark's Σg²−2⟨v,g⟩ form and
+    * DuckDB's Σ(v−g)² form (they differ by the constant Σv²) pick the
+    * same centroid for every row. A large-magnitude codebook here
+    * would make Σg² differences dominate ⟨v,g⟩ and degenerate the
+    * assignment to one list. */
+  private[queries] val ivfOracleCentroids: IndexedSeq[Double] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (for (c <- 0 until 4; t <- 0 until 64) yield {
+      val hex = md.digest(s"ivfs2:$c:$t".getBytes("UTF-8"))
+        .take(3).map(b => f"$b%02x").mkString
+      if (java.lang.Long.parseLong(hex, 16) % 2 == 0) 1.0 else -1.0
+    }).toIndexedSeq
+  }
+
+  /** The 2 coarse lists q_ivfpq_probe probes: nearest centroids to the
+    * fixed integer query by Σ(q−C)², computed in EXACT Long arithmetic
+    * (integer query, ±1 centroids), ties to the lower cid. The oracle
+    * recomputes this from the same literals. */
+  private[graft] val ivfOracleProbe: Seq[Int] =
+    (0 until 4).map { c =>
+      val d2 = (0 until 64).map { t =>
+        val diff = adcQueryVec(t).toLong - ivfOracleCentroids(c * 64 + t).toLong
+        diff * diff
+      }.sum
+      (d2, c)
+    }.sorted.take(2).map(_._2)
+
   /** (word, lang) stopword dictionary for q_text_langid — small
     * public-list subsets, deliberately PAIRWISE DISJOINT across
     * languages (shared function words like fr/es 'de'/'la'/'en' are
@@ -398,27 +432,60 @@ object ExtendedQueries {
     * charge the layout + manifest build to the query (the abandoned
     * temp dir is left for the OS tmp reaper, like every spec's). */
   private val pathStore = new java.util.concurrent.ConcurrentHashMap[
-    (org.apache.spark.sql.SparkSession, String), String]()
-  private[graft] def skipLayout(s: org.apache.spark.sql.SparkSession,
-      d: String): String = {
-    val k = (s, d)
+    (org.apache.spark.sql.SparkSession, String, String), String]()
+  private def memoPath(kind: String, s: org.apache.spark.sql.SparkSession,
+      d: String)(build: String => Unit): String = {
+    val k = (s, d, kind)
     val hit = pathStore.get(k)
     if (hit != null) return hit
     // build outside any CHM mapping function (runs Spark write jobs —
     // same reentrancy discipline as memoCache); a lost race leaks one
     // temp dir, never wrong data
+    val dir = java.nio.file.Files.createTempDirectory(s"graft_$kind")
+      .toString
+    build(dir)
+    val raced = pathStore.putIfAbsent(k, dir)
+    if (raced != null) raced else dir
+  }
+  /** The q_ivfpq_probe index: (vec_id, codes) persisted
+    * `partitionBy("cid")` under the fixed integer coarse centroids +
+    * PQ codebook — so the declared probe's `cid IN (...)` filter is
+    * real PARTITION PRUNING on disk (the 100 TB IVF-PQ read shape:
+    * nprobe directories of 8-byte codes, never the corpus).
+    * Deterministic end to end: integer codebooks, argmin margins
+    * ~1e12. Same memo lifecycle as [[skipLayout]]. */
+  private[graft] def ivfPqIndexPath(s: org.apache.spark.sql.SparkSession,
+      d: String): String = memoPath("ivfpqindex", s, d) { dir =>
+    val e = graft.queries.t(s, d, "embeddings")
+      .select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+    // L2 argmin against the ±1 centroids, lower cid on ties — NOT
+    // Similarity.assignClusters (cosine), because the oracle mirrors
+    // the METRIC, not the expression: with Σg² = 64 constant this is
+    // argmax ⟨v, g⟩, whose data-scale margins (see
+    // [[ivfOracleCentroids]]) make the cross-engine argmin exact.
+    val cands = (0 until 4).map { c =>
+      val cLit = array(
+        ivfOracleCentroids.slice(c * 64, c * 64 + 64).map(lit): _*)
+      struct((lit(64.0) - lit(2.0) * graft.functions.GraftFunctions.dot(
+        col("v"), cLit)).as("dist"), lit(c).as("cid"))
+    }
+    e.select(col("vec_id"), least(cands: _*).getField("cid").as("cid"),
+        graft.functions.GraftFunctions.pqEncode(
+          col("v"), pqOracleCodebook, 4, 4).as("codes"))
+      .write.partitionBy("cid").mode("overwrite").parquet(dir)
+  }
+
+  private[graft] def skipLayout(s: org.apache.spark.sql.SparkSession,
+      d: String): String = memoPath("skiplayout", s, d) { dir =>
     val li = graft.queries.t(s, d, "lineitem")
       .select("l_orderkey", "l_quantity", "l_returnflag")
     val maxKey = li.agg(max(col("l_orderkey"))).head.getLong(0)
     val w = math.max(1L, (maxKey + 16) / 16) // ceil((max+1)/16): 16 shards
-    val dir = java.nio.file.Files.createTempDirectory("graft_skiplayout")
-      .toString
     graft.etl.Layout.writePartitioned(
       li.withColumn("shard", (col("l_orderkey") / lit(w)).cast("long")),
       dir, "shard")
     graft.etl.Skipping.writeManifest(s, dir, Seq("l_orderkey", "l_quantity"))
-    val raced = pathStore.putIfAbsent(k, dir)
-    if (raced != null) raced else dir
   }
 
   /** Session-scoped memo for the trained IVF coarse quantizer: an IVF
@@ -482,7 +549,11 @@ object ExtendedQueries {
       val k = it3.next()
       if (k._1 == s && k._2 == d) it3.remove()
     }
-    pathStore.remove((s, d))
+    val it4 = pathStore.keySet.iterator
+    while (it4.hasNext) {
+      val k = it4.next()
+      if (k._1 == s && k._2 == d) it4.remove()
+    }
   }
 
   val queries: Map[String, QFn] = Map(
@@ -796,6 +867,28 @@ object ExtendedQueries {
           graft.functions.GraftFunctions.pqAdc(codes, adcOracleLut, 4).as("adc"))
         .orderBy(col("adc").desc, col("vec_id"))
         .limit(20)
+    },
+
+    // IVF-PQ probe END TO END under the oracle (q_pq_adc declares the
+    // ADC kernel alone; this declares the serving path it powers):
+    // coarse-assign every vector to one of 4 fixed integer centroids,
+    // persist (vec_id, codes) partitionBy(cid), probe the 2 lists
+    // nearest the fixed integer query (exact-Long distance, embedded
+    // as the SAME literal recipe in the oracle, which recomputes the
+    // probe itself), ADC-rank ONLY those lists' codes, exact top-10.
+    // The cid filter is real PARTITION PRUNING on the persisted index
+    // (spec-asserted on the executed plan) — at 100 TB the probe
+    // reads nprobe directories of 8-byte codes, never the corpus.
+    // DuckDB independently recomputes assignment, probe, codes, LUT
+    // and the ADC sums from the same literals — all exact integers.
+    "q_ivfpq_probe" -> { (s, d) =>
+      s.read.parquet(ivfPqIndexPath(s, d))
+        .filter(col("cid").isin(ivfOracleProbe.map(Int.box): _*))
+        .select(col("vec_id"), col("cid").cast("int").as("cid"),
+          graft.functions.GraftFunctions.pqAdc(
+            col("codes"), adcOracleLut, 4).as("adc"))
+        .orderBy(col("adc").desc, col("vec_id"))
+        .limit(10)
     },
 
     // Int8 scalar quantization of the embedding column — the ANN
@@ -1379,6 +1472,48 @@ object ExtendedQueries {
          |FROM r WHERE rk = 1
          |GROUP BY vec_id
          |ORDER BY adc DESC, vec_id LIMIT 20""".stripMargin
+    },
+
+    "q_ivfpq_probe" -> {
+      val cb = pqOracleCodebook.map(_.toLong).mkString("[", ", ", "]")
+      val qv = adcQueryVec.map(_.toLong).mkString("[", ", ", "]")
+      val g = ivfOracleCentroids.map(_.toLong).mkString("[", ", ", "]")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |cb AS (SELECT CAST($cb AS BIGINT[]) AS f, CAST($qv AS BIGINT[]) AS q,
+         |              CAST($g AS BIGINT[]) AS g),
+         |a AS (
+         |  SELECT e.vec_id, e.v, c.c,
+         |    list_sum(list_transform(range(1, 65), t ->
+         |      (v[t] - g[c.c*64 + t]) * (v[t] - g[c.c*64 + t]))) AS d2
+         |  FROM e, cb, range(0, 4) AS c(c)
+         |),
+         |asg AS (SELECT vec_id, v, c AS cid FROM (
+         |    SELECT vec_id, v, c,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, c) AS rk
+         |    FROM a) WHERE rk = 1),
+         |pr AS (SELECT c FROM (
+         |    SELECT c.c AS c,
+         |      list_sum(list_transform(range(1, 65), t ->
+         |        (q[t] - g[c.c*64 + t]) * (q[t] - g[c.c*64 + t]))) AS dq
+         |    FROM cb, range(0, 4) AS c(c))
+         |  ORDER BY dq, c LIMIT 2),
+         |p AS (SELECT vec_id, v, cid FROM asg WHERE cid IN (SELECT c FROM pr)),
+         |dd AS (
+         |  SELECT p.vec_id, p.cid, j.j, c.c,
+         |    list_sum(list_transform(range(1, 17), t ->
+         |      (v[j.j*16 + t] - f[(j.j*4 + c.c)*16 + t]) *
+         |      (v[j.j*16 + t] - f[(j.j*4 + c.c)*16 + t]))) AS d2,
+         |    list_sum(list_transform(range(1, 17), t ->
+         |      q[j.j*16 + t] * f[(j.j*4 + c.c)*16 + t])) AS dotqc
+         |  FROM p, cb, range(0, 4) AS j(j), range(0, 4) AS c(c)
+         |),
+         |r AS (SELECT vec_id, cid, dotqc,
+         |        row_number() OVER (PARTITION BY vec_id, j ORDER BY d2, c) AS rk
+         |      FROM dd)
+         |SELECT vec_id, CAST(cid AS INT) AS cid, CAST(sum(dotqc) AS DOUBLE) AS adc
+         |FROM r WHERE rk = 1
+         |GROUP BY vec_id, cid
+         |ORDER BY adc DESC, vec_id LIMIT 10""".stripMargin
     },
 
     "q_text_langid" -> {

@@ -63,6 +63,22 @@ class IvfPqSpec extends AnyFunSuite {
     assert(!scanLine.contains("PartitionFilters: []"), scanLine)
   }
 
+  test("the DECLARED q_ivfpq_probe partition-prunes its persisted index") {
+    // same assertion as above, but on the exact declared code path the
+    // oracle hashes (ExtendedQueries.ivfPqIndexPath + the cid filter)
+    val probed = SparkEntry.queries("q_ivfpq_probe")(spark, sf)
+    val rows = probed.collect()
+    assert(rows.length == 10 && rows.map(_.getLong(0)).distinct.length == 10)
+    // only the 2 probed lists' cids appear
+    assert(rows.map(_.getInt(1)).toSet.subsetOf(
+      graft.queries.ExtendedQueries.ivfOracleProbe.toSet))
+    val plan = probed.queryExecution.executedPlan.toString
+    val scanLine = plan.linesIterator
+      .find(_.contains("PartitionFilters")).getOrElse("")
+    assert(scanLine.contains("PartitionFilters: [cid"), plan.take(4000))
+    assert(!scanLine.contains("PartitionFilters: []"), scanLine)
+  }
+
   test("probed search holds a measured recall floor; rerank never hurts") {
     val qRow = emb.filter(col("vec_id") === 7L)
     val rest = emb.filter(col("vec_id") =!= 7L)
