@@ -70,6 +70,31 @@ object EtlQueries {
           max(col("l_orderkey")).as("max_ok"))
         .orderBy(col("l_returnflag"))
     },
+    // The Z-ORDER KEY KERNEL under the oracle (Layout.zvalue — the
+    // clustering write path q_skipping_prune's manifest payoff rides
+    // on): Morton-interleave (l_orderkey, l_quantity) under FIXED
+    // literal bounds (wide enough for every SF — the clamps never
+    // fire but are mirrored), then fold EVERY row's 40-bit key
+    // through order-independent exact aggregates (bit_xor covers all
+    // bits of all rows; min/max pin the range) per return flag. The
+    // double bucket arithmetic is mirrored operation-for-operation
+    // (same literals, same association) so both engines compute
+    // bit-identical scaled values; DuckDB's double→BIGINT CAST rounds
+    // where Spark's ANSI cast truncates, so the oracle goes through
+    // trunc() explicitly. Everything after the bucket is integer.
+    "q_zorder_key" -> { (s, d) =>
+      val z = graft.etl.Layout.zvalue(col("l_orderkey"), col("l_quantity"),
+        (0.0, 200000.0, 0.0, 60.0), bits = 20)
+      t(s, d, "lineitem")
+        .select(col("l_returnflag"), z.as("zv"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          bit_xor(col("zv")).as("xor_z"),
+          min(col("zv")).as("min_z"),
+          max(col("zv")).as("max_z"))
+        .orderBy(col("l_returnflag"))
+    },
+
     // CDC apply: a synthetic I/U/D change feed (one change per order,
     // key = customer, version ts = o_orderkey — globally unique, so
     // latest-wins is total) folded into an empty snapshot in TWO
@@ -176,6 +201,38 @@ object EtlQueries {
   )
 
   val sql: Map[String, String] = Map(
+    "q_zorder_key" -> {
+      // Layout.zvalue's exact mask-spread, one CTE per step (textual
+      // inlining would double the expression at every level); every
+      // double literal CAST to DOUBLE (bare DuckDB numerics are
+      // DECIMAL — the q_bm25 mirroring rule), trunc() because DuckDB's
+      // double→BIGINT CAST rounds where Spark's ANSI cast truncates.
+      def bucket(c: String, hi: String) =
+        s"CAST(trunc(least(CAST(1048575.0 AS DOUBLE), greatest(" +
+          s"CAST(0.0 AS DOUBLE), (CAST($c AS DOUBLE) - CAST(0.0 AS DOUBLE))" +
+          s" / CAST($hi AS DOUBLE) * CAST(1048575.0 AS DOUBLE)))) AS BIGINT)"
+      val steps = Seq(
+        16 -> 281470681808895L, 8 -> 71777214294589695L,
+        4 -> 1085102592571150095L, 2 -> 3689348814741910323L,
+        1 -> 6148914691236517205L)
+      val spreadCtes = steps.zipWithIndex.map { case ((sh, mask), i) =>
+        s"""s${i + 1} AS (SELECT l_returnflag,
+           |  ((va | (va << $sh)) & $mask) AS va,
+           |  ((vb | (vb << $sh)) & $mask) AS vb FROM s$i)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH b AS (SELECT l_returnflag,
+         |  ${bucket("l_orderkey", "200000.0")} AS ba,
+         |  ${bucket("l_quantity", "60.0")} AS bb
+         |  FROM lineitem),
+         |s0 AS (SELECT l_returnflag, (ba & 2147483647) AS va,
+         |              (bb & 2147483647) AS vb FROM b),
+         |$spreadCtes,
+         |z AS (SELECT l_returnflag, (va | (vb << 1)) AS zv FROM s${steps.size})
+         |SELECT l_returnflag, count(*) AS n, bit_xor(zv) AS xor_z,
+         |       min(zv) AS min_z, max(zv) AS max_z
+         |FROM z GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+
     "q_skipping_prune" ->
       """SELECT l_returnflag, count(*) AS n_items,
         |       CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
