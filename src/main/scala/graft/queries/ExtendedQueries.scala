@@ -584,6 +584,28 @@ object ExtendedQueries {
         .orderBy(col("doc_id"), col("start_tok"))
     },
 
+    // Boilerplate STRIP under the oracle — the scrub step the span
+    // detection above feeds (r13: detect AND strip both declared):
+    // rewrite every document with its repeated spans' tokens removed,
+    // emit (token count, md5) of the cleaned text — content-exact
+    // without shipping full strings through the hash compare twice.
+    // Docs with no spans pass their ORIGINAL string through
+    // (scrubSpans contract); the oracle's split→string_agg(' ')
+    // round-trip is exact for the single-space token contract, so the
+    // two paths agree byte-for-byte. Entirely-repeated docs become ''
+    // on both sides (coalesce over the empty kept-token set).
+    "q_boilerplate_strip" -> { (s, d) =>
+      graft.ops.SubstrDedup.stripRepeatedSpans(
+          docProfile(s, d).select(col("doc_id"), col("text")),
+          col("text"), col("doc_id"), w = 8, minDocs = 3)
+        .select(col("doc_id"),
+          when(length(col("text_clean")) === 0, lit(0L))
+            .otherwise(size(split(col("text_clean"), " ")).cast("long"))
+            .as("n_tok_clean"),
+          md5(col("text_clean").cast("binary")).as("clean_md5"))
+        .orderBy(col("doc_id"))
+    },
+
     // SimHash-32: per-token md5-derived 32-bit hash; weighted bit
     // majority over the document; signature emitted as a 32-char
     // '0'/'1' string (integer arithmetic throughout).
@@ -1101,6 +1123,50 @@ object ExtendedQueries {
         |       CAST(count(*) AS BIGINT) AS n_windows
         |FROM isl GROUP BY id, island
         |ORDER BY doc_id, start_tok""".stripMargin,
+
+    "q_boilerplate_strip" ->
+      """WITH d AS (SELECT doc_id AS id, text, string_split(text, ' ') AS toks FROM documents),
+        |win AS (
+        |  SELECT id, CAST(i - 1 AS BIGINT) AS pos,
+        |         array_to_string(toks[i:i+7], ' ') AS wtext
+        |  FROM d, LATERAL (SELECT unnest(generate_series(1, len(toks) - 7)) AS i)
+        |),
+        |spread AS (
+        |  SELECT wtext FROM (SELECT DISTINCT wtext, id FROM win)
+        |  GROUP BY wtext HAVING count(*) >= 3
+        |),
+        |rep AS (SELECT id, pos FROM win JOIN spread USING (wtext)),
+        |brk AS (
+        |  SELECT id, pos,
+        |    CASE WHEN pos - lag(pos) OVER (PARTITION BY id ORDER BY pos) > 8
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM rep
+        |),
+        |isl AS (
+        |  SELECT id, pos,
+        |    sum(brk) OVER (PARTITION BY id ORDER BY pos
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM brk
+        |),
+        |spans AS (SELECT id, min(pos) AS s, max(pos) + 8 AS e
+        |          FROM isl GROUP BY id, island),
+        |tok AS (SELECT id, CAST(i - 1 AS BIGINT) AS pos, toks[i] AS t
+        |        FROM d, LATERAL (SELECT unnest(generate_series(1, len(toks))) AS i)),
+        |kept AS (
+        |  SELECT tok.id, tok.pos, tok.t FROM tok
+        |  WHERE NOT EXISTS (SELECT 1 FROM spans sp
+        |                    WHERE sp.id = tok.id
+        |                      AND tok.pos >= sp.s AND tok.pos < sp.e)),
+        |cleanagg AS (SELECT id, string_agg(t, ' ' ORDER BY pos) AS tc
+        |             FROM kept GROUP BY id),
+        |clean AS (SELECT d.id, coalesce(c.tc, '') AS text_clean
+        |          FROM d LEFT JOIN cleanagg c USING (id))
+        |SELECT id AS doc_id,
+        |  CAST(CASE WHEN length(text_clean) = 0 THEN 0
+        |            ELSE len(string_split(text_clean, ' ')) END AS BIGINT)
+        |    AS n_tok_clean,
+        |  md5(text_clean) AS clean_md5
+        |FROM clean ORDER BY doc_id""".stripMargin,
 
     "q_dedup_minhash_lsh" ->
       s"""WITH sh AS (
