@@ -31,6 +31,7 @@ object ScaleProbe {
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1000000).selectExpr("sum(id)").collect()
 
+    if (args.contains("skip")) { skipMain(spark); spark.stop(); return }
     if (args.contains("risk")) { riskMain(spark); spark.stop(); return }
     if (args.contains("capstone")) { capstoneMain(spark); spark.stop(); return }
     if (args.contains("stream")) { streamMain(spark); spark.stop(); return }
@@ -683,6 +684,48 @@ object ScaleProbe {
     * of the algorithm's. With disjoint copies, dup/near-dup structure
     * scales ×n with the corpus and any remaining bucket growth is the
     * ALGORITHM's (e.g. 8-bit simhash band-value saturation). */
+  /** Data-skipping scale curve (r13): as the corpus grows ×2/×4, the
+    * declared q_skipping_prune predicate keeps overlapping the same
+    * ONE shard (the copies' offset orderkeys land in other shards), so
+    * the pruned scan's bytes and wall stay ~flat while the full scan
+    * grows with the corpus — the whole point of file-level skipping,
+    * measured. Build cost (layout write + manifest agg) is the
+    * once-per-layout-change price and scales with the corpus. */
+  private def skipMain(spark: SparkSession): Unit = {
+    for (n <- Seq(2, 4)) build(spark, n)
+    println(f"${"scale"}%-5s ${"build_s"}%8s ${"pruned_s"}%9s ${"full_s"}%8s  files(read/live)  readMB/layoutMB")
+    for ((d, label) <- Seq((Base, "x1"), (s"$Work/x2", "x2"), (s"$Work/x4", "x4"))) {
+      val t0 = System.nanoTime()
+      val layout = ExtendedQueries.skipLayout(spark, d)
+      val buildS = (System.nanoTime() - t0) / 1e9
+      def timed(f: => Unit): Double = {
+        val t = System.nanoTime(); f; (System.nanoTime() - t) / 1e9
+      }
+      val prunedS = (1 to 3).map(_ => timed {
+        EtlQueries.skippingPruneScan(spark, d)._1
+          .agg(count(lit(1)), sum(col("l_quantity"))).collect(): Unit
+      }).min
+      val (_, stats) = EtlQueries.skippingPruneScan(spark, d)
+      val fullS = (1 to 3).map(_ => timed {
+        spark.read.parquet(layout)
+          .filter(EtlQueries.skipPreds.map(_.exact).reduce(_ && _))
+          .agg(count(lit(1)), sum(col("l_quantity"))).collect(): Unit
+      }).min
+      val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(layout),
+        spark.sparkContext.hadoopConfiguration)
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(layout), true)
+      var bytes = 0L
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.isFile && st.getPath.getName.startsWith("part-"))
+          bytes += st.getLen
+      }
+      println(f"$label%-5s $buildS%8.2f $prunedS%9.3f $fullS%8.3f  " +
+        f"${stats.readFiles}%5d/${stats.liveFiles}%-10d " +
+        f"${stats.readBytes / 1048576.0}%6.1f/${bytes / 1048576.0}%.1f")
+    }
+  }
+
   private def buildSubset(spark: SparkSession, n: Int): Unit = {
     val out = s"$Work/rx$n"
     if (new java.io.File(s"$out/_OK5").exists()) return
