@@ -69,6 +69,13 @@ object Bench {
     // (CacheManager, WindowExec, Hadoop native-lib, …) on stderr has
     // broken the harness's tail parse before.
     spark.sparkContext.setLogLevel("ERROR")
+    // Session-shared artifacts the untimed warm-up pre-builds (caches
+    // + persisted layouts), DISCLOSED in the emitted JSON as
+    // "prebuilt" (r13 ADVICE): the DuckDB oracle recomputes the
+    // equivalent work per query, so a reader of the archived totals
+    // needs the asymmetry on the record, not just warm_cache:true.
+    val prebuilt = Seq("shingle_cache", "embed_norms_cache",
+      "token_count_cache", "skipping_layout", "ivfpq_index")
     // Untimed JVM warm-up: exercise codegen, shuffle, window, join and
     // the parquet reader on the two tiny dimension tables so the first
     // timed query doesn't absorb JIT + first-codegen cost.
@@ -341,15 +348,16 @@ object Bench {
     // export can never make the gate pass vacuously with the budgets
     // silently deactivated (r12 ADVICE).
     val planPinFields = s""""plan_pins_active":$planPinsActive,"shuffle_pin_failures":[${shufflePinFailures.mkString(",")}],"input_pin_failures":[${inputPinFailures.mkString(",")}],"stage_pin_failures":[${stagePinFailures.mkString(",")}]"""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"n_queries":${results.size},"runs_per_query":$runs,"agg":"min","warm_cache":true,"floor_sec":$floorSec,"floor_per_stage_sec":${floorSec / 2},"pin_failures":[${pinFailures.mkString(",")}],$planPinFields,"shuffle_mb_total":$shuffleTotalMb$coldFields,"queries":${toJson(results)},"stages":${toJsonInt(stageCounts)},"shuffle_mb":${toJson(shuffleMb)},"input_mb":${toJson(inputMb)},"sf":"$sfDir"}""")
+    val prebuiltJson = prebuilt.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"n_queries":${results.size},"runs_per_query":$runs,"agg":"min","warm_cache":true,"prebuilt":$prebuiltJson,"floor_sec":$floorSec,"floor_per_stage_sec":${floorSec / 2},"pin_failures":[${pinFailures.mkString(",")}],$planPinFields,"shuffle_mb_total":$shuffleTotalMb$coldFields,"queries":${toJson(results)},"stages":${toJsonInt(stageCounts)},"shuffle_mb":${toJson(shuffleMb)},"input_mb":${toJson(inputMb)},"sf":"$sfDir"}""")
     // The full line above grew past the driver's tail-capture window in
     // round 3 and the LEADING total field was the part cut off. Re-emit
     // the headline number as a short final line so any last-N-bytes
     // capture always contains a parseable total — including BOTH pin
     // alarms, which must survive any truncation. n_queries
-    // contextualizes the total across rounds: the declared set grew
-    // 67 → 120, so raw round-over-round totals are not comparable
-    // without it. The line must be SELF-SUFFICIENT for the archive
+    // contextualizes the total across rounds: the declared set has
+    // grown every round (120 in r12, 126 in r13, …), so raw
+    // round-over-round totals are not comparable without it. The line must be SELF-SUFFICIENT for the archive
     // (r12 verdict: only a 2000-char tail survives, and r11/r12 lost
     // floor_sec + the wall map): it carries floor_sec,
     // floor_per_stage_sec and the 5 slowest (query, wall, stages)
@@ -359,7 +367,7 @@ object Bench {
       .map { case (q, w) =>
         s"""["$q",$w,${stageCounts.getOrElse(q, -1)}]""" }
       .mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"n_queries":${results.size},"runs_per_query":$runs,"floor_sec":$floorSec,"floor_per_stage_sec":${floorSec / 2},"pin_failures":[${pinFailures.mkString(",")}],$planPinFields,"shuffle_mb_total":$shuffleTotalMb,"slowest":$slowest5,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"n_queries":${results.size},"runs_per_query":$runs,"warm_cache":true,"prebuilt":$prebuiltJson,"floor_sec":$floorSec,"floor_per_stage_sec":${floorSec / 2},"pin_failures":[${pinFailures.mkString(",")}],$planPinFields,"shuffle_mb_total":$shuffleTotalMb,"slowest":$slowest5,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

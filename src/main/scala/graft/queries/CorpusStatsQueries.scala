@@ -165,7 +165,8 @@ object CorpusStatsQueries {
         .select(col("w"),
           array_join(graft.ops.Bpe.encode(col("w"), bpeOracleMerges), " ")
             .as("wt"))
-      docs.select(col("doc_id"), posexplode(wordsOf).as(Seq("pos", "w")))
+      val perDoc = docs
+        .select(col("doc_id"), posexplode(wordsOf).as(Seq("pos", "w")))
         .join(dict, "w")
         .groupBy(col("doc_id"))
         .agg(
@@ -175,6 +176,15 @@ object CorpusStatsQueries {
           md5(array_join(
             transform(array_sort(collect_list(struct(col("pos"), col("wt")))),
               x => x.getField("wt")), " ").cast("binary")).as("tok_md5"))
+      // left-join back to docs (the q_boilerplate_strip pattern, r13
+      // ADVICE): a doc whose text is empty/whitespace-only explodes to
+      // zero word rows and would otherwise emit no output row, while
+      // the oracle emits (0, md5('')) for every document.
+      docs.select(col("doc_id"))
+        .join(perDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_tok"), lit(0L)).as("n_tok"),
+          coalesce(col("tok_md5"), md5(lit("").cast("binary"))).as("tok_md5"))
         .orderBy(col("doc_id"))
     },
 
