@@ -7,9 +7,9 @@ import org.apache.spark.sql.functions._
 /** Technical-indicator operators over per-key ordered price series —
   * the analytical layer the reference computes in its fact-table build
   * (daily return `fetch_stocks.py:213`, rolling volatility
-  * `fetch_stocks.py:216`) extended with the two classic momentum /
-  * risk indicators a stock dashboard adds next: RSI and maximum
-  * drawdown.
+  * `fetch_stocks.py:216`) extended with the classic momentum / risk
+  * indicators a stock dashboard adds next: RSI, Bollinger bands and
+  * maximum drawdown.
   *
   * Determinism contract (the same §7.3 discipline as the declared
   * window queries): prices enter as exact DECIMAL, every windowed
@@ -126,6 +126,61 @@ object Indicators {
       if (completeOnly) withSums.filter(defined).withColumn("rsi", ratio)
       else withSums.withColumn("rsi", when(defined, ratio))
     out.drop("__p", "__d", "__cg", "__cl", "__sg", "__sl")
+  }
+
+  /** Bollinger bands (mid = `period`-row SMA of price, upper/lower =
+    * mid ± `k`·sample-stddev over the same trailing frame) with the
+    * pandas min_periods guard: rows before a full window exist are
+    * dropped (the q_rsi `completeOnly` convention — a nullable CASE
+    * would inline the whole band arithmetic into a pushed-down filter,
+    * see [[rsi]]'s scaladoc).
+    *
+    * Exactness: prices enter as exact integer CENTS
+    * (`floor(double(price)·10² + 0.5)` — exact for any scale-≤2 money
+    * column), and both frame sums stay native-long: Σp ≤ period·p and
+    * Σp² ≤ period·p² must stay below 2⁵³ for the final doubles to be
+    * exact, which bounds |price| < √(2⁵³/period)/100 (≈ $212,000 at
+    * period 20 — an equity price, not a notional; for larger values
+    * route the squares through DECIMAL). After the exact sums, the
+    * band arithmetic is a fixed chain of IEEE double ops (one
+    * correctly-rounded sqrt), identical on any engine — mirrored
+    * operation-for-operation by the declared oracle.
+    *
+    * 100 TB shape: identical to [[rsi]] — one hash exchange on the
+    * series key, one sort, a single WindowExec pass carrying rn and
+    * both sums (same frame spec ⇒ one buffer). */
+  def bollinger(df: DataFrame, key: Column, orderCols: Seq[Column],
+      price: Column, period: Int = 20, k: Double = 2.0): DataFrame = {
+    val reserved = Seq("rn", "mid", "upper", "lower", "__p", "__sx", "__sxx")
+    val clash = df.columns.toSet.intersect(reserved.toSet)
+    require(clash.isEmpty,
+      s"input already has column(s) $clash reserved by bollinger()")
+    require(period >= 2, s"period=$period needs at least 2 rows for stddev")
+    val w = Window.partitionBy(key).orderBy(orderCols: _*)
+    val frame = w.rowsBetween(-(period - 1), 0)
+    // exact integer cents via the double path (see scaladoc); a named
+    // column, not inline — the [[rsi]] CSE discipline
+    val p = floor(price.cast("double") * lit(100.0) + lit(0.5)).cast("long")
+    val withSums = df.withColumn("__p", p)
+      .select(col("*"),
+        row_number().over(w).cast("long").as("rn"),
+        sum(col("__p")).over(frame).as("__sx"),
+        sum(col("__p") * col("__p")).over(frame).as("__sxx"))
+      // min_periods: only rows with a FULL frame — n in the band
+      // arithmetic is then the constant `period`, which the oracle
+      // mirrors as a literal
+      .filter(col("rn") >= period)
+    val sx = col("__sx").cast("double")
+    val sxx = col("__sxx").cast("double")
+    val meanP = sx / lit(period.toDouble)
+    val stdP = sqrt(greatest(
+      (sxx - sx * sx / lit(period.toDouble)) / lit((period - 1).toDouble),
+      lit(0.0)))
+    withSums
+      .withColumn("mid", meanP / lit(100.0))
+      .withColumn("upper", (meanP + lit(k) * stdP) / lit(100.0))
+      .withColumn("lower", (meanP - lit(k) * stdP) / lit(100.0))
+      .drop("__p", "__sx", "__sxx")
   }
 
   /** Maximum drawdown per series key: the most negative

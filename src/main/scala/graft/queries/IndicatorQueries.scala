@@ -45,6 +45,25 @@ object IndicatorQueries {
         .orderBy(col("l_partkey"), col("rn"))
     },
 
+    // Bollinger bands per part series (fetch_stocks.py:216's rolling
+    // stddev one step further — the standard mean ± 2σ envelope,
+    // completing the indicator trio): 20-row SMA of price ± 2·sample
+    // stddev, min_periods semantics via the completeOnly-style rn
+    // filter. Prices enter as exact integer CENTS (floor(x·10²+0.5) —
+    // the l_extendedprice column is 2-dp, and cents keep Σp² < 2⁵³ so
+    // every sum stays native-long and every final double op is
+    // mirrored IEEE-identically; see Indicators.bollinger).
+    "q_bollinger" -> { (s, d) =>
+      graft.ops.Indicators.bollinger(
+          t(s, d, "lineitem"),
+          col("l_partkey"),
+          Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber")),
+          col("l_extendedprice"), period = 20, k = 2.0)
+        .select(col("l_partkey"), col("l_orderkey"), col("l_linenumber"),
+          col("rn"), col("mid"), col("upper"), col("lower"))
+        .orderBy(col("l_partkey"), col("rn"))
+    },
+
     // Maximum drawdown per part: most negative peak-to-trough price
     // fraction; one row per part.
     "q_drawdown" -> { (s, d) =>
@@ -89,6 +108,37 @@ object IndicatorQueries {
         |             CAST(sum_g + sum_l AS DOUBLE), 4) AS rsi
         |FROM sums
         |WHERE rn >= 15 AND (sum_g + sum_l) > 0
+        |ORDER BY l_partkey, rn""".stripMargin,
+
+    "q_bollinger" ->
+      """WITH px AS (
+        |  -- exact integer CENTS, the VERBATIM expression of the Spark
+        |  -- plan: floor(x*100 + 0.5) is three IEEE double ops, exact
+        |  -- for 2-dp money; 20·p² stays below 2^53 so both frame sums
+        |  -- are exact native integers and their doubles are exact
+        |  SELECT l_partkey, l_orderkey, l_linenumber, l_shipdate,
+        |         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS p
+        |  FROM lineitem
+        |), sums AS (
+        |  SELECT l_partkey, l_orderkey, l_linenumber,
+        |    CAST(row_number() OVER w AS BIGINT) AS rn,
+        |    CAST(sum(p) OVER f AS DOUBLE) AS sx,
+        |    CAST(sum(p * p) OVER f AS DOUBLE) AS sxx
+        |  FROM px
+        |  WINDOW w AS (PARTITION BY l_partkey
+        |               ORDER BY l_shipdate, l_orderkey, l_linenumber),
+        |         f AS (PARTITION BY l_partkey
+        |               ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |               ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+        |)
+        |SELECT l_partkey, l_orderkey, l_linenumber, rn,
+        |       (sx / 20.0) / 100.0 AS mid,
+        |       (sx / 20.0 + 2.0 * sqrt(greatest(
+        |          (sxx - sx * sx / 20.0) / 19.0, 0.0))) / 100.0 AS upper,
+        |       (sx / 20.0 - 2.0 * sqrt(greatest(
+        |          (sxx - sx * sx / 20.0) / 19.0, 0.0))) / 100.0 AS lower
+        |FROM sums
+        |WHERE rn >= 20
         |ORDER BY l_partkey, rn""".stripMargin,
 
     "q_drawdown" ->

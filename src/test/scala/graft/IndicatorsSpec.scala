@@ -56,6 +56,46 @@ class IndicatorsSpec extends AnyFunSuite {
     assert(out == Seq(("A", 5L, -0.0769), ("B", 3L, 0.0)))
   }
 
+  test("bollinger: hand-computed bands, min_periods drops short-frame rows") {
+    // period=3, k=2 over A's 5 prices: first band row at rn 3.
+    // rn 3 frame (10,11,13): mean 34/3, var = ((30²+33²+39²)·10⁴ −
+    // (102·10²)²/3)/2 computed in cents — check against direct math.
+    val out = ops.Indicators.bollinger(px, col("k"), Seq(col("i")),
+        col("p"), period = 3, k = 2.0)
+      .select(col("k"), col("i"), col("rn"), col("mid"), col("upper"), col("lower"))
+      .orderBy(col("k"), col("i")).collect()
+    val a = out.filter(_.getString(0) == "A")
+    assert(a.map(_.getLong(2)).toSeq == Seq(3L, 4L, 5L)) // rn 1,2 dropped
+    def bands(ps: Seq[Double]): (Double, Double, Double) = {
+      val cents = ps.map(p => math.floor(p * 100.0 + 0.5))
+      val sx = cents.sum; val sxx = cents.map(c => c * c).sum
+      val mean = sx / 3.0
+      val std = math.sqrt(math.max((sxx - sx * sx / 3.0) / 2.0, 0.0))
+      (mean / 100.0, (mean + 2.0 * std) / 100.0, (mean - 2.0 * std) / 100.0)
+    }
+    val (m3, u3, l3) = bands(Seq(10.0, 11.0, 13.0))
+    assert(a(0).getDouble(3) == m3 && a(0).getDouble(4) == u3 &&
+      a(0).getDouble(5) == l3)
+    val (m5, u5, l5) = bands(Seq(13.0, 12.0, 16.0))
+    assert(a(2).getDouble(3) == m5 && a(2).getDouble(4) == u5 &&
+      a(2).getDouble(5) == l5)
+    // B has exactly 3 rows → exactly one band row; flat frames would
+    // clamp at 0 variance (upper = lower = mid) — B rises so upper>lower
+    val b = out.filter(_.getString(0) == "B")
+    assert(b.length == 1 && b(0).getDouble(4) > b(0).getDouble(5))
+  }
+
+  test("bollinger: constant series clamps variance at zero (upper = mid = lower)") {
+    val flat = Seq(("F", 1, 5.0), ("F", 2, 5.0), ("F", 3, 5.0))
+      .toDF("k", "i", "p")
+    val out = ops.Indicators.bollinger(flat, col("k"), Seq(col("i")),
+        col("p"), period = 3).collect()
+    assert(out.length == 1)
+    val r = out(0)
+    assert(r.getAs[Double]("mid") == 5.0 &&
+      r.getAs[Double]("upper") == 5.0 && r.getAs[Double]("lower") == 5.0)
+  }
+
   test("rsi over a series-key-bucketed table plans with zero exchanges") {
     // q_rsi's settled ~0.3 s above floor IS its one width-independent
     // hash exchange (SCALE.md bisection) — this gate proves the
