@@ -48,7 +48,7 @@ object SparkEntry {
       ExtendedQueries.queries ++ TrainPrepQueries.queries ++
       CorpusStatsQueries.queries ++ IndicatorQueries.queries ++
       BehaviorQueries.queries ++ SqlSurfaceQueries.queries ++
-      EtlQueries.queries
+      EtlQueries.queries ++ StarPipelineQueries.queries
 
   /** For each key in `queries`, equivalent DuckDB SQL on the same tables. */
   val oracleSql: Map[String, String] =
@@ -57,7 +57,7 @@ object SparkEntry {
       ExtendedQueries.sql ++ TrainPrepQueries.sql ++
       CorpusStatsQueries.sql ++ IndicatorQueries.sql ++
       BehaviorQueries.sql ++ SqlSurfaceQueries.sql ++
-      EtlQueries.sql
+      EtlQueries.sql ++ StarPipelineQueries.sql
 
   require(queries.keySet == oracleSql.keySet,
     s"queries/oracleSql key mismatch: ${(queries.keySet diff oracleSql.keySet) ++ (oracleSql.keySet diff queries.keySet)}")

@@ -131,16 +131,42 @@ object StarSchemaBuilder {
   }
 
   /** Fact table (fetch_stocks.py:221-241): per-ticker windows + dim
-    * joins. Window shuffles once on Ticker; all dims broadcast. */
+    * joins. Window shuffles once on Ticker; all dims broadcast.
+    *
+    * Volatility (the reference's 20-row rolling stddev of DailyReturn
+    * with min_periods=20, fetch_stocks.py:216) is computed from exact
+    * integer sums of FIXED-POINT returns `floor(ret·10⁸ + 0.5)`
+    * rather than `stddev_samp` over raw doubles: a float stddev's
+    * value depends on frame summation order, so the raw form is not
+    * reproducible across engines or partition layouts, while the
+    * fixed-point sums are exact integers under ANY order (§7.3 — the
+    * same contract as the declared rolling-std query) at a 10⁻⁸
+    * return quantization far below any use of a volatility number.
+    * Exactness bound: Σfp² < 2⁵³ needs |ret| ≤ ~0.21 per tick at
+    * window 20 — beyond that the sums stay correct (long overflow is
+    * ~|ret| > 6·10⁸) but the final double conversion may round. */
   def buildFact(stocks: DataFrame, econ: DataFrame, dimIndex: DataFrame,
       dimCountry: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("Ticker")).orderBy(col("Date"))
     val frame = w.rowsBetween(-19, 0)
+    val sx = col("__sx").cast("double")
+    val sxx = col("__sxx").cast("double")
     val withMetrics = stocks
       .withColumn("DailyReturn", col("Close") / lag(col("Close"), 1).over(w) - lit(1.0))
+      // named column, not inline: the rsi/bollinger CSE discipline
+      .withColumn("__rfp",
+        floor(col("DailyReturn") * lit(1.0e8) + lit(0.5)).cast("long"))
+      .select(col("*"),
+        count(col("DailyReturn")).over(frame).as("__n"),
+        sum(col("__rfp")).over(frame).as("__sx"),
+        sum(col("__rfp") * col("__rfp")).over(frame).as("__sxx"))
+      // __n ≥ 20 in a 20-row frame ⇒ every frame row is non-null, so
+      // the sums cover exactly 20 returns and n is the literal 20
       .withColumn("Volatility",
-        when(count(col("DailyReturn")).over(frame) >= 20,
-          stddev_samp(col("DailyReturn")).over(frame)))
+        when(col("__n") >= 20,
+          sqrt(greatest((sxx - sx * sx / lit(20.0)) / lit(19.0), lit(0.0)))
+            / lit(1.0e8)))
+      .drop("__rfp", "__n", "__sx", "__sxx")
     withMetrics
       .join(broadcast(dimIndex), md5(col("Ticker").cast("binary")) === col("IndexKey"))
       .join(broadcast(econ.select(year(col("date")).as("econ_year"),

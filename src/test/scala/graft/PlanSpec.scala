@@ -48,6 +48,21 @@ class PlanSpec extends AnyFunSuite {
     assert(pc.contains("BroadcastNestedLoopJoin"), pc)
   }
 
+  test("q_star_schema: every dimension broadcasts; ticker window shuffles once") {
+    // the reference-parity capstone's 100 TB contract: the fact side
+    // shuffles exactly once (the per-ticker window) and every dim —
+    // DimDate, DimStockIndex, the econ year frame, DimCountry — rides
+    // a broadcast, so scaling the fact 1000× adds no new exchange
+    val p = plan(q("q_star_schema"))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("BroadcastNestedLoopJoin"), p) // constant-predicate country join
+    assert(!p.contains("SortMergeJoin"), s"a dim join fell back to shuffle:\n$p")
+    val windowExchanges = p.linesIterator
+      .filter(l => l.contains("Exchange hashpartitioning"))
+      .count(_.contains("Ticker"))
+    assert(windowExchanges >= 1, p)
+  }
+
   test("q_sort_limit is top-k, not a total sort") {
     val p = plan(q("q_sort_limit"))
     assert(p.contains("TakeOrderedAndProject"), p)
