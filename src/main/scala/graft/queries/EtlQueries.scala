@@ -95,6 +95,30 @@ object EtlQueries {
         .orderBy(col("l_returnflag"))
     },
 
+    // The GENERAL N-column Z-order path under the oracle (r14 —
+    // q_zorder_key covers only the 2-column mask-spread fast path;
+    // Layout.zvalueN's round-robin interleave was spec-only): 3-D
+    // Morton key over (l_orderkey, l_quantity, l_extendedprice) at 21
+    // bits/column (3·21 = 63, the full signed-long budget), folded
+    // through the same order-independent exact aggregates. Bucket
+    // arithmetic mirrored operation-for-operation (lo = 0 so the
+    // divisor literal is hi; trunc() for DuckDB's rounding CAST);
+    // the interleave is pure integer shift/mask on both engines —
+    // bit j of column i lands at position j·3 + i.
+    "q_zorder3_key" -> { (s, d) =>
+      val z = graft.etl.Layout.zvalueN(
+        Seq(col("l_orderkey"), col("l_quantity"), col("l_extendedprice")),
+        Seq((0.0, 200000.0), (0.0, 60.0), (0.0, 200000.0)), bits = 21)
+      t(s, d, "lineitem")
+        .select(col("l_returnflag"), z.as("zv"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          bit_xor(col("zv")).as("xor_z"),
+          min(col("zv")).as("min_z"),
+          max(col("zv")).as("max_z"))
+        .orderBy(col("l_returnflag"))
+    },
+
     // CDC apply: a synthetic I/U/D change feed (one change per order,
     // key = customer, version ts = o_orderkey — globally unique, so
     // latest-wins is total) folded into an empty snapshot in TWO
@@ -228,6 +252,32 @@ object EtlQueries {
          |              (bb & 2147483647) AS vb FROM b),
          |$spreadCtes,
          |z AS (SELECT l_returnflag, (va | (vb << 1)) AS zv FROM s${steps.size})
+         |SELECT l_returnflag, count(*) AS n, bit_xor(zv) AS xor_z,
+         |       min(zv) AS min_z, max(zv) AS max_z
+         |FROM z GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+
+    "q_zorder3_key" -> {
+      // zvalueN's general interleave, mirrored: the bucket is the
+      // q_zorder_key expression at 21 bits; bit j of column i lands at
+      // key position j·3 + i (63 shift-or terms, generated — textual
+      // but mechanical, exactly the Column expressions Spark builds).
+      def bucket(c: String, hi: String) =
+        s"CAST(trunc(least(CAST(2097151.0 AS DOUBLE), greatest(" +
+          s"CAST(0.0 AS DOUBLE), (CAST($c AS DOUBLE) - CAST(0.0 AS DOUBLE))" +
+          s" / CAST($hi AS DOUBLE) * CAST(2097151.0 AS DOUBLE)))) AS BIGINT)"
+      def interleave(b: String, i: Int) =
+        (0 until 21).map(j => s"((($b >> $j) & 1) << ${j * 3 + i})")
+          .mkString(" | ")
+      s"""WITH b AS (SELECT l_returnflag,
+         |  ${bucket("l_orderkey", "200000.0")} AS b0,
+         |  ${bucket("l_quantity", "60.0")} AS b1,
+         |  ${bucket("l_extendedprice", "200000.0")} AS b2
+         |  FROM lineitem),
+         |z AS (SELECT l_returnflag,
+         |  (${interleave("b0", 0)}) |
+         |  (${interleave("b1", 1)}) |
+         |  (${interleave("b2", 2)}) AS zv FROM b)
          |SELECT l_returnflag, count(*) AS n, bit_xor(zv) AS xor_z,
          |       min(zv) AS min_z, max(zv) AS max_z
          |FROM z GROUP BY 1 ORDER BY 1""".stripMargin
