@@ -75,7 +75,8 @@ object Bench {
     // equivalent work per query, so a reader of the archived totals
     // needs the asymmetry on the record, not just warm_cache:true.
     val prebuilt = Seq("shingle_cache", "embed_norms_cache",
-      "token_count_cache", "skipping_layout", "ivfpq_index")
+      "token_count_cache", "skipping_layout", "ivfpq_index",
+      "bucket_join_tables")
     // Untimed JVM warm-up: exercise codegen, shuffle, window, join and
     // the parquet reader on the two tiny dimension tables so the first
     // timed query doesn't absorb JIT + first-codegen cost.
@@ -111,6 +112,7 @@ object Bench {
       // (min-of-3 discards it, min-of-1 cannot).
       SparkEntry.queries("q_skipping_prune")(spark, sfDir).count()
       SparkEntry.queries("q_ivfpq_probe")(spark, sfDir).count()
+      SparkEntry.queries("q_bucket_join")(spark, sfDir).count()
     }
     // Three timed runs per query, min reported (declared in the JSON).
     // This VM shows multi-second scheduler stalls at random (observed

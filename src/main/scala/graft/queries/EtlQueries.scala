@@ -119,6 +119,31 @@ object EtlQueries {
         .orderBy(col("l_returnflag"))
     },
 
+    // The BUCKETED CO-LOCATED JOIN under the oracle (r14 — previously
+    // LayoutSpec-gated only): both sides of the fact⋈orders join are
+    // persisted pre-hash-partitioned on the join key
+    // (Layout.writeBucketed shape via the bucketJoinTables memo), so
+    // the join plans with ZERO Exchange — the write-time shuffle is
+    // amortized over every recurring join, the technique that deletes
+    // the dominant exchange of the reference's star build at 100 TB.
+    // hint("merge") pins the sort-merge strategy (a broadcast would
+    // ALSO be exchange-free here but wouldn't exercise the bucketed
+    // path, and would flip with the SF). Bucketing is IO/plan-only —
+    // the oracle is the PLAIN join; the only exchange left in the
+    // whole plan is the final single-row aggregate's. PlanSpec gates
+    // zero hashpartitioning Exchanges on the declared path.
+    "q_bucket_join" -> { (s, d) =>
+      val (liT, oT) = ExtendedQueries.bucketJoinTables(s, d)
+      s.table(liT).hint("merge")
+        .join(s.table(oT).hint("merge"),
+          col("l_orderkey") === col("o_orderkey"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_quantity").cast("decimal(18,4)")).cast("double")
+            .as("sum_qty"),
+          sum(col("o_totalprice").cast("decimal(18,4)")).cast("double")
+            .as("sum_price"))
+    },
+
     // CDC apply: a synthetic I/U/D change feed (one change per order,
     // key = customer, version ts = o_orderkey — globally unique, so
     // latest-wins is total) folded into an empty snapshot in TWO
@@ -282,6 +307,12 @@ object EtlQueries {
          |       min(zv) AS min_z, max(zv) AS max_z
          |FROM z GROUP BY 1 ORDER BY 1""".stripMargin
     },
+
+    "q_bucket_join" ->
+      """SELECT count(*) AS n_items,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey""".stripMargin,
 
     "q_skipping_prune" ->
       """SELECT l_returnflag, count(*) AS n_items,

@@ -63,6 +63,20 @@ class PlanSpec extends AnyFunSuite {
     assert(windowExchanges >= 1, p)
   }
 
+  test("q_bucket_join: zero hash Exchange — the bucketed layout carries the join") {
+    // both sides are bucketed on the join key (bucketJoinTables memo),
+    // so the sort-merge join needs NO Exchange on either side; the
+    // only exchange in the whole plan is the final single-row
+    // aggregate's SinglePartition gather. A hashpartitioning Exchange
+    // appearing here means the bucketed-scan → join distribution
+    // contract broke (bucket count drift, hint loss, pruned bucketing)
+    val p = plan(q("q_bucket_join"))
+    assert(p.contains("SortMergeJoin"), p)
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"bucketed join must not shuffle:\n$p")
+    assert(!p.contains("BroadcastHashJoin"), p)
+  }
+
   test("q_sort_limit is top-k, not a total sort") {
     val p = plan(q("q_sort_limit"))
     assert(p.contains("TakeOrderedAndProject"), p)
