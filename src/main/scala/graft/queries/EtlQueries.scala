@@ -144,6 +144,25 @@ object EtlQueries {
             .as("sum_price"))
     },
 
+    // COMPACTION INVARIANCE under the oracle (r14 — Layout.compact +
+    // Swap.publish were LayoutSpec-gated only): the declared query
+    // aggregates a copy of lineitem that was written as 24 small
+    // files and then compacted + swap-published in place, so the
+    // small-file-maintenance lifecycle — the operation an incremental
+    // 100 TB pipeline runs continuously — is under the hash: the
+    // rewrite is IO-only and the oracle is the PLAIN scan, so a row
+    // lost in the rewrite or the atomic-rename window is a mismatch.
+    "q_compact_scan" -> { (s, d) =>
+      s.read.parquet(ExtendedQueries.compactLayout(s, d))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_quantity").cast("decimal(18,4)")).cast("double")
+            .as("sum_qty"),
+          min(col("l_orderkey")).as("min_ok"),
+          max(col("l_orderkey")).as("max_ok"))
+        .orderBy(col("l_returnflag"))
+    },
+
     // CDC apply: a synthetic I/U/D change feed (one change per order,
     // key = customer, version ts = o_orderkey — globally unique, so
     // latest-wins is total) folded into an empty snapshot in TWO
@@ -313,6 +332,13 @@ object EtlQueries {
         |       CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
         |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
         |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey""".stripMargin,
+
+    "q_compact_scan" ->
+      """SELECT l_returnflag, count(*) AS n_items,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |       min(l_orderkey) AS min_ok, max(l_orderkey) AS max_ok
+        |FROM lineitem
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_skipping_prune" ->
       """SELECT l_returnflag, count(*) AS n_items,

@@ -504,6 +504,27 @@ object ExtendedQueries {
     (liT, oT)
   }
 
+  /** The q_compact_scan layout: a lineitem projection deliberately
+    * written as 24 small files, then rewritten by `Layout.compact` and
+    * swap-published IN PLACE — the declared query scans the compacted
+    * directory, so the whole compact → publish lifecycle (including
+    * `Swap.recover`'s crash-window handling running first) sits under
+    * the oracle: compaction is IO-only, any row lost or duplicated by
+    * the rewrite/swap is a hash mismatch against the PLAIN scan.
+    * LayoutSpec asserts the file count actually fell on this exact
+    * path. */
+  private[graft] def compactLayout(s: org.apache.spark.sql.SparkSession,
+      d: String): String = memoPath("compactlayout", s, d) { dir =>
+    graft.queries.t(s, d, "lineitem")
+      .select("l_orderkey", "l_quantity", "l_returnflag")
+      .repartition(24).write.mode("overwrite").parquet(dir)
+    val (before, after) = graft.etl.Layout.compact(s, dir)
+    require(after < before,
+      s"compactLayout: compaction was a no-op ($before -> $after files)")
+    // drop any cached listing of the pre-compaction files
+    s.catalog.refreshByPath(dir)
+  }
+
   private[graft] def skipLayout(s: org.apache.spark.sql.SparkSession,
       d: String): String = memoPath("skiplayout", s, d) { dir =>
     val li = graft.queries.t(s, d, "lineitem")

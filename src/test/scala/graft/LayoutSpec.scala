@@ -303,4 +303,18 @@ class LayoutSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSeq
     assert(corners == Seq(0L, 0x55555L, 0xAAAAAL, 0xFFFFFL))
   }
+
+  test("q_compact_scan's declared layout genuinely compacted (fewer files, swap clean)") {
+    // drive the DECLARED query first (builds the memo), then inspect
+    // the exact directory it scans: the 24-shard write must have been
+    // rewritten to fewer part files, and the __compacting temp of the
+    // swap must be gone (publish completed)
+    assert(SparkEntry.queries("q_compact_scan")(spark, sfTiny).count() > 0)
+    val dir = queries.ExtendedQueries.compactLayout(spark, sfTiny)
+    val parts = new java.io.File(dir).listFiles()
+      .count(f => f.isFile && f.getName.startsWith("part-"))
+    assert(parts >= 1 && parts < 24, s"expected a compacted layout, found $parts part files")
+    assert(!new java.io.File(dir + "__compacting").exists(),
+      "swap temp dir must not survive publish")
+  }
 }
