@@ -222,6 +222,26 @@ object EtlQueries {
         .orderBy(col("o_custkey"))
     },
 
+    // SCD2 over the PERSISTED advance fold (r14 — q_scd2_asof
+    // declares the merge algebra over in-session frames; this
+    // declares the on-disk state LIFECYCLE): three Scd2.advance
+    // batches (orders split at 1995/1997), each a real
+    // bootstrap-or-read → merge → swap-publish of parquet state with
+    // Swap.recover first, then a point-in-time read of the PERSISTED
+    // chain. Oracle = per-(key, period) last updates chained by
+    // lead(ts) over the unioned feed + the asOf validity filter —
+    // the same equivalence argument as q_scd2_asof, one period wider.
+    "q_scd2_advance" -> { (s, d) =>
+      val dim = s.read.parquet(
+        ExtendedQueries.scd2AdvancePath(s, d) + "/dim")
+      val at = lit("1996-06-30 00:00:00")
+        .cast(dim.schema("valid_from").dataType)
+      Scd2.asOf(dim, at)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          col("valid_from"))
+        .orderBy(col("o_custkey"))
+    },
+
     // Data-quality expectations as the distributable (rule,
     // violations) report frame: three row rules + key uniqueness fold
     // into ONE partial+final aggregate over one lineitem scan; the
@@ -386,6 +406,30 @@ object EtlQueries {
         |FROM chain
         |WHERE valid_from <= TIMESTAMP '1999-06-30 00:00:00'
         |  AND (valid_to IS NULL OR TIMESTAMP '1999-06-30 00:00:00' < valid_to)
+        |ORDER BY o_custkey""".stripMargin,
+
+    "q_scd2_advance" ->
+      """WITH cand AS (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         o_orderdate AS ts,
+        |         CASE WHEN o_orderdate >= TIMESTAMP '1997-01-01 00:00:00' THEN 2
+        |              WHEN o_orderdate >= TIMESTAMP '1995-01-01 00:00:00' THEN 1
+        |              ELSE 0 END AS p,
+        |         row_number() OVER (
+        |           PARTITION BY o_custkey,
+        |             (CASE WHEN o_orderdate >= TIMESTAMP '1997-01-01 00:00:00' THEN 2
+        |                   WHEN o_orderdate >= TIMESTAMP '1995-01-01 00:00:00' THEN 1
+        |                   ELSE 0 END)
+        |           ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |  FROM orders),
+        |chain AS (
+        |  SELECT o_custkey, o_orderkey, o_totalprice, ts AS valid_from,
+        |         lead(ts) OVER (PARTITION BY o_custkey ORDER BY p) AS valid_to
+        |  FROM cand WHERE rn = 1)
+        |SELECT o_custkey, o_orderkey, o_totalprice, valid_from
+        |FROM chain
+        |WHERE valid_from <= TIMESTAMP '1996-06-30 00:00:00'
+        |  AND (valid_to IS NULL OR TIMESTAMP '1996-06-30 00:00:00' < valid_to)
         |ORDER BY o_custkey""".stripMargin,
 
     "q_expectations" ->

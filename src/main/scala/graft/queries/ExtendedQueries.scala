@@ -525,6 +525,35 @@ object ExtendedQueries {
     s.catalog.refreshByPath(dir)
   }
 
+  /** The q_scd2_advance state: a versioned "current order" dimension
+    * built by THREE `Scd2.advance` calls — each a real bootstrap-or-
+    * read → merge → write-temp → atomic swap-publish of on-disk
+    * parquet state (with `Swap.recover` running first, so the crash
+    * window is on the declared path) — over orders updates split at
+    * 1995-01-01 / 1997-01-01. The declared query reads the PERSISTED
+    * chain back and serves a point-in-time `asOf`; the in-session
+    * q_scd2_asof declares the merge ALGEBRA, this declares the
+    * on-disk state LIFECYCLE. Returns the memo dir; state lives at
+    * `<dir>/dim`. */
+  private[graft] def scd2AdvancePath(s: org.apache.spark.sql.SparkSession,
+      d: String): String = memoPath("scd2adv", s, d) { dir =>
+    val o = graft.queries.t(s, d, "orders")
+    val tsT = o.schema("o_orderdate").dataType
+    val upd = o.select(col("o_custkey"), col("o_orderkey"),
+      col("o_totalprice"), col("o_orderdate").as("ts"))
+    val c1 = lit("1995-01-01 00:00:00").cast(tsT)
+    val c2 = lit("1997-01-01 00:00:00").cast(tsT)
+    val attrs = Seq("o_orderkey", "o_totalprice")
+    val state = s"$dir/dim"
+    graft.etl.Scd2.advance(s, state,
+      upd.filter(col("ts") < c1), "o_custkey", "ts", attrs)
+    graft.etl.Scd2.advance(s, state,
+      upd.filter(col("ts") >= c1 && col("ts") < c2), "o_custkey", "ts", attrs)
+    val open = graft.etl.Scd2.advance(s, state,
+      upd.filter(col("ts") >= c2), "o_custkey", "ts", attrs)
+    require(open > 0, "scd2AdvancePath: empty dimension after 3 batches")
+  }
+
   private[graft] def skipLayout(s: org.apache.spark.sql.SparkSession,
       d: String): String = memoPath("skiplayout", s, d) { dir =>
     val li = graft.queries.t(s, d, "lineitem")

@@ -161,4 +161,19 @@ class Scd2Spec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(open == Map(1L -> "berlin", 2L -> "paris"))
   }
+
+  test("q_scd2_advance serves from a genuinely persisted on-disk chain") {
+    // drive the DECLARED query (builds the 3-batch advance memo), then
+    // inspect the exact state directory it reads: parquet on disk, a
+    // completed swap (no __merging temp), and a full chain — both open
+    // and closed versions present
+    assert(SparkEntry.queries("q_scd2_advance")(spark, TestSpark.sfTiny).count() > 0)
+    val dim = queries.ExtendedQueries.scd2AdvancePath(spark, TestSpark.sfTiny) + "/dim"
+    assert(new java.io.File(dim).listFiles().exists(_.getName.startsWith("part-")))
+    assert(!new java.io.File(dim + "__merging").exists(),
+      "swap temp must not survive publish")
+    val st = spark.read.parquet(dim)
+    assert(st.filter(col("valid_to").isNull).count() > 0)
+    assert(st.filter(col("valid_to").isNotNull).count() > 0)
+  }
 }
