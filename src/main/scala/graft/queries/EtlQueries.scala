@@ -242,6 +242,41 @@ object EtlQueries {
         .orderBy(col("o_custkey"))
     },
 
+    // Incremental SKETCH-state rollup under the oracle (r14 — the
+    // last etl-lifecycle subsystem with no declared query): three
+    // order deltas folded into persisted per-priority sketch state
+    // via SketchRollup.advance (read → merge → swap-publish each
+    // batch), then finalized and checked the established band way
+    // (q_approx_distinct / q_quantile_sketch_band): the exact row
+    // count hash-matches outright; the HLL distinct estimate is
+    // pinned inside a 10% band of the exact count (≈6·RSE at lgK 12,
+    // and HLL register merge is value-determined, so the folded
+    // estimate equals the one-shot build's); the merged KLL median is
+    // pinned inside the exact [p40, p60] element band (~6× its 1.65%
+    // rank-error bound — KLL merge guarantees the envelope, not
+    // bit-equality, which is exactly what the band asserts). The
+    // oracle recomputes the exact fields one-shot.
+    "q_sketch_rollup_band" -> { (s, d) =>
+      val fin = graft.etl.SketchRollup.finalizeState(
+        s.read.parquet(ExtendedQueries.sketchRollupPath(s, d) + "/state"),
+        Seq("o_orderpriority"), probs = Seq(0.5))
+      t(s, d, "orders").createOrReplaceTempView("graft_orders_skr_v")
+      val exact = s.sql(
+        """SELECT o_orderpriority,
+          |       count(DISTINCT o_custkey) AS exact_distinct,
+          |       percentile_disc(0.4) WITHIN GROUP (ORDER BY o_totalprice) AS p40,
+          |       percentile_disc(0.6) WITHIN GROUP (ORDER BY o_totalprice) AS p60
+          |FROM graft_orders_skr_v
+          |GROUP BY o_orderpriority""".stripMargin)
+      fin.join(exact, Seq("o_orderpriority"))
+        .select(col("o_orderpriority"), col("n_rows"), col("exact_distinct"),
+          (abs(col("distinct_est") - col("exact_distinct")) <=
+            col("exact_distinct") * lit(0.10)).as("distinct_ok"),
+          (col("q_0") >= col("p40") && col("q_0") <= col("p60"))
+            .as("q_band_ok"))
+        .orderBy(col("o_orderpriority"))
+    },
+
     // Data-quality expectations as the distributable (rule,
     // violations) report frame: three row rules + key uniqueness fold
     // into ONE partial+final aggregate over one lineitem scan; the
@@ -431,6 +466,14 @@ object EtlQueries {
         |WHERE valid_from <= TIMESTAMP '1996-06-30 00:00:00'
         |  AND (valid_to IS NULL OR TIMESTAMP '1996-06-30 00:00:00' < valid_to)
         |ORDER BY o_custkey""".stripMargin,
+
+    "q_sketch_rollup_band" ->
+      """SELECT o_orderpriority,
+        |       count(*) AS n_rows,
+        |       count(DISTINCT o_custkey) AS exact_distinct,
+        |       true AS distinct_ok,
+        |       true AS q_band_ok
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_expectations" ->
       """WITH agg AS (

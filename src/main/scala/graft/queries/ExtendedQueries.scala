@@ -554,6 +554,25 @@ object ExtendedQueries {
     require(open > 0, "scd2AdvancePath: empty dimension after 3 batches")
   }
 
+  /** The q_sketch_rollup_band state: per-priority mergeable sketch
+    * state (exact count + HLL distinct + KLL quantile + MinHash sig)
+    * folded from THREE order deltas through `SketchRollup.advance` —
+    * each a real read → merge → swap-publish of on-disk parquet state
+    * — the approximate twin of q_scd2_advance's lifecycle. State at
+    * `<dir>/state`. */
+  private[graft] def sketchRollupPath(s: org.apache.spark.sql.SparkSession,
+      d: String): String = memoPath("sketchroll", s, d) { dir =>
+    val o = graft.queries.t(s, d, "orders")
+    val cols = graft.etl.SketchRollup.Columns(
+      distinctCol = "o_custkey", quantileCol = "o_totalprice",
+      textCol = "o_orderstatus")
+    val state = s"$dir/state"
+    (0 until 3).foreach { i =>
+      graft.etl.SketchRollup.advance(s, state,
+        o.filter(col("o_orderkey") % 3 === i), Seq("o_orderpriority"), cols)
+    }
+  }
+
   private[graft] def skipLayout(s: org.apache.spark.sql.SparkSession,
       d: String): String = memoPath("skiplayout", s, d) { dir =>
     val li = graft.queries.t(s, d, "lineitem")

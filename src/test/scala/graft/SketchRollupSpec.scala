@@ -172,4 +172,27 @@ class SketchRollupSpec extends AnyFunSuite {
       .collect().map(_.getDouble(1))
     assert(drift.exists(_ < 1.0))
   }
+
+  test("q_sketch_rollup_band serves from genuinely persisted folded state") {
+    import org.apache.spark.sql.functions.col
+    // drive the DECLARED query (builds the 3-batch advance memo), then
+    // inspect the state dir it reads: a completed swap holding one
+    // sketch-state row per group with all four state columns
+    assert(SparkEntry.queries("q_sketch_rollup_band")(spark, TestSpark.sfTiny).count() > 0)
+    val st = queries.ExtendedQueries.sketchRollupPath(spark, TestSpark.sfTiny) + "/state"
+    assert(new java.io.File(st).listFiles().exists(_.getName.startsWith("part-")))
+    assert(!new java.io.File(st + "__advancing").exists(),
+      "swap temp must not survive publish")
+    val state = spark.read.parquet(st)
+    assert(state.columns.toSet ==
+      Set("o_orderpriority", "cnt", "hll", "kll", "sig"))
+    // the fold really accumulated all three deltas: counts equal the
+    // one-shot per-group counts
+    val counts = state.select(col("o_orderpriority"), col("cnt")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expect = queries.t(spark, TestSpark.sfTiny, "orders")
+      .groupBy(col("o_orderpriority")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == expect)
+  }
 }
