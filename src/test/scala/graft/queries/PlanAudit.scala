@@ -62,6 +62,13 @@ object PlanAudit {
     ("q_join_left_year",
       "year() of the order date — one date-field extract per row",
       Seq("year(cast(o_o")),
+    ("q_star_schema",
+      "date-field join keys of the star build: cast(o_orderdate AS " +
+        "DATE) on the fact (one conversion per row — the " +
+        "q_join_left_year class) and year(make_date(yr)) on the econ " +
+        "branch, whose scan is the distinct-years aggregate (a " +
+        "handful of rows) feeding a broadcast",
+      Seq("cast(o_orderdate", "year(ma", "make_da")),
     ("q_salt_skew_join",
       "pmod(xxhash64) salt — the deliberate forced-shuffle demo's salt key",
       Seq("pmod(xxhash64(l_orderkey")),
