@@ -76,8 +76,8 @@ object Bench {
     // needs the asymmetry on the record, not just warm_cache:true.
     val prebuilt = Seq("shingle_cache", "embed_norms_cache",
       "token_count_cache", "skipping_layout", "ivfpq_index",
-      "bucket_join_tables", "compacted_layout", "scd2_state",
-      "sketch_rollup_state")
+      "bucket_join_tables", "compacted_layout", "compact_partitioned_layout",
+      "scd2_state", "sketch_rollup_state")
     // Untimed JVM warm-up: exercise codegen, shuffle, window, join and
     // the parquet reader on the two tiny dimension tables so the first
     // timed query doesn't absorb JIT + first-codegen cost.
@@ -115,6 +115,7 @@ object Bench {
       SparkEntry.queries("q_ivfpq_probe")(spark, sfDir).count()
       SparkEntry.queries("q_bucket_join")(spark, sfDir).count()
       SparkEntry.queries("q_compact_scan")(spark, sfDir).count()
+      SparkEntry.queries("q_compact_partitioned")(spark, sfDir).count()
       SparkEntry.queries("q_scd2_advance")(spark, sfDir).count()
       SparkEntry.queries("q_sketch_rollup_band")(spark, sfDir).count()
     }

@@ -163,6 +163,24 @@ object EtlQueries {
         .orderBy(col("l_returnflag"))
     },
 
+    // LEAF-WISE compaction under the oracle (r14 — the bounded-unit
+    // variant of q_compact_scan: compactPartitioned rewrites each
+    // month partition independently, so the rewrite unit stays
+    // bounded no matter how large the table grows; in production only
+    // just-touched partitions fall under the target). The group key
+    // IS the partition column, so the aggregate also verifies the
+    // directory-encoded values survived the per-leaf rewrite.
+    "q_compact_partitioned" -> { (s, d) =>
+      s.read.parquet(ExtendedQueries.compactPartitionedLayout(s, d))
+        .groupBy(col("mth").cast("long").as("mth"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_quantity").cast("decimal(18,4)")).cast("double")
+            .as("sum_qty"),
+          min(col("l_orderkey")).as("min_ok"),
+          max(col("l_orderkey")).as("max_ok"))
+        .orderBy(col("mth"))
+    },
+
     // CDC apply: a synthetic I/U/D change feed (one change per order,
     // key = customer, version ts = o_orderkey — globally unique, so
     // latest-wins is total) folded into an empty snapshot in TWO
@@ -387,6 +405,14 @@ object EtlQueries {
         |       CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
         |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
         |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey""".stripMargin,
+
+    "q_compact_partitioned" ->
+      """SELECT CAST(month(l_shipdate) AS BIGINT) AS mth,
+        |       count(*) AS n_items,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |       min(l_orderkey) AS min_ok, max(l_orderkey) AS max_ok
+        |FROM lineitem
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_compact_scan" ->
       """SELECT l_returnflag, count(*) AS n_items,

@@ -573,6 +573,27 @@ object ExtendedQueries {
     }
   }
 
+  /** The q_compact_partitioned layout: a month-partitioned lineitem
+    * projection whose leaves are deliberately multi-file (6-way
+    * round-robin before partitionBy), then `Layout.compactPartitioned`
+    * rewrites EACH LEAF independently — the bounded-rewrite-unit form
+    * of compaction an incremental pipeline runs on just-touched
+    * partitions. IO-only like [[compactLayout]]; LayoutSpec asserts
+    * leaves genuinely lost files on this exact path. */
+  private[graft] def compactPartitionedLayout(
+      s: org.apache.spark.sql.SparkSession, d: String): String =
+    memoPath("compactpart", s, d) { dir =>
+      graft.queries.t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity"),
+          month(col("l_shipdate")).as("mth"))
+        .repartition(6)
+        .write.partitionBy("mth").mode("overwrite").parquet(dir)
+      val report = graft.etl.Layout.compactPartitioned(s, dir)
+      require(report.nonEmpty && report.values.exists(v => v._2 < v._1),
+        s"compactPartitionedLayout: no leaf compacted ($report)")
+      s.catalog.refreshByPath(dir)
+    }
+
   private[graft] def skipLayout(s: org.apache.spark.sql.SparkSession,
       d: String): String = memoPath("skiplayout", s, d) { dir =>
     val li = graft.queries.t(s, d, "lineitem")

@@ -78,6 +78,35 @@ object StarPipelineQueries {
           .as("InflationRate"))
 
   val queries: Map[String, QFn] = Map(
+    // The reference dashboard's Charts-page query (streamlit/app.py:
+    // 105-110 — the END-USER query the whole star exists to serve):
+    // the fact sliced to ONE index and a date range, ordered by
+    // DateKey, projecting the two plotted series (Close,
+    // GDPGrowthRate) plus the window metrics. The app filters the
+    // fact on IndexKey; IndexKey = md5(Ticker), so the engine-side
+    // equivalent slices the window's PARTITION KEY before the
+    // pipeline — value-identical (windows partition by Ticker; the
+    // dim join keys on md5(Ticker)), and at 100 TB only the selected
+    // series is ever windowed instead of the whole fact (Catalyst
+    // does NOT infer the ticker constraint through the md5 join key
+    // on its own — measured: the IndexKey-equality form windows every
+    // ticker and drops the rest at the join). The date range stays
+    // ABOVE the window, as it must (the rolling frame needs
+    // preceding rows); PlanSpec gates the below/above split.
+    "q_dashboard_slice" -> { (s, d) =>
+      val stocks = stocksFrame(s, d).filter(col("Ticker") === "^GSPC")
+      val econ = econFrame(s, d)
+      val dimIndex = StarSchemaBuilder.buildDimStockIndex(stocks)
+      val fact = StarSchemaBuilder.buildFact(stocks, econ, dimIndex,
+        StarSchemaBuilder.buildDimCountry(s))
+      fact
+        .filter(col("DateKey") >= lit("1994-01-01").cast("date") &&
+          col("DateKey") <= lit("1996-12-31").cast("date"))
+        .select(col("DateKey"), col("Close"), col("DailyReturn"),
+          col("Volatility"), col("GDPGrowthRate"))
+        .orderBy(col("DateKey"))
+    },
+
     "q_star_schema" -> { (s, d) =>
       val stocks = stocksFrame(s, d)
       val econ = econFrame(s, d)
@@ -106,13 +135,11 @@ object StarPipelineQueries {
     },
   )
 
-  val sql: Map[String, String] = Map(
-    // The identical pipeline in DuckDB, stage for stage; every double
-    // op mirrored in the same association (literals that must be
-    // DOUBLE are CAST — bare DuckDB numerics are DECIMAL), the
-    // volatility from the same exact fixed-point integer sums.
-    "q_star_schema" ->
-      """WITH base AS (
+  /** The shared DuckDB CTE chain of the pipeline (base → stocks →
+    * econ → dims → ret → rfp → vol), used by both oracle queries so
+    * the mirrored arithmetic exists exactly once. */
+  private val starCtes: String =
+    """base AS (
         |  SELECT CASE WHEN o_custkey % 4 = 0 THEN '^GSPC'
         |              WHEN o_custkey % 4 = 1 THEN '^NDX'
         |              WHEN o_custkey % 4 = 2 THEN '^DJI'
@@ -163,18 +190,45 @@ object StarPipelineQueries {
         |         CAST(sum(fp * fp) OVER f AS DOUBLE) AS sxx
         |  FROM rfp
         |  WINDOW f AS (PARTITION BY Ticker ORDER BY Date
-        |               ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+        |               ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))""".stripMargin
+
+  /** The mirrored volatility expression over the `vol` CTE's columns. */
+  private val volCase: String =
+    """CASE WHEN v.n >= 20 THEN
+      |         sqrt(greatest((v.sxx - v.sx * v.sx / 20.0) / 19.0, 0.0))
+      |           / 100000000.0 END""".stripMargin
+
+  val sql: Map[String, String] = Map(
+    // The identical pipeline in DuckDB, stage for stage; every double
+    // op mirrored in the same association (literals that must be
+    // DOUBLE are CAST — bare DuckDB numerics are DECIMAL), the
+    // volatility from the same exact fixed-point integer sums.
+    "q_star_schema" ->
+      s"""WITH $starCtes
         |SELECT v.Date AS DateKey, di.IndexKey, di.IndexName,
         |       'USA' AS CountryKey, dd.Year, dd.Month, dd.IsWeekend,
         |       v.Open, v.High, v.Low, v.Close, v.Volume, v.DailyReturn,
-        |       CASE WHEN v.n >= 20 THEN
-        |         sqrt(greatest((v.sxx - v.sx * v.sx / 20.0) / 19.0, 0.0))
-        |           / 100000000.0 END AS Volatility,
+        |       $volCase AS Volatility,
         |       e.GDPGrowthRate, e.InflationRate
         |FROM vol v
         |JOIN dimindex di ON md5(v.Ticker) = di.IndexKey
         |LEFT JOIN econ e ON year(v.Date) = year(e.date)
         |JOIN dimdate dd ON v.Date = dd.DateKey
         |ORDER BY di.IndexKey, DateKey""".stripMargin,
+
+    // The Charts-page slice: one index + date range over the same
+    // pipeline (the dimindex join is unnecessary for the projected
+    // columns — md5(Ticker) = md5('^GSPC') is the same predicate the
+    // IndexKey equality reduces to).
+    "q_dashboard_slice" ->
+      s"""WITH $starCtes
+        |SELECT v.Date AS DateKey, v.Close, v.DailyReturn,
+        |       $volCase AS Volatility,
+        |       e.GDPGrowthRate
+        |FROM vol v
+        |LEFT JOIN econ e ON year(v.Date) = year(e.date)
+        |WHERE md5(v.Ticker) = md5('^GSPC')
+        |  AND v.Date >= DATE '1994-01-01' AND v.Date <= DATE '1996-12-31'
+        |ORDER BY DateKey""".stripMargin,
   )
 }

@@ -317,4 +317,24 @@ class LayoutSpec extends AnyFunSuite {
     assert(!new java.io.File(dir + "__compacting").exists(),
       "swap temp dir must not survive publish")
   }
+
+  test("q_compact_partitioned's leaves genuinely compacted (fewer files per leaf)") {
+    // drive the DECLARED query (builds the memo: 6-way round-robin
+    // write under partitionBy(mth) -> compactPartitioned), then
+    // inspect the exact leaves it scans: every mth= leaf holds ONE
+    // part file (the per-leaf rewrite target), none holds a
+    // __compacting temp
+    assert(SparkEntry.queries("q_compact_partitioned")(spark, sfTiny).count() > 0)
+    val root = new java.io.File(
+      queries.ExtendedQueries.compactPartitionedLayout(spark, sfTiny))
+    val leaves = root.listFiles().filter(f =>
+      f.isDirectory && f.getName.startsWith("mth="))
+    assert(leaves.nonEmpty)
+    leaves.foreach { leaf =>
+      val parts = leaf.listFiles().count(f =>
+        f.isFile && f.getName.startsWith("part-"))
+      assert(parts == 1, s"${leaf.getName}: expected 1 compacted file, found $parts")
+    }
+    assert(!root.listFiles().exists(_.getName.endsWith("__compacting")))
+  }
 }

@@ -77,6 +77,26 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastHashJoin"), p)
   }
 
+  test("q_dashboard_slice: the ticker predicate runs below the window") {
+    // the Charts-page slice filters the window's PARTITION key, so
+    // Catalyst must push it below the WindowExec — at 100 TB only the
+    // selected series is windowed, not the whole fact. Assert order in
+    // the executed plan text: a Filter mentioning the ticker predicate
+    // appears BELOW (after, in toString's top-down rendering) the
+    // Window node.
+    val p = plan(q("q_dashboard_slice"))
+    val lines = p.linesIterator.toSeq
+    val winIdx = lines.indexWhere(_.contains("Window"))
+    // the Ticker = '^GSPC' predicate constant-folds against the CASE
+    // mapping into a o_custkey % 4 filter at the orders SCAN — the
+    // strongest form of "below the window"
+    val tickerFilterIdx = lines.indexWhere(l =>
+      l.contains("Filter") &&
+        (l.contains("^GSPC") || l.contains("o_custkey")))
+    assert(winIdx >= 0 && tickerFilterIdx > winIdx,
+      s"ticker filter must sit below the Window:\n$p")
+  }
+
   test("q_sort_limit is top-k, not a total sort") {
     val p = plan(q("q_sort_limit"))
     assert(p.contains("TakeOrderedAndProject"), p)

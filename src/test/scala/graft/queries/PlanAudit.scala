@@ -69,6 +69,10 @@ object PlanAudit {
         "branch, whose scan is the distinct-years aggregate (a " +
         "handful of rows) feeding a broadcast",
       Seq("cast(o_orderdate", "year(ma", "make_da")),
+    ("q_dashboard_slice",
+      "year(make_date(yr)) on the econ branch — the same cheap " +
+        "distinct-years-aggregate key as q_star_schema's entry",
+      Seq("year(ma", "make_da")),
     ("q_salt_skew_join",
       "pmod(xxhash64) salt — the deliberate forced-shuffle demo's salt key",
       Seq("pmod(xxhash64(l_orderkey")),
