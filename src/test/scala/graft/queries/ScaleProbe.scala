@@ -31,6 +31,7 @@ object ScaleProbe {
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1000000).selectExpr("sum(id)").collect()
 
+    if (args.contains("star")) { starMain(spark); spark.stop(); return }
     if (args.contains("skip")) { skipMain(spark); spark.stop(); return }
     if (args.contains("risk")) { riskMain(spark); spark.stop(); return }
     if (args.contains("capstone")) { capstoneMain(spark); spark.stop(); return }
@@ -101,6 +102,46 @@ object ScaleProbe {
   }
 
   // ---------------------------------------------------------------
+  // Star mode (`run ScaleProbe star`): the r14 reference-parity
+  // pipeline under ×1/×2/×4 input growth. The expected shapes, which
+  // the printed curves verify:
+  //  - q_star_schema / q_dashboard_slice: the per-(ticker, day) stock
+  //    aggregate COLLAPSES the scaled input before the windows (the
+  //    orders copies share custkeys and dates), so the ticker
+  //    exchange and the window stay constant-size while the scan
+  //    grows — "exchanges carry aggregates, not rows" for the star
+  //    build; wall should stay near-flat under ×4.
+  //  - q_bollinger: the contrast — its window input grows with the
+  //    data (each copy brings NEW part keys), so its series exchange
+  //    scales linearly and wall follows the data.
+  //  - q_bucket_join: the bucketed tables are rebuilt per scale dir
+  //    (untimed memo build, the Bench warm-up rule), the timed join
+  //    carries ×N rows with ZERO exchange — the shuffle column must
+  //    stay ~0 at every scale.
+  private def starMain(spark: SparkSession): Unit = {
+    for (n <- Seq(2, 4)) build(spark, n)
+    val queries = Seq("q_star_schema", "q_dashboard_slice",
+      "q_bollinger", "q_bucket_join")
+    println(f"${"query"}%-20s ${"x1"}%8s ${"x2"}%8s ${"x4"}%8s  x2/x1  x4/x1   shMB x1/x2/x4")
+    for (q <- queries) {
+      val res = Seq(Base, s"$Work/x2", s"$Work/x4").map { d =>
+        graft.queries.ExtendedQueries.releaseCaches(spark, d)
+        // untimed first run builds the per-dir persisted artifacts
+        graft.SparkEntry.queries(q)(spark, d).count()
+        val runs = (1 to 3).map { _ =>
+          val t0 = System.nanoTime()
+          graft.SparkEntry.queries(q)(spark, d).count()
+          (System.nanoTime() - t0) / 1e9
+        }
+        val mdf = graft.SparkEntry.queries(q)(spark, d)
+        mdf.queryExecution.toRdd.count()
+        (runs.min, shuffleBytes(mdf))
+      }
+      val t = res.map(_._1); val sh = res.map(_._2 / 1e6)
+      println(f"$q%-20s ${t(0)}%8.2f ${t(1)}%8.2f ${t(2)}%8.2f  ${t(1)/t(0)}%5.2f  ${t(2)/t(0)}%5.2f   ${sh(0)}%.1f/${sh(1)}%.1f/${sh(2)}%.1f")
+    }
+  }
+
   // Risk mode (`run ScaleProbe risk`): ×16/×32 curves for exactly the
   // ops whose 100 TB story depends on a structural claim that could
   // break silently as volume grows — bucketed dedup (bucket sizes must
