@@ -48,7 +48,8 @@ object SparkEntry {
       ExtendedQueries.queries ++ TrainPrepQueries.queries ++
       CorpusStatsQueries.queries ++ IndicatorQueries.queries ++
       BehaviorQueries.queries ++ SqlSurfaceQueries.queries ++
-      EtlQueries.queries ++ StarPipelineQueries.queries
+      EtlQueries.queries ++ StarPipelineQueries.queries ++
+      CorpusCleanQueries.queries
 
   /** For each key in `queries`, equivalent DuckDB SQL on the same tables. */
   val oracleSql: Map[String, String] =
@@ -57,7 +58,8 @@ object SparkEntry {
       ExtendedQueries.sql ++ TrainPrepQueries.sql ++
       CorpusStatsQueries.sql ++ IndicatorQueries.sql ++
       BehaviorQueries.sql ++ SqlSurfaceQueries.sql ++
-      EtlQueries.sql ++ StarPipelineQueries.sql
+      EtlQueries.sql ++ StarPipelineQueries.sql ++
+      CorpusCleanQueries.sql
 
   require(queries.keySet == oracleSql.keySet,
     s"queries/oracleSql key mismatch: ${(queries.keySet diff oracleSql.keySet) ++ (oracleSql.keySet diff queries.keySet)}")

@@ -61,6 +61,36 @@ object TableProfile {
     one.select(explode(array(entries: _*)).as("p")).select(col("p.*"))
   }
 
+  /** The same exact long report as [[profileFrame]], as one
+    * SINGLE-COLUMN one-distinct aggregate per column, unioned — the
+    * COLUMNAR-source shape, and the declared q_profile plan since
+    * r15. Measured at sf0.1 (600 k rows × 6 columns, idle, min-of-9):
+    * the one-scan multi-distinct form costs 9.0 s — its Expand
+    * multiplies every row ×(|columns|+1) through the first aggregate,
+    * and the mixed-type grouping row defeats partial aggregation —
+    * while this form reads the SAME bytes (parquet prunes each branch
+    * to its one column, so "one scan" never saved I/O on a columnar
+    * source) and each branch plans as the classic two-phase
+    * one-distinct aggregate: partial hash by value (map-side
+    * combine ⇒ the exchange carries |distinct|, not |rows|), then the
+    * 1-row fold. All branches execute inside ONE union job. The
+    * Expand form remains for genuinely row-oriented inputs where a
+    * second pass would re-read the whole row. */
+  def profileFrameColumnar(df: DataFrame, columns: Seq[String]): DataFrame = {
+    require(columns.nonEmpty, "profileFrameColumnar requires explicit columns")
+    columns.map { name =>
+      df.select(df(name).as("__v"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum(when(col("__v").isNull, 1L).otherwise(0L)).as("n_null"),
+          count_distinct(col("__v")).as("n_distinct"),
+          min(col("__v")).cast("string").as("min_s"),
+          max(col("__v")).cast("string").as("max_s"))
+        .select(lit(name).as("col_name"), col("n_rows"), col("n_null"),
+          col("n_distinct"), col("min_s"), col("max_s"))
+    }.reduce(_ union _)
+  }
+
   /** Profile the given columns (default: all non-complex columns).
     * `topKCapacity` bounds the heavy-hitter sketch for string
     * columns; numeric/date/timestamp columns report min/max instead. */

@@ -43,15 +43,20 @@ object AggQueries {
         .agg(min(col("o_orderdate")).as("min_d"), max(col("o_orderdate")).as("max_d"))
     },
 
-    // One-pass table profile (TableProfile.profileFrame): per column —
-    // rows, nulls, EXACT distinct, min/max — from ONE aggregate over
-    // ONE scan (multi-distinct Expands internally; single-scan shape
-    // plan-gated), exploded to the long report. The oracle pays one
-    // sub-select per column over the same scan — the shape the
-    // profiler exists to avoid at 100 TB. Integer/string columns only
-    // (float→string formatting is engine-specific).
+    // Table profile, per column: rows, nulls, EXACT distinct, min/max
+    // as the long report. r15 re-plan (the honest-bench finding): the
+    // one-scan multi-distinct form measured 9.0 s at sf0.1 — its
+    // Expand multiplies every row ×(|cols|+1) through the first
+    // aggregate — while on a COLUMNAR source "one scan" never saved
+    // I/O (parquet prunes each branch to its one column). The
+    // declared plan is now one single-column one-distinct aggregate
+    // per column, unioned: same bytes read, each exchange carries
+    // |distinct| not |rows|×7, 0.45 s measured (20×). PlanSpec gates
+    // the shape (per-branch single-column ReadSchema, no Expand).
+    // Integer/string columns only (float→string formatting is
+    // engine-specific).
     "q_profile" -> { (s, d) =>
-      graft.ops.TableProfile.profileFrame(t(s, d, "lineitem"),
+      graft.ops.TableProfile.profileFrameColumnar(t(s, d, "lineitem"),
           Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
             "l_returnflag", "l_linestatus"))
         .orderBy(col("col_name"))
@@ -136,19 +141,20 @@ object AggQueries {
           |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)
     },
 
-    // PERCENTILE_DISC (WITHIN GROUP) — the discrete quantile: returns
-    // an ACTUAL data value, so unlike the interpolated percentile no
-    // arithmetic happens and cross-engine equality is value identity.
-    // SQL-string entry: WITHIN GROUP has no DataFrame API.
+    // PERCENTILE_DISC semantics — the discrete quantile returns an
+    // ACTUAL data value, so cross-engine equality is value identity.
+    // r15 re-plan (honest-bench finding): three percentile_disc
+    // WITHIN GROUP aggregates were 0.94 s of interpreted
+    // ObjectHashAggregate maps; `Quantiles.exactByGroup` computes all
+    // three from ONE codegen rank window (0.94 → ~0.3 s), with the
+    // identical cume_dist >= p double comparison — BehaviorSpec pins
+    // the window form against the literal WITHIN GROUP SQL surface.
     "q_percentile_disc" -> { (s, d) =>
-      t(s, d, "orders").createOrReplaceTempView("graft_orders_v")
-      s.sql(
-        """SELECT o_orderpriority,
-          |       percentile_disc(0.25) WITHIN GROUP (ORDER BY o_totalprice) AS p25,
-          |       percentile_disc(0.5)  WITHIN GROUP (ORDER BY o_totalprice) AS p50,
-          |       percentile_disc(0.75) WITHIN GROUP (ORDER BY o_totalprice) AS p75
-          |FROM graft_orders_v
-          |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+      graft.ops.Quantiles.exactByGroup(t(s, d, "orders"),
+          col("o_orderpriority"), col("o_totalprice"),
+          disc = Seq(("p25", 0.25), ("p50", 0.5), ("p75", 0.75)))
+        .select(col("o_orderpriority"), col("p25"), col("p50"), col("p75"))
+        .orderBy(col("o_orderpriority"))
     },
 
     // Sketch quantiles as a property query (the q_approx_distinct
@@ -159,16 +165,20 @@ object AggQueries {
     // the per-group quantile scale path (`Sketches.approxQuantilesBy`)
     // when exact percentiles' full-sort-per-group won't fly.
     "q_quantile_sketch_band" -> { (s, d) =>
-      t(s, d, "orders").createOrReplaceTempView("graft_orders_qb_v")
-      s.sql(
-        """SELECT o_orderpriority,
-          |       percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice) AS p50,
-          |       approx_percentile(o_totalprice, 0.5, 100)
-          |         BETWEEN percentile_disc(0.44) WITHIN GROUP (ORDER BY o_totalprice)
-          |             AND percentile_disc(0.56) WITHIN GROUP (ORDER BY o_totalprice)
-          |         AS within_band
-          |FROM graft_orders_qb_v
-          |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+      // r15: the three exact band bounds come from one rank window
+      // (Quantiles.exactByGroup) instead of three interpreted
+      // percentile_disc aggregates; the approx_percentile SKETCH —
+      // the query's declared property — stays, joined on the group.
+      val o = t(s, d, "orders")
+      val exact = graft.ops.Quantiles.exactByGroup(o,
+        col("o_orderpriority"), col("o_totalprice"),
+        disc = Seq(("p44", 0.44), ("p50", 0.5), ("p56", 0.56)))
+      val approx = o.groupBy(col("o_orderpriority"))
+        .agg(approx_percentile(col("o_totalprice"), lit(0.5), lit(100)).as("ap"))
+      exact.join(approx, Seq("o_orderpriority"))
+        .select(col("o_orderpriority"), col("p50"),
+          (col("ap") >= col("p44") && col("ap") <= col("p56")).as("within_band"))
+        .orderBy(col("o_orderpriority"))
     },
 
     // max_by/min_by (⟺ DuckDB arg_max/arg_min): which-row aggregates.
@@ -259,44 +269,62 @@ object AggQueries {
     },
 
     // Correlation + regression slope per group, computed from EXACT
-    // decimal moment sums (Σx, Σy, Σxy, Σx², Σy²) with one final
-    // double expression — Spark's corr()/regr_slope() accumulate
-    // doubles in partition order and would not hash-match DuckDB (nor
-    // themselves across partitionings). The 2-dp inputs are exact in
-    // DECIMAL; products carry ≤6 dp and stay exact at (38,6) on both
-    // engines. The same pattern as q_window_rolling_std, applied to
-    // bivariate statistics.
+    // integer moment sums with one final double expression — Spark's
+    // corr()/regr_slope() accumulate doubles in partition order and
+    // would not hash-match DuckDB (nor themselves across
+    // partitionings). r15 re-plan (honest-bench finding): the r3-r14
+    // form summed DECIMAL(38,6) products, and precision > 18 decimals
+    // are BigDecimal-backed in Spark's aggregate buffers (~0.25 s per
+    // expr per 600 k rows — 1.8 s measured); the same moments in
+    // native-long CENTS (q ≤ 50, p_cents ≤ 10⁸ ⇒ Σq·p ≤ 3·10¹⁵ and
+    // Σq² trivially fit; Σp² alone would overflow, so p splits at 10⁴
+    // into hi/lo and Σp² = 10⁸·Σhi² + 2·10⁴·Σhi·lo + Σlo², each term
+    // ≤ 6·10¹³) run fully codegen'd: 0.30 s, 6×. Correlation is
+    // scale-invariant so the cents-based value equals the dollar one;
+    // the slope is de-scaled by 100 at the end. Every double op is
+    // mirrored verbatim in the oracle.
     "q_agg_corr" -> { (s, d) =>
-      val x = col("l_quantity").cast(DecimalType(30, 4))
-      val x2 = col("l_quantity").cast(DecimalType(8, 2))
-      val y = col("l_extendedprice").cast(DecimalType(30, 4))
-      val y2 = col("l_extendedprice").cast(DecimalType(8, 2))
+      val nD = col("n").cast("double")
+      val sxD = col("sx").cast("double")
+      val syD = col("sy").cast("double")
+      val sxyD = col("sxy").cast("double")
+      val sxxD = col("sxx").cast("double")
+      val syyD = col("sa").cast("double") * lit(100000000.0) +
+        col("sb").cast("double") * lit(20000.0) + col("sc").cast("double")
+      val cov = nD * sxyD - sxD * syD
       t(s, d, "lineitem")
+        .select(col("l_returnflag"),
+          col("l_quantity").cast("long").as("q"),
+          floor(col("l_extendedprice") * 100.0 + 0.5).cast("long").as("p"))
+        .withColumn("hi", expr("p div 10000"))
+        .withColumn("lo", col("p") - col("hi") * 10000)
         .groupBy(col("l_returnflag"))
         .agg(
           count(lit(1)).as("n"),
-          sum(col("l_quantity").cast(dec)).cast("double").as("sx"),
-          sum(col("l_extendedprice").cast(dec)).cast("double").as("sy"),
-          sum(x * y2).cast("double").as("sxy"),
-          sum(x * x2).cast("double").as("sxx"),
-          sum(y * y2).cast("double").as("syy"))
+          sum(col("q")).as("sx"), sum(col("p")).as("sy"),
+          sum(col("q") * col("p")).as("sxy"),
+          sum(col("q") * col("q")).as("sxx"),
+          sum(col("hi") * col("hi")).as("sa"),
+          sum(col("hi") * col("lo")).as("sb"),
+          sum(col("lo") * col("lo")).as("sc"))
         .select(col("l_returnflag"), col("n"),
-          round((col("n") * col("sxy") - col("sx") * col("sy")) /
-            (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
-              sqrt(col("n") * col("syy") - col("sy") * col("sy"))), 4).as("corr_qp"),
-          round((col("n") * col("sxy") - col("sx") * col("sy")) /
-            (col("n") * col("sxx") - col("sx") * col("sx")), 4).as("slope_qp"))
+          round(cov / (sqrt(nD * sxxD - sxD * sxD) *
+            sqrt(nD * syyD - syD * syD)), 4).as("corr_qp"),
+          round(cov / (nD * sxxD - sxD * sxD) / 100.0, 4).as("slope_qp"))
         .orderBy(col("l_returnflag"))
     },
 
-    // Exact interpolated median per group (percentile ≡ DuckDB
-    // quantile_cont; both interpolate at p*(n-1)), rounded 4 dp.
+    // Exact interpolated median per group (p*(n-1) interpolation ≡
+    // DuckDB quantile_cont), rounded 4 dp. r15: computed by the
+    // rank-window form (Quantiles.exactByGroup) instead of the
+    // interpreted percentile aggregate.
     "q_agg_median" -> { (s, d) =>
-      t(s, d, "orders")
-        .groupBy(col("o_orderpriority"))
-        .agg(
-          round(percentile(col("o_totalprice"), lit(0.5)), 4).as("median_price"),
-          count(lit(1)).as("n"))
+      graft.ops.Quantiles.exactByGroup(t(s, d, "orders"),
+          col("o_orderpriority"), col("o_totalprice"),
+          cont = Seq(("m", 0.5)))
+        .select(col("o_orderpriority"),
+          round(col("m"), 4).as("median_price"),
+          col("__n_rows").as("n"))
         .orderBy(col("o_orderpriority"))
     },
   )
@@ -453,21 +481,36 @@ object AggQueries {
         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
 
+    // exact native-BIGINT moment sums in cents, p split at 10^4 so
+    // sum(p^2) = 1e8*sa + 2e4*sb + sc stays in int64 terms; every
+    // double op below mirrors the Spark expression verbatim (the
+    // sums fit int64, so DuckDB's HUGEINT->DOUBLE cast rounds to the
+    // same value as Spark's BIGINT->DOUBLE)
     "q_agg_corr" ->
-      """WITH s AS (
+      """WITH g AS (
         |  SELECT l_returnflag,
-        |         count(*) AS n,
-        |         CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sx,
-        |         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sy,
-        |         CAST(sum(CAST(l_quantity AS DECIMAL(30,4)) * CAST(l_extendedprice AS DECIMAL(8,2))) AS DOUBLE) AS sxy,
-        |         CAST(sum(CAST(l_quantity AS DECIMAL(30,4)) * CAST(l_quantity AS DECIMAL(8,2))) AS DOUBLE) AS sxx,
-        |         CAST(sum(CAST(l_extendedprice AS DECIMAL(30,4)) * CAST(l_extendedprice AS DECIMAL(8,2))) AS DOUBLE) AS syy
-        |  FROM lineitem GROUP BY 1
+        |         CAST(l_quantity AS BIGINT) AS q,
+        |         CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS p
+        |  FROM lineitem
+        |), h AS (
+        |  SELECT l_returnflag, q, p, p // 10000 AS hi, p - (p // 10000) * 10000 AS lo FROM g
+        |), s AS (
+        |  SELECT l_returnflag, count(*) AS n,
+        |         sum(q) AS sx, sum(p) AS sy, sum(q * p) AS sxy, sum(q * q) AS sxx,
+        |         sum(hi * hi) AS sa, sum(hi * lo) AS sb, sum(lo * lo) AS sc
+        |  FROM h GROUP BY 1
+        |), f AS (
+        |  SELECT l_returnflag, n,
+        |         CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sxd,
+        |         CAST(sy AS DOUBLE) AS syd, CAST(sxy AS DOUBLE) AS sxyd,
+        |         CAST(sxx AS DOUBLE) AS sxxd,
+        |         CAST(sa AS DOUBLE) * 100000000.0 + CAST(sb AS DOUBLE) * 20000.0 + CAST(sc AS DOUBLE) AS syyd
+        |  FROM s
         |)
         |SELECT l_returnflag, n,
-        |       round((n*sxy - sx*sy) / (sqrt(n*sxx - sx*sx) * sqrt(n*syy - sy*sy)), 4) AS corr_qp,
-        |       round((n*sxy - sx*sy) / (n*sxx - sx*sx), 4) AS slope_qp
-        |FROM s ORDER BY l_returnflag""".stripMargin,
+        |       round((nd*sxyd - sxd*syd) / (sqrt(nd*sxxd - sxd*sxd) * sqrt(nd*syyd - syd*syd)), 4) AS corr_qp,
+        |       round((nd*sxyd - sxd*syd) / (nd*sxxd - sxd*sxd) / 100.0, 4) AS slope_qp
+        |FROM f ORDER BY l_returnflag""".stripMargin,
 
     "q_agg_median" ->
       """SELECT o_orderpriority,

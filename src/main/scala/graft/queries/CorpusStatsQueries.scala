@@ -272,15 +272,16 @@ object CorpusStatsQueries {
     // sketch-based scale path (Sketches.scala) when a full per-group
     // collection is too expensive.
     "q_quantiles_multi" -> { (s, d) =>
-      t(s, d, "orders")
-        .groupBy(col("o_orderpriority"))
-        .agg(count(lit(1)).as("n"),
-          percentile(col("o_totalprice"),
-            array(lit(0.25), lit(0.5), lit(0.75))).as("q"))
-        .select(col("o_orderpriority"), col("n"),
-          round(element_at(col("q"), 1), 4).as("q25"),
-          round(element_at(col("q"), 2), 4).as("q50"),
-          round(element_at(col("q"), 3), 4).as("q75"))
+      // r15: three interpolated quantiles from ONE rank window
+      // (Quantiles.exactByGroup) — the interpreted percentile(array)
+      // aggregate was 0.54 s of ObjectHashAggregate map updates
+      graft.ops.Quantiles.exactByGroup(t(s, d, "orders"),
+          col("o_orderpriority"), col("o_totalprice"),
+          cont = Seq(("c25", 0.25), ("c50", 0.5), ("c75", 0.75)))
+        .select(col("o_orderpriority"), col("__n_rows").as("n"),
+          round(col("c25"), 4).as("q25"),
+          round(col("c50"), 4).as("q50"),
+          round(col("c75"), 4).as("q75"))
         .orderBy(col("o_orderpriority"))
     }
   )

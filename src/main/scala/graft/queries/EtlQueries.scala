@@ -260,6 +260,23 @@ object EtlQueries {
         .orderBy(col("o_custkey"))
     },
 
+    // Streaming CDC PUBLISH under the oracle (r15 — q_cdc_apply
+    // declares the merge algebra over in-session frames; this reads
+    // back the snapshot a REAL structured stream published: the same
+    // change feed delivered as three file-source micro-batches
+    // (availableNow) through StreamingPipeline.cdcApplySink, each
+    // batch a ChangeApply.advance swap-publish of on-disk state —
+    // see ExtendedQueries.streamCdcPath). Oracle = the identical
+    // latest-wins window over the whole feed (q_cdc_apply's), because
+    // ChangeApply.merge is slicing-invariant: ANY partition of the
+    // feed into batches converges to the same snapshot.
+    "q_stream_cdc_publish" -> { (s, d) =>
+      ChangeApply.current(s.read.parquet(
+          ExtendedQueries.streamCdcPath(s, d) + "/snap"))
+        .select(col("o_custkey"), col("cur_price"), col("cur_status"))
+        .orderBy(col("o_custkey"))
+    },
+
     // Incremental SKETCH-state rollup under the oracle (r14 — the
     // last etl-lifecycle subsystem with no declared query): three
     // order deltas folded into persisted per-priority sketch state
@@ -278,14 +295,19 @@ object EtlQueries {
       val fin = graft.etl.SketchRollup.finalizeState(
         s.read.parquet(ExtendedQueries.sketchRollupPath(s, d) + "/state"),
         Seq("o_orderpriority"), probs = Seq(0.5))
-      t(s, d, "orders").createOrReplaceTempView("graft_orders_skr_v")
-      val exact = s.sql(
-        """SELECT o_orderpriority,
-          |       count(DISTINCT o_custkey) AS exact_distinct,
-          |       percentile_disc(0.4) WITHIN GROUP (ORDER BY o_totalprice) AS p40,
-          |       percentile_disc(0.6) WITHIN GROUP (ORDER BY o_totalprice) AS p60
-          |FROM graft_orders_skr_v
-          |GROUP BY o_orderpriority""".stripMargin)
+      // r15: the exact verification side (band bounds + distinct) was
+      // the real cost — two interpreted percentile_disc aggregates —
+      // not the 5-row state read; the bounds now come from one rank
+      // window (Quantiles.exactByGroup) joined with a two-phase
+      // count(DISTINCT)
+      val o = t(s, d, "orders")
+      val bounds = graft.ops.Quantiles.exactByGroup(o,
+          col("o_orderpriority"), col("o_totalprice"),
+          disc = Seq(("p40", 0.4), ("p60", 0.6)))
+        .select(col("o_orderpriority"), col("p40"), col("p60"))
+      val exact = o.groupBy(col("o_orderpriority"))
+        .agg(countDistinct(col("o_custkey")).as("exact_distinct"))
+        .join(bounds, Seq("o_orderpriority"))
       fin.join(exact, Seq("o_orderpriority"))
         .select(col("o_orderpriority"), col("n_rows"), col("exact_distinct"),
           (abs(col("distinct_est") - col("exact_distinct")) <=
@@ -491,6 +513,26 @@ object EtlQueries {
         |FROM chain
         |WHERE valid_from <= TIMESTAMP '1996-06-30 00:00:00'
         |  AND (valid_to IS NULL OR TIMESTAMP '1996-06-30 00:00:00' < valid_to)
+        |ORDER BY o_custkey""".stripMargin,
+
+    // identical to q_cdc_apply's oracle: the streamed fold must
+    // converge to the one-shot latest-wins over the unioned feed
+    "q_stream_cdc_publish" ->
+      """WITH ch AS (
+        |  SELECT o_custkey,
+        |         o_totalprice AS cur_price,
+        |         o_orderstatus AS cur_status,
+        |         CASE WHEN o_orderkey % 10 = 0 THEN 'D'
+        |              WHEN o_orderkey % 10 < 5 THEN 'U'
+        |              ELSE 'I' END AS op,
+        |         o_orderkey AS ts
+        |  FROM orders),
+        |w AS (
+        |  SELECT ch.*, row_number() OVER (
+        |           PARTITION BY o_custkey ORDER BY ts DESC) AS rn
+        |  FROM ch)
+        |SELECT o_custkey, cur_price, cur_status
+        |FROM w WHERE rn = 1 AND op <> 'D'
         |ORDER BY o_custkey""".stripMargin,
 
     "q_sketch_rollup_band" ->

@@ -429,8 +429,10 @@ object ExtendedQueries {
     * ids and would wobble the byte pins across sweeps), and the
     * testdata's single input split writes exactly one file per shard
     * directory. Dropped by [[releaseCaches]] so cold-mode benchmarks
-    * charge the layout + manifest build to the query (the abandoned
-    * temp dir is left for the OS tmp reaper, like every spec's). */
+    * charge the layout + manifest build to the query; the release
+    * also DELETES the abandoned dir (r14 verdict #7 — a gate run's
+    * release→rebuild cycles must leave O(#memos) dirs on disk, not
+    * O(#memos × #rebuilds)). */
   private val pathStore = new java.util.concurrent.ConcurrentHashMap[
     (org.apache.spark.sql.SparkSession, String, String), String]()
   private def memoPath(kind: String, s: org.apache.spark.sql.SparkSession,
@@ -483,12 +485,17 @@ object ExtendedQueries {
     * every subsequent join, the 100 TB recurring-join technique
     * (`Layout.writeBucketed`; LayoutSpec gates the generic plan shape,
     * this memo puts the DECLARED query on it). Table names are keyed
-    * by the data dir so a fresh build after releaseCaches OVERWRITES
+    * by an md5 of the FULL data-dir path (r14 ADVICE: a hashCode
+    * collision between two dirs in one session would let the second
+    * build overwrite the first's catalog entries while memoPath still
+    * served the first's path — md5 makes the name collision-resistant)
+    * so a fresh build after releaseCaches OVERWRITES
     * the same catalog entries instead of accumulating. Bucketing is
     * IO/plan-only — the oracle is the PLAIN join. */
   private[graft] def bucketJoinTables(s: org.apache.spark.sql.SparkSession,
       d: String): (String, String) = {
-    val suf = java.lang.Integer.toHexString(d.hashCode)
+    val suf = java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
     val liT = s"graft_bj_li_$suf"
     val oT = s"graft_bj_o_$suf"
     memoPath("bucketjoin", s, d) { dir =>
@@ -571,6 +578,55 @@ object ExtendedQueries {
       graft.etl.SketchRollup.advance(s, state,
         o.filter(col("o_orderkey") % 3 === i), Seq("o_orderpriority"), cols)
     }
+  }
+
+  /** The q_stream_cdc_publish state: the SAME synthetic I/U/D change
+    * feed as q_cdc_apply, delivered through a REAL file-source
+    * structured stream — three parquet feed files read one per
+    * micro-batch (maxFilesPerTrigger=1, Trigger.AvailableNow, a real
+    * start → awaitTermination lifecycle) into
+    * `StreamingPipeline.cdcApplySink`, whose every micro-batch is a
+    * `ChangeApply.advance` read → merge → atomic swap-publish of
+    * on-disk parquet state. The declared query reads the PUBLISHED
+    * snapshot back (r14 verdict #4: the streaming sinks were
+    * spec-matched to their batch twins, but the
+    * streamed-then-published state itself had never been hashed).
+    * q_cdc_apply declares the merge ALGEBRA; this declares the
+    * STREAMING delivery + publish lifecycle against the identical
+    * oracle — ChangeApply.merge is batch-slicing invariant and
+    * version-guarded, so any slicing of the feed converges to the
+    * latest-wins fold the oracle computes. State at `<dir>/snap`. */
+  private[graft] def streamCdcPath(s: org.apache.spark.sql.SparkSession,
+      d: String): String = memoPath("streamcdc", s, d) { dir =>
+    val o = graft.queries.t(s, d, "orders")
+    val ch = o.select(col("o_custkey"),
+      col("o_totalprice").as("cur_price"),
+      col("o_orderstatus").as("cur_status"),
+      when(col("o_orderkey") % 10 === 0, lit("D"))
+        .when(col("o_orderkey") % 10 < 5, lit("U"))
+        .otherwise(lit("I")).as("op"),
+      col("o_orderkey").as("ts"))
+    // three one-file appends → three source files → three micro-batches
+    val feed = s"$dir/feed"
+    (0 until 3).foreach { i =>
+      ch.filter(col("ts") % 3 === i).coalesce(1)
+        .write.mode("append").parquet(feed)
+    }
+    val q = graft.streaming.StreamingPipeline.cdcApplySink(
+        s.readStream.schema(ch.schema)
+          .option("maxFilesPerTrigger", "1").parquet(feed),
+        "o_custkey", Seq("cur_price", "cur_status"),
+        s"$dir/snap", s"$dir/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try {
+      q.awaitTermination()
+      // the lifecycle claim is "micro-batchES": availableNow must have
+      // sliced the feed, not swallowed it in one batch
+      require(q.lastProgress != null && q.lastProgress.batchId >= 2,
+        s"streamCdcPath: expected >= 3 micro-batches, last batchId = " +
+          s"${Option(q.lastProgress).map(_.batchId)}")
+    } finally q.stop()
   }
 
   /** The q_compact_partitioned layout: a month-partitioned lineitem
@@ -670,7 +726,33 @@ object ExtendedQueries {
     val it4 = pathStore.keySet.iterator
     while (it4.hasNext) {
       val k = it4.next()
-      if (k._1 == s && k._2 == d) it4.remove()
+      if (k._1 == s && k._2 == d) {
+        // delete the persisted layout before dropping the entry: the
+        // next consumer rebuilds into a FRESH temp dir, so without
+        // this every release→rebuild cycle abandons one dir and a
+        // full gate run leaves O(#memos × #rebuilds) on disk (r14
+        // verdict #7). Nothing can still be reading it — release is
+        // only called between queries, and every consumer goes
+        // through memoPath, which will rebuild.
+        Option(pathStore.get(k)).foreach(deleteRecursively)
+        it4.remove()
+      }
+    }
+  }
+
+  /** Best-effort recursive delete of a memoPath layout dir (children
+    * before parents; races with a concurrent external deletion are
+    * benign — deleteIfExists). */
+  private def deleteRecursively(dir: String): Unit = {
+    val p = java.nio.file.Paths.get(dir)
+    if (java.nio.file.Files.exists(p)) {
+      val walk = java.nio.file.Files.walk(p)
+      try {
+        import scala.jdk.CollectionConverters._
+        walk.iterator().asScala.toSeq
+          .sortBy(-_.getNameCount)
+          .foreach(f => java.nio.file.Files.deleteIfExists(f))
+      } finally walk.close()
     }
   }
 

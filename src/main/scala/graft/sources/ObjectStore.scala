@@ -14,6 +14,22 @@ import org.apache.spark.sql.SparkSession
   * No credentials are stored here: like the reference, they come from
   * the environment at configure time.
   */
+/** Object-store-STYLE Hadoop filesystem under the `graftos://`
+  * scheme: RawLocalFileSystem re-rooted onto a registered non-default
+  * scheme, so every FS call a scan makes — open, listStatus, glob,
+  * block locations — resolves through the scheme→impl binding exactly
+  * the way `s3a://` does against a real store, instead of silently
+  * short-circuiting through the default `file:` filesystem. This is
+  * what q_objectstore_scan's oracle row certifies (r14 verdict #5):
+  * a DuckDB-hashed read through a registered FS boundary. The
+  * spec-side twin (S3StyleLoopSpec's `grafts3://`) exercises the
+  * write/landing loop; the two schemes are kept distinct so the
+  * Hadoop FileSystem cache never serves one binding for the other. */
+class ObjectStoreStyleFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getScheme: String = "graftos"
+  override def getUri: java.net.URI = java.net.URI.create("graftos:///")
+}
+
 object ObjectStore {
 
   /** The three classes the zero-rename commit path needs at runtime:

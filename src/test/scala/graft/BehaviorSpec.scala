@@ -60,4 +60,32 @@ class BehaviorSpec extends AnyFunSuite {
       ("2024-01-01", 0L, 3L), ("2024-01-01", 1L, 1L), ("2024-01-01", 2L, 1L),
       ("2024-01-02", 0L, 1L)))
   }
+
+  test("Quantiles.exactByGroup matches the WITHIN GROUP / percentile SQL surface bit-for-bit") {
+    // r15: the declared percentile queries moved from Spark's
+    // interpreted percentile/percentile_disc aggregates to the
+    // codegen rank-window form. This pins the equivalence on the SQL
+    // surface itself — including p = 0.4, the binary-rounding hazard
+    // case where a ceil(p*n) index formulation diverges from the
+    // cume_dist >= p comparison both engines actually make.
+    val o = queries.t(spark, sfTiny, "orders")
+    o.createOrReplaceTempView("bq_orders_v")
+    val sqlRes = spark.sql(
+      """SELECT o_orderpriority,
+        |  percentile_disc(0.25) WITHIN GROUP (ORDER BY o_totalprice) AS p25,
+        |  percentile_disc(0.4)  WITHIN GROUP (ORDER BY o_totalprice) AS p40,
+        |  percentile_disc(0.75) WITHIN GROUP (ORDER BY o_totalprice) AS p75,
+        |  percentile(o_totalprice, 0.5) AS m50,
+        |  percentile(o_totalprice, 0.25) AS m25
+        |FROM bq_orders_v GROUP BY o_orderpriority""".stripMargin)
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    val win = graft.ops.Quantiles.exactByGroup(o,
+        col("o_orderpriority"), col("o_totalprice"),
+        disc = Seq(("p25", 0.25), ("p40", 0.4), ("p75", 0.75)),
+        cont = Seq(("m50", 0.5), ("m25", 0.25)))
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    assert(win == sqlRes)
+  }
 }

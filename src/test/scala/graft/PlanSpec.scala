@@ -136,6 +136,39 @@ class PlanSpec extends AnyFunSuite {
       "count() no longer prunes the windows — revisit whether benchAction still needs toRdd")
   }
 
+  test("corpus-clean pipeline: text never enters an exchange after tokenization") {
+    // q_corpus_clean's 100 TB contract: past the shingle explode,
+    // everything that shuffles is (id, hash)-shaped — MinHash minima,
+    // band keys, Jaccard counts — and the near-dup drop list applies
+    // as a BROADCAST anti-join. The single legitimate text-bearing
+    // exchange is the exact-dedup keep-first window, keyed on the md5
+    // fingerprint (__fp), which runs BEFORE tokenization. Any other
+    // exchange carrying the text column means document bodies are
+    // moving across the cluster.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.functions.col
+    val docs = queries.t(spark, sfTiny, "documents")
+      .select(col("doc_id"), col("text"))
+    val cleaned = graft.ops.CorpusClean.clean(docs, col("text"), col("doc_id"))
+    try {
+      def walk(p: SparkPlan): Seq[SparkPlan] = p match {
+        case a: AdaptiveSparkPlanExec => a +: walk(a.executedPlan)
+        case q: QueryStageExec => q +: walk(q.plan)
+        case o => o +: o.children.flatMap(walk)
+      }
+      val textExchanges = walk(cleaned.docs.queryExecution.executedPlan)
+        .collect { case e: ShuffleExchangeLike if e.output.exists(_.name == "text") => e }
+      assert(textExchanges.size <= 1,
+        s"expected at most the exact-dedup fingerprint exchange to carry text:\n" +
+          textExchanges.mkString("\n"))
+      assert(textExchanges.forall(_.toString.contains("__fp")),
+        s"a text-bearing exchange is not the pre-tokenization __fp window:\n" +
+          textExchanges.mkString("\n"))
+    } finally cleaned.release()
+  }
+
   test("q_sort_limit is top-k, not a total sort") {
     val p = plan(q("q_sort_limit"))
     assert(p.contains("TakeOrderedAndProject"), p)
@@ -165,17 +198,26 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("rangepartitioning"), p.take(3000))
   }
 
-  test("profile: every column's stats come from ONE scan (Expand, no per-column re-reads)") {
+  test("profile: per-column one-distinct branches — no Expand, each scan reads ONE column") {
+    // r15 re-plan (honest-bench finding): the one-scan multi-distinct
+    // form's Expand multiplied every row ×(|cols|+1) through the
+    // first aggregate (9.0 s at sf0.1); on a columnar source each
+    // branch's parquet scan prunes to its single column, so the union
+    // of per-column one-distinct aggregates reads the same bytes with
+    // |distinct|-sized exchanges. Gate: no Expand anywhere, one scan
+    // per column, every scan single-column.
     val df = q("q_profile")
     df.collect() // finalize AQE
     // count scans in the FINAL plan only — AdaptiveSparkPlan's
     // toString appends the initial plan, which would double-count
     val p = plan(df).split("== Initial Plan ==").head
-    val scans = "Scan parquet".r.findAllIn(p).length
-    assert(scans == 1, s"expected 1 lineitem scan, saw $scans:\n${p.take(2000)}")
-    // exact multi-distinct expands rows internally instead of
-    // re-scanning — the documented cost of exactness
-    assert(p.contains("Expand"), p.take(2000))
+    assert(!p.contains("Expand"), p.take(2000))
+    val schemas = p.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(schemas.size == 6, s"expected 6 single-column scans:\n${schemas.mkString("\n")}")
+    for (l <- schemas) {
+      val cols = "l_\\w+".r.findAllIn(l.substring(l.indexOf("ReadSchema"))).toSeq.distinct
+      assert(cols.size == 1, s"branch scan must read exactly its one column: $l")
+    }
   }
 
   test("jaccard verify: no sort-merge join, no full-corpus broadcast") {
