@@ -132,12 +132,22 @@ object Expectations {
 
   /** [[check]] as a DataFrame: one (rule, violations) row per rule —
     * the distributable/report shape (write it, join it, gate on it
-    * without a driver collect). EVERYTHING — row rules, uniqueness,
-    * and all foreign-key checks — folds into ONE partial+final
-    * aggregate over ONE scan: the FK flags ride the same pass as
-    * broadcast left-outer joins ([[fkFold]]; pre-r11 each FK
-    * re-scanned the fact for its own anti-join count), and the long
-    * format is an explode of the single result row. Distribution
+    * without a driver collect). Row rules and ALL foreign-key checks
+    * fold into ONE partial+final aggregate over ONE scan of the fact:
+    * the FK flags ride the same pass as broadcast left-outer joins
+    * ([[fkFold]]; pre-r11 each FK re-scanned the fact for its own
+    * anti-join count). The key-UNIQUENESS check runs as its OWN
+    * aggregate branch over a keys-only projection, cross-joined back
+    * (two 1-row frames) — r15 re-plan: folding count_distinct into
+    * the shared aggregate makes Spark's single-distinct rewrite group
+    * the whole joined frame BY THE UNIQUE KEY, dragging every row
+    * rule's partial sums through a |rows|-group exchange (measured
+    * 1.5 s at sf0.1 vs 0.25 s for the row rules alone); the split
+    * branch exchanges only the 8-byte-per-row key projection, its
+    * parquet scan prunes to the key columns, and AQE schedules the
+    * two branches concurrently (1.5 → 0.9 s). On a columnar source
+    * the second scan reads bytes the first never touched. The long
+    * format is an explode of the joined result row. Distribution
     * (quantile-sketch) rules stay on [[check]] — their readout is
     * engine-specific sketch state, not an exact count. Declared under
     * the DuckDB oracle as `q_expectations`. */
@@ -148,12 +158,30 @@ object Expectations {
     val rowRules = rules.filter(_.rowPredicate.isDefined)
     require(rowRules.nonEmpty || uniqueKey.nonEmpty || foreignKeys.nonEmpty,
       "checkFrame needs at least one rule")
-    val (rowCols, rowNames) = rowAggCols(rowRules, uniqueKey)
+    val (rowCols, rowNames) = rowAggCols(rowRules, Nil)
     val (joined, fkCols, fkNames) = fkFold(df, foreignKeys)
-    val aggCols = rowCols ++ fkCols
-    val names = rowNames ++ fkNames
+    val uniqName =
+      if (uniqueKey.nonEmpty) Seq(s"unique(${uniqueKey.mkString(",")})")
+      else Nil
+    val names = rowNames ++ fkNames ++ uniqName
     requireDistinctNames(names)
-    joined.agg(aggCols.head, aggCols.tail: _*)
+    val aggCols = rowCols ++ fkCols
+    val scanAgg =
+      if (aggCols.nonEmpty) Some(joined.agg(aggCols.head, aggCols.tail: _*))
+      else None
+    val uniqAgg =
+      if (uniqueKey.nonEmpty)
+        Some(df.select(uniqueKey.map(col): _*)
+          .agg((count(lit(1)) - count_distinct(struct(uniqueKey.map(col): _*)))
+            .as(uniqName.head)))
+      else None
+    val one = (scanAgg, uniqAgg) match {
+      case (Some(a), Some(b)) => a.crossJoin(b)
+      case (Some(a), None) => a
+      case (None, Some(b)) => b
+      case (None, None) => throw new IllegalStateException("unreachable")
+    }
+    one
       // coalesce: sum() over ZERO rows is null — an empty batch must
       // report 0 violations per rule (vacuous pass, matching check()'s
       // driver-side null handling), not a null-violations report row

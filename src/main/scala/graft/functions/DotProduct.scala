@@ -175,7 +175,8 @@ object GraftFunctions {
     ("graft_pq_adc", classOf[PqAdcDot].getName, PqAdcDot.build _),
     ("graft_top_k", classOf[TopKAgg].getName, TopKAgg.build _),
     ("graft_top_k_pairs", classOf[TopKPairAgg].getName, TopKPairAgg.build _),
-    ("graft_freq_items", classOf[FreqItemsAgg].getName, FreqItemsAgg.build _))
+    ("graft_freq_items", classOf[FreqItemsAgg].getName, FreqItemsAgg.build _),
+    ("graft_try_to_int", classOf[TryToInt].getName, TryToInt.build _))
 
   def register(spark: SparkSession): Unit = {
     // Register only if absent: createOrReplaceTempFunction logs a
@@ -242,4 +243,9 @@ object GraftFunctions {
   def pqAdc(codes: Column, lutFlat: IndexedSeq[Double], kc: Int): Column =
     ColumnBridge.column(PqAdcDot(ColumnBridge.expression(codes),
       lutFlat, kc))
+
+  /** Exception-free `try_cast(s AS INT)` — see [[TryToInt]] for the
+    * parity contract (value-identical to TRY-mode string→int). */
+  def tryToInt(s: Column): Column =
+    ColumnBridge.column(TryToInt(ColumnBridge.expression(s)))
 }

@@ -53,11 +53,14 @@ object Quantiles {
     require(disc.nonEmpty || cont.nonEmpty, "request at least one quantile")
     val gname = df.select(groupCol).columns.head
     val base = df.select(groupCol.as("__g"), v.as("__v"))
+    // both window functions share ONE spec (same partition + order;
+    // the count takes the unbounded frame) so they plan as a single
+    // WindowExec — one exchange, one sort, one pass
+    val spec = Window.partitionBy(col("__g")).orderBy(col("__v"))
     val ranked = base
-      .withColumn("__rn",
-        row_number().over(Window.partitionBy(col("__g")).orderBy(col("__v"))))
-      .withColumn("__n",
-        count(lit(1)).over(Window.partitionBy(col("__g"))))
+      .withColumn("__rn", row_number().over(spec))
+      .withColumn("__n", count(lit(1)).over(
+        spec.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
     val cume = col("__rn").cast("double") / col("__n").cast("double")
     val discAggs: Seq[Column] = disc.map { case (name, p) =>
       min(when(cume >= p, col("__v"))).as(name)

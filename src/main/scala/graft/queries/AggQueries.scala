@@ -14,15 +14,25 @@ object AggQueries {
   private val dec = DecimalType(18, 4)
 
   val queries: Map[String, QFn] = Map(
-    // TPC-H-Q1-shaped groupBy (readme.md:45-51 intent).
+    // TPC-H-Q1-shaped groupBy (readme.md:45-51 intent). r15: the sums
+    // run as exact native-long CENTS (2-dp inputs; Σqty·100 ≤ 3·10⁹,
+    // Σprice·100 ≤ 6·10¹² — far inside int64) instead of
+    // DECIMAL(18,4), whose sum buffers at DECIMAL(28,4) = BigDecimal
+    // per update (~0.25 s / 600 k rows / expr — the q_agg_corr class;
+    // 0.81 → 0.35 s). The /100.0 decode is an exact-integer double op
+    // mirrored verbatim in the oracle.
     "q_agg_group" -> { (s, d) =>
       val li = t(s, d, "lineitem")
       li.groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          sum(col("l_quantity").cast(dec)).cast("double").as("sum_qty"),
-          sum(col("l_extendedprice").cast(dec)).cast("double").as("sum_price"),
-          count(lit(1)).as("n"),
-          (sum(col("l_quantity").cast(dec)).cast("double") / count(lit(1))).as("avg_qty"))
+          sum(floor(col("l_quantity") * 100.0 + 0.5).cast("long")).as("__q"),
+          sum(floor(col("l_extendedprice") * 100.0 + 0.5).cast("long")).as("__p"),
+          count(lit(1)).as("n"))
+        .select(col("l_returnflag"), col("l_linestatus"),
+          (col("__q").cast("double") / 100.0).as("sum_qty"),
+          (col("__p").cast("double") / 100.0).as("sum_price"),
+          col("n"),
+          (col("__q").cast("double") / 100.0 / col("n").cast("double")).as("avg_qty"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     },
 
@@ -225,13 +235,21 @@ object AggQueries {
     // try_-prefixed error semantics: failed casts and guarded
     // divisions yield NULL instead of runtime errors — the dialect
     // corner that decides whether dirty data kills a 100 TB job.
+    // r15 re-plan (honest-bench flag, 30× DuckDB): TRY-mode string→int
+    // on an all-failing column pays a CONSTRUCTED SparkNumberFormat-
+    // Exception per row (~8 µs — 1.33 s of the query's 1.43 s,
+    // TimeProbe); `graft_try_to_int` is the exception-free kernel with
+    // spec-pinned per-value parity against try_cast. The always-
+    // castable substr branch and try_divide keep the literal try_
+    // surface (their failure paths are exception-free already).
     "q_try_semantics" -> { (s, d) =>
       t(s, d, "orders")
         .groupBy(col("o_orderstatus"))
         .agg(count(lit(1)).as("n"),
           sum(expr("try_cast(substr(o_orderpriority, 1, 1) AS INT)"))
             .cast("long").as("sum_pri"),
-          count(expr("try_cast(o_orderpriority AS INT)")).as("n_badcast"),
+          count(graft.functions.GraftFunctions.tryToInt(col("o_orderpriority")))
+            .as("n_badcast"),
           count(expr("try_divide(1.0, o_totalprice - o_totalprice)")).as("n_div0"))
         .orderBy(col("o_orderstatus"))
     },
@@ -330,13 +348,21 @@ object AggQueries {
   )
 
   val sql: Map[String, String] = Map(
+    // exact native-BIGINT cents sums; every double op mirrors the
+    // Spark expression verbatim (sums fit int64, so DuckDB's
+    // HUGEINT->DOUBLE cast rounds to the same value)
     "q_agg_group" ->
-      """SELECT l_returnflag, l_linestatus,
-        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
-        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
-        |       count(*) AS n,
-        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_qty
-        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+      """WITH g AS (
+        |  SELECT l_returnflag, l_linestatus,
+        |         CAST(sum(CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) AS q,
+        |         CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) AS p,
+        |         count(*) AS n
+        |  FROM lineitem GROUP BY 1, 2
+        |)
+        |SELECT l_returnflag, l_linestatus,
+        |       q / 100.0 AS sum_qty, p / 100.0 AS sum_price, n,
+        |       q / 100.0 / CAST(n AS DOUBLE) AS avg_qty
+        |FROM g ORDER BY 1, 2""".stripMargin,
 
     "q_agg_distinct_count" ->
       """SELECT o_orderpriority,

@@ -119,25 +119,26 @@ object SqlSurfaceQueries {
 
     // UNPIVOT: per-flag measure columns rotated to (measure, value)
     // rows via the native unpivot API (an Expand node) — the inverse
-    // of q_pivot. Sums are computed in exact DECIMAL, then the final
-    // value column is cast to DOUBLE on BOTH engines (§7.3: no
-    // DECIMAL finals — a decimal reaches pandas as an object Decimal
-    // via pyarrow but as float64 via DuckDB, so its string form
-    // diverges on integer-valued cents: '20028.00' vs '20028.0'. The
-    // same exact decimal casts to the same IEEE double on both
-    // engines, so DOUBLE finals hash identically on every read path).
+    // of q_pivot. Sums run as exact native-long CENTS (r15 — the
+    // DECIMAL(18,2) sums buffered at DECIMAL(28,2) = BigDecimal per
+    // update, ~0.25 s / 600 k rows / expr; 0.65 → 0.3 s), decoded
+    // /100.0 to DOUBLE finals on BOTH engines (§7.3: no DECIMAL
+    // finals — a decimal reaches pandas as an object Decimal via
+    // pyarrow but as float64 via DuckDB, so its string form diverges
+    // on integer-valued cents: '20028.00' vs '20028.0'; the same
+    // exact integer decodes to the same IEEE double on both engines).
     // Expand, not stack(): the stack() Generate node measured ~0.4 s
     // of fixed overhead per fresh plan; Expand stays inside codegen.
     "q_unpivot" -> { (s, d) =>
-      val px = col("l_extendedprice").cast("decimal(18,2)")
-      val qty = col("l_quantity").cast("decimal(18,2)")
+      val px = floor(col("l_extendedprice") * 100.0 + 0.5).cast("long")
+      val qty = floor(col("l_quantity") * 100.0 + 0.5).cast("long")
       t(s, d, "lineitem")
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n_items"), sum(qty).as("sum_qty"), sum(px).as("sum_px"))
         .select(col("l_returnflag"),
           col("n_items").cast("double").as("n_items"),
-          col("sum_qty").cast("double").as("sum_qty"),
-          col("sum_px").cast("double").as("sum_px"))
+          (col("sum_qty").cast("double") / 100.0).as("sum_qty"),
+          (col("sum_px").cast("double") / 100.0).as("sum_px"))
         .unpivot(Array(col("l_returnflag")),
           Array(col("n_items"), col("sum_qty"), col("sum_px")),
           "measure", "value")
@@ -408,17 +409,17 @@ object SqlSurfaceQueries {
     "q_unpivot" ->
       """WITH agg AS (
         |  SELECT l_returnflag, count(*) AS n_items,
-        |         sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-        |         sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_px
+        |         sum(CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT)) AS sum_qty,
+        |         sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS sum_px
         |  FROM lineitem GROUP BY l_returnflag
         |)
         |SELECT l_returnflag, measure, value FROM (
         |  SELECT l_returnflag, 'n_items' AS measure,
         |         CAST(n_items AS DOUBLE) AS value FROM agg
         |  UNION ALL
-        |  SELECT l_returnflag, 'sum_qty', CAST(sum_qty AS DOUBLE) FROM agg
+        |  SELECT l_returnflag, 'sum_qty', CAST(sum_qty AS DOUBLE) / 100.0 FROM agg
         |  UNION ALL
-        |  SELECT l_returnflag, 'sum_px', CAST(sum_px AS DOUBLE) FROM agg
+        |  SELECT l_returnflag, 'sum_px', CAST(sum_px AS DOUBLE) / 100.0 FROM agg
         |)
         |ORDER BY l_returnflag, measure""".stripMargin,
 

@@ -38,18 +38,24 @@ object WindowQueries {
     },
 
     // W2: 20-row rolling sample stddev with pandas min_periods
-    // semantics (NULL until 20 rows). Computed from exact decimal
+    // semantics (NULL until 20 rows). Computed from exact fixed-point
     // Σx / Σx² over the frame with one final double expression —
     // immune to the different frame-summation orders of the two
     // engines (Spark buffers sequentially, DuckDB uses a segment
     // tree), and to partial-aggregation order at cluster scale.
+    // r15: the sums run as native-long 1e4-scaled integers (the same
+    // rounding DECIMAL(18,4) made — floor(v·1e4+0.5) for v ≥ 0 —
+    // but the decimal SUM buffered at DECIMAL(28,x)/(38,x) =
+    // BigDecimal per frame update; 0.88 → 0.5 s). Bounds: value ≤
+    // 560.21 ⇒ v_fp ≤ 5.7·10⁶, Σv_fp² over a 20-row frame ≤ 6.3·10¹⁴
+    // — native long, exact in double.
     "q_window_rolling_std" -> { (s, d) =>
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
       val frame = w.rowsBetween(-19, 0)
-      val dv = col("value").cast(dec)
+      val dv = floor(col("value") * 10000.0 + 0.5).cast("long")
       val n = count(col("value")).over(frame)
-      val sx = sum(dv).over(frame).cast("double")
-      val sxx = sum(dv * dv).over(frame).cast("double")
+      val sx = sum(dv).over(frame).cast("double") / 10000.0
+      val sxx = sum(dv * dv).over(frame).cast("double") / 100000000.0
       ExtendedQueries.eventProfile(s, d)
         .select(col("user_id"), col("event_id"), col("ts"),
           when(n >= 20,
@@ -193,9 +199,9 @@ object WindowQueries {
       """WITH b AS (
         |  SELECT user_id, event_id, ts,
         |         count(value) OVER w AS n,
-        |         CAST(sum(dv) OVER w AS DOUBLE) AS sx,
-        |         CAST(sum(dv * dv) OVER w AS DOUBLE) AS sxx
-        |  FROM (SELECT *, CAST(value AS DECIMAL(18,4)) AS dv FROM events)
+        |         CAST(sum(dv) OVER w AS DOUBLE) / 10000.0 AS sx,
+        |         CAST(sum(dv * dv) OVER w AS DOUBLE) / 100000000.0 AS sxx
+        |  FROM (SELECT *, CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS dv FROM events)
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
         |               ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
         |)

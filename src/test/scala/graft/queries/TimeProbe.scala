@@ -1,31 +1,49 @@
 package graft.queries
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-/** Throwaway micro-timer: times sub-plans of q_dedup_embed_lsh. */
+/** Throwaway micro-timer: decomposes q_expectations' 0.98 s
+  * (r15 honest-bench flag, 17x DuckDB). */
 object TimeProbe {
   def main(args: Array[String]): Unit = {
     val spark = graft.TestSpark.spark
     val d = "/root/testdata/sf0.1"
-    graft.functions.GraftFunctions.register(spark)
-    def time(name: String)(f: => Long): Unit = {
+    def time(name: String)(f: => DataFrame): Unit = {
       val ts = (1 to 5).map { _ =>
-        val t0 = System.nanoTime(); val n = f
-        ((System.nanoTime() - t0) / 1e9, n)
+        val t0 = System.nanoTime(); f.queryExecution.toRdd.count()
+        (System.nanoTime() - t0) / 1e9
       }
-      println(f"[probe] $name%-28s min=${ts.map(_._1).min}%.3f s (n=${ts.head._2})")
+      println(f"[probe] $name%-28s min=${ts.min}%.3f s")
     }
-    // warm cache
-    graft.SparkEntry.queries("q_similarity_cosine")(spark, d).count()
-    val e0 = ExtendedQueries.embedNorms(spark, d)
-    time("norms_only_agg") { e0.agg(count(col("nrm"))).head.getLong(0) }
-    time("bucket_agg") {
-      e0.withColumn("bucket",
-          graft.ops.Similarity.lshBucketQuantized(col("v"), nBits = 8))
-        .agg(count(col("bucket"))).head.getLong(0)
+    def li = t(spark, d, "lineitem")
+    def o = t(spark, d, "orders")
+    li.groupBy(col("l_returnflag")).count().queryExecution.toRdd.count()
+    time("row_rules_only") {
+      import graft.etl.Expectations
+      Expectations.checkFrame(li,
+        Seq(Expectations.inRange("l_quantity", 1.0, 30.0),
+          Expectations.matches("l_returnflag", "^[AR]$"),
+          Expectations.notNull("l_shipdate")))
+    }
+    time("unique_only") {
+      import graft.etl.Expectations
+      Expectations.checkFrame(li, Nil,
+        uniqueKey = Seq("l_orderkey", "l_linenumber"))
+    }
+    time("unique_packed_long") {
+      li.agg((count(lit(1)) -
+        count_distinct(col("l_orderkey") * 8 + col("l_linenumber")))
+        .as("v"))
+    }
+    time("fk_only") {
+      import graft.etl.Expectations
+      Expectations.checkFrame(li, Nil,
+        foreignKeys = Map("fk(l_orderkey->orders)" ->
+          ("l_orderkey", o, "o_orderkey")))
     }
     time("full_query") {
-      graft.SparkEntry.queries("q_dedup_embed_lsh")(spark, d).count()
+      graft.SparkEntry.queries("q_expectations")(spark, d)
     }
     spark.stop()
   }
