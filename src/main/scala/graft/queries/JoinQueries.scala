@@ -159,13 +159,17 @@ object JoinQueries {
     // the salted SHUFFLE shape — the 100 TB case where the dim
     // exceeds the broadcast threshold — is separately plan-gated in
     // SkewSpec ("forceShuffle: plan shuffles on (key, salt)"). All
-    // arithmetic is exact (decimal sums, integer compares) — the join
+    // arithmetic is exact — native-long CENTS (r15: the DECIMAL(18,2)
+    // form paid a BigDecimal sum buffer plus a per-row wide-decimal
+    // cross-multiply, 0.86 → ~0.5 s; px_c ≤ 10⁷ × n_flag ≤ 6·10⁵ keeps
+    // the product ≤ 6·10¹² in int64, and scaling BOTH sides of the
+    // comparison by 100 leaves it exactly equivalent) — the join
     // enriches each row with its flag's totals and counts rows priced
     // above their flag's mean via the cross-multiplied comparison.
     "q_salt_skew_join" -> { (s, d) =>
       val li = t(s, d, "lineitem")
         .select(col("l_returnflag"), col("l_orderkey"),
-          col("l_extendedprice").cast("decimal(18,2)").as("px"))
+          floor(col("l_extendedprice") * 100.0 + 0.5).cast("long").as("px"))
       val dim = li.groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n_flag"), sum(col("px")).as("s_flag"))
       graft.ops.Skew.saltedJoin(
@@ -260,7 +264,7 @@ object JoinQueries {
     // The plain (unsalted) join — salting must not change a row.
     "q_salt_skew_join" ->
       """WITH li AS (
-        |  SELECT l_returnflag, CAST(l_extendedprice AS DECIMAL(18,2)) AS px
+        |  SELECT l_returnflag, CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS px
         |  FROM lineitem
         |), dim AS (
         |  SELECT l_returnflag AS rf, count(*) AS n_flag, sum(px) AS s_flag
