@@ -141,11 +141,15 @@ object AggQueries {
     // the reference's replacement scan ⟺ createOrReplaceTempView +
     // SQL text) — the one grouping form rollup()/cube() don't cover,
     // and the only declared query exercising the SQL-string surface.
+    // r15: the sum runs in exact native-BIGINT cents (the grouping
+    // sets' Expand doubles every row, so the old DECIMAL(18,4) sum
+    // paid 1.2 M BigDecimal buffer updates — 0.67 → ~0.3 s), decoded
+    // /100.0, mirrored verbatim in the oracle.
     "q_sql_grouping_sets" -> { (s, d) =>
       t(s, d, "lineitem").createOrReplaceTempView("graft_lineitem_v")
       s.sql(
         """SELECT l_returnflag, l_linestatus, count(*) AS n,
-          |       CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+          |       CAST(sum(CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_qty
           |FROM graft_lineitem_v
           |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
           |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)
@@ -502,7 +506,7 @@ object AggQueries {
 
     "q_sql_grouping_sets" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
-        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+        |       CAST(sum(CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_qty
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
