@@ -111,27 +111,31 @@ object AggQueries {
 
     // Two-level cube (helper scaladoc has the additive-aggregate
     // correctness argument): the Expand multiplies 6 pre-aggregated
-    // rows instead of the fact ×4.
+    // rows instead of the fact ×4. Sums in exact native-long cents
+    // (r15 — see q_agg_group), decoded /100.0 at the boundary.
     "q_cube" -> { (s, d) =>
       twoLevelCube(t(s, d, "lineitem"),
           Seq(col("l_returnflag"), col("l_linestatus")))(
           inner = Seq(count(lit(1)).as("__n"),
-            sum(col("l_quantity").cast(dec)).as("__q")),
+            sum(floor(col("l_quantity") * 100.0 + 0.5).cast("long")).as("__q")),
           outer = Seq(sum(col("__n")).as("n"),
-            sum(col("__q")).cast("double").as("sum_qty")))
+            (sum(col("__q")).cast("double") / 100.0).as("sum_qty")))
         .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
     },
 
     // Pivot: wide revenue-by-priority table. Spark pivot() = groupBy +
     // one filtered aggregate per pinned value (no data-dependent
     // schema); the oracle spells the same thing with FILTER clauses.
+    // Sums in exact native-long cents (r15 — five pivot branches each
+    // paid a BigDecimal buffer), decoded /100.0 at the boundary.
     "q_pivot" -> { (s, d) =>
       val priorities = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
       val names = Seq("urgent", "high", "medium", "notspec", "low")
       val wide = t(s, d, "orders")
         .groupBy(year(col("o_orderdate")).cast("long").as("yr"))
         .pivot("o_orderpriority", priorities)
-        .agg(sum(col("o_totalprice").cast(dec)).cast("double"))
+        .agg(sum(floor(col("o_totalprice") * 100.0 + 0.5).cast("long"))
+          .cast("double") / 100.0)
       priorities.zip(names).foldLeft(wide) { case (df, (p, n)) =>
         df.withColumnRenamed(p, n)
       }.orderBy(col("yr"))
@@ -433,19 +437,24 @@ object AggQueries {
 
     "q_cube" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
-        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+        |       CAST(sum(CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_qty
         |FROM lineitem
         |GROUP BY CUBE (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
 
     "q_pivot" ->
-      """SELECT year(o_orderdate) AS yr,
-        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) FILTER (o_orderpriority = '1-URGENT') AS DOUBLE) AS urgent,
-        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) FILTER (o_orderpriority = '2-HIGH') AS DOUBLE) AS high,
-        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) FILTER (o_orderpriority = '3-MEDIUM') AS DOUBLE) AS medium,
-        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS DOUBLE) AS notspec,
-        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) FILTER (o_orderpriority = '5-LOW') AS DOUBLE) AS low
-        |FROM orders GROUP BY 1 ORDER BY yr""".stripMargin,
+      """WITH o AS (
+        |  SELECT year(o_orderdate) AS yr, o_orderpriority,
+        |         CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS pc
+        |  FROM orders
+        |)
+        |SELECT yr,
+        |  CAST(sum(pc) FILTER (o_orderpriority = '1-URGENT') AS DOUBLE) / 100.0 AS urgent,
+        |  CAST(sum(pc) FILTER (o_orderpriority = '2-HIGH') AS DOUBLE) / 100.0 AS high,
+        |  CAST(sum(pc) FILTER (o_orderpriority = '3-MEDIUM') AS DOUBLE) / 100.0 AS medium,
+        |  CAST(sum(pc) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS DOUBLE) / 100.0 AS notspec,
+        |  CAST(sum(pc) FILTER (o_orderpriority = '5-LOW') AS DOUBLE) / 100.0 AS low
+        |FROM o GROUP BY 1 ORDER BY yr""".stripMargin,
 
     "q_approx_distinct" ->
       """SELECT o_orderpriority,

@@ -64,17 +64,19 @@ object SqlSurfaceQueries {
 
     // FILTER-clause conditional aggregation: one pass over lineitem,
     // every aggregate gated by its own predicate (the idiomatic
-    // replacement for N self-joins). Monetary sums in exact DECIMAL.
+    // replacement for N self-joins). Monetary sums in exact
+    // native-long CENTS (r15 — the DECIMAL(18,2) sum buffered as
+    // BigDecimal per update; see q_agg_group), decoded /100.0 at the
+    // DOUBLE boundary (§7.3: no DECIMAL finals — see q_unpivot).
     "q_conditional_agg" -> { (s, d) =>
-      val px = col("l_extendedprice").cast("decimal(18,2)")
+      val px = floor(col("l_extendedprice") * 100.0 + 0.5).cast("long")
       t(s, d, "lineitem")
         .groupBy(col("l_returnflag"))
         .agg(
           count(lit(1)).as("n_items"),
           count(when(col("l_quantity") > 25, 1)).as("n_heavy"),
-          // exact decimal sum, DOUBLE at the boundary (§7.3: no
-          // DECIMAL finals — see q_unpivot)
-          sum(when(col("l_discount") > 0.05, px)).cast("double").as("sum_discounted"),
+          (sum(when(col("l_discount") > 0.05, px)).cast("double") / 100.0)
+            .as("sum_discounted"),
           count(when(col("l_tax") === 0.0, 1)).as("n_taxfree"))
         .orderBy(col("l_returnflag"))
     },
@@ -376,8 +378,8 @@ object SqlSurfaceQueries {
       """SELECT l_returnflag,
         |       count(*) AS n_items,
         |       count(*) FILTER (WHERE l_quantity > 25) AS n_heavy,
-        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
-        |         FILTER (WHERE l_discount > 0.05) AS DOUBLE) AS sum_discounted,
+        |       CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT))
+        |         FILTER (WHERE l_discount > 0.05) AS DOUBLE) / 100.0 AS sum_discounted,
         |       count(*) FILTER (WHERE l_tax = 0.0) AS n_taxfree
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
