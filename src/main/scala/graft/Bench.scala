@@ -97,7 +97,8 @@ object Bench {
     val prebuilt = Seq("shingle_cache", "embed_norms_cache",
       "token_count_cache", "skipping_layout", "ivfpq_index",
       "bucket_join_tables", "compacted_layout", "compact_partitioned_layout",
-      "scd2_state", "sketch_rollup_state", "stream_cdc_state")
+      "scd2_state", "sketch_rollup_state", "stream_cdc_state",
+      "stream_scd2_state", "stream_agg_state")
     // Untimed JVM warm-up: exercise codegen, shuffle, window, join and
     // the parquet reader on the two tiny dimension tables so the first
     // timed query doesn't absorb JIT + first-codegen cost.
@@ -138,9 +139,11 @@ object Bench {
       SparkEntry.queries("q_compact_partitioned")(spark, sfDir).count()
       SparkEntry.queries("q_scd2_advance")(spark, sfDir).count()
       SparkEntry.queries("q_sketch_rollup_band")(spark, sfDir).count()
-      // the streamed-then-published CDC snapshot (a real availableNow
-      // stream run) — the same build-once lifecycle as the states above
+      // the streamed-then-published states (real availableNow stream
+      // runs) — the same build-once lifecycle as the states above
       SparkEntry.queries("q_stream_cdc_publish")(spark, sfDir).count()
+      SparkEntry.queries("q_stream_scd2_publish")(spark, sfDir).count()
+      SparkEntry.queries("q_stream_agg_publish")(spark, sfDir).count()
     }
     // Three timed runs per query, min reported (declared in the JSON).
     // This VM shows multi-second scheduler stalls at random (observed

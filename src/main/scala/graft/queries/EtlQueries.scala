@@ -277,6 +277,27 @@ object EtlQueries {
         .orderBy(col("o_custkey"))
     },
 
+    // Streaming SCD2 PUBLISH under the oracle (r15 — the second
+    // streaming lifecycle row): the q_scd2_advance update feed
+    // delivered period-per-micro-batch through
+    // StreamingPipeline.scd2Sink (see ExtendedQueries.streamScd2Path —
+    // feed mtimes pinned strictly increasing because SCD2's
+    // forward-only contract makes batch ORDER semantics, unlike the
+    // slicing-invariant CDC fold), then a point-in-time asOf read of
+    // the PUBLISHED dimension. Oracle = q_scd2_advance's period
+    // chain: the streamed fold must converge to it or the hash
+    // diverges.
+    "q_stream_scd2_publish" -> { (s, d) =>
+      val dim = s.read.parquet(
+        ExtendedQueries.streamScd2Path(s, d) + "/dim")
+      val at = lit("1996-06-30 00:00:00")
+        .cast(dim.schema("valid_from").dataType)
+      Scd2.asOf(dim, at)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          col("valid_from"))
+        .orderBy(col("o_custkey"))
+    },
+
     // Incremental SKETCH-state rollup under the oracle (r14 — the
     // last etl-lifecycle subsystem with no declared query): three
     // order deltas folded into persisted per-priority sketch state
@@ -353,6 +374,29 @@ object EtlQueries {
       val st = IncrementalAgg.mergeState(
         IncrementalAgg.mergeState(batch(0), batch(1), keys), batch(2), keys)
       IncrementalAgg.finalizeState(st, keys)
+        .select(col("l_returnflag"), col("l_linestatus"), col("n_rows"),
+          col("sum_v").cast("double").as("sum_v"),
+          col("avg_v"),
+          col("min_v").cast("double").as("min_v"),
+          col("max_v").cast("double").as("max_v"),
+          col("var_pop_v"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+
+    // Streaming moment-state PUBLISH under the oracle (r15 — the
+    // third streaming lifecycle row): the q_incremental_rollup deltas
+    // delivered as three file-source micro-batches through
+    // StreamingPipeline.incrementalAggSink, each an
+    // IncrementalAgg.advanceBatch swap-publish of on-disk moment
+    // state WITH its applied-batch marker (additive state, so the
+    // at-least-once no-op contract is on the declared path). The
+    // query finalizes the PUBLISHED state; oracle =
+    // q_incremental_rollup's one-shot aggregate, because moment-state
+    // merge is commutative/associative — any slicing converges.
+    "q_stream_agg_publish" -> { (s, d) =>
+      IncrementalAgg.finalizeState(
+          s.read.parquet(ExtendedQueries.streamAggPath(s, d) + "/state"),
+          Seq("l_returnflag", "l_linestatus"))
         .select(col("l_returnflag"), col("l_linestatus"), col("n_rows"),
           col("sum_v").cast("double").as("sum_v"),
           col("avg_v"),
@@ -515,6 +559,32 @@ object EtlQueries {
         |  AND (valid_to IS NULL OR TIMESTAMP '1996-06-30 00:00:00' < valid_to)
         |ORDER BY o_custkey""".stripMargin,
 
+    // identical to q_scd2_advance's oracle: the period-ordered stream
+    // must converge to the same period-chained dimension
+    "q_stream_scd2_publish" ->
+      """WITH cand AS (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         o_orderdate AS ts,
+        |         CASE WHEN o_orderdate >= TIMESTAMP '1997-01-01 00:00:00' THEN 2
+        |              WHEN o_orderdate >= TIMESTAMP '1995-01-01 00:00:00' THEN 1
+        |              ELSE 0 END AS p,
+        |         row_number() OVER (
+        |           PARTITION BY o_custkey,
+        |             (CASE WHEN o_orderdate >= TIMESTAMP '1997-01-01 00:00:00' THEN 2
+        |                   WHEN o_orderdate >= TIMESTAMP '1995-01-01 00:00:00' THEN 1
+        |                   ELSE 0 END)
+        |           ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |  FROM orders),
+        |chain AS (
+        |  SELECT o_custkey, o_orderkey, o_totalprice, ts AS valid_from,
+        |         lead(ts) OVER (PARTITION BY o_custkey ORDER BY p) AS valid_to
+        |  FROM cand WHERE rn = 1)
+        |SELECT o_custkey, o_orderkey, o_totalprice, valid_from
+        |FROM chain
+        |WHERE valid_from <= TIMESTAMP '1996-06-30 00:00:00'
+        |  AND (valid_to IS NULL OR TIMESTAMP '1996-06-30 00:00:00' < valid_to)
+        |ORDER BY o_custkey""".stripMargin,
+
     // identical to q_cdc_apply's oracle: the streamed fold must
     // converge to the one-shot latest-wins over the unioned feed
     "q_stream_cdc_publish" ->
@@ -569,6 +639,28 @@ object EtlQueries {
         |ORDER BY rule""".stripMargin,
 
     "q_incremental_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  count(l_quantity) AS n_rows,
+        |  cast(sum(cast(l_quantity AS decimal(38,6))) AS double) AS sum_v,
+        |  cast(sum(cast(l_quantity AS decimal(38,6))) AS double)
+        |    / cast(count(l_quantity) AS double) AS avg_v,
+        |  cast(min(cast(l_quantity AS decimal(38,6))) AS double) AS min_v,
+        |  cast(max(cast(l_quantity AS decimal(38,6))) AS double) AS max_v,
+        |  greatest(
+        |    cast(sum(cast(l_quantity * l_quantity AS decimal(38,6))) AS double)
+        |      / cast(count(l_quantity) AS double)
+        |    - (cast(sum(cast(l_quantity AS decimal(38,6))) AS double)
+        |        / cast(count(l_quantity) AS double))
+        |      * (cast(sum(cast(l_quantity AS decimal(38,6))) AS double)
+        |        / cast(count(l_quantity) AS double)),
+        |    0.0) AS var_pop_v
+        |FROM lineitem
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    // identical to q_incremental_rollup's oracle: the streamed
+    // marker-guarded fold must converge to the one-shot aggregate
+    "q_stream_agg_publish" ->
       """SELECT l_returnflag, l_linestatus,
         |  count(l_quantity) AS n_rows,
         |  cast(sum(cast(l_quantity AS decimal(38,6))) AS double) AS sum_v,

@@ -629,6 +629,104 @@ object ExtendedQueries {
     } finally q.stop()
   }
 
+  /** The q_stream_agg_publish state: the SAME three lineitem deltas
+    * as q_incremental_rollup (l_orderkey % 3), delivered through a
+    * REAL file-source structured stream (one parquet feed file per
+    * micro-batch, Trigger.AvailableNow) into
+    * `StreamingPipeline.incrementalAggSink`, whose every micro-batch
+    * is an `IncrementalAgg.advanceBatch` read → merge → atomic
+    * swap-publish of on-disk moment state WITH its applied-batch
+    * marker (moment state is additive, so at-least-once redelivery
+    * must be a marker no-op — that contract is exactly what this
+    * lifecycle exercises on the declared path). q_incremental_rollup
+    * declares the fold ALGEBRA over in-session frames; this declares
+    * the streaming delivery + publish lifecycle against the identical
+    * oracle — moment-state merge is commutative and associative, so
+    * ANY slicing or ordering of the feed converges to the one-shot
+    * aggregate. State at `<dir>/state`. */
+  private[graft] def streamAggPath(s: org.apache.spark.sql.SparkSession,
+      d: String): String = memoPath("streamagg", s, d) { dir =>
+    val li = graft.queries.t(s, d, "lineitem")
+      .select(col("l_returnflag"), col("l_linestatus"),
+        col("l_quantity"), col("l_orderkey"))
+    val feed = s"$dir/feed"
+    (0 until 3).foreach { i =>
+      li.filter(col("l_orderkey") % 3 === i).coalesce(1)
+        .write.mode("append").parquet(feed)
+    }
+    val q = graft.streaming.StreamingPipeline.incrementalAggSink(
+        s.readStream.schema(li.schema)
+          .option("maxFilesPerTrigger", "1").parquet(feed),
+        Seq("l_returnflag", "l_linestatus"), "l_quantity",
+        s"$dir/state", s"$dir/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try {
+      q.awaitTermination()
+      require(q.lastProgress != null && q.lastProgress.batchId >= 2,
+        s"streamAggPath: expected >= 3 micro-batches, last batchId = " +
+          s"${Option(q.lastProgress).map(_.batchId)}")
+    } finally q.stop()
+  }
+
+  /** The q_stream_scd2_publish state: the SAME orders update feed as
+    * q_scd2_advance (periods split at 1995-01-01 / 1997-01-01),
+    * delivered period-per-micro-batch through a REAL file-source
+    * structured stream into `StreamingPipeline.scd2Sink`, each batch
+    * a `Scd2.advance` read → merge → swap-publish of the on-disk
+    * versioned dimension. Unlike the CDC and moment-state folds,
+    * SCD2's contract is FORWARD-ONLY (late updates drop as stale,
+    * never rewrite closed history), so batch ORDER is semantics —
+    * the feed files' modification times are pinned to strictly
+    * increasing values, which is the exact signal the file source
+    * orders batches by (oldest-first); a mis-ordered delivery would
+    * hash-mismatch the period-chained oracle, so the ordering
+    * contract itself sits under the oracle. State at `<dir>/dim`. */
+  private[graft] def streamScd2Path(s: org.apache.spark.sql.SparkSession,
+      d: String): String = memoPath("streamscd2", s, d) { dir =>
+    val o = graft.queries.t(s, d, "orders")
+    val tsT = o.schema("o_orderdate").dataType
+    val upd = o.select(col("o_custkey"), col("o_orderkey"),
+      col("o_totalprice"), col("o_orderdate").as("ts"))
+    val c1 = lit("1995-01-01 00:00:00").cast(tsT)
+    val c2 = lit("1997-01-01 00:00:00").cast(tsT)
+    val feed = s"$dir/feed"
+    val slices = Seq(
+      upd.filter(col("ts") < c1),
+      upd.filter(col("ts") >= c1 && col("ts") < c2),
+      upd.filter(col("ts") >= c2))
+    // stamp each slice's data files with a deterministic, strictly
+    // increasing mtime AFTER writing it — the local-FS write itself
+    // can land two slices inside one mtime granule, and the file
+    // source breaks such ties arbitrarily
+    val stamped = scala.collection.mutable.Set[String]()
+    val base = 1700000000000L
+    slices.zipWithIndex.foreach { case (sl, i) =>
+      sl.coalesce(1).write.mode("append").parquet(feed)
+      val fresh = new java.io.File(feed).listFiles().toSeq
+        .filter(f => f.getName.startsWith("part-") && !stamped(f.getName))
+      require(fresh.nonEmpty, s"streamScd2Path: slice $i wrote no file")
+      fresh.foreach { f =>
+        require(f.setLastModified(base + i * 60000L),
+          s"streamScd2Path: cannot stamp mtime on ${f.getName}")
+        stamped += f.getName
+      }
+    }
+    val q = graft.streaming.StreamingPipeline.scd2Sink(
+        s.readStream.schema(upd.schema)
+          .option("maxFilesPerTrigger", "1").parquet(feed),
+        "o_custkey", "ts", Seq("o_orderkey", "o_totalprice"),
+        s"$dir/dim", s"$dir/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try {
+      q.awaitTermination()
+      require(q.lastProgress != null && q.lastProgress.batchId >= 2,
+        s"streamScd2Path: expected >= 3 micro-batches, last batchId = " +
+          s"${Option(q.lastProgress).map(_.batchId)}")
+    } finally q.stop()
+  }
+
   /** The q_compact_partitioned layout: a month-partitioned lineitem
     * projection whose leaves are deliberately multi-file (6-way
     * round-robin before partitionBy), then `Layout.compactPartitioned`

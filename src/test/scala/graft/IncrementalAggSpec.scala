@@ -135,4 +135,25 @@ class IncrementalAggSpec extends AnyFunSuite {
       assert(rel <= 1e-9, s"variance drift $rel on ${r}")
     }
   }
+
+  test("q_stream_agg_publish: streamed moment state equals the in-session fold") {
+    // a real availableNow stream fed the same three deltas
+    // q_incremental_rollup folds in-session — the finalized outputs
+    // must be row-identical, and the state dir must carry the
+    // at-least-once guard: markers are monotone per runTag (Swap
+    // prunes to the HIGHEST applied batchId), so after 3 micro-batches
+    // exactly one marker with batchId >= 2 survives
+    val streamed = SparkEntry.queries("q_stream_agg_publish")(spark, sfTiny)
+      .collect().map(_.toString).sorted
+    val batch = SparkEntry.queries("q_incremental_rollup")(spark, sfTiny)
+      .collect().map(_.toString).sorted
+    assert(streamed.sameElements(batch),
+      s"streamed rollup (${streamed.length}) != batch rollup (${batch.length})")
+    val state = queries.ExtendedQueries.streamAggPath(spark, sfTiny) + "/state"
+    val markers = new java.io.File(state).listFiles().toSeq
+      .map(_.getName).filter(_.startsWith("_applied_"))
+    assert(markers.size == 1, s"expected the single pruned marker, got $markers")
+    assert(markers.head.split("_").last.toLong >= 2,
+      s"highest applied batchId must be >= 2: $markers")
+  }
 }

@@ -176,4 +176,25 @@ class Scd2Spec extends AnyFunSuite {
     assert(st.filter(col("valid_to").isNull).count() > 0)
     assert(st.filter(col("valid_to").isNotNull).count() > 0)
   }
+
+  test("q_stream_scd2_publish: the streamed dim equals the batch advance dim") {
+    // the stream delivers the SAME period slices scd2AdvancePath folds
+    // in batch, so after a real availableNow run the two persisted
+    // dimensions must be row-identical — order delivery included
+    // (mis-ordered micro-batches would drop a whole period as stale)
+    assert(SparkEntry.queries("q_stream_scd2_publish")(spark, TestSpark.sfTiny)
+      .count() > 0)
+    val base = queries.ExtendedQueries.streamScd2Path(spark, TestSpark.sfTiny)
+    assert(new java.io.File(base + "/ckpt").exists(),
+      "a real stream must have checkpointed")
+    assert(!new java.io.File(base + "/dim__merging").exists(),
+      "swap temp must not survive publish")
+    val streamed = spark.read.parquet(base + "/dim")
+      .collect().map(_.toString).sorted
+    val batch = spark.read.parquet(
+        queries.ExtendedQueries.scd2AdvancePath(spark, TestSpark.sfTiny) + "/dim")
+      .collect().map(_.toString).sorted
+    assert(streamed.sameElements(batch),
+      s"streamed dim (${streamed.length} rows) != batch dim (${batch.length})")
+  }
 }
