@@ -146,9 +146,12 @@ object Indicators {
     * correctly-rounded sqrt), identical on any engine — mirrored
     * operation-for-operation by the declared oracle.
     *
-    * 100 TB shape: identical to [[rsi]] — one hash exchange on the
-    * series key, one sort, a single WindowExec pass carrying rn and
-    * both sums (same frame spec ⇒ one buffer). */
+    * 100 TB shape: ONE exchange on the series key — RANGE-partitioned
+    * (r15), so a consumer reading the bands in (key, series-order)
+    * order adds no second exchange and no sort — one sort, a single
+    * WindowExec pass carrying rn and both sums (same frame spec ⇒ one
+    * buffer). [[rsi]] keeps its hash-exchange form: its plan is
+    * pinned settled (r9/r10 bisection). */
   def bollinger(df: DataFrame, key: Column, orderCols: Seq[Column],
       price: Column, period: Int = 20, k: Double = 2.0): DataFrame = {
     val reserved = Seq("rn", "mid", "upper", "lower", "__p", "__sx", "__sxx")
@@ -161,7 +164,20 @@ object Indicators {
     // exact integer cents via the double path (see scaladoc); a named
     // column, not inline — the [[rsi]] CSE discipline
     val p = floor(price.cast("double") * lit(100.0) + lit(0.5)).cast("long")
-    val withSums = df.withColumn("__p", p)
+    // RANGE-partition the series exchange (vs the window's default
+    // hash): RangePartitioning(key) satisfies the window's clustering,
+    // and a caller ordering its output by (key, window order) — the
+    // natural way to read a band series — then needs NO second
+    // exchange and NO second sort: the sampling pass of that terminal
+    // sort re-executed the whole window chain (measured ~0.2 s of
+    // q_bollinger's 0.66 s at sf0.1). Skew profile unchanged: one
+    // series is one partition under either partitioning. The count is
+    // pinned to the session's shuffle parallelism — the column-only
+    // form lets AQE coalesce the (small) shuffle to a handful of
+    // partitions and strangle the WINDOW's parallelism downstream.
+    val withSums = df.repartitionByRange(
+        df.sparkSession.sessionState.conf.numShufflePartitions, key)
+      .withColumn("__p", p)
       .select(col("*"),
         row_number().over(w).cast("long").as("rn"),
         sum(col("__p")).over(frame).as("__sx"),
@@ -195,8 +211,9 @@ object Indicators {
     * rounded real ratio on any engine — no double-of-decimal rounding
     * entering the quotient. Output: (key, n_obs, max_drawdown), one
     * row per key, drawdown rounded to 4 dp (0.0 for a monotone-rising
-    * series). The groupBy reuses the window's hash partitioning on
-    * `key`, so the whole operator is ONE exchange. */
+    * series). The groupBy reuses the window's partitioning on `key` —
+    * RANGE-partitioned since r15, so a terminal ORDER BY key is a
+    * partition-local sort — and the whole operator is ONE exchange. */
   def maxDrawdown(df: DataFrame, key: Column, orderCols: Seq[Column],
       price: Column): DataFrame = {
     require(!df.columns.contains("__dd"),
@@ -208,7 +225,15 @@ object Indicators {
     // BigDecimal-backed decimal chain — identical integers
     val p = floor(price.cast("double") * lit(10000.0) + lit(0.5)).cast("long")
     val dd = p.cast("double") / max(p).over(w).cast("double") - lit(1.0)
-    df.withColumn("__dd", dd)
+    // RANGE-partition the one exchange (see [[bollinger]], including
+    // the pinned partition count): the grouped aggregate still reuses
+    // it (RangePartitioning satisfies ClusteredDistribution), and a
+    // caller's terminal ORDER BY key collapses to a partition-local
+    // sort with no second exchange — whose sampling pass had
+    // re-executed window + aggregate.
+    df.repartitionByRange(
+        df.sparkSession.sessionState.conf.numShufflePartitions, key)
+      .withColumn("__dd", dd)
       .groupBy(key.as("key"))
       .agg(count(lit(1)).as("n_obs"),
         round(min(col("__dd")), 4).as("max_drawdown"))

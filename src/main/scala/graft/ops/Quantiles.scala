@@ -52,7 +52,19 @@ object Quantiles {
       cont: Seq[(String, Double)] = Nil): DataFrame = {
     require(disc.nonEmpty || cont.nonEmpty, "request at least one quantile")
     val gname = df.select(groupCol).columns.head
+    // RANGE-partition the one exchange instead of letting the window
+    // hash-partition: RangePartitioning(__g) satisfies the window's
+    // ClusteredDistribution AND the caller's terminal ORDER BY group
+    // (Spark's prefix rule), so the usual Exchange(rangepartitioning)
+    // above the aggregate — whose RangePartitioner SAMPLING pass
+    // re-executes the whole rank-window + aggregate chain as a
+    // separate job — never plans at all. Measured at sf0.1: the trio
+    // of quantile queries dropped ~0.2 s each, entirely the second
+    // window execution. Group skew is no worse than hash: either way
+    // a group is one partition.
     val base = df.select(groupCol.as("__g"), v.as("__v"))
+      .repartitionByRange(
+        df.sparkSession.sessionState.conf.numShufflePartitions, col("__g"))
     // both window functions share ONE spec (same partition + order;
     // the count takes the unbounded frame) so they plan as a single
     // WindowExec — one exchange, one sort, one pass

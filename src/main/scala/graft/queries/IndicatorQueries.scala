@@ -61,7 +61,16 @@ object IndicatorQueries {
           col("l_extendedprice"), period = 20, k = 2.0)
         .select(col("l_partkey"), col("l_orderkey"), col("l_linenumber"),
           col("rn"), col("mid"), col("upper"), col("lower"))
-        .orderBy(col("l_partkey"), col("rn"))
+        // ordered by the series keys themselves, not (key, rn): the
+        // SAME total order (rn is row_number over exactly this order,
+        // and the rn >= period filter preserves its monotonicity), but
+        // expressed so Catalyst can SEE it equals the window child's
+        // output ordering over bollinger's range-partitioned exchange
+        // — the terminal sort and its plan-re-executing sampling pass
+        // elide entirely (the oracle keeps ORDER BY key, rn: identical
+        // row order, positional hash unaffected)
+        .orderBy(col("l_partkey"), col("l_shipdate"), col("l_orderkey"),
+          col("l_linenumber"))
     },
 
     // Maximum drawdown per part: most negative peak-to-trough price

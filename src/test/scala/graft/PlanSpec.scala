@@ -542,4 +542,32 @@ class PlanSpec extends AnyFunSuite {
       "bucket expression re-evaluated in a pushed null filter:\n" +
         badFilter.getOrElse(""))
   }
+
+  test("range-partitioned window family plans exactly ONE exchange") {
+    // r15: Quantiles.exactByGroup / Indicators.bollinger / maxDrawdown
+    // RANGE-partition their one series/group exchange, so the terminal
+    // ORDER BY is satisfied by Spark's prefix rule and the usual
+    // Exchange(rangepartitioning) above the window/aggregate — whose
+    // RangePartitioner sampling pass re-executed the whole chain as a
+    // separate job — never plans. A second Exchange here means the
+    // elision regressed (measured +0.2 s per query at sf0.1, and at
+    // 100 TB a full second pass over the window chain).
+    for (name <- Seq("q_percentile_disc", "q_quantiles_multi",
+        "q_agg_median", "q_bollinger", "q_drawdown")) {
+      val p = plan(q(name))
+      val exchanges = p.linesIterator.count(l =>
+        l.contains("Exchange") && !l.contains("BroadcastExchange"))
+      assert(exchanges == 1, s"$name: expected ONE shuffle exchange:\n$p")
+      assert(p.contains("rangepartitioning"),
+        s"$name: the one exchange must be range-partitioned:\n$p")
+    }
+    // bollinger's terminal sort must elide COMPLETELY (its output
+    // order is the window child's ordering); the others keep a
+    // partition-local SortExec below the aggregate only
+    val pb = plan(q("q_bollinger"))
+    val windowLine = pb.linesIterator.indexWhere(_.contains("Window"))
+    val sortAbove = pb.linesIterator.toSeq.take(windowLine)
+      .exists(l => l.trim.startsWith("+- Sort") || l.trim.startsWith("Sort"))
+    assert(!sortAbove, s"q_bollinger: a sort re-appeared above the window:\n$pb")
+  }
 }
