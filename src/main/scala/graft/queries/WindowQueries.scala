@@ -27,14 +27,18 @@ object WindowQueries {
     "q_window_lag_return" -> { (s, d) =>
       val w = Window.partitionBy(col("l_partkey"))
         .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      // r15: range-partition the one series exchange and read the
+      // result in the window's own (key, series-order) order — unique
+      // via (l_orderkey, l_linenumber) — so the terminal sort and its
+      // chain-re-executing RangePartitioner sampling pass elide (the
+      // q_bollinger pattern; oracle ORDER BY mirrored)
       t(s, d, "lineitem")
+        .repartitionByRange(
+          s.sessionState.conf.numShufflePartitions, col("l_partkey"))
         .select(col("l_partkey"), col("l_orderkey"), col("l_linenumber"),
           (col("l_extendedprice") / lag(col("l_extendedprice"), 1).over(w) - lit(1.0)).as("ret"))
-        // (l_orderkey, l_linenumber) is not unique — include every
-        // projected column; ret is NULL on first-in-partition rows, so
-        // pin NULLS FIRST on both engines.
-        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
-          asc_nulls_first("ret"))
+        .orderBy(col("l_partkey"), col("l_shipdate"), col("l_orderkey"),
+          col("l_linenumber"))
     },
 
     // W2: 20-row rolling sample stddev with pandas min_periods
@@ -57,10 +61,15 @@ object WindowQueries {
       val sx = sum(dv).over(frame).cast("double") / 10000.0
       val sxx = sum(dv * dv).over(frame).cast("double") / 100000000.0
       ExtendedQueries.eventProfile(s, d)
+        // r15: range-partitioned exchange + output in the window's own
+        // (user_id, ts, event_id) order — unique via event_id — so the
+        // terminal sort elides (the q_bollinger pattern)
+        .repartitionByRange(
+          s.sessionState.conf.numShufflePartitions, col("user_id"))
         .select(col("user_id"), col("event_id"), col("ts"),
           when(n >= 20,
             sqrt(greatest((sxx - sx * sx / n) / (n - lit(1)), lit(0.0)))).as("roll_std"))
-        .orderBy(col("user_id"), col("event_id"))
+        .orderBy(col("user_id"), col("ts"), col("event_id"))
     },
 
     // Rank per group, keep top-3 (canonical dashboard top-k) —
@@ -123,15 +132,19 @@ object WindowQueries {
 
     // lead / ntile / first_value — the remaining analytic-function
     // family (unique window order via the o_orderkey tiebreaker).
+    // r15: range-partitioned exchange + output in the window's own
+    // order (the q_bollinger pattern) — the terminal sort elides.
     "q_window_lead_ntile" -> { (s, d) =>
       val w = Window.partitionBy(col("o_orderpriority"))
         .orderBy(col("o_orderdate"), col("o_orderkey"))
       t(s, d, "orders")
+        .repartitionByRange(
+          s.sessionState.conf.numShufflePartitions, col("o_orderpriority"))
         .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
           lead(col("o_totalprice"), 1).over(w).as("next_price"),
           ntile(4).over(w).cast("long").as("quartile"),
           first_value(col("o_orderkey")).over(w).as("first_key"))
-        .orderBy(col("o_orderkey"))
+        .orderBy(col("o_orderpriority"), col("o_orderdate"), col("o_orderkey"))
     },
 
     // rank vs dense_rank under TIES (order years within a priority —
@@ -193,7 +206,7 @@ object WindowQueries {
         |         (PARTITION BY l_partkey ORDER BY l_shipdate, l_orderkey, l_linenumber)
         |         - 1.0 AS ret
         |FROM lineitem
-        |ORDER BY l_orderkey, l_linenumber, l_partkey, ret NULLS FIRST""".stripMargin,
+        |ORDER BY l_partkey, l_shipdate, l_orderkey, l_linenumber""".stripMargin,
 
     "q_window_rolling_std" ->
       """WITH b AS (
@@ -208,7 +221,7 @@ object WindowQueries {
         |SELECT user_id, event_id, ts,
         |       CASE WHEN n >= 20
         |            THEN sqrt(greatest((sxx - sx * sx / n) / (n - 1), 0.0)) END AS roll_std
-        |FROM b ORDER BY user_id, event_id""".stripMargin,
+        |FROM b ORDER BY user_id, ts, event_id""".stripMargin,
 
     "q_window_rank_topk" ->
       """SELECT * FROM (
@@ -238,7 +251,7 @@ object WindowQueries {
         |       first_value(o_orderkey) OVER w AS first_key
         |FROM orders
         |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderdate, o_orderkey)
-        |ORDER BY o_orderkey""".stripMargin,
+        |ORDER BY o_orderpriority, o_orderdate, o_orderkey""".stripMargin,
 
     "q_sessionize" ->
       """WITH flags AS (

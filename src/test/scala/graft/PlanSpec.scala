@@ -259,11 +259,12 @@ class PlanSpec extends AnyFunSuite {
 
   test("window queries shuffle once on the partition key") {
     val p = plan(q("q_window_lag_return"))
-    // one exchange for the window partitionBy; the final orderBy adds
-    // a range exchange — but no extra hash exchanges in between
-    val hashExchanges = p.linesIterator.count(l =>
-      l.contains("Exchange hashpartitioning"))
-    assert(hashExchanges == 1, s"expected 1 hash exchange, plan:\n$p")
+    // ONE exchange total since r15: the series exchange is
+    // RANGE-partitioned and the terminal sort elides (see the
+    // range-partitioned-window-family gate below for the full check)
+    val exchanges = p.linesIterator.count(l =>
+      l.contains("Exchange") && !l.contains("BroadcastExchange"))
+    assert(exchanges == 1, s"expected exactly 1 exchange, plan:\n$p")
   }
 
   test("as-of join is one hash shuffle, no range-join fanout") {
@@ -553,7 +554,8 @@ class PlanSpec extends AnyFunSuite {
     // elision regressed (measured +0.2 s per query at sf0.1, and at
     // 100 TB a full second pass over the window chain).
     for (name <- Seq("q_percentile_disc", "q_quantiles_multi",
-        "q_agg_median", "q_bollinger", "q_drawdown")) {
+        "q_agg_median", "q_bollinger", "q_drawdown",
+        "q_window_lag_return", "q_window_lead_ntile")) {
       val p = plan(q(name))
       val exchanges = p.linesIterator.count(l =>
         l.contains("Exchange") && !l.contains("BroadcastExchange"))
@@ -561,13 +563,21 @@ class PlanSpec extends AnyFunSuite {
       assert(p.contains("rangepartitioning"),
         s"$name: the one exchange must be range-partitioned:\n$p")
     }
-    // bollinger's terminal sort must elide COMPLETELY (its output
-    // order is the window child's ordering); the others keep a
-    // partition-local SortExec below the aggregate only
-    val pb = plan(q("q_bollinger"))
-    val windowLine = pb.linesIterator.indexWhere(_.contains("Window"))
-    val sortAbove = pb.linesIterator.toSeq.take(windowLine)
-      .exists(l => l.trim.startsWith("+- Sort") || l.trim.startsWith("Sort"))
-    assert(!sortAbove, s"q_bollinger: a sort re-appeared above the window:\n$pb")
+    // the full-series window queries' terminal sort must elide
+    // COMPLETELY (their declared output order IS the window child's
+    // ordering); the group-output quantile/drawdown forms keep a
+    // partition-local SortExec ABOVE their aggregate only.
+    // q_window_rolling_std reads the cached eventProfile (its memo
+    // build carries its own exchanges), so it gets only this check.
+    for (name <- Seq("q_bollinger", "q_window_lag_return",
+        "q_window_lead_ntile", "q_window_rolling_std")) {
+      val p = plan(q(name))
+      val lines = p.linesIterator.toSeq
+      val windowLine = lines.indexWhere(_.contains("Window ["))
+      assert(windowLine >= 0, s"$name: no Window node:\n$p")
+      val sortAbove = lines.take(windowLine)
+        .exists(l => l.trim.startsWith("+- Sort") || l.trim.startsWith("Sort"))
+      assert(!sortAbove, s"$name: a sort re-appeared above the window:\n$p")
+    }
   }
 }
