@@ -52,6 +52,40 @@ object CorpusCleanQueries {
       cleaned.release()
       stats.withColumn("survivors_md5", lit(digest))
         .orderBy(col("stage"))
+    },
+
+    // The FULL training-data pipeline composed under one oracle (r15
+    // continuation — one step past q_corpus_clean): clean → content-
+    // hash split → greedy sequence packing, i.e. the complete
+    // corpus-to-training-batches path a data run executes, each stage
+    // already declared individually (q_corpus_clean, q_train_split,
+    // q_pack_sequences). The declared frame is the pack accounting
+    // over the CLEANED train split — the doc set entering the packer
+    // is the composition signal: a single document wrongly kept,
+    // dropped or mis-split upstream shifts every cumulative sum and
+    // bin id behind it, so the hash pins the whole chain. Same eager
+    // + release discipline as q_corpus_clean (the pipeline's internal
+    // caches must not outlive the invocation); the collected frame is
+    // bins-sized (|shards| × |bins| rows), the same gather class as
+    // the survivor digest.
+    "q_train_pipeline" -> { (s, d) =>
+      val docs = ExtendedQueries.docProfile(s, d)
+        .select(col("doc_id"), col("text"))
+      val cleaned = graft.ops.CorpusClean.clean(docs, col("text"), col("doc_id"))
+      val train = cleaned.docs
+        .filter(graft.ops.TrainPrep.splitLabel(col("text")) === "train")
+        .select(col("doc_id"), (col("doc_id") % 8).as("shard_key"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"))
+      val packed = graft.ops.TrainPrep.packBins(
+          train, col("shard_key"), col("doc_id"), col("n_tok"), budget = 2048L)
+        .groupBy(col("shard"), col("bin"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tok"),
+          min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+        .orderBy(col("shard"), col("bin"))
+      val rows = packed.collect().toSeq
+      cleaned.release()
+      import scala.jdk.CollectionConverters._
+      s.createDataFrame(rows.asJava, packed.schema)
     })
 
   // The oracle composes the SAME per-stage CTE chains the individual
@@ -134,5 +168,76 @@ object CorpusCleanQueries {
         |  UNION ALL
         |  SELECT 'near_dedup', n_exact, n_near FROM nex, nnr
         |) st, dg
-        |ORDER BY stage""".stripMargin)
+        |ORDER BY stage""".stripMargin,
+
+    // the q_corpus_clean chain verbatim (survivors carry text), then
+    // the q_train_split content-hash gate and the q_pack_sequences
+    // cumulative-sum bin assignment over the cleaned train split
+    "q_train_pipeline" ->
+      """WITH flags AS (
+        |  SELECT doc_id, text,
+        |    (len(list_filter(w, t -> t IN ('a', 'the'))) * 1.0 / len(w)) >= 0.05 AS lang_ok,
+        |    len(w) >= 30 AND (len(list_distinct(w)) * 1.0 / len(w)) >= 0.3 AS qual_ok
+        |  FROM (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents)
+        |), exact AS (
+        |  SELECT doc_id, text FROM (
+        |    SELECT doc_id, text,
+        |      row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |    FROM flags WHERE lang_ok AND qual_ok)
+        |  WHERE rn = 1
+        |), sh AS (
+        |  SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+        |    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM exact)
+        |         , unnest(range(1, greatest(len(w) - 1, 1))) AS u(i)
+        |    WHERE len(w) >= 3
+        |), mh AS (
+        |  SELECT doc_id,
+        |    min(md5('0|' || s)) AS m0, min(md5('1|' || s)) AS m1,
+        |    min(md5('2|' || s)) AS m2, min(md5('3|' || s)) AS m3,
+        |    min(md5('4|' || s)) AS m4, min(md5('5|' || s)) AS m5,
+        |    min(md5('6|' || s)) AS m6, min(md5('7|' || s)) AS m7
+        |  FROM sh GROUP BY doc_id
+        |), bands AS (
+        |  SELECT doc_id, 1 AS band, md5(m0 || m1 || m2 || m3) AS h FROM mh
+        |  UNION ALL
+        |  SELECT doc_id, 2 AS band, md5(m4 || m5 || m6 || m7) AS h FROM mh
+        |), cand AS (
+        |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id
+        |), shd AS (
+        |  SELECT DISTINCT * FROM sh
+        |), sizes AS (
+        |  SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id
+        |), inter AS (
+        |  SELECT c.id1, c.id2, count(*) AS inter
+        |  FROM cand c
+        |  JOIN shd a ON a.doc_id = c.id1
+        |  JOIN shd b ON b.doc_id = c.id2 AND b.s = a.s
+        |  GROUP BY 1, 2
+        |), drops AS (
+        |  SELECT DISTINCT i.id2 AS doc_id
+        |  FROM inter i
+        |  JOIN sizes s1 ON s1.doc_id = i.id1
+        |  JOIN sizes s2 ON s2.doc_id = i.id2
+        |  WHERE i.inter * 1.0 / (s1.n + s2.n - i.inter) >= 0.8
+        |), surv AS (
+        |  SELECT e.doc_id, e.text FROM exact e
+        |  WHERE NOT EXISTS (SELECT 1 FROM drops x WHERE x.doc_id = e.doc_id)
+        |), train AS (
+        |  SELECT doc_id, doc_id % 8 AS shard,
+        |         len(string_split(text, ' ')) AS n_tok
+        |  FROM surv
+        |  WHERE md5(text) >= '29'
+        |), cum AS (
+        |  SELECT doc_id, shard, n_tok,
+        |         sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+        |  FROM train
+        |)
+        |SELECT shard, CAST((c - n_tok) // 2048 AS BIGINT) AS bin,
+        |       count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tok,
+        |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM cum
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
 }
