@@ -167,6 +167,34 @@ object ExtendedQueries {
     }
   }
 
+  /** The CLEANED corpus (CorpusClean survivors, doc_id + text) as a
+    * session memo — the clean-once/derive-many lifecycle (the ivfModel
+    * precedent): a production pipeline cleans a corpus once and
+    * derives many artifacts from the survivors (splits, packs, vocab),
+    * so the derivation queries serve from this memo while
+    * q_corpus_clean itself keeps paying the FULL pipeline per
+    * invocation by design (it declares the cleaning). Build: run the
+    * real `CorpusClean.clean`, collect the survivor id set (bounded —
+    * ≤ |documents| longs, the drop-list class), release every internal
+    * pipeline pin, and memoize the pin-free broadcast semi-join of the
+    * corpus against those ids — so nothing the pipeline cached
+    * outlives the build (CacheDisciplineSpec's contract), and the
+    * memoized frame's lineage is one scan + one broadcast filter.
+    * Dropped by [[releaseCaches]]; cold-mode benchmarks charge the
+    * clean to the query. */
+  private[queries] def cleanedCorpus(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    memoCache("cleancorpus", s, d) {
+      val docs = docProfile(s, d).select(col("doc_id"), col("text"))
+      val cleaned = graft.ops.CorpusClean.clean(docs, col("text"), col("doc_id"))
+      val ids = cleaned.docs.select(col("doc_id"))
+        .collect().map(_.getLong(0)).toSeq
+      cleaned.release()
+      import s.implicits._
+      docs.join(broadcast(ids.toDF("__keep_id")),
+        col("doc_id") === col("__keep_id"), "left_semi")
+    }
+
   /** doc_id + 3-gram word shingles (docs with ≥3 tokens).
     *
     * The scan is repartitioned first: the testdata is one single-row-
@@ -797,7 +825,7 @@ object ExtendedQueries {
     Seq("restricted", "bands", "shingles", "embednorm", "toktf", "docprof",
         "eventprof", "candpairs", "shsplit", "shtrain", "sheval", "mhsig",
         "simsig", "bgcounts", "bgmodel", "jacpairs", "tfidfscore",
-        "ivfassign", "dupcc", "doclens").foreach { key =>
+        "ivfassign", "dupcc", "doclens", "cleancorpus").foreach { key =>
       Option(memoStore.remove((s, d, key))).foreach { df =>
         df.unpersist()
         // the dupcc frame reads from a localCheckpoint — its blocks

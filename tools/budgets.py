@@ -20,7 +20,7 @@ import json, sys
 # held within 0.3%. Every other query counts deterministically
 # (slack 0). The slack widens only the alarm line (> budget+1), not
 # the byte pins, which remain the sharp regression signal here.
-STAGE_SLACK = {"q_corpus_clean": 3, "q_train_pipeline": 3}
+STAGE_SLACK = {"q_corpus_clean": 3}
 
 def load(path):
     lines = [json.loads(l) for l in open(path)]
