@@ -182,7 +182,7 @@ object ExtendedQueries {
     * memoized frame's lineage is one scan + one broadcast filter.
     * Dropped by [[releaseCaches]]; cold-mode benchmarks charge the
     * clean to the query. */
-  private[queries] def cleanedCorpus(s: org.apache.spark.sql.SparkSession,
+  private[graft] def cleanedCorpus(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame =
     memoCache("cleancorpus", s, d) {
       val docs = docProfile(s, d).select(col("doc_id"), col("text"))

@@ -159,6 +159,25 @@ class CorpusCleanSpec extends AnyFunSuite {
     }
   }
 
+  test("cleanedCorpus memo serves exactly CorpusClean.clean's survivor set") {
+    // the clean-once/derive-many memo (q_train_pipeline's input)
+    // materializes the survivor ids, releases the pipeline pins, and
+    // serves a broadcast semi-join — its doc set must equal a direct
+    // clean() run's, or every derivation downstream silently drifts
+    // plain read (clean() is partitioning-invariant — partcheck-proven),
+    // equivalent rows to the memo's docProfile input
+    val docs = spark.read.parquet(TestSpark.sfTiny + "/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val direct = CorpusClean.clean(docs, col("text"), col("doc_id"))
+    val directIds =
+      try direct.docs.select(col("doc_id")).collect().map(_.getLong(0)).sorted
+      finally direct.release()
+    val memoIds = queries.ExtendedQueries.cleanedCorpus(spark, TestSpark.sfTiny)
+      .select(col("doc_id")).collect().map(_.getLong(0)).sorted
+    assert(memoIds.sameElements(directIds),
+      s"memo ${memoIds.length} docs vs direct ${directIds.length}")
+  }
+
   test("scrubBoilerplate rejects a derived column aliased to its source name") {
     // lower(col("text")).as("text") passes a NAME check but would make
     // the scrub silently overwrite the original column with a scrub of
