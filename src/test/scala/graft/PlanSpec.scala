@@ -169,6 +169,27 @@ class PlanSpec extends AnyFunSuite {
     } finally cleaned.release()
   }
 
+  test("q_train_pipeline: no exchange carries document text") {
+    // the derivation's 100 TB contract: the survivors come from the
+    // cleanedCorpus memo via a BROADCAST semi-join, the split gate is
+    // a row-local hash, and everything that shuffles into the pack
+    // window is (doc_id, shard_key, n_tok)-shaped — text is projected
+    // away BEFORE the exchange. A text-bearing exchange here means
+    // document bodies are moving across the cluster to be counted.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    def walk(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => a +: walk(a.executedPlan)
+      case qs: QueryStageExec => qs +: walk(qs.plan)
+      case o => o +: o.children.flatMap(walk)
+    }
+    val textExchanges = walk(q("q_train_pipeline").queryExecution.executedPlan)
+      .collect { case e: ShuffleExchangeLike if e.output.exists(_.name == "text") => e }
+    assert(textExchanges.isEmpty,
+      s"text-bearing exchange in the pack derivation:\n${textExchanges.mkString("\n")}")
+  }
+
   test("q_sort_limit is top-k, not a total sort") {
     val p = plan(q("q_sort_limit"))
     assert(p.contains("TakeOrderedAndProject"), p)
