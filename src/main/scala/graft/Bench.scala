@@ -98,7 +98,8 @@ object Bench {
       "token_count_cache", "skipping_layout", "ivfpq_index",
       "bucket_join_tables", "compacted_layout", "compact_partitioned_layout",
       "scd2_state", "sketch_rollup_state", "stream_cdc_state",
-      "stream_scd2_state", "stream_agg_state", "cleaned_corpus_cache")
+      "stream_scd2_state", "stream_agg_state", "stream_band_registry",
+      "cleaned_corpus_cache")
     // Untimed JVM warm-up: exercise codegen, shuffle, window, join and
     // the parquet reader on the two tiny dimension tables so the first
     // timed query doesn't absorb JIT + first-codegen cost.
@@ -144,6 +145,7 @@ object Bench {
       SparkEntry.queries("q_stream_cdc_publish")(spark, sfDir).count()
       SparkEntry.queries("q_stream_scd2_publish")(spark, sfDir).count()
       SparkEntry.queries("q_stream_agg_publish")(spark, sfDir).count()
+      SparkEntry.queries("q_stream_band_publish")(spark, sfDir).count()
       // the cleaned-corpus session memo (clean-once/derive-many):
       // q_train_pipeline derives from it; the one-time clean is the
       // prebuilt artifact, the DuckDB oracle recomputes it per query

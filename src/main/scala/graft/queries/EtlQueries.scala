@@ -383,6 +383,24 @@ object EtlQueries {
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     },
 
+    // Streaming LSH band-registry PUBLISH under the oracle (r15 — the
+    // fourth and last idempotence class: the MARKER-FREE set-fold;
+    // cdc = slicing-invariant latest-wins, scd2 = order-sensitive
+    // forward-only, agg = markered additive, band = replay-at-will
+    // distinct union). Three micro-batches through
+    // StreamingPipeline.bandRegistrySink, then batch 0 deliberately
+    // re-folded — the replay no-op is ON the declared path (see
+    // ExtendedQueries.streamBandPath). Oracle = the one-shot MinHash
+    // band chain over the whole corpus (the q_dedup_minhash_lsh /
+    // q_corpus_clean mirror): any slicing, ordering, or replay of the
+    // feed converges to the same distinct (id, band, h) set.
+    "q_stream_band_publish" -> { (s, d) =>
+      graft.ops.Dedup.loadBandRegistry(s,
+          ExtendedQueries.streamBandPath(s, d) + "/reg")
+        .select(col("id"), col("band").cast("long").as("band"), col("h"))
+        .orderBy(col("id"), col("band"))
+    },
+
     // Streaming moment-state PUBLISH under the oracle (r15 — the
     // third streaming lifecycle row): the q_incremental_rollup deltas
     // delivered as three file-source micro-batches through
@@ -558,6 +576,31 @@ object EtlQueries {
         |WHERE valid_from <= TIMESTAMP '1996-06-30 00:00:00'
         |  AND (valid_to IS NULL OR TIMESTAMP '1996-06-30 00:00:00' < valid_to)
         |ORDER BY o_custkey""".stripMargin,
+
+    // the one-shot MinHash band chain (the q_dedup_minhash_lsh /
+    // q_corpus_clean mirror): the streamed set-fold — including the
+    // deliberate batch-0 replay — must converge to exactly this
+    // distinct (id, band, h) set
+    "q_stream_band_publish" ->
+      """WITH sh AS (
+        |  SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+        |    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        |         , unnest(range(1, greatest(len(w) - 1, 1))) AS u(i)
+        |    WHERE len(w) >= 3
+        |), mh AS (
+        |  SELECT doc_id,
+        |    min(md5('0|' || s)) AS m0, min(md5('1|' || s)) AS m1,
+        |    min(md5('2|' || s)) AS m2, min(md5('3|' || s)) AS m3,
+        |    min(md5('4|' || s)) AS m4, min(md5('5|' || s)) AS m5,
+        |    min(md5('6|' || s)) AS m6, min(md5('7|' || s)) AS m7
+        |  FROM sh GROUP BY doc_id
+        |)
+        |SELECT id, band, h FROM (
+        |  SELECT doc_id AS id, CAST(0 AS BIGINT) AS band,
+        |         md5(m0 || m1 || m2 || m3) AS h FROM mh
+        |  UNION ALL
+        |  SELECT doc_id, CAST(1 AS BIGINT), md5(m4 || m5 || m6 || m7) FROM mh)
+        |ORDER BY id, band""".stripMargin,
 
     // identical to q_scd2_advance's oracle: the period-ordered stream
     // must converge to the same period-chained dimension

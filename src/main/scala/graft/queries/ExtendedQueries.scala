@@ -755,6 +755,43 @@ object ExtendedQueries {
     } finally q.stop()
   }
 
+  /** The q_stream_band_publish state: the documents corpus delivered
+    * as three file-source micro-batches (doc_id % 3) through
+    * `StreamingPipeline.bandRegistrySink`, whose every micro-batch is
+    * a `Dedup.advanceBandRegistry` set-fold → swap-publish of the
+    * persisted LSH band registry — the MARKER-FREE idempotence class
+    * (distinct-union set fold: replay-at-will is a no-op by
+    * construction, unlike the markered additive folds). After the
+    * stream completes, batch 0 is deliberately RE-FOLDED once more
+    * through the same advance call, putting the replay no-op itself on
+    * the declared path: a fold that weren't idempotent would change
+    * the registry rows and hash-mismatch. State at `<dir>/reg`. */
+  private[graft] def streamBandPath(s: org.apache.spark.sql.SparkSession,
+      d: String): String = memoPath("streamband", s, d) { dir =>
+    val docs = graft.queries.t(s, d, "documents")
+      .select(col("doc_id"), col("text"))
+    val feed = s"$dir/feed"
+    (0 until 3).foreach { i =>
+      docs.filter(col("doc_id") % 3 === i).coalesce(1)
+        .write.mode("append").parquet(feed)
+    }
+    val q = graft.streaming.StreamingPipeline.bandRegistrySink(
+        s.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", "1").parquet(feed),
+        "text", "doc_id", s"$dir/reg", s"$dir/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try {
+      q.awaitTermination()
+      require(q.lastProgress != null && q.lastProgress.batchId >= 2,
+        s"streamBandPath: expected >= 3 micro-batches, last batchId = " +
+          s"${Option(q.lastProgress).map(_.batchId)}")
+    } finally q.stop()
+    // the declared replay: re-fold batch 0 — a set-fold no-op
+    graft.ops.Dedup.advanceBandRegistry(s, s"$dir/reg",
+      docs.filter(col("doc_id") % 3 === 0), col("text"), col("doc_id"))
+  }
+
   /** The q_compact_partitioned layout: a month-partitioned lineitem
     * projection whose leaves are deliberately multi-file (6-way
     * round-robin before partitionBy), then `Layout.compactPartitioned`
