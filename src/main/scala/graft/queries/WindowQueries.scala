@@ -28,10 +28,14 @@ object WindowQueries {
       val w = Window.partitionBy(col("l_partkey"))
         .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
       // r15: range-partition the one series exchange and read the
-      // result in the window's own (key, series-order) order — unique
-      // via (l_orderkey, l_linenumber) — so the terminal sort and its
-      // chain-re-executing RangePartitioner sampling pass elide (the
-      // q_bollinger pattern; oracle ORDER BY mirrored)
+      // result in the window's own (key, series-order) order — the
+      // FULL 4-column tuple (l_partkey, l_shipdate, l_orderkey,
+      // l_linenumber) is the unique total order ((l_orderkey,
+      // l_linenumber) ALONE is not unique in the testdata: 6000 rows,
+      // 4599 distinct pairs at sf0.001 — keep all four sort keys or
+      // the positional hash silently breaks) — so the terminal sort
+      // and its chain-re-executing RangePartitioner sampling pass
+      // elide (the q_bollinger pattern; oracle ORDER BY mirrored)
       t(s, d, "lineitem")
         .repartitionByRange(
           s.sessionState.conf.numShufflePartitions, col("l_partkey"))

@@ -26,6 +26,22 @@ class PlanSpec extends AnyFunSuite {
   private def q(name: String): DataFrame =
     SparkEntry.queries(name)(spark, sfTiny)
 
+  /** Count PHYSICAL shuffle exchanges in a plan string: lines whose
+    * node (after the tree-drawing prefix) is a ShuffleExchange —
+    * `Exchange hashpartitioning/rangepartitioning/SinglePartition`.
+    * A bare contains("Exchange") also matches `ReusedExchange` lines
+    * (r15 ADVICE): a plan that legitimately REUSES its one exchange
+    * would double-count and fail a ==1 gate spuriously — or, paired
+    * with a reuse, mask a real second shuffle. `BroadcastExchange`
+    * and `ReusedExchange` don't start their node text with
+    * "Exchange ", so the prefix match excludes both. */
+  private def shuffleExchanges(p: String): Int =
+    p.linesIterator.count { l =>
+      val node = l.dropWhile(c => !c.isLetter && c != '*')
+        .dropWhile(_ == '*').dropWhile(c => c == '(' || c.isDigit || c == ')')
+      node.trim.startsWith("Exchange ")
+    }
+
   test("q_filter_range pushes predicates into the parquet scan") {
     val p = plan(q("q_filter_range"))
     assert(p.contains("PushedFilters: ["), p)
@@ -283,8 +299,7 @@ class PlanSpec extends AnyFunSuite {
     // ONE exchange total since r15: the series exchange is
     // RANGE-partitioned and the terminal sort elides (see the
     // range-partitioned-window-family gate below for the full check)
-    val exchanges = p.linesIterator.count(l =>
-      l.contains("Exchange") && !l.contains("BroadcastExchange"))
+    val exchanges = shuffleExchanges(p)
     assert(exchanges == 1, s"expected exactly 1 exchange, plan:\n$p")
   }
 
@@ -578,8 +593,7 @@ class PlanSpec extends AnyFunSuite {
         "q_agg_median", "q_bollinger", "q_drawdown",
         "q_window_lag_return", "q_window_lead_ntile")) {
       val p = plan(q(name))
-      val exchanges = p.linesIterator.count(l =>
-        l.contains("Exchange") && !l.contains("BroadcastExchange"))
+      val exchanges = shuffleExchanges(p)
       assert(exchanges == 1, s"$name: expected ONE shuffle exchange:\n$p")
       assert(p.contains("rangepartitioning"),
         s"$name: the one exchange must be range-partitioned:\n$p")
