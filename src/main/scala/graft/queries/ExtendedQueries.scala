@@ -167,32 +167,59 @@ object ExtendedQueries {
     }
   }
 
+  /** The survivor-id TABLE of the composed cleaning pipeline,
+    * swap-published as parquet once per (session, dir) — the state
+    * half of the clean-once/derive-many lifecycle. Build: run the
+    * real `CorpusClean.clean`, write the survivor doc_ids to a temp
+    * dir and atomically swap-publish them to `<memo>/ids` (the
+    * `etl.Swap` lifecycle every persisted memo state uses), then
+    * release every internal pipeline pin — so nothing the pipeline
+    * cached outlives the build (CacheDisciplineSpec's contract), and
+    * the ids never touch the driver: the KEEP set is O(corpus) — at
+    * the 100 TB posture billions of longs — so a collect()+broadcast
+    * here would OOM the driver (r15 verdict #1; the drop-list class
+    * stays broadcastable because it is bounded by |verified pairs|,
+    * the keep set is not). Returns the published ids directory. */
+  private[graft] def cleanedSurvivorIdsPath(
+      s: org.apache.spark.sql.SparkSession, d: String): String =
+    memoPath("cleanids", s, d) { dir =>
+      val docs = docProfile(s, d).select(col("doc_id"), col("text"))
+      val cleaned = graft.ops.CorpusClean.clean(docs, col("text"), col("doc_id"))
+      val live = new org.apache.hadoop.fs.Path(dir, "ids")
+      val tmp = new org.apache.hadoop.fs.Path(dir, "_tmp_ids")
+      val fs = live.getFileSystem(s.sparkContext.hadoopConfiguration)
+      cleaned.docs.select(col("doc_id"))
+        .write.mode("overwrite").parquet(tmp.toString)
+      graft.etl.Swap.publish(fs, live, tmp)
+      cleaned.release()
+    }
+
   /** The CLEANED corpus (CorpusClean survivors, doc_id + text) as a
     * session memo — the clean-once/derive-many lifecycle (the ivfModel
     * precedent): a production pipeline cleans a corpus once and
     * derives many artifacts from the survivors (splits, packs, vocab),
     * so the derivation queries serve from this memo while
     * q_corpus_clean itself keeps paying the FULL pipeline per
-    * invocation by design (it declares the cleaning). Build: run the
-    * real `CorpusClean.clean`, collect the survivor id set (bounded —
-    * ≤ |documents| longs, the drop-list class), release every internal
-    * pipeline pin, and memoize the pin-free broadcast semi-join of the
-    * corpus against those ids — so nothing the pipeline cached
-    * outlives the build (CacheDisciplineSpec's contract), and the
-    * memoized frame's lineage is one scan + one broadcast filter.
-    * Dropped by [[releaseCaches]]; cold-mode benchmarks charge the
-    * clean to the query. */
+    * invocation by design (it declares the cleaning). The memoized
+    * frame is a fully DISTRIBUTED left-semi join of the corpus
+    * against the swap-published survivor-id table
+    * ([[cleanedSurvivorIdsPath]]) — cache-free lineage (one corpus
+    * scan + one ids scan + a semi join, nothing the pipeline pinned
+    * survives into it) with zero driver materialization; at test
+    * scale AQE turns the semi join into a broadcast on its own, at
+    * 100 TB it shuffles both sides on doc_id — either way no single
+    * process ever holds the keep set. Dropped by [[releaseCaches]]
+    * (which also deletes the published ids dir); cold-mode benchmarks
+    * charge the clean to the query. */
   private[graft] def cleanedCorpus(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame =
     memoCache("cleancorpus", s, d) {
       val docs = docProfile(s, d).select(col("doc_id"), col("text"))
-      val cleaned = graft.ops.CorpusClean.clean(docs, col("text"), col("doc_id"))
-      val ids = cleaned.docs.select(col("doc_id"))
-        .collect().map(_.getLong(0)).toSeq
-      cleaned.release()
-      import s.implicits._
-      docs.join(broadcast(ids.toDF("__keep_id")),
-        col("doc_id") === col("__keep_id"), "left_semi")
+      val ids = s.read
+        .parquet(new org.apache.hadoop.fs.Path(
+          cleanedSurvivorIdsPath(s, d), "ids").toString)
+        .withColumnRenamed("doc_id", "__keep_id")
+      docs.join(ids, col("doc_id") === col("__keep_id"), "left_semi")
     }
 
   /** doc_id + 3-gram word shingles (docs with ≥3 tokens).

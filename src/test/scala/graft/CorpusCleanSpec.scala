@@ -161,9 +161,10 @@ class CorpusCleanSpec extends AnyFunSuite {
 
   test("cleanedCorpus memo serves exactly CorpusClean.clean's survivor set") {
     // the clean-once/derive-many memo (q_train_pipeline's input)
-    // materializes the survivor ids, releases the pipeline pins, and
-    // serves a broadcast semi-join — its doc set must equal a direct
-    // clean() run's, or every derivation downstream silently drifts
+    // swap-publishes the survivor ids as parquet, releases the
+    // pipeline pins, and serves a DISTRIBUTED semi-join against the
+    // published table — its doc set must equal a direct clean() run's,
+    // or every derivation downstream silently drifts
     // plain read (clean() is partitioning-invariant — partcheck-proven),
     // equivalent rows to the memo's docProfile input
     val docs = spark.read.parquet(TestSpark.sfTiny + "/documents.parquet")
@@ -172,10 +173,44 @@ class CorpusCleanSpec extends AnyFunSuite {
     val directIds =
       try direct.docs.select(col("doc_id")).collect().map(_.getLong(0)).sorted
       finally direct.release()
-    val memoIds = queries.ExtendedQueries.cleanedCorpus(spark, TestSpark.sfTiny)
-      .select(col("doc_id")).collect().map(_.getLong(0)).sorted
+    val memo = queries.ExtendedQueries.cleanedCorpus(spark, TestSpark.sfTiny)
+    val memoIds = memo.select(col("doc_id")).collect().map(_.getLong(0)).sorted
     assert(memoIds.sameElements(directIds),
       s"memo ${memoIds.length} docs vs direct ${directIds.length}")
+  }
+
+  test("cleanedCorpus memo: survivors come from the PUBLISHED parquet, never a driver collect") {
+    // the 100 TB contract (r15 verdict #1): the keep set is O(corpus),
+    // so the memo must never materialize it on the driver. The old
+    // collect()+broadcast form left a LocalRelation/LocalTableScan
+    // leaf (driver-built rows shipped back out in the task closure);
+    // the swap-published form's plan leaves are file scans only, one
+    // of them the published survivor-id table.
+    val memo = queries.ExtendedQueries.cleanedCorpus(spark, TestSpark.sfTiny)
+    val idsDir = queries.ExtendedQueries
+      .cleanedSurvivorIdsPath(spark, TestSpark.sfTiny)
+    // the ANALYZED plan: cache substitution has not run yet there, so
+    // the memo's true lineage (not an InMemoryRelation wrapper) is
+    // what the leaves reflect
+    val optimized = memo.queryExecution.analyzed
+    val leaves = optimized.collectLeaves()
+    assert(!optimized.toString.contains("LocalRelation"),
+      s"driver-materialized rows in the memo plan:\n$optimized")
+    val scansIds = leaves.exists {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        r.relation match {
+          case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            h.location.rootPaths.exists(_.toString.contains(idsDir))
+          case _ => false
+        }
+      case l => l.toString.contains(idsDir)
+    }
+    assert(scansIds,
+      s"memo plan does not read the published survivor table $idsDir:\n$optimized")
+    // and the published state is a real swap-published parquet dir
+    // (complete write: _SUCCESS present under <memo>/ids)
+    assert(new java.io.File(idsDir, "ids/_SUCCESS").exists(),
+      s"no _SUCCESS marker under $idsDir/ids")
   }
 
   test("scrubBoilerplate rejects a derived column aliased to its source name") {

@@ -187,7 +187,9 @@ class PlanSpec extends AnyFunSuite {
 
   test("q_train_pipeline: no exchange carries document text") {
     // the derivation's 100 TB contract: the survivors come from the
-    // cleanedCorpus memo via a BROADCAST semi-join, the split gate is
+    // cleanedCorpus memo's semi-join against the swap-published
+    // survivor-id parquet (broadcast at test scale — the ids file is
+    // tiny — a doc_id shuffle at corpus scale), the split gate is
     // a row-local hash, and everything that shuffles into the pack
     // window is (doc_id, shard_key, n_tok)-shaped — text is projected
     // away BEFORE the exchange. A text-bearing exchange here means
