@@ -220,6 +220,164 @@ object CorpusClean {
       })
   }
 
+  /** The pipeline's per-stage accounting in TWO actions — the
+    * declared q_corpus_clean surface (4 rows of (stage, docs_in,
+    * docs_out) + the survivor-set md5).
+    *
+    * [[clean]]+`stageStats()`+a digest aggregate answer the same
+    * question with FIVE eager actions (one agg over the raw corpus,
+    * two counts over cached survivor frames, the digest, plus four
+    * cache builds), each launching its own job tree over the cached
+    * boundaries — measured at ~146 stages / 5-6 s at sf0.1 while the
+    * data work itself is sub-second (r15 verdict #2: the cost was
+    * accounting orchestration, not the pipeline). A SINGLE lazy plan
+    * is not the answer either: Catalyst plans trees, not DAGs, so
+    * with the shared frames inlined the shingle/minhash/band subtrees
+    * multiply combinatorially (the probe plan carried 82 Window
+    * nodes and benched WORSE than the eager form — exactly the
+    * blowup clean()'s internal pins exist to stop). The shape that
+    * works:
+    *
+    * Action 1 — the DROP LIST, one bounded eager phase: flag columns
+    * (the same codegen'd langId/quality kernels the pipeline filters
+    * on) + the keep-first window over (qual_ok, fingerprint) — within
+    * the qual=true slice that is exactly `Dedup.dedupExact` over the
+    * quality survivors — then ONE internal cache of the exact
+    * survivors' row-local projection (id, distinct shingle set,
+    * MinHash minima — the codegen MinHashMinima kernel, no explode,
+    * no aggregation). Band keys, the bucket self-join candidates, and
+    * the candidate-restricted Jaccard verify (array_intersect over
+    * the two cached shingle sets — same math as the shingle-count
+    * form, pinned by AccountingParitySpec) all read that one cache;
+    * the verified pairs' higher ids are collected and the cache is
+    * dropped before returning, so nothing outlives the call. The
+    * collect is the DROP-LIST class — bounded by |verified pairs|,
+    * LSH-bounded by construction, the same bound that justifies
+    * clean()'s broadcast anti-join — and is strictly smaller than
+    * the survivor digest's single-buffer gather the declared output
+    * already carries (both are the disclosed test-scale/oracle-parity
+    * choice; a 100 TB run would swap-publish the drop list as parquet
+    * the way `cleanedSurvivorIdsPath` publishes the keep set).
+    * Everything that shuffles here is (id, hash)-shaped or
+    * candidate-bounded.
+    *
+    * Action 2 — the returned LAZY frame: flags + window again (the
+    * one text-bearing exchange, pre-tokenization __fp — the gated
+    * contract), a broadcast left-outer against the in-memory drop
+    * list, and ONE final aggregate producing all four survivor
+    * counts AND the survivor digest (collect_list of the near-keep
+    * ids — identical expression to the clean()-path digest), then a
+    * `stack` unpivot into the 4-row stage frame.
+    *
+    * Net: the flag/window chain runs twice (once per action), the
+    * LSH chain once over the cache — ~20 stages total vs ~146.
+    *
+    * Greedy near-dedup only (the library default):
+    * `useConnectedComponents` needs the iterative eager CC loop —
+    * callers wanting CC accounting compose [[clean]]'s thunks
+    * instead. No decontamination stage (pass an eval corpus to
+    * [[clean]] for that path). AccountingParitySpec pins equality
+    * with the [[clean]]-derived numbers at every stage. */
+  def accounting(docs: DataFrame, textCol: Column, idCol: Column,
+      cfg: Config = Config()): DataFrame = {
+    require(!cfg.useConnectedComponents,
+      "accounting() is the one-job greedy form; CC accounting must " +
+        "compose clean()'s eager thunks")
+    val spark = docs.sparkSession
+    val langOk = TextAnalysis.langId(
+      textCol, cfg.stopwords, cfg.lang, cfg.langThreshold) === cfg.lang
+    val qualOk = langOk &&
+      TextAnalysis.qualityOk(textCol, cfg.minTokens, cfg.minTtr, cfg.stopwords)
+    // one window over (qual_ok, fingerprint): the qual=true slice
+    // reproduces dedupExact's keep-first exactly (same partition
+    // contents, same orderBy); the qual=false rows ride along as
+    // their own partitions and are never flagged exact-keep
+    def ranked: DataFrame = docs
+      .withColumn("__lang_ok", langOk)
+      .withColumn("__qual_ok", qualOk)
+      .withColumn("__fp", md5(textCol.cast("binary")))
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("__qual_ok"), col("__fp")).orderBy(idCol)))
+    val exactKeep = col("__qual_ok") &&
+      (col("__fp").isNull || col("__rn") === 1)
+
+    // ---- action 1: the drop list ----
+    // row-local projection per exact survivor: distinct shingle set +
+    // all MinHash minima in one kernel pass (min over the distinct
+    // set equals min over the occurrence multiset). Short docs (<
+    // shingleLen tokens) carry null shset/minima and fall out of the
+    // band explode below, matching Dedup.shingles emitting nothing.
+    val d = ranked.filter(exactKeep)
+      .select(idCol.as("id"),
+        array_distinct(Dedup.shingleArray(textCol, cfg.shingleLen)).as("shset"))
+      .select(col("id"), col("shset"),
+        graft.functions.GraftFunctions.minHashMinima(
+          col("shset"), cfg.numHashes).as("__mh"))
+      .cache()
+    val dropIds: Array[Long] =
+      try {
+        val r = cfg.numHashes / cfg.bands
+        require(cfg.numHashes % cfg.bands == 0, "bands must divide numHashes")
+        val ms = (0 until cfg.numHashes).map(j => col("__mh").getItem(j))
+        val bandStructs = (0 until cfg.bands).map { b =>
+          struct(lit(b.toLong).as("band"),
+            md5(concat(((b * r) until ((b + 1) * r)).map(ms): _*)
+              .cast("binary")).as("h"))
+        }
+        val bands = d.select(col("id"), explode(array(bandStructs: _*)).as("bh"))
+          .select(col("id"), col("bh.band").as("band"), col("bh.h").as("h"))
+          .filter(col("h").isNotNull)
+        val cand = bands.as("a").join(bands.as("b"),
+            col("a.band") === col("b.band") && col("a.h") === col("b.h") &&
+              col("a.id") < col("b.id"))
+          .select(col("a.id").as("id1"), col("b.id").as("id2"))
+          .distinct()
+        // restrict the cached shingle sets to candidate docs BEFORE
+        // any join that could shuffle them: candDocs is LSH-bounded,
+        // so derived-text bytes never move at corpus volume
+        val candIdFrame = cand
+          .select(explode(array(col("id1"), col("id2"))).as("id")).distinct()
+        val candDocs = d.join(broadcast(candIdFrame), Seq("id"), "left_semi")
+          .select(col("id"), col("shset"))
+        val verified = cand
+          .join(candDocs.select(col("id").as("id1"), col("shset").as("s1")), "id1")
+          .join(candDocs.select(col("id").as("id2"), col("shset").as("s2")), "id2")
+          .withColumn("__inter",
+            size(array_intersect(col("s1"), col("s2"))).cast("long"))
+          .withColumn("jac", col("__inter") /
+            (size(col("s1")).cast("long") + size(col("s2")).cast("long")
+              - col("__inter")))
+          .filter(col("jac") >= cfg.jaccardThreshold)
+        verified.select(col("id2")).distinct().collect().map(_.getLong(0))
+      } finally d.unpersist()
+
+    // ---- action 2: the returned lazy accounting frame ----
+    import spark.implicits._
+    val drop = dropIds.toSeq.sorted.toDF("__drop_id")
+    val nearKeep = exactKeep && col("__drop_id").isNull
+    val row = ranked
+      .join(broadcast(drop), idCol === col("__drop_id"), "left_outer")
+      .agg(
+        count(lit(1)).as("total"),
+        coalesce(sum(col("__lang_ok").cast("long")), lit(0L)).as("n_lang"),
+        coalesce(sum(col("__qual_ok").cast("long")), lit(0L)).as("n_qual"),
+        coalesce(sum(exactKeep.cast("long")), lit(0L)).as("n_exact"),
+        coalesce(sum(nearKeep.cast("long")), lit(0L)).as("n_near"),
+        // identical expression to the clean()-path digest: md5 of the
+        // comma-joined ascending id list (collect_list skips the
+        // nulls when() emits for non-survivors)
+        md5(concat_ws(",",
+          transform(array_sort(collect_list(when(nearKeep, idCol))),
+            x => x.cast("string"))).cast("binary")).as("survivors_md5"))
+    row.select(
+      expr("stack(4, 'language', total, n_lang, " +
+        "'quality', n_lang, n_qual, " +
+        "'exact_dedup', n_qual, n_exact, " +
+        "'near_dedup', n_exact, n_near) AS (stage, docs_in, docs_out)"),
+      col("survivors_md5"))
+  }
+
   /** A plain attribute Column re-expressed as an unresolved name, so
     * it can resolve against a DIFFERENT frame with the same column
     * name; non-attribute expressions pass through unchanged (they

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** `CorpusClean.accounting` (the one-job lazy plan behind
+  * q_corpus_clean since r16) must return EXACTLY what the eager
+  * `clean()`+`stageStats()`+digest composition returns — same stage
+  * rows, same counts, same survivor md5 — or the declared accounting
+  * silently diverges from the pipeline it claims to describe. */
+class AccountingParitySpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("accounting() equals clean()+stageStats()+digest on the test corpus") {
+    val docs = spark.read.parquet(sfTiny + "/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val cleaned = ops.CorpusClean.clean(docs, col("text"), col("doc_id"))
+    val (eagerRows, eagerDigest) =
+      try {
+        val stats = cleaned.stageStats().orderBy(col("stage")).collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        val digest = cleaned.docs
+          .agg(md5(concat_ws(",",
+            transform(array_sort(collect_list(col("doc_id"))),
+              x => x.cast("string"))).cast("binary")).as("m"))
+          .head.getString(0)
+        (stats, digest)
+      } finally cleaned.release()
+    val acc = ops.CorpusClean.accounting(docs, col("text"), col("doc_id"))
+      .orderBy(col("stage")).collect()
+    assert(acc.length == 4, acc.mkString("\n"))
+    val accRows = acc.map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(accRows.sameElements(eagerRows),
+      s"stage counts diverge:\n one-job: ${accRows.mkString(", ")}\n" +
+        s" eager:   ${eagerRows.mkString(", ")}")
+    val accDigests = acc.map(_.getString(3)).distinct
+    assert(accDigests.sameElements(Array(eagerDigest)),
+      s"survivor digest diverges: ${accDigests.mkString(",")} vs $eagerDigest")
+  }
+
+  test("accounting() on an empty corpus reports zeros, not nulls") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val rows = ops.CorpusClean.accounting(empty, col("text"), col("doc_id"))
+      .orderBy(col("stage")).collect()
+    assert(rows.length == 4)
+    assert(rows.forall(r => r.getLong(1) == 0L && r.getLong(2) == 0L),
+      rows.mkString("\n"))
+  }
+
+  test("accounting() rejects the connected-components configuration") {
+    val docs = spark.read.parquet(sfTiny + "/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val ex = intercept[IllegalArgumentException] {
+      ops.CorpusClean.accounting(docs, col("text"), col("doc_id"),
+        ops.CorpusClean.Config(useConnectedComponents = true))
+    }
+    assert(ex.getMessage.contains("one-job"), ex.getMessage)
+  }
+}

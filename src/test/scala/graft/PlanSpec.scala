@@ -185,6 +185,32 @@ class PlanSpec extends AnyFunSuite {
     } finally cleaned.release()
   }
 
+  test("q_corpus_clean declared frame: one text exchange (the __fp window), nothing post-tokenization") {
+    // the r16 accounting shape: the returned lazy plan is flags +
+    // keep-first window + a broadcast left-outer against the
+    // (bounded) drop list + ONE aggregate — its only text-bearing
+    // exchange is the pre-tokenization (qual_ok, __fp) window
+    // shuffle; the LSH/Jaccard subtrees live in the eager drop-list
+    // phase and never appear here
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    def walk(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => a +: walk(a.executedPlan)
+      case qs: QueryStageExec => qs +: walk(qs.plan)
+      case o => o +: o.children.flatMap(walk)
+    }
+    val df = q("q_corpus_clean")
+    val textExchanges = walk(df.queryExecution.executedPlan)
+      .collect { case e: ShuffleExchangeLike if e.output.exists(_.name == "text") => e }
+    assert(textExchanges.size <= 1,
+      s"expected at most the __fp window exchange to carry text:\n" +
+        textExchanges.mkString("\n"))
+    assert(textExchanges.forall(_.toString.contains("__fp")),
+      s"a text-bearing exchange is not the pre-tokenization __fp window:\n" +
+        textExchanges.mkString("\n"))
+  }
+
   test("q_train_pipeline: no exchange carries document text") {
     // the derivation's 100 TB contract: the survivors come from the
     // cleanedCorpus memo's semi-join against the swap-published

@@ -12,14 +12,14 @@ Budget rules (unchanged since r12):
 import json, sys
 
 # Stage-count slack for queries whose counting is inherently racy:
-# q_corpus_clean runs THREE eager actions (stage-count aggregate,
-# survivor digest, the declared frame) over a cached pipeline per
-# invocation, and whether a cache-materialization / broadcast-build
-# job lands as its own tracked stage races with the cache fill —
-# observed band 144-146 across ten r15 sweeps while its BYTE pins
-# held within 0.3%. Every other query counts deterministically
-# (slack 0). The slack widens only the alarm line (> budget+1), not
-# the byte pins, which remain the sharp regression signal here.
+# q_corpus_clean (two actions since r16 — the eager drop-list phase
+# over an internal cache, then the declared single-aggregate frame)
+# still races cache-materialization / broadcast-build jobs landing as
+# their own tracked stages (the r15 five-action form showed a 144-146
+# band across ten sweeps while its BYTE pins held within 0.3%).
+# Every other query counts deterministically (slack 0). The slack
+# widens only the alarm line (> budget+1), not the byte pins, which
+# remain the sharp regression signal here.
 STAGE_SLACK = {"q_corpus_clean": 3}
 
 def load(path):
