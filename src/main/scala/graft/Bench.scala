@@ -399,13 +399,31 @@ object Bench {
       } else ""
     val shuffleTotalMb = math.round(
       shuffleMb.values.filter(_ >= 0).sum * 1000.0) / 1000.0
+    // Contention-self-normalizing engine signal (r15 verdict #4): the
+    // raw total is dominated by per-stage scheduling floor that moves
+    // 1.5-2x with host contention (driver 73.7 s vs judge 43.1 s on
+    // byte-identical plans in r15), so cross-host raw totals are not
+    // comparable. floorline_excess_sec = Σ max(0, wall − stages ×
+    // floor_per_stage) charges each query only the wall ABOVE its own
+    // scheduling floorline, with the floorline priced by the WORSE of
+    // the two floor probes (the same normalization the time pin uses)
+    // — contention inflates walls and the floorline together, so the
+    // excess stays put while raw totals diverge. This is the number
+    // to compare across rounds/hosts; queries with a failed counting
+    // run (-1 stages) conservatively contribute their full wall.
+    val floorPerStageUsed = math.max(floorSec, floorSecAfter) / 2
+    val floorlineExcessSec = math.round(results.toSeq.collect {
+      case (qn, w) if w >= 0 =>
+        val st = stageCounts.getOrElse(qn, -1)
+        if (st > 0) math.max(0.0, w - st * floorPerStageUsed) else w
+    }.sum * 1000.0) / 1000.0
     // plan_pins_active is EMITTED (not just used): tools/gate.sh step 5
     // asserts it true so an inherited SPARK_GRAFT_CPUS/SHUFFLE/AQE
     // export can never make the gate pass vacuously with the budgets
     // silently deactivated (r12 ADVICE).
     val planPinFields = s""""plan_pins_active":$planPinsActive,"shuffle_pin_failures":[${shufflePinFailures.mkString(",")}],"input_pin_failures":[${inputPinFailures.mkString(",")}],"stage_pin_failures":[${stagePinFailures.mkString(",")}]"""
     val prebuiltJson = prebuilt.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"n_queries":${results.size},"runs_per_query":$runs,"agg":"min","warm_cache":true,"prebuilt":$prebuiltJson,"floor_sec":$floorSec,"floor_per_stage_sec":${floorSec / 2},"floor_after_sec":$floorSecAfter,"pin_failures":[${pinFailures.mkString(",")}],$planPinFields,"shuffle_mb_total":$shuffleTotalMb$coldFields,"queries":${toJson(results)},"stages":${toJsonInt(stageCounts)},"shuffle_mb":${toJson(shuffleMb)},"input_mb":${toJson(inputMb)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"n_queries":${results.size},"runs_per_query":$runs,"agg":"min","warm_cache":true,"prebuilt":$prebuiltJson,"floor_sec":$floorSec,"floor_per_stage_sec":${floorSec / 2},"floor_after_sec":$floorSecAfter,"floorline_excess_sec":$floorlineExcessSec,"pin_failures":[${pinFailures.mkString(",")}],$planPinFields,"shuffle_mb_total":$shuffleTotalMb$coldFields,"queries":${toJson(results)},"stages":${toJsonInt(stageCounts)},"shuffle_mb":${toJson(shuffleMb)},"input_mb":${toJson(inputMb)},"sf":"$sfDir"}""")
     // The full line above grew past the driver's tail-capture window in
     // round 3 and the LEADING total field was the part cut off. Re-emit
     // the headline number as a short final line so any last-N-bytes
@@ -423,7 +441,7 @@ object Bench {
       .map { case (q, w) =>
         s"""["$q",$w,${stageCounts.getOrElse(q, -1)}]""" }
       .mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"n_queries":${results.size},"runs_per_query":$runs,"warm_cache":true,"prebuilt":$prebuiltJson,"floor_sec":$floorSec,"floor_per_stage_sec":${floorSec / 2},"floor_after_sec":$floorSecAfter,"pin_failures":[${pinFailures.mkString(",")}],$planPinFields,"shuffle_mb_total":$shuffleTotalMb,"slowest":$slowest5,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"n_queries":${results.size},"runs_per_query":$runs,"warm_cache":true,"prebuilt":$prebuiltJson,"floor_sec":$floorSec,"floor_per_stage_sec":${floorSec / 2},"floor_after_sec":$floorSecAfter,"floorline_excess_sec":$floorlineExcessSec,"pin_failures":[${pinFailures.mkString(",")}],$planPinFields,"shuffle_mb_total":$shuffleTotalMb,"slowest":$slowest5,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

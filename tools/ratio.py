@@ -91,6 +91,21 @@ total_s = bench["value"]
 total_d = sum(duck.values())
 print(f"\ntotals: spark {total_s:.2f} s vs duckdb {total_d:.2f} s "
       f"= {total_s / total_d:.2f}x  (floor_sec {bench.get('floor_sec')})")
+# The ENGINE signal (r15 verdict #4): raw totals move 1.5-2x with host
+# contention; the bench-emitted floorline excess (Σ max(0, wall −
+# stages × floor_per_stage), floorline priced by the worse of the two
+# floor probes) self-normalizes — compare THIS across rounds/hosts.
+excess = bench.get("floorline_excess_sec")
+if excess is None and stages:
+    fps_used = max(bench.get("floor_sec", 0) or 0,
+                   bench.get("floor_after_sec", 0) or 0) / 2
+    excess = sum(max(0.0, w - stages.get(q, 0) * fps_used)
+                 for q, w in bench["queries"].items()
+                 if w >= 0 and stages.get(q, 0) > 0)
+if excess is not None:
+    print(f"engine signal: floorline_excess {excess:.2f} s "
+          f"(total minus per-query scheduling floorlines — the "
+          f"contention-immune cross-host comparison)")
 if flagged:
     print(f"\nFLAGGED (> {gate}x, not floor-dominated) — re-measure "
           f"isolated before believing a sweep number:")
