@@ -252,6 +252,27 @@ object Multimodal {
     baos.toByteArray
   }
 
+  /** A real PNG payload (RGB, deterministic pixel fill) — genuine
+    * input for [[decodeImage]], built from JDK classes only
+    * (ImageIO's PNG encoder; headless-safe). Executor-safe. */
+  def pngBytes(width: Int, height: Int, seed: Long): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        img.setRGB(x, y,
+          java.lang.Math.floorMod(seed * 31 + x * 7 + y * 13, 0xFFFFFF).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
   /** Synthetic media table for tests/demos: deterministic payloads.
     * Audio rows carry REAL WAV bytes (so the decode path is exercised
     * end-to-end); image/video rows carry opaque bytes that exercise

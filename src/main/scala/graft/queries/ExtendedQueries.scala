@@ -946,7 +946,67 @@ object ExtendedQueries {
     }
   }
 
+  /** The q_media_meta MEDIA layout: one opaque-binary media row per
+    * document — REAL WAV payloads (JDK `javax.sound` encoder) for
+    * even doc_ids, REAL PNG payloads (JDK ImageIO encoder) for odd —
+    * with every acoustic/pixel parameter a pure function of doc_id,
+    * written once per (session, dir) as (media_id, kind, bytes,
+    * source) parquet. Built via mapPartitions so payload synthesis
+    * (like real codec work) runs executor-side and never transits the
+    * driver; same memo lifecycle as [[skipLayout]] (released + dir
+    * deleted by [[releaseCaches]]). */
+  private[graft] def mediaLayoutPath(s: org.apache.spark.sql.SparkSession,
+      d: String): String = memoPath("medialayout", s, d) { dir =>
+    import s.implicits._
+    graft.queries.t(s, d, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          if (id % 2 == 0)
+            graft.ops.Multimodal.MediaRow(id, "audio",
+              graft.ops.Multimodal.wavBytes(
+                durationMs = (50 + (id % 20) * 10).toInt,
+                sampleRate = (8000 + (id % 8) * 1000).toInt, seed = id),
+              "synth")
+          else
+            graft.ops.Multimodal.MediaRow(id, "image",
+              graft.ops.Multimodal.pngBytes(
+                width = (8 + id % 32).toInt,
+                height = (8 + (id * 7) % 32).toInt, seed = id),
+              "synth")
+        }
+      }.toDF().write.mode("overwrite").parquet(dir)
+  }
+
   val queries: Map[String, QFn] = Map(
+    // Multimodal metadata decode under the oracle (r15 verdict Next
+    // #5 — the last north-star family with no declared row): read the
+    // opaque-binary media layout back and run the REAL decoders —
+    // javax.sound header parse for WAV (sample rate, channels,
+    // duration from frame length; O(header), sample data never
+    // decoded) and ImageIO for PNG (true pixel dimensions) — via the
+    // per-partition-batched `Multimodal.decode` kernel. Every decoded
+    // field is pinned against a DuckDB twin that derives the expected
+    // value ARITHMETICALLY from doc_id (the layout's generating
+    // parameters), plus the canonical-WAV byte-length identity
+    // (44-byte header + 2 bytes/frame — MultimodalSpec pins the
+    // encoder emits exactly that): a parser reading any wrong offset,
+    // or an encoder writing a non-canonical layout, hash-mismatches.
+    // Scale shape: payloads stay executor-side end-to-end
+    // (mapPartitions over the binary column — the one legitimate
+    // non-Catalyst hot path, codec work); metadata lands in plain
+    // columns so downstream filters prune before any decode.
+    "q_media_meta" -> { (s, d) =>
+      import s.implicits._
+      val media = s.read.parquet(mediaLayoutPath(s, d))
+        .as[graft.ops.Multimodal.MediaRow]
+      graft.ops.Multimodal.decode(media).toDF()
+        .select(col("media_id"), col("kind"),
+          when(col("kind") === "audio", col("n_bytes")).as("n_bytes_audio"),
+          col("width"), col("height"), col("duration_ms"),
+          col("sample_rate"), col("channels"))
+        .orderBy(col("media_id"))
+    },
+
     // MinHash (8 perms via seeded md5, lexicographic min) + LSH
     // (2 bands × 4 rows → candidate threshold ≈ 0.84 Jaccard).
     "q_dedup_minhash_lsh" -> { (s, d) =>
@@ -1481,6 +1541,31 @@ object ExtendedQueries {
   )
 
   val sql: Map[String, String] = Map(
+    // The media layout's generating parameters, re-derived
+    // arithmetically: kind/rate/duration/width/height are pure
+    // functions of doc_id, and the audio byte count is the canonical
+    // WAV identity 44 + 2 * frames (frames = rate * durMs / 1000,
+    // exact — rate is a multiple of 1000). The Spark side must
+    // ENCODE (JDK WAV/PNG writers) and then PARSE (javax.sound /
+    // ImageIO headers) its way back to exactly these numbers.
+    "q_media_meta" ->
+      """SELECT doc_id AS media_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'audio' ELSE 'image' END AS kind,
+        |  CASE WHEN doc_id % 2 = 0
+        |    THEN 44 + 2 * (((8000 + (doc_id % 8) * 1000)
+        |                    * (50 + (doc_id % 20) * 10)) // 1000)
+        |    ELSE NULL END AS n_bytes_audio,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 0
+        |    ELSE 8 + doc_id % 32 END AS INTEGER) AS width,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 0
+        |    ELSE 8 + (doc_id * 7) % 32 END AS INTEGER) AS height,
+        |  CAST(CASE WHEN doc_id % 2 = 0
+        |    THEN 50 + (doc_id % 20) * 10 ELSE 0 END AS BIGINT) AS duration_ms,
+        |  CAST(CASE WHEN doc_id % 2 = 0
+        |    THEN 8000 + (doc_id % 8) * 1000 ELSE 0 END AS INTEGER) AS sample_rate,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS INTEGER) AS channels
+        |FROM documents ORDER BY media_id""".stripMargin,
+
     // Groups by window TEXT where Spark groups by the Rabin-Karp
     // window hash — equal outputs absent a hash collision among this
     // corpus's windows (see the query comment).

@@ -164,6 +164,35 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("wavBytes emits the canonical 44-byte-header WAV (the q_media_meta identity)") {
+    // the q_media_meta oracle pins n_bytes_audio = 44 + 2 * frames
+    // arithmetically — that identity holds only while the JDK writer
+    // emits the canonical minimal WAV (RIFF+fmt+data, no extra
+    // chunks). If a JDK change adds chunks, this fails before the
+    // oracle hash does.
+    for ((durMs, rate) <- Seq((50, 8000), (240, 15000), (100, 11000))) {
+      val b = Multimodal.wavBytes(durMs, rate, seed = 7L)
+      val frames = rate.toLong * durMs / 1000
+      assert(b.length == 44 + 2 * frames,
+        s"WAV($durMs ms @ $rate Hz): ${b.length} bytes vs ${44 + 2 * frames}")
+      assert(new String(b.slice(0, 4), "US-ASCII") == "RIFF")
+      assert(new String(b.slice(8, 12), "US-ASCII") == "WAVE")
+    }
+  }
+
+  test("pngBytes round-trips its true dimensions through ImageIO (the q_media_meta path)") {
+    for ((w, h) <- Seq((8, 8), (39, 11), (17, 39))) {
+      val b = Multimodal.pngBytes(w, h, seed = 42L)
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+      assert(img.getWidth == w && img.getHeight == h,
+        s"PNG($w x $h) decoded as ${img.getWidth} x ${img.getHeight}")
+    }
+    // deterministic: same params, same bytes (the layout memo relies
+    // on rebuild-equivalence across release/rebuild cycles)
+    assert(java.util.Arrays.equals(
+      Multimodal.pngBytes(12, 9, 3L), Multimodal.pngBytes(12, 9, 3L)))
+  }
+
   test("frame sampling emits keys only, correct cadence") {
     val media = Multimodal.syntheticMedia(spark, 30)
     val decoded = Multimodal.decode(media)

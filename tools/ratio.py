@@ -50,6 +50,13 @@ ACCEPTED = {
     # construction (PlanSpec-gated), wall is stage launch + tiny scan.
     "q_join_hashkey",     # 0.42 s / 3 st, 2.1x — broadcast dim join
     "q_bucket_join",      # 0.20 s / 2 st, 3.9x — zero-exchange bucketed
+    # r16: the Spark side runs REAL codec work (2.5k ImageIO PNG
+    # decodes + 2.5k javax.sound WAV header parses at sf0.1, ~1.1 s)
+    # while the DuckDB twin re-derives the expected metadata
+    # ARITHMETICALLY (no codec exists in SQL) — the ratio compares
+    # codec cost against nothing by construction. Disposition in
+    # SCALE.md "Tight-floorline dispositions" (asymmetric-twin class).
+    "q_media_meta",
 }
 
 bench_path, duck_path = sys.argv[1], sys.argv[2]
