@@ -958,7 +958,13 @@ object ExtendedQueries {
   private[graft] def mediaLayoutPath(s: org.apache.spark.sql.SparkSession,
       d: String): String = memoPath("medialayout", s, d) { dir =>
     import s.implicits._
+    // repartition BEFORE the synth: the testdata table is one input
+    // split, and without the fan-out both the payload encode here and
+    // every subsequent decode (the layout inherits the file count)
+    // would run on a single core — the same "fan out cheap rows
+    // before expensive per-row work" shape the shingles memo uses
     graft.queries.t(s, d, "documents").select(col("doc_id")).as[Long]
+      .repartition(s.sessionState.conf.numShufflePartitions)
       .mapPartitions { it =>
         it.map { id =>
           if (id % 2 == 0)
@@ -1004,7 +1010,14 @@ object ExtendedQueries {
           when(col("kind") === "audio", col("n_bytes")).as("n_bytes_audio"),
           col("width"), col("height"), col("duration_ms"),
           col("sample_rate"), col("channels"))
-        .orderBy(col("media_id"))
+        // total order WITHOUT orderBy: a terminal range sort's
+        // RangePartitioner sampling job would EXECUTE the decode
+        // child a second time (every payload decoded twice per run —
+        // the same re-execution the r15 window re-plans killed).
+        // repartition(1) is a round-robin gather (no sampling, decode
+        // stays parallel upstream) and the partition-local sort of
+        // the tiny metadata rows is then a global total order.
+        .repartition(1).sortWithinPartitions(col("media_id"))
     },
 
     // MinHash (8 perms via seeded md5, lexicographic min) + LSH
