@@ -244,6 +244,24 @@ class OpsSpec extends AnyFunSuite {
     assert(math.pow(2, w.toDouble) > n)
   }
 
+  test("lshBucketsAuto sizes the width from the corpus and matches the pinned form") {
+    // the r16 default-path wiring: auto = the width-pinned call at
+    // autoBits(count), buckets byte-identical, width returned so the
+    // caller can persist it and guard probes (checkedBucket)
+    val e = spark.read.parquet(TestSpark.sfTiny + "/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val expectBits = Similarity.autoBits(e.count())
+    val (auto, bits) = Similarity.lshBucketsAuto(e, col("vec_id"), col("v"))
+    assert(bits == expectBits)
+    val pinned = Similarity.lshBuckets(e, col("vec_id"), col("v"), nBits = bits)
+    assert(auto.select("id", "bucket").collect().toSet ==
+      pinned.select("id", "bucket").collect().toSet)
+    val (bcol, qbits) = Similarity.lshBucketQuantizedAuto(e, col("v"))
+    assert(qbits == expectBits)
+    val widths = e.select(length(bcol).as("l")).distinct().collect().map(_.getInt(0))
+    assert(widths.sameElements(Array(qbits)), widths.mkString(","))
+  }
+
   test("similarity guards: zero vectors never rank, dims mismatch raises, 1-row query enforced") {
     import spark.implicits._
     val corpus = Seq(

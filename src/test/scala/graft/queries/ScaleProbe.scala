@@ -282,6 +282,41 @@ object ScaleProbe {
           emb(d).select(
               Similarity.lshBucketQuantized(col("v"), nBits = 16).as("b"))
             .groupBy(col("b")).agg(count(lit(1)).as("c"))), 3),
+      // same pair query, AUTO-SIZED buckets (r16, executing the r15
+      // verdict's #6): nBits = Similarity.autoBits(count) — the
+      // sizing rule the library documents for known corpus sizes
+      // (log2(n) + 4 margin). The claim under test: with the width
+      // riding the corpus size, max-bucket occupancy stays FLAT as
+      // the corpus grows (buckets keep splitting), so pair space
+      // stays linear where any FIXED width eventually saturates.
+      ("risk_embed_lsh_auto",
+        (d: String) => {
+          graft.functions.GraftFunctions.register(spark)
+          val n = emb(d).count()
+          val bits = Similarity.autoBits(n)
+          val e = emb(d)
+            .withColumn("bucket",
+              Similarity.lshBucketQuantized(col("v"), nBits = bits))
+            .withColumn("nrm", sqrt(expr("graft_dot(v, v)")))
+          val a = e.select(col("bucket"), col("id").as("id1"),
+            col("v").as("v1"), col("nrm").as("n1"))
+          val b = e.select(col("bucket"), col("id").as("id2"),
+            col("v").as("v2"), col("nrm").as("n2"))
+          a.join(b, "bucket")
+            .filter(col("id1") < col("id2"))
+            .select(col("id1"), col("id2"),
+              round(expr("graft_dot(v1, v2)") / (col("n1") * col("n2")), 4).as("cos"))
+            .orderBy(col("cos").desc, col("id1"), col("id2"))
+            .limit(20)
+        },
+        (d: String) => {
+          val n = emb(d).count()
+          val bits = Similarity.autoBits(n)
+          s"bits=$bits " + occupancy(
+            emb(d).select(
+                Similarity.lshBucketQuantized(col("v"), nBits = bits).as("b"))
+              .groupBy(col("b")).agg(count(lit(1)).as("c")))
+        }, 3),
       ("risk_substr_spans",
         (d: String) => SubstrDedup.repeatedSpans(
           docs(d), col("text"), col("doc_id"), 8),
