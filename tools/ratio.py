@@ -57,6 +57,12 @@ ACCEPTED = {
     # codec cost against nothing by construction. Disposition in
     # SCALE.md "Tight-floorline dispositions" (asymmetric-twin class).
     "q_media_meta",
+    # r16 isolated min-of-9 re-measures (the prescribed response to a
+    # first-time sweep flag; readings in SCALE.md's disposition table):
+    "q_expectations",   # 0.71 s / 12 st vs 0.85 floorline — FLOOR isolated
+    "q_case_when",      # 0.27 s / 4 st vs 0.28 floorline — FLOOR isolated
+    "q_date_funcs",     # 0.31 s / 4 st, 0.03 above floorline — flap zone
+    "q_date_arith",     # 0.33 s / 4 st, 0.05 above floorline — flap zone
 }
 
 bench_path, duck_path = sys.argv[1], sys.argv[2]
