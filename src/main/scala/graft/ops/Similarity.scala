@@ -906,6 +906,53 @@ object Similarity {
     }.sorted.take(nprobe).map(_._2)
   }
 
+  /** Fold a new ENCODED batch (vec_id, cid, codes) into a published
+    * cid-partitioned IVF-PQ index — the add-batch half of the index
+    * lifecycle (faiss `add`), delivered with the same crash/replay
+    * discipline every persisted registry in this library uses
+    * (`etl.Swap`): recover an interrupted publish first, return −1
+    * as a marker no-op when this (runTag, batchId) is already folded
+    * (at-least-once redelivery MUST not duplicate code rows — a dup
+    * shifts every downstream ADC top-k), else read the live index,
+    * union the batch, write tmp `partitionBy("cid")`, carry markers +
+    * the new one, and atomically swap-publish. Returns the published
+    * row count.
+    *
+    * Scale shape: this test-scale form rewrites the whole index per
+    * fold — the registry convention (band/spread/eval registries do
+    * the same), honest here because PQ codes are ~64× smaller than
+    * the vectors they index (the rewrite unit is 1/64th of corpus
+    * bytes, and an index fold is a rare, batched maintenance event).
+    * The production variants when even that rewrite is too large:
+    * leaf-wise per-cid rewrite (only touched cid partitions — the
+    * `Layout.compactPartitioned` precedent) or deterministic-name
+    * file APPEND into cid dirs (replay overwrites instead of
+    * duplicating). The MARKER contract is identical in all three. */
+  def ivfPqAdvance(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, batch: DataFrame, runTag: String,
+      batchId: Long): Long = {
+    import org.apache.hadoop.fs.Path
+    val live = new Path(indexDir)
+    val tmp = new Path(indexDir + "_tmp")
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.etl.Swap.recover(fs, live, tmp)
+    if (graft.etl.Swap.markerExists(fs, live, runTag, batchId)) return -1L
+    val next =
+      if (!fs.exists(live)) batch
+      else spark.read.parquet(indexDir)
+        .select(col("vec_id"), col("cid").cast("int").as("cid"), col("codes"))
+        .unionByName(
+          batch.select(col("vec_id"), col("cid").cast("int").as("cid"),
+            col("codes")))
+    fs.delete(tmp, true)
+    next.write.mode("overwrite").partitionBy("cid").parquet(tmp.toString)
+    graft.etl.Swap.carryMarkers(fs, live, tmp,
+      Some(graft.etl.Swap.markerName(runTag, batchId)))
+    val rows = spark.read.parquet(tmp.toString).count()
+    graft.etl.Swap.publish(fs, live, tmp)
+    rows
+  }
+
   /** IVF-PQ search: coarse-probe the `nprobe` nearest inverted lists,
     * ADC-rank ONLY those lists' codes, optionally exact-rerank the
     * broadcast survivors — faiss's IVF-PQ shape as a Spark plan. Cost

@@ -513,14 +513,21 @@ object ExtendedQueries {
     * ~1e12. Same memo lifecycle as [[skipLayout]]. */
   private[graft] def ivfPqIndexPath(s: org.apache.spark.sql.SparkSession,
       d: String): String = memoPath("ivfpqindex", s, d) { dir =>
+    ivfPqEncode(s, d)
+      .write.partitionBy("cid").mode("overwrite").parquet(dir)
+  }
+
+  /** The (vec_id, cid, codes) encoding the IVF-PQ memos persist:
+    * L2 argmin against the ±1 centroids, lower cid on ties — NOT
+    * Similarity.assignClusters (cosine), because the oracle mirrors
+    * the METRIC, not the expression: with Σg² = 64 constant this is
+    * argmax ⟨v, g⟩, whose data-scale margins (see
+    * [[ivfOracleCentroids]]) make the cross-engine argmin exact. */
+  private def ivfPqEncode(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
     val e = graft.queries.t(s, d, "embeddings")
       .select(col("vec_id"),
         col("embedding").cast("array<double>").as("v"))
-    // L2 argmin against the ±1 centroids, lower cid on ties — NOT
-    // Similarity.assignClusters (cosine), because the oracle mirrors
-    // the METRIC, not the expression: with Σg² = 64 constant this is
-    // argmax ⟨v, g⟩, whose data-scale margins (see
-    // [[ivfOracleCentroids]]) make the cross-engine argmin exact.
     val cands = (0 until 4).map { c =>
       val cLit = array(
         ivfOracleCentroids.slice(c * 64, c * 64 + 64).map(lit): _*)
@@ -528,9 +535,33 @@ object ExtendedQueries {
         col("v"), cLit)).as("dist"), lit(c).as("cid"))
     }
     e.select(col("vec_id"), least(cands: _*).getField("cid").as("cid"),
-        graft.functions.GraftFunctions.pqEncode(
-          col("v"), pqOracleCodebook, 4, 4).as("codes"))
-      .write.partitionBy("cid").mode("overwrite").parquet(dir)
+      graft.functions.GraftFunctions.pqEncode(
+        col("v"), pqOracleCodebook, 4, 4).as("codes"))
+  }
+
+  /** The q_ivfpq_advance index: the SAME encoding as
+    * [[ivfPqIndexPath]], but built INCREMENTALLY — the add-batch half
+    * of the index lifecycle (faiss `add` / the registry-advance
+    * pattern): batch 0 (even vec_ids) folded into an empty index,
+    * batch 1 (odd vec_ids) folded on top, then batch 1 deliberately
+    * REPLAYED — the applied-batch-marker no-op is on the declared
+    * path (a non-idempotent fold would duplicate every odd vector's
+    * code row and shift the probe's top-k). Index lives at
+    * `<memo>/index`, cid-partitioned like the one-shot build, so the
+    * declared probe keeps real partition pruning. */
+  private[graft] def ivfPqAdvancePath(s: org.apache.spark.sql.SparkSession,
+      d: String): String = memoPath("ivfpqadv", s, d) { dir =>
+    val enc = ivfPqEncode(s, d)
+    val idx = s"$dir/index"
+    val n0 = graft.ops.Similarity.ivfPqAdvance(s, idx,
+      enc.filter(col("vec_id") % 2 === 0), "adv", 0L)
+    val n1 = graft.ops.Similarity.ivfPqAdvance(s, idx,
+      enc.filter(col("vec_id") % 2 =!= 0), "adv", 1L)
+    require(n0 > 0 && n1 > n0, s"ivfPqAdvance: fold sizes $n0 -> $n1")
+    val replay = graft.ops.Similarity.ivfPqAdvance(s, idx,
+      enc.filter(col("vec_id") % 2 =!= 0), "adv", 1L)
+    require(replay == -1L,
+      s"ivfPqAdvance: replay of batch 1 was not a marker no-op ($replay)")
   }
 
   /** The q_bucket_join tables: lineitem/orders projections written
@@ -1376,6 +1407,26 @@ object ExtendedQueries {
         .limit(10)
     },
 
+    // Index MAINTENANCE under the oracle (r16 — the add-batch half of
+    // the IVF-PQ lifecycle, the faiss `add` path): the same probe as
+    // q_ivfpq_probe, but over an index built by TWO
+    // `Similarity.ivfPqAdvance` folds (even vec_ids, then odd) plus a
+    // deliberate REPLAY of the second batch on the declared path —
+    // the applied-batch marker must make the redelivery a no-op, or
+    // duplicated code rows shift the ADC top-k and hash-mismatch.
+    // Oracle = the q_ivfpq_probe recompute verbatim: the folds
+    // converge to the one-shot build. Same real partition pruning
+    // (cid dirs survive the swap-publish; gated in PlanSpec).
+    "q_ivfpq_advance" -> { (s, d) =>
+      s.read.parquet(s"${ivfPqAdvancePath(s, d)}/index")
+        .filter(col("cid").isin(ivfOracleProbe.map(Int.box): _*))
+        .select(col("vec_id"), col("cid").cast("int").as("cid"),
+          graft.functions.GraftFunctions.pqAdc(
+            col("codes"), adcOracleLut, 4).as("adc"))
+        .orderBy(col("adc").desc, col("vec_id"))
+        .limit(10)
+    },
+
     // Int8 scalar quantization of the embedding column — the ANN
     // memory-footprint step (64 doubles → 64 bytes + a scale). Codes
     // are round(v/scale) with per-vector max-abs scale: plain IEEE
@@ -1552,6 +1603,52 @@ object ExtendedQueries {
         .orderBy(col("doc_id"))
     },
   )
+
+  /** The shared q_ivfpq_probe / q_ivfpq_advance oracle: full
+    * recompute of the coarse assignment, probe-list selection and
+    * per-subspace ADC from the fixed integer literals (see
+    * [[ivfOracleCentroids]] / [[pqOracleCodebook]]). */
+  private lazy val ivfPqProbeOracleSql: String = {
+      val cb = pqOracleCodebook.map(_.toLong).mkString("[", ", ", "]")
+      val qv = adcQueryVec.map(_.toLong).mkString("[", ", ", "]")
+      val g = ivfOracleCentroids.map(_.toLong).mkString("[", ", ", "]")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |cb AS (SELECT CAST($cb AS BIGINT[]) AS f, CAST($qv AS BIGINT[]) AS q,
+         |              CAST($g AS BIGINT[]) AS g),
+         |a AS (
+         |  SELECT e.vec_id, e.v, c.c,
+         |    list_sum(list_transform(range(1, 65), t ->
+         |      (v[t] - g[c.c*64 + t]) * (v[t] - g[c.c*64 + t]))) AS d2
+         |  FROM e, cb, range(0, 4) AS c(c)
+         |),
+         |asg AS (SELECT vec_id, v, c AS cid FROM (
+         |    SELECT vec_id, v, c,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, c) AS rk
+         |    FROM a) WHERE rk = 1),
+         |pr AS (SELECT c FROM (
+         |    SELECT c.c AS c,
+         |      list_sum(list_transform(range(1, 65), t ->
+         |        (q[t] - g[c.c*64 + t]) * (q[t] - g[c.c*64 + t]))) AS dq
+         |    FROM cb, range(0, 4) AS c(c))
+         |  ORDER BY dq, c LIMIT 2),
+         |p AS (SELECT vec_id, v, cid FROM asg WHERE cid IN (SELECT c FROM pr)),
+         |dd AS (
+         |  SELECT p.vec_id, p.cid, j.j, c.c,
+         |    list_sum(list_transform(range(1, 17), t ->
+         |      (v[j.j*16 + t] - f[(j.j*4 + c.c)*16 + t]) *
+         |      (v[j.j*16 + t] - f[(j.j*4 + c.c)*16 + t]))) AS d2,
+         |    list_sum(list_transform(range(1, 17), t ->
+         |      q[j.j*16 + t] * f[(j.j*4 + c.c)*16 + t])) AS dotqc
+         |  FROM p, cb, range(0, 4) AS j(j), range(0, 4) AS c(c)
+         |),
+         |r AS (SELECT vec_id, cid, dotqc,
+         |        row_number() OVER (PARTITION BY vec_id, j ORDER BY d2, c) AS rk
+         |      FROM dd)
+         |SELECT vec_id, CAST(cid AS INT) AS cid, CAST(sum(dotqc) AS DOUBLE) AS adc
+         |FROM r WHERE rk = 1
+         |GROUP BY vec_id, cid
+         |ORDER BY adc DESC, vec_id LIMIT 10""".stripMargin
+  }
 
   val sql: Map[String, String] = Map(
     // The media layout's generating parameters, re-derived
@@ -2028,47 +2125,15 @@ object ExtendedQueries {
          |ORDER BY adc DESC, vec_id LIMIT 20""".stripMargin
     },
 
-    "q_ivfpq_probe" -> {
-      val cb = pqOracleCodebook.map(_.toLong).mkString("[", ", ", "]")
-      val qv = adcQueryVec.map(_.toLong).mkString("[", ", ", "]")
-      val g = ivfOracleCentroids.map(_.toLong).mkString("[", ", ", "]")
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |cb AS (SELECT CAST($cb AS BIGINT[]) AS f, CAST($qv AS BIGINT[]) AS q,
-         |              CAST($g AS BIGINT[]) AS g),
-         |a AS (
-         |  SELECT e.vec_id, e.v, c.c,
-         |    list_sum(list_transform(range(1, 65), t ->
-         |      (v[t] - g[c.c*64 + t]) * (v[t] - g[c.c*64 + t]))) AS d2
-         |  FROM e, cb, range(0, 4) AS c(c)
-         |),
-         |asg AS (SELECT vec_id, v, c AS cid FROM (
-         |    SELECT vec_id, v, c,
-         |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, c) AS rk
-         |    FROM a) WHERE rk = 1),
-         |pr AS (SELECT c FROM (
-         |    SELECT c.c AS c,
-         |      list_sum(list_transform(range(1, 65), t ->
-         |        (q[t] - g[c.c*64 + t]) * (q[t] - g[c.c*64 + t]))) AS dq
-         |    FROM cb, range(0, 4) AS c(c))
-         |  ORDER BY dq, c LIMIT 2),
-         |p AS (SELECT vec_id, v, cid FROM asg WHERE cid IN (SELECT c FROM pr)),
-         |dd AS (
-         |  SELECT p.vec_id, p.cid, j.j, c.c,
-         |    list_sum(list_transform(range(1, 17), t ->
-         |      (v[j.j*16 + t] - f[(j.j*4 + c.c)*16 + t]) *
-         |      (v[j.j*16 + t] - f[(j.j*4 + c.c)*16 + t]))) AS d2,
-         |    list_sum(list_transform(range(1, 17), t ->
-         |      q[j.j*16 + t] * f[(j.j*4 + c.c)*16 + t])) AS dotqc
-         |  FROM p, cb, range(0, 4) AS j(j), range(0, 4) AS c(c)
-         |),
-         |r AS (SELECT vec_id, cid, dotqc,
-         |        row_number() OVER (PARTITION BY vec_id, j ORDER BY d2, c) AS rk
-         |      FROM dd)
-         |SELECT vec_id, CAST(cid AS INT) AS cid, CAST(sum(dotqc) AS DOUBLE) AS adc
-         |FROM r WHERE rk = 1
-         |GROUP BY vec_id, cid
-         |ORDER BY adc DESC, vec_id LIMIT 10""".stripMargin
-    },
+    "q_ivfpq_probe" -> ivfPqProbeOracleSql,
+
+    // the advanced index converges to the one-shot build (batch 0 ∪
+    // batch 1 = the corpus; the replay is a marker no-op), so the
+    // oracle IS the q_ivfpq_probe recompute — any row duplicated or
+    // lost in the fold/replay/swap chain shifts the ADC top-k
+    "q_ivfpq_advance" -> ivfPqProbeOracleSql,
+
+
 
     "q_text_langid" -> {
       def inList(l: String) = langStopwords.filter(_._2 == l)

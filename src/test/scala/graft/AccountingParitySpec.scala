@@ -38,6 +38,42 @@ class AccountingParitySpec extends AnyFunSuite {
       s"survivor digest diverges: ${accDigests.mkString(",")} vs $eagerDigest")
   }
 
+  test("accounting() parity holds at non-default configs (thresholds, bands, shingles)") {
+    // the restructured accounting re-derives every stage from flag
+    // columns + a re-built LSH subtree — a config plumbed to one side
+    // but not the other (bands count, shingle length, gate
+    // thresholds) would pass the defaults-only parity test and drift
+    // silently in production configs
+    val docs = spark.read.parquet(sfTiny + "/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    for (cfg <- Seq(
+        ops.CorpusClean.Config(minTokens = 10, minTtr = 0.1,
+          jaccardThreshold = 0.5),
+        ops.CorpusClean.Config(numHashes = 8, bands = 4, shingleLen = 2,
+          langThreshold = 0.02))) {
+      val cleaned = ops.CorpusClean.clean(docs, col("text"), col("doc_id"), cfg)
+      val (eagerRows, eagerDigest) =
+        try {
+          val stats = cleaned.stageStats().orderBy(col("stage")).collect()
+            .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+          val digest = cleaned.docs
+            .agg(md5(concat_ws(",",
+              transform(array_sort(collect_list(col("doc_id"))),
+                x => x.cast("string"))).cast("binary")).as("m"))
+            .head.getString(0)
+          (stats, digest)
+        } finally cleaned.release()
+      val acc = ops.CorpusClean.accounting(docs, col("text"), col("doc_id"), cfg)
+        .orderBy(col("stage")).collect()
+      val accRows = acc.map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      assert(accRows.sameElements(eagerRows),
+        s"stage counts diverge at $cfg:\n one-job: ${accRows.mkString(", ")}\n" +
+          s" eager:   ${eagerRows.mkString(", ")}")
+      assert(acc.map(_.getString(3)).distinct.sameElements(Array(eagerDigest)),
+        s"survivor digest diverges at $cfg")
+    }
+  }
+
   test("accounting() on an empty corpus reports zeros, not nulls") {
     import spark.implicits._
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")

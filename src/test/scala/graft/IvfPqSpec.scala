@@ -79,6 +79,49 @@ class IvfPqSpec extends AnyFunSuite {
     assert(!scanLine.contains("PartitionFilters: []"), scanLine)
   }
 
+  test("ivfPqAdvance: folds converge to the one-shot index, replay is a marker no-op, pruning survives the swap") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ivfpq_adv").toString
+    val idx = s"$dir/index"
+    val enc = index.select(col("id").as("vec_id"), col("cid"), col("codes"))
+    val n0 = Similarity.ivfPqAdvance(spark, idx,
+      enc.filter(col("vec_id") % 2 === 0), "t", 0L)
+    val n1 = Similarity.ivfPqAdvance(spark, idx,
+      enc.filter(col("vec_id") % 2 =!= 0), "t", 1L)
+    assert(n0 == 250 && n1 == 500, s"$n0 / $n1")
+    // at-least-once redelivery: the marker makes the replay a no-op
+    assert(Similarity.ivfPqAdvance(spark, idx,
+      enc.filter(col("vec_id") % 2 =!= 0), "t", 1L) == -1L)
+    // and so is a LOWER batch id (monotone marker contract)
+    assert(Similarity.ivfPqAdvance(spark, idx,
+      enc.filter(col("vec_id") % 2 === 0), "t", 0L) == -1L)
+    // the advanced index equals the one-shot build row-for-row
+    val adv = spark.read.parquet(idx)
+      .select(col("vec_id"), col("cid").cast("int"),
+        hex(col("codes"))).collect().toSet
+    val oneShot = enc
+      .select(col("vec_id"), col("cid").cast("int"),
+        hex(col("codes"))).collect().toSet
+    assert(adv == oneShot)
+    // cid partition dirs survive the swap-publish → pruning still real
+    val probed = spark.read.parquet(idx).filter(col("cid").isin(0, 1))
+    probed.collect()
+    val scanLine = probed.queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(scanLine.contains("PartitionFilters: [cid"), scanLine)
+  }
+
+  test("the DECLARED q_ivfpq_advance equals q_ivfpq_probe and partition-prunes") {
+    val adv = SparkEntry.queries("q_ivfpq_advance")(spark, sf)
+    val probe = SparkEntry.queries("q_ivfpq_probe")(spark, sf)
+    assert(adv.collect().toSeq == probe.collect().toSeq)
+    val plan = adv.queryExecution.executedPlan.toString
+    val scanLine = plan.linesIterator
+      .find(_.contains("PartitionFilters")).getOrElse("")
+    assert(scanLine.contains("PartitionFilters: [cid"), plan.take(4000))
+    assert(!scanLine.contains("PartitionFilters: []"), scanLine)
+  }
+
   test("probed search holds a measured recall floor; rerank never hurts") {
     val qRow = emb.filter(col("vec_id") === 7L)
     val rest = emb.filter(col("vec_id") =!= 7L)

@@ -47,7 +47,8 @@ object ScaleProbe {
       "q_sessionize",           // event windows
       "q_token_df",             // corpus token counting
       "q_dedup_minhash_lsh",    // sketch + band join
-      "q_dedup_embed_lsh")      // LSH bucket pair join
+      "q_dedup_embed_lsh",      // LSH bucket pair join
+      "q_corpus_clean")         // r16 two-action accounting (composed pipeline)
 
     println(f"${"query"}%-22s ${"x1"}%8s ${"x2"}%8s ${"x4"}%8s  x2/x1  x4/x1   shMB x1/x2/x4")
     for (q <- queries) {
