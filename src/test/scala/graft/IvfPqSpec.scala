@@ -111,6 +111,35 @@ class IvfPqSpec extends AnyFunSuite {
     assert(scanLine.contains("PartitionFilters: [cid"), scanLine)
   }
 
+  test("ivfPqAdvance: an interrupted publish (live gone, complete tmp) recovers on the next fold") {
+    // the Swap crash window: delete→rename means a crash between the
+    // two leaves the state only under the tmp name. The next advance
+    // must promote the complete (_SUCCESS-marked) orphan BEFORE
+    // reading — otherwise it would fold into an empty index and
+    // silently drop every previously-published code row.
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ivfpq_crash").toString
+    val idx = s"$dir/index"
+    val enc = index.select(col("id").as("vec_id"), col("cid"), col("codes"))
+    assert(Similarity.ivfPqAdvance(spark, idx,
+      enc.filter(col("vec_id") % 2 === 0), "t", 0L) == 250L)
+    // simulate the crash: rename live back to tmp (exactly the state
+    // after delete(live) + a successful tmp write, pre-rename)
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(idx),
+      new org.apache.hadoop.fs.Path(idx + "_tmp")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(idx)))
+    // next fold recovers the orphan, then folds batch 1 on top of the
+    // RECOVERED 250 rows — 500 total, marker state intact
+    assert(Similarity.ivfPqAdvance(spark, idx,
+      enc.filter(col("vec_id") % 2 =!= 0), "t", 1L) == 500L)
+    assert(Similarity.ivfPqAdvance(spark, idx,
+      enc.filter(col("vec_id") % 2 === 0), "t", 0L) == -1L,
+      "batch 0's applied marker must survive the recovery")
+    assert(spark.read.parquet(idx).count() == 500L)
+  }
+
   test("the DECLARED q_ivfpq_advance equals q_ivfpq_probe and partition-prunes") {
     val adv = SparkEntry.queries("q_ivfpq_advance")(spark, sf)
     val probe = SparkEntry.queries("q_ivfpq_probe")(spark, sf)
