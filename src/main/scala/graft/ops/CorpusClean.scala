@@ -317,17 +317,12 @@ object CorpusClean {
       .cache()
     val dropIds: Array[Long] =
       try {
-        val r = cfg.numHashes / cfg.bands
-        require(cfg.numHashes % cfg.bands == 0, "bands must divide numHashes")
-        val ms = (0 until cfg.numHashes).map(j => col("__mh").getItem(j))
-        val bandStructs = (0 until cfg.bands).map { b =>
-          struct(lit(b.toLong).as("band"),
-            md5(concat(((b * r) until ((b + 1) * r)).map(ms): _*)
-              .cast("binary")).as("h"))
-        }
-        val bands = d.select(col("id"), explode(array(bandStructs: _*)).as("bh"))
-          .select(col("id"), col("bh.band").as("band"), col("bh.h").as("h"))
-          .filter(col("h").isNotNull)
+        // the SHARED minima→band-hash construction (r16 ADVICE: this
+        // was an inline re-implementation; any change to Dedup's
+        // banding would have silently diverged the declared
+        // accounting from the clean() pipeline it describes)
+        val bands = Dedup.bandKeysFromMinima(
+          d, col("id"), col("__mh"), cfg.numHashes, cfg.bands)
         val cand = bands.as("a").join(bands.as("b"),
             col("a.band") === col("b.band") && col("a.h") === col("b.h") &&
               col("a.id") < col("b.id"))

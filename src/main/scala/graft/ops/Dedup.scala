@@ -134,8 +134,6 @@ object Dedup {
     * `shingleLen` tokens emit nothing, matching [[shingles]]. */
   def lshBandKeys(docs: DataFrame, textCol: Column, idCol: Column,
       numHashes: Int = 8, bands: Int = 2, shingleLen: Int = 3): DataFrame = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
-    val r = numHashes / bands
     // ALL numHashes minima in one kernel pass over the shingle array
     // (graft.functions.MinHashMinima): the per-permutation
     // array_min(transform(md5)) HOF columns re-walked the shingle
@@ -155,18 +153,34 @@ object Dedup {
       .select(idCol.as("id"),
         graft.functions.GraftFunctions.minHashMinima(
           shingleArray(textCol, shingleLen), numHashes).as("__mh"))
-    val ms = (0 until numHashes).map(j => col("__mh").getItem(j))
+    bandKeysFromMinima(shingled, col("id"), col("__mh"), numHashes, bands)
+  }
+
+  /** (id, band, h) band keys from a frame carrying an id and a
+    * MinHash minima ARRAY column — the one minima→band-hash
+    * construction in the library ([[minHashBandHash]] over each
+    * band's `r = numHashes/bands` consecutive minima, exploded from
+    * band structs), shared by [[lshBandKeys]] and
+    * `CorpusClean.accounting` so the declared accounting's banding
+    * can never silently drift from the clean()-pipeline hashing it
+    * claims to describe (r16 ADVICE). Short docs surface as null
+    * band hashes (null minima null the concat inside
+    * minHashBandHash) and are filtered on the CHEAP generated
+    * attribute AFTER the explode, where the predicate cannot be
+    * pushed below the Generate and re-evaluate the minima chain
+    * (r10 plan-audit finding). */
+  private[graft] def bandKeysFromMinima(withMinima: DataFrame, idCol: Column,
+      mhCol: Column, numHashes: Int, bands: Int): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val ms = (0 until numHashes).map(j => mhCol.getItem(j))
     val bandStructs = (0 until bands).map { b =>
       struct(lit(b.toLong).as("band"),
         minHashBandHash((b * r until (b + 1) * r).map(ms)).as("h"))
     }
-    shingled
-      .select(col("id"), explode(array(bandStructs: _*)).as("bh"))
+    withMinima
+      .select(idCol.as("id"), explode(array(bandStructs: _*)).as("bh"))
       .select(col("id"), col("bh.band").as("band"), col("bh.h").as("h"))
-      // short docs surface here as null band hashes (null minima null
-      // the concat inside minHashBandHash) — filtered on the CHEAP
-      // generated attribute, where the predicate cannot be pushed
-      // below the Generate and re-evaluate the kernel chain
       .filter(col("h").isNotNull)
   }
 
