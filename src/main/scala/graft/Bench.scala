@@ -99,7 +99,8 @@ object Bench {
       "bucket_join_tables", "compacted_layout", "compact_partitioned_layout",
       "scd2_state", "sketch_rollup_state", "stream_cdc_state",
       "stream_scd2_state", "stream_agg_state", "stream_band_registry",
-      "cleaned_corpus_cache", "media_layout", "ivfpq_advanced_index")
+      "cleaned_corpus_cache", "media_layout", "ivfpq_advanced_index",
+      "ivfpq_removed_index")
     // Untimed JVM warm-up: exercise codegen, shuffle, window, join and
     // the parquet reader on the two tiny dimension tables so the first
     // timed query doesn't absorb JIT + first-codegen cost.
@@ -156,6 +157,8 @@ object Bench {
       // the incrementally-advanced IVF-PQ index (two folds + the
       // declared replay no-op — the same build-once lifecycle)
       SparkEntry.queries("q_ivfpq_advance")(spark, sfDir).count()
+      // the add→remove→add lifecycle index (r17 — the remove_ids half)
+      SparkEntry.queries("q_ivfpq_remove")(spark, sfDir).count()
     }
     // Three timed runs per query, min reported (declared in the JSON).
     // This VM shows multi-second scheduler stalls at random (observed

@@ -109,13 +109,19 @@ private[graft] object Swap {
     * from diverging. Callers run [[recover]] + any replay
     * early-return BEFORE building `next`. Returns the published row
     * count (a metadata-footer scan of the new registry — the one
-    * cost of the returned count). */
+    * cost of the returned count). `partitionCols` routes the tmp
+    * write through `partitionBy` (the cid-partitioned IVF-PQ index
+    * folds — partition dirs must survive the swap so probes keep
+    * real partition pruning) while the crash-ordering tail stays
+    * this one shared implementation. */
   private[graft] def publishFold(
       spark: org.apache.spark.sql.SparkSession, fs: FileSystem,
       live: Path, tmp: Path, next: org.apache.spark.sql.DataFrame,
-      newMarker: Option[String], stamps: Seq[String]): Long = {
+      newMarker: Option[String], stamps: Seq[String],
+      partitionCols: Seq[String] = Nil): Long = {
     fs.delete(tmp, true)
-    next.write.mode("overwrite").parquet(tmp.toString)
+    next.write.mode("overwrite").partitionBy(partitionCols: _*)
+      .parquet(tmp.toString)
     carryMarkers(fs, live, tmp, newMarker)
     stamps.foreach(m => fs.create(new Path(tmp, m), true).close())
     val rows = spark.read.parquet(tmp.toString).count()

@@ -228,11 +228,6 @@ object Similarity {
       lit(" — the bucket column was persisted under a different nBits; " +
         "pass the width it was built at, or re-bucket it"))))
 
-  /** Approximate top-k: exact cosine within the query's LSH bucket.
-    * Recall improves with fewer bits / multiple probe tables.
-    * `query` must hold exactly ONE row (asserted, like [[ivfTopK]] /
-    * [[bruteForceTopK]]); zero-norm pairs (undefined cosine — NaN
-    * would otherwise sort ABOVE every real score) are excluded. */
   /** [[lshBuckets]] with the width AUTO-SIZED to the corpus — the
     * embedding-side twin of `Dedup.autoSimHashWidth`'s wiring (r16,
     * executing the r15 verdict's #6): nBits = [[autoBits]](count), so
@@ -262,6 +257,11 @@ object Similarity {
     (lshBucketQuantized(vecCol, bits, seed, dims), bits)
   }
 
+  /** Approximate top-k: exact cosine within the query's LSH bucket.
+    * Recall improves with fewer bits / multiple probe tables.
+    * `query` must hold exactly ONE row (asserted, like [[ivfTopK]] /
+    * [[bruteForceTopK]]); zero-norm pairs (undefined cosine — NaN
+    * would otherwise sort ABOVE every real score) are excluded. */
   def lshTopK(corpus: DataFrame, idCol: Column, vecCol: Column,
       query: DataFrame, queryVec: Column, k: Int,
       nBits: Int = 16, seed: Int = 42, dims: Int = 64): DataFrame = {
@@ -937,20 +937,59 @@ object Similarity {
     val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
     graft.etl.Swap.recover(fs, live, tmp)
     if (graft.etl.Swap.markerExists(fs, live, runTag, batchId)) return -1L
+    // normalize the batch projection BEFORE the empty-index branch:
+    // fold 0 must publish the same (vec_id, cid int, codes) schema
+    // every later fold unions on (r16 ADVICE — a long/string cid in
+    // the first batch used to publish unnormalized on fold 0 only)
+    val b = batch.select(col("vec_id"), col("cid").cast("int").as("cid"),
+      col("codes"))
     val next =
-      if (!fs.exists(live)) batch
+      if (!fs.exists(live)) b
       else spark.read.parquet(indexDir)
         .select(col("vec_id"), col("cid").cast("int").as("cid"), col("codes"))
-        .unionByName(
-          batch.select(col("vec_id"), col("cid").cast("int").as("cid"),
-            col("codes")))
-    fs.delete(tmp, true)
-    next.write.mode("overwrite").partitionBy("cid").parquet(tmp.toString)
-    graft.etl.Swap.carryMarkers(fs, live, tmp,
-      Some(graft.etl.Swap.markerName(runTag, batchId)))
-    val rows = spark.read.parquet(tmp.toString).count()
-    graft.etl.Swap.publish(fs, live, tmp)
-    rows
+        .unionByName(b)
+    graft.etl.Swap.publishFold(spark, fs, live, tmp, next,
+      Some(graft.etl.Swap.markerName(runTag, batchId)), Nil,
+      partitionCols = Seq("cid"))
+  }
+
+  /** The REMOVE half of the index lifecycle (faiss `remove_ids`):
+    * drop a batch of vec_ids from a published cid-partitioned IVF-PQ
+    * index, under the same crash/replay discipline as
+    * [[ivfPqAdvance]] — recover an interrupted publish first, return
+    * −1 as a marker no-op when this (runTag, batchId) is already
+    * folded (a replayed delete must not be re-applied after
+    * intervening adds re-insert an id: delete-ness is a statement
+    * about a POINT in the fold sequence, which is exactly what the
+    * monotone marker encodes), else anti-join the live index against
+    * the tombstone ids and swap-publish the survivors. Share the
+    * runTag with the add folds: markers are monotone PER TAG, so
+    * adds and removes interleave under one sequence number line.
+    *
+    * Scale shape: same test-scale full-rewrite fold as
+    * [[ivfPqAdvance]] (honest at 1/64th of corpus bytes; leaf-wise
+    * per-cid rewrite is the documented production variant — a
+    * remove touches only the cid partitions its tombstones live in).
+    * The tombstone side of the anti-join is a delete batch —
+    * broadcast-sized by construction, so the index never shuffles. */
+  def ivfPqRemove(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, removeIds: DataFrame, runTag: String,
+      batchId: Long): Long = {
+    import org.apache.hadoop.fs.Path
+    val live = new Path(indexDir)
+    val tmp = new Path(indexDir + "_tmp")
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.etl.Swap.recover(fs, live, tmp)
+    if (graft.etl.Swap.markerExists(fs, live, runTag, batchId)) return -1L
+    require(fs.exists(live),
+      s"ivfPqRemove: no live index at $indexDir — nothing to remove from")
+    val next = spark.read.parquet(indexDir)
+      .select(col("vec_id"), col("cid").cast("int").as("cid"), col("codes"))
+      .join(broadcast(removeIds.select(col("vec_id"))),
+        Seq("vec_id"), "left_anti")
+    graft.etl.Swap.publishFold(spark, fs, live, tmp, next,
+      Some(graft.etl.Swap.markerName(runTag, batchId)), Nil,
+      partitionCols = Seq("cid"))
   }
 
   /** IVF-PQ search: coarse-probe the `nprobe` nearest inverted lists,

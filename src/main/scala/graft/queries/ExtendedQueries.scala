@@ -564,6 +564,35 @@ object ExtendedQueries {
       s"ivfPqAdvance: replay of batch 1 was not a marker no-op ($replay)")
   }
 
+  /** The q_ivfpq_remove index: the full add→remove→add lifecycle
+    * (faiss `add` + `remove_ids`) under ONE monotone marker sequence —
+    * fold 0 adds the even vec_ids, fold 1 REMOVES the multiples of 4
+    * (tombstones drop their code rows via a broadcast anti-join),
+    * fold 2 adds the odd vec_ids, then the remove is deliberately
+    * REPLAYED after the later add: the monotone marker (1 ≤ 2) must
+    * make it a no-op — a re-applied delete would wrongly survive the
+    * fold sequence and drop rows an oracle over the surviving set
+    * still expects. Surviving set: vec_id % 4 ≠ 0 (odds were added
+    * after the remove; evens lost their multiples of 4). Index at
+    * `<memo>/index`, cid-partitioned like the add-only build. */
+  private[graft] def ivfPqRemovePath(s: org.apache.spark.sql.SparkSession,
+      d: String): String = memoPath("ivfpqrm", s, d) { dir =>
+    val enc = ivfPqEncode(s, d)
+    val idx = s"$dir/index"
+    val n0 = graft.ops.Similarity.ivfPqAdvance(s, idx,
+      enc.filter(col("vec_id") % 2 === 0), "lc", 0L)
+    val n1 = graft.ops.Similarity.ivfPqRemove(s, idx,
+      enc.filter(col("vec_id") % 4 === 0).select(col("vec_id")), "lc", 1L)
+    val n2 = graft.ops.Similarity.ivfPqAdvance(s, idx,
+      enc.filter(col("vec_id") % 2 =!= 0), "lc", 2L)
+    require(n1 < n0 && n2 > n1,
+      s"ivfPqRemove lifecycle: fold sizes $n0 -> $n1 -> $n2")
+    val replay = graft.ops.Similarity.ivfPqRemove(s, idx,
+      enc.filter(col("vec_id") % 4 === 0).select(col("vec_id")), "lc", 1L)
+    require(replay == -1L,
+      s"ivfPqRemove: replay of the remove was not a marker no-op ($replay)")
+  }
+
   /** The q_bucket_join tables: lineitem/orders projections written
     * BUCKETED on their join key (8 buckets each, sorted, external
     * location under the memo's temp dir) so the declared join plans
@@ -1433,6 +1462,27 @@ object ExtendedQueries {
         .limit(10)
     },
 
+    // The REMOVE half of the index lifecycle under the oracle (r17 —
+    // faiss `remove_ids`, completing the I/D symmetry q_cdc_apply has
+    // for tables): the same probe over an index that lived through
+    // add(evens) → remove(multiples of 4) → add(odds), plus a
+    // deliberate replay of the REMOVE after the later add — the
+    // monotone applied-batch marker must no-op it (a re-applied
+    // delete would drop rows the oracle still expects). DuckDB
+    // recomputes the probe over the SURVIVING set (vec_id % 4 ≠ 0)
+    // from the same integer literals; any code row the tombstone
+    // anti-join wrongly kept, dropped or duplicated hash-mismatches.
+    // Same real cid partition pruning (dirs survive each swap).
+    "q_ivfpq_remove" -> { (s, d) =>
+      s.read.parquet(s"${ivfPqRemovePath(s, d)}/index")
+        .filter(col("cid").isin(ivfOracleProbe.map(Int.box): _*))
+        .select(col("vec_id"), col("cid").cast("int").as("cid"),
+          graft.functions.GraftFunctions.pqAdc(
+            col("codes"), adcOracleLut, 4).as("adc"))
+        .orderBy(col("adc").desc, col("vec_id"))
+        .limit(10)
+    },
+
     // Int8 scalar quantization of the embedding column — the ANN
     // memory-footprint step (64 doubles → 64 bytes + a scale). Codes
     // are round(v/scale) with per-vector max-abs scale: plain IEEE
@@ -1610,15 +1660,19 @@ object ExtendedQueries {
     },
   )
 
-  /** The shared q_ivfpq_probe / q_ivfpq_advance oracle: full
-    * recompute of the coarse assignment, probe-list selection and
-    * per-subspace ADC from the fixed integer literals (see
-    * [[ivfOracleCentroids]] / [[pqOracleCodebook]]). */
-  private lazy val ivfPqProbeOracleSql: String = {
+  /** The shared q_ivfpq_probe / q_ivfpq_advance / q_ivfpq_remove
+    * oracle: full recompute of the coarse assignment, probe-list
+    * selection and per-subspace ADC from the fixed integer literals
+    * (see [[ivfOracleCentroids]] / [[pqOracleCodebook]]).
+    * `corpusWhere` restricts the embedding corpus — q_ivfpq_remove
+    * passes the lifecycle's surviving-set predicate, so the oracle
+    * recomputes over exactly the rows the add→remove→add folds must
+    * converge to. */
+  private def ivfPqProbeOracle(corpusWhere: String = ""): String = {
       val cb = pqOracleCodebook.map(_.toLong).mkString("[", ", ", "]")
       val qv = adcQueryVec.map(_.toLong).mkString("[", ", ", "]")
       val g = ivfOracleCentroids.map(_.toLong).mkString("[", ", ", "]")
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings$corpusWhere),
          |cb AS (SELECT CAST($cb AS BIGINT[]) AS f, CAST($qv AS BIGINT[]) AS q,
          |              CAST($g AS BIGINT[]) AS g),
          |a AS (
@@ -2131,13 +2185,20 @@ object ExtendedQueries {
          |ORDER BY adc DESC, vec_id LIMIT 20""".stripMargin
     },
 
-    "q_ivfpq_probe" -> ivfPqProbeOracleSql,
+    "q_ivfpq_probe" -> ivfPqProbeOracle(),
 
     // the advanced index converges to the one-shot build (batch 0 ∪
     // batch 1 = the corpus; the replay is a marker no-op), so the
     // oracle IS the q_ivfpq_probe recompute — any row duplicated or
     // lost in the fold/replay/swap chain shifts the ADC top-k
-    "q_ivfpq_advance" -> ivfPqProbeOracleSql,
+    "q_ivfpq_advance" -> ivfPqProbeOracle(),
+
+    // the add→remove→add lifecycle converges to the surviving set
+    // (evens minus multiples of 4, plus odds = vec_id % 4 ≠ 0), so
+    // the oracle is the same probe recompute restricted to it — a
+    // tombstone wrongly kept, re-applied on replay, or leaking into
+    // the later add batch shifts the top-k and hash-mismatches
+    "q_ivfpq_remove" -> ivfPqProbeOracle(" WHERE vec_id % 4 <> 0"),
 
 
 

@@ -140,6 +140,87 @@ class IvfPqSpec extends AnyFunSuite {
     assert(spark.read.parquet(idx).count() == 500L)
   }
 
+  test("ivfPqRemove: tombstones drop, adds interleave, a replayed remove is a monotone no-op") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ivfpq_rm").toString
+    val idx = s"$dir/index"
+    val enc = index.select(col("id").as("vec_id"), col("cid"), col("codes"))
+    // add(evens) → remove(multiples of 4) → add(odds), one marker line
+    assert(Similarity.ivfPqAdvance(spark, idx,
+      enc.filter(col("vec_id") % 2 === 0), "t", 0L) == 250L)
+    val afterRm = Similarity.ivfPqRemove(spark, idx,
+      enc.filter(col("vec_id") % 4 === 0).select(col("vec_id")), "t", 1L)
+    assert(afterRm == 125L, s"survivors after remove: $afterRm")
+    assert(Similarity.ivfPqAdvance(spark, idx,
+      enc.filter(col("vec_id") % 2 =!= 0), "t", 2L) == 375L)
+    // the replayed REMOVE lands after the later add: the monotone
+    // marker (1 ≤ 2) must no-op it — re-applying the delete here
+    // would be wrong even though its target rows no longer exist in
+    // the same form (delete-ness is a point in the fold sequence)
+    assert(Similarity.ivfPqRemove(spark, idx,
+      enc.filter(col("vec_id") % 4 === 0).select(col("vec_id")), "t", 1L)
+      == -1L)
+    // converges to the one-shot build over the surviving set
+    val got = spark.read.parquet(idx)
+      .select(col("vec_id"), col("cid").cast("int"),
+        hex(col("codes"))).collect().toSet
+    val want = enc.filter(col("vec_id") % 4 =!= 0)
+      .select(col("vec_id"), col("cid").cast("int"),
+        hex(col("codes"))).collect().toSet
+    assert(got == want)
+    // cid partition dirs survive the remove's swap-publish
+    val probed = spark.read.parquet(idx).filter(col("cid").isin(0, 1))
+    probed.collect()
+    val scanLine = probed.queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(scanLine.contains("PartitionFilters: [cid"), scanLine)
+  }
+
+  test("ivfPqRemove: recovers an interrupted publish; removing from a missing index raises") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ivfpq_rmcrash").toString
+    val idx = s"$dir/index"
+    val enc = index.select(col("id").as("vec_id"), col("cid"), col("codes"))
+    // a remove with NO index at all is a caller bug, not a no-op
+    intercept[IllegalArgumentException] {
+      Similarity.ivfPqRemove(spark, idx,
+        enc.select(col("vec_id")).limit(1), "t", 0L)
+    }
+    assert(Similarity.ivfPqAdvance(spark, idx,
+      enc.filter(col("vec_id") % 2 === 0), "t", 0L) == 250L)
+    // simulate the crash window: live renamed back to tmp (the state
+    // after delete(live), before the rename lands)
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(idx),
+      new org.apache.hadoop.fs.Path(idx + "_tmp")))
+    // the next REMOVE must recover the orphan first, then fold —
+    // otherwise it would raise on the missing live dir (or worse,
+    // fold against nothing) despite 250 published rows existing
+    assert(Similarity.ivfPqRemove(spark, idx,
+      enc.filter(col("vec_id") % 4 === 0).select(col("vec_id")), "t", 1L)
+      == 125L)
+    assert(Similarity.ivfPqAdvance(spark, idx,
+      enc.filter(col("vec_id") % 2 === 0), "t", 0L) == -1L,
+      "batch 0's applied marker must survive the recovery")
+    assert(spark.read.parquet(idx).count() == 125L)
+  }
+
+  test("the DECLARED q_ivfpq_remove probes the surviving set and partition-prunes") {
+    val rm = SparkEntry.queries("q_ivfpq_remove")(spark, sf)
+    val rows = rm.collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    // no tombstoned id may surface
+    assert(rows.forall(_.getLong(0) % 4 != 0))
+    assert(rows.map(_.getInt(1)).toSet.subsetOf(
+      graft.queries.ExtendedQueries.ivfOracleProbe.toSet))
+    val plan = rm.queryExecution.executedPlan.toString
+    val scanLine = plan.linesIterator
+      .find(_.contains("PartitionFilters")).getOrElse("")
+    assert(scanLine.contains("PartitionFilters: [cid"), plan.take(4000))
+    assert(!scanLine.contains("PartitionFilters: []"), scanLine)
+  }
+
   test("the DECLARED q_ivfpq_advance equals q_ivfpq_probe and partition-prunes") {
     val adv = SparkEntry.queries("q_ivfpq_advance")(spark, sf)
     val probe = SparkEntry.queries("q_ivfpq_probe")(spark, sf)
