@@ -249,25 +249,27 @@ object CorpusClean {
     * the candidate-restricted Jaccard verify (array_intersect over
     * the two cached shingle sets — same math as the shingle-count
     * form, pinned by AccountingParitySpec) all read that one cache;
-    * the verified pairs' higher ids are collected and the cache is
-    * dropped before returning, so nothing outlives the call. The
-    * collect is the DROP-LIST class — bounded by |verified pairs|,
-    * LSH-bounded by construction, the same bound that justifies
-    * clean()'s broadcast anti-join — and is strictly smaller than
-    * the survivor digest's single-buffer gather the declared output
-    * already carries (both are the disclosed test-scale/oracle-parity
-    * choice; a 100 TB run would swap-publish the drop list as parquet
-    * the way `cleanedSurvivorIdsPath` publishes the keep set).
-    * Everything that shuffles here is (id, hash)-shaped or
-    * candidate-bounded.
+    * the verified pairs' higher ids land in the drop list and the
+    * cache is dropped before returning, so nothing outlives the
+    * call. The drop list is GATHERED or PUBLISHED by size
+    * (`dropListThreshold`): a `limit(threshold+1)` probe collects it
+    * when it fits — the DROP-LIST class, bounded by |verified
+    * pairs|, LSH-bounded by construction, the same bound that
+    * justifies clean()'s broadcast anti-join — and otherwise (the
+    * pathological near-dup corpus where |verified pairs| ~ |corpus|)
+    * swap-publishes the ids as parquet under `dropListDir` the way
+    * `cleanedSurvivorIdsPath` publishes the keep set, so the list
+    * never touches the driver. Everything that shuffles here is
+    * (id, hash)-shaped or candidate-bounded.
     *
     * Action 2 — the returned LAZY frame: flags + window again (the
     * one text-bearing exchange, pre-tokenization __fp — the gated
-    * contract), a broadcast left-outer against the in-memory drop
-    * list, and ONE final aggregate producing all four survivor
-    * counts AND the survivor digest (collect_list of the near-keep
-    * ids — identical expression to the clean()-path digest), then a
-    * `stack` unpivot into the 4-row stage frame.
+    * contract), a left-outer against the drop list (broadcast when
+    * gathered; a distributed hash join against the published parquet
+    * when spilled), and ONE final aggregate producing all four
+    * survivor counts AND the survivor digest (collect_list of the
+    * near-keep ids — identical expression to the clean()-path
+    * digest), then a `stack` unpivot into the 4-row stage frame.
     *
     * Net: the flag/window chain runs twice (once per action), the
     * LSH chain once over the cache — ~20 stages total vs ~146.
@@ -277,9 +279,21 @@ object CorpusClean {
     * callers wanting CC accounting compose [[clean]]'s thunks
     * instead. No decontamination stage (pass an eval corpus to
     * [[clean]] for that path). AccountingParitySpec pins equality
-    * with the [[clean]]-derived numbers at every stage. */
+    * with the [[clean]]-derived numbers at every stage — through
+    * BOTH drop-list arms.
+    *
+    * `dropListThreshold`: max drop ids gathered to the driver (the
+    * default, 4M longs ≈ 32 MB, is comfortably broadcast-sized);
+    * above it the ids are swap-published as parquet and joined
+    * distributed. `dropListDir`: where the spilled list publishes —
+    * defaults to a JVM-temp dir, which a long-lived caller on a real
+    * cluster should override with a job-scoped durable path (a local
+    * temp dir is fine within one driver's lifetime; cleanup is the
+    * caller's once the returned frame is consumed). */
   def accounting(docs: DataFrame, textCol: Column, idCol: Column,
-      cfg: Config = Config()): DataFrame = {
+      cfg: Config = Config(), dropListThreshold: Int = 4000000,
+      dropListDir: Option[String] = None): DataFrame = {
+    require(dropListThreshold >= 0, "dropListThreshold must be >= 0")
     require(!cfg.useConnectedComponents,
       "accounting() is the one-job greedy form; CC accounting must " +
         "compose clean()'s eager thunks")
@@ -315,7 +329,7 @@ object CorpusClean {
         graft.functions.GraftFunctions.minHashMinima(
           col("shset"), cfg.numHashes).as("__mh"))
       .cache()
-    val dropIds: Array[Long] =
+    val dropSide: DataFrame =
       try {
         // the SHARED minima→band-hash construction (r16 ADVICE: this
         // was an inline re-implementation; any change to Dedup's
@@ -344,15 +358,52 @@ object CorpusClean {
             (size(col("s1")).cast("long") + size(col("s2")).cast("long")
               - col("__inter")))
           .filter(col("jac") >= cfg.jaccardThreshold)
-        verified.select(col("id2")).distinct().collect().map(_.getLong(0))
+        val dropIdsDf = verified.select(col("id2").as("__drop_id")).distinct()
+        // size-probed gather-or-publish: the limit(threshold+1) probe
+        // reads the verify chain once, and when the list fits the
+        // probe IS the gather (a limit that returns fewer rows than
+        // asked has returned the COMPLETE set — deterministic).
+        // initialNumPartitions pinned for the take's duration:
+        // executeTake's default 1→4→16… scale-up re-schedules the
+        // (shuffle-reused) upstream stages per retry — measured +12
+        // counted stages of pure limit retries at sf0.1 — while one
+        // all-partitions job reads the same final exchange once.
+        val confKey = "spark.sql.limit.initialNumPartitions"
+        val prevConf = spark.conf.getOption(confKey)
+        val probe =
+          try {
+            spark.conf.set(confKey, Int.MaxValue.toString)
+            dropIdsDf.limit(dropListThreshold + 1)
+              .collect().map(_.getLong(0))
+          } finally prevConf match {
+            case Some(v) => spark.conf.set(confKey, v)
+            case None => spark.conf.unset(confKey)
+          }
+        if (probe.length <= dropListThreshold) {
+          import spark.implicits._
+          broadcast(probe.toSeq.sorted.toDF("__drop_id"))
+        } else {
+          // the spilled arm (r16 verdict #4): a pathological near-dup
+          // corpus makes |verified pairs| ~ |corpus| and the gather
+          // unbounded — swap-publish the ids once (complete-or-absent
+          // under the _SUCCESS-gated rename) and join DISTRIBUTED;
+          // the driver never holds the list
+          val dir = dropListDir.getOrElse(java.nio.file.Files
+            .createTempDirectory("graft_droplist").toString)
+          val live = new org.apache.hadoop.fs.Path(dir, "ids")
+          val tmp = new org.apache.hadoop.fs.Path(dir, "_tmp_ids")
+          val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          fs.delete(tmp, true)
+          dropIdsDf.write.mode("overwrite").parquet(tmp.toString)
+          graft.etl.Swap.publish(fs, live, tmp)
+          spark.read.parquet(live.toString)
+        }
       } finally d.unpersist()
 
     // ---- action 2: the returned lazy accounting frame ----
-    import spark.implicits._
-    val drop = dropIds.toSeq.sorted.toDF("__drop_id")
     val nearKeep = exactKeep && col("__drop_id").isNull
     val row = ranked
-      .join(broadcast(drop), idCol === col("__drop_id"), "left_outer")
+      .join(dropSide, idCol === col("__drop_id"), "left_outer")
       .agg(
         count(lit(1)).as("total"),
         coalesce(sum(col("__lang_ok").cast("long")), lit(0L)).as("n_lang"),

@@ -74,6 +74,46 @@ class AccountingParitySpec extends AnyFunSuite {
     }
   }
 
+  test("accounting() parity holds through the SPILLED drop-list arm (threshold forced to 0)") {
+    // dropListThreshold = 0 forces every drop id through the
+    // swap-published parquet + distributed-join arm — the 100 TB path
+    // for pathological near-dup corpora where |verified pairs| ~
+    // |corpus|. Parity with the eager pipeline must hold bit-for-bit
+    // (same counts, same survivor digest), and the published list
+    // must actually exist under the caller-provided dir.
+    val docs = spark.read.parquet(sfTiny + "/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val cleaned = ops.CorpusClean.clean(docs, col("text"), col("doc_id"))
+    val (eagerRows, eagerDigest) =
+      try {
+        val stats = cleaned.stageStats().orderBy(col("stage")).collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        val digest = cleaned.docs
+          .agg(md5(concat_ws(",",
+            transform(array_sort(collect_list(col("doc_id"))),
+              x => x.cast("string"))).cast("binary")).as("m"))
+          .head.getString(0)
+        (stats, digest)
+      } finally cleaned.release()
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_droplist_spec").toString
+    val acc = ops.CorpusClean.accounting(docs, col("text"), col("doc_id"),
+        dropListThreshold = 0, dropListDir = Some(dir))
+      .orderBy(col("stage")).collect()
+    val accRows = acc.map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(accRows.sameElements(eagerRows),
+      s"stage counts diverge through the spilled arm:\n" +
+        s" one-job: ${accRows.mkString(", ")}\n" +
+        s" eager:   ${eagerRows.mkString(", ")}")
+    assert(acc.map(_.getString(3)).distinct.sameElements(Array(eagerDigest)),
+      "survivor digest diverges through the spilled arm")
+    // the ids really published (complete-or-absent: _SUCCESS present)
+    val published = spark.read.parquet(s"$dir/ids")
+    assert(published.columns.sameElements(Array("__drop_id")))
+    assert(published.count() > 0, "spilled arm published an empty drop list " +
+      "on a corpus whose eager pipeline drops near-dups")
+  }
+
   test("accounting() on an empty corpus reports zeros, not nulls") {
     import spark.implicits._
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
