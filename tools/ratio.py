@@ -1,69 +1,66 @@
 #!/usr/bin/env python3
 """Judge-style per-query ratio check (driver-side dev tool; NOT
 shipped in the library): joins a `graft.Bench` JSON line against a
-`tools/ducktime.py` JSON line and applies the floor rule the verdicts
-use — a query is *floor-dominated* when `wall <= stages *
-floor_per_stage_sec`, and only non-floor-dominated queries slower
-than GATE x DuckDB are flagged.
+`tools/ducktime.py` JSON line and applies the verdicts' floor rule.
 
-Full-sweep walls are noisier than isolated runs (the host stalls —
-see SCALE.md "Measurement method"), so a flag here means "re-measure
-isolated" (`SPARK_GRAFT_BENCH_ONLY=q SPARK_GRAFT_BENCH_RUNS=9`), not
-"definitely slow". Exit 1 when anything is flagged.
+GATING (r17 — weather-proofed per the r16 verdict #2): the exit code
+is decided on per-query floorline EXCESS (`wall − stages ×
+floor_per_stage`, the contention-self-normalizing signal Bench emits
+in aggregate), never on raw sweep walls — a loaded host inflates
+walls 1.5-2× but the floor probes inflate with them, so the excess
+stays put. A query fails the gate only when its excess exceeds BOTH
+`gate ×` its DuckDB twin AND an absolute floor (0.25 s — the top of
+this host's per-query scheduling-floor band), and it is not an
+ACCEPTED disposition within its settled ceiling.
+
+ACCEPTED entries are NOT unconditional exemptions (r16 ADVICE): each
+carries a per-entry EXCESS CEILING (settled idle reading × ~1.5-2,
+derivations in SCALE.md "Tight-floorline dispositions"), checked on
+every run — a genuine multi-× regression in a settled query still
+trips the sweep rather than hiding behind the disposition until a
+plan pin notices.
+
+Raw >gate ratios still PRINT as FLAG so the readings stay on the
+record; they just don't decide the exit code anymore.
 
 Usage: python3 tools/ratio.py <bench.json> <ducktime.json> [gate=2.0]
 """
 import json
 import sys
 
-# Settled dispositions (the PlanAudit-allowlist pattern): queries whose
-# >gate sweep reading has been bisected, re-measured isolated, and
-# accepted by a verdict. They still PRINT as FLAG so the reading stays
-# on the record, but they do not fail the exit code — only a NEW flag
-# does. Entries carry the isolated reading + where the disposition
-# lives; re-litigate only if the regression PIN (Bench pin_failures /
-# PlanBudgets) trips.
+# Settled dispositions with EXCESS CEILINGS (seconds). Basis: the
+# r15/r16 idle sweep readings in SCALE.md "Tight-floorline
+# dispositions" (wall − stages × 0.065 idle floor), with ×1.5-2
+# headroom. Re-litigate an entry only if its ceiling or its
+# PlanBudgets pins trip.
 ACCEPTED = {
-    # r9 verdict option B, executed r10: plan is audited-minimal (one
-    # shared sort/exchange), both restructurings measured worse,
-    # isolated min-of-9 reads 0.68-0.77 s = 1.8-2.0x; pinned at 1.0 s
-    # sweep-context in Bench (SCALE.md "q_rsi cost attribution").
-    "q_rsi",
-    # r15 verdict "What's wrong" #3 / r16: the tight-floorline class —
-    # 3-4-stage sub-0.75 s walls whose plans r15 itself re-audited and
-    # minimized, flagged against hundredth-of-a-second embedded-engine
-    # twins only when a 0.1 s host breeze lands them a hair above
-    # stages x floor_per_stage. Each entry carries its settled reading
-    # (SCALE.md "Tight-floorline dispositions"); the regression signal
-    # for these is the deterministic plan-cost pins (PlanBudgets
-    # stages/shuffle/input), which a real plan change trips while host
-    # noise cannot. Re-litigate only if those pins trip.
-    #
-    # r15 judge idle readings: one range-partitioned exchange, sort
-    # elided, stages halved by the r15 re-plan; walls ride the
-    # scheduling floor. vs 0.01-0.2 s DuckDB twins.
-    "q_drawdown",         # 0.64 s / 4 st, 3.1x — one-exchange plan
-    "q_quantiles_multi",  # 0.42 s / 3 st, 29x — rank-window quantiles
-    "q_agg_median",       # 0.29 s / 3 st, 19x — same family
-    "q_percentile_disc",  # 0.24 s / 3 st, 15x — same family
-    # broadcast join / bucketed join: zero or one exchange by
-    # construction (PlanSpec-gated), wall is stage launch + tiny scan.
-    "q_join_hashkey",     # 0.42 s / 3 st, 2.1x — broadcast dim join
-    "q_bucket_join",      # 0.20 s / 2 st, 3.9x — zero-exchange bucketed
-    # r16: the Spark side runs REAL codec work (2.5k ImageIO PNG
-    # decodes + 2.5k javax.sound WAV header parses at sf0.1, ~1.1 s)
-    # while the DuckDB twin re-derives the expected metadata
-    # ARITHMETICALLY (no codec exists in SQL) — the ratio compares
-    # codec cost against nothing by construction. Disposition in
-    # SCALE.md "Tight-floorline dispositions" (asymmetric-twin class).
-    "q_media_meta",
-    # r16 isolated min-of-9 re-measures (the prescribed response to a
-    # first-time sweep flag; readings in SCALE.md's disposition table):
-    "q_expectations",   # 0.71 s / 12 st vs 0.85 floorline — FLOOR isolated
-    "q_case_when",      # 0.27 s / 4 st vs 0.28 floorline — FLOOR isolated
-    "q_date_funcs",     # 0.31 s / 4 st, 0.03 above floorline — flap zone
-    "q_date_arith",     # 0.33 s / 4 st, 0.05 above floorline — flap zone
+    # r9/r10 settled: plan audited-minimal, both restructurings
+    # measured worse; isolated 0.68-0.77 s / 8 st, sweep-context
+    # excess observed to ~0.9 on a loaded judge host.
+    "q_rsi": 1.2,
+    # r15 one-exchange re-plans / broadcast / bucketed joins: walls
+    # ride the scheduling floor, tiny idle excesses.
+    "q_drawdown": 0.6,          # idle 0.64 s / 4 st → excess ~0.38
+    "q_quantiles_multi": 0.4,   # 0.42 s / 3 st → ~0.23
+    "q_agg_median": 0.3,        # 0.29 s / 3 st → ~0.10
+    "q_percentile_disc": 0.3,   # 0.24 s / 3 st → ~0.05
+    "q_join_hashkey": 0.4,      # 0.42 s / 3 st → ~0.23
+    "q_bucket_join": 0.3,       # 0.20 s / 2 st → ~0.07
+    # asymmetric twin: Spark runs real codec work (5k decodes at
+    # sf0.1) while the DuckDB twin re-derives metadata arithmetically
+    # — the wall IS the declared work. r17 plan: decode + checkpoint
+    # + range sort, ~0.98 s / 6 st idle → excess ~0.6.
+    "q_media_meta": 0.9,
+    # flap-zone entries (isolated FLOOR or within hundredths of it).
+    "q_expectations": 0.3,
+    "q_case_when": 0.3,
+    "q_date_funcs": 0.3,
+    "q_date_arith": 0.3,
 }
+
+# Below this, an excess is scheduling-floor residue on this host
+# (per-query floor band 0.1-0.25 s, BASELINE.md), not engine signal.
+ABS_EXCESS_FLOOR = 0.25
 
 bench_path, duck_path = sys.argv[1], sys.argv[2]
 gate = float(sys.argv[3]) if len(sys.argv) > 3 else 2.0
@@ -71,32 +68,42 @@ gate = float(sys.argv[3]) if len(sys.argv) > 3 else 2.0
 bench = json.loads(open(bench_path).readline())
 duck = json.loads(open(duck_path).readline())["queries"]
 stages = bench.get("stages", {})
-fps = bench.get("floor_per_stage_sec") or bench.get("floor_sec", 0.15) / 2
+# price the floorline by the WORSE of the two probes, like Bench's own
+# floorline_excess_sec — contention present at either end of the
+# sweep scales the line
+fps = max(bench.get("floor_sec", 0) or 0,
+          bench.get("floor_after_sec", 0) or 0) / 2
+if not fps:
+    fps = bench.get("floor_per_stage_sec") or 0.06
 
-flagged = []
+failures = []   # (query, reason) — decide the exit code
+flagged = []    # raw >gate ratios — printed for the record
 rows = []
 for q, wall in sorted(bench["queries"].items(), key=lambda kv: -kv[1]):
     st = stages.get(q, 0)
     dt = duck.get(q)
-    # max(stages x per-stage floor, 0.1 s absolute): this host's
-    # per-query floor is 0.1-0.25 s (BASELINE.md), so a sub-100 ms
-    # wall carries no engine signal regardless of stage count — a
-    # 1-stage 70 ms query otherwise flaps across its 66 ms line on
-    # run noise and fakes a flag
     floor_line = max(st * fps, 0.1) if st and st > 0 else None
     floor_dom = floor_line is not None and wall <= floor_line
+    excess = max(0.0, wall - st * fps) if st and st > 0 else wall
     ratio = wall / dt if dt else None
-    rows.append((q, wall, st, floor_line, dt, ratio, floor_dom))
+    rows.append((q, wall, st, excess, dt, ratio, floor_dom))
     if ratio is not None and ratio > gate and not floor_dom:
-        flagged.append((q, wall, dt, ratio, st))
+        flagged.append((q, wall, dt, ratio, st, excess))
+    if q in ACCEPTED:
+        if excess > ACCEPTED[q]:
+            failures.append((q, f"excess {excess:.2f} s blew the settled "
+                                f"ceiling {ACCEPTED[q]:.2f} s"))
+    elif dt is not None and excess > max(gate * dt, ABS_EXCESS_FLOOR):
+        failures.append((q, f"excess {excess:.2f} s > "
+                            f"max({gate:.1f}x duck {dt:.2f}, "
+                            f"{ABS_EXCESS_FLOOR}) s"))
 
-print(f"{'query':30} {'spark':>7} {'stages':>6} {'floorline':>9} "
+print(f"{'query':30} {'spark':>7} {'stages':>6} {'excess':>7} "
       f"{'duck':>7} {'ratio':>6}  verdict")
-for q, wall, st, fl, dt, ratio, dom in rows[:25]:
+for q, wall, st, ex, dt, ratio, dom in rows[:25]:
     verdict = ("FLOOR" if dom else
                ("FLAG" if ratio is not None and ratio > gate else "ok"))
-    print(f"{q:30} {wall:7.2f} {st:6} "
-          f"{fl if fl is not None else float('nan'):9.2f} "
+    print(f"{q:30} {wall:7.2f} {st:6} {ex:7.2f} "
           f"{dt if dt is not None else float('nan'):7.2f} "
           f"{ratio if ratio is not None else float('nan'):6.1f}  {verdict}")
 
@@ -105,31 +112,28 @@ total_d = sum(duck.values())
 print(f"\ntotals: spark {total_s:.2f} s vs duckdb {total_d:.2f} s "
       f"= {total_s / total_d:.2f}x  (floor_sec {bench.get('floor_sec')})")
 # The ENGINE signal (r15 verdict #4): raw totals move 1.5-2x with host
-# contention; the bench-emitted floorline excess (Σ max(0, wall −
-# stages × floor_per_stage), floorline priced by the worse of the two
-# floor probes) self-normalizes — compare THIS across rounds/hosts.
-excess = bench.get("floorline_excess_sec")
-if excess is None and stages:
-    fps_used = max(bench.get("floor_sec", 0) or 0,
-                   bench.get("floor_after_sec", 0) or 0) / 2
-    excess = sum(max(0.0, w - stages.get(q, 0) * fps_used)
-                 for q, w in bench["queries"].items()
-                 if w >= 0 and stages.get(q, 0) > 0)
-if excess is not None:
-    print(f"engine signal: floorline_excess {excess:.2f} s "
+# contention; the bench-emitted floorline excess self-normalizes —
+# compare THIS across rounds/hosts.
+excess_total = bench.get("floorline_excess_sec")
+if excess_total is None and stages:
+    excess_total = sum(max(0.0, w - stages.get(q, 0) * fps)
+                       for q, w in bench["queries"].items()
+                       if w >= 0 and stages.get(q, 0) > 0)
+if excess_total is not None:
+    print(f"engine signal: floorline_excess {excess_total:.2f} s "
           f"(total minus per-query scheduling floorlines — the "
           f"contention-immune cross-host comparison)")
 if flagged:
-    print(f"\nFLAGGED (> {gate}x, not floor-dominated) — re-measure "
-          f"isolated before believing a sweep number:")
-    for q, wall, dt, ratio, st in flagged:
-        note = "  [accepted disposition — not a gate failure]" \
-            if q in ACCEPTED else ""
+    print(f"\nFLAGGED (> {gate}x raw ratio, not floor-dominated) — "
+          f"on the record; the exit code reads the EXCESS column:")
+    for q, wall, dt, ratio, st, ex in flagged:
+        note = "  [accepted disposition]" if q in ACCEPTED else ""
         print(f"  {q}: {wall:.2f} s vs {dt:.2f} s = {ratio:.1f}x "
-              f"({st} stages){note}")
-    new = [q for q, *_ in flagged if q not in ACCEPTED]
-    if new:
-        sys.exit(1)
-    print("all flags carry accepted dispositions; exit 0")
-    sys.exit(0)
-print(f"\nno non-floor queries above {gate}x DuckDB")
+              f"({st} stages, excess {ex:.2f} s){note}")
+if failures:
+    print("\nGATE FAILURES (floorline-excess rule):")
+    for q, why in failures:
+        print(f"  {q}: {why}")
+    sys.exit(1)
+print(f"\ngate green: no query's floorline excess exceeds "
+      f"max({gate}x duck, {ABS_EXCESS_FLOOR} s) or its settled ceiling")
