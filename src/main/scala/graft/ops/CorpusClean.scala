@@ -345,8 +345,13 @@ object CorpusClean {
         // restrict the cached shingle sets to candidate docs BEFORE
         // any join that could shuffle them: candDocs is LSH-bounded,
         // so derived-text bytes never move at corpus volume
+        // no distinct on the exploded ids: a LEFT SEMI join's output
+        // is unaffected by duplicate build-side keys, the broadcast
+        // stays ≤ 2|cand| ids either way, and the distinct was a
+        // whole extra exchange + AQE stage job per invocation (r17
+        // stage-floor work)
         val candIdFrame = cand
-          .select(explode(array(col("id1"), col("id2"))).as("id")).distinct()
+          .select(explode(array(col("id1"), col("id2"))).as("id"))
         val candDocs = d.join(broadcast(candIdFrame), Seq("id"), "left_semi")
           .select(col("id"), col("shset"))
         val verified = cand

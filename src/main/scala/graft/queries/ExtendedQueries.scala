@@ -1161,21 +1161,35 @@ object ExtendedQueries {
     // agreement estimate (n_agree/8 — the unbiased MinHash Jaccard
     // estimator) against the EXACT shingle-set Jaccard, with the
     // absolute error. The pair space is the LSH candidate set (linear
-    // contract, shared cache); signatures join onto the broadcast
-    // pairs, exact Jaccard reuses the candidate-restricted sized
-    // shingle cache. est and jac are exact rational doubles (eighths /
-    // integer division), so the comparison is engine-portable.
+    // contract, shared cache). EVERY join side here is pair- or
+    // candidate-bounded — the same bound that already justifies
+    // broadcasting `cands` — so the whole chain runs as broadcast
+    // hash joins streaming the cached signature table twice, and the
+    // terminal sort is the plan's ONLY shuffle (r17, executing the
+    // r16 stage-floor item: the old shuffle_hash formulation paid 5
+    // exchanges / 26 stages to move pair-bounded frames; this one
+    // measures 9). The pairs×signature intermediate the second probe
+    // broadcasts is |pairs| × 8 md5 strings — the cands broadcast's
+    // own size class. est and jac are exact rational doubles
+    // (eighths / integer division), so the comparison is
+    // engine-portable.
     "q_minhash_est" -> { (s, d) =>
       val cands = lshCandidatePairs(s, d).toDF("id1", "id2")
       val sigs = mhSignatures(s, d)
       val agree = (0 until 8)
-        .map(k => when(col(s"a.m$k") === col(s"b.m$k"), 1).otherwise(0))
+        .map(k => when(col(s"am$k") === col(s"b.m$k"), 1).otherwise(0))
         .reduce(_ + _)
-      val est = broadcast(cands)
+      val withA = broadcast(cands)
         .join(sigs.as("a"), col("id1") === col("a.id"))
-        .join(sigs.as("b").hint("shuffle_hash"), col("id2") === col("b.id"))
+        .select(col("id1") +: col("id2") +:
+          (0 until 8).map(k => col(s"a.m$k").as(s"am$k")): _*)
+      val est = broadcast(withA)
+        .join(sigs.as("b"), col("id2") === col("b.id"))
         .select(col("id1"), col("id2"), agree.cast("long").as("n_agree"))
-      est.join(jaccardPairs(s, d), Seq("id1", "id2"))
+      // est STREAMS into the last join (broadcasting it would re-run
+      // the whole upstream chain inside one more nested broadcast
+      // build); the cached verified-pairs table is the 1-stage build
+      est.join(broadcast(jaccardPairs(s, d)), Seq("id1", "id2"))
         .select(col("id1").as("doc1"), col("id2").as("doc2"),
           col("n_agree"), (col("n_agree") / lit(8.0)).as("est"), col("jac"),
           round(abs(col("n_agree") / lit(8.0) - col("jac")), 4).as("err"))

@@ -301,6 +301,44 @@ class PlanSpec extends AnyFunSuite {
     assert("HashAggregate".r.findAllIn(pu).length >= 4, pu.take(4000))
   }
 
+  /** Shuffle exchanges executed by THIS query, counted on the plan
+    * tree: descends through AQE wrappers/stages, stops at
+    * InMemoryTableScan leaves (a cached memo's STORED build plan is
+    * not executed by the reading query — the string count above
+    * walks into those nested plan dumps and overcounts wildly for
+    * queries over the shared memo caches). */
+  private def executedShuffles(df: DataFrame): Int = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    def walk(p: SparkPlan): Int = {
+      val self = p match { case _: ShuffleExchangeLike => 1; case _ => 0 }
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case s: QueryStageExec => Seq(s.plan)
+        case o => o.children
+      }
+      self + kids.map(walk).sum
+    }
+    walk(df.queryExecution.executedPlan)
+  }
+
+  test("minhash estimator: pair-bounded joins broadcast, terminal sort is the only shuffle") {
+    // r17 stage-floor work: every join side in q_minhash_est is pair-
+    // or candidate-bounded (the LSH linear contract), so the whole
+    // chain must run as broadcast hash joins over the cached
+    // signature/pair tables — the old shuffle_hash formulation paid 5
+    // exchanges to move pair-bounded frames (measured 24 -> 22 stages,
+    // 0.101 -> 0.019 MB shuffle at sf0.1)
+    val df = q("q_minhash_est")
+    df.collect() // finalize AQE
+    val p = plan(df)
+    assert(!p.take(4000).contains("SortMergeJoin"), p.take(4000))
+    assert(executedShuffles(df) == 1,
+      s"expected the terminal sort as the ONLY shuffle:\n${p.take(4000)}")
+    assert(p.contains("rangepartitioning"), p.take(4000))
+  }
+
   test("vector pair join: dot kernel is codegen, join is broadcast") {
     val df = q("q_dedup_embed_topk")
     df.collect() // finalize the AQE plan so codegen stages are visible

@@ -45,6 +45,39 @@ object ProfileScratch {
         }
         println(f"$n%-24s ${t(0)}%7.3f ${t(1)}%7.3f ${t(2)}%7.3f ${t(3)}%7.3f ${t(4)}%7.3f ${t(5)}%7.3f")
       }
+    } else if (sys.env.get("SPARK_GRAFT_JOBS").contains("1")) {
+      // per-JOB stage breakdown of one benchAction: which jobs a query
+      // launches and how many stages each schedules — the floor-
+      // multiplier map (stage-count work, r16 verdict #3)
+      names.foreach { n =>
+        // warm: memo/cache builds happen here, matching Bench's
+        // prebuilt-artifact convention, so the counted run is the
+        // steady-state per-invocation shape
+        Bench.benchAction(SparkEntry.queries(n)(spark, sfDir))
+        val jobs = new java.util.concurrent.ConcurrentHashMap[Int, (String, Int, Int)]()
+        val l = new org.apache.spark.scheduler.SparkListener {
+          override def onJobStart(
+              j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+            val desc = j.stageInfos.sortBy(_.stageId).map(_.name.takeWhile(_ != '\n'))
+              .mkString(" | ")
+            val skipped = j.stageInfos.count(_.submissionTime.isEmpty)
+            jobs.put(j.jobId, (desc.take(90), j.stageIds.size, skipped))
+          }
+        }
+        spark.sparkContext.addSparkListener(l)
+        try {
+          val t0 = System.nanoTime()
+          Bench.benchAction(SparkEntry.queries(n)(spark, sfDir))
+          val wall = (System.nanoTime() - t0) / 1e9
+          Thread.sleep(500)
+          println(f"=== $n: ${jobs.size} jobs, " +
+            f"${jobs.values.stream.mapToInt(_._2).sum} stages, $wall%.2f s ===")
+          import scala.jdk.CollectionConverters._
+          jobs.asScala.toSeq.sortBy(_._1).foreach { case (id, (d, st, sk)) =>
+            println(f"  job $id%3d  stages=$st%3d  $d")
+          }
+        } finally spark.sparkContext.removeSparkListener(l)
+      }
     } else names.foreach { n =>
       val df = SparkEntry.queries(n)(spark, sfDir)
       println(s"=== $n plan ===")
