@@ -402,6 +402,40 @@ object ScaleProbe {
                 spark.read.parquet(s"$Base/lineitem.parquet")
                   .select(col("l_linenumber")), "l_linenumber"))))
         },
+        (d: String) => "", 3),
+
+      // media decode at scale (r17, executing the r16 verdict's media
+      // probe item): the DECLARED q_media_meta path — per-payload
+      // codec work (ImageIO/javax.sound) + the checkpointed parallel
+      // range sort that replaced the repartition(1) gather. Expect
+      // ~linear wall in |corpus| (codec cost dominates, decode runs
+      // once per payload); the stat reports the layout volume the
+      // decode pass reads.
+      ("risk_media_meta",
+        (d: String) => graft.SparkEntry.queries("q_media_meta")(spark, d),
+        (d: String) => {
+          val lp = graft.queries.ExtendedQueries.mediaLayoutPath(spark, d)
+          val m = spark.read.parquet(lp)
+            .agg(count(lit(1)).as("n"), sum(length(col("bytes"))).as("b")).head
+          f"mediaRows=${m.getLong(0)} payloadMB=${m.getLong(1) / 1e6}%.1f"
+        }, 3),
+      // the PRE-r17 terminal for comparison: same decode, total order
+      // via a single-task round-robin gather — the funnel the r16
+      // verdict graded the round's one scale-killer. Its slope vs the
+      // range sort above IS the fix's measurement.
+      ("risk_media_gather",
+        (d: String) => {
+          import spark.implicits._
+          val media = spark.read
+            .parquet(graft.queries.ExtendedQueries.mediaLayoutPath(spark, d))
+            .as[graft.ops.Multimodal.MediaRow]
+          graft.ops.Multimodal.decode(media).toDF()
+            .select(col("media_id"), col("kind"),
+              when(col("kind") === "audio", col("n_bytes")).as("n_bytes_audio"),
+              col("width"), col("height"), col("duration_ms"),
+              col("sample_rate"), col("channels"))
+            .repartition(1).sortWithinPartitions(col("media_id"))
+        },
         (d: String) => "", 3))
 
     val hdr = dirs.map { case (n, _) => f"x$n%7s " }.mkString
