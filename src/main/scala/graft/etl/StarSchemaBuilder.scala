@@ -162,12 +162,34 @@ object StarSchemaBuilder {
     * window 20 — beyond that the sums stay correct (long overflow is
     * ~|ret| > 6·10⁸) but the final double conversion may round. */
   def buildFact(stocks: DataFrame, econ: DataFrame, dimIndex: DataFrame,
-      dimCountry: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("Ticker")).orderBy(col("Date"))
+      dimCountry: DataFrame, rangePartitionForStarSort: Boolean = false): DataFrame = {
+    // The surrogate key is computed on the FACT side and the windows
+    // cluster by IT (md5 is injective on tickers — identical groups,
+    // identical values): the dim join then keys on the same attribute
+    // (using-join keeps the fact's), and a star consumer whose
+    // terminal order is (IndexKey, DateKey) can satisfy BOTH the
+    // window's clustering and its total order from ONE range exchange
+    // via Spark's prefix rule (`rangePartitionForStarSort = true` —
+    // the r15 window-family pattern). Without the flag the window
+    // inserts its usual hash exchange, exactly as before — single-
+    // ticker consumers (the dashboard slice) gain nothing from a
+    // range layout, so they keep the default. At 100 TB the flag is
+    // the difference between shuffling the fact once and twice.
+    val keyed0 = stocks.withColumn("IndexKey", md5(col("Ticker").cast("binary")))
+    // range on the KEY ALONE (the r15 rule): ranging on (key, Date)
+    // would let one key's date range straddle a partition boundary —
+    // the window's clustering requirement would then insert a second
+    // hash exchange right back
+    val keyed = if (rangePartitionForStarSort)
+        keyed0.repartitionByRange(
+          keyed0.sparkSession.sessionState.conf.numShufflePartitions,
+          col("IndexKey"))
+      else keyed0
+    val w = Window.partitionBy(col("IndexKey")).orderBy(col("Date"))
     val frame = w.rowsBetween(-19, 0)
     val sx = col("__sx").cast("double")
     val sxx = col("__sxx").cast("double")
-    val withMetrics = stocks
+    val withMetrics = keyed
       .withColumn("DailyReturn", col("Close") / lag(col("Close"), 1).over(w) - lit(1.0))
       // named column, not inline: the rsi/bollinger CSE discipline
       .withColumn("__rfp",
@@ -184,7 +206,7 @@ object StarSchemaBuilder {
             / lit(1.0e8)))
       .drop("__rfp", "__n", "__sx", "__sxx")
     withMetrics
-      .join(broadcast(dimIndex), md5(col("Ticker").cast("binary")) === col("IndexKey"))
+      .join(broadcast(dimIndex), Seq("IndexKey"))
       .join(broadcast(econ.select(year(col("date")).as("econ_year"),
           col("GDPGrowthRate"), col("InflationRate"))),
         year(col("Date")) === col("econ_year"), "left")

@@ -118,7 +118,13 @@ object StarPipelineQueries {
       val dimDate = StarSchemaBuilder.buildDimDate(stocks, econ)
       val dimIndex = StarSchemaBuilder.buildDimStockIndex(stocks)
       val dimCountry = StarSchemaBuilder.buildDimCountry(s)
-      val fact = StarSchemaBuilder.buildFact(stocks, econ, dimIndex, dimCountry)
+      // rangePartitionForStarSort: the one fact exchange is RANGE on
+      // (IndexKey, Date), so the window's clustering AND this query's
+      // terminal (IndexKey, DateKey) total order both ride it (prefix
+      // rule) — the fact shuffles ONCE instead of window-hash + sort-
+      // range (r17; PlanSpec-gated)
+      val fact = StarSchemaBuilder.buildFact(stocks, econ, dimIndex, dimCountry,
+        rangePartitionForStarSort = true)
       fact
         // the reference's fact build joins DimDate for the date
         // surrogate (fetch_stocks.py:238); surface its derived

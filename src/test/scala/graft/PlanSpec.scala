@@ -64,19 +64,34 @@ class PlanSpec extends AnyFunSuite {
     assert(pc.contains("BroadcastNestedLoopJoin"), pc)
   }
 
-  test("q_star_schema: every dimension broadcasts; ticker window shuffles once") {
-    // the reference-parity capstone's 100 TB contract: the fact side
-    // shuffles exactly once (the per-ticker window) and every dim —
-    // DimDate, DimStockIndex, the econ year frame, DimCountry — rides
-    // a broadcast, so scaling the fact 1000× adds no new exchange
-    val p = plan(q("q_star_schema"))
-    assert(p.contains("BroadcastHashJoin"), p)
-    assert(p.contains("BroadcastNestedLoopJoin"), p) // constant-predicate country join
-    assert(!p.contains("SortMergeJoin"), s"a dim join fell back to shuffle:\n$p")
-    val windowExchanges = p.linesIterator
-      .filter(l => l.contains("Exchange hashpartitioning"))
-      .count(_.contains("Ticker"))
-    assert(windowExchanges >= 1, p)
+  test("q_star_schema: dims broadcast; ONE range exchange carries window AND total order") {
+    // the reference-parity capstone's 100 TB contract, tightened in
+    // r17: the fact side shuffles EXACTLY once — a range exchange on
+    // the surrogate key that satisfies both the window's clustering
+    // and the terminal (IndexKey, DateKey) total order via the prefix
+    // rule (rangePartitionForStarSort; the old plan paid window-hash
+    // PLUS sort-range, i.e. the whole fact through two exchanges) —
+    // and every dim rides a broadcast, so scaling the fact 1000× adds
+    // no new exchange. The terminal Sort must elide COMPLETELY.
+    val df = q("q_star_schema")
+    df.collect() // finalize AQE
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(3000)) // constant-predicate country join
+    assert(!p.take(6000).contains("SortMergeJoin"),
+      s"a dim join fell back to shuffle:\n${p.take(3000)}")
+    assert(p.contains("rangepartitioning(IndexKey"), p.take(3000))
+    // no exchange above the window subtree: the sort's exchange is
+    // gone, and the window did not re-insert a hash over the range
+    assert(!p.take(6000).contains("hashpartitioning(IndexKey"),
+      s"the window re-inserted a hash exchange over the range layout:\n${p.take(3000)}")
+    val lines = p.linesIterator.toSeq
+    val windowLine = lines.indexWhere(_.contains("Window"))
+    assert(windowLine >= 0, p.take(3000))
+    assert(!lines.take(windowLine).exists(l =>
+        l.trim.stripPrefix("+- ").stripPrefix("*(").dropWhile(_.isDigit)
+          .stripPrefix(") ").startsWith("Sort")),
+      s"a sort survived above the window:\n${p.take(3000)}")
   }
 
   test("q_bucket_join: zero hash Exchange — the bucketed layout carries the join") {
