@@ -1167,8 +1167,10 @@ object ExtendedQueries {
     // hash joins streaming the cached signature table twice, and the
     // terminal sort is the plan's ONLY shuffle (r17, executing the
     // r16 stage-floor item: the old shuffle_hash formulation paid 5
-    // exchanges / 26 stages to move pair-bounded frames; this one
-    // measures 9). The pairs×signature intermediate the second probe
+    // exchanges to move pair-bounded frames; this one plans exactly
+    // one — counted stages fall less, 24 -> 22, because broadcast
+    // builds re-list cached lineage as SKIPPED stages, which launch
+    // no tasks). The pairs×signature intermediate the second probe
     // broadcasts is |pairs| × 8 md5 strings — the cands broadcast's
     // own size class. est and jac are exact rational doubles
     // (eighths / integer division), so the comparison is
