@@ -40,7 +40,7 @@ ACCEPTED = {
     "q_rsi": 1.2,
     # r15 one-exchange re-plans / broadcast / bucketed joins: walls
     # ride the scheduling floor, tiny idle excesses.
-    "q_drawdown": 0.6,          # idle 0.64 s / 4 st → excess ~0.38
+    "q_drawdown": 0.85,         # idle walls 0.64-0.82 s / 4 st → excess 0.38-0.56 across hosts; a real second exchange reads ~1.0+
     "q_quantiles_multi": 0.4,   # 0.42 s / 3 st → ~0.23
     "q_agg_median": 0.3,        # 0.29 s / 3 st → ~0.10
     "q_percentile_disc": 0.3,   # 0.24 s / 3 st → ~0.05
@@ -49,12 +49,13 @@ ACCEPTED = {
     # asymmetric twin: Spark runs real codec work (5k decodes at
     # sf0.1) while the DuckDB twin re-derives metadata arithmetically
     # — the wall IS the declared work. r17 plan: decode + checkpoint
-    # + range sort, ~0.98 s / 6 st idle → excess ~0.6.
-    "q_media_meta": 0.9,
+    # + range sort, ~1.0 s / 6 st idle → excess 0.5-0.7 across hosts;
+    # a decode-twice regression reads ~1.3+.
+    "q_media_meta": 1.1,
     # flap-zone entries (isolated FLOOR or within hundredths of it).
     "q_expectations": 0.3,
     "q_case_when": 0.3,
-    "q_date_funcs": 0.3,
+    "q_date_funcs": 0.45,  # idle excess reads to 0.23 under mild weather
     "q_date_arith": 0.3,
 }
 
