@@ -923,11 +923,10 @@ object Similarity {
     * the same), honest here because PQ codes are ~64× smaller than
     * the vectors they index (the rewrite unit is 1/64th of corpus
     * bytes, and an index fold is a rare, batched maintenance event).
-    * The production variants when even that rewrite is too large:
-    * leaf-wise per-cid rewrite (only touched cid partitions — the
-    * `Layout.compactPartitioned` precedent) or deterministic-name
-    * file APPEND into cid dirs (replay overwrites instead of
-    * duplicating). The MARKER contract is identical in all three. */
+    * When even that rewrite is too large, use
+    * [[ivfPqAdvanceLeafwise]] (r17): only the batch's cid partitions
+    * rewrite, under a per-cid upsert + resume-recovery discipline
+    * instead of this one-rename swap. */
   def ivfPqAdvance(spark: org.apache.spark.sql.SparkSession,
       indexDir: String, batch: DataFrame, runTag: String,
       batchId: Long): Long = {
@@ -967,9 +966,9 @@ object Similarity {
     * adds and removes interleave under one sequence number line.
     *
     * Scale shape: same test-scale full-rewrite fold as
-    * [[ivfPqAdvance]] (honest at 1/64th of corpus bytes; leaf-wise
-    * per-cid rewrite is the documented production variant — a
-    * remove touches only the cid partitions its tombstones live in).
+    * [[ivfPqAdvance]] (honest at 1/64th of corpus bytes; the
+    * [[ivfPqAdvanceLeafwise]] discipline ports directly when removes
+    * must only touch the cid partitions their tombstones live in).
     * The tombstone side of the anti-join is a delete batch —
     * broadcast-sized by construction, so the index never shuffles. */
   def ivfPqRemove(spark: org.apache.spark.sql.SparkSession,
@@ -990,6 +989,92 @@ object Similarity {
     graft.etl.Swap.publishFold(spark, fs, live, tmp, next,
       Some(graft.etl.Swap.markerName(runTag, batchId)), Nil,
       partitionCols = Seq("cid"))
+  }
+
+  /** LEAF-WISE add-batch — the production variant [[ivfPqAdvance]]'s
+    * scaladoc promises: only the cid partitions PRESENT IN THE BATCH
+    * are rewritten, so a fold's IO is O(touched lists), not O(index)
+    * — at 100 TB an add touching 3 of 10⁴ coarse lists rewrites 3
+    * directories. The discipline necessarily differs from the
+    * whole-index swap (one atomic rename can't cover many dirs), so
+    * correctness rests on two invariants instead:
+    *
+    *  - **per-cid UPSERT, not blind union**: each touched list's next
+    *    content is (live rows whose vec_id is NOT in the batch) ∪
+    *    batch — so re-folding the same batch converges instead of
+    *    duplicating, which is what makes every crash point below
+    *    safe to replay;
+    *  - **resume-recovery of the swap loop**: touched lists move via
+    *    delete(live/cid=K) → rename(tmp/cid=K). A crash mid-loop
+    *    leaves a _SUCCESS-complete tmp whose REMAINING cid dirs are
+    *    exactly the unswapped suffix (a completed swap consumes its
+    *    tmp dir), so the next call first resumes that loop verbatim,
+    *    then re-runs the fold — which the upsert makes a content
+    *    no-op. Without the resume, the delete→rename gap would lose
+    *    a list's NON-batch rows.
+    *
+    * The applied-batch marker lives in the (never-swapped) index root
+    * and is written LAST — here it is an optimization that
+    * short-circuits clean replays, not the correctness mechanism the
+    * whole-index folds need (their union fold does NOT converge under
+    * replay; this one does). `failAfterSwaps` is the test-only crash
+    * injection for the loop invariant. Batch vec_ids must be unique
+    * (an index key); the batch must carry its cid assignment, same as
+    * [[ivfPqAdvance]]. Returns the touched lists' published row
+    * count, or −1 on a marker no-op. */
+  def ivfPqAdvanceLeafwise(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, batch: DataFrame, runTag: String, batchId: Long,
+      failAfterSwaps: Int = Int.MaxValue): Long = {
+    import org.apache.hadoop.fs.Path
+    val live = new Path(indexDir)
+    val tmpRoot = new Path(indexDir + "_tmp_leaf")
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def cidDirs(root: Path): Seq[Path] =
+      if (!fs.exists(root)) Nil
+      else fs.listStatus(root).iterator
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("cid="))
+        .map(_.getPath).toSeq
+    def swapLoop(dirs: Seq[Path], failAfter: Int): Unit =
+      dirs.zipWithIndex.foreach { case (d, i) =>
+        if (i >= failAfter)
+          throw new IllegalStateException(
+            s"ivfPqAdvanceLeafwise: injected crash after $failAfter swaps")
+        fs.delete(new Path(live, d.getName), true)
+        fs.mkdirs(live)
+        require(fs.rename(d, new Path(live, d.getName)),
+          s"leaf swap failed for ${d.getName}")
+      }
+    // resume-recovery: a complete tmp's remaining cid dirs are the
+    // unswapped suffix of an interrupted loop — finish it first
+    if (fs.exists(new Path(tmpRoot, "_SUCCESS")))
+      swapLoop(cidDirs(tmpRoot), Int.MaxValue)
+    fs.delete(tmpRoot, true)
+    if (graft.etl.Swap.markerExists(fs, live, runTag, batchId)) return -1L
+    val b = batch.select(col("vec_id"), col("cid").cast("int").as("cid"),
+      col("codes"))
+    val touched = b.select(col("cid")).distinct()
+      .collect().map(_.getInt(0)).sorted // O(touched lists) — model-sized
+    val liveTouched =
+      if (!fs.exists(live) || cidDirs(live).isEmpty) None
+      else Some(spark.read.parquet(indexDir)
+        .select(col("vec_id"), col("cid").cast("int").as("cid"), col("codes"))
+        // real partition pruning: only the touched lists are read
+        .filter(col("cid").isin(touched.map(Int.box): _*)))
+    val next = liveTouched match {
+      case None => b
+      case Some(old) =>
+        old.join(broadcast(b.select(col("vec_id"))), Seq("vec_id"), "left_anti")
+          .unionByName(b)
+    }
+    next.write.mode("overwrite").partitionBy("cid").parquet(tmpRoot.toString)
+    val rows = spark.read.parquet(tmpRoot.toString).count()
+    swapLoop(cidDirs(tmpRoot), failAfterSwaps)
+    fs.delete(tmpRoot, true)
+    // marker LAST, in the never-swapped root (carryMarkers with
+    // tmp = live prunes superseded per-tag markers in place)
+    graft.etl.Swap.carryMarkers(fs, live, live,
+      Some(graft.etl.Swap.markerName(runTag, batchId)))
+    rows
   }
 
   /** IVF-PQ search: coarse-probe the `nprobe` nearest inverted lists,

@@ -206,6 +206,88 @@ class IvfPqSpec extends AnyFunSuite {
     assert(spark.read.parquet(idx).count() == 125L)
   }
 
+  test("ivfPqAdvanceLeafwise: only touched lists rewrite; upsert replay converges") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ivfpq_leaf").toString
+    val idx = s"$dir/index"
+    val enc = index.select(col("id").as("vec_id"), col("cid"), col("codes"))
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def leafFiles(cid: Int): Seq[(String, Long)] = {
+      val p = new org.apache.hadoop.fs.Path(s"$idx/cid=$cid")
+      if (!fs.exists(p)) Nil
+      else fs.listStatus(p).map(s => (s.getPath.getName, s.getModificationTime))
+        .toSeq.sortBy(_._1)
+    }
+    val n0 = Similarity.ivfPqAdvanceLeafwise(spark, idx,
+      enc.filter(col("vec_id") % 2 === 0), "t", 0L)
+    assert(n0 == 250L)
+    val untouchedBefore = (1 to 3).map(leafFiles)
+    // second fold touches ONLY cid 0 — the leaf-wise claim is that the
+    // other lists' files are not rewritten (same names, same mtimes)
+    val batch1 = enc.filter(col("vec_id") % 2 =!= 0 && col("cid") === 0)
+    val n1 = Similarity.ivfPqAdvanceLeafwise(spark, idx, batch1, "t", 1L)
+    assert(n1 > 0L)
+    assert((1 to 3).map(leafFiles) == untouchedBefore,
+      "an untouched cid list was rewritten by a leaf-wise fold")
+    // content = evens ∪ (odds assigned to cid 0), exactly once each
+    val got = spark.read.parquet(idx)
+      .select(col("vec_id"), col("cid").cast("int"), hex(col("codes")))
+      .collect().toSet
+    val want = enc.filter(col("vec_id") % 2 === 0 ||
+        (col("vec_id") % 2 =!= 0 && col("cid") === 0))
+      .select(col("vec_id"), col("cid").cast("int"), hex(col("codes")))
+      .collect().toSet
+    assert(got == want)
+    // marker no-op on clean replay...
+    assert(Similarity.ivfPqAdvanceLeafwise(spark, idx, batch1, "t", 1L) == -1L)
+    // ...and CONVERGENCE when the marker is gone (the leaf-wise
+    // correctness story: the per-cid upsert, not the marker — a
+    // whole-index union fold would duplicate every batch row here)
+    fs.listStatus(new org.apache.hadoop.fs.Path(idx))
+      .filter(_.getPath.getName.startsWith("_applied_"))
+      .foreach(m => fs.delete(m.getPath, false))
+    assert(Similarity.ivfPqAdvanceLeafwise(spark, idx, batch1, "t", 1L) == n1)
+    assert(spark.read.parquet(idx)
+      .select(col("vec_id"), col("cid").cast("int"), hex(col("codes")))
+      .collect().toSet == want)
+  }
+
+  test("ivfPqAdvanceLeafwise: a crash mid-swap-loop resumes and converges") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ivfpq_leafcrash").toString
+    val idx = s"$dir/index"
+    val enc = index.select(col("id").as("vec_id"), col("cid"), col("codes"))
+    assert(Similarity.ivfPqAdvanceLeafwise(spark, idx,
+      enc.filter(col("vec_id") % 2 === 0), "t", 0L) == 250L)
+    // batch touches every cid; inject a crash after ONE list swapped —
+    // the state a real crash leaves: some lists new, some old, a
+    // _SUCCESS-complete tmp holding the unswapped suffix, no marker
+    val batch1 = enc.filter(col("vec_id") % 2 =!= 0)
+    intercept[IllegalStateException] {
+      Similarity.ivfPqAdvanceLeafwise(spark, idx, batch1, "t", 1L,
+        failAfterSwaps = 1)
+    }
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(idx + "_tmp_leaf/_SUCCESS")),
+      "crash simulation must leave the complete tmp behind")
+    // the next call resumes the interrupted swap loop, then re-folds
+    // (the upsert makes the re-fold a content no-op for the lists the
+    // crashed run already swapped)
+    assert(Similarity.ivfPqAdvanceLeafwise(spark, idx, batch1, "t", 1L) == 500L)
+    val got = spark.read.parquet(idx)
+      .select(col("vec_id"), col("cid").cast("int"), hex(col("codes")))
+      .collect().toSet
+    val want = enc
+      .select(col("vec_id"), col("cid").cast("int"), hex(col("codes")))
+      .collect().toSet
+    assert(got == want)
+    // batch 0's marker survived (root markers are never swapped away)
+    assert(Similarity.ivfPqAdvanceLeafwise(spark, idx,
+      enc.filter(col("vec_id") % 2 === 0), "t", 0L) == -1L)
+  }
+
   test("the DECLARED q_ivfpq_remove probes the surviving set and partition-prunes") {
     val rm = SparkEntry.queries("q_ivfpq_remove")(spark, sf)
     val rows = rm.collect()
