@@ -119,10 +119,13 @@ object StarPipelineQueries {
       val dimIndex = StarSchemaBuilder.buildDimStockIndex(stocks)
       val dimCountry = StarSchemaBuilder.buildDimCountry(s)
       // rangePartitionForStarSort: the one fact exchange is RANGE on
-      // (IndexKey, Date), so the window's clustering AND this query's
-      // terminal (IndexKey, DateKey) total order both ride it (prefix
-      // rule) — the fact shuffles ONCE instead of window-hash + sort-
-      // range (r17; PlanSpec-gated)
+      // IndexKey ALONE — the prefix rule then covers both the window's
+      // per-key clustering AND this query's terminal (IndexKey,
+      // DateKey) total order, so the fact shuffles ONCE instead of
+      // window-hash + sort-range (r17; PlanSpec-gated). Do NOT range
+      // on (IndexKey, DateKey): a key's dates then straddle a
+      // partition boundary and the window re-inserts a hash exchange
+      // (measured worse — StarSchemaBuilder.buildFact's own note)
       val fact = StarSchemaBuilder.buildFact(stocks, econ, dimIndex, dimCountry,
         rangePartitionForStarSort = true)
       fact

@@ -20,8 +20,21 @@ every run — a genuine multi-× regression in a settled query still
 trips the sweep rather than hiding behind the disposition until a
 plan pin notices.
 
+CEILING RATCHET RULE (r17 verdict #3): a ceiling below may be widened
+ONLY on the strength of an isolated min-of-9 idle re-measure
+(SPARK_GRAFT_BENCH_ONLY=<q> SPARK_GRAFT_BENCH_RUNS=9 on an otherwise
+idle host), recorded in SCALE.md's "Tight-floorline dispositions"
+table in the same commit. Sweep-context readings — however many —
+never move a ceiling: they are exactly the contention-contaminated
+signal the excess rule exists to filter.
+
 Raw >gate ratios still PRINT as FLAG so the readings stay on the
 record; they just don't decide the exit code anymore.
+
+A query MISSING from the bench's `stages` map has no computable
+excess; it is reported as a NO-STAGE warning and excluded from the
+exit-code decision (never gated on its raw, contention-inflated
+wall — the r17 ADVICE fallback-to-wall flap).
 
 Usage: python3 tools/ratio.py <bench.json> <ducktime.json> [gate=2.0]
 """
@@ -79,18 +92,24 @@ if not fps:
 
 failures = []   # (query, reason) — decide the exit code
 flagged = []    # raw >gate ratios — printed for the record
+no_stage = []   # no stage count — excess not computable, never gated
 rows = []
 for q, wall in sorted(bench["queries"].items(), key=lambda kv: -kv[1]):
     st = stages.get(q, 0)
     dt = duck.get(q)
-    floor_line = max(st * fps, 0.1) if st and st > 0 else None
+    has_st = bool(st and st > 0)
+    floor_line = max(st * fps, 0.1) if has_st else None
     floor_dom = floor_line is not None and wall <= floor_line
-    excess = max(0.0, wall - st * fps) if st and st > 0 else wall
+    excess = max(0.0, wall - st * fps) if has_st else None
     ratio = wall / dt if dt else None
     rows.append((q, wall, st, excess, dt, ratio, floor_dom))
     if ratio is not None and ratio > gate and not floor_dom:
         flagged.append((q, wall, dt, ratio, st, excess))
-    if q in ACCEPTED:
+    if not has_st:
+        # raw wall is contention-inflated by construction; without a
+        # stage count there is no excess to gate on — warn, don't fail
+        no_stage.append((q, wall))
+    elif q in ACCEPTED:
         if excess > ACCEPTED[q]:
             failures.append((q, f"excess {excess:.2f} s blew the settled "
                                 f"ceiling {ACCEPTED[q]:.2f} s"))
@@ -104,7 +123,8 @@ print(f"{'query':30} {'spark':>7} {'stages':>6} {'excess':>7} "
 for q, wall, st, ex, dt, ratio, dom in rows[:25]:
     verdict = ("FLOOR" if dom else
                ("FLAG" if ratio is not None and ratio > gate else "ok"))
-    print(f"{q:30} {wall:7.2f} {st:6} {ex:7.2f} "
+    print(f"{q:30} {wall:7.2f} {st:6} "
+          f"{ex if ex is not None else float('nan'):7.2f} "
           f"{dt if dt is not None else float('nan'):7.2f} "
           f"{ratio if ratio is not None else float('nan'):6.1f}  {verdict}")
 
@@ -129,8 +149,15 @@ if flagged:
           f"on the record; the exit code reads the EXCESS column:")
     for q, wall, dt, ratio, st, ex in flagged:
         note = "  [accepted disposition]" if q in ACCEPTED else ""
+        ex_s = f"{ex:.2f} s" if ex is not None else "n/a (no stage count)"
         print(f"  {q}: {wall:.2f} s vs {dt:.2f} s = {ratio:.1f}x "
-              f"({st} stages, excess {ex:.2f} s){note}")
+              f"({st} stages, excess {ex_s}){note}")
+if no_stage:
+    print(f"\nNO-STAGE warnings (counting run failed or absent — excess "
+          f"not computable; NOT gated on the raw wall):")
+    for q, wall in no_stage:
+        print(f"  {q}: wall {wall:.2f} s — re-run the counting pass to "
+              f"restore the excess gate for this query")
 if failures:
     print("\nGATE FAILURES (floorline-excess rule):")
     for q, why in failures:
