@@ -77,7 +77,14 @@ private[graft] object Swap {
     * checkpointed feed only ever replays its last uncommitted batch,
     * so lower markers are dead weight — without pruning a long-running
     * sink accumulates one empty file per micro-batch and every fold
-    * pays an O(#batches) list+create. */
+    * pays an O(#batches) list+create. Superseded markers already
+    * PRESENT in `tmp` are deleted for the same reason: the leaf-wise
+    * index folds call this with `tmp == live` (their root is never
+    * swapped, so nothing ever replaced the marker set — r17 ADVICE:
+    * without the delete, that path accumulated one file per batch
+    * forever, exactly the cost the carry-only pruning exists to
+    * avoid). For the swap path (`tmp` freshly written) the extra
+    * list finds nothing. */
   def carryMarkers(fs: FileSystem, live: Path, tmp: Path,
       newMarker: Option[String]): Unit = {
     val carried: Map[String, Long] =
@@ -98,6 +105,14 @@ private[graft] object Swap {
     withNew.foreach { case (tag, id) =>
       fs.create(new Path(tmp, markerName(tag, id)), true).close()
     }
+    // prune superseded per-tag markers in place (the tmp == live path)
+    if (fs.exists(tmp)) fs.listStatus(tmp).iterator
+      .filter(_.getPath.getName.startsWith("_applied_"))
+      .foreach { m =>
+        parseMarker(m.getPath.getName).foreach { case (tag, id) =>
+          if (withNew.get(tag).exists(id < _)) fs.delete(m.getPath, false)
+        }
+      }
   }
   /** The fold-publish tail every persisted-registry advance runs —
     * wipe tmp, write the next fold, carry applied-batch markers

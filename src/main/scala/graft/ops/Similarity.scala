@@ -934,7 +934,7 @@ object Similarity {
     val live = new Path(indexDir)
     val tmp = new Path(indexDir + "_tmp")
     val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    graft.etl.Swap.recover(fs, live, tmp)
+    recoverIndexDir(fs, indexDir)
     if (graft.etl.Swap.markerExists(fs, live, runTag, batchId)) return -1L
     // normalize the batch projection BEFORE the empty-index branch:
     // fold 0 must publish the same (vec_id, cid int, codes) schema
@@ -966,11 +966,12 @@ object Similarity {
     * adds and removes interleave under one sequence number line.
     *
     * Scale shape: same test-scale full-rewrite fold as
-    * [[ivfPqAdvance]] (honest at 1/64th of corpus bytes; the
-    * [[ivfPqAdvanceLeafwise]] discipline ports directly when removes
-    * must only touch the cid partitions their tombstones live in).
-    * The tombstone side of the anti-join is a delete batch —
-    * broadcast-sized by construction, so the index never shuffles. */
+    * [[ivfPqAdvance]] (honest at 1/64th of corpus bytes); when a
+    * remove must only touch the cid partitions its tombstones live
+    * in, use [[ivfPqRemoveLeafwise]] (r18 — the O(touched lists)
+    * port of the leaf-wise discipline). The tombstone side of the
+    * anti-join is a delete batch — broadcast-sized by construction,
+    * so the index never shuffles. */
   def ivfPqRemove(spark: org.apache.spark.sql.SparkSession,
       indexDir: String, removeIds: DataFrame, runTag: String,
       batchId: Long): Long = {
@@ -978,7 +979,7 @@ object Similarity {
     val live = new Path(indexDir)
     val tmp = new Path(indexDir + "_tmp")
     val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    graft.etl.Swap.recover(fs, live, tmp)
+    recoverIndexDir(fs, indexDir)
     if (graft.etl.Swap.markerExists(fs, live, runTag, batchId)) return -1L
     require(fs.exists(live),
       s"ivfPqRemove: no live index at $indexDir — nothing to remove from")
@@ -989,6 +990,58 @@ object Similarity {
     graft.etl.Swap.publishFold(spark, fs, live, tmp, next,
       Some(graft.etl.Swap.markerName(runTag, batchId)), Nil,
       partitionCols = Seq("cid"))
+  }
+
+  // ---- shared IVF-PQ index-dir crash recovery ----------------------
+
+  /** The `cid=*` partition dirs directly under `root`. */
+  private def cidDirs(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] =
+    if (!fs.exists(root)) Nil
+    else fs.listStatus(root).iterator
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("cid="))
+      .map(_.getPath).toSeq
+
+  /** The leaf-wise publish loop: for each tmp cid dir, delete the
+    * live counterpart then rename the tmp dir into place. `failAfter`
+    * is the test-only crash injection for the resume invariant. */
+  private def leafSwapLoop(fs: org.apache.hadoop.fs.FileSystem,
+      live: org.apache.hadoop.fs.Path,
+      dirs: Seq[org.apache.hadoop.fs.Path], failAfter: Int): Unit =
+    dirs.zipWithIndex.foreach { case (d, i) =>
+      if (i >= failAfter)
+        throw new IllegalStateException(
+          s"ivfPq leaf swap: injected crash after $failAfter swaps")
+      fs.delete(new org.apache.hadoop.fs.Path(live, d.getName), true)
+      fs.mkdirs(live)
+      require(fs.rename(d, new org.apache.hadoop.fs.Path(live, d.getName)),
+        s"leaf swap failed for ${d.getName}")
+    }
+
+  /** Recover BOTH fold disciplines' crash windows before touching an
+    * index dir — the whole-swap orphan (live missing + complete
+    * `_tmp`) AND an interrupted leaf-wise swap loop (complete
+    * `_tmp_leaf` whose remaining cid dirs are exactly the unswapped
+    * suffix). EVERY fold entry point calls this first, so a crash in
+    * one discipline can never corrupt a later fold in the other (r17
+    * ADVICE): without the first half, a leaf-wise call after a
+    * crashed whole-swap publish would see no live index, publish its
+    * batch as a FRESH index, and strand the whole prior index in
+    * `_tmp`; without the second, a whole-swap fold after a crashed
+    * leaf loop would fold the half-swapped live and a LATER leaf-wise
+    * call would then resume the stale suffix over it — renaming
+    * outdated cid dirs over post-fold lists (resurrecting removed
+    * rows). An INCOMPLETE `_tmp_leaf` (no _SUCCESS — crash during the
+    * tmp write, before any swap started) is garbage and is deleted. */
+  private def recoverIndexDir(fs: org.apache.hadoop.fs.FileSystem,
+      indexDir: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val live = new Path(indexDir)
+    graft.etl.Swap.recover(fs, live, new Path(indexDir + "_tmp"))
+    val tmpLeaf = new Path(indexDir + "_tmp_leaf")
+    if (fs.exists(new Path(tmpLeaf, "_SUCCESS")))
+      leafSwapLoop(fs, live, cidDirs(fs, tmpLeaf), Int.MaxValue)
+    fs.delete(tmpLeaf, true)
   }
 
   /** LEAF-WISE add-batch — the production variant [[ivfPqAdvance]]'s
@@ -1029,33 +1082,16 @@ object Similarity {
     val live = new Path(indexDir)
     val tmpRoot = new Path(indexDir + "_tmp_leaf")
     val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def cidDirs(root: Path): Seq[Path] =
-      if (!fs.exists(root)) Nil
-      else fs.listStatus(root).iterator
-        .filter(s => s.isDirectory && s.getPath.getName.startsWith("cid="))
-        .map(_.getPath).toSeq
-    def swapLoop(dirs: Seq[Path], failAfter: Int): Unit =
-      dirs.zipWithIndex.foreach { case (d, i) =>
-        if (i >= failAfter)
-          throw new IllegalStateException(
-            s"ivfPqAdvanceLeafwise: injected crash after $failAfter swaps")
-        fs.delete(new Path(live, d.getName), true)
-        fs.mkdirs(live)
-        require(fs.rename(d, new Path(live, d.getName)),
-          s"leaf swap failed for ${d.getName}")
-      }
-    // resume-recovery: a complete tmp's remaining cid dirs are the
-    // unswapped suffix of an interrupted loop — finish it first
-    if (fs.exists(new Path(tmpRoot, "_SUCCESS")))
-      swapLoop(cidDirs(tmpRoot), Int.MaxValue)
-    fs.delete(tmpRoot, true)
+    // cross-discipline recovery (r17 ADVICE): promote a whole-swap
+    // orphan AND resume an interrupted leaf loop before reading live
+    recoverIndexDir(fs, indexDir)
     if (graft.etl.Swap.markerExists(fs, live, runTag, batchId)) return -1L
     val b = batch.select(col("vec_id"), col("cid").cast("int").as("cid"),
       col("codes"))
     val touched = b.select(col("cid")).distinct()
       .collect().map(_.getInt(0)).sorted // O(touched lists) — model-sized
     val liveTouched =
-      if (!fs.exists(live) || cidDirs(live).isEmpty) None
+      if (!fs.exists(live) || cidDirs(fs, live).isEmpty) None
       else Some(spark.read.parquet(indexDir)
         .select(col("vec_id"), col("cid").cast("int").as("cid"), col("codes"))
         // real partition pruning: only the touched lists are read
@@ -1068,10 +1104,91 @@ object Similarity {
     }
     next.write.mode("overwrite").partitionBy("cid").parquet(tmpRoot.toString)
     val rows = spark.read.parquet(tmpRoot.toString).count()
-    swapLoop(cidDirs(tmpRoot), failAfterSwaps)
+    leafSwapLoop(fs, live, cidDirs(fs, tmpRoot), failAfterSwaps)
     fs.delete(tmpRoot, true)
     // marker LAST, in the never-swapped root (carryMarkers with
     // tmp = live prunes superseded per-tag markers in place)
+    graft.etl.Swap.carryMarkers(fs, live, live,
+      Some(graft.etl.Swap.markerName(runTag, batchId)))
+    rows
+  }
+
+  /** LEAF-WISE remove — the O(touched lists) variant of
+    * [[ivfPqRemove]] the latter's scaladoc promises: tombstones only
+    * rewrite the cid partitions they live in, so a GDPR-era delete
+    * batch touching 3 of 10⁴ coarse lists rewrites 3 directories, not
+    * the index. Same two invariants as [[ivfPqAdvanceLeafwise]], and
+    * removal is idempotent at the row level (an anti-join of
+    * already-cleaned rows is a no-op), so every crash point replays
+    * convergently:
+    *
+    *  - touched lists whose next content is NON-empty move via the
+    *    shared delete→rename leaf loop (resume-recovered by
+    *    [[recoverIndexDir]] from the complete tmp's remaining dirs);
+    *  - a touched list the remove EMPTIES leaves no dir in tmp — its
+    *    live dir is DELETED outright (delete-only phase, before the
+    *    loop). These deletes are idempotent and re-derived by the
+    *    re-fold on replay, so a crash between them loses nothing.
+    *
+    * `removeIds` carries `vec_id`, plus OPTIONALLY `cid` — the
+    * tombstone's assigned coarse id, which a production caller's
+    * reverse lookup usually has. With `cid` present the touched-list
+    * set comes from the batch (no index read beyond the touched
+    * lists); without it, one column-pruned (vec_id, cid) scan of the
+    * index locates the tombstones. A WRONG caller-provided cid leaves
+    * that tombstone alive in its real list — omit the column when
+    * unsure. Marker discipline, root placement and the monotone
+    * replay contract match [[ivfPqAdvanceLeafwise]]; as there, a
+    * reader can observe a partially-applied batch mid-fold (no
+    * multi-directory atomicity — the documented leaf-wise caveat).
+    * Returns the touched lists' surviving row count, or −1 on a
+    * marker no-op. */
+  def ivfPqRemoveLeafwise(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, removeIds: DataFrame, runTag: String, batchId: Long,
+      failAfterSwaps: Int = Int.MaxValue): Long = {
+    import org.apache.hadoop.fs.Path
+    val live = new Path(indexDir)
+    val tmpRoot = new Path(indexDir + "_tmp_leaf")
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverIndexDir(fs, indexDir)
+    if (graft.etl.Swap.markerExists(fs, live, runTag, batchId)) return -1L
+    require(fs.exists(live) && cidDirs(fs, live).nonEmpty,
+      s"ivfPqRemoveLeafwise: no live index at $indexDir — nothing to " +
+        "remove from")
+    val tomb = removeIds.select(col("vec_id"))
+    val touched: Array[Int] =
+      if (removeIds.columns.contains("cid"))
+        removeIds.select(col("cid").cast("int").as("cid")).distinct()
+          .collect().map(_.getInt(0)).sorted
+      else spark.read.parquet(indexDir)
+        .select(col("vec_id"), col("cid").cast("int").as("cid"))
+        .join(broadcast(tomb), Seq("vec_id"), "left_semi")
+        .select(col("cid")).distinct().collect().map(_.getInt(0)).sorted
+    if (touched.isEmpty) {
+      // no tombstone lives in the index — the fold is a content no-op,
+      // but the batch still gets its marker (redelivery must not rescan)
+      graft.etl.Swap.carryMarkers(fs, live, live,
+        Some(graft.etl.Swap.markerName(runTag, batchId)))
+      return 0L
+    }
+    val next = spark.read.parquet(indexDir)
+      .select(col("vec_id"), col("cid").cast("int").as("cid"), col("codes"))
+      .filter(col("cid").isin(touched.map(Int.box): _*))
+      .join(broadcast(tomb), Seq("vec_id"), "left_anti")
+    next.write.mode("overwrite").partitionBy("cid").parquet(tmpRoot.toString)
+    val tmpDirs = cidDirs(fs, tmpRoot)
+    val rows =
+      if (tmpDirs.isEmpty) 0L
+      else spark.read.parquet(tmpRoot.toString).count()
+    // delete-only phase: a fully-emptied touched list has no tmp dir
+    // to rename over it — delete the live dir, or the dead rows survive
+    val tmpNames = tmpDirs.map(_.getName).toSet
+    touched.foreach { c =>
+      val name = s"cid=$c"
+      if (!tmpNames.contains(name)) fs.delete(new Path(live, name), true)
+    }
+    leafSwapLoop(fs, live, tmpDirs, failAfterSwaps)
+    fs.delete(tmpRoot, true)
     graft.etl.Swap.carryMarkers(fs, live, live,
       Some(graft.etl.Swap.markerName(runTag, batchId)))
     rows

@@ -239,6 +239,12 @@ class IvfPqSpec extends AnyFunSuite {
       .select(col("vec_id"), col("cid").cast("int"), hex(col("codes")))
       .collect().toSet
     assert(got == want)
+    // marker pruning with tmp == live (r17 ADVICE): the root must not
+    // accumulate one `_applied_` file per batch — only the highest id
+    // per tag survives each fold
+    val markers = fs.listStatus(new org.apache.hadoop.fs.Path(idx))
+      .map(_.getPath.getName).filter(_.startsWith("_applied_")).toSeq
+    assert(markers == Seq("_applied_t_1"), markers.toString)
     // marker no-op on clean replay...
     assert(Similarity.ivfPqAdvanceLeafwise(spark, idx, batch1, "t", 1L) == -1L)
     // ...and CONVERGENCE when the marker is gone (the leaf-wise
@@ -286,6 +292,179 @@ class IvfPqSpec extends AnyFunSuite {
     // batch 0's marker survived (root markers are never swapped away)
     assert(Similarity.ivfPqAdvanceLeafwise(spark, idx,
       enc.filter(col("vec_id") % 2 === 0), "t", 0L) == -1L)
+  }
+
+  test("cross-discipline: a crashed whole-swap publish recovers on the next LEAF-WISE fold") {
+    // r17 ADVICE (medium): without Swap.recover in the leaf-wise entry
+    // point, this fold would see no live index, publish the batch as a
+    // FRESH index, and silently strand the prior 250 rows in _tmp
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ivfpq_xswap").toString
+    val idx = s"$dir/index"
+    val enc = index.select(col("id").as("vec_id"), col("cid"), col("codes"))
+    assert(Similarity.ivfPqAdvance(spark, idx,
+      enc.filter(col("vec_id") % 2 === 0), "t", 0L) == 250L)
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // the whole-swap crash window: live gone, complete _tmp orphan
+    assert(fs.rename(new org.apache.hadoop.fs.Path(idx),
+      new org.apache.hadoop.fs.Path(idx + "_tmp")))
+    val n1 = Similarity.ivfPqAdvanceLeafwise(spark, idx,
+      enc.filter(col("vec_id") % 2 =!= 0), "t", 1L)
+    assert(n1 > 0L)
+    assert(spark.read.parquet(idx).count() == 500L,
+      "the leaf-wise fold must land on the RECOVERED index")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(idx + "_tmp")),
+      "no stranded whole-swap tmp may remain")
+    // batch 0's marker rode through the recovery
+    assert(Similarity.ivfPqAdvanceLeafwise(spark, idx,
+      enc.filter(col("vec_id") % 2 === 0), "t", 0L) == -1L)
+  }
+
+  test("cross-discipline: a crashed leaf loop is resumed by the next WHOLE-SWAP fold, not resurrected later") {
+    // r17 ADVICE (medium), scenario (b): a whole-swap fold that ignores
+    // a complete _tmp_leaf leaves the stale suffix lying around; a
+    // later leaf-wise call would resume it and rename OUTDATED cid dirs
+    // over the post-fold live lists — resurrecting removed rows
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ivfpq_xleaf").toString
+    val idx = s"$dir/index"
+    val enc = index.select(col("id").as("vec_id"), col("cid"), col("codes"))
+    assert(Similarity.ivfPqAdvanceLeafwise(spark, idx,
+      enc.filter(col("vec_id") % 2 === 0), "t", 0L) == 250L)
+    // crash a leaf-wise add of the odds after one swap
+    intercept[IllegalStateException] {
+      Similarity.ivfPqAdvanceLeafwise(spark, idx,
+        enc.filter(col("vec_id") % 2 =!= 0), "t", 1L, failAfterSwaps = 1)
+    }
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(idx + "_tmp_leaf/_SUCCESS")))
+    // the next WHOLE-SWAP fold must consume that suffix FIRST: it
+    // resumes the odds' swap loop, then removes the multiples of 4
+    assert(Similarity.ivfPqRemove(spark, idx,
+      enc.filter(col("vec_id") % 4 === 0).select(col("vec_id")), "t", 2L)
+      > 0L)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(idx + "_tmp_leaf")),
+      "the stale leaf tmp must be consumed, not left to resurrect rows")
+    // the feed's replay of crashed batch 1 is a MONOTONE no-op: its
+    // content was fully applied by the resume, and the remove's later
+    // marker (t_2) covers id 1 — applied-ness is a point on the per-tag
+    // sequence line, so an older batch never re-folds over a newer one
+    assert(Similarity.ivfPqAdvanceLeafwise(spark, idx,
+      enc.filter(col("vec_id") % 2 =!= 0), "t", 1L) == -1L)
+    val got = spark.read.parquet(idx)
+      .select(col("vec_id"), col("cid").cast("int"), hex(col("codes")))
+      .collect().toSet
+    val want = enc.filter(col("vec_id") % 4 =!= 0)
+      .select(col("vec_id"), col("cid").cast("int"), hex(col("codes")))
+      .collect().toSet
+    assert(got == want)
+  }
+
+  test("ivfPqRemoveLeafwise: only tombstoned lists rewrite; an emptied list's dir is deleted") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ivfpq_rmleaf").toString
+    val idx = s"$dir/index"
+    val enc = index.select(col("id").as("vec_id"), col("cid"), col("codes"))
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def leafFiles(cid: Int): Seq[(String, Long)] = {
+      val p = new org.apache.hadoop.fs.Path(s"$idx/cid=$cid")
+      if (!fs.exists(p)) Nil
+      else fs.listStatus(p).map(s => (s.getPath.getName, s.getModificationTime))
+        .toSeq.sortBy(_._1)
+    }
+    assert(Similarity.ivfPqAdvanceLeafwise(spark, idx, enc, "t", 0L) == 500L)
+    val untouchedBefore = (2 to 3).map(leafFiles)
+    // tombstones: every cid-1 row (empties the list) + the even ids of
+    // cid 0 (partial) — cids 2,3 are untouched and must not rewrite
+    val tomb = enc.filter(col("cid") === 1 ||
+        (col("cid") === 0 && col("vec_id") % 2 === 0))
+      .select(col("vec_id"))
+    val n1 = Similarity.ivfPqRemoveLeafwise(spark, idx, tomb, "t", 1L)
+    val wantSurvivors = enc.filter(col("cid") === 0 && col("vec_id") % 2 =!= 0)
+      .count()
+    assert(n1 == wantSurvivors, s"touched-list survivors: $n1")
+    assert((2 to 3).map(leafFiles) == untouchedBefore,
+      "an untombstoned cid list was rewritten by a leaf-wise remove")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$idx/cid=1")),
+      "a fully-emptied list's live dir must be deleted")
+    val got = spark.read.parquet(idx)
+      .select(col("vec_id"), col("cid").cast("int"), hex(col("codes")))
+      .collect().toSet
+    val want = enc.filter(col("cid") >= 2 ||
+        (col("cid") === 0 && col("vec_id") % 2 =!= 0))
+      .select(col("vec_id"), col("cid").cast("int"), hex(col("codes")))
+      .collect().toSet
+    assert(got == want)
+    // replay: marker no-op, then marker-less convergence (row-level
+    // idempotence of removal — the leaf-wise correctness story)
+    assert(Similarity.ivfPqRemoveLeafwise(spark, idx, tomb, "t", 1L) == -1L)
+    fs.listStatus(new org.apache.hadoop.fs.Path(idx))
+      .filter(_.getPath.getName.startsWith("_applied_"))
+      .foreach(m => fs.delete(m.getPath, false))
+    Similarity.ivfPqRemoveLeafwise(spark, idx, tomb, "t", 1L)
+    assert(spark.read.parquet(idx)
+      .select(col("vec_id"), col("cid").cast("int"), hex(col("codes")))
+      .collect().toSet == want)
+  }
+
+  test("ivfPqRemoveLeafwise: caller-provided cid column skips the index scan; unknown tombstones are a marked no-op") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ivfpq_rmleafcid").toString
+    val idx = s"$dir/index"
+    val enc = index.select(col("id").as("vec_id"), col("cid"), col("codes"))
+    assert(Similarity.ivfPqAdvanceLeafwise(spark, idx, enc, "t", 0L) == 500L)
+    // tombstones WITH their cid assignment (the production reverse-
+    // lookup shape): only cid 2's evens go
+    val tomb = enc.filter(col("cid") === 2 && col("vec_id") % 2 === 0)
+      .select(col("vec_id"), col("cid"))
+    val n1 = Similarity.ivfPqRemoveLeafwise(spark, idx, tomb, "t", 1L)
+    assert(n1 == enc.filter(col("cid") === 2 && col("vec_id") % 2 =!= 0).count())
+    val got = spark.read.parquet(idx)
+      .select(col("vec_id"), col("cid").cast("int"), hex(col("codes")))
+      .collect().toSet
+    val want = enc.filter(col("cid") =!= 2 ||
+        (col("cid") === 2 && col("vec_id") % 2 =!= 0))
+      .select(col("vec_id"), col("cid").cast("int"), hex(col("codes")))
+      .collect().toSet
+    assert(got == want)
+    // tombstones that live in NO list: content no-op, but the batch
+    // still marks (redelivery must not rescan the index)
+    import spark.implicits._
+    val ghost = Seq(100000L, 100001L).toDF("vec_id")
+    assert(Similarity.ivfPqRemoveLeafwise(spark, idx, ghost, "t", 2L) == 0L)
+    assert(Similarity.ivfPqRemoveLeafwise(spark, idx, ghost, "t", 2L) == -1L)
+  }
+
+  test("ivfPqRemoveLeafwise: a crash mid-swap-loop resumes and converges") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ivfpq_rmleafcrash").toString
+    val idx = s"$dir/index"
+    val enc = index.select(col("id").as("vec_id"), col("cid"), col("codes"))
+    assert(Similarity.ivfPqAdvanceLeafwise(spark, idx, enc, "t", 0L) == 500L)
+    // tombstones touch every list; crash after ONE list swapped
+    val tomb = enc.filter(col("vec_id") % 4 === 0).select(col("vec_id"))
+    intercept[IllegalStateException] {
+      Similarity.ivfPqRemoveLeafwise(spark, idx, tomb, "t", 1L,
+        failAfterSwaps = 1)
+    }
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(idx + "_tmp_leaf/_SUCCESS")))
+    // the replayed remove resumes the loop, then re-folds (idempotent)
+    val n1 = Similarity.ivfPqRemoveLeafwise(spark, idx, tomb, "t", 1L)
+    assert(n1 >= 0L)
+    val got = spark.read.parquet(idx)
+      .select(col("vec_id"), col("cid").cast("int"), hex(col("codes")))
+      .collect().toSet
+    val want = enc.filter(col("vec_id") % 4 =!= 0)
+      .select(col("vec_id"), col("cid").cast("int"), hex(col("codes")))
+      .collect().toSet
+    assert(got == want)
+    assert(Similarity.ivfPqAdvanceLeafwise(spark, idx, enc, "t", 0L) == -1L,
+      "batch 0's marker must survive the crash + resume")
   }
 
   test("the DECLARED q_ivfpq_remove probes the surviving set and partition-prunes") {
