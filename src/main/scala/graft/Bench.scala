@@ -159,6 +159,9 @@ object Bench {
       SparkEntry.queries("q_ivfpq_advance")(spark, sfDir).count()
       // the add→remove→add lifecycle index (r17 — the remove_ids half)
       SparkEntry.queries("q_ivfpq_remove")(spark, sfDir).count()
+      // the leaf-wise fold lifecycle index (r18 — crash-resumed
+      // O(touched lists) add + cid-carrying remove)
+      SparkEntry.queries("q_ivfpq_leafwise")(spark, sfDir).count()
     }
     // Three timed runs per query, min reported (declared in the JSON).
     // This VM shows multi-second scheduler stalls at random (observed

@@ -593,6 +593,50 @@ object ExtendedQueries {
       s"ivfPqRemove: replay of the remove was not a marker no-op ($replay)")
   }
 
+  /** The q_ivfpq_leafwise index: the add→remove lifecycle of
+    * [[ivfPqRemovePath]], but through the LEAF-WISE folds — the
+    * O(touched lists) production maintenance shape
+    * (`Similarity.ivfPqAdvanceLeafwise` / `ivfPqRemoveLeafwise`) —
+    * with a CRASH on the declared path: the odds' fold first runs
+    * with an injected mid-swap-loop crash (failAfterSwaps = 1),
+    * leaving some lists new, some old and a complete `_tmp_leaf`;
+    * the redelivery resumes the interrupted loop and re-folds (the
+    * per-cid upsert makes that a content no-op for the already-
+    * swapped lists). The leaf-wise remove then drops the multiples
+    * of 4 with tombstones CARRYING their cid (the production
+    * reverse-lookup shape — no locate scan), and is deliberately
+    * replayed (must be a marker no-op). Every fold discipline in
+    * this family converges to the same content, so the oracle is
+    * the q_ivfpq_remove recompute verbatim (surviving set:
+    * vec_id % 4 ≠ 0). */
+  private[graft] def ivfPqLeafwisePath(s: org.apache.spark.sql.SparkSession,
+      d: String): String = memoPath("ivfpqleaf", s, d) { dir =>
+    val enc = ivfPqEncode(s, d)
+    val idx = s"$dir/index"
+    val n0 = graft.ops.Similarity.ivfPqAdvanceLeafwise(s, idx,
+      enc.filter(col("vec_id") % 2 === 0), "lw", 0L)
+    require(n0 > 0, s"ivfPqAdvanceLeafwise: empty fold 0 ($n0)")
+    val odds = enc.filter(col("vec_id") % 2 =!= 0)
+    // injected crash after one leaf swap — fires whenever the batch
+    // touches ≥ 2 lists (every shipped SF); a single-list batch just
+    // completes, and the getOrElse below keeps the build total
+    val attempt =
+      try Some(graft.ops.Similarity.ivfPqAdvanceLeafwise(s, idx, odds,
+        "lw", 1L, failAfterSwaps = 1))
+      catch { case _: IllegalStateException => None }
+    val n1 = attempt.getOrElse(
+      graft.ops.Similarity.ivfPqAdvanceLeafwise(s, idx, odds, "lw", 1L))
+    require(n1 > 0, s"ivfPqAdvanceLeafwise: resume fold returned $n1")
+    val tomb = enc.filter(col("vec_id") % 4 === 0)
+      .select(col("vec_id"), col("cid"))
+    val n2 = graft.ops.Similarity.ivfPqRemoveLeafwise(s, idx, tomb, "lw", 2L)
+    require(n2 >= 0, s"ivfPqRemoveLeafwise returned $n2")
+    val replay = graft.ops.Similarity.ivfPqRemoveLeafwise(s, idx, tomb,
+      "lw", 2L)
+    require(replay == -1L,
+      s"ivfPqRemoveLeafwise: replay was not a marker no-op ($replay)")
+  }
+
   /** The q_bucket_join tables: lineitem/orders projections written
     * BUCKETED on their join key (8 buckets each, sorted, external
     * location under the memo's temp dir) so the declared join plans
@@ -1499,6 +1543,29 @@ object ExtendedQueries {
         .limit(10)
     },
 
+    // The LEAF-WISE fold discipline under the oracle (r18 — the
+    // O(touched lists) production maintenance shape, vs the
+    // whole-index swap folds q_ivfpq_advance/q_ivfpq_remove drive):
+    // the same probe over an index maintained by
+    // `Similarity.ivfPqAdvanceLeafwise` / `ivfPqRemoveLeafwise`, with
+    // an injected mid-swap-loop CRASH and its resume-recovery on the
+    // declared path, plus the replayed remove (marker no-op). Every
+    // fold discipline converges to the same content, so the oracle is
+    // the q_ivfpq_remove recompute verbatim (surviving set:
+    // vec_id % 4 ≠ 0) — a list the resume loop lost, a row the per-cid
+    // upsert duplicated, or a tombstone the cid-carrying remove missed
+    // all shift the ADC top-k and hash-mismatch. Same real cid
+    // partition pruning (the leaf swaps preserve the dir layout).
+    "q_ivfpq_leafwise" -> { (s, d) =>
+      s.read.parquet(s"${ivfPqLeafwisePath(s, d)}/index")
+        .filter(col("cid").isin(ivfOracleProbe.map(Int.box): _*))
+        .select(col("vec_id"), col("cid").cast("int").as("cid"),
+          graft.functions.GraftFunctions.pqAdc(
+            col("codes"), adcOracleLut, 4).as("adc"))
+        .orderBy(col("adc").desc, col("vec_id"))
+        .limit(10)
+    },
+
     // Int8 scalar quantization of the embedding column — the ANN
     // memory-footprint step (64 doubles → 64 bytes + a scale). Codes
     // are round(v/scale) with per-vector max-abs scale: plain IEEE
@@ -2215,6 +2282,13 @@ object ExtendedQueries {
     // tombstone wrongly kept, re-applied on replay, or leaking into
     // the later add batch shifts the top-k and hash-mismatches
     "q_ivfpq_remove" -> ivfPqProbeOracle(" WHERE vec_id % 4 <> 0"),
+
+    // the leaf-wise folds converge to the SAME surviving set as the
+    // whole-swap lifecycle (add evens → crash-resumed add odds →
+    // remove multiples of 4), so the oracle is the same restricted
+    // probe recompute — the crash/resume and upsert disciplines are
+    // exactly what the hash holds to account
+    "q_ivfpq_leafwise" -> ivfPqProbeOracle(" WHERE vec_id % 4 <> 0"),
 
 
 

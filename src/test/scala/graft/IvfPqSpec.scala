@@ -482,6 +482,21 @@ class IvfPqSpec extends AnyFunSuite {
     assert(!scanLine.contains("PartitionFilters: []"), scanLine)
   }
 
+  test("the DECLARED q_ivfpq_leafwise equals q_ivfpq_remove and partition-prunes") {
+    // the two fold disciplines converge to the same surviving set, so
+    // the leafwise-maintained index must reproduce the whole-swap
+    // lifecycle's probe row for row — including through the injected
+    // crash + resume on the leafwise build path
+    val lw = SparkEntry.queries("q_ivfpq_leafwise")(spark, sf)
+    val rm = SparkEntry.queries("q_ivfpq_remove")(spark, sf)
+    assert(lw.collect().toSeq == rm.collect().toSeq)
+    val plan = lw.queryExecution.executedPlan.toString
+    val scanLine = plan.linesIterator
+      .find(_.contains("PartitionFilters")).getOrElse("")
+    assert(scanLine.contains("PartitionFilters: [cid"), plan.take(4000))
+    assert(!scanLine.contains("PartitionFilters: []"), scanLine)
+  }
+
   test("the DECLARED q_ivfpq_advance equals q_ivfpq_probe and partition-prunes") {
     val adv = SparkEntry.queries("q_ivfpq_advance")(spark, sf)
     val probe = SparkEntry.queries("q_ivfpq_probe")(spark, sf)
