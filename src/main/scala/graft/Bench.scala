@@ -207,16 +207,44 @@ object Bench {
         .count().count()
       (System.nanoTime() - t0) / 1e9
     }.min
-    val floorSec = floorProbe()
-    val results = timedPass(runs, coldEachQuery = false)
-    // Second floor reading taken AFTER the timed pass (r14 verdict #2:
-    // the one-shot pre-sweep probe under-corrects contention that
-    // builds DURING the sweep — the r14 driver run's probe captured 9%
-    // inflation while q_rsi carried 29%, the time pin's first false
-    // positive). The pin normalizes by the WORSE of the two readings,
-    // so contention present at either end of the sweep scales the
-    // budget; both are emitted.
-    val floorSecAfter = floorProbe()
+    // MID-SWEEP floor probes (r18 — closing the one-shot-probe gap,
+    // r17 verdict #1): the two end-of-sweep probes under-correct
+    // contention that arrives and leaves BETWEEN them — the archived
+    // BENCH_r17.json carried floorline_excess 22.15 s from mid-sweep
+    // scheduler bursts where the idle engine signal was 3.38 s, on
+    // byte-identical plans and near-idle END probes. So the probe now
+    // interleaves: one min-of-3 reading every `probeEvery` queries,
+    // and each query's floorline is priced by the WORSE of the two
+    // probes BRACKETING its segment — a burst confined to one stretch
+    // of the sweep raises that stretch's floorline (and only that
+    // stretch's), so the excess it would have faked is absorbed where
+    // it happened instead of surviving into the cross-round record.
+    // Probe cost (~0.5 s × ~10 probes at the full 146) is bench
+    // harness time, never counted into total or any per-query wall.
+    val probeEvery = 15
+    val floorProbes = scala.collection.mutable.ArrayBuffer[Double]()
+    val segmentOf = scala.collection.mutable.HashMap[String, Int]()
+    floorProbes += floorProbe()
+    val results: Map[String, Double] = SparkEntry.queries
+      .filter { case (name, _) => only.isEmpty || only(name) }
+      .toSeq.zipWithIndex
+      .map { case ((name, fn), i) =>
+        if (i > 0 && i % probeEvery == 0) floorProbes += floorProbe()
+        segmentOf(name) = floorProbes.size - 1
+        val times = (1 to runs).map { _ =>
+          val t0 = System.nanoTime()
+          val ok = try { benchAction(fn(spark, sfDir)); true } catch { case _: Throwable => false }
+          if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+        }
+        name -> (if (times.contains(-1.0)) -1.0 else times.min)
+      }.toMap
+    // Final reading after the timed pass (r14 verdict #2) — with the
+    // interleaved probes it closes the LAST segment's bracket; the
+    // first/last readings keep their historical field names so
+    // archived rounds stay comparable.
+    floorProbes += floorProbe()
+    val floorSec = floorProbes.head
+    val floorSecAfter = floorProbes.last
     // Per-query PLANNED-STAGE counts, measured (not plan-guessed): one
     // extra run per query under a job group, stages summed from the
     // public status tracker (includes stages skipped via shuffle
@@ -328,7 +356,8 @@ object Bench {
     // (b) CONTENTION (r14 verdict #2, first false positive): sweep
     //     min-of-3 readings carry cross-query cache/GC interference
     //     the pre-sweep floor probe under-captures, so the budget
-    //     normalizes by the WORSE of the before/after floor probes
+    //     normalizes by the WORST interleaved floor probe (r18 —
+    //     was the worse of the two end probes)
     //     and the sweep-context alarm line is 1.5 — ~0.5 s above the
     //     isolated idle reading (the old 1.0 line sat ~0.3 above its
     //     0.7 baseline; the extra margin is the r14 false-positive
@@ -337,8 +366,11 @@ object Bench {
     //     sweep overhead), still comfortably above the alarm line.
     val idleFloorSec = 0.138
     val pins = Map("q_rsi" -> 1.5)
+    // normalize by the WORST probe anywhere in the sweep (r18: was
+    // max of the two end probes) — contention at any point scales the
+    // budget, so it can never fake a time-pin regression
     val contentionScale =
-      math.max(1.0, math.max(floorSec, floorSecAfter) / idleFloorSec)
+      math.max(1.0, floorProbes.max / idleFloorSec)
     val pinFailures =
       if (!sfDir.endsWith("sf0.1")) Seq.empty
       else pins.toSeq.flatMap { case (qn, budget) =>
@@ -417,25 +449,40 @@ object Bench {
     // byte-identical plans in r15), so cross-host raw totals are not
     // comparable. floorline_excess_sec = Σ max(0, wall − stages ×
     // floor_per_stage) charges each query only the wall ABOVE its own
-    // scheduling floorline, with the floorline priced by the WORSE of
-    // the two floor probes (the same normalization the time pin uses)
-    // — contention inflates walls and the floorline together, so the
+    // scheduling floorline — contention inflates walls and the
+    // floorline together, so the
     // excess stays put while raw totals diverge. This is the number
     // to compare across rounds/hosts; queries with a failed counting
     // run (-1 stages) conservatively contribute their full wall.
-    val floorPerStageUsed = math.max(floorSec, floorSecAfter) / 2
+    // r18: the floorline is priced PER SEGMENT — each query uses the
+    // worse of the two probes bracketing its stretch of the sweep
+    // (probe k before it, probe k+1 after), so a mid-sweep burst
+    // inflates the floorline exactly where it inflated the walls and
+    // the excess stays the idle engine signal. Validated by a
+    // deliberately bursty sweep (spinner toggled mid-sweep) reading
+    // within the idle band — see SCALE.md's bench-methodology note.
+    def floorPerStageFor(qn: String): Double = {
+      val seg = segmentOf.getOrElse(qn, 0)
+      val bracket = math.max(floorProbes(seg),
+        floorProbes(math.min(seg + 1, floorProbes.size - 1)))
+      bracket / 2
+    }
     val floorlineExcessSec = math.round(results.toSeq.collect {
       case (qn, w) if w >= 0 =>
         val st = stageCounts.getOrElse(qn, -1)
-        if (st > 0) math.max(0.0, w - st * floorPerStageUsed) else w
+        if (st > 0) math.max(0.0, w - st * floorPerStageFor(qn)) else w
     }.sum * 1000.0) / 1000.0
     // plan_pins_active is EMITTED (not just used): tools/gate.sh step 5
     // asserts it true so an inherited SPARK_GRAFT_CPUS/SHUFFLE/AQE
     // export can never make the gate pass vacuously with the budgets
     // silently deactivated (r12 ADVICE).
     val planPinFields = s""""plan_pins_active":$planPinsActive,"shuffle_pin_failures":[${shufflePinFailures.mkString(",")}],"input_pin_failures":[${inputPinFailures.mkString(",")}],"stage_pin_failures":[${stagePinFailures.mkString(",")}]"""
+    // every interleaved reading, in sweep order — the archived
+    // evidence for how each segment's floorline was priced
+    val floorProbesJson = floorProbes
+      .map(p => math.round(p * 1000.0) / 1000.0).mkString("[", ",", "]")
     val prebuiltJson = prebuilt.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"n_queries":${results.size},"runs_per_query":$runs,"agg":"min","warm_cache":true,"prebuilt":$prebuiltJson,"floor_sec":$floorSec,"floor_per_stage_sec":${floorSec / 2},"floor_after_sec":$floorSecAfter,"floorline_excess_sec":$floorlineExcessSec,"pin_failures":[${pinFailures.mkString(",")}],$planPinFields,"shuffle_mb_total":$shuffleTotalMb$coldFields,"queries":${toJson(results)},"stages":${toJsonInt(stageCounts)},"shuffle_mb":${toJson(shuffleMb)},"input_mb":${toJson(inputMb)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"n_queries":${results.size},"runs_per_query":$runs,"agg":"min","warm_cache":true,"prebuilt":$prebuiltJson,"floor_sec":$floorSec,"floor_per_stage_sec":${floorSec / 2},"floor_after_sec":$floorSecAfter,"floor_probes":$floorProbesJson,"floorline_excess_sec":$floorlineExcessSec,"pin_failures":[${pinFailures.mkString(",")}],$planPinFields,"shuffle_mb_total":$shuffleTotalMb$coldFields,"queries":${toJson(results)},"stages":${toJsonInt(stageCounts)},"shuffle_mb":${toJson(shuffleMb)},"input_mb":${toJson(inputMb)},"sf":"$sfDir"}""")
     // The full line above grew past the driver's tail-capture window in
     // round 3 and the LEADING total field was the part cut off. Re-emit
     // the headline number as a short final line so any last-N-bytes
@@ -453,7 +500,7 @@ object Bench {
       .map { case (q, w) =>
         s"""["$q",$w,${stageCounts.getOrElse(q, -1)}]""" }
       .mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"n_queries":${results.size},"runs_per_query":$runs,"warm_cache":true,"prebuilt":$prebuiltJson,"floor_sec":$floorSec,"floor_per_stage_sec":${floorSec / 2},"floor_after_sec":$floorSecAfter,"floorline_excess_sec":$floorlineExcessSec,"pin_failures":[${pinFailures.mkString(",")}],$planPinFields,"shuffle_mb_total":$shuffleTotalMb,"slowest":$slowest5,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"n_queries":${results.size},"runs_per_query":$runs,"warm_cache":true,"prebuilt":$prebuiltJson,"floor_sec":$floorSec,"floor_per_stage_sec":${floorSec / 2},"floor_after_sec":$floorSecAfter,"floor_probes":$floorProbesJson,"floorline_excess_sec":$floorlineExcessSec,"pin_failures":[${pinFailures.mkString(",")}],$planPinFields,"shuffle_mb_total":$shuffleTotalMb,"slowest":$slowest5,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -286,14 +286,35 @@ object CorpusClean {
     * default, 4M longs ≈ 32 MB, is comfortably broadcast-sized);
     * above it the ids are swap-published as parquet and joined
     * distributed. `dropListDir`: where the spilled list publishes —
-    * defaults to a JVM-temp dir, which a long-lived caller on a real
-    * cluster should override with a job-scoped durable path (a local
-    * temp dir is fine within one driver's lifetime; cleanup is the
-    * caller's once the returned frame is consumed). */
+    * on a LOCAL master it defaults to a JVM-temp dir (fine within one
+    * driver's lifetime; cleanup is the caller's once the returned
+    * frame is consumed), but on a real cluster that default is
+    * driver-local: executors would write their task files to their
+    * OWN disks under the same path and the published list would be
+    * partial — a silent drop undercount. So a non-local master
+    * REQUIRES an explicit, cluster-visible dir up front (r17 ADVICE;
+    * fail-fast at entry, not after the expensive probe action). */
+  /** The [[accounting]] entry guard, pure so the spec can pin both
+    * arms without a non-local SparkContext: a cluster master with no
+    * explicit `dropListDir` is rejected — the JVM-temp fallback is a
+    * driver-local path executors cannot publish to coherently, and
+    * the failure mode is a silently partial drop list (wrong counts,
+    * no error), the worst kind. Local mode keeps the temp default. */
+  private[graft] def validateDropListDir(masterIsLocal: Boolean,
+      dropListDir: Option[String]): Unit =
+    require(masterIsLocal || dropListDir.nonEmpty,
+      "accounting: a non-local master requires an explicit " +
+        "cluster-visible dropListDir — the JVM-temp default is " +
+        "driver-local, and a spilled drop list published there would " +
+        "be silently partial (executors write task files to their own " +
+        "disks). Pass dropListDir under a shared filesystem " +
+        "(warehouse/checkpoint dir).")
+
   def accounting(docs: DataFrame, textCol: Column, idCol: Column,
       cfg: Config = Config(), dropListThreshold: Int = 4000000,
       dropListDir: Option[String] = None): DataFrame = {
     require(dropListThreshold >= 0, "dropListThreshold must be >= 0")
+    validateDropListDir(docs.sparkSession.sparkContext.isLocal, dropListDir)
     require(!cfg.useConnectedComponents,
       "accounting() is the one-job greedy form; CC accounting must " +
         "compose clean()'s eager thunks")

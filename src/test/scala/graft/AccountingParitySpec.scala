@@ -124,6 +124,20 @@ class AccountingParitySpec extends AnyFunSuite {
       rows.mkString("\n"))
   }
 
+  test("a non-local master requires an explicit dropListDir; local keeps the temp default") {
+    // pure-guard pin (r17 ADVICE): the spilled arm's JVM-temp default
+    // is driver-local — on a cluster, executors would publish a
+    // silently PARTIAL drop list there. The guard must reject exactly
+    // the (non-local, no explicit dir) corner and nothing else.
+    ops.CorpusClean.validateDropListDir(masterIsLocal = true, None)
+    ops.CorpusClean.validateDropListDir(masterIsLocal = true, Some("/x"))
+    ops.CorpusClean.validateDropListDir(masterIsLocal = false, Some("/x"))
+    val ex = intercept[IllegalArgumentException] {
+      ops.CorpusClean.validateDropListDir(masterIsLocal = false, None)
+    }
+    assert(ex.getMessage.contains("cluster-visible"), ex.getMessage)
+  }
+
   test("accounting() rejects the connected-components configuration") {
     val docs = spark.read.parquet(sfTiny + "/documents.parquet")
       .select(col("doc_id"), col("text"))

@@ -82,11 +82,16 @@ gate = float(sys.argv[3]) if len(sys.argv) > 3 else 2.0
 bench = json.loads(open(bench_path).readline())
 duck = json.loads(open(duck_path).readline())["queries"]
 stages = bench.get("stages", {})
-# price the floorline by the WORSE of the two probes, like Bench's own
-# floorline_excess_sec — contention present at either end of the
-# sweep scales the line
-fps = max(bench.get("floor_sec", 0) or 0,
-          bench.get("floor_after_sec", 0) or 0) / 2
+# price the floorline by the WORST probe anywhere in the sweep —
+# r18 Bench interleaves probes (floor_probes) and prices each query's
+# floorline by its segment's bracket; this gate has no per-query
+# segment map, so it takes the conservative global worst (contention
+# anywhere scales the line, and can only make the gate more lenient,
+# never fake a failure). Older bench files fall back to the two end
+# probes.
+probes = bench.get("floor_probes") or [
+    bench.get("floor_sec", 0) or 0, bench.get("floor_after_sec", 0) or 0]
+fps = max(probes) / 2
 if not fps:
     fps = bench.get("floor_per_stage_sec") or 0.06
 
