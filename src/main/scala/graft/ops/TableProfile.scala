@@ -75,7 +75,19 @@ object TableProfile {
     * combine ⇒ the exchange carries |distinct|, not |rows|), then the
     * 1-row fold. All branches execute inside ONE union job. The
     * Expand form remains for genuinely row-oriented inputs where a
-    * second pass would re-read the whole row. */
+    * second pass would re-read the whole row.
+    *
+    * SETTLED r18 (do not re-attempt): folding the branches into one
+    * grouped aggregate — stack the columns into (col_name, value)
+    * rows via a 6-way generate, then groupBy(col_name) with a single
+    * shared count_distinct — was measured 13× WORSE (7.08 s vs
+    * 0.52 s, isolated min-of-9, sf0.1): the union's 31 stages are
+    * scheduling floor (wall 0.52 ≤ 31 × floor — it contributes zero
+    * floorline excess), while the fold trades them for REAL per-row
+    * work (|rows|×|columns| generate rows, every integer stringified
+    * for the shared distinct slot, string min/max state per group)
+    * that no stage-count saving repays. Stage count is the wrong
+    * objective when the wall is under the floorline. */
   def profileFrameColumnar(df: DataFrame, columns: Seq[String]): DataFrame = {
     require(columns.nonEmpty, "profileFrameColumnar requires explicit columns")
     columns.map { name =>
@@ -89,56 +101,6 @@ object TableProfile {
         .select(lit(name).as("col_name"), col("n_rows"), col("n_null"),
           col("n_distinct"), col("min_s"), col("max_s"))
     }.reduce(_ union _)
-  }
-
-  /** The same exact long report as [[profileFrameColumnar]], folded
-    * into ONE grouped aggregate: every column's values are stacked
-    * into (col_name, value) rows by a 6-way generate over the one
-    * scan, then a single groupBy(col_name) computes all five metrics
-    * with ONE distinct expression — so the whole profile plans as one
-    * two-exchange aggregate chain (~5 stages) instead of one
-    * two-phase aggregate PER column (the union form schedules ~5
-    * stages × |columns|, and at 6 columns its wall is ~pure stage
-    * launches — r17 verdict #7's biggest multiplier). Bytes read are
-    * identical (the stack projects exactly the profiled columns);
-    * both exchanges carry Σ|distinct per column|, the same total the
-    * union's branches carry. The stringify cost rides the generate:
-    * integral values cast injectively to strings for the shared
-    * distinct slot, while min/max keep a NATIVE long slot so integer
-    * extrema stay numeric (lexicographic "9" > "10" must not leak
-    * into min_s/max_s). Integer/string columns only, like the other
-    * exact forms. */
-  def profileFrameStacked(df: DataFrame, columns: Seq[String]): DataFrame = {
-    require(columns.nonEmpty, "profileFrameStacked requires explicit columns")
-    val entries = columns.map { name =>
-      val integral = df.schema(name).dataType match {
-        case org.apache.spark.sql.types.ByteType |
-             org.apache.spark.sql.types.ShortType |
-             org.apache.spark.sql.types.IntegerType |
-             org.apache.spark.sql.types.LongType => true
-        case _ => false
-      }
-      val c = df(name)
-      struct(lit(name).as("col_name"),
-        c.cast("string").as("v_str"),
-        (if (integral) c.cast("long") else lit(null).cast("long")).as("v_long"),
-        lit(integral).as("is_int"))
-    }
-    df.select(explode(array(entries: _*)).as("e")).select(col("e.*"))
-      .groupBy(col("col_name"))
-      .agg(
-        count(lit(1)).as("n_rows"),
-        sum(when(col("v_str").isNull, 1L).otherwise(0L)).as("n_null"),
-        count_distinct(col("v_str")).as("n_distinct"),
-        first(col("is_int")).as("is_int"),
-        min(col("v_long")).as("lo_l"), max(col("v_long")).as("hi_l"),
-        min(col("v_str")).as("lo_s"), max(col("v_str")).as("hi_s"))
-      .select(col("col_name"), col("n_rows"), col("n_null"),
-        col("n_distinct"),
-        when(col("is_int"), col("lo_l").cast("string"))
-          .otherwise(col("lo_s")).as("min_s"),
-        when(col("is_int"), col("hi_l").cast("string"))
-          .otherwise(col("hi_s")).as("max_s"))
   }
 
   /** Profile the given columns (default: all non-complex columns).
