@@ -100,7 +100,7 @@ object Bench {
       "scd2_state", "sketch_rollup_state", "stream_cdc_state",
       "stream_scd2_state", "stream_agg_state", "stream_band_registry",
       "cleaned_corpus_cache", "media_layout", "ivfpq_advanced_index",
-      "ivfpq_removed_index")
+      "ivfpq_removed_index", "ivfpq_leafwise_index", "jsonl_layout")
     // Untimed JVM warm-up: exercise codegen, shuffle, window, join and
     // the parquet reader on the two tiny dimension tables so the first
     // timed query doesn't absorb JIT + first-codegen cost.
@@ -162,6 +162,9 @@ object Bench {
       // the leaf-wise fold lifecycle index (r18 — crash-resumed
       // O(touched lists) add + cid-carrying remove)
       SparkEntry.queries("q_ivfpq_leafwise")(spark, sfDir).count()
+      // the JSONL interchange layout (r18 — zstd + corrupted gzip
+      // shards the quarantine query reads back)
+      SparkEntry.queries("q_jsonl_quarantine")(spark, sfDir).count()
     }
     // Three timed runs per query, min reported (declared in the JSON).
     // This VM shows multi-second scheduler stalls at random (observed

@@ -637,6 +637,30 @@ object ExtendedQueries {
       s"ivfPqRemoveLeafwise: replay was not a marker no-op ($replay)")
   }
 
+  /** The q_jsonl_quarantine layout: the documents corpus exported as
+    * JSONL — the de-facto corpus interchange format — with a
+    * deterministic corruption injection. Clean docs (doc_id % 97 ≠ 0)
+    * go through `CorpusIO.writeJsonl` as ZSTD shards (the
+    * `ZstdJniCodec` registration path under the oracle); every
+    * doc_id % 97 == 0 line is serialized, loses its final byte
+    * (always the closing brace — invalid JSON by construction), and
+    * is appended to the SAME directory as gzip text shards — the
+    * mixed-codec layout `readJsonl` documents (codec resolved per
+    * file by extension, one pass). */
+  private[graft] def jsonlLayoutPath(s: org.apache.spark.sql.SparkSession,
+      d: String): String = memoPath("jsonl", s, d) { dir =>
+    val docs = graft.queries.t(s, d, "documents")
+      .select(col("doc_id"), col("lang"), col("text"))
+    val shards = s"$dir/shards"
+    graft.sources.CorpusIO.writeJsonl(
+      docs.filter(col("doc_id") % 97 =!= 0), shards, 4)
+    docs.filter(col("doc_id") % 97 === 0)
+      .select(to_json(struct(col("doc_id"), col("lang"), col("text"))).as("l"))
+      .select(expr("substring(l, 1, length(l) - 1)").as("value"))
+      .coalesce(1).write.mode("append")
+      .option("compression", "gzip").text(shards)
+  }
+
   /** The q_bucket_join tables: lineitem/orders projections written
     * BUCKETED on their join key (8 buckets each, sorted, external
     * location under the memo's temp dir) so the declared join plans
@@ -1543,6 +1567,34 @@ object ExtendedQueries {
         .limit(10)
     },
 
+    // JSONL corpus interchange under the oracle (r18 — the
+    // dead-letter contract on the declared path): read the memoized
+    // mixed-codec layout (zstd shards via CorpusIO.writeJsonl + gzip
+    // shards of deliberately-truncated lines) with readJsonl's
+    // PERMISSIVE + corrupt-column split. Clean rows must round-trip
+    // CONTENT-EXACT (md5 of the parsed text vs the oracle's md5 of
+    // the original — any escape/codec asymmetry hash-mismatches);
+    // corrupted lines must surface in the quarantine frame with
+    // their doc_id recoverable from the raw line (the field survives
+    // the truncation), never as silently-nulled "clean" rows — the
+    // exact corruption class the module exists to prevent.
+    "q_jsonl_quarantine" -> { (s, d) =>
+      import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+      val dir = jsonlLayoutPath(s, d)
+      val schema = StructType(Seq(StructField("doc_id", LongType),
+        StructField("lang", StringType), StructField("text", StringType)))
+      val (clean, bad) =
+        graft.sources.CorpusIO.readJsonl(s, s"$dir/shards", schema)
+      clean.select(col("doc_id"), col("lang"),
+          md5(col("text").cast("binary")).as("text_md5"))
+        .unionByName(bad.select(
+          regexp_extract(col("raw_line"), "\"doc_id\":(\\d+)", 1)
+            .cast("long").as("doc_id"),
+          lit("__quarantined").as("lang"),
+          lit(null).cast("string").as("text_md5")))
+        .orderBy(col("doc_id"))
+    },
+
     // The LEAF-WISE fold discipline under the oracle (r18 — the
     // O(touched lists) production maintenance shape, vs the
     // whole-index swap folds q_ivfpq_advance/q_ivfpq_remove drive):
@@ -2282,6 +2334,20 @@ object ExtendedQueries {
     // tombstone wrongly kept, re-applied on replay, or leaking into
     // the later add batch shifts the top-k and hash-mismatches
     "q_ivfpq_remove" -> ivfPqProbeOracle(" WHERE vec_id % 4 <> 0"),
+
+    // the quarantine split re-derived arithmetically: the corruption
+    // rule is doc_id % 97 (a pure function, like the media layout's
+    // parameters), so the oracle never parses JSON — clean rows carry
+    // the ORIGINAL text's md5 (the round-trip must be lossless),
+    // quarantined rows their id and a NULL digest
+    "q_jsonl_quarantine" ->
+      """SELECT doc_id, lang, md5(text) AS text_md5 FROM documents
+        | WHERE doc_id % 97 <> 0
+        |UNION ALL
+        |SELECT doc_id, '__quarantined' AS lang,
+        |  CAST(NULL AS VARCHAR) AS text_md5 FROM documents
+        | WHERE doc_id % 97 = 0
+        |ORDER BY doc_id""".stripMargin,
 
     // the leaf-wise folds converge to the SAME surviving set as the
     // whole-swap lifecycle (add evens → crash-resumed add odds →

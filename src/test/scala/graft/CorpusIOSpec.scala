@@ -137,6 +137,31 @@ class CorpusIOSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("the DECLARED q_jsonl_quarantine layout mixes codecs and quarantines exactly the corrupted ids") {
+    val sf = "/root/testdata/sf0.001"
+    val dir = graft.queries.ExtendedQueries.jsonlLayoutPath(spark, sf)
+    // the layout is genuinely mixed-codec: zstd shards from
+    // writeJsonl, one gzip text shard of truncated lines
+    val files = new java.io.File(s"$dir/shards").listFiles()
+      .map(_.getName).filter(_.startsWith("part-"))
+    assert(files.exists(_.endsWith(".zst")), files.mkString(","))
+    assert(files.exists(_.endsWith(".gz")), files.mkString(","))
+    val out = SparkEntry.queries("q_jsonl_quarantine")(spark, sf).collect()
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val n = docs.count()
+    assert(out.length == n, s"${out.length} vs $n")
+    val quarantined = out.filter(_.getString(1) == "__quarantined")
+      .map(_.getLong(0)).toSet
+    val expected = docs.filter(col("doc_id") % 97 === 0)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(quarantined == expected)
+    // every quarantined row carries a null digest; every clean row a
+    // real one (a silently-nulled parse would surface here)
+    assert(out.filter(_.getString(1) == "__quarantined").forall(_.isNullAt(2)))
+    assert(out.filter(_.getString(1) != "__quarantined").forall(r =>
+      r.getString(2) != null && r.getString(2).length == 32))
+  }
+
   test("reserved corrupt column name in the schema is rejected") {
     intercept[IllegalArgumentException] {
       CorpusIO.readJsonl(spark, "/tmp/nope", StructType(Seq(
