@@ -100,7 +100,8 @@ object Bench {
       "scd2_state", "sketch_rollup_state", "stream_cdc_state",
       "stream_scd2_state", "stream_agg_state", "stream_band_registry",
       "cleaned_corpus_cache", "media_layout", "ivfpq_advanced_index",
-      "ivfpq_removed_index", "ivfpq_leafwise_index", "jsonl_layout")
+      "ivfpq_removed_index", "ivfpq_leafwise_index", "jsonl_layout",
+      "stream_jsonl_state")
     // Untimed JVM warm-up: exercise codegen, shuffle, window, join and
     // the parquet reader on the two tiny dimension tables so the first
     // timed query doesn't absorb JIT + first-codegen cost.
@@ -147,6 +148,9 @@ object Bench {
       SparkEntry.queries("q_stream_scd2_publish")(spark, sfDir).count()
       SparkEntry.queries("q_stream_agg_publish")(spark, sfDir).count()
       SparkEntry.queries("q_stream_band_publish")(spark, sfDir).count()
+      // the streamed JSONL intake state (r18 — the fifth lifecycle:
+      // upsert + set-fold publish of the clean/dead-letter split)
+      SparkEntry.queries("q_stream_jsonl_publish")(spark, sfDir).count()
       // the cleaned-corpus session memo (clean-once/derive-many):
       // q_train_pipeline derives from it; the one-time clean is the
       // prebuilt artifact, the DuckDB oracle recomputes it per query

@@ -422,6 +422,31 @@ object EtlQueries {
           col("max_v").cast("double").as("max_v"),
           col("var_pop_v"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+
+    // Streaming JSONL intake PUBLISH under the oracle (r18 — the
+    // FIFTH streaming lifecycle row, composing the two marker-free
+    // idempotence classes: clean side = keyed upsert (latest-wins by
+    // doc_id), dead-letter side = distinct set-fold): the corrupted
+    // JSONL feed delivered as three text micro-batches through
+    // CorpusIO.readJsonlStream -> StreamingPipeline.jsonlIntakeSink,
+    // then the WHOLE feed deliberately re-folded once (the strongest
+    // replay — every batch at once — must be a content no-op on both
+    // published sides; see ExtendedQueries.streamJsonlPath). The
+    // query reads the PUBLISHED state; oracle = the arithmetic
+    // clean/quarantine split (the q_jsonl_quarantine twin — any
+    // slicing, ordering, or replay of the feed converges to it).
+    "q_stream_jsonl_publish" -> { (s, d) =>
+      val dir = ExtendedQueries.streamJsonlPath(s, d)
+      s.read.parquet(s"$dir/pub/clean")
+        .select(col("doc_id"), col("lang"),
+          md5(col("text").cast("binary")).as("text_md5"))
+        .unionByName(s.read.parquet(s"$dir/pub/quarantine")
+          .select(regexp_extract(col("raw_line"), "\"doc_id\":(\\d+)", 1)
+            .cast("long").as("doc_id"),
+          lit("__quarantined").as("lang"),
+          lit(null).cast("string").as("text_md5")))
+        .orderBy(col("doc_id"))
     }
   )
 
@@ -721,6 +746,18 @@ object EtlQueries {
         |    0.0) AS var_pop_v
         |FROM lineitem
         |GROUP BY l_returnflag, l_linestatus
-        |ORDER BY l_returnflag, l_linestatus""".stripMargin
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    // identical to q_jsonl_quarantine's oracle: any slicing, ordering
+    // or replay of the streamed feed converges to the arithmetic
+    // clean/dead-letter split (upsert + set-fold idempotence)
+    "q_stream_jsonl_publish" ->
+      """SELECT doc_id, lang, md5(text) AS text_md5 FROM documents
+        | WHERE doc_id % 97 <> 0
+        |UNION ALL
+        |SELECT doc_id, '__quarantined' AS lang,
+        |  CAST(NULL AS VARCHAR) AS text_md5 FROM documents
+        | WHERE doc_id % 97 = 0
+        |ORDER BY doc_id""".stripMargin
   )
 }

@@ -661,6 +661,57 @@ object ExtendedQueries {
       .option("compression", "gzip").text(shards)
   }
 
+  /** The q_stream_jsonl_publish state: the SAME corrupted JSONL
+    * corpus as [[jsonlLayoutPath]] (doc_id % 97 truncation), but
+    * delivered as three plain-text feed files (doc_id % 3 slices,
+    * each carrying its own corrupted lines) through a REAL
+    * file-source structured stream (`CorpusIO.readJsonlStream`,
+    * Trigger.AvailableNow, one file per micro-batch) into
+    * `StreamingPipeline.jsonlIntakeSink` — each micro-batch an
+    * `advanceIntake` fold (clean = keyed upsert, quarantine =
+    * distinct set-fold, both swap-published). The FIFTH streaming
+    * lifecycle row, composing the two marker-free idempotence
+    * classes; after the stream completes, the ENTIRE feed is
+    * deliberately re-folded once through the same advance call — the
+    * strongest replay (every batch at once) must be a content no-op
+    * on both sides. State at `<dir>/pub/{clean,quarantine}`. */
+  private[graft] def streamJsonlPath(s: org.apache.spark.sql.SparkSession,
+      d: String): String = memoPath("streamjsonl", s, d) { dir =>
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val docs = graft.queries.t(s, d, "documents")
+      .select(col("doc_id"), col("lang"), col("text"))
+    val line = to_json(struct(col("doc_id"), col("lang"), col("text")))
+    val feed = s"$dir/feed"
+    (0 until 3).foreach { i =>
+      docs.filter(col("doc_id") % 3 === i)
+        .select(col("doc_id"), line.as("l"))
+        .select(when(col("doc_id") % 97 === 0,
+            expr("substring(l, 1, length(l) - 1)"))
+          .otherwise(col("l")).as("value"))
+        .coalesce(1).write.mode("append").text(feed)
+    }
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("lang", StringType), StructField("text", StringType)))
+    val q = graft.streaming.StreamingPipeline.jsonlIntakeSink(
+        graft.sources.CorpusIO.readJsonlStream(s, feed, schema,
+          maxFilesPerTrigger = 1),
+        schema, "doc_id", s"$dir/pub", s"$dir/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try {
+      q.awaitTermination()
+      require(q.lastProgress != null && q.lastProgress.batchId >= 2,
+        s"streamJsonlPath: expected >= 3 micro-batches, last batchId = " +
+          s"${Option(q.lastProgress).map(_.batchId)}")
+    } finally q.stop()
+    // the declared replay: re-fold the WHOLE feed through the batch
+    // reader — upsert + set-fold must both be content no-ops
+    val (cleanAll, quarAll) =
+      graft.sources.CorpusIO.readJsonl(s, feed, schema)
+    graft.sources.CorpusIO.advanceIntake(s, s"$dir/pub", "doc_id",
+      cleanAll, quarAll): Unit
+  }
+
   /** The q_bucket_join tables: lineitem/orders projections written
     * BUCKETED on their join key (8 buckets each, sorted, external
     * location under the memo's temp dir) so the declared join plans

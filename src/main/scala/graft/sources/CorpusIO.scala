@@ -116,6 +116,60 @@ object CorpusIO {
     parsed.filter(col("__j").isNull || col(s"__j.$Corrupt").isNotNull)
       .select(col("value").as("raw_line"), col("__file").as("file"))
 
+  /** Fold one intake micro-batch into the published corpus state —
+    * the persisted-registry advance for JSONL ingest, composing BOTH
+    * proven idempotence classes so at-least-once redelivery is a
+    * content no-op with NO applied-batch marker:
+    *
+    *  - `<destDir>/clean`: keyed UPSERT on `keyCol` (the incoming
+    *    batch wins a collision) — redelivering a batch re-upserts its
+    *    own identical rows (content no-op), and a checkpointed feed
+    *    only ever redelivers its LAST uncommitted batch, which is
+    *    what makes the marker-free discipline sound (an OLD batch
+    *    replayed after a newer re-crawl of the same key would win —
+    *    that ordering hazard is the cdc sink's version-guard problem,
+    *    and a feed that re-crawls keys across batches wants
+    *    `cdcApplySink` instead); a re-crawled document's newer parse
+    *    replaces the old row;
+    *  - `<destDir>/quarantine`: distinct-union SET-FOLD of
+    *    (raw_line, file) — the band-registry class; a dead letter is
+    *    a fact, re-observing it changes nothing.
+    *
+    * Both sides go through `Swap.publishFold` (recover → fold →
+    * atomic swap), so each is complete-or-absent under crashes; the
+    * two publishes are NOT mutually atomic — a crash between them
+    * redelivers the batch and both folds converge (the no-marker
+    * discipline is what makes that safe). Returns (clean rows,
+    * quarantine lines) published. */
+  def advanceIntake(spark: SparkSession, destDir: String, keyCol: String,
+      clean: DataFrame, quarLines: DataFrame): (Long, Long) = {
+    import org.apache.hadoop.fs.Path
+    import graft.etl.Swap
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(destDir),
+      spark.sparkContext.hadoopConfiguration)
+    val cleanDir = new Path(destDir, "clean")
+    val cleanTmp = new Path(destDir, "clean__advancing")
+    Swap.recover(fs, cleanDir, cleanTmp)
+    val nextClean =
+      if (fs.exists(cleanDir))
+        spark.read.parquet(cleanDir.toString)
+          .join(clean.select(col(keyCol)), Seq(keyCol), "left_anti")
+          .unionByName(clean)
+      else clean
+    val nClean = Swap.publishFold(spark, fs, cleanDir, cleanTmp,
+      nextClean, None, Nil)
+    val quarDir = new Path(destDir, "quarantine")
+    val quarTmp = new Path(destDir, "quarantine__advancing")
+    Swap.recover(fs, quarDir, quarTmp)
+    val nextQuar =
+      if (fs.exists(quarDir))
+        spark.read.parquet(quarDir.toString).unionByName(quarLines).distinct()
+      else quarLines.distinct()
+    val nQuar = Swap.publishFold(spark, fs, quarDir, quarTmp,
+      nextQuar, None, Nil)
+    (nClean, nQuar)
+  }
+
   /** Write a corpus as compressed JSONL shards — the interchange
     * export (`TrainPrep.exportShards` covers the key-clustered
     * parquet form; this is the cross-tool one). `shards` bounds the

@@ -572,6 +572,29 @@ object StreamingPipeline {
       .option("checkpointLocation", checkpointDir)
   }
 
+  /** Streaming JSONL intake — the streaming twin of the
+    * `CorpusIO.readJsonl` → `advanceIntake` batch path: each
+    * micro-batch of parsed lines (from `CorpusIO.readJsonlStream`)
+    * splits into clean rows and quarantined raw lines, and both fold
+    * into the published corpus state under `destDir` (clean = keyed
+    * upsert; quarantine = distinct set-fold — see `advanceIntake` for
+    * why at-least-once redelivery is a content no-op with no marker).
+    * The dead-letter split thus SURVIVES the stream: a malformed line
+    * lands in the published quarantine table, never as a nulled row
+    * in the published corpus. */
+  def jsonlIntakeSink(parsed: DataFrame,
+      schema: org.apache.spark.sql.types.StructType, keyCol: String,
+      destDir: String, checkpointDir: String) = {
+    parsed.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.sources.CorpusIO.advanceIntake(batch.sparkSession, destDir,
+          keyCol, graft.sources.CorpusIO.cleanRows(batch, schema),
+          graft.sources.CorpusIO.quarantinedLines(batch)): Unit
+      }
+      .option("checkpointLocation", checkpointDir)
+  }
+
   /** The `_LATEST` pointer's target, opened DIRECTLY — an exists()
     * pre-check would race the writer's delete→rename flip (TOCTOU)
     * and turn the gap into a crash instead of None. The one

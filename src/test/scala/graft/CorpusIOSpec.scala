@@ -162,6 +162,33 @@ class CorpusIOSpec extends AnyFunSuite {
       r.getString(2) != null && r.getString(2).length == 32))
   }
 
+  test("intake folds: clean upserts by key, dead letters set-fold, redelivery is a no-op") {
+    import spark.implicits._
+    val dest = java.nio.file.Files.createTempDirectory("graft_intake").toString
+    val cleanA = Seq((1L, "en", "one"), (2L, "fr", "two"))
+      .toDF("doc_id", "lang", "text")
+    val quarA = Seq(("{bad1", "f0")).toDF("raw_line", "file")
+    CorpusIO.advanceIntake(spark, dest, "doc_id", cleanA, quarA)
+    // redeliver batch A verbatim (the checkpointed at-least-once
+    // case) — both published sides must be byte-identical no-ops
+    CorpusIO.advanceIntake(spark, dest, "doc_id", cleanA, quarA)
+    def cleanSet = spark.read.parquet(s"$dest/clean")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    def quarSet = spark.read.parquet(s"$dest/quarantine")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(cleanSet == Set((1L, "en", "one"), (2L, "fr", "two")))
+    assert(quarSet == Set(("{bad1", "f0")))
+    // batch B re-crawls doc 2 with a newer parse and adds doc 3 — the
+    // upsert must take the newer row, the set-fold the new dead letter
+    val cleanB = Seq((2L, "fr", "two-v2"), (3L, "de", "three"))
+      .toDF("doc_id", "lang", "text")
+    val quarB = Seq(("{bad2", "f1"), ("{bad1", "f0")).toDF("raw_line", "file")
+    CorpusIO.advanceIntake(spark, dest, "doc_id", cleanB, quarB)
+    assert(cleanSet == Set((1L, "en", "one"), (2L, "fr", "two-v2"),
+      (3L, "de", "three")))
+    assert(quarSet == Set(("{bad1", "f0"), ("{bad2", "f1")))
+  }
+
   test("reserved corrupt column name in the schema is rejected") {
     intercept[IllegalArgumentException] {
       CorpusIO.readJsonl(spark, "/tmp/nope", StructType(Seq(
