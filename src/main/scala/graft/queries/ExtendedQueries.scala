@@ -307,6 +307,17 @@ object ExtendedQueries {
         lshCandidatePairs(s, d).toDF("id1", "id2"), pairsDistinct = true)
     }
 
+  /** The (doc_id, group_id) near-dup components — shared by
+    * q_dup_groups (the grouping itself) and q_dup_keep_best (the
+    * survivorship pick over it); one CC run per session. */
+  private def dupGroups(s: org.apache.spark.sql.SparkSession, d: String) =
+    memoCache("dupcc", s, d) {
+      val pairs = jaccardPairs(s, d).filter(col("jac") >= 0.5)
+        .select(col("id1"), col("id2"))
+      graft.ops.Dedup.connectedComponents(pairs)
+        .select(col("id").as("doc_id"), col("comp").as("group_id"))
+    }
+
   /** Per-doc MinHash signature columns (id, m0..m7) over the shared
     * shingle cache — one ObjectHashAggregate pass. Cached (memoized):
     * the band table derives from it, and the sketch-accuracy query
@@ -1354,12 +1365,31 @@ object ExtendedQueries {
     // as the shingle store; releaseCaches drops it (cold mode
     // re-iterates).
     "q_dup_groups" -> { (s, d) =>
-      memoCache("dupcc", s, d) {
-        val pairs = jaccardPairs(s, d).filter(col("jac") >= 0.5)
-          .select(col("id1"), col("id2"))
-        graft.ops.Dedup.connectedComponents(pairs)
-          .select(col("id").as("doc_id"), col("comp").as("group_id"))
-      }.orderBy(col("doc_id"))
+      dupGroups(s, d).orderBy(col("doc_id"))
+    },
+
+    // Survivorship — the step AFTER grouping (r18): pick each
+    // near-dup group's canonical representative. Policy: keep the
+    // LONGEST member (n_chars — the most complete version of a
+    // near-dup cluster, the standard keep-best heuristic), min
+    // doc_id on ties. One window pass over the grouped docs (a set
+    // ≪ corpus — only docs IN dup groups carry labels), one exchange
+    // on group_id; all-integer decision path, so the pick is exact
+    // cross-engine. Composes the declared chain: shingles → LSH
+    // candidates → verified pairs → connected components → keep-best.
+    "q_dup_keep_best" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = graft.queries.t(s, d, "documents")
+        .select(col("doc_id"), col("n_chars"))
+      val byGroup = Window.partitionBy(col("group_id"))
+      dupGroups(s, d).join(docs, "doc_id")
+        .withColumn("rk", row_number().over(
+          byGroup.orderBy(col("n_chars").desc, col("doc_id"))))
+        .withColumn("n_members", count(lit(1)).over(byGroup))
+        .filter(col("rk") === 1)
+        .select(col("group_id"), col("doc_id").as("kept_id"),
+          col("n_members"), col("n_chars").as("kept_chars"))
+        .orderBy(col("group_id"))
     },
 
     // Embedding-cosine near-dup: top-20 most-similar vector pairs,
@@ -1854,6 +1884,58 @@ object ExtendedQueries {
     * passes the lifecycle's surviving-set predicate, so the oracle
     * recomputes over exactly the rows the add→remove→add folds must
     * converge to. */
+  /** The shared near-dup CC oracle CTE chain (shingles → minhash →
+    * bands → candidates → exact-Jaccard pairs → symmetric edges →
+    * recursive reach → min-label groups, ending in a `grp(doc_id,
+    * group_id)` CTE) — q_dup_groups selects it verbatim,
+    * q_dup_keep_best layers the survivorship window on top. */
+  private def dupGroupsOracleCte: String =
+    s"""WITH RECURSIVE sh AS (
+         |  $shinglesSql
+         |), mh AS (
+         |  SELECT doc_id,
+         |    min(md5('0|' || s)) AS m0, min(md5('1|' || s)) AS m1,
+         |    min(md5('2|' || s)) AS m2, min(md5('3|' || s)) AS m3,
+         |    min(md5('4|' || s)) AS m4, min(md5('5|' || s)) AS m5,
+         |    min(md5('6|' || s)) AS m6, min(md5('7|' || s)) AS m7
+         |  FROM sh GROUP BY doc_id
+         |), bands AS (
+         |  SELECT doc_id, 1 AS band, md5(m0 || m1 || m2 || m3) AS h FROM mh
+         |  UNION ALL
+         |  SELECT doc_id, 2 AS band, md5(m4 || m5 || m6 || m7) AS h FROM mh
+         |), cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id
+         |), shd AS (
+         |  SELECT DISTINCT * FROM sh
+         |), sizes AS (
+         |  SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id
+         |), inter AS (
+         |  SELECT c.doc1, c.doc2, count(*) AS inter
+         |  FROM cand c
+         |  JOIN shd a ON a.doc_id = c.doc1
+         |  JOIN shd b ON b.doc_id = c.doc2 AND b.s = a.s
+         |  GROUP BY 1, 2
+         |), pairs AS (
+         |  SELECT doc1, doc2
+         |  FROM inter
+         |  JOIN sizes s1 ON s1.doc_id = doc1
+         |  JOIN sizes s2 ON s2.doc_id = doc2
+         |  WHERE inter * 1.0 / (s1.n + s2.n - inter) >= 0.5
+         |), edges AS (
+         |  SELECT doc1 AS src, doc2 AS dst FROM pairs
+         |  UNION
+         |  SELECT doc2, doc1 FROM pairs
+         |), reach AS (
+         |  SELECT src AS id, src AS lbl FROM edges
+         |  UNION
+         |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+         |), grp AS (
+         |  SELECT id AS doc_id, min(lbl) AS group_id
+         |  FROM reach GROUP BY id
+         |)""".stripMargin
+
   private def ivfPqProbeOracle(corpusWhere: String = ""): String = {
       val cb = pqOracleCodebook.map(_.toLong).mkString("[", ", ", "]")
       val qv = adcQueryVec.map(_.toLong).mkString("[", ", ", "]")
@@ -2163,50 +2245,26 @@ object ExtendedQueries {
          |ORDER BY doc1, doc2""".stripMargin,
 
     "q_dup_groups" ->
-      s"""WITH RECURSIVE sh AS (
-         |  $shinglesSql
-         |), mh AS (
-         |  SELECT doc_id,
-         |    min(md5('0|' || s)) AS m0, min(md5('1|' || s)) AS m1,
-         |    min(md5('2|' || s)) AS m2, min(md5('3|' || s)) AS m3,
-         |    min(md5('4|' || s)) AS m4, min(md5('5|' || s)) AS m5,
-         |    min(md5('6|' || s)) AS m6, min(md5('7|' || s)) AS m7
-         |  FROM sh GROUP BY doc_id
-         |), bands AS (
-         |  SELECT doc_id, 1 AS band, md5(m0 || m1 || m2 || m3) AS h FROM mh
-         |  UNION ALL
-         |  SELECT doc_id, 2 AS band, md5(m4 || m5 || m6 || m7) AS h FROM mh
-         |), cand AS (
-         |  SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
-         |  FROM bands a JOIN bands b
-         |    ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id
-         |), shd AS (
-         |  SELECT DISTINCT * FROM sh
-         |), sizes AS (
-         |  SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id
-         |), inter AS (
-         |  SELECT c.doc1, c.doc2, count(*) AS inter
-         |  FROM cand c
-         |  JOIN shd a ON a.doc_id = c.doc1
-         |  JOIN shd b ON b.doc_id = c.doc2 AND b.s = a.s
-         |  GROUP BY 1, 2
-         |), pairs AS (
-         |  SELECT doc1, doc2
-         |  FROM inter
-         |  JOIN sizes s1 ON s1.doc_id = doc1
-         |  JOIN sizes s2 ON s2.doc_id = doc2
-         |  WHERE inter * 1.0 / (s1.n + s2.n - inter) >= 0.5
-         |), edges AS (
-         |  SELECT doc1 AS src, doc2 AS dst FROM pairs
-         |  UNION
-         |  SELECT doc2, doc1 FROM pairs
-         |), reach AS (
-         |  SELECT src AS id, src AS lbl FROM edges
-         |  UNION
-         |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+      s"""$dupGroupsOracleCte
+         |SELECT doc_id, group_id FROM grp ORDER BY doc_id""".stripMargin,
+
+    // the survivorship twin: same CC chain, then one window pick —
+    // longest member (n_chars) per group, min doc_id on ties
+    "q_dup_keep_best" ->
+      s"""$dupGroupsOracleCte,
+         |j AS (
+         |  SELECT g.group_id, g.doc_id, d.n_chars
+         |  FROM grp g JOIN documents d USING (doc_id)
+         |), k AS (
+         |  SELECT group_id, doc_id, n_chars,
+         |    row_number() OVER (PARTITION BY group_id
+         |                       ORDER BY n_chars DESC, doc_id) AS rk,
+         |    count(*) OVER (PARTITION BY group_id) AS n_members
+         |  FROM j
          |)
-         |SELECT id AS doc_id, min(lbl) AS group_id
-         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+         |SELECT group_id, doc_id AS kept_id, n_members,
+         |  n_chars AS kept_chars
+         |FROM k WHERE rk = 1 ORDER BY group_id""".stripMargin,
 
     "q_dedup_embed_topk" ->
       """SELECT a.vec_id AS id1, b.vec_id AS id2,
