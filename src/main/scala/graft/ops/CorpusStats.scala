@@ -379,4 +379,34 @@ object CorpusStats {
 
   def bigramLmScore(df: DataFrame, text: Column, id: Column): DataFrame =
     bigramLmFromCounts(docBigramCounts(df, text, id))
+
+  /** Exact phrase search over positional postings — the inverted-
+    * index read shape, not a substring scan: tokens explode WITH
+    * position, the frame is immediately filtered to the phrase's own
+    * terms (at 100 TB, against a persisted postings table, that
+    * filter is the index fetch — |phrase terms' postings| rows read,
+    * never the corpus; here the filter runs in the scan stage of the
+    * one tokenize pass), and each term anchors to its candidate
+    * phrase START (`pos − offset`). An n-term phrase is then an
+    * (id, start) equi-join chain — a start survives iff ALL n terms
+    * sit at their offsets — and the per-doc count is a map-side-
+    * combined aggregate. Overlapping occurrences each count (every
+    * valid start is its own row); a repeated term in the phrase is
+    * handled by construction (each anchored frame carries one row
+    * per POSITION, so self-overlap cannot double-join). Returns
+    * (id, n_occ), only docs with ≥ 1 occurrence. */
+  def phraseOccurrences(df: DataFrame, text: Column, id: Column,
+      phrase: Seq[String]): DataFrame = {
+    require(phrase.size >= 2, s"phrase needs >= 2 terms, got $phrase")
+    val toks = df.select(id.as("id"),
+        posexplode(split(text, " ")).as(Seq("pos", "tok")))
+      .filter(col("tok").isin(phrase.distinct: _*))
+    val anchored = phrase.zipWithIndex.map { case (w, i) =>
+      toks.filter(col("tok") === w)
+        .select(col("id"), (col("pos") - i).as("start"))
+    }
+    anchored.reduce((a, b) => a.join(b, Seq("id", "start")))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_occ"))
+  }
 }

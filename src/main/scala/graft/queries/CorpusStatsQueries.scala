@@ -255,6 +255,24 @@ object CorpusStatsQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Exact PHRASE search via positional postings (r18 — the
+    // inverted-index read shape): tokens explode with position, the
+    // frame is filtered to the phrase's two terms in the scan stage
+    // (against a persisted postings table this is the index fetch —
+    // the phrase terms' postings, never the corpus), each term
+    // anchors to its candidate start, and the (id, start) equi-join
+    // keeps exactly the starts where BOTH terms sit at their
+    // offsets. Overlapping occurrences each count. The oracle
+    // recomputes positions with a loop-free list_transform scan —
+    // an adjacency the postings join missed or invented
+    // hash-mismatches on n_occ.
+    "q_phrase_search" -> { (s, d) =>
+      CorpusStats.phraseOccurrences(t(s, d, "documents"),
+          col("text"), col("doc_id"), Seq("table", "scan"))
+        .select(col("id").as("doc_id"), col("n_occ"))
+        .orderBy(col("doc_id"))
+    },
+
     // Per-doc token-distribution entropy in exact fixed-point integer
     // sums (partition-order independent — a double Σ c·ln(c) would
     // drift at 1000 executors). Two map-side-combinable aggregates.
@@ -411,6 +429,16 @@ object CorpusStatsQueries {
         |SELECT doc_id, n_bg, score_fp,
         |       round(score_fp / (n_bg * 1000000.0), 4) AS avg_nats
         |FROM sc ORDER BY doc_id""".stripMargin,
+
+    "q_phrase_search" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |o AS (SELECT doc_id,
+        |        list_sum(list_transform(range(1, len(w)), i ->
+        |          CASE WHEN w[i] = 'table' AND w[i+1] = 'scan'
+        |               THEN 1 ELSE 0 END)) AS n_occ
+        |      FROM t WHERE len(w) >= 2)
+        |SELECT doc_id, CAST(n_occ AS BIGINT) AS n_occ
+        |FROM o WHERE n_occ > 0 ORDER BY doc_id""".stripMargin,
 
     "q_doc_entropy" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),

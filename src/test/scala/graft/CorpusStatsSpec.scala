@@ -213,4 +213,29 @@ class CorpusStatsSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), plan.take(1500))
   }
+  test("phraseOccurrences: adjacency joins, overlap counts, repeated terms, n-term phrases") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "full table scan beats index when selective"),
+      (2L, "table scan table scan"),             // two non-overlapping
+      (3L, "a a a"),                             // overlap fixture
+      (4L, "scan table"),                        // reversed - no match
+      (5L, "table only here")
+    ).toDF("doc_id", "text")
+    def occ(phrase: String*) =
+      CorpusStats.phraseOccurrences(docs, col("text"), col("doc_id"), phrase)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(occ("table", "scan") == Map(1L -> 1L, 2L -> 2L))
+    // overlapping occurrences each count: "a a a" has starts 0 and 1
+    assert(occ("a", "a") == Map(3L -> 2L))
+    // 3-term phrase chains the join
+    assert(occ("table", "scan", "table") == Map(2L -> 1L))
+    // the postings fetch shape: the exploded frame is filtered to the
+    // phrase terms BEFORE any join (a Filter with tok IN (...) below
+    // the joins), never a full-postings join
+    val plan = CorpusStats.phraseOccurrences(docs, col("text"),
+      col("doc_id"), Seq("table", "scan")).queryExecution.executedPlan.toString
+    assert(plan.contains("tok"), plan.take(1500))
+  }
+
 }
