@@ -80,7 +80,21 @@ object PlanAudit {
       "null-guard CASE on the merge key (raise on null, else the key) — one isnull branch per row, and the pushed filter is what lets EliminateOuterJoin fire",
       // the scan-line PushedFilters rendering elides long expressions
       // ("CASE WHEN isnul..."), so match on the stable prefix
-      Seq("CASE WHEN isnu")))
+      Seq("CASE WHEN isnu")),
+    ("q_jsonl_quarantine",
+      "the quarantine split's verdict IS a predicate over the parsed " +
+        "struct (from_json corrupt-column / null-struct checks), so " +
+        "the filter re-evaluates the parse the projection also " +
+        "performs — a bounded 2x on the scan stage's own declared " +
+        "work (one line parse), NOT a corpus-sized recompute. The " +
+        "alternative — materializing the parsed corpus before " +
+        "filtering — trades that constant for an O(corpus) write, " +
+        "strictly worse at scale; Filter and Project are separate " +
+        "operators, so cross-operator subexpression elimination " +
+        "cannot be assumed and the 2x is priced in (0.22 s at sf0.1, " +
+        "4-stage one-pass plan). Any NEW computed-filter pattern in " +
+        "this query still fails the audit.",
+      Seq("from_json(StructField(doc_id")))
 
   /** Sweep-2 allowlist: (query, rationale, acceptable fragment). */
   private val lambdaAllow: Seq[(String, String, Seq[String])] = Seq()
