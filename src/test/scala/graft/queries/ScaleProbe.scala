@@ -436,7 +436,27 @@ object ScaleProbe {
               col("sample_rate"), col("channels"))
             .repartition(1).sortWithinPartitions(col("media_id"))
         },
-        (d: String) => "", 3))
+        (d: String) => "", 3),
+      // r18: the JSONL interchange read — the mixed-codec layout is
+      // built once per scale by the declared memo (releaseCaches
+      // drops it, so run 1 pays the build; min-of-3 keeps the READ),
+      // and the read must scale as one parse pass over the shards
+      ("risk_jsonl",
+        (d: String) => graft.SparkEntry.queries("q_jsonl_quarantine")(spark, d),
+        (d: String) => s"docs=${docs(d).count()}", 3),
+      // r18: positional-postings phrase join — tokenize + term filter
+      // + (id, start) equi-join; cost follows the corpus (the
+      // tokenize pass), never |docs|² (no pair space at all)
+      ("risk_phrase",
+        (d: String) => graft.ops.CorpusStats.phraseOccurrences(
+          docs(d), col("text"), col("doc_id"), Seq("table", "scan")),
+        (d: String) => {
+          val m = graft.ops.CorpusStats.phraseOccurrences(
+              docs(d), col("text"), col("doc_id"), Seq("table", "scan"))
+            .agg(count(lit(1)).as("d"),
+              coalesce(sum(col("n_occ")), lit(0L)).as("s")).head
+          s"matchDocs=${m.getLong(0)} occ=${m.getLong(1)}"
+        }, 3))
 
     val hdr = dirs.map { case (n, _) => f"x$n%7s " }.mkString
     println(f"${"probe"}%-20s $hdr xMAX/x1   shMB per scale")
