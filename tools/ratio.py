@@ -54,6 +54,7 @@ ACCEPTED = {
     # r15 one-exchange re-plans / broadcast / bucketed joins: walls
     # ride the scheduling floor, tiny idle excesses.
     "q_drawdown": 0.85,         # idle walls 0.64-0.82 s / 4 st → excess 0.38-0.56 across hosts; a real second exchange reads ~1.0+
+    "q_bollinger": 0.8,         # r18 isolated min-of-9: 0.628 s / 4 st → excess ~0.36 (probes 0.079/0.135); plan minimal (plans/r18/q_bollinger_before.txt: ONE range exchange, ONE Window node carrying rn + both sliding sums, terminal sort elided). Sweep-context flap observed to 0.73 when a burst lands inside a probe segment. A second exchange or split window pass reads >=1.2 s wall -> excess >=0.9, and the 19.744 MB / 4-stage pins trip on any plan change first.
     "q_quantiles_multi": 0.4,   # 0.42 s / 3 st → ~0.23
     "q_agg_median": 0.3,        # 0.29 s / 3 st → ~0.10
     "q_percentile_disc": 0.3,   # 0.24 s / 3 st → ~0.05
