@@ -67,6 +67,14 @@ object Bench {
     // A/B knob for floor attribution (default = cpus, the committed
     // methodology): how much of the per-query floor is reducer count?
     val shufflePartitions = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
+    // A/B knob for the shuffle-block codec (optimization guide §2.3:
+    // "There is no universal answer — measure shuffle bytes written
+    // and stage time with each"). Default = Spark's own default (lz4)
+    // so the driver's bench and the byte pins are unchanged; zstd is
+    // the candidate where shuffle crosses a real network (better
+    // ratio for more CPU). Non-default values deactivate the plan
+    // pins below: shuffle_mb budgets are compressed-byte budgets.
+    val ioCodec = sys.env.getOrElse("SPARK_GRAFT_IO_CODEC", "lz4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shufflePartitions)
@@ -83,6 +91,7 @@ object Bench {
       // per shuffle stage with the sort writer. Real clusters run
       // >200 reduce partitions and take this path anyway.
       .config("spark.shuffle.sort.bypassMergeThreshold", "0")
+      .config("spark.io.compression.codec", ioCodec)
       .getOrCreate()
     // Belt-and-braces with the resources config: the benchmark's only
     // contract is the one JSON result line, and any stray WARN
@@ -413,7 +422,7 @@ object Bench {
       else None
     val planPinsActive =
       budgetMaps.nonEmpty && only.isEmpty && cpus == "32" &&
-        shufflePartitions == cpus &&
+        shufflePartitions == cpus && ioCodec == "lz4" &&
         sys.env.getOrElse("SPARK_GRAFT_AQE", "true") == "true"
     def bytePinFailures(measured: Map[String, Double],
         budgets: Map[String, Double]): Seq[String] =
