@@ -44,7 +44,7 @@ echo "== [5/6] plan-cost pins (shuffle/input/stage budgets, both pinned SFs) =="
 for pinsf in sf0.1 sf0.01; do
   SPARK_GRAFT_SF_DIR=/root/testdata/${pinsf} SPARK_GRAFT_BENCH_RUNS=1 \
     SPARK_GRAFT_CPUS=32 SPARK_GRAFT_SHUFFLE=32 SPARK_GRAFT_AQE=true \
-    SPARK_GRAFT_BENCH_ONLY= \
+    SPARK_GRAFT_BENCH_ONLY= SPARK_GRAFT_IO_CODEC=lz4 \
     sbt -batch "runMain graft.Bench" 2>&1 | grep -o '{"metric".*}' \
     > "/tmp/gate_bench_${pinsf}.json"
   GATE_PIN_SF="$pinsf" python3 - <<'PYEOF'
