@@ -18,10 +18,11 @@ import org.apache.spark.sql.functions._
   * indicator performs exactly ONE double division at the end (IEEE-
   * identical on any engine).
   *
-  * 100 TB shape: both indicators are a single hash exchange on the
-  * series key and one sort per partition (the window). No joins, no
-  * second shuffle; a follow-up per-key aggregate (drawdown) reuses the
-  * window's partitioning, so it adds no exchange.
+  * 100 TB shape: every indicator is a SINGLE exchange on the series
+  * key and one sort per partition (the window). No joins, no second
+  * shuffle; a follow-up per-key aggregate (drawdown) reuses the
+  * window's partitioning, and the range-partitioned forms let a
+  * (key, series-order) consumer sort-elide entirely.
   */
 object Indicators {
 
@@ -55,10 +56,24 @@ object Indicators {
     * row in the pushed-down Filter and again in the output projection
     * (observed in the physical plan, ~2× the rounding cost). With
     * `completeOnly` the filter is two native-long comparisons and
-    * round() runs exactly once, over survivors only. */
+    * round() runs exactly once, over survivors only.
+    *
+    * `rangeExchange = true` RANGE-partitions the one series exchange
+    * (the [[bollinger]] r15 discipline, ported r18): a caller ordering
+    * the output by (key, window order) then needs NO second exchange
+    * and NO terminal sort — the r9 "fused" experiment that measured
+    * WORSE (0.88 s) predated that sort elision and still planned a
+    * second range exchange for the terminal sort; with the elision the
+    * isolated min-of-9 reads 0.70 vs 1.09 s at sf0.1 and the shuffle
+    * drops 21.4 → 15.2 MB (the second exchange's bytes). Default
+    * `false` because a pre-partitioned input should NOT re-shuffle:
+    * over a series-key-bucketed table the default plans with ZERO
+    * exchanges (IndicatorsSpec), which the forced repartition would
+    * destroy. */
   def rsi(df: DataFrame, key: Column, orderCols: Seq[Column],
       price: Column, period: Int = 14,
-      completeOnly: Boolean = false): DataFrame = {
+      completeOnly: Boolean = false,
+      rangeExchange: Boolean = false): DataFrame = {
     // same reserved-name discipline as TrainPrep.packBins: withColumn
     // silently OVERWRITES same-named inputs, so fail loudly instead
     val reserved = Seq("rn", "rsi", "__p", "__d", "__cg", "__cl",
@@ -83,6 +98,15 @@ object Indicators {
     // projection for the subtraction's left side (observed in the
     // physical plan) — a named column evaluates it once per row.
     val p = floor(price.cast("double") * lit(10000.0) + lit(0.5)).cast("long")
+    // see the scaladoc: the [[bollinger]] one-exchange discipline,
+    // opt-in so bucketed inputs keep their zero-exchange plan; the
+    // count is pinned to the session's shuffle parallelism for the
+    // same AQE-coalescing reason bollinger documents
+    val base =
+      if (rangeExchange)
+        df.repartitionByRange(
+          df.sparkSession.sessionState.conf.numShufflePartitions, key)
+      else df
     // The trailing `period`-row gain/loss sums: period-adaptive frame
     // strategy. Spark has no aggregate retraction, so a sliding ROWS
     // (-(period-1), 0) frame re-aggregates its buffer on every row —
@@ -98,7 +122,7 @@ object Indicators {
     // nodes share ONE sort/exchange; same-spec expressions are emitted
     // per select() so each node carries all its functions in one pass
     // (a withColumn chain would split them into one pass each).
-    val p1 = df.withColumn("__p", p)
+    val p1 = base.withColumn("__p", p)
       .select(col("*"),
         row_number().over(w).cast("long").as("rn"),
         (col("__p") - lag(col("__p"), 1).over(w)).as("__d"))
@@ -150,8 +174,8 @@ object Indicators {
     * (r15), so a consumer reading the bands in (key, series-order)
     * order adds no second exchange and no sort — one sort, a single
     * WindowExec pass carrying rn and both sums (same frame spec ⇒ one
-    * buffer). [[rsi]] keeps its hash-exchange form: its plan is
-    * pinned settled (r9/r10 bisection). */
+    * buffer). [[rsi]] offers the same form via `rangeExchange` (r18 —
+    * the r9 hash-exchange disposition predated this sort elision). */
   def bollinger(df: DataFrame, key: Column, orderCols: Seq[Column],
       price: Column, period: Int = 20, k: Double = 2.0): DataFrame = {
     val reserved = Seq("rn", "mid", "upper", "lower", "__p", "__sx", "__sxx")

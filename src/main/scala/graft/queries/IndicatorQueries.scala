@@ -23,7 +23,9 @@ import org.apache.spark.sql.functions._
   * query at sf0.1) — the floor form is the same contract without the
   * allocation, and the oracle now spells the identical expression
   * instead of a decimal chain that merely evaluates equal.
-  * Both plans are a single hash exchange on l_partkey.
+  * Every plan here is a SINGLE range exchange on l_partkey with the
+  * terminal sort elided (rsi joined bollinger/drawdown's r15
+  * one-exchange form in r18).
   */
 object IndicatorQueries {
 
@@ -39,10 +41,24 @@ object IndicatorQueries {
           col("l_partkey"),
           Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber")),
           col("l_extendedprice"), period = 14,
-          completeOnly = true)
+          completeOnly = true,
+          rangeExchange = true)
         .select(col("l_partkey"), col("l_orderkey"), col("l_linenumber"),
           col("rn"), col("rsi"))
-        .orderBy(col("l_partkey"), col("rn"))
+        // ordered by the series keys themselves, not (key, rn): the
+        // SAME total order (rn is row_number over exactly this order
+        // and the defined-rows filter preserves its monotonicity), but
+        // expressed so Catalyst can SEE it equals the window child's
+        // output ordering over rsi's range-partitioned exchange — the
+        // terminal sort and its second range exchange elide entirely
+        // (r18; isolated min-of-9 1.09 → 0.70 s, shuffle 21.4 → 15.2
+        // MB, stages 8 → 4 at sf0.1. The r9 "fused" disposition that
+        // measured 0.88 s predated this elision and planned BOTH range
+        // exchanges). The oracle keeps ORDER BY l_partkey, rn:
+        // identical row order, positional hash unaffected — the
+        // q_bollinger r15 precedent.
+        .orderBy(col("l_partkey"), col("l_shipdate"), col("l_orderkey"),
+          col("l_linenumber"))
     },
 
     // Bollinger bands per part series (fetch_stocks.py:216's rolling

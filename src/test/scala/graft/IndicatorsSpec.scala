@@ -97,8 +97,8 @@ class IndicatorsSpec extends AnyFunSuite {
   }
 
   test("rsi over a series-key-bucketed table plans with zero exchanges") {
-    // q_rsi's settled ~0.3 s above floor IS its one width-independent
-    // hash exchange (SCALE.md bisection) — this gate proves the
+    // q_rsi's residual above floor IS its one width-independent
+    // series exchange (SCALE.md bisection; RANGE since r18) — this gate proves the
     // library already owns the lever that deletes it at 100 TB: bucket
     // the fact on the series key once (Layout.writeBucketed) and every
     // recurring per-key window pass plans with NO exchange at all —
@@ -129,6 +129,24 @@ class IndicatorsSpec extends AnyFunSuite {
     val bucketed = out
       .select(col("l_partkey"), col("l_orderkey"), col("l_linenumber"), col("rsi"))
     assert(bucketed.exceptAll(plain).isEmpty && plain.exceptAll(bucketed).isEmpty)
+  }
+
+  test("rsi rangeExchange: one range exchange, values identical to the default form") {
+    // The r18 opt-in one-exchange discipline (the bollinger r15 form
+    // ported): the series exchange is RANGE-partitioned so a caller's
+    // (key, window-order) terminal sort elides. The flag must change
+    // the PLAN only — every value equals the default hash form's.
+    val ranged = ops.Indicators.rsi(px, col("k"), Seq(col("i")),
+      col("p").cast("decimal(18,2)"), 2, completeOnly = true,
+      rangeExchange = true)
+    val p = ranged.queryExecution.executedPlan.toString
+    assert(p.contains("rangepartitioning"),
+      s"expected a range-partitioned series exchange:\n$p")
+    assert(!p.contains("hashpartitioning"),
+      s"expected no hash exchange under the flag:\n$p")
+    val plain = ops.Indicators.rsi(px, col("k"), Seq(col("i")),
+      col("p").cast("decimal(18,2)"), 2, completeOnly = true)
+    assert(ranged.exceptAll(plain).isEmpty && plain.exceptAll(ranged).isEmpty)
   }
 
   test("series are isolated per key (no cross-key leakage in windows)") {

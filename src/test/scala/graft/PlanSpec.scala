@@ -586,7 +586,7 @@ class PlanSpec extends AnyFunSuite {
       readSchema)
   }
 
-  test("rsi: two fused window passes over one hash exchange, pruned scan, cheap filter") {
+  test("rsi: two fused window passes over one range exchange, pruned scan, cheap filter") {
     // Shape history: r4/r8 flip-flopped between the 2-pass sliding
     // frame and the 3-pass cum-minus-lag form with ~equal totals; r9
     // bisected the cost (window passes dominate, frame adds don't at
@@ -594,13 +594,17 @@ class PlanSpec extends AnyFunSuite {
     // sliding (this gate), > 32 → 3-pass O(1)/row. Two same-spec
     // Window nodes (rn+diff, sliding sums) share ONE sort and ONE
     // exchange; a withColumn chain would split every function into
-    // its own pass. Gate the shape so a regression can't silently
-    // multiply passes or un-prune the scan.
+    // its own pass. r18: the one exchange is RANGE-partitioned and
+    // the terminal sort elides (the r15 bollinger discipline — the
+    // r9 hash-exchange disposition predated the elision); the family
+    // gate below holds the one-exchange/no-terminal-sort shape. Gate
+    // the pass count and scan pruning here so a regression can't
+    // silently multiply passes or un-prune the scan.
     val p = plan(q("q_rsi"))
     assert("\\bWindow\\b".r.findAllIn(p).length == 2,
       s"expected exactly the 2 fused window passes:\n$p")
-    val hashExchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
-    assert(hashExchanges == 1, s"expected one partkey exchange:\n$p")
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 0,
+      s"expected no hash exchange (range form since r18):\n$p")
     val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
     assert(readSchema.contains("l_partkey") && !readSchema.contains("l_comment") &&
       !readSchema.contains("l_quantity"), readSchema)
@@ -671,7 +675,7 @@ class PlanSpec extends AnyFunSuite {
     // elision regressed (measured +0.2 s per query at sf0.1, and at
     // 100 TB a full second pass over the window chain).
     for (name <- Seq("q_percentile_disc", "q_quantiles_multi",
-        "q_agg_median", "q_bollinger", "q_drawdown",
+        "q_agg_median", "q_bollinger", "q_drawdown", "q_rsi",
         "q_window_lag_return", "q_window_lead_ntile")) {
       val p = plan(q(name))
       val exchanges = shuffleExchanges(p)
@@ -685,7 +689,7 @@ class PlanSpec extends AnyFunSuite {
     // partition-local SortExec ABOVE their aggregate only.
     // q_window_rolling_std reads the cached eventProfile (its memo
     // build carries its own exchanges), so it gets only this check.
-    for (name <- Seq("q_bollinger", "q_window_lag_return",
+    for (name <- Seq("q_bollinger", "q_rsi", "q_window_lag_return",
         "q_window_lead_ntile", "q_window_rolling_std")) {
       val p = plan(q(name))
       val lines = p.linesIterator.toSeq
