@@ -53,6 +53,21 @@ object Bench {
   def benchAction(df: org.apache.spark.sql.DataFrame): Long =
     df.queryExecution.toRdd.count()
 
+  /** The DISCLOSED untimed-warm-up artifact list, emitted verbatim in
+    * the bench JSON (r13 ADVICE) and pinned by MemoFenceSpec against a
+    * committed allowlist (r18 verdict #6): new precomputation cannot
+    * slip into the untimed region without a reviewed diff of this
+    * sequence AND the spec's copy. Object-level so the spec can read
+    * it without running a bench. */
+  val prebuilt: Seq[String] = Seq("shingle_cache", "embed_norms_cache",
+    "token_count_cache", "skipping_layout", "ivfpq_index",
+    "bucket_join_tables", "compacted_layout", "compact_partitioned_layout",
+    "scd2_state", "sketch_rollup_state", "stream_cdc_state",
+    "stream_scd2_state", "stream_agg_state", "stream_band_registry",
+    "cleaned_corpus_cache", "media_layout", "ivfpq_advanced_index",
+    "ivfpq_removed_index", "ivfpq_leafwise_index", "jsonl_layout",
+    "stream_jsonl_state")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -100,17 +115,10 @@ object Bench {
     spark.sparkContext.setLogLevel("ERROR")
     // Session-shared artifacts the untimed warm-up pre-builds (caches
     // + persisted layouts), DISCLOSED in the emitted JSON as
-    // "prebuilt" (r13 ADVICE): the DuckDB oracle recomputes the
-    // equivalent work per query, so a reader of the archived totals
-    // needs the asymmetry on the record, not just warm_cache:true.
-    val prebuilt = Seq("shingle_cache", "embed_norms_cache",
-      "token_count_cache", "skipping_layout", "ivfpq_index",
-      "bucket_join_tables", "compacted_layout", "compact_partitioned_layout",
-      "scd2_state", "sketch_rollup_state", "stream_cdc_state",
-      "stream_scd2_state", "stream_agg_state", "stream_band_registry",
-      "cleaned_corpus_cache", "media_layout", "ivfpq_advanced_index",
-      "ivfpq_removed_index", "ivfpq_leafwise_index", "jsonl_layout",
-      "stream_jsonl_state")
+    // "prebuilt" (r13 ADVICE; now the object-level field above): the
+    // DuckDB oracle recomputes the equivalent work per query, so a
+    // reader of the archived totals needs the asymmetry on the
+    // record, not just warm_cache:true.
     // Untimed JVM warm-up: exercise codegen, shuffle, window, join and
     // the parquet reader on the two tiny dimension tables so the first
     // timed query doesn't absorb JIT + first-codegen cost.
@@ -498,7 +506,24 @@ object Bench {
     val floorProbesJson = floorProbes
       .map(p => math.round(p * 1000.0) / 1000.0).mkString("[", ",", "]")
     val prebuiltJson = prebuilt.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"n_queries":${results.size},"runs_per_query":$runs,"agg":"min","warm_cache":true,"prebuilt":$prebuiltJson,"floor_sec":$floorSec,"floor_per_stage_sec":${floorSec / 2},"floor_after_sec":$floorSecAfter,"floor_probes":$floorProbesJson,"floorline_excess_sec":$floorlineExcessSec,"pin_failures":[${pinFailures.mkString(",")}],$planPinFields,"shuffle_mb_total":$shuffleTotalMb$coldFields,"queries":${toJson(results)},"stages":${toJsonInt(stageCounts)},"shuffle_mb":${toJson(shuffleMb)},"input_mb":${toJson(inputMb)},"sf":"$sfDir"}""")
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"n_queries":${results.size},"runs_per_query":$runs,"agg":"min","warm_cache":true,"prebuilt":$prebuiltJson,"floor_sec":$floorSec,"floor_per_stage_sec":${floorSec / 2},"floor_after_sec":$floorSecAfter,"floor_probes":$floorProbesJson,"floorline_excess_sec":$floorlineExcessSec,"pin_failures":[${pinFailures.mkString(",")}],$planPinFields,"shuffle_mb_total":$shuffleTotalMb$coldFields,"queries":${toJson(results)},"stages":${toJsonInt(stageCounts)},"shuffle_mb":${toJson(shuffleMb)},"input_mb":${toJson(inputMb)},"sf":"$sfDir"}"""
+    println(fullLine)
+    // Loss-proof copy of the FULL line (r18 verdict #1): the archived
+    // BENCH_r17.json kept only the short re-emit because the full line
+    // fell outside the driver's tail-capture window, which cost the
+    // r18 round its entire per-query round-over-round comparison
+    // (PERF_r18 n_common=0). The stdout contract is unchanged — this
+    // is a side copy on disk, so the per-query map survives any
+    // stdout truncation and a round can always be diffed against the
+    // previous one (each round commits its closing sweep's file under
+    // plans/<round>/bench/). Best-effort: a bench must never fail on
+    // an unwritable evidence path.
+    val fullOut = sys.env.getOrElse("SPARK_GRAFT_BENCH_JSON",
+      "/tmp/graft_bench_full.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(fullOut),
+      (fullLine + "\n").getBytes("UTF-8"))
+    catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] full-JSON side copy failed ($fullOut): $e") }
     // The full line above grew past the driver's tail-capture window in
     // round 3 and the LEADING total field was the part cut off. Re-emit
     // the headline number as a short final line so any last-N-bytes

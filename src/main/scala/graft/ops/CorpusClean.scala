@@ -358,11 +358,23 @@ object CorpusClean {
         // accounting from the clean() pipeline it describes)
         val bands = Dedup.bandKeysFromMinima(
           d, col("id"), col("__mh"), cfg.numHashes, cfg.bands)
+        // NO distinct on the pair list (r19, guide §2.4 — the same
+        // reasoning as the exploded-id distinct removed r17): a pair
+        // matching in BOTH bands appears ≤ `bands` times, and every
+        // consumer is duplicate-insensitive — the semi-join build side
+        // below, and the drop list re-distincts after the verify — so
+        // the dedup exchange bought nothing but its own stage. Cost
+        // moved: duplicate pairs re-verify (row-local array_intersect
+        // over the cached sets, ≤ ×bands); cost removed: one full
+        // exchange + AQE stage of the pair list per invocation.
+        // Measured (isolated min-of-9, sf0.1, idle): 0.874 → 0.776 s,
+        // 50 → 42 stages (the dedup exchange was re-listed by every
+        // downstream AQE job over it), shuffle 0.961 → 0.943 MB,
+        // values identical (burnin + AccountingParitySpec).
         val cand = bands.as("a").join(bands.as("b"),
             col("a.band") === col("b.band") && col("a.h") === col("b.h") &&
               col("a.id") < col("b.id"))
           .select(col("a.id").as("id1"), col("b.id").as("id2"))
-          .distinct()
         // restrict the cached shingle sets to candidate docs BEFORE
         // any join that could shuffle them: candDocs is LSH-bounded,
         // so derived-text bytes never move at corpus volume

@@ -42,6 +42,35 @@ object ExtendedQueries {
   private val memoStore = new java.util.concurrent.ConcurrentHashMap[
     (org.apache.spark.sql.SparkSession, String, String),
     org.apache.spark.sql.DataFrame]()
+  /** The FENCE on the untimed region (r18 verdict #6): every memo key
+    * any of the four session memo stores may hold. The memo stores are
+    * the mechanism by which work leaves a query's timed region (built
+    * once in Bench's disclosed warm-up, read by the timed runs), so an
+    * UNLISTED key is by construction new precomputation nobody
+    * reviewed — the entry points below reject it at build time, and
+    * MemoFenceSpec pins this set (plus Bench.prebuilt) against its own
+    * committed copy so widening it requires a visible two-file diff. */
+  private[graft] val allowedMemoKeys: Set[String] = Set(
+    // memoCache (cached frames; released by releaseCaches)
+    "bands", "bgcounts", "bgmodel", "candpairs", "cleancorpus", "doclens",
+    "docprof", "dupcc", "embednorm", "eventprof", "ivfassign", "jacpairs",
+    "mhsig", "restricted", "sheval", "shingles", "shsplit", "shtrain",
+    "simsig", "tfidfscore", "toktf",
+    // memoCount (scalar constants: corpus sizes)
+    "ndocs", "ntoks",
+    // memoBytes (small binary models)
+    "bloomfilter",
+    // memoPath (persisted layouts / lifecycle states)
+    "bucketjoin", "cleanids", "compactlayout", "compactpart", "ivfpqadv",
+    "ivfpqindex", "ivfpqleaf", "ivfpqrm", "jsonl", "medialayout", "scd2adv",
+    "sketchroll", "skiplayout", "streamagg", "streamband", "streamcdc",
+    "streamjsonl", "streamscd2")
+  private def fenceMemoKey(key: String): Unit =
+    require(allowedMemoKeys(key),
+      s"memo key '$key' is not in the committed untimed-region " +
+        "allowlist (ExtendedQueries.allowedMemoKeys, pinned by " +
+        "MemoFenceSpec) — new precomputation must be reviewed in, " +
+        "not slipped in")
   /** Fixed integer codebook for q_pq_encode (m=4, kc=4, dsub=16, flat
     * row-major): value(j,c,t) = first-6-hex(md5("pq:j:c:t")) − 2²³,
     * the [[graft.ops.Similarity.plane]] recipe. Data-independent and
@@ -143,6 +172,7 @@ object ExtendedQueries {
     // get + putIfAbsent keeps every map mutation outside any mapping
     // function; a lost race returns the winner's frame — both plans
     // resolve to the one CacheManager entry, so nothing leaks.
+    fenceMemoKey(key)
     val k = (s, d, key)
     val existing = memoStore.get(k)
     if (existing != null) return existing
@@ -457,6 +487,7 @@ object ExtendedQueries {
     (org.apache.spark.sql.SparkSession, String, String), java.lang.Long]()
   private[queries] def memoCount(key: String, s: org.apache.spark.sql.SparkSession, d: String)(
       build: => Long): Long = {
+    fenceMemoKey(key)
     val k = (s, d, key)
     val existing = scalarStore.get(k)
     if (existing != null) return existing
@@ -476,6 +507,7 @@ object ExtendedQueries {
     (org.apache.spark.sql.SparkSession, String, String), Array[Byte]]()
   private[queries] def memoBytes(key: String, s: org.apache.spark.sql.SparkSession, d: String)(
       build: => Array[Byte]): Array[Byte] = {
+    fenceMemoKey(key)
     val k = (s, d, key)
     val existing = bytesStore.get(k)
     if (existing != null) return existing
@@ -503,6 +535,7 @@ object ExtendedQueries {
     (org.apache.spark.sql.SparkSession, String, String), String]()
   private def memoPath(kind: String, s: org.apache.spark.sql.SparkSession,
       d: String)(build: String => Unit): String = {
+    fenceMemoKey(kind)
     val k = (s, d, kind)
     val hit = pathStore.get(k)
     if (hit != null) return hit

@@ -142,8 +142,15 @@ class IndicatorsSpec extends AnyFunSuite {
     val p = ranged.queryExecution.executedPlan.toString
     assert(p.contains("rangepartitioning"),
       s"expected a range-partitioned series exchange:\n$p")
-    assert(!p.contains("hashpartitioning"),
-      s"expected no hash exchange under the flag:\n$p")
+    // scope the negative match to Exchange lines (r18 ADVICE): a
+    // whole-plan contains() would flap on any future operator that
+    // merely MENTIONS hashpartitioning outside an Exchange node
+    val hashExchanges = p.linesIterator
+      .filter(l => l.contains("Exchange") && l.contains("hashpartitioning"))
+      .toSeq
+    assert(hashExchanges.isEmpty,
+      s"expected no hash exchange under the flag, got:\n" +
+        s"${hashExchanges.mkString("\n")}\nfull plan:\n$p")
     val plain = ops.Indicators.rsi(px, col("k"), Seq(col("i")),
       col("p").cast("decimal(18,2)"), 2, completeOnly = true)
     assert(ranged.exceptAll(plain).isEmpty && plain.exceptAll(ranged).isEmpty)

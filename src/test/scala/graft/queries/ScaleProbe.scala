@@ -340,6 +340,19 @@ object ScaleProbe {
       ("risk_drawdown",
         (d: String) => graft.SparkEntry.queries("q_drawdown")(spark, d),
         (d: String) => "", 3),
+      // r19: the remaining two one-range-exchange window-family
+      // members (r18 verdict #2 — prove the q_rsi-class form's scale
+      // shape at ×64, not just ×16): same claim as risk_rsi — copies
+      // add SERIES (l_partkey offset per copy) at constant per-key
+      // cardinality, so the single range exchange grows linearly in
+      // bytes, per-key window buffers stay flat, and wall amortizes
+      // the stage floor (sub-linear in rows).
+      ("risk_bollinger",
+        (d: String) => graft.SparkEntry.queries("q_bollinger")(spark, d),
+        (d: String) => "", 3),
+      ("risk_lag_return",
+        (d: String) => graft.SparkEntry.queries("q_window_lag_return")(spark, d),
+        (d: String) => "", 3),
       ("risk_asof_join",
         (d: String) => graft.SparkEntry.queries("q_asof_join")(spark, d),
         (d: String) => occupancy(

@@ -54,6 +54,15 @@ ACCEPTED = {
     # basis as its window-family siblings: the residual is WindowExec
     # eval over one range exchange; the 19.744 MB / 4-stage pins trip
     # first on any plan change.
+    # CALIBRATION NOTE (r18 ADVICE): 0.8 is an IDLE-host isolated
+    # min-of-9 basis with ~0.2-0.4 s headroom; the same round measured
+    # ~+0.4 s sweep-context noise on loaded hosts (q_drawdown landed
+    # exactly ON its ceiling in one closing sweep), so a trip of this
+    # entry in a SWEEP is "re-measure isolated" (the ratchet rule
+    # above), never grounds to re-litigate the plan by itself. The
+    # plan pins (19.744 MB / 4 stages) are the contention-immune
+    # regression signal; a ceiling trip without a pin trip is weather
+    # until an isolated min-of-9 says otherwise.
     "q_rsi": 0.8,
     # r15 one-exchange re-plans / broadcast / bucketed joins: walls
     # ride the scheduling floor, tiny idle excesses.
