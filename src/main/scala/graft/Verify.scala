@@ -33,6 +33,13 @@ object Verify {
       // sort-based shuffle writer: see Bench.scala — 3.5× less per-
       // stage filesystem overhead than the ≤200-partition bypass path
       .config("spark.shuffle.sort.bypassMergeThreshold", "0")
+      // Same A/B knob as Bench (r19, r18-verdict #5): default lz4 =
+      // Spark's default, so the driver's dump is byte-identical to
+      // before; non-default lets a zstd gate run prove the production
+      // codec candidate END-TO-END (oracle burnin over results
+      // computed under zstd shuffle), not just time it.
+      .config("spark.io.compression.codec",
+        sys.env.getOrElse("SPARK_GRAFT_IO_CODEC", "lz4"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

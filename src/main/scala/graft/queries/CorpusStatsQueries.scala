@@ -167,7 +167,30 @@ object CorpusStatsQueries {
             .as("wt"))
       val perDoc = docs
         .select(col("doc_id"), posexplode(wordsOf).as(Seq("pos", "w")))
-        .join(dict, "w")
+        // broadcast the DICTIONARY side explicitly (r19, guide §3.1):
+        // un-hinted, the planner size-estimates the posexplode side
+        // through Generate (which barely inflates its input estimate)
+        // as the smaller relation and broadcasts the position-exploded
+        // CORPUS — every word occurrence collected to the driver and
+        // shipped to every executor (r18 plan: BroadcastHashJoin
+        // BuildLeft over Generate(posexplode)). That is backwards at
+        // every scale: occurrences ≥ distinct words by construction
+        // (the dict IS the distinct of the same explode), the vocab
+        // grows sub-linearly in the corpus (Heaps' law) while
+        // occurrences grow linearly, and at 100 TB an occurrence
+        // broadcast is a driver OOM where the vocabulary is the
+        // textbook broadcast dimension. The hint also keeps the
+        // corpus side entirely un-shuffled until the per-doc
+        // aggregate's own doc_id exchange.
+        // Measured (isolated min-of-9, sf0.1, idle): 0.939 → 0.444 s,
+        // stages flat at 17, shuffle 3.907 → 4.379 MB (broadcasts are
+        // not shuffle bytes — the +0.47 MB is the doc-agg partials'
+        // changed row ordering compressing worse, the 0.495 s win is
+        // the removed occurrence-relation driver collect + hash-
+        // relation build; plan 31 → 27 nodes,
+        // plans/r19/q_bpe_encode_before/after.txt). Oracle green at
+        // 3 SFs post-change; shuffle budgets re-baselined 1.3×.
+        .join(broadcast(dict), "w")
         .groupBy(col("doc_id"))
         .agg(
           sum(size(split(col("wt"), " ")).cast("long")).as("n_tok"),

@@ -354,6 +354,53 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("rangepartitioning"), p.take(4000))
   }
 
+  test("q_bpe_encode: broadcasts carry aggregated relations, never the exploded corpus") {
+    // r19 gate for the inverted-broadcast hazard: un-hinted, the
+    // planner size-estimated the posexplode side through Generate
+    // (which barely inflates its input estimate) as the smaller
+    // relation and broadcast the position-exploded CORPUS — every
+    // word occurrence collected to the driver (r18 plan:
+    // BroadcastHashJoin BuildLeft over Generate). The fix broadcasts
+    // the dictionary; this gate pins the invariant the fix restores:
+    // every broadcast relation in this query is aggregate-bounded
+    // (the distinct-word dict, the per-doc aggregate), never raw
+    // generator output whose row count rides the corpus.
+    import org.apache.spark.sql.execution.{GenerateExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeLike
+    import org.apache.spark.sql.execution.aggregate.{BaseAggregateExec}
+    val df = q("q_bpe_encode")
+    df.collect() // finalize AQE
+    def kids(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case s: QueryStageExec => Seq(s.plan)
+      case o => o.children
+    }
+    // Generate nodes reachable without crossing an aggregate: the
+    // signature of a per-occurrence (corpus-sized) relation. Walks
+    // stop at InMemoryTableScan leaves naturally (a cached memo's
+    // stored build plan is not this query's broadcast payload).
+    def rawGenerates(p: SparkPlan): Int = p match {
+      case _: BaseAggregateExec => 0
+      case g: GenerateExec => 1 + kids(g).map(rawGenerates).sum
+      case o => kids(o).map(rawGenerates).sum
+    }
+    var broadcasts = 0
+    def check(p: SparkPlan): Unit = {
+      p match {
+        case b: BroadcastExchangeLike =>
+          broadcasts += 1
+          assert(rawGenerates(b) == 0,
+            s"broadcast of un-aggregated generator output (corpus-sized):\n$b")
+        case _ => ()
+      }
+      kids(p).foreach(check)
+    }
+    check(df.queryExecution.executedPlan)
+    assert(broadcasts >= 2, // the dict + the per-doc left-join side
+      s"expected the dict and per-doc broadcasts:\n${plan(df).take(4000)}")
+  }
+
   test("vector pair join: dot kernel is codegen, join is broadcast") {
     val df = q("q_dedup_embed_topk")
     df.collect() // finalize the AQE plan so codegen stages are visible
