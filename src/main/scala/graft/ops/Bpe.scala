@@ -134,22 +134,35 @@ object Bpe {
     * the fold runs over the VOCABULARY frame (|distinct words| rows),
     * and the corpus side is an equi-join of the exploded words against
     * that (word → n_syms) dictionary plus one per-doc sum — linear,
-    * no interpreted fold touches a corpus row. The join is left to the
-    * planner: AQE broadcasts the dictionary while it is small (always,
-    * at test scale) and falls back to a shuffle join for a
-    * web-corpus-sized vocabulary that must not be broadcast.
+    * no interpreted fold touches a corpus row.
+    *
+    * The dictionary is BROADCAST by default (r19, guide §3.1; the
+    * same fix as the declared q_bpe_encode path): "left to the
+    * planner", the planner size-estimates the exploded corpus side
+    * through Generate — which barely inflates its input estimate —
+    * as the SMALLER relation and broadcasts every word occurrence
+    * while the aggregate-bounded dictionary streams. That is
+    * backwards at every scale: occurrences ≥ distinct words by
+    * construction (the dict is the distinct of the same explode) and
+    * grow linearly where the vocabulary grows sub-linearly (Heaps'
+    * law), so the un-hinted shape is a driver OOM / broadcast-cap
+    * breach on exactly the corpora this operator exists for. Pass
+    * `broadcastDict = false` for the degenerate case of a vocabulary
+    * too large for the 8 GB broadcast cap (the planner then picks a
+    * shuffled join on the word key) — same opt-out pattern as
+    * Indicators' `rangeExchange`.
     *
     * Output: (id, n_tok); documents whose text contains no non-empty
     * word (empty string) get no row — filter or coalesce upstream if
     * zero-token docs must appear. Exactly equal to
     * `size(encode(text, merges))` per doc (BpeSpec parity gate). */
   def tokenCounts(docs: DataFrame, textCol: Column, idCol: Column,
-      merges: Seq[(String, String)]): DataFrame = {
+      merges: Seq[(String, String)], broadcastDict: Boolean = true): DataFrame = {
     val dict = vocabulary(docs, textCol)
       .select(col("tok"), size(encode(col("tok"), merges)).cast("long").as("__n_syms"))
     docs.select(idCol.as("id"),
         explode(filter(split(textCol, " "), w => length(w) >= 1)).as("tok"))
-      .join(dict, "tok")
+      .join(if (broadcastDict) broadcast(dict) else dict, "tok")
       .groupBy(col("id")).agg(sum(col("__n_syms")).as("n_tok"))
   }
 }

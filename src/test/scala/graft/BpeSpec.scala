@@ -113,6 +113,53 @@ class BpeSpec extends AnyFunSuite {
       "per-distinct-word dictionary path diverged from per-occurrence encode")
   }
 
+  test("tokenCounts: broadcasts the dictionary, never raw generator output") {
+    // r19 (guide §3.1), the library-side twin of the declared
+    // q_bpe_encode fix: un-hinted, the planner size-estimates the
+    // exploded corpus through Generate as the smaller relation and
+    // broadcasts every word occurrence while the aggregate-bounded
+    // dictionary streams. tokenCounts now hints broadcast(dict) by
+    // default; this gate pins the invariant (mirrors the PlanSpec
+    // q_bpe_encode gate) and proves the opt-out keeps value parity.
+    import org.apache.spark.sql.execution.{GenerateExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeLike
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    val merges = Bpe.learnFromCorpus(spark, corpus, col("text"), nMerges = 4)
+    val docs = graft.queries.t(spark, TestSpark.sfTiny, "documents").limit(100)
+    val df = Bpe.tokenCounts(docs, col("text"), col("doc_id"), merges)
+    df.collect() // finalize AQE
+    def kids(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case s: QueryStageExec => Seq(s.plan)
+      case o => o.children
+    }
+    def rawGenerates(p: SparkPlan): Int = p match {
+      case _: BaseAggregateExec => 0
+      case g: GenerateExec => 1 + kids(g).map(rawGenerates).sum
+      case o => kids(o).map(rawGenerates).sum
+    }
+    var broadcasts = 0
+    def check(p: SparkPlan): Unit = {
+      p match {
+        case b: BroadcastExchangeLike =>
+          broadcasts += 1
+          assert(rawGenerates(b) == 0,
+            s"broadcast of un-aggregated generator output (corpus-sized):\n$b")
+        case _ => ()
+      }
+      kids(p).foreach(check)
+    }
+    check(df.queryExecution.executedPlan)
+    assert(broadcasts >= 1, "expected the dictionary broadcast in the plan")
+    // the unboundable-vocabulary opt-out computes the same values
+    val hinted = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val planner = Bpe.tokenCounts(docs, col("text"), col("doc_id"), merges,
+        broadcastDict = false)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(planner == hinted, "broadcastDict=false diverged")
+  }
+
   test("greedy left-to-right: 'aaa' under (a,a) is [aa, a]") {
     val out = Seq("aaa").toDF("text")
       .select(Bpe.encode(col("text"), Seq(("a", "a"))).as("t"))
