@@ -85,17 +85,50 @@ object Multimodal {
       duration_ms = if (kind == "image") 0L else 1000L * (1 + u(2)))
   }
 
-  /** Real image decode via the JDK's ImageIO; None when the payload is
-    * not a parseable image (corrupt bytes, or not an image at all).
-    * NonFatal, not just IOException: the JDK plugin decoders throw
-    * IllegalArgumentException / index errors on malformed payloads
-    * that pass the format sniff — one such row must not kill the
+  /** Real image METADATA decode via the JDK's ImageIO reader plugins;
+    * None when the payload is not a parseable image (corrupt bytes, or
+    * not an image at all — no registered reader claims the format
+    * sniff). Header parse only (r19, guide §1.2 "per-task work"):
+    * width/height come from the format header (PNG IHDR, JPEG SOF,
+    * GIF logical screen, BMP info header), so the decoder reads
+    * O(header) bytes — `ImageReader.getWidth/getHeight` — and the
+    * pixel data is never inflated, exactly the contract [[decodeAudio]]
+    * has always had (frame-length header parse, samples never
+    * decoded). The previous `ImageIO.read` form paid a full O(pixels)
+    * decode (plus a hidden per-row temp-FILE-backed input cache —
+    * `ImageIO.read(InputStream)` wraps the stream in a
+    * FileCacheImageInputStream by default) to answer a two-field
+    * metadata question; on real corpora (megapixel payloads) that is
+    * the difference between reading ~40 bytes and decompressing the
+    * whole image. The stream here is an explicit
+    * MemoryCacheImageInputStream, so no temp file is ever created.
+    * Semantics note: a payload with a VALID header but corrupt pixel
+    * data now yields its header metadata instead of the stub — the
+    * same behavior the audio path has always had for corrupt sample
+    * data (header truth is the metadata contract; MultimodalSpec pins
+    * it). NonFatal, not just IOException: the JDK plugin readers throw
+    * IllegalArgumentException / index errors on malformed headers that
+    * pass the format sniff — one such row must not kill the
     * partition. */
   private def decodeImage(id: Long, bytes: Array[Byte]): Option[DecodedMeta] =
     try {
-      Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
-        .map(img => DecodedMeta(id, "image", bytes.length.toLong,
-          width = img.getWidth, height = img.getHeight, duration_ms = 0L))
+      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) None
+        else {
+          val r = readers.next()
+          try {
+            r.setInput(iis, true, true) // seekForwardOnly, ignoreMetadata
+            val w = r.getWidth(0)
+            val h = r.getHeight(0)
+            if (w <= 0 || h <= 0) None
+            else Some(DecodedMeta(id, "image", bytes.length.toLong,
+              width = w, height = h, duration_ms = 0L))
+          } finally r.dispose()
+        }
+      } finally iis.close()
     } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Real audio metadata decode via the JDK's `javax.sound.sampled`

@@ -61,6 +61,31 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out.forall(_.duration_ms == 0L))
   }
 
+  test("image decode is header-only: truncated pixel data still yields header dims") {
+    import spark.implicits._
+    // r19: decodeImage parses the header (PNG IHDR) and never inflates
+    // pixel data — the same header-truth contract decodeAudio has
+    // always had (a WAV with corrupt SAMPLES returns real metadata).
+    // Pin both halves of that contract:
+    //  (a) a payload with a valid header but truncated/corrupt pixel
+    //      data decodes to its header dimensions (the old full-decode
+    //      form stubbed these rows — header truth is the metadata
+    //      contract now, matching audio);
+    //  (b) a payload that fails the format sniff (no reader claims
+    //      it) still falls back to the stub.
+    val whole = pngBytes(37, 21)
+    // keep signature(8) + IHDR chunk(4 len + 4 type + 13 data + 4 crc)
+    // = 33 bytes plus a sliver of IDAT, drop the rest of the pixels
+    val truncated = whole.take(48)
+    val media = Seq(
+      Multimodal.MediaRow(1L, "image", truncated, "srcA"),
+      Multimodal.MediaRow(2L, "image", Array[Byte](1, 2, 3, 4), "srcB")).toDS()
+    val out = Multimodal.decode(media).collect().sortBy(_.media_id)
+    assert(out(0).width == 37 && out(0).height == 21,
+      "header dims must decode without the pixel data")
+    assert(out(1).width % 16 == 0, "unsniffable payload still stubs")
+  }
+
   test("real PNG resize re-encodes scaled pixels (not the stub digest)") {
     import spark.implicits._
     val media = Seq(Multimodal.MediaRow(1L, "image", pngBytes(64, 64), "srcA")).toDS()
